@@ -1,0 +1,356 @@
+"""Geometry predicates & constructive ops — pure numpy, no GEOS.
+
+Implements the predicate semantics our spatial join needs, mirroring
+OGR's spatial-filter evaluation order (reference:
+ogr/ogrsf_frmts/generic/ogrlayer.cpp:4005-4072):
+  1. envelope reject when bboxes are disjoint;
+  2. accept when the filter is a rectangle fully containing the
+     candidate envelope;
+  3. exact Intersects otherwise.
+
+Point-in-polygon uses even-odd ray casting (boundary counts as inside,
+matching OGRPolygon::ContainsPoint's practical use in point-in-poly
+joins; reference ogr/ogr_geometry.h:1309,2467). Intersects between
+polygons = any vertex containment either way, or any edge crossing.
+Clip-to-rectangle is Sutherland–Hodgman.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .wkb import (GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING, MULTIPOINT,
+                  MULTIPOLYGON, POINT, POLYGON, Geometry, polygon as make_polygon)
+
+
+# ---------------------------------------------------------------------------
+# envelope helpers
+# ---------------------------------------------------------------------------
+
+def envelopes_intersect(a, b) -> bool:
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+def envelope_contains(outer, inner) -> bool:
+    return (outer[0] <= inner[0] and outer[1] <= inner[1]
+            and outer[2] >= inner[2] and outer[3] >= inner[3])
+
+
+# ---------------------------------------------------------------------------
+# point in polygon (vectorized over points)
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray-cast: bool mask of points strictly inside or on the
+    boundary of one closed ring. Vectorized over all points at once."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    # crossing test (half-open on y so vertices are not double counted)
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / np.where(y1 != y0, y1 - y0, np.inf)
+    crosses = cond & (px < xint)
+    inside = crosses.sum(axis=1) % 2 == 1
+    # boundary: point on a segment counts as inside
+    on_edge = _points_on_segments(px, py, x0, y0, x1, y1)
+    return inside | on_edge
+
+
+def _points_on_segments(px, py, x0, y0, x1, y1, eps=1e-12):
+    dx, dy = x1 - x0, y1 - y0
+    lx, ly = px - x0, py - y0
+    cross = dx * ly - dy * lx
+    dot = lx * dx + ly * dy
+    seg2 = dx * dx + dy * dy
+    scale = np.maximum(seg2, 1.0)
+    on = (np.abs(cross) <= eps * scale) & (dot >= -eps * scale) & (dot <= seg2 + eps * scale)
+    return on.any(axis=1)
+
+
+def points_in_polygon(px, py, poly: Geometry) -> np.ndarray:
+    """Bool mask: inside shell, outside holes (even-odd across rings);
+    handles Polygon and MultiPolygon."""
+    px = np.atleast_1d(np.asarray(px, dtype=np.float64))
+    py = np.atleast_1d(np.asarray(py, dtype=np.float64))
+    if poly.geom_type == MULTIPOLYGON:
+        m = np.zeros(len(px), dtype=bool)
+        for p in poly.parts:
+            m |= points_in_polygon(px, py, p)
+        return m
+    assert poly.geom_type == POLYGON
+    if not poly.rings:
+        return np.zeros(len(px), dtype=bool)
+    inside = points_in_ring(px, py, poly.rings[0])
+    for hole in poly.rings[1:]:
+        in_hole = points_in_ring(px, py, hole)
+        on_hole_edge = _ring_boundary_mask(px, py, hole)
+        inside &= ~(in_hole & ~on_hole_edge)
+    return inside
+
+
+def _ring_boundary_mask(px, py, ring):
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    return _points_on_segments(px[:, None], py[:, None], x0, y0, x1, y1)
+
+
+# ---------------------------------------------------------------------------
+# segment intersection (vectorized all-pairs)
+# ---------------------------------------------------------------------------
+
+def _segments_cross(a0, a1, b0, b1, eps=1e-12) -> bool:
+    """True if any segment in A (arrays (n,2)) intersects any in B ((m,2))."""
+    ax0, ay0 = a0[:, 0][:, None], a0[:, 1][:, None]
+    ax1, ay1 = a1[:, 0][:, None], a1[:, 1][:, None]
+    bx0, by0 = b0[:, 0][None, :], b0[:, 1][None, :]
+    bx1, by1 = b1[:, 0][None, :], b1[:, 1][None, :]
+
+    d1x, d1y = ax1 - ax0, ay1 - ay0
+    d2x, d2y = bx1 - bx0, by1 - by0
+    denom = d1x * d2y - d1y * d2x
+    ex, ey = bx0 - ax0, by0 - ay0
+    t_num = ex * d2y - ey * d2x
+    u_num = ex * d1y - ey * d1x
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = t_num / denom
+        u = u_num / denom
+    proper = (np.abs(denom) > eps) & (t >= -eps) & (t <= 1 + eps) & (u >= -eps) & (u <= 1 + eps)
+    if proper.any():
+        return True
+    # collinear overlap: denom==0 and points on each other's lines
+    coll = (np.abs(denom) <= eps) & (np.abs(t_num) <= eps * np.maximum(1.0, np.abs(d2x) + np.abs(d2y)))
+    if not coll.any():
+        return False
+    # project and check interval overlap on the dominant axis
+    ia, ja = np.nonzero(coll)
+    for i, j in zip(ia[:64], ja[:64]):
+        if _collinear_overlap(a0[i], a1[i], b0[j], b1[j], eps):
+            return True
+    return False
+
+
+def _collinear_overlap(p0, p1, q0, q1, eps):
+    d = p1 - p0
+    axis = 0 if abs(d[0]) >= abs(d[1]) else 1
+    lo_a, hi_a = sorted((p0[axis], p1[axis]))
+    lo_b, hi_b = sorted((q0[axis], q1[axis]))
+    return hi_a >= lo_b - eps and hi_b >= lo_a - eps
+
+
+def _geometry_segments(g: Geometry):
+    """All edges of a geometry as (starts (n,2), ends (n,2))."""
+    segs = []
+    if g.geom_type == LINESTRING and len(g.coords) > 1:
+        segs.append((g.coords[:-1], g.coords[1:]))
+    elif g.geom_type == POLYGON:
+        for r in g.rings:
+            if len(r) > 1:
+                segs.append((r[:-1], r[1:]))
+    elif g.geom_type in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        for p in g.parts:
+            s = _geometry_segments(p)
+            if s is not None:
+                segs.append(s)
+    if not segs:
+        return None
+    return (np.vstack([s[0] for s in segs]), np.vstack([s[1] for s in segs]))
+
+
+def _representative_points(g: Geometry) -> np.ndarray:
+    if g.geom_type in (POINT, LINESTRING):
+        return g.coords
+    if g.geom_type == POLYGON:
+        return g.rings[0][:-1] if g.rings else np.empty((0, 2))
+    pts = [_representative_points(p) for p in g.parts]
+    return np.vstack(pts) if pts else np.empty((0, 2))
+
+
+def _contains_any_point(container: Geometry, pts: np.ndarray) -> bool:
+    if container.geom_type not in (POLYGON, MULTIPOLYGON) or len(pts) == 0:
+        return False
+    return bool(points_in_polygon(pts[:, 0], pts[:, 1], container).any())
+
+
+def intersects(a: Geometry, b: Geometry) -> bool:
+    """Exact Intersects predicate (the step-3 test of
+    ogrlayer.cpp:4066-4072). Envelope prefilter included."""
+    ea, eb = a.envelope(), b.envelope()
+    if not envelopes_intersect(ea, eb):
+        return False
+    # point cases
+    if a.geom_type == POINT:
+        return _point_intersects(a, b)
+    if b.geom_type == POINT:
+        return _point_intersects(b, a)
+    # multipoint: any member point
+    if a.geom_type == MULTIPOINT:
+        return any(_point_intersects(p, b) for p in a.parts)
+    if b.geom_type == MULTIPOINT:
+        return any(_point_intersects(p, a) for p in b.parts)
+    # vertex containment either direction
+    if _contains_any_point(a, _representative_points(b)):
+        return True
+    if _contains_any_point(b, _representative_points(a)):
+        return True
+    # edge crossing
+    sa, sb = _geometry_segments(a), _geometry_segments(b)
+    if sa is None or sb is None:
+        return False
+    return _segments_cross(sa[0], sa[1], sb[0], sb[1])
+
+
+def _point_intersects(pt: Geometry, other: Geometry) -> bool:
+    x, y = pt.coords[0]
+    if other.geom_type == POINT:
+        return bool(x == other.coords[0, 0] and y == other.coords[0, 1])
+    if other.geom_type in (POLYGON, MULTIPOLYGON):
+        return bool(points_in_polygon([x], [y], other)[0])
+    segs = _geometry_segments(other)
+    if segs is None:
+        if other.geom_type in (MULTIPOINT, GEOMETRYCOLLECTION):
+            return any(_point_intersects(pt, p) for p in other.parts)
+        return False
+    return bool(_points_on_segments(np.array([[x]]), np.array([[y]]),
+                                    segs[0][:, 0], segs[0][:, 1],
+                                    segs[1][:, 0], segs[1][:, 1])[0])
+
+
+def contains(a: Geometry, b: Geometry) -> bool:
+    """a Contains b: all of b's points inside a and no edge of b crosses
+    out of a. Conservative polygon/point implementation."""
+    if a.geom_type not in (POLYGON, MULTIPOLYGON):
+        return False
+    pts = _representative_points(b)
+    if len(pts) == 0:
+        return False
+    if not points_in_polygon(pts[:, 0], pts[:, 1], a).all():
+        return False
+    if b.geom_type == POINT or b.geom_type == MULTIPOINT:
+        return True
+    # edges of b must not cross a's boundary (touching allowed: we test
+    # midpoints of b's edges are inside too)
+    sb = _geometry_segments(b)
+    mids = (sb[0] + sb[1]) / 2.0
+    return bool(points_in_polygon(mids[:, 0], mids[:, 1], a).all())
+
+
+def within(a: Geometry, b: Geometry) -> bool:
+    return contains(b, a)
+
+
+# ---------------------------------------------------------------------------
+# constructive: clip to rectangle (Sutherland–Hodgman), area, centroid
+# ---------------------------------------------------------------------------
+
+def clip_ring_to_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
+    """Sutherland–Hodgman clip of one closed ring against an axis-aligned
+    rectangle; returns a closed ring (possibly empty)."""
+    poly = ring[:-1] if len(ring) and np.array_equal(ring[0], ring[-1]) else ring
+
+    def clip_edge(pts, inside_fn, intersect_fn):
+        if len(pts) == 0:
+            return pts
+        out = []
+        prev = pts[-1]
+        prev_in = inside_fn(prev)
+        for cur in pts:
+            cur_in = inside_fn(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(intersect_fn(prev, cur))
+                out.append(cur)
+            elif prev_in:
+                out.append(intersect_fn(prev, cur))
+            prev, prev_in = cur, cur_in
+        return np.asarray(out, dtype=np.float64) if out else np.empty((0, 2))
+
+    def ix_v(xv):
+        def f(p, q):
+            t = (xv - p[0]) / (q[0] - p[0])
+            return (xv, p[1] + t * (q[1] - p[1]))
+        return f
+
+    def ix_h(yv):
+        def f(p, q):
+            t = (yv - p[1]) / (q[1] - p[1])
+            return (p[0] + t * (q[0] - p[0]), yv)
+        return f
+
+    pts = np.asarray(poly, dtype=np.float64)
+    pts = clip_edge(pts, lambda p: p[0] >= minx, ix_v(minx))
+    pts = clip_edge(pts, lambda p: p[0] <= maxx, ix_v(maxx))
+    pts = clip_edge(pts, lambda p: p[1] >= miny, ix_h(miny))
+    pts = clip_edge(pts, lambda p: p[1] <= maxy, ix_h(maxy))
+    if len(pts) < 3:
+        return np.empty((0, 2))
+    return np.vstack([pts, pts[:1]])
+
+
+def clip_to_rect(g: Geometry, minx, miny, maxx, maxy) -> Geometry | None:
+    """Clip polygon/multipolygon to a rectangle. Returns None when the
+    intersection is empty. (Vector `clip` step semantics; reference
+    apps/gdalalg_vector_clip.cpp behavior for rectangle clips.)"""
+    if g.geom_type == POLYGON:
+        rings = [clip_ring_to_rect(r, minx, miny, maxx, maxy) for r in g.rings]
+        rings = [r for r in rings if len(r)]
+        if not rings or len(rings[0]) == 0:
+            return None
+        out = Geometry(POLYGON, rings=rings)
+        return out
+    if g.geom_type == MULTIPOLYGON:
+        parts = [clip_to_rect(p, minx, miny, maxx, maxy) for p in g.parts]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        return Geometry(MULTIPOLYGON, parts=parts)
+    raise ValueError(f"clip_to_rect: unsupported type {g.geom_type}")
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (positive = CCW)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def area(g: Geometry) -> float:
+    if g.geom_type == POLYGON:
+        if not g.rings:
+            return 0.0
+        a = abs(ring_area(g.rings[0]))
+        for h in g.rings[1:]:
+            a -= abs(ring_area(h))
+        return a
+    if g.geom_type == MULTIPOLYGON:
+        return sum(area(p) for p in g.parts)
+    return 0.0
+
+
+def centroid(g: Geometry):
+    """Area-weighted centroid of polygon/multipolygon; mean for others."""
+    if g.geom_type == POLYGON and g.rings:
+        cx = cy = atot = 0.0
+        for i, r in enumerate(g.rings):
+            x, y = r[:-1, 0], r[:-1, 1]
+            xn, yn = r[1:, 0], r[1:, 1]
+            cross = x * yn - xn * y
+            a = cross.sum() / 2.0
+            if a == 0:
+                continue
+            sign = 1.0 if i == 0 else -1.0
+            w = abs(a) * sign
+            cx += w * float(((x + xn) * cross).sum() / (6.0 * a))
+            cy += w * float(((y + yn) * cross).sum() / (6.0 * a))
+            atot += w
+        if atot != 0:
+            return cx / atot, cy / atot
+    pts = _representative_points(g)
+    return float(pts[:, 0].mean()), float(pts[:, 1].mean())
+
+
+def buffer_point(x: float, y: float, dist: float, segments: int = 16) -> Geometry:
+    """Circular buffer of a point as a polygon approximation."""
+    ang = np.linspace(0, 2 * np.pi, segments * 4, endpoint=False)
+    ring = np.column_stack([x + dist * np.cos(ang), y + dist * np.sin(ang)])
+    return make_polygon(ring)

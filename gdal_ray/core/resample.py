@@ -1,0 +1,241 @@
+"""Warp/resampling kernels — vectorized numpy, no scipy.
+
+Kernel set mirrors GDAL's published resampling algorithms (reference:
+alg/gdalwarper.h:35-69 enum; kernel formulas
+alg/gdalresamplingkernels.h:23-60): near, bilinear, cubic (Catmull-Rom,
+B=0, C=0.5), cubicspline (B-spline B=1, C=0), lanczos (a=3, 6×6 taps),
+plus the area reductions average / mode / min / max / sum used by
+overview building (gcore/overview.cpp) and GWKAverageOrMode.
+
+The warp itself is *affine dst→src*: both our source georeferencing and
+the mercator tile grid are affine, so the composite pixel mapping is a
+single affine transform — GDAL's GenImgProjTransformer chain
+(alg/gdaltransformer.cpp:2236) collapses to 6 numbers here, computed
+once per (tile, image) pair. Edge handling: source pixels outside the
+array contribute nothing; a validity mask is returned so callers can
+blend partial coverage (GDAL's density-mask idea, alg/gdalwarper.h).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geotransform as gtr
+
+RESAMPLERS = ("near", "bilinear", "cubic", "cubicspline", "lanczos",
+              "average", "mode", "min", "max", "sum")
+
+
+# ---------------------------------------------------------------------------
+# 1-D kernel weight functions (alg/gdalresamplingkernels.h)
+# ---------------------------------------------------------------------------
+
+def _cubic_weight(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom cubic (B=0, C=0.5): gdalresamplingkernels.h:23-43."""
+    ax = np.abs(x)
+    w = np.zeros_like(ax)
+    m1 = ax <= 1.0
+    m2 = (ax > 1.0) & (ax < 2.0)
+    w[m1] = ((1.5 * ax - 2.5) * ax * ax + 1.0)[m1]
+    w[m2] = (((-0.5 * ax + 2.5) * ax - 4.0) * ax + 2.0)[m2]
+    return w
+
+
+def _bspline_weight(x: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (B=1, C=0): gdalresamplingkernels.h:45-60."""
+    ax = np.abs(x)
+    w = np.zeros_like(ax)
+    m1 = ax < 1.0
+    m2 = (ax >= 1.0) & (ax < 2.0)
+    w[m1] = ((0.5 * ax - 1.0) * ax * ax + 2.0 / 3.0)[m1]
+    w[m2] = (((2.0 - ax) ** 3) / 6.0)[m2]
+    return w
+
+
+def _lanczos_weight(x: np.ndarray, a: int = 3) -> np.ndarray:
+    w = np.sinc(x) * np.sinc(x / a)
+    w[np.abs(x) >= a] = 0.0
+    return w
+
+
+_KERNELS = {
+    "cubic": (_cubic_weight, 2),
+    "cubicspline": (_bspline_weight, 2),
+    "lanczos": (_lanczos_weight, 3),
+}
+
+
+def composite_affine(src_gt, dst_gt):
+    """dst pixel → src pixel affine mapping (col_s, row_s) =
+    f(col_d, row_d); returns a 6-tuple in geotransform layout."""
+    inv = gtr.inverse(src_gt)
+    # world = dst_gt(dst_px); src_px = inv(world)
+    # compose: src = inv ∘ dst_gt
+    c0 = inv[0] + inv[1] * dst_gt[0] + inv[2] * dst_gt[3]
+    c1 = inv[1] * dst_gt[1] + inv[2] * dst_gt[4]
+    c2 = inv[1] * dst_gt[2] + inv[2] * dst_gt[5]
+    f0 = inv[3] + inv[4] * dst_gt[0] + inv[5] * dst_gt[3]
+    f1 = inv[4] * dst_gt[1] + inv[5] * dst_gt[4]
+    f2 = inv[4] * dst_gt[2] + inv[5] * dst_gt[5]
+    return (c0, c1, c2, f0, f1, f2)
+
+
+def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near"):
+    """Warp src (h, w) or (h, w, bands) onto a dst grid.
+
+    Returns (dst_pixels float64 or src dtype for 'near', valid_mask bool
+    (dh, dw)). Pixels with no source coverage are 0 with valid=False.
+    """
+    dh, dw = dst_shape
+    if src.ndim == 2:
+        src = src[:, :, None]
+        squeeze = True
+    else:
+        squeeze = False
+    sh, sw, nb = src.shape
+    m = composite_affine(src_gt, dst_gt)
+
+    # dst pixel centers
+    cols_d = np.arange(dw, dtype=np.float64) + 0.5
+    rows_d = np.arange(dh, dtype=np.float64) + 0.5
+    # src pixel-space coordinates of each dst pixel center (continuous)
+    sx = m[0] + m[1] * cols_d[None, :] + m[2] * rows_d[:, None]
+    sy = m[3] + m[4] * cols_d[None, :] + m[5] * rows_d[:, None]
+
+    if resampling == "near":
+        ix = np.floor(sx).astype(np.int64)
+        iy = np.floor(sy).astype(np.int64)
+        valid = (ix >= 0) & (ix < sw) & (iy >= 0) & (iy < sh)
+        out = np.zeros((dh, dw, nb), dtype=src.dtype)
+        out[valid] = src[iy[valid], ix[valid]]
+        return (out[:, :, 0] if squeeze else out), valid
+
+    if resampling == "bilinear":
+        fx = sx - 0.5
+        fy = sy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        tx = (fx - x0)[..., None]
+        ty = (fy - y0)[..., None]
+        out = np.zeros((dh, dw, nb), dtype=np.float64)
+        wsum = np.zeros((dh, dw, 1), dtype=np.float64)
+        for dyy in (0, 1):
+            for dxx in (0, 1):
+                xx = x0 + dxx
+                yy = y0 + dyy
+                wgt = (tx if dxx else 1 - tx) * (ty if dyy else 1 - ty)
+                ok = (xx >= 0) & (xx < sw) & (yy >= 0) & (yy < sh)
+                xs = np.clip(xx, 0, sw - 1)
+                ys = np.clip(yy, 0, sh - 1)
+                v = src[ys, xs].astype(np.float64)
+                wgt = wgt * ok[..., None]
+                out += v * wgt
+                wsum += wgt
+        valid = wsum[:, :, 0] > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(wsum > 0, out / np.maximum(wsum, 1e-300), 0.0)
+        return (out[:, :, 0] if squeeze else out), valid
+
+    if resampling in _KERNELS:
+        kfn, radius = _KERNELS[resampling]
+        fx = sx - 0.5
+        fy = sy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        out = np.zeros((dh, dw, nb), dtype=np.float64)
+        wsum = np.zeros((dh, dw, 1), dtype=np.float64)
+        for dyy in range(-radius + 1, radius + 1):
+            yy = y0 + dyy
+            wy = kfn(yy - fy)
+            oky = (yy >= 0) & (yy < sh)
+            ys = np.clip(yy, 0, sh - 1)
+            for dxx in range(-radius + 1, radius + 1):
+                xx = x0 + dxx
+                wx = kfn(xx - fx)
+                ok = oky & (xx >= 0) & (xx < sw)
+                xs = np.clip(xx, 0, sw - 1)
+                wgt = (wx * wy * ok)[..., None]
+                out += src[ys, xs].astype(np.float64) * wgt
+                wsum += wgt
+        valid = wsum[:, :, 0] > 1e-10
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(wsum > 1e-10, out / np.maximum(wsum, 1e-300), 0.0)
+        return (out[:, :, 0] if squeeze else out), valid
+
+    if resampling in ("average", "mode", "min", "max", "sum"):
+        return _warp_area(src, m, (dh, dw), resampling, squeeze)
+
+    raise ValueError(f"unknown resampling {resampling!r}")
+
+
+def _warp_area(src, m, dst_shape, op, squeeze):
+    """Area-based reductions: each dst pixel covers a rectangle of source
+    pixels (axis-aligned mapping assumed — the mercator tile case);
+    mirrors GWKAverageOrMode / overview average semantics."""
+    dh, dw = dst_shape
+    sh, sw, nb = src.shape
+    if abs(m[2]) > 1e-12 or abs(m[4]) > 1e-12:
+        raise ValueError("area resampling requires an axis-aligned mapping")
+    # dst pixel [j, j+1) x [i, i+1) maps to src x in [m0+m1*j, m0+m1*(j+1))
+    xe = m[0] + m[1] * np.arange(dw + 1, dtype=np.float64)
+    ye = m[3] + m[5] * np.arange(dh + 1, dtype=np.float64)
+    if m[1] < 0:
+        xe = xe[::-1]
+    if m[5] < 0:
+        ye = ye[::-1]
+    x0 = np.clip(np.floor(xe[:-1] + 1e-9).astype(np.int64), 0, sw)
+    x1 = np.clip(np.ceil(xe[1:] - 1e-9).astype(np.int64), 0, sw)
+    y0 = np.clip(np.floor(ye[:-1] + 1e-9).astype(np.int64), 0, sh)
+    y1 = np.clip(np.ceil(ye[1:] - 1e-9).astype(np.int64), 0, sh)
+    if m[1] < 0:
+        x0, x1 = x0[::-1], x1[::-1]
+    if m[5] < 0:
+        y0, y1 = y0[::-1], y1[::-1]
+
+    out = np.zeros((dh, dw, nb), dtype=np.float64)
+    valid = np.zeros((dh, dw), dtype=bool)
+    # integral-image path for average/sum; loop fallback for mode/min/max
+    if op in ("average", "sum"):
+        ii = np.zeros((sh + 1, sw + 1, nb), dtype=np.float64)
+        ii[1:, 1:] = np.cumsum(np.cumsum(src.astype(np.float64), axis=0), axis=1)
+        Y0 = y0[:, None]; Y1 = y1[:, None]; X0 = x0[None, :]; X1 = x1[None, :]
+        tot = (ii[Y1, X1] - ii[Y0, X1] - ii[Y1, X0] + ii[Y0, X0])
+        cnt = ((y1[:, None] - y0[:, None]) * (x1[None, :] - x0[None, :]))
+        valid = cnt > 0
+        cntf = np.maximum(cnt, 1)[..., None].astype(np.float64)
+        out = tot / cntf if op == "average" else tot
+    else:
+        for i in range(dh):
+            if y1[i] <= y0[i]:
+                continue
+            for j in range(dw):
+                if x1[j] <= x0[j]:
+                    continue
+                win = src[y0[i]:y1[i], x0[j]:x1[j]].reshape(-1, nb)
+                valid[i, j] = True
+                if op == "min":
+                    out[i, j] = win.min(axis=0)
+                elif op == "max":
+                    out[i, j] = win.max(axis=0)
+                else:  # mode
+                    for b in range(nb):
+                        vals, counts = np.unique(win[:, b], return_counts=True)
+                        out[i, j, b] = vals[np.argmax(counts)]
+    return (out[:, :, 0] if squeeze else out), valid
+
+
+def downsample2x_average(src: np.ndarray) -> np.ndarray:
+    """2× box-filter downsample (overview cascade 4→1 combine;
+    gcore/overview.cpp average semantics for even sizes)."""
+    h, w = src.shape[:2]
+    assert h % 2 == 0 and w % 2 == 0, "tile sizes are powers of two"
+    if src.ndim == 2:
+        a = src.reshape(h // 2, 2, w // 2, 2).astype(np.float64)
+        return a.mean(axis=(1, 3))
+    a = src.reshape(h // 2, 2, w // 2, 2, src.shape[2]).astype(np.float64)
+    return a.mean(axis=(1, 3))
+
+
+def to_uint8(arr: np.ndarray) -> np.ndarray:
+    """Round-half-up + clamp to byte range (GDALCopyWords float→byte)."""
+    return np.clip(np.floor(arr + 0.5), 0, 255).astype(np.uint8)

@@ -1,0 +1,178 @@
+"""ISO WKB geometry codec — pure numpy/struct, no GEOS.
+
+Implements the subset of the ISO WKB type tree our vector model needs
+(reference type codes: ogr/ogr_core.h:411-525): Point=1, LineString=2,
+Polygon=3, MultiPoint=4, MultiLineString=5, MultiPolygon=6,
+GeometryCollection=7. 2-D only. Geometry columns in our Datasets are
+WKB ``binary`` — the same Arrow convention OGR itself exposes
+(ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp:498).
+
+Geometries decode into light dataclasses holding numpy coordinate
+arrays; rings are (n, 2) float64 arrays, closed (first == last point).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+POINT, LINESTRING, POLYGON = 1, 2, 3
+MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION = 4, 5, 6, 7
+
+_TYPE_NAMES = {1: "Point", 2: "LineString", 3: "Polygon", 4: "MultiPoint",
+               5: "MultiLineString", 6: "MultiPolygon", 7: "GeometryCollection"}
+
+
+@dataclass
+class Geometry:
+    geom_type: int
+    # Point: coords shape (1,2); LineString: (n,2); Polygon: rings list;
+    # Multi*/Collection: parts list of Geometry.
+    coords: np.ndarray | None = None
+    rings: list = field(default_factory=list)
+    parts: list = field(default_factory=list)
+
+    @property
+    def type_name(self) -> str:
+        return _TYPE_NAMES[self.geom_type]
+
+    def envelope(self):
+        """(minx, miny, maxx, maxy); NaNs for empty geometries."""
+        pts = _all_coords(self)
+        if pts.size == 0:
+            nan = float("nan")
+            return (nan, nan, nan, nan)
+        return (float(pts[:, 0].min()), float(pts[:, 1].min()),
+                float(pts[:, 0].max()), float(pts[:, 1].max()))
+
+
+def _all_coords(g: Geometry) -> np.ndarray:
+    if g.geom_type in (POINT, LINESTRING):
+        return g.coords if g.coords is not None else np.empty((0, 2))
+    if g.geom_type == POLYGON:
+        return np.vstack(g.rings) if g.rings else np.empty((0, 2))
+    arrs = [_all_coords(p) for p in g.parts]
+    return np.vstack(arrs) if arrs else np.empty((0, 2))
+
+
+def point(x: float, y: float) -> Geometry:
+    return Geometry(POINT, coords=np.array([[x, y]], dtype=np.float64))
+
+
+def linestring(coords) -> Geometry:
+    return Geometry(LINESTRING, coords=np.asarray(coords, dtype=np.float64))
+
+
+def polygon(shell, holes=()) -> Geometry:
+    rings = [_close_ring(np.asarray(shell, dtype=np.float64))]
+    rings += [_close_ring(np.asarray(h, dtype=np.float64)) for h in holes]
+    return Geometry(POLYGON, rings=rings)
+
+
+def multipolygon(polys) -> Geometry:
+    return Geometry(MULTIPOLYGON, parts=list(polys))
+
+
+def multipoint(coords) -> Geometry:
+    c = np.asarray(coords, dtype=np.float64)
+    return Geometry(MULTIPOINT, parts=[point(x, y) for x, y in c])
+
+
+def collection(parts) -> Geometry:
+    return Geometry(GEOMETRYCOLLECTION, parts=list(parts))
+
+
+def box(minx, miny, maxx, maxy) -> Geometry:
+    """Axis-aligned rectangle polygon (CCW shell)."""
+    return polygon([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)])
+
+
+def _close_ring(r: np.ndarray) -> np.ndarray:
+    if len(r) and not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+# ---------------------------------------------------------------------------
+# WKB encode / decode (little-endian; accepts both byte orders on read)
+# ---------------------------------------------------------------------------
+
+def dumps(g: Geometry) -> bytes:
+    out = bytearray()
+    _write(g, out)
+    return bytes(out)
+
+
+def _write(g: Geometry, out: bytearray):
+    out += b"\x01"  # little endian
+    out += struct.pack("<I", g.geom_type)
+    t = g.geom_type
+    if t == POINT:
+        out += struct.pack("<2d", g.coords[0, 0], g.coords[0, 1])
+    elif t == LINESTRING:
+        out += struct.pack("<I", len(g.coords))
+        out += np.ascontiguousarray(g.coords, dtype="<f8").tobytes()
+    elif t == POLYGON:
+        out += struct.pack("<I", len(g.rings))
+        for r in g.rings:
+            out += struct.pack("<I", len(r))
+            out += np.ascontiguousarray(r, dtype="<f8").tobytes()
+    else:
+        out += struct.pack("<I", len(g.parts))
+        for p in g.parts:
+            _write(p, out)
+
+
+def loads(buf: bytes) -> Geometry:
+    g, _ = _read(memoryview(buf), 0)
+    return g
+
+
+def _read(mv: memoryview, off: int):
+    bo = "<" if mv[off] == 1 else ">"
+    (raw_type,) = struct.unpack_from(bo + "I", mv, off + 1)
+    t = raw_type % 1000  # strip 2.5D/Z flags (1001→1 etc.)
+    if raw_type & 0x80000000:
+        t = raw_type & 0xFF  # old-style wkb25DBit
+    off += 5
+    if t == POINT:
+        x, y = struct.unpack_from(bo + "2d", mv, off)
+        return point(x, y), off + 16
+    if t == LINESTRING:
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        coords = np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off)
+        off += 16 * n
+        return Geometry(LINESTRING, coords=coords.reshape(n, 2).astype(np.float64)), off
+    if t == POLYGON:
+        (nr,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(bo + "I", mv, off)
+            off += 4
+            r = np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off)
+            rings.append(r.reshape(n, 2).astype(np.float64))
+            off += 16 * n
+        return Geometry(POLYGON, rings=rings), off
+    if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        parts = []
+        for _ in range(n):
+            p, off = _read(mv, off)
+            parts.append(p)
+        return Geometry(t, parts=parts), off
+    raise ValueError(f"unsupported WKB geometry type {raw_type}")
+
+
+def envelopes_of_wkb(wkbs) -> np.ndarray:
+    """Bulk envelope computation: list of WKB buffers → (n,4) float64
+    [minx,miny,maxx,maxy] array. The denormalized envelope columns every
+    vector Dataset carries come from here."""
+    out = np.empty((len(wkbs), 4), dtype=np.float64)
+    for i, b in enumerate(wkbs):
+        out[i] = loads(b).envelope()
+    return out

@@ -1,0 +1,209 @@
+"""Tests for WKB codec, geometry predicates, resampling, image codecs."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs import decode, encode, psnr
+from gdal_ray.core import geom, resample, wkb
+from gdal_ray.core import geotransform as gtr
+
+
+class TestWKB:
+    def test_point_roundtrip(self):
+        g = wkb.point(1.5, -2.5)
+        g2 = wkb.loads(wkb.dumps(g))
+        assert g2.geom_type == wkb.POINT
+        assert np.allclose(g2.coords, [[1.5, -2.5]])
+
+    def test_polygon_roundtrip(self):
+        g = wkb.polygon([(0, 0), (4, 0), (4, 4), (0, 4)],
+                        holes=[[(1, 1), (2, 1), (2, 2), (1, 2)]])
+        g2 = wkb.loads(wkb.dumps(g))
+        assert g2.geom_type == wkb.POLYGON
+        assert len(g2.rings) == 2
+        assert np.allclose(g2.rings[0], g.rings[0])
+
+    def test_multipolygon_roundtrip(self):
+        g = wkb.multipolygon([wkb.box(0, 0, 1, 1), wkb.box(2, 2, 3, 3)])
+        g2 = wkb.loads(wkb.dumps(g))
+        assert g2.geom_type == wkb.MULTIPOLYGON
+        assert len(g2.parts) == 2
+
+    def test_envelope(self):
+        g = wkb.polygon([(0, 0), (4, 0), (4, 3), (0, 3)])
+        assert g.envelope() == (0.0, 0.0, 4.0, 3.0)
+
+    def test_big_endian_point(self):
+        import struct
+        buf = b"\x00" + struct.pack(">I", 1) + struct.pack(">2d", 3.0, 4.0)
+        g = wkb.loads(buf)
+        assert np.allclose(g.coords, [[3.0, 4.0]])
+
+    def test_bulk_envelopes(self):
+        ws = [wkb.dumps(wkb.box(i, i, i + 1, i + 2)) for i in range(5)]
+        env = wkb.envelopes_of_wkb(ws)
+        assert env.shape == (5, 4)
+        assert np.allclose(env[3], [3, 3, 4, 5])
+
+
+class TestPredicates:
+    def test_pip_square(self):
+        poly = wkb.box(0, 0, 10, 10)
+        px = np.array([5.0, -1.0, 10.0, 0.0, 15.0])
+        py = np.array([5.0, 5.0, 5.0, 0.0, 5.0])
+        m = geom.points_in_polygon(px, py, poly)
+        assert m.tolist() == [True, False, True, True, False]
+
+    def test_pip_hole(self):
+        poly = wkb.polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                           holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]])
+        m = geom.points_in_polygon([5, 2], [5, 2], poly)
+        assert m.tolist() == [False, True]
+
+    def test_pip_concave(self):
+        # L-shape
+        poly = wkb.polygon([(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)])
+        m = geom.points_in_polygon([1, 3, 3], [3, 3, 1], poly)
+        assert m.tolist() == [True, False, True]
+
+    def test_intersects_overlap(self):
+        a = wkb.box(0, 0, 4, 4)
+        b = wkb.box(2, 2, 6, 6)
+        assert geom.intersects(a, b)
+        assert geom.intersects(b, a)
+
+    def test_intersects_disjoint(self):
+        assert not geom.intersects(wkb.box(0, 0, 1, 1), wkb.box(5, 5, 6, 6))
+
+    def test_intersects_contained(self):
+        outer = wkb.box(0, 0, 10, 10)
+        inner = wkb.box(3, 3, 4, 4)
+        assert geom.intersects(outer, inner)
+        assert geom.contains(outer, inner)
+        assert not geom.contains(inner, outer)
+        assert geom.within(inner, outer)
+
+    def test_intersects_cross_no_vertex_inside(self):
+        # plus-sign configuration: rectangles cross, no vertex inside
+        a = wkb.box(-1, 2, 6, 3)
+        b = wkb.box(2, -1, 3, 6)
+        assert geom.intersects(a, b)
+
+    def test_line_polygon(self):
+        line = wkb.linestring([(-5, 5), (15, 5)])
+        assert geom.intersects(line, wkb.box(0, 0, 10, 10))
+        assert geom.intersects(wkb.box(0, 0, 10, 10), line)
+        assert not geom.intersects(wkb.linestring([(-5, 20), (15, 20)]),
+                                   wkb.box(0, 0, 10, 10))
+
+    def test_point_predicates(self):
+        p = wkb.point(5, 5)
+        assert geom.intersects(p, wkb.box(0, 0, 10, 10))
+        assert not geom.intersects(p, wkb.box(6, 6, 10, 10))
+
+    def test_clip_to_rect(self):
+        g = wkb.box(0, 0, 10, 10)
+        c = geom.clip_to_rect(g, 5, 5, 20, 20)
+        assert c is not None
+        assert abs(geom.area(c) - 25.0) < 1e-9
+        assert geom.clip_to_rect(g, 20, 20, 30, 30) is None
+
+    def test_area_centroid(self):
+        g = wkb.polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                        holes=[[(2, 2), (4, 2), (4, 4), (2, 4)]])
+        assert abs(geom.area(g) - 96.0) < 1e-9
+        cx, cy = geom.centroid(wkb.box(2, 2, 6, 8))
+        assert abs(cx - 4) < 1e-9 and abs(cy - 5) < 1e-9
+
+
+class TestCodecs:
+    def _img(self, h=37, w=53, nb=3):
+        rng = np.random.default_rng(7)
+        return rng.integers(0, 256, size=(h, w, nb), dtype=np.uint8)
+
+    @pytest.mark.parametrize("nb", [1, 2, 3, 4])
+    def test_png_roundtrip(self, nb):
+        img = self._img(nb=nb)
+        assert np.array_equal(decode(encode(img, "png"), "png"), img)
+
+    def test_png_magic_sniff(self):
+        img = self._img()
+        assert np.array_equal(decode(encode(img, "png")), img)
+
+    def test_dct_psnr_smooth(self):
+        # smooth gradient image: DCT codec should exceed 40 dB easily
+        y, x = np.mgrid[0:64, 0:64]
+        img = np.stack([(x * 2) % 256, (y * 3) % 256, ((x + y)) % 256],
+                       axis=2).astype(np.uint8)
+        out = decode(encode(img, "jpeg"), "jpeg")
+        assert out.shape == img.shape
+        assert psnr(img, out) >= 40.0
+
+    def test_dct_nonsquare(self):
+        img = self._img(h=33, w=41, nb=1)
+        out = decode(encode(img, "jpeg"), "jpeg")
+        assert out.shape == img.shape
+
+
+class TestResample:
+    def test_near_identity(self):
+        src = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        gt = (0, 1, 0, 0, 0, 1)
+        out, valid = resample.warp(src, gt, gt, (8, 8), "near")
+        assert np.array_equal(out, src)
+        assert valid.all()
+
+    def test_near_shift(self):
+        src = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        src_gt = (0, 1, 0, 0, 0, 1)
+        dst_gt = (2, 1, 0, 3, 0, 1)  # shifted window
+        out, valid = resample.warp(src, src_gt, dst_gt, (4, 4), "near")
+        assert np.array_equal(out, src[3:7, 2:6])
+
+    def test_bilinear_2x_upsample(self):
+        src = np.array([[0, 100], [100, 200]], dtype=np.float64)
+        src_gt = (0, 2, 0, 0, 0, 2)
+        dst_gt = (0, 1, 0, 0, 0, 1)
+        out, valid = resample.warp(src, src_gt, dst_gt, (4, 4), "bilinear")
+        # center 2x2 of output are exact interpolations
+        assert abs(out[1, 1] - (0 * 9 + 100 * 3 + 100 * 3 + 200) / 16) < 1e-9
+
+    def test_cubic_preserves_constant(self):
+        src = np.full((16, 16), 77.0)
+        src_gt = (0, 1, 0, 0, 0, 1)
+        dst_gt = (1.3, 0.7, 0, 2.1, 0, 0.7)
+        out, valid = resample.warp(src, src_gt, dst_gt, (8, 8), "cubic")
+        assert np.allclose(out[valid], 77.0)
+
+    def test_lanczos_preserves_constant(self):
+        src = np.full((16, 16), 42.0)
+        gt = (0, 1, 0, 0, 0, 1)
+        out, valid = resample.warp(src, gt, (2, 0.9, 0, 2, 0, 0.9), (8, 8), "lanczos")
+        assert np.allclose(out[valid], 42.0, atol=1e-6)
+
+    def test_average_downsample(self):
+        src = np.arange(16, dtype=np.float64).reshape(4, 4)
+        src_gt = (0, 1, 0, 0, 0, 1)
+        dst_gt = (0, 2, 0, 0, 0, 2)
+        out, valid = resample.warp(src, src_gt, dst_gt, (2, 2), "average")
+        assert np.allclose(out, [[2.5, 4.5], [10.5, 12.5]])
+        assert valid.all()
+
+    def test_downsample2x(self):
+        src = np.arange(16, dtype=np.float64).reshape(4, 4)
+        out = resample.downsample2x_average(src)
+        assert np.allclose(out, [[2.5, 4.5], [10.5, 12.5]])
+
+    def test_minmax(self):
+        src = np.arange(16, dtype=np.float64).reshape(4, 4)
+        gt = (0, 1, 0, 0, 0, 1)
+        mn, _ = resample.warp(src, gt, (0, 2, 0, 0, 0, 2), (2, 2), "min")
+        mx, _ = resample.warp(src, gt, (0, 2, 0, 0, 0, 2), (2, 2), "max")
+        assert np.allclose(mn, [[0, 2], [8, 10]])
+        assert np.allclose(mx, [[5, 7], [13, 15]])
+
+    def test_outside_invalid(self):
+        src = np.full((4, 4), 9.0)
+        gt = (0, 1, 0, 0, 0, 1)
+        out, valid = resample.warp(src, gt, (10, 1, 0, 10, 0, 1), (4, 4), "near")
+        assert not valid.any()
