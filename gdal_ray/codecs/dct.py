@@ -70,7 +70,7 @@ def _unblockify(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
     return img[:h, :w]
 
 
-def encode(img: np.ndarray, quality: int = 88) -> bytes:
+def encode(img: np.ndarray, quality: int = 95) -> bytes:
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nb = img.shape

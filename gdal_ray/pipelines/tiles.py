@@ -1,0 +1,80 @@
+"""Flagship pipeline: image corpus → XYZ tile pyramid (+ manifest).
+
+Composition (all lazy; the streaming executor pipelines the stages):
+
+  images ─ map_batches(with_georef)        metadata only
+         ─ map_batches(cover_batch)        flat-map to (cell, contribution)
+         ─ groupby(cell).map_groups(RenderTile)     ← the shuffle
+         ─ [per zoom, descending] groupby(parent).map_groups(CombineChildren)
+         ─ write_parquet(out/z=K/)         resumable partitioned layout
+
+The overview cascade keeps gdal2tiles' per-zoom barrier
+(gdal2tiles.py:4547): level z is materialized before level z-1 starts —
+each level is small relative to the base and the barrier is inherent to
+the 4→1 dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.images import images_dataset
+from ..stages.georef import with_georef
+from ..stages.tiles import CombineChildren, RenderTile, add_parent_cell, cover_batch
+
+
+def build_base_tiles(images, zoom: int | None = None, *,
+                     resampling: str = "bilinear",
+                     render_concurrency: int | None = None):
+    """images Dataset (raw schema) → base-zoom tile Dataset."""
+    ds = images.map_batches(with_georef, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: cover_batch(b, zoom), batch_format="pyarrow")
+    renderer = RenderTile(resampling=resampling)
+
+    def render_tile_group(g):
+        return renderer(g)
+
+    return ds.groupby("cell").map_groups(render_tile_group, batch_format="pandas")
+
+
+def build_overviews(tiles, min_z: int, max_z: int):
+    """Tile Dataset at max_z → list of (z, Dataset) down to min_z.
+
+    Materializes each level (per-zoom barrier) and feeds it to the next.
+    """
+    levels = {max_z: tiles}
+    cur = tiles
+    combiner = CombineChildren()
+
+    def combine_children_group(g):
+        return combiner(g)
+
+    for z in range(max_z, min_z, -1):
+        cur = (cur.map_batches(add_parent_cell, batch_format="pyarrow")
+               .groupby("parent")
+               .map_groups(combine_children_group, batch_format="pandas")
+               .materialize())
+        levels[z - 1] = cur
+    return levels
+
+
+def tile_pyramid(n_images: int, zoom: int = 8, min_z: int = 5, *,
+                 resampling: str = "bilinear"):
+    """End-to-end synthetic run: n images → pyramid levels dict."""
+    imgs = images_dataset(n_images)
+    base = build_base_tiles(imgs, zoom, resampling=resampling).materialize()
+    return build_overviews(base, min_z, zoom)
+
+
+def write_pyramid(levels: dict, out_dir: str):
+    """Write each level to out_dir/z=K/ (one directory per zoom —
+    resumable: a restart skips completed levels)."""
+    import os
+
+    for z, ds in sorted(levels.items()):
+        path = os.path.join(out_dir, f"z={z}")
+        if os.path.exists(path):
+            continue
+        ds.drop_columns(["parent"] if "parent" in ds.schema().names else []) \
+          .write_parquet(path)

@@ -1,0 +1,400 @@
+"""Spatial joins: cell-partitioned image×polygon join, point-in-polygon
+join, kNN join — the flagship shuffles.
+
+Semantics mirror OGR's spatial-filter evaluation
+(reference: ogr/ogrsf_frmts/generic/ogrlayer.cpp:4005-4072): envelope
+reject → rectangle-contains fast accept → exact Intersects; and the
+layer-algebra candidate-pair pattern (ogrlayer.cpp:5386+).
+
+Partitioning: both sides flat-map to covering quadkey cells at a join
+zoom, then one groupby(cell) co-partitions candidates. Pairs whose
+geometries span several cells are deduplicated with the PBSM
+*reference-point* rule — a pair is emitted only from the cell that
+contains the top-left corner of the envelope intersection — so no
+second dedup shuffle is needed.
+
+Scale note: join zoom picks the partition granularity; higher zoom →
+more, smaller cells (better balance, more duplication of large
+polygons). Hot cells can additionally be handled by broadcasting the
+small side (ray.put) when |polygons| is small — see
+broadcast_spatial_filter below, the semi-join fast path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core import geom, mercator as merc, wkb as wkb_mod
+
+
+def _cover_cells_batch(batch: pa.Table, zoom: int, keep: list[str],
+                       max_cells: int = 65536) -> pa.Table:
+    """Envelope columns → one output row per covering cell (flat-map)."""
+    minx = batch["minx"].to_numpy(); miny = batch["miny"].to_numpy()
+    maxx = batch["maxx"].to_numpy(); maxy = batch["maxy"].to_numpy()
+    cells_out, idx_out = [], []
+    for i in range(batch.num_rows):
+        cells = merc.cells_for_envelope(minx[i], miny[i], maxx[i], maxy[i],
+                                        zoom, max_cells=max_cells)
+        cells_out.append(cells)
+        idx_out.append(np.full(len(cells), i, dtype=np.int64))
+    if cells_out:
+        cells_all = np.concatenate(cells_out)
+        idx_all = np.concatenate(idx_out)
+    else:
+        cells_all = np.empty(0, dtype=np.uint64)
+        idx_all = np.empty(0, dtype=np.int64)
+    taken = batch.select(keep).take(pa.array(idx_all))
+    return taken.append_column("cell", pa.array(cells_all, pa.uint64()))
+
+
+def with_cells(ds, zoom: int, keep: list[str]):
+    """Dataset with envelope cols → flat-mapped (cell, keep...) rows."""
+    return ds.map_batches(lambda b: _cover_cells_batch(b, zoom, keep),
+                          batch_format="pyarrow")
+
+
+def reference_cell(minx_a, miny_a, minx_b, miny_b, zoom: int):
+    """Cell of the envelope-intersection top-left reference point
+    (PBSM dedup rule). Vectorized."""
+    rx = np.maximum(minx_a, minx_b)
+    ry = np.maximum(miny_a, miny_b)
+    tx, ty = merc.meters_to_tile(rx, ry, zoom)
+    n = 2**zoom
+    tx = np.clip(tx, 0, n - 1)
+    ty = np.clip(ty, 0, n - 1)
+    return merc.cell_id(zoom, tx, merc.tms_to_xyz(ty, zoom))
+
+
+class SpatialJoinCell:
+    """map_groups callable over one cell: images (side I, axis-aligned
+    footprint boxes) × polygons (side P, WKB) → matched pairs."""
+
+    def __init__(self, zoom: int, predicate: str = "intersects"):
+        self.zoom = zoom
+        self.predicate = predicate
+        self._geom_cache: dict[int, object] = {}
+
+    def _poly(self, fid: int, wkb_bytes: bytes):
+        g = self._geom_cache.get(fid)
+        if g is None:
+            g = wkb_mod.loads(wkb_bytes)
+            if len(self._geom_cache) > 4096:
+                self._geom_cache.clear()
+            self._geom_cache[fid] = g
+        return g
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        cell = np.uint64(group["cell"].iloc[0])
+        imgs = group[group["side"] == "I"]
+        polys = group[group["side"] == "P"]
+        out = {"image_id": [], "fid": [], "name": [], "category": []}
+        if len(imgs) == 0 or len(polys) == 0:
+            return _typed_pairs_frame(out)
+        ia = imgs[["minx", "miny", "maxx", "maxy"]].to_numpy()
+        pa_ = polys[["minx", "miny", "maxx", "maxy"]].to_numpy()
+        # vectorized envelope prefilter: (n_img, n_poly) mask
+        overlap = ((ia[:, None, 0] <= pa_[None, :, 2]) & (pa_[None, :, 0] <= ia[:, None, 2])
+                   & (ia[:, None, 1] <= pa_[None, :, 3]) & (pa_[None, :, 1] <= ia[:, None, 3]))
+        # PBSM reference-point dedup
+        ii, jj = np.nonzero(overlap)
+        if len(ii) == 0:
+            return _typed_pairs_frame(out)
+        ref = reference_cell(ia[ii, 0], ia[ii, 1], pa_[jj, 0], pa_[jj, 1], self.zoom)
+        own = ref == cell
+        for i, j in zip(ii[own], jj[own]):
+            irow = imgs.iloc[i]
+            prow = polys.iloc[j]
+            poly = self._poly(int(prow["fid"]), prow["wkb"])
+            box = wkb_mod.box(irow["minx"], irow["miny"], irow["maxx"], irow["maxy"])
+            # ogrlayer.cpp:4039-4042 fast accept: candidate envelope fully
+            # inside a rectangular filter
+            penv = (prow["minx"], prow["miny"], prow["maxx"], prow["maxy"])
+            ienv = (irow["minx"], irow["miny"], irow["maxx"], irow["maxy"])
+            if self.predicate == "intersects":
+                hit = (_is_rect(poly) and geom.envelope_contains(penv, ienv)) \
+                    or geom.intersects(box, poly)
+            elif self.predicate == "contains":  # polygon contains image
+                hit = geom.contains(poly, box)
+            else:
+                raise ValueError(self.predicate)
+            if hit:
+                out["image_id"].append(irow["image_id"])
+                out["fid"].append(np.int64(prow["fid"]))
+                out["name"].append(prow["name"])
+                out["category"].append(prow["category"])
+        return _typed_pairs_frame(out)
+
+
+def _typed_pairs_frame(out: dict) -> pd.DataFrame:
+    return pd.DataFrame({
+        "image_id": pd.Series(out["image_id"], dtype=object),
+        "fid": pd.Series(out["fid"], dtype="int64"),
+        "name": pd.Series(out["name"], dtype=object),
+        "category": pd.Series(out["category"], dtype=object),
+    })
+
+
+def _typed_pip_frame(out: dict) -> pd.DataFrame:
+    return pd.DataFrame({
+        "pt_fid": pd.Series(out["pt_fid"], dtype="int64"),
+        "fid": pd.Series(out["fid"], dtype="int64"),
+        "name": pd.Series(out["name"], dtype=object),
+        "category": pd.Series(out["category"], dtype=object),
+    })
+
+
+def _is_rect(g) -> bool:
+    if g.geom_type != wkb_mod.POLYGON or len(g.rings) != 1:
+        return False
+    r = g.rings[0]
+    if len(r) != 5:
+        return False
+    xs, ys = set(r[:, 0].tolist()), set(r[:, 1].tolist())
+    return len(xs) == 2 and len(ys) == 2
+
+
+def spatial_join(images_geo, polygons, zoom: int = 7,
+                 predicate: str = "intersects"):
+    """images (georef'd) × polygons → (image_id, fid, name, category).
+
+    Inner spatial join on footprint-intersects-polygon. Both inputs are
+    Datasets; images_geo must already carry envelope columns (georef
+    stage), polygons the T2 schema."""
+    import pyarrow as pa
+
+    imgs = with_cells(images_geo, zoom, ["image_id", "minx", "miny", "maxx", "maxy"])
+    imgs = imgs.map_batches(
+        lambda b: (b.append_column("side", pa.array(["I"] * b.num_rows))
+                   .append_column("fid", pa.nulls(b.num_rows, pa.int64()))
+                   .append_column("wkb", pa.nulls(b.num_rows, pa.binary()))
+                   .append_column("name", pa.nulls(b.num_rows, pa.string()))
+                   .append_column("category", pa.nulls(b.num_rows, pa.string()))),
+        batch_format="pyarrow")
+    pols = with_cells(polygons, zoom,
+                      ["fid", "wkb", "minx", "miny", "maxx", "maxy", "name", "category"])
+    pols = pols.map_batches(
+        lambda b: (b.append_column("side", pa.array(["P"] * b.num_rows))
+                   .append_column("image_id", pa.nulls(b.num_rows, pa.string()))),
+        batch_format="pyarrow")
+    cols = ["cell", "side", "image_id", "fid", "wkb",
+            "minx", "miny", "maxx", "maxy", "name", "category"]
+    both = imgs.select_columns(cols).union(pols.select_columns(cols))
+    joiner = SpatialJoinCell(zoom, predicate)
+
+    def join_cell_group(g):
+        return joiner(g)
+
+    return both.groupby("cell").map_groups(join_cell_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon join
+# ---------------------------------------------------------------------------
+
+class PiPJoinCell:
+    """Per-cell point-in-polygon: points are in exactly one cell, so no
+    pair dedup is needed (polygons are the duplicated side)."""
+
+    def __init__(self, emit: str = "inner"):
+        self.emit = emit  # inner | semi | anti
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        pts = group[group["side"] == "I"]
+        polys = group[group["side"] == "P"]
+        out = {"pt_fid": [], "fid": [], "name": [], "category": []}
+        if len(pts) == 0:
+            return _typed_pip_frame(out)
+        px = pts["minx"].to_numpy()  # for points minx==maxx==x
+        py = pts["miny"].to_numpy()
+        matched = np.zeros(len(pts), dtype=bool)
+        for _, prow in polys.iterrows():
+            env_ok = ((px >= prow["minx"]) & (px <= prow["maxx"])
+                      & (py >= prow["miny"]) & (py <= prow["maxy"]))
+            if not env_ok.any():
+                continue
+            g = wkb_mod.loads(prow["wkb"])
+            inside = np.zeros(len(pts), dtype=bool)
+            inside[env_ok] = geom.points_in_polygon(px[env_ok], py[env_ok], g)
+            matched |= inside
+            if self.emit == "inner":
+                for i in np.nonzero(inside)[0]:
+                    out["pt_fid"].append(np.int64(pts.iloc[i]["image_id"]))
+                    out["fid"].append(np.int64(prow["fid"]))
+                    out["name"].append(prow["name"])
+                    out["category"].append(prow["category"])
+        if self.emit in ("semi", "anti"):
+            sel = matched if self.emit == "semi" else ~matched
+            for i in np.nonzero(sel)[0]:
+                out["pt_fid"].append(np.int64(pts.iloc[i]["image_id"]))
+                out["fid"].append(np.int64(-1))
+                out["name"].append(None)
+                out["category"].append(None)
+        return _typed_pip_frame(out)
+
+
+def pip_join(points, polygons, zoom: int = 7, emit: str = "inner"):
+    """points (T3 schema) × polygons (T2) → point-in-polygon pairs.
+
+    emit='inner' returns one row per (point, containing polygon);
+    'semi'/'anti' return points with/without any container."""
+    def pts_prep(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(); y = b["y"].to_numpy()
+        tx, ty = merc.meters_to_tile(x, y, zoom)
+        n = 2**zoom
+        tx = np.clip(tx, 0, n - 1); ty = np.clip(ty, 0, n - 1)
+        cells = merc.cell_id(zoom, tx, merc.tms_to_xyz(ty, zoom))
+        return pa.table({
+            "cell": pa.array(cells, pa.uint64()),
+            "side": pa.array(["I"] * b.num_rows),
+            "image_id": b["fid"],  # point fid rides in the image_id slot
+            "fid": pa.nulls(b.num_rows, pa.int64()),
+            "wkb": pa.nulls(b.num_rows, pa.binary()),
+            "minx": pa.array(x), "miny": pa.array(y),
+            "maxx": pa.array(x), "maxy": pa.array(y),
+            "name": pa.nulls(b.num_rows, pa.string()),
+            "category": pa.nulls(b.num_rows, pa.string()),
+        })
+
+    pts = points.map_batches(pts_prep, batch_format="pyarrow")
+    pols = with_cells(polygons, zoom,
+                      ["fid", "wkb", "minx", "miny", "maxx", "maxy", "name", "category"])
+    pols = pols.map_batches(
+        lambda b: (b.append_column("side", pa.array(["P"] * b.num_rows))
+                   .append_column("image_id", pa.nulls(b.num_rows, pa.int64()))),
+        batch_format="pyarrow")
+    cols = ["cell", "side", "image_id", "fid", "wkb",
+            "minx", "miny", "maxx", "maxy", "name", "category"]
+    both = pts.select_columns(cols).union(pols.select_columns(cols))
+    j = PiPJoinCell(emit)
+
+    def pip_cell_group(g):
+        return j(g)
+
+    return both.groupby("cell").map_groups(pip_cell_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# broadcast semi-join (small filter side)
+# ---------------------------------------------------------------------------
+
+def broadcast_spatial_filter(ds, filter_wkb: bytes, *, x_col="x", y_col="y"):
+    """OGR SetSpatialFilter semantics as a broadcast semi-join: the
+    filter geometry ships once (captured in the task closure / object
+    store), each batch tests its points vectorized — no shuffle at all.
+    (ogrlayer.cpp:4005-4072 path for one filter geometry.)"""
+    g = wkb_mod.loads(filter_wkb)
+    env = g.envelope()
+
+    def f(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(); y = b[y_col].to_numpy()
+        m = (x >= env[0]) & (x <= env[2]) & (y >= env[1]) & (y <= env[3])
+        if m.any():
+            m[m] = geom.points_in_polygon(x[m], y[m], g)
+        return b.filter(pa.array(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# kNN join
+# ---------------------------------------------------------------------------
+
+class KnnCell:
+    """Per-cell brute-force kNN candidates: queries were flat-mapped to
+    their cell + ring-1 halo, so every data point within one cell radius
+    is a candidate. Emits (qid, fid, dist) candidates; a global
+    groupby(qid) top-k merge finishes the join.
+
+    Partitioning assumption (documented per SURVEY §2.4): the true kth
+    neighbor lies within the 3×3 cell halo — choose the join zoom so a
+    cell is ≥ the expected kth-neighbor radius."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        qs = group[group["side"] == "Q"]
+        ps = group[group["side"] == "P"]
+        if len(qs) == 0 or len(ps) == 0:
+            return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                                 "fid": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="float64")})
+        qx = qs["x"].to_numpy()[:, None]; qy = qs["y"].to_numpy()[:, None]
+        px = ps["x"].to_numpy()[None, :]; py = ps["y"].to_numpy()[None, :]
+        d2 = (qx - px) ** 2 + (qy - py) ** 2
+        k = min(self.k, d2.shape[1])
+        nn = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        rows = {"qid": [], "fid": [], "dist": []}
+        qids = qs["qid"].to_numpy()
+        fids = ps["fid"].to_numpy()
+        for i in range(len(qs)):
+            for j in nn[i]:
+                rows["qid"].append(np.int64(qids[i]))
+                rows["fid"].append(np.int64(fids[j]))
+                rows["dist"].append(float(np.sqrt(d2[i, j])))
+        return pd.DataFrame(rows)
+
+
+def knn_join(points, queries, k: int = 3, zoom: int = 6):
+    """For each query point: k nearest data points (euclidean in 3857).
+
+    points/queries: Datasets with fid/x/y columns. Returns
+    (qid, fid, dist) rows, k per query. Candidates are generated
+    per-cell with a ring-1 halo and merged with a groupby(qid) top-k."""
+    def cell_of(x, y):
+        tx, ty = merc.meters_to_tile(x, y, zoom)
+        n = 2**zoom
+        tx = np.clip(tx, 0, n - 1); ty = np.clip(ty, 0, n - 1)
+        return merc.cell_id(zoom, tx, merc.tms_to_xyz(ty, zoom))
+
+    def pts_prep(b: pa.Table) -> pa.Table:
+        cells = cell_of(b["x"].to_numpy(), b["y"].to_numpy())
+        return pa.table({
+            "cell": pa.array(cells, pa.uint64()),
+            "side": pa.array(["P"] * b.num_rows),
+            "qid": pa.nulls(b.num_rows, pa.int64()),
+            "fid": b["fid"], "x": b["x"], "y": b["y"],
+        })
+
+    def q_prep(b: pa.Table) -> pa.Table:
+        # flat-map each query into its 3×3 cell neighborhood
+        x = b["x"].to_numpy(); y = b["y"].to_numpy()
+        fid = b["fid"].to_numpy()
+        n = 2**zoom
+        tx, ty = merc.meters_to_tile(x, y, zoom)
+        tx = np.clip(tx, 0, n - 1); ty = np.clip(ty, 0, n - 1)
+        cells, qid, qx, qy = [], [], [], []
+        for i in range(len(x)):
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    cx, cy = int(tx[i]) + dx, int(ty[i]) + dy
+                    if 0 <= cx < n and 0 <= cy < n:
+                        cells.append(int(merc.cell_id(zoom, cx, int(merc.tms_to_xyz(cy, zoom)))))
+                        qid.append(int(fid[i])); qx.append(float(x[i])); qy.append(float(y[i]))
+        return pa.table({
+            "cell": pa.array(np.array(cells, dtype=np.uint64), pa.uint64()),
+            "side": pa.array(["Q"] * len(cells)),
+            "qid": pa.array(qid, pa.int64()),
+            "fid": pa.nulls(len(cells), pa.int64()),
+            "x": pa.array(qx, pa.float64()), "y": pa.array(qy, pa.float64()),
+        })
+
+    pts = points.map_batches(pts_prep, batch_format="pyarrow")
+    qs = queries.map_batches(q_prep, batch_format="pyarrow")
+    cols = ["cell", "side", "qid", "fid", "x", "y"]
+    both = pts.select_columns(cols).union(qs.select_columns(cols))
+    knn = KnnCell(k)
+
+    def knn_cell_group(g):
+        return knn(g)
+
+    cands = both.groupby("cell").map_groups(knn_cell_group, batch_format="pandas")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["fid"]).nsmallest(k, "dist")
+        return g
+
+    return cands.groupby("qid").map_groups(topk, batch_format="pandas")

@@ -1,0 +1,216 @@
+"""Tile cutting: cover-list expansion, per-tile render, overview cascade.
+
+Ray-Data-first re-expression of gdal2tiles / `gdal raster tile`
+semantics (reference: swig/python/gdal-utils/osgeo_utils/gdal2tiles.py
+lifecycle; apps/gdalalg_raster_tile.cpp:642-700 per-tile work unit):
+
+  Stage A (max zoom): metadata-only flat_map computes each image's
+  covering (z, x, y) tiles — the "TileDetail manifest" — then
+  groupby(cell) co-locates all image contributions per tile and a
+  map_groups actor renders: decode → affine warp onto the tile grid →
+  composite in image_id order → encode PNG. The shuffle moves *encoded*
+  bytes only; pixels exist only inside the render actor (wide-row rule,
+  SURVEY §7.5.6).
+
+  Stage B (overviews): zoom-descending 4→1 combine
+  (create_overview_tile semantics, gdal2tiles.py:1466-1494) with a
+  per-zoom barrier (gdal2tiles.py:4547).
+
+Skew: contributions for hot cells can be range-salted by image rank so
+salt buckets composite disjoint image_id ranges; merging buckets in
+salt order preserves global compositing order (PBSM-style).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..codecs import decode as codec_decode
+from ..codecs import encode as codec_encode
+from ..core import geotransform as gtr
+from ..core import mercator as merc
+from ..core import resample as rs
+from ..core.checksum import checksum_multiband
+
+TILE_SIZE = 256
+
+COVER_SCHEMA = pa.schema([
+    ("cell", pa.uint64()),
+    ("z", pa.int32()), ("x", pa.int64()), ("y", pa.int64()),
+    ("image_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("fmt", pa.string()),
+    ("gt0", pa.float64()), ("gt1", pa.float64()), ("gt2", pa.float64()),
+    ("gt3", pa.float64()), ("gt4", pa.float64()), ("gt5", pa.float64()),
+    ("img_w", pa.int32()), ("img_h", pa.int32()),
+])
+
+TILE_SCHEMA = pa.schema([
+    ("cell", pa.uint64()),
+    ("z", pa.int32()), ("x", pa.int64()), ("y", pa.int64()),
+    ("png", pa.binary()),
+    ("n_src", pa.int32()),
+    ("cs_r", pa.int32()), ("cs_g", pa.int32()), ("cs_b", pa.int32()),
+])
+
+
+def cover_batch(batch: pa.Table, zoom: int | None = None,
+                max_cells_per_image: int = 4096) -> pa.Table:
+    """Image rows (with georef cols) → one row per covering tile at
+    `zoom` (or each image's native_z when zoom is None). Metadata-only:
+    carries encoded bytes through to the render stage."""
+    n = batch.num_rows
+    minx = batch["minx"].to_numpy(); miny = batch["miny"].to_numpy()
+    maxx = batch["maxx"].to_numpy(); maxy = batch["maxy"].to_numpy()
+    native = batch["native_z"].to_numpy()
+    out_rows: dict[str, list] = {k.name: [] for k in COVER_SCHEMA}
+    ids = batch["image_id"].to_pylist()
+    bys = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    gts = [batch[f"gt{k}"].to_numpy() for k in range(6)]
+    ws = batch["w"].to_numpy(); hs = batch["h"].to_numpy()
+    for i in range(n):
+        z = int(zoom if zoom is not None else native[i])
+        cells = merc.cells_for_envelope(minx[i], miny[i], maxx[i], maxy[i], z,
+                                        max_cells=max_cells_per_image)
+        if len(cells) == 0:
+            continue
+        zz, xx, yy = merc.cell_decode(cells)
+        k = len(cells)
+        out_rows["cell"].extend(cells.tolist())
+        out_rows["z"].extend([z] * k)
+        out_rows["x"].extend(xx.tolist())
+        out_rows["y"].extend(yy.tolist())
+        out_rows["image_id"].extend([ids[i]] * k)
+        out_rows["bytes"].extend([bys[i]] * k)
+        out_rows["fmt"].extend([fmts[i]] * k)
+        for g in range(6):
+            out_rows[f"gt{g}"].extend([float(gts[g][i])] * k)
+        out_rows["img_w"].extend([int(ws[i])] * k)
+        out_rows["img_h"].extend([int(hs[i])] * k)
+    return pa.Table.from_pydict(out_rows, schema=COVER_SCHEMA)
+
+
+def tile_geotransform(z: int, x: int, y_xyz: int, tile_size: int = TILE_SIZE):
+    """North-up geotransform of an XYZ tile's pixel grid."""
+    ty_tms = int(merc.xyz_to_tms(y_xyz, z))
+    minx, miny, maxx, maxy = merc.tile_bounds(x, ty_tms, z, tile_size)
+    return gtr.from_bounds(float(minx), float(miny), float(maxx), float(maxy),
+                           tile_size, tile_size)
+
+
+class RenderTile:
+    """map_groups callable: all contributions of one (z,x,y) tile →
+    one rendered RGBA tile row.
+
+    Actor-pool stage: per-actor decode cache (an image overlapping k
+    tiles in this actor's groups decodes once — GDAL's block-cache role,
+    gcore/gdalrasterblock.cpp, scoped per worker instead of global).
+    """
+
+    def __init__(self, resampling: str = "bilinear", tile_size: int = TILE_SIZE,
+                 skip_blank: bool = True):
+        self.resampling = resampling
+        self.tile_size = tile_size
+        self.skip_blank = skip_blank
+        self._cache: dict[str, np.ndarray] = {}
+        self._cache_bytes = 0
+        self._cache_limit = 256 * 1024 * 1024
+
+    def _decode(self, image_id: str, buf: bytes, fmt: str) -> np.ndarray:
+        px = self._cache.get(image_id)
+        if px is None:
+            px = codec_decode(buf, fmt)
+            if self._cache_bytes + px.nbytes > self._cache_limit:
+                self._cache.clear()
+                self._cache_bytes = 0
+            self._cache[image_id] = px
+            self._cache_bytes += px.nbytes
+        return px
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        z = int(group["z"].iloc[0]); x = int(group["x"].iloc[0])
+        y = int(group["y"].iloc[0]); cell = np.uint64(group["cell"].iloc[0])
+        ts = self.tile_size
+        dst_gt = tile_geotransform(z, x, y, ts)
+        acc = np.zeros((ts, ts, 3), dtype=np.float64)
+        alpha = np.zeros((ts, ts), dtype=bool)
+        # deterministic compositing order: ascending image_id, later wins
+        order = np.argsort(group["image_id"].to_numpy(), kind="stable")
+        n_src = 0
+        for ridx in order:
+            row = group.iloc[ridx]
+            px = self._decode(row["image_id"], row["bytes"], row["fmt"])
+            src_gt = (row["gt0"], row["gt1"], row["gt2"],
+                      row["gt3"], row["gt4"], row["gt5"])
+            warped, valid = rs.warp(px, src_gt, dst_gt, (ts, ts), self.resampling)
+            if not valid.any():
+                continue
+            acc[valid] = warped[valid]
+            alpha |= valid
+            n_src += 1
+        if self.skip_blank and not alpha.any():
+            return _empty_tile_frame()
+        rgb = rs.to_uint8(acc)
+        rgba = np.dstack([rgb, (alpha * 255).astype(np.uint8)])
+        cs = checksum_multiband(rgb)
+        return pd.DataFrame({
+            "cell": [np.uint64(cell)], "z": [np.int32(z)],
+            "x": [np.int64(x)], "y": [np.int64(y)],
+            "png": [codec_encode(rgba, "png")],
+            "n_src": [np.int32(n_src)],
+            "cs_r": [np.int32(cs[0])], "cs_g": [np.int32(cs[1])], "cs_b": [np.int32(cs[2])],
+        })
+
+
+def _empty_tile_frame() -> pd.DataFrame:
+    return pd.DataFrame({
+        "cell": pd.Series([], dtype="uint64"), "z": pd.Series([], dtype="int32"),
+        "x": pd.Series([], dtype="int64"), "y": pd.Series([], dtype="int64"),
+        "png": pd.Series([], dtype=object), "n_src": pd.Series([], dtype="int32"),
+        "cs_r": pd.Series([], dtype="int32"), "cs_g": pd.Series([], dtype="int32"),
+        "cs_b": pd.Series([], dtype="int32"),
+    })
+
+
+class CombineChildren:
+    """Overview cascade 4→1: map_groups over parent cell; places ≤4 child
+    tiles into a 2×2 mosaic and box-downsamples (gdal2tiles
+    create_overview_tile semantics)."""
+
+    def __init__(self, tile_size: int = TILE_SIZE):
+        self.tile_size = tile_size
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        ts = self.tile_size
+        pz = int(group["z"].iloc[0]) - 1
+        px_ = int(group["x"].iloc[0]) >> 1
+        py_ = int(group["y"].iloc[0]) >> 1
+        mosaic = np.zeros((2 * ts, 2 * ts, 4), dtype=np.uint8)
+        n_src = 0
+        for _, row in group.iterrows():
+            child = codec_decode(row["png"], "png")
+            dx = (int(row["x"]) & 1) * ts
+            dy = (int(row["y"]) & 1) * ts  # XYZ y grows downward
+            mosaic[dy:dy + ts, dx:dx + ts] = child
+            n_src += int(row["n_src"])
+        down = rs.downsample2x_average(mosaic)
+        # de-premultiply-free alpha: average alpha independently
+        rgba = rs.to_uint8(down)
+        rgb = rgba[:, :, :3]
+        cs = checksum_multiband(rgb)
+        cell = np.uint64(merc.cell_id(pz, px_, py_))
+        return pd.DataFrame({
+            "cell": [cell], "z": [np.int32(pz)],
+            "x": [np.int64(px_)], "y": [np.int64(py_)],
+            "png": [codec_encode(rgba, "png")],
+            "n_src": [np.int32(n_src)],
+            "cs_r": [np.int32(cs[0])], "cs_g": [np.int32(cs[1])], "cs_b": [np.int32(cs[2])],
+        })
+
+
+def add_parent_cell(batch: pa.Table) -> pa.Table:
+    parent = merc.cell_parent(batch["cell"].to_numpy())
+    return batch.append_column("parent", pa.array(parent, pa.uint64()))

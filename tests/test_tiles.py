@@ -1,0 +1,167 @@
+"""Tile pipeline conformance: cover assignment vs float oracle, aligned
+render pixel-exactness, overview cascade math, caption preservation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gdal_ray.codecs import decode, encode, psnr
+from gdal_ray.core import geotransform as gtr
+from gdal_ray.core import mercator as merc
+from gdal_ray.core.checksum import checksum_multiband
+from gdal_ray.sources.images import (caption_of, images_dataset, make_image_batch,
+                                     render_pixels)
+from gdal_ray.stages.georef import with_georef
+from gdal_ray.stages.tiles import (CombineChildren, RenderTile, cover_batch,
+                                   tile_geotransform)
+
+
+def oracle_cover(minx, miny, maxx, maxy, z):
+    """Independent brute-force tile cover: scan the whole tile range that
+    could touch the envelope and keep tiles whose bounds overlap."""
+    n = 2**z
+    out = set()
+    for tx in range(n):
+        b = merc.tile_bounds(tx, 0, z)
+        if b[2] <= minx or b[0] >= maxx:
+            continue
+        for ty in range(n):
+            bb = merc.tile_bounds(tx, ty, z)
+            if bb[3] <= miny or bb[1] >= maxy:
+                continue
+            out.add((tx, int(merc.tms_to_xyz(ty, z))))
+    return out
+
+
+class TestCover:
+    def test_cover_vs_oracle(self, ray_session):
+        ds = images_dataset(40).map_batches(with_georef, batch_format="pyarrow")
+        tbl = pa.concat_tables(
+            [b for b in ds.map_batches(lambda b: cover_batch(b, 6),
+                                       batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow")])
+        geo_tbl = pa.concat_tables([b for b in ds.iter_batches(batch_format="pyarrow")])
+        env = {r["image_id"]: (r["minx"], r["miny"], r["maxx"], r["maxy"])
+               for r in geo_tbl.to_pylist()}
+        got = {}
+        for r in tbl.to_pylist():
+            got.setdefault(r["image_id"], set()).add((r["x"], r["y"]))
+        for iid, e in env.items():
+            assert got.get(iid, set()) == oracle_cover(*e, 6), iid
+
+
+class TestRender:
+    def test_aligned_tile_pixel_exact(self):
+        """An image exactly aligned to one z10 tile must render into that
+        tile byte-for-byte (nearest)."""
+        z, tx, ty_xyz = 10, 300, 400
+        dst_gt = tile_geotransform(z, tx, ty_xyz)
+        img = (np.arange(256 * 256 * 3) % 256).astype(np.uint8).reshape(256, 256, 3)
+        group = pd.DataFrame({
+            "cell": [np.uint64(merc.cell_id(z, tx, ty_xyz))],
+            "z": [z], "x": [tx], "y": [ty_xyz],
+            "image_id": ["img00000000"],
+            "bytes": [encode(img, "png")], "fmt": ["png"],
+            "gt0": [dst_gt[0]], "gt1": [dst_gt[1]], "gt2": [0.0],
+            "gt3": [dst_gt[3]], "gt4": [0.0], "gt5": [dst_gt[5]],
+            "img_w": [256], "img_h": [256],
+        })
+        out = RenderTile(resampling="near")(group)
+        assert len(out) == 1
+        rgba = decode(out.iloc[0]["png"], "png")
+        assert np.array_equal(rgba[:, :, :3], img)
+        assert (rgba[:, :, 3] == 255).all()
+        assert [out.iloc[0]["cs_r"], out.iloc[0]["cs_g"], out.iloc[0]["cs_b"]] \
+            == checksum_multiband(img)
+
+    def test_compositing_order(self):
+        """Later image_id wins on overlap."""
+        z, tx, ty_xyz = 10, 300, 400
+        dst_gt = tile_geotransform(z, tx, ty_xyz)
+        a = np.full((256, 256, 3), 10, dtype=np.uint8)
+        b = np.full((256, 256, 3), 200, dtype=np.uint8)
+        rows = []
+        for iid, img in (("img00000001", a), ("img00000002", b)):
+            rows.append({
+                "cell": np.uint64(merc.cell_id(z, tx, ty_xyz)),
+                "z": z, "x": tx, "y": ty_xyz, "image_id": iid,
+                "bytes": encode(img, "png"), "fmt": "png",
+                "gt0": dst_gt[0], "gt1": dst_gt[1], "gt2": 0.0,
+                "gt3": dst_gt[3], "gt4": 0.0, "gt5": dst_gt[5],
+                "img_w": 256, "img_h": 256,
+            })
+        out = RenderTile(resampling="near")(pd.DataFrame(rows[::-1]))
+        rgba = decode(out.iloc[0]["png"], "png")
+        assert (rgba[:, :, 0] == 200).all()
+
+    def test_blank_tile_skipped(self):
+        z, tx, ty_xyz = 10, 300, 400
+        far_gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)  # nowhere near the tile
+        group = pd.DataFrame({
+            "cell": [np.uint64(merc.cell_id(z, tx, ty_xyz))],
+            "z": [z], "x": [tx], "y": [ty_xyz], "image_id": ["img00000000"],
+            "bytes": [encode(np.zeros((8, 8, 3), np.uint8), "png")], "fmt": ["png"],
+            "gt0": [far_gt[0]], "gt1": [far_gt[1]], "gt2": [0.0],
+            "gt3": [far_gt[3]], "gt4": [0.0], "gt5": [far_gt[5]],
+            "img_w": [8], "img_h": [8],
+        })
+        out = RenderTile()(group)
+        assert len(out) == 0
+
+
+class TestOverview:
+    def test_combine4_math(self):
+        z = 9
+        children = []
+        imgs = {}
+        for dx in (0, 1):
+            for dy in (0, 1):
+                img = np.full((256, 256, 4), 0, dtype=np.uint8)
+                img[:, :, 0] = 50 * (1 + dx + 2 * dy)
+                img[:, :, 3] = 255
+                imgs[(dx, dy)] = img
+                children.append({
+                    "cell": np.uint64(merc.cell_id(z, 10 + dx, 20 + dy)),
+                    "z": z, "x": 10 + dx, "y": 20 + dy,
+                    "png": encode(img, "png"), "n_src": 1,
+                    "cs_r": 0, "cs_g": 0, "cs_b": 0,
+                    "parent": np.uint64(merc.cell_id(z - 1, 5, 10)),
+                })
+        out = CombineChildren()(pd.DataFrame(children))
+        assert len(out) == 1
+        assert int(out.iloc[0]["z"]) == z - 1
+        assert (int(out.iloc[0]["x"]), int(out.iloc[0]["y"])) == (5, 10)
+        rgba = decode(out.iloc[0]["png"], "png")
+        # each child shrinks to its 128×128 quadrant: top-left = child (0,0)
+        assert (rgba[:128, :128, 0] == 50).all()
+        assert (rgba[:128, 128:, 0] == 100).all()
+        assert (rgba[128:, :128, 0] == 150).all()
+        assert (rgba[128:, 128:, 0] == 200).all()
+
+
+class TestInvariants:
+    def test_caption_bytes_preserved(self, ray_session):
+        ds = images_dataset(30)
+        caps = [r["caption"] for r in ds.select_columns(["image_id", "caption"])
+                .sort("image_id").take_all()]
+        assert caps == [caption_of(i) for i in range(30)]
+
+    def test_jpeg_psnr_gate(self):
+        t = make_image_batch([1, 3, 5])  # odd → jpeg
+        for r in t.to_pylist():
+            i = int(r["image_id"][3:])
+            out = decode(r["bytes"], "jpeg")
+            assert psnr(render_pixels(i), out) >= 40.0
+
+    def test_png_lossless(self):
+        t = make_image_batch([0, 2, 4])
+        for r in t.to_pylist():
+            i = int(r["image_id"][3:])
+            assert np.array_equal(decode(r["bytes"], "png"), render_pixels(i))
+
+    def test_phash_collisions(self):
+        t = make_image_batch([0, 97, 194])
+        ph = [r["phash"] for r in t.to_pylist()]
+        assert ph[0] == ph[1]  # 97 repeats 0
+        assert ph[1] == ph[2]  # 194 repeats 97
