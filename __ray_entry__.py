@@ -1,44 +1,46 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in gdal_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic image corpus (BASELINE.json shape) →
+    georef → base-tile render at z8 → spatial join of image footprints
+    against the polygon layer. Returns the join result joined with tile
+    counts — a small, stable-schema Dataset."""
+    from gdal_ray.pipelines.queries import q_image_tiles, q_image_spatial_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    tiles = q_image_tiles(sf_dir)          # exercises decode→warp→encode
+    n_tiles = tiles.count()
+    joined = q_image_spatial_join(sf_dir)  # exercises the cell shuffle join
+    import pyarrow as pa
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("n_tiles_rendered",
+                               pa.array([n_tiles] * t.num_rows, pa.int64()))
+
+    return joined.map_batches(tag, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gdal_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gdal_ray.pipelines.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,139 @@
+"""Benchmark harness: headline flagship pipeline + query battery.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "headline": {"n_images": N, "images_per_sec": r, ...}}
+
+Modes:
+  python bench.py                 # full bench at $GRAFT_SF_DIR / $RAY_GRAFT_CPUS
+  python bench.py --headline-only # only the flagship pipeline (used by --scaling)
+  python bench.py --scaling       # same headline at num_cpus=8 and 32 in fresh
+                                  # processes; reports both + scaling efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def n_images_for(sf: float) -> int:
+    return max(256, int(20000 * sf))
+
+
+def run_headline(n_images: int) -> dict:
+    """Flagship: corpus → georef → z8 tile render → overview cascade to
+    z6 → image×polygon spatial join. Returns timing + output counts."""
+    from gdal_ray.pipelines.tiles import build_base_tiles, build_overviews
+    from gdal_ray.sources.images import images_dataset
+    from gdal_ray.sources.vector import polygons_dataset
+    from gdal_ray.stages.georef import with_georef
+    from gdal_ray.stages.join import spatial_join
+
+    t0 = time.time()
+    base = build_base_tiles(images_dataset(n_images), zoom=8).materialize()
+    n_base = base.count()
+    t_tiles = time.time() - t0
+
+    t1 = time.time()
+    levels = build_overviews(base, 6, 8)
+    n_overview = sum(levels[z].count() for z in (6, 7))
+    t_overview = time.time() - t1
+
+    t2 = time.time()
+    imgs_geo = images_dataset(n_images).map_batches(with_georef, batch_format="pyarrow")
+    n_pairs = spatial_join(imgs_geo, polygons_dataset(200), zoom=7).count()
+    t_join = time.time() - t2
+
+    total = time.time() - t0
+    return {
+        "n_images": n_images, "n_base_tiles": n_base,
+        "n_overview_tiles": n_overview, "n_join_pairs": n_pairs,
+        "t_tiles_sec": round(t_tiles, 2), "t_overview_sec": round(t_overview, 2),
+        "t_join_sec": round(t_join, 2), "total_sec": round(total, 2),
+        "images_per_sec": round(n_images / total, 2),
+    }
+
+
+def main():
+    headline_only = "--headline-only" in sys.argv
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            line = [ln for ln in out.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        r8 = results[8]["headline"]["images_per_sec"]
+        r32 = results[32]["headline"]["images_per_sec"]
+        eff = (r32 / r8) / 4.0
+        print(json.dumps({
+            "metric": "tile-cut+spatial-join scaling (8 vs 32 cpus)",
+            "value": round(eff, 3), "unit": "efficiency",
+            "images_per_sec_8cpu": r8, "images_per_sec_32cpu": r32,
+            "speedup": round(r32 / r8, 2),
+            "sf": sf_of(SF_DIR),
+            "queries": {},
+        }))
+        return
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = sf_of(SF_DIR)
+    headline = run_headline(n_images_for(sf))
+
+    qtimes: dict[str, float] = {}
+    total = headline["total_sec"]
+    if not headline_only:
+        from gdal_ray.pipelines.queries import QUERIES
+
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            res = fn(SF_DIR)
+            # consume lazily-built results
+            if hasattr(res, "count"):
+                res.count()
+            dt = time.time() - t0
+            qtimes[name] = round(dt, 3)
+            total += dt
+
+    print(json.dumps({
+        "metric": "end-to-end tile-cut + spatial-join + query battery",
+        "value": round(total, 2), "unit": "sec",
+        "queries": qtimes, "sf": sf, "num_cpus": NUM_CPUS,
+        "headline": headline,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,596 @@
+"""Driver-facing query battery: each entry is one operator/pipeline from
+SURVEY.md §2 expressed Ray-Data-first, with (where SQL-expressible) an
+exactly equivalent DuckDB oracle over the same parquet tables.
+
+Conventions:
+  * every callable takes sf_dir and returns Dataset / DataFrame / Table;
+  * computed/aggregate column names match the oracle SQL exactly;
+  * float aggregate outputs are rounded to 4 decimals on BOTH sides so
+    parallel-summation fp noise can't flip the driver's value hash;
+  * spatial queries derive coordinates from row keys with the shared
+    closed-form formulas in sources/geo.py so the SQL oracle can derive
+    the identical coordinates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources import geo
+
+ROUND = 4
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _half_away(x, nd: int = ROUND):
+    """Round half away from zero (DuckDB ROUND semantics), vectorized."""
+    scale = 10.0 ** nd
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _round_cols(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = _half_away(df[c].astype(float).to_numpy())
+    return df
+
+
+# ---------------------------------------------------------------------------
+# relational core (OGR SQL analogs: ogr/ogrsf_frmts/generic/ogr_gensql.cpp)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregates (SWQ summary ops AVG/MIN/MAX/COUNT/SUM,
+    ogr/ogr_swq.h:67-75 — grouped variant via Ray groupby)."""
+    from ray.data.aggregate import Count, Mean, Sum
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount", "l_shipdate"])
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1998-09-02"))))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    ).to_pandas()
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_revenue",
+                             "avg_qty", "avg_disc"])
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_attribute_filter(sf_dir: str):
+    """Attribute filter pushdown (SetAttributeFilter,
+    ogr/ogrsf_frmts/generic/ogrlayer.cpp:752): WHERE on orders."""
+    ds = _rp(sf_dir, "orders",
+             ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater(t["o_totalprice"], 150000.0),
+                                   pc.equal(t["o_orderpriority"], "1-URGENT"))),
+        batch_format="pyarrow")
+
+
+SQL_ATTR_FILTER = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_totalprice > 150000 AND o_orderpriority = '1-URGENT'
+"""
+
+
+def q_select_project(sf_dir: str):
+    """Field projection + computed column (vector select,
+    apps/gdalalg_vector_select.cpp)."""
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice", "p_size"])
+    return ds.map_batches(
+        lambda t: t.append_column(
+            "price_per_size",
+            pc.round(pc.divide(t["p_retailprice"],
+                               pc.cast(pc.max_element_wise(t["p_size"], 1), pa.float64())),
+                     ndigits=ROUND, round_mode="half_towards_infinity")).select(["p_partkey", "p_name", "price_per_size"]),
+        batch_format="pyarrow")
+
+
+SQL_SELECT_PROJECT = """
+SELECT p_partkey, p_name,
+       ROUND(p_retailprice / GREATEST(p_size, 1), 4) AS price_per_size
+FROM part
+"""
+
+
+def q_orderby_limit(sf_dir: str):
+    """ORDER BY + LIMIT (ogr_gensql.cpp:2202 CreateOrderByIndex;
+    ogr/ogr_swq.h:479-483). Ties broken by orderkey for determinism."""
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_ORDERBY_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct(sf_dir: str):
+    """DISTINCT (SWQM_DISTINCT_LIST, ogr/ogr_swq.h:320)."""
+    ds = _rp(sf_dir, "orders", ["o_orderpriority"])
+    vals = sorted(ds.unique("o_orderpriority"))
+    return pd.DataFrame({"o_orderpriority": vals})
+
+
+SQL_DISTINCT = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+def q_hash_join(sf_dir: str):
+    """Equality join (OGR SQL LEFT JOIN analog, inner here;
+    ogr/ogrsf_frmts/generic/ogr_gensql.cpp:1521). Broadcast the small
+    side (nation) as a dict inside map_batches — no shuffle."""
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _rp(sf_dir, "nation").take_all()}
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = t["c_nationkey"].to_numpy()
+        names = pa.array([nation.get(int(k)) for k in keys], pa.string())
+        return t.append_column("n_name", names)
+
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_HASH_JOIN = """
+SELECT c_custkey, c_name, c_nationkey, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_union_all(sf_dir: str):
+    """UNION ALL (swq_select::PushUnionAll, ogr/ogr_swq.h:485)."""
+    a = _rp(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow")
+    b = _rp(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow")
+    return a.union(b)
+
+
+SQL_UNION_ALL = """
+SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation
+"""
+
+
+def q_global_stats(sf_dir: str):
+    """Global min/max/mean/stddev/count — raster band statistics analog
+    (gcore/gdalrasterband.cpp:5217 ComputeStatistics), partial+final."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Std
+    ds = _rp(sf_dir, "lineitem", ["l_extendedprice"])
+    res = ds.aggregate(Min("l_extendedprice", alias_name="min_price"),
+                       Max("l_extendedprice", alias_name="max_price"),
+                       Mean("l_extendedprice", alias_name="avg_price"),
+                       Std("l_extendedprice", alias_name="std_price"),
+                       Count(alias_name="n"))
+    df = pd.DataFrame([res])
+    return _round_cols(df, ["min_price", "max_price", "avg_price", "std_price"])
+
+
+SQL_GLOBAL_STATS = """
+SELECT ROUND(MIN(l_extendedprice), 4) AS min_price,
+       ROUND(MAX(l_extendedprice), 4) AS max_price,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+       COUNT(*) AS n
+FROM lineitem
+"""
+
+
+def q_topk_revenue(sf_dir: str):
+    """Top-k by computed column (sort+limit, §2.6)."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "revenue", pc.round(pc.multiply(t["l_extendedprice"],
+                                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                                ndigits=ROUND, round_mode="half_towards_infinity"))
+        .select(["l_orderkey", "l_linenumber", "revenue"]),
+        batch_format="pyarrow")
+    return ds.sort(["revenue", "l_orderkey", "l_linenumber"],
+                   descending=[True, False, False]).limit(20)
+
+
+SQL_TOPK_REVENUE = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+def q_daily_counts(sf_dir: str):
+    """Time-bucketed grouped aggregate over the events stream."""
+    from ray.data.aggregate import Count, Sum
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("day", pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")))
+        .select(["day", "event_type", "value"]),
+        batch_format="pyarrow")
+    out = ds.groupby(["day", "event_type"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")).to_pandas()
+    return _round_cols(out, ["sum_value"])
+
+
+SQL_DAILY_COUNTS = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial — derived geo with exact SQL oracles
+# ---------------------------------------------------------------------------
+
+JOIN_ZOOM = 8
+
+
+def q_tile_assignment(sf_dir: str):
+    """Tile math conformance at scale: derive a mercator point per event
+    and count points per z8 XYZ tile (gdal2tiles MetersToTile;
+    the zonal/tile groupby shuffle)."""
+    from ray.data.aggregate import Count
+    from ..core import mercator as merc
+    ds = _rp(sf_dir, "events", ["event_id"])
+
+    def tiles(t: pa.Table) -> pa.Table:
+        i = t["event_id"].to_numpy()
+        x, y = geo.point_xy(i)
+        tx, ty = merc.meters_to_tile(x, y, JOIN_ZOOM)
+        ty_xyz = merc.tms_to_xyz(ty, JOIN_ZOOM)
+        return pa.table({"tile_x": pa.array(tx, pa.int64()),
+                         "tile_y": pa.array(ty_xyz, pa.int64())})
+
+    return ds.map_batches(tiles, batch_format="pyarrow") \
+        .groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n"))
+
+
+def _sql_tile_assignment() -> str:
+    xs, ys = geo.sql_point_xy("event_id")
+    tx, ty = geo.sql_tile_xy(xs, ys, JOIN_ZOOM)
+    return f"""
+SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_pip_rect_join(sf_dir: str):
+    """Point-in-rectangle spatial join with derived points vs 8 fixed
+    zones — OGR spatial-filter rectangle fast path
+    (ogrlayer.cpp:4039-4042) as an inner join."""
+    zones = _fixed_zones()
+
+    def hits(t: pa.Table) -> pa.Table:
+        i = t["event_id"].to_numpy()
+        x, y = geo.point_xy(i)
+        out_e, out_z = [], []
+        for zid, (x0, y0, x1, y1) in enumerate(zones):
+            m = (x >= x0) & (x <= x1) & (y >= y0) & (y <= y1)
+            out_e.append(i[m])
+            out_z.append(np.full(int(m.sum()), zid, dtype=np.int64))
+        return pa.table({"event_id": pa.array(np.concatenate(out_e), pa.int64()),
+                         "zone_id": pa.array(np.concatenate(out_z), pa.int64())})
+
+    return _rp(sf_dir, "events", ["event_id"]).map_batches(hits, batch_format="pyarrow")
+
+
+def _fixed_zones():
+    """8 deterministic rectangles over the world band (one = metro box)."""
+    zs = []
+    for zid in range(8):
+        if zid == 0:
+            zs.append((geo.METRO_X0, geo.METRO_Y0,
+                       geo.METRO_X0 + geo.METRO_W, geo.METRO_Y0 + geo.METRO_W))
+        else:
+            cx = geo.WORLD_X0 + (zid / 8.0) * (geo.WORLD_X1 - geo.WORLD_X0)
+            cy = geo.WORLD_Y0 + ((zid * 3 % 8) / 8.0) * (geo.WORLD_Y1 - geo.WORLD_Y0)
+            half = 1.2e6
+            zs.append((cx - half, cy - half, cx + half, cy + half))
+    return zs
+
+
+def _sql_pip_rect_join() -> str:
+    xs, ys = geo.sql_point_xy("event_id")
+    zone_rows = ", ".join(f"({zid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+                          for zid, (x0, y0, x1, y1) in enumerate(_fixed_zones()))
+    return f"""
+WITH pts AS (SELECT event_id, {xs} AS x, {ys} AS y FROM events),
+zones(zone_id, x0, y0, x1, y1) AS (VALUES {zone_rows})
+SELECT p.event_id, z.zone_id
+FROM pts p JOIN zones z
+  ON p.x >= z.x0 AND p.x <= z.x1 AND p.y >= z.y0 AND p.y <= z.y1
+"""
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (alg/zonal.cpp analog): per-z5-tile stats of the
+    events value column — rasterize-zone + groupby(zone) pattern."""
+    from ray.data.aggregate import Count, Min, Max, Sum
+    from ..core import mercator as merc
+    Z = 5
+
+    def zone(t: pa.Table) -> pa.Table:
+        i = t["event_id"].to_numpy()
+        x, y = geo.point_xy(i)
+        tx, ty = merc.meters_to_tile(x, y, Z)
+        ty_xyz = merc.tms_to_xyz(ty, Z)
+        # value has exactly 3 decimals: sum it as an exact integer so the
+        # parallel aggregation is associativity-proof, then divide once
+        v1000 = np.round(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        return pa.table({"zone_x": pa.array(tx, pa.int64()),
+                         "zone_y": pa.array(ty_xyz, pa.int64()),
+                         "value": t["value"],
+                         "v1000": pa.array(v1000, pa.int64())})
+
+    out = _rp(sf_dir, "events", ["event_id", "value"]) \
+        .map_batches(zone, batch_format="pyarrow") \
+        .groupby(["zone_x", "zone_y"]).aggregate(
+            Count(alias_name="n"), Sum("v1000", alias_name="s1000"),
+            Min("value", alias_name="min_value"), Max("value", alias_name="max_value")) \
+        .to_pandas()
+    out["avg_value"] = _half_away(out["s1000"].to_numpy()
+                                  / (1000.0 * out["n"].to_numpy()))
+    out = out.drop(columns=["s1000"])
+    return _round_cols(out, ["min_value", "max_value"])
+
+
+def _sql_zonal_stats() -> str:
+    xs, ys = geo.sql_point_xy("event_id")
+    tx, ty = geo.sql_tile_xy(xs, ys, 5)
+    return f"""
+WITH pts AS (SELECT event_id, value, {xs} AS x, {ys} AS y FROM events)
+SELECT {geo.sql_tile_xy('x', 'y', 5)[0]} AS zone_x,
+       {geo.sql_tile_xy('x', 'y', 5)[1]} AS zone_y,
+       COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND(value * 1000) AS BIGINT)) / (1000.0 * COUNT(*)), 4) AS avg_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM pts GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str):
+    """Token counting + quality ratios per language (training-data text
+    analysis; whitespace tokenization)."""
+    from ray.data.aggregate import Count, Mean
+
+    def feats(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table({"lang": t["lang"],
+                         "n_tokens": pc.cast(toks, pa.int64()),
+                         "n_chars": t["n_chars"]})
+
+    out = _rp(sf_dir, "documents", ["text", "lang", "n_chars"]) \
+        .map_batches(feats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_tokens", alias_name="avg_tokens"),
+            Mean("n_chars", alias_name="avg_chars")).to_pandas()
+    return _round_cols(out, ["avg_tokens", "avg_chars"])
+
+
+SQL_TOKEN_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: keep the lowest doc_id per identical text
+    (hash-partition + per-group first; §2.7)."""
+    def m(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")[["doc_id", "text"]]
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]) \
+        .groupby("text").map_groups(m, batch_format="pandas") \
+        .select_columns(["doc_id"])
+
+
+SQL_EXACT_DEDUP = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-k similarity search over embeddings
+    (training-data ANN baseline): query = vec_id 0's embedding,
+    k=10 nearest by cosine (excluding itself)."""
+    import ray
+    import ray.data as rd
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for r in emb.iter_rows():
+        if r["vec_id"] == 0:
+            q = np.asarray(r["embedding"], dtype=np.float64)
+            break
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ qv) / np.maximum(norms, 1e-300)
+        return pa.table({"vec_id": t["vec_id"],
+                         "cos_sim": pa.array(_half_away(cos), pa.float64())})
+
+    scored = emb.map_batches(score, batch_format="pyarrow")
+    return scored.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow") \
+        .sort(["cos_sim", "vec_id"], descending=[True, False]).limit(10)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding, (SELECT qe FROM q)), 4) AS cos_sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_lang_filter_sample(sf_dir: str):
+    """Language filter + deterministic sample (id mod) — corpus slicing."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["lang"], "en"),
+                                   pc.equal(pc.bit_wise_and(t["doc_id"], 7), 0))),
+        batch_format="pyarrow")
+
+
+SQL_LANG_FILTER_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE lang = 'en' AND (doc_id & 7) = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# image-pipeline queries (no SQL oracle — pixel/spatial semantics are
+# checked by the pytest conformance suite; driver records rows-only)
+# ---------------------------------------------------------------------------
+
+N_IMAGES_QUERY = 200
+
+
+def q_image_tiles(sf_dir: str):
+    """Flagship base-tile render on the synthetic corpus: returns
+    (z, x, y, n_src, checksums) rows."""
+    from .tiles import build_base_tiles
+    from ..sources.images import images_dataset
+    tiles = build_base_tiles(images_dataset(N_IMAGES_QUERY), zoom=8)
+    return tiles.select_columns(["z", "x", "y", "n_src", "cs_r", "cs_g", "cs_b"])
+
+
+def q_image_spatial_join(sf_dir: str):
+    """Image footprint × polygon spatial join on synthetic layers."""
+    from ..sources.images import images_dataset
+    from ..sources.vector import polygons_dataset
+    from ..stages.georef import with_georef
+    from ..stages.join import spatial_join
+    imgs = images_dataset(N_IMAGES_QUERY).map_batches(with_georef, batch_format="pyarrow")
+    return spatial_join(imgs, polygons_dataset(40), zoom=7)
+
+
+def q_image_phash_dedup(sf_dir: str):
+    """Exact near-dup grouping by phash on the synthetic corpus: keep
+    first image_id per phash."""
+    from ..sources.images import images_dataset
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("image_id").head(1)[["phash", "image_id"]]
+
+    return images_dataset(N_IMAGES_QUERY).select_columns(["image_id", "phash"]) \
+        .groupby("phash").map_groups(first, batch_format="pandas")
+
+
+def q_image_pip(sf_dir: str):
+    """Point-in-polygon join on synthetic vector layers."""
+    from ..sources.vector import points_dataset, polygons_dataset
+    from ..stages.join import pip_join
+    return pip_join(points_dataset(300), polygons_dataset(40), zoom=6)
+
+
+def q_image_knn(sf_dir: str):
+    """kNN join on the synthetic dense cluster."""
+    import ray.data as rd
+    from ..sources.vector import points_table
+    t = points_table(300)
+    mask = pa.array(t["fid"].to_numpy() % 5 == 2)
+    cluster = t.filter(mask).select(["fid", "x", "y"])
+    from ..stages.join import knn_join
+    data = rd.from_arrow(cluster)
+    queries = rd.from_arrow(cluster.slice(0, 10))
+    return knn_join(data, queries, k=3, zoom=6)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "attribute_filter": q_attribute_filter,
+    "select_project": q_select_project,
+    "orderby_limit": q_orderby_limit,
+    "distinct": q_distinct,
+    "hash_join_broadcast": q_hash_join,
+    "union_all": q_union_all,
+    "global_stats": q_global_stats,
+    "topk_revenue": q_topk_revenue,
+    "daily_counts": q_daily_counts,
+    "tile_assignment": q_tile_assignment,
+    "pip_rect_join": q_pip_rect_join,
+    "zonal_stats": q_zonal_stats,
+    "token_stats": q_token_stats,
+    "exact_dedup": q_exact_dedup,
+    "ann_cosine": q_ann_cosine,
+    "lang_filter_sample": q_lang_filter_sample,
+    "image_tiles": q_image_tiles,
+    "image_spatial_join": q_image_spatial_join,
+    "image_phash_dedup": q_image_phash_dedup,
+    "image_pip": q_image_pip,
+    "image_knn": q_image_knn,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING,
+        "attribute_filter": SQL_ATTR_FILTER,
+        "select_project": SQL_SELECT_PROJECT,
+        "orderby_limit": SQL_ORDERBY_LIMIT,
+        "distinct": SQL_DISTINCT,
+        "hash_join_broadcast": SQL_HASH_JOIN,
+        "union_all": SQL_UNION_ALL,
+        "global_stats": SQL_GLOBAL_STATS,
+        "topk_revenue": SQL_TOPK_REVENUE,
+        "daily_counts": SQL_DAILY_COUNTS,
+        "tile_assignment": _sql_tile_assignment(),
+        "pip_rect_join": _sql_pip_rect_join(),
+        "zonal_stats": _sql_zonal_stats(),
+        "token_stats": SQL_TOKEN_STATS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "ann_cosine": SQL_ANN_COSINE,
+        "lang_filter_sample": SQL_LANG_FILTER_SAMPLE,
+        # image_* queries: pixel/spatial semantics are not SQL-expressible
+        # over the provided tables; covered by the pytest oracles instead.
+    }
