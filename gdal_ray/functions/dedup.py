@@ -1,0 +1,277 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Each is a Ray Data composition: vectorized signature computation in
+``map_batches`` → ``groupby(bucket)`` shuffle → per-group resolution.
+Shuffle keys are small integers/bytes (signatures), never the payload —
+the pattern that survives 10^12 rows: the wide exchange moves hashes,
+and only confirmed-candidate pairs ever touch full text again.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def sha1_64(s: bytes) -> int:
+    return int.from_bytes(hashlib.sha1(s).digest()[:8], "big") >> 1
+
+
+def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id"):
+    """Keep the smallest id per identical key: hash-partition on a 64-bit
+    content hash (groupby ships 8 bytes + id, not the text)."""
+
+    def sig(t: pa.Table) -> pa.Table:
+        hs = [sha1_64(str(v).encode()) for v in t[key_col].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.int64()), id_col: t[id_col]})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, id_col)[[id_col]]
+
+    return ds.map_batches(sig, batch_format="pyarrow") \
+        .groupby("h").map_groups(first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """Stateful signature stage (actor-pool friendly): permutation
+    parameters are built once in __init__, signatures vectorized per
+    batch. k-shingles → n_perm minhashes → n_bands LSH band keys."""
+
+    def __init__(self, n_perm: int = 64, shingle_k: int = 5, n_bands: int = 16,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        assert n_perm % n_bands == 0
+        rng = np.random.default_rng(42)
+        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm, self.k, self.n_bands = n_perm, shingle_k, n_bands
+        self.rows_per_band = n_perm // n_bands
+        self.text_col, self.id_col = text_col, id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        data = text.encode("utf-8")
+        if len(data) < self.k:
+            shingles = np.array([sha1_64(data)], dtype=np.uint64)
+        else:
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+            # rolling polynomial hash of k-byte shingles (vectorized)
+            h = np.zeros(len(arr) - self.k + 1, dtype=np.uint64)
+            for i in range(self.k):
+                h = h * np.uint64(257) + arr[i:len(arr) - self.k + 1 + i]
+            shingles = np.unique(h)
+        # (n_perm, n_shingles) affine hash, min over shingles
+        vals = (self.a[:, None] * shingles[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """batch → one row per (doc, band): (band_key, doc_id, sig_bytes)."""
+        ids = batch[self.id_col].to_pylist()
+        out_key, out_id, out_sig = [], [], []
+        for i, text in enumerate(batch[self.text_col].to_pylist()):
+            sig = self.signature(str(text))
+            sig_b = sig.astype("<u8").tobytes()
+            for band in range(self.n_bands):
+                seg = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                key = sha1_64(bytes([band]) + seg.astype("<u8").tobytes())
+                out_key.append(key)
+                out_id.append(ids[i])
+                out_sig.append(sig_b)
+        return pa.table({"band_key": pa.array(out_key, pa.int64()),
+                         self.id_col: pa.array(out_id),
+                         "sig": pa.array(out_sig, pa.binary())})
+
+
+def minhash_candidates(ds, *, n_perm=64, shingle_k=5, n_bands=16,
+                       text_col="text", id_col="doc_id", jaccard_threshold=0.7):
+    """MinHash LSH near-dup candidate pairs with signature-estimated
+    Jaccard ≥ threshold. Pipeline: signatures+bands (map_batches on an
+    actor pool) → groupby(band_key) pairs → estimate jaccard from full
+    signatures → global pair dedup."""
+    hasher = MinHasher(n_perm, shingle_k, n_bands, text_col, id_col)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": [], "est_jaccard": []}
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({k: pd.Series(v, dtype="int64" if k != "est_jaccard"
+                                              else "float64") for k, v in out.items()})
+        ids = g[id_col].to_numpy()
+        sigs = [np.frombuffer(s, dtype="<u8") for s in g["sig"]]
+        order = np.argsort(ids)
+        for ii in range(n):
+            for jj in range(ii + 1, n):
+                a, b = order[ii], order[jj]
+                est = float((sigs[a] == sigs[b]).mean())
+                if est >= jaccard_threshold:
+                    out["id_a"].append(int(ids[a]))
+                    out["id_b"].append(int(ids[b]))
+                    out["est_jaccard"].append(est)
+        return pd.DataFrame({"id_a": pd.Series(out["id_a"], dtype="int64"),
+                             "id_b": pd.Series(out["id_b"], dtype="int64"),
+                             "est_jaccard": pd.Series(out["est_jaccard"], dtype="float64")})
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    cands = ds.map_batches(hasher, batch_format="pyarrow", concurrency=4) \
+        .groupby("band_key").map_groups(pairs, batch_format="pandas")
+    return cands.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: str, k: int = 4) -> int:
+    """64-bit SimHash over k-byte shingles (weighted bit voting)."""
+    data = text.encode("utf-8")
+    if len(data) < k:
+        return sha1_64(data) & 0xFFFFFFFFFFFFFFFF
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    h = np.zeros(len(arr) - k + 1, dtype=np.uint64)
+    for i in range(k):
+        h = h * np.uint64(1099511628211) + arr[i:len(arr) - k + 1 + i]
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - np.int64(len(h))
+    return int((votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def simhash_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    hs = [simhash(str(t)) for t in batch[text_col].to_pylist()]
+    return batch.append_column(
+        "simhash", pa.array(np.array(hs, dtype=np.uint64).view(np.int64), pa.int64()))
+
+
+def simhash_near_dups(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
+    """Near-dup candidates with Hamming distance ≤ max_hamming using the
+    4-block pigeonhole trick: if d(a,b) ≤ 3 then at least one of 4
+    16-bit blocks matches exactly → groupby(block_key) buckets."""
+    def sig(t: pa.Table) -> pa.Table:
+        out_key, out_id, out_h = [], [], []
+        for i, text in enumerate(t[text_col].to_pylist()):
+            h = simhash(str(text))
+            for blk in range(4):
+                part = (h >> (16 * blk)) & 0xFFFF
+                out_key.append((blk << 16) | part)
+                out_id.append(t[id_col][i].as_py())
+                out_h.append(h)
+        return pa.table({"block_key": pa.array(out_key, pa.int64()),
+                         id_col: pa.array(out_id),
+                         "simhash": pa.array(np.array(out_h, dtype=np.uint64).view(np.int64),
+                                             pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.argsort(ids)
+        for ii in range(len(g)):
+            for jj in range(ii + 1, len(g)):
+                a, b = order[ii], order[jj]
+                if ids[a] == ids[b]:
+                    continue
+                d = int(bin(int(hs[a]) ^ int(hs[b])).count("1"))
+                if d <= max_hamming:
+                    out["id_a"].append(int(ids[a]))
+                    out["id_b"].append(int(ids[b]))
+                    out["hamming"].append(d)
+        return pd.DataFrame({"id_a": pd.Series(out["id_a"], dtype="int64"),
+                             "id_b": pd.Series(out["id_b"], dtype="int64"),
+                             "hamming": pd.Series(out["hamming"], dtype="int64")})
+
+    cands = ds.map_batches(sig, batch_format="pyarrow") \
+        .groupby("block_key").map_groups(pairs, batch_format="pandas")
+    return cands.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification)
+# ---------------------------------------------------------------------------
+
+def ngram_set(text: str, k: int = 5) -> np.ndarray:
+    data = text.encode("utf-8")
+    if len(data) < k:
+        return np.array([sha1_64(data)], dtype=np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    h = np.zeros(len(arr) - k + 1, dtype=np.uint64)
+    for i in range(k):
+        h = h * np.uint64(257) + arr[i:len(arr) - k + 1 + i]
+    return np.unique(h)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def verify_pairs_jaccard(ds_pairs, docs_by_id: dict, k: int = 5,
+                         threshold: float = 0.7):
+    """Exact-Jaccard verification of candidate pairs against a broadcast
+    doc lookup (small side shipped once via ray.put)."""
+    import ray
+
+    ref = ray.put(docs_by_id)
+
+    def verify(t: pa.Table) -> pa.Table:
+        docs = ray.get(ref)
+        keep, jac = [], []
+        for ia, ib in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+            j = jaccard(ngram_set(docs[ia], k), ngram_set(docs[ib], k))
+            keep.append(j >= threshold)
+            jac.append(j)
+        out = t.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pa.array(keep))
+
+    return ds_pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(ds, *, vec_col="embedding", id_col="vec_id",
+                        threshold=0.95, n_planes=16):
+    """Near-dup pairs by cosine ≥ threshold via random-hyperplane LSH
+    buckets (SimHash for vectors) + exact verification in-bucket."""
+    def sig(t: pa.Table) -> pa.Table:
+        mat = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        rng = np.random.default_rng(7)
+        planes = rng.standard_normal((mat.shape[1], n_planes))
+        bits = (mat @ planes) > 0
+        keys = (bits.astype(np.uint64)
+                @ (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)))
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.maximum(norm, 1e-300)
+        return pa.table({"bucket": pa.array(keys.view(np.int64), pa.int64()),
+                         id_col: t[id_col],
+                         "unit": pa.array(list(unit), pa.list_(pa.float64()))})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g["unit"].to_numpy())
+        cos = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+        return pd.DataFrame({
+            "id_a": pd.Series(np.minimum(ids[ii], ids[jj]), dtype="int64"),
+            "id_b": pd.Series(np.maximum(ids[ii], ids[jj]), dtype="int64"),
+            "cos_sim": pd.Series(cos[ii, jj], dtype="float64")})
+
+    cands = ds.map_batches(sig, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return cands.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")

@@ -416,12 +416,10 @@ FROM documents GROUP BY lang
 def q_exact_dedup(sf_dir: str):
     """Exact dedup: keep the lowest doc_id per identical text
     (hash-partition + per-group first; §2.7)."""
-    def m(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")[["doc_id", "text"]]
-
-    return _rp(sf_dir, "documents", ["doc_id", "text"]) \
-        .groupby("text").map_groups(m, batch_format="pandas") \
-        .select_columns(["doc_id"])
+    from ..functions.dedup import exact_dedup
+    # hash-partition on a 64-bit content hash: the shuffle ships 16
+    # bytes/row, not the document text (functions/dedup.py)
+    return exact_dedup(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
 SQL_EXACT_DEDUP = """
@@ -546,6 +544,211 @@ def q_image_knn(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------
+# window / ordered analytics (map_groups ordering semantics)
+# ---------------------------------------------------------------------------
+
+def q_running_sum(sf_dir: str):
+    """Per-order running quantity by line number — ordered map_groups
+    (OGR has no window functions; this is the per-group ordered-scan
+    pattern the overview cascade also relies on)."""
+    # bucket-parallel: groupby a coarse hash bucket (64 groups) and run
+    # the per-key logic vectorized inside — per-group Python overhead on
+    # millions of tiny keys is the scale killer, 64 fat groups are not.
+    P = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pa.array(t["l_orderkey"].to_numpy() % P, pa.int64()))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+        # order by the full value tuple so ties sum identically under any
+        # tie permutation (equal keys => equal quantities => equal sums)
+        g = g.sort_values(["l_orderkey", "l_linenumber", "l_quantity",
+                           "l_extendedprice"])
+        gb = g.groupby("l_orderkey", sort=False)
+        g["rn"] = gb.cumcount().to_numpy() + 1
+        g["running_qty"] = _half_away(gb["l_quantity"].cumsum().to_numpy())
+        return g[["l_orderkey", "rn", "running_qty"]]
+
+    return _rp(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(run, batch_format="pandas")
+
+
+SQL_RUNNING_SUM = """
+SELECT l_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn,
+       ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity, l_extendedprice
+           ROWS UNBOUNDED PRECEDING), 4) AS running_qty
+FROM lineitem
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Sessionization: per-user session count with a 30-minute idle gap —
+    stateful ordered per-group scan over the events stream."""
+    P = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pa.array(t["user_id"].to_numpy() % P, pa.int64()))
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        gb = g.groupby("user_id", sort=False)
+        gaps = gb["ts"].diff().dt.total_seconds().fillna(0)
+        new_sess = (gaps > 1800).groupby(g["user_id"], sort=False).sum()
+        counts = gb.size()
+        return pd.DataFrame({"user_id": counts.index.to_numpy(),
+                             "n_events": counts.to_numpy().astype("int64"),
+                             "n_sessions": (new_sess.to_numpy() + 1).astype("int64")})
+
+    return _rp(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(sess, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions
+FROM gaps GROUP BY user_id
+"""
+
+
+def q_histogram(sf_dir: str):
+    """16-bin histogram of l_extendedprice — GetHistogram analog
+    (gcore/gdalrasterband.cpp:4224): fixed range [0, 160000)."""
+    from ray.data.aggregate import Count
+
+    def bucket(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy()
+        b = np.clip((v / 10000.0).astype(np.int64), 0, 15)
+        return pa.table({"bin": pa.array(b, pa.int64())})
+
+    return _rp(sf_dir, "lineitem", ["l_extendedprice"]) \
+        .map_batches(bucket, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Count(alias_name="n"))
+
+
+SQL_HISTOGRAM = """
+SELECT LEAST(GREATEST(CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT), 0), 15) AS bin,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_count_distinct(sf_dir: str):
+    """COUNT(DISTINCT) per group — distinct-shuffle pattern."""
+    P = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pa.array(t["l_partkey"].to_numpy() % P, pa.int64()))
+
+    def cd(g: pd.DataFrame) -> pd.DataFrame:
+        nu = g.groupby("l_partkey")["l_suppkey"].nunique()
+        return pd.DataFrame({"l_partkey": nu.index.to_numpy(),
+                             "n_suppliers": nu.to_numpy().astype("int64")})
+
+    return _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(cd, batch_format="pandas")
+
+
+SQL_COUNT_DISTINCT = """
+SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality scoring aggregate: mean alpha ratio + mean token count per
+    source (training-data quality filter features)."""
+    from ray.data.aggregate import Count, Sum
+    from ..functions.text import quality_batch
+
+    def feats(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        return q.select(["source", "alpha_ratio", "n_tokens"])
+
+    out = _rp(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(feats, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("alpha_ratio", alias_name="s_alpha"),
+            Sum("n_tokens", alias_name="s_tokens")).to_pandas()
+    out["avg_alpha"] = _half_away(out["s_alpha"].to_numpy() / out["n_docs"].to_numpy())
+    out["avg_tokens"] = _half_away(out["s_tokens"].to_numpy() / out["n_docs"].to_numpy())
+    return out.drop(columns=["s_alpha", "s_tokens"])
+
+
+SQL_DOC_QUALITY = """
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(SUM(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1)) / COUNT(*), 4) AS avg_alpha,
+       ROUND(SUM(CAST(len(string_split(text, ' ')) AS DOUBLE)) / COUNT(*), 4) AS avg_tokens
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text pipelines (rows-only driver checks; semantics
+# covered by pytest oracles in tests/test_functions.py)
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dups(sf_dir: str):
+    from ..functions.dedup import minhash_candidates
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_candidates(ds, jaccard_threshold=0.5)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    from ..functions.dedup import simhash_near_dups
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=6)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    from ..functions.dedup import embedding_near_dups
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.9)
+
+
+def q_ivf_ann(sf_dir: str):
+    from ..functions.ann import ivf_topk
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = emb.limit(4).take_all()
+    queries = np.stack([np.asarray(r["embedding"]) for r in qrows]).astype(np.float64)
+    return ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
+
+
+def q_lang_id(sf_dir: str):
+    from ray.data.aggregate import Count
+    from ..functions.text import lang_id_batch
+    return _rp(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(lang_id_batch, batch_format="pyarrow") \
+        .groupby("pred_lang").aggregate(Count(alias_name="n"))
+
+
+def q_doc_fingerprints(sf_dir: str):
+    from ..functions.text import fingerprint_batch
+    return _rp(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(fingerprint_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "fingerprint"])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -564,6 +767,17 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ann_cosine": q_ann_cosine,
     "lang_filter_sample": q_lang_filter_sample,
+    "running_sum": q_running_sum,
+    "sessionize": q_sessionize,
+    "histogram": q_histogram,
+    "count_distinct": q_count_distinct,
+    "doc_quality": q_doc_quality,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ivf_ann": q_ivf_ann,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,
@@ -591,6 +805,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": SQL_EXACT_DEDUP,
         "ann_cosine": SQL_ANN_COSINE,
         "lang_filter_sample": SQL_LANG_FILTER_SAMPLE,
+        "running_sum": SQL_RUNNING_SUM,
+        "sessionize": SQL_SESSIONIZE,
+        "histogram": SQL_HISTOGRAM,
+        "count_distinct": SQL_COUNT_DISTINCT,
+        "doc_quality": SQL_DOC_QUALITY,
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
