@@ -749,6 +749,198 @@ def q_doc_fingerprints(sf_dir: str):
         .select_columns(["doc_id", "fingerprint"])
 
 
+
+
+# ---------------------------------------------------------------------------
+# raster per-image + raster↔vector operator pipelines (rows-only driver
+# checks; pixel semantics verified by tests/test_raster_ops.py oracles)
+# ---------------------------------------------------------------------------
+
+def q_raster_stats(sf_dir: str):
+    """Per-image band statistics (ComputeStatistics analog) over the
+    synthetic corpus: decode → per-band mean/min/max → rows."""
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import image_op
+
+    def stats(px, row):
+        f = px.astype(np.float64)
+        return {"mean_b0": _half_away([f[:, :, 0].mean()])[0],
+                "min_b0": float(f[:, :, 0].min()),
+                "max_b0": float(f[:, :, 0].max())}
+
+    return images_dataset(128).map_batches(
+        image_op(stats), batch_format="pyarrow") \
+        .select_columns(["image_id", "mean_b0", "min_b0", "max_b0"])
+
+
+def q_hillshade(sf_dir: str):
+    """DEM hillshade over band 0 of each image → per-image checksum of
+    the shaded relief (gdaldem hillshade, Horn kernel)."""
+    from ..core.checksum import checksum
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import hillshade, image_op
+
+    def shade(px, row):
+        hs = hillshade(px[:, :, 0].astype(np.float64))
+        return {"cs_hillshade": int(checksum(hs))}
+
+    return images_dataset(128).map_batches(
+        image_op(shade), batch_format="pyarrow") \
+        .select_columns(["image_id", "cs_hillshade"])
+
+
+def q_norm_diff(sf_dir: str):
+    """VRT pixel-function norm_diff (NDVI-style band algebra) → mean."""
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import image_op, pixel_function
+
+    def nd(px, row):
+        v = pixel_function(px[:, :, :2], "norm_diff")
+        return {"mean_nd": _half_away([float(np.nanmean(v))])[0]}
+
+    return images_dataset(128).map_batches(
+        image_op(nd), batch_format="pyarrow") \
+        .select_columns(["image_id", "mean_nd"])
+
+
+def q_rasterize_zones(sf_dir: str):
+    """Rasterize polygons onto z6 tile grids → burned-pixel count per
+    polygon (alg/gdalrasterize.cpp; cell-join + scanline burn)."""
+    from ..core import mercator as merc, wkb as W
+    from ..core.rastervec import rasterize
+    from ..sources.vector import polygons_dataset
+    from ..stages.join import with_cells
+    from ..stages.tiles import tile_geotransform
+
+    Z = 6
+
+    def burn(t: pa.Table) -> pa.Table:
+        fids, counts = [], []
+        for row in t.to_pylist():
+            z, x, y = merc.cell_decode(np.uint64(row["cell"]))
+            gt = tile_geotransform(int(z), int(x), int(y))
+            g = W.loads(row["wkb"])
+            arr = rasterize([(g, 1)], (256, 256), gt)
+            fids.append(row["fid"])
+            counts.append(int(arr.sum()))
+        return pa.table({"fid": pa.array(fids, pa.int64()),
+                         "burned_px": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    cells = with_cells(polygons_dataset(30), Z, ["fid", "wkb", "minx", "miny", "maxx", "maxy"])
+    return cells.map_batches(burn, batch_format="pyarrow") \
+        .groupby("fid").aggregate(Sum("burned_px", alias_name="total_px"))
+
+
+def q_polygonize_roundtrip(sf_dir: str):
+    """Rasterize each polygon to a grid, polygonize it back, compare
+    areas — the §2.10 conversion pair as one pipeline."""
+    from ..core import wkb as W
+    from ..core.geom import area
+    from ..core.rastervec import polygonize, rasterize
+    from ..sources.vector import polygons_dataset
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        fids, pix_area, poly_area = [], [], []
+        for row in t.to_pylist():
+            g = W.loads(row["wkb"])
+            env = g.envelope()
+            res = max((env[2] - env[0]), (env[3] - env[1])) / 64.0
+            from ..core import geotransform as gtr
+            gt = gtr.from_bounds(env[0] - res, env[1] - res,
+                                 env[2] + res, env[3] + res, 66, 66)
+            arr = rasterize([(g, 1)], (66, 66), gt).astype(np.int64)
+            polys = polygonize(arr, transform=gt)
+            a = sum(area(p) for v, p in polys if v == 1)
+            fids.append(row["fid"])
+            pix_area.append(float(arr.sum() * abs(gt[1] * gt[5])))
+            poly_area.append(float(a))
+        return pa.table({"fid": pa.array(fids, pa.int64()),
+                         "pixel_area": pa.array(pix_area, pa.float64()),
+                         "polygon_area": pa.array(poly_area, pa.float64())})
+
+    return polygons_dataset(20).map_batches(roundtrip, batch_format="pyarrow")
+
+
+def q_interpolate_at_points(sf_dir: str):
+    """Raster↔point lookup (GDALInterpolateAtPoint): sample each image's
+    band 0 at its center and quarter points."""
+    from ..codecs import decode as _dec
+    from ..core.rastervec import interpolate_at_point
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+
+    def probe(t: pa.Table) -> pa.Table:
+        ids, vals = [], []
+        for row in t.to_pylist():
+            px = _dec(row["bytes"], row["fmt"])
+            gt = (row["gt0"], row["gt1"], row["gt2"],
+                  row["gt3"], row["gt4"], row["gt5"])
+            cx = row["gt0"] + row["w"] * row["gt1"] * 0.5
+            cy = row["gt3"] + row["h"] * row["gt5"] * 0.5
+            v, ok = interpolate_at_point(px[:, :, 0].astype(np.float64), gt,
+                                         [cx], [cy], "bilinear")
+            ids.append(row["image_id"])
+            vals.append(_half_away([float(v[0])])[0] if ok[0] else None)
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "center_val": pa.array(vals, pa.float64())})
+
+    return images_dataset(96).map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(probe, batch_format="pyarrow")
+
+
+def q_vector_ops(sf_dir: str):
+    """Geometry unary ops chain: simplify → area/centroid columns over
+    the polygon layer (vector simplify + geometry measures)."""
+    from ..sources.vector import polygons_dataset
+    from ..stages.vector_ops import add_geometry_columns, simplify_geometry, wkb_map
+
+    simp = wkb_map(lambda g: simplify_geometry(g, 100.0))
+    return polygons_dataset(40) \
+        .map_batches(simp, batch_format="pyarrow") \
+        .map_batches(add_geometry_columns, batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["fid", "area", "centroid_x", "centroid_y"]),
+                     batch_format="pyarrow")
+
+
+def q_buffer_explode(sf_dir: str):
+    """Buffer points + explode multipolygons (flat-map) → row per part
+    with area (vector buffer + explode-collections)."""
+    from ..sources.vector import polygons_dataset
+    from ..stages.vector_ops import add_geometry_columns, explode_collections
+
+    return polygons_dataset(40) \
+        .map_batches(explode_collections, batch_format="pyarrow") \
+        .map_batches(add_geometry_columns, batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["fid", "part_index", "area"]),
+                     batch_format="pyarrow")
+
+
+def q_idw_grid(sf_dir: str):
+    """gdal_grid invdist: IDW-interpolate the dense point cluster onto a
+    64×64 grid over the metro box; returns grid stats per quadrant."""
+    from ..core import geotransform as gtr
+    from ..core.rastervec import grid_idw
+    from ..sources import geo as G
+    from ..sources.vector import points_table
+
+    t = points_table(400)
+    df = t.to_pandas()
+    m = df[(df.x >= G.METRO_X0) & (df.x <= G.METRO_X0 + G.METRO_W)
+           & (df.y >= G.METRO_Y0) & (df.y <= G.METRO_Y0 + G.METRO_W)]
+    gt = gtr.from_bounds(G.METRO_X0, G.METRO_Y0,
+                         G.METRO_X0 + G.METRO_W, G.METRO_Y0 + G.METRO_W, 64, 64)
+    grid = grid_idw(m[["x", "y"]].to_numpy(), m["value"].to_numpy(),
+                    (64, 64), gt)
+    rows = []
+    for qy in range(2):
+        for qx in range(2):
+            quad = grid[qy * 32:(qy + 1) * 32, qx * 32:(qx + 1) * 32]
+            rows.append({"quadrant": qy * 2 + qx,
+                         "mean_val": _half_away([float(np.nanmean(quad))])[0]})
+    return pd.DataFrame(rows)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -778,6 +970,15 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
+    "raster_stats": q_raster_stats,
+    "hillshade": q_hillshade,
+    "norm_diff": q_norm_diff,
+    "rasterize_zones": q_rasterize_zones,
+    "polygonize_roundtrip": q_polygonize_roundtrip,
+    "interpolate_at_points": q_interpolate_at_points,
+    "vector_ops": q_vector_ops,
+    "buffer_explode": q_buffer_explode,
+    "idw_grid": q_idw_grid,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,

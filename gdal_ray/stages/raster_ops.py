@@ -1,0 +1,240 @@
+"""Per-image raster operators — gdal_translate / pixel functions /
+reclassify / color-map / DEM derivatives / neighbors.
+
+Reference semantics:
+  translate     apps/gdal_translate_lib.cpp:676 (window, band select,
+                type cast, scale/offset, resize)
+  pixel fns     frmts/vrt/pixelfunctions.cpp:4299-4400 registry
+  reclassify    apps/gdalalg_raster_reclassify.cpp
+  color-map     apps/gdalalg_raster_color_map.cpp
+  DEM ops       apps/gdaldem_lib.cpp (Horn slope/aspect/hillshade,
+                Wilson TPI/TRI, roughness — 3×3 focal windows)
+  neighbors     apps/gdalalg_raster_neighbors.cpp (generic kernels)
+
+All are embarrassingly parallel per image: stateless numpy kernels
+wrapped by ``image_op`` into a decode→transform→encode ``map_batches``
+stage (pixels never cross a stage boundary — SURVEY §7.5.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import decode as codec_decode
+from ..codecs import encode as codec_encode
+from ..core.resample import to_uint8, warp
+
+# ---------------------------------------------------------------------------
+# translate: window / band select / cast / scale / resize
+# ---------------------------------------------------------------------------
+
+def translate(px: np.ndarray, *, window=None, bands=None, scale=None,
+              offset=0.0, out_size=None, resampling="near",
+              out_dtype=None) -> np.ndarray:
+    """Compose gdal_translate's core steps on one decoded image
+    (h, w, b). window=(col, row, w, h); bands=list of 0-based indices;
+    scale/offset: v*scale+offset; out_size=(out_w, out_h)."""
+    out = px
+    if window is not None:
+        c, r, w, h = window
+        out = out[r:r + h, c:c + w]
+    if bands is not None:
+        out = out[:, :, list(bands)]
+    if scale is not None or offset:
+        out = out.astype(np.float64) * (1.0 if scale is None else scale) + offset
+    if out_size is not None:
+        ow, oh = out_size
+        sh, sw = out.shape[:2]
+        src_gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+        dst_gt = (0.0, sw / ow, 0.0, 0.0, 0.0, sh / oh)
+        out, _ = warp(out, src_gt, dst_gt, (oh, ow), resampling)
+    if out_dtype is not None:
+        if np.dtype(out_dtype) == np.uint8:
+            out = to_uint8(np.asarray(out, dtype=np.float64))
+        else:
+            out = np.asarray(out).astype(out_dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pixel functions (vrt/pixelfunctions.cpp registry subset)
+# ---------------------------------------------------------------------------
+
+PIXEL_FUNCTIONS = {
+    "sum": lambda bands: np.sum(bands, axis=0),
+    "diff": lambda bands: bands[0] - bands[1],
+    "mul": lambda bands: np.prod(bands, axis=0),
+    "div": lambda bands: bands[0] / np.where(bands[1] == 0, np.nan, bands[1]),
+    "min": lambda bands: np.min(bands, axis=0),
+    "max": lambda bands: np.max(bands, axis=0),
+    "mean": lambda bands: np.mean(bands, axis=0),
+    "norm_diff": lambda bands: (bands[0] - bands[1])
+    / np.where(bands[0] + bands[1] == 0, np.nan, bands[0] + bands[1]),
+    "sqrt": lambda bands: np.sqrt(bands[0]),
+    "log10": lambda bands: np.log10(np.where(bands[0] <= 0, np.nan, bands[0])),
+    "exp": lambda bands: np.exp(bands[0]),
+    "pow": lambda bands, exponent=2.0: np.power(bands[0], exponent),
+    "scale": lambda bands, scale=1.0, offset=0.0: bands[0] * scale + offset,
+    "mod": lambda bands: np.mod(bands[0], np.where(bands[1] == 0, np.nan, bands[1])),
+    "interpolate_linear": lambda bands, t=0.5: bands[0] * (1 - t) + bands[1] * t,
+}
+
+
+def pixel_function(px: np.ndarray, name: str, **kw) -> np.ndarray:
+    """Apply a registered band-algebra function: input (h, w, b) →
+    (h, w) float64. Bands become the function's inputs."""
+    fn = PIXEL_FUNCTIONS[name]
+    bands = [px[:, :, i].astype(np.float64) for i in range(px.shape[2])]
+    return fn(bands, **kw) if kw else fn(bands)
+
+
+# ---------------------------------------------------------------------------
+# reclassify / color-map
+# ---------------------------------------------------------------------------
+
+def reclassify(px: np.ndarray, mapping: dict[int, int],
+               default: int | None = None) -> np.ndarray:
+    """Value→value LUT remap (256-entry LUT for uint8 bands)."""
+    lut = np.arange(256, dtype=np.int64) if default is None \
+        else np.full(256, default, dtype=np.int64)
+    for k, v in mapping.items():
+        lut[k] = v
+    return lut[px.astype(np.int64)]
+
+
+def color_map(band: np.ndarray, ramp: list[tuple[float, tuple[int, int, int]]]) -> np.ndarray:
+    """Color-ramp application: piecewise-linear interpolation between
+    (value, (r,g,b)) stops → (h, w, 3) uint8."""
+    vals = np.array([v for v, _ in ramp], dtype=np.float64)
+    cols = np.array([c for _, c in ramp], dtype=np.float64)
+    b = band.astype(np.float64)
+    out = np.empty(band.shape + (3,), dtype=np.float64)
+    for ch in range(3):
+        out[..., ch] = np.interp(b, vals, cols[:, ch])
+    return to_uint8(out)
+
+
+# ---------------------------------------------------------------------------
+# DEM derivatives (gdaldem Horn formulas) and generic neighbors
+# ---------------------------------------------------------------------------
+
+def _pad_edge(band: np.ndarray) -> np.ndarray:
+    return np.pad(band.astype(np.float64), 1, mode="edge")
+
+
+def _horn_gradients(band: np.ndarray, xres: float = 1.0, yres: float = 1.0):
+    """Horn's 3×3 weighted gradients (gdaldem slope/hillshade kernel)."""
+    p = _pad_edge(band)
+    a, b, c = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
+    d, f = p[1:-1, :-2], p[1:-1, 2:]
+    g, h, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * xres)
+    dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * yres)
+    return dzdx, dzdy
+
+
+def slope(band: np.ndarray, xres=1.0, yres=1.0, *, degrees=True) -> np.ndarray:
+    dzdx, dzdy = _horn_gradients(band, xres, yres)
+    s = np.sqrt(dzdx**2 + dzdy**2)
+    return np.degrees(np.arctan(s)) if degrees else s * 100.0
+
+
+def aspect(band: np.ndarray, xres=1.0, yres=1.0) -> np.ndarray:
+    """Aspect in degrees clockwise from north (gdaldem convention);
+    flat cells → -9999."""
+    dzdx, dzdy = _horn_gradients(band, xres, yres)
+    asp = np.degrees(np.arctan2(dzdy, -dzdx))
+    out = np.where(asp < 0, 90.0 - asp,
+                   np.where(asp > 90.0, 360.0 - asp + 90.0, 90.0 - asp))
+    flat = (dzdx == 0) & (dzdy == 0)
+    return np.where(flat, -9999.0, out)
+
+
+def hillshade(band: np.ndarray, xres=1.0, yres=1.0, *, azimuth=315.0,
+              altitude=45.0, z_factor=1.0) -> np.ndarray:
+    """Horn hillshade, 1-255 byte convention (gdaldem_lib.cpp)."""
+    dzdx, dzdy = _horn_gradients(band, xres, yres)
+    dzdx, dzdy = dzdx * z_factor, dzdy * z_factor
+    az = np.radians(360.0 - azimuth + 90.0)
+    alt = np.radians(altitude)
+    slope_r = np.arctan(np.sqrt(dzdx**2 + dzdy**2))
+    aspect_r = np.arctan2(dzdy, -dzdx)
+    shade = (np.sin(alt) * np.cos(slope_r)
+             + np.cos(alt) * np.sin(slope_r) * np.cos(az - aspect_r))
+    return np.clip(1.0 + 254.0 * np.maximum(shade, 0.0), 1, 255).astype(np.uint8)
+
+
+def _focal_windows(band: np.ndarray) -> np.ndarray:
+    """(h, w, 3, 3) view of each cell's 3×3 neighborhood (edge-padded)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    return sliding_window_view(_pad_edge(band), (3, 3))
+
+
+def tpi(band: np.ndarray) -> np.ndarray:
+    """Topographic position index: center minus neighbor mean."""
+    win = _focal_windows(band)
+    nbr_sum = win.sum(axis=(2, 3)) - band.astype(np.float64)
+    return band.astype(np.float64) - nbr_sum / 8.0
+
+
+def tri(band: np.ndarray) -> np.ndarray:
+    """Terrain ruggedness index (Wilson): mean |center − neighbor|."""
+    win = _focal_windows(band)
+    center = band.astype(np.float64)[:, :, None, None]
+    return (np.abs(win - center).sum(axis=(2, 3))) / 8.0
+
+
+def roughness(band: np.ndarray) -> np.ndarray:
+    """Neighborhood max − min."""
+    win = _focal_windows(band)
+    return win.max(axis=(2, 3)) - win.min(axis=(2, 3))
+
+
+def convolve(band: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Generic odd-sized 2-D convolution (raster neighbors), edge-padded,
+    vectorized via sliding windows."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    k = np.asarray(kernel, dtype=np.float64)
+    kh, kw = k.shape
+    assert kh % 2 == 1 and kw % 2 == 1
+    p = np.pad(band.astype(np.float64), ((kh // 2,), (kw // 2,)), mode="edge")
+    win = sliding_window_view(p, (kh, kw))
+    return np.einsum("ijkl,kl->ij", win, k[::-1, ::-1])
+
+
+# ---------------------------------------------------------------------------
+# Ray stage wrapper
+# ---------------------------------------------------------------------------
+
+def image_op(fn, *, out_fmt: str = "png", extra_cols=None):
+    """Wrap a per-image numpy function (pixels → pixels or pixels →
+    dict of scalar columns) into a map_batches callable over image rows.
+
+    fn(pixels: np.ndarray, row: dict) → np.ndarray (re-encoded into
+    'bytes') or dict (appended as columns)."""
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        new_bytes, scalar_cols = [], {}
+        for row in rows:
+            px = codec_decode(row["bytes"], row["fmt"])
+            res = fn(px, row)
+            if isinstance(res, dict):
+                for k, v in res.items():
+                    scalar_cols.setdefault(k, []).append(v)
+                new_bytes.append(row["bytes"])
+            else:
+                if res.ndim == 2:
+                    res = res[:, :, None]
+                if res.dtype != np.uint8:
+                    res = to_uint8(res.astype(np.float64))
+                new_bytes.append(codec_encode(res, out_fmt))
+        out = t.set_column(t.schema.get_field_index("bytes"), "bytes",
+                           pa.array(new_bytes, pa.binary()))
+        if scalar_cols:
+            for k, v in scalar_cols.items():
+                out = out.append_column(k, pa.array(v))
+        return out
+
+    return batch_fn

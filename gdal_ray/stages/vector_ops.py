@@ -1,0 +1,196 @@
+"""Vector geometry unary operators over WKB columns — buffer, simplify,
+segmentize, swap-xy, explode-collections, convex-hull, centroid, area.
+
+Reference steps: apps/gdalalg_vector_buffer.cpp, _simplify.cpp,
+_segmentize.cpp, _swap_xy.cpp, _explode_collections.cpp,
+_convex_hull.cpp. Each is a stateless map_batches over the WKB binary
+column (OGR's Arrow-WKB convention); explode is a flat-map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import geom
+from ..core import wkb as W
+
+
+# ---------------------------------------------------------------------------
+# pure-geometry kernels
+# ---------------------------------------------------------------------------
+
+def douglas_peucker(pts: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker line simplification (OGR Simplify semantics)."""
+    if len(pts) < 3:
+        return pts
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg = pts[i1] - pts[i0]
+        ln = np.hypot(*seg)
+        mid = pts[i0 + 1:i1]
+        if ln == 0:
+            d = np.hypot(mid[:, 0] - pts[i0, 0], mid[:, 1] - pts[i0, 1])
+        else:
+            d = np.abs(seg[0] * (pts[i0, 1] - mid[:, 1])
+                       - seg[1] * (pts[i0, 0] - mid[:, 0])) / ln
+        imax = int(np.argmax(d))
+        if d[imax] > tolerance:
+            k = i0 + 1 + imax
+            keep[k] = True
+            stack.append((i0, k))
+            stack.append((k, i1))
+    return pts[keep]
+
+
+def segmentize(pts: np.ndarray, max_length: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_length."""
+    out = [pts[0]]
+    for i in range(1, len(pts)):
+        a, b = pts[i - 1], pts[i]
+        d = float(np.hypot(*(b - a)))
+        n = int(np.ceil(d / max_length))
+        for k in range(1, n + 1):
+            out.append(a + (b - a) * (k / n))
+    return np.asarray(out)
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone-chain convex hull → closed CCW ring."""
+    p = np.unique(pts, axis=0)
+    p = p[np.lexsort((p[:, 1], p[:, 0]))]
+    if len(p) <= 2:
+        return np.vstack([p, p[:1]])
+
+    def half(points):
+        h = []
+        for q in points:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], q - h[-2]) <= 0:
+                h.pop()
+            h.append(q)
+        return h
+
+    lower = half(p)
+    upper = half(p[::-1])
+    ring = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([ring, ring[:1]])
+
+
+def buffer_geometry(g: W.Geometry, dist: float, segments: int = 8) -> W.Geometry:
+    """Positive buffer. Points → circles; polygons → convex-hull of
+    circles around boundary vertices after segmentizing (exact for
+    convex shapes; a documented approximation for concave — OGR
+    delegates to GEOS which this container lacks)."""
+    if g.geom_type == W.POINT:
+        return geom.buffer_point(g.coords[0, 0], g.coords[0, 1], dist, segments)
+    pts = []
+    src = (g.rings[0] if g.geom_type == W.POLYGON
+           else g.coords if g.geom_type == W.LINESTRING
+           else None)
+    if src is None:
+        return W.multipolygon([buffer_geometry(p, dist, segments) for p in g.parts])
+    dense = segmentize(src, max(dist, 1e-9))
+    ang = np.linspace(0, 2 * np.pi, segments * 4, endpoint=False)
+    circ = np.column_stack([np.cos(ang), np.sin(ang)]) * dist
+    for v in dense:
+        pts.append(v[None, :] + circ)
+    hull = convex_hull(np.vstack(pts))
+    return W.Geometry(W.POLYGON, rings=[hull])
+
+
+def swap_xy(g: W.Geometry) -> W.Geometry:
+    if g.geom_type in (W.POINT, W.LINESTRING):
+        return W.Geometry(g.geom_type, coords=g.coords[:, ::-1].copy())
+    if g.geom_type == W.POLYGON:
+        return W.Geometry(W.POLYGON, rings=[r[:, ::-1].copy() for r in g.rings])
+    return W.Geometry(g.geom_type, parts=[swap_xy(p) for p in g.parts])
+
+
+def simplify_geometry(g: W.Geometry, tolerance: float) -> W.Geometry:
+    if g.geom_type == W.LINESTRING:
+        return W.Geometry(W.LINESTRING, coords=douglas_peucker(g.coords, tolerance))
+    if g.geom_type == W.POLYGON:
+        rings = []
+        for r in g.rings:
+            s = douglas_peucker(r, tolerance)
+            if len(s) >= 4:
+                rings.append(s)
+        return W.Geometry(W.POLYGON, rings=rings or g.rings[:1])
+    if g.geom_type in (W.MULTIPOLYGON, W.MULTILINESTRING, W.GEOMETRYCOLLECTION):
+        return W.Geometry(g.geom_type, parts=[simplify_geometry(p, tolerance)
+                                              for p in g.parts])
+    return g
+
+
+def segmentize_geometry(g: W.Geometry, max_length: float) -> W.Geometry:
+    if g.geom_type == W.LINESTRING:
+        return W.Geometry(W.LINESTRING, coords=segmentize(g.coords, max_length))
+    if g.geom_type == W.POLYGON:
+        return W.Geometry(W.POLYGON,
+                          rings=[segmentize(r, max_length) for r in g.rings])
+    if g.geom_type in (W.MULTIPOLYGON, W.MULTILINESTRING, W.GEOMETRYCOLLECTION):
+        return W.Geometry(g.geom_type, parts=[segmentize_geometry(p, max_length)
+                                              for p in g.parts])
+    return g
+
+
+# ---------------------------------------------------------------------------
+# map_batches wrappers over WKB columns
+# ---------------------------------------------------------------------------
+
+def wkb_map(fn, wkb_col: str = "wkb", refresh_envelope: bool = True):
+    """Wrap geometry→geometry fn into a batch transform that rewrites the
+    WKB column (and the denormalized envelope columns if present)."""
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        out_wkb, envs = [], []
+        for b in t[wkb_col].to_pylist():
+            g2 = fn(W.loads(b))
+            out_wkb.append(W.dumps(g2))
+            envs.append(g2.envelope())
+        t = t.set_column(t.schema.get_field_index(wkb_col), wkb_col,
+                         pa.array(out_wkb, pa.binary()))
+        if refresh_envelope and "minx" in t.schema.names:
+            env = np.asarray(envs, dtype=np.float64)
+            for i, name in enumerate(["minx", "miny", "maxx", "maxy"]):
+                t = t.set_column(t.schema.get_field_index(name), name,
+                                 pa.array(env[:, i], pa.float64()))
+        return t
+
+    return batch_fn
+
+
+def explode_collections(t: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """flat-map: multi-geometries → one row per part (vector
+    explode-collections)."""
+    idx, out_wkb, part_no = [], [], []
+    for i, b in enumerate(t[wkb_col].to_pylist()):
+        g = W.loads(b)
+        parts = g.parts if g.parts else [g]
+        for k, p in enumerate(parts):
+            idx.append(i)
+            out_wkb.append(W.dumps(p))
+            part_no.append(k)
+    base = t.remove_column(t.schema.get_field_index(wkb_col)) \
+        .take(pa.array(idx, pa.int64()))
+    return base.append_column(wkb_col, pa.array(out_wkb, pa.binary())) \
+        .append_column("part_index", pa.array(part_no, pa.int64()))
+
+
+def add_geometry_columns(t: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """Append area / centroid_x / centroid_y columns."""
+    areas, cxs, cys = [], [], []
+    for b in t[wkb_col].to_pylist():
+        g = W.loads(b)
+        areas.append(geom.area(g))
+        cx, cy = geom.centroid(g)
+        cxs.append(cx)
+        cys.append(cy)
+    return t.append_column("area", pa.array(areas, pa.float64())) \
+        .append_column("centroid_x", pa.array(cxs, pa.float64())) \
+        .append_column("centroid_y", pa.array(cys, pa.float64()))

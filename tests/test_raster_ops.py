@@ -1,0 +1,271 @@
+"""Raster per-image ops + raster↔vector conversion vs closed-form /
+brute-force oracles."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.core import geotransform as gtr
+from gdal_ray.core import rastervec as rv
+from gdal_ray.core import wkb
+from gdal_ray.stages import raster_ops as ro
+
+
+class TestTranslate:
+    def _img(self):
+        rng = np.random.default_rng(5)
+        return rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+
+    def test_window_bands(self):
+        px = self._img()
+        out = ro.translate(px, window=(10, 5, 20, 15), bands=[2, 0])
+        assert out.shape == (15, 20, 2)
+        assert np.array_equal(out[:, :, 0], px[5:20, 10:30, 2])
+
+    def test_scale_offset_cast(self):
+        px = self._img()
+        out = ro.translate(px, scale=0.5, offset=10, out_dtype=np.uint8)
+        expect = np.clip(np.floor(px * 0.5 + 10 + 0.5), 0, 255).astype(np.uint8)
+        assert np.array_equal(out, expect)
+
+    def test_resize_half(self):
+        px = self._img()
+        out = ro.translate(px, out_size=(30, 20), resampling="average")
+        assert out.shape == (20, 30, 3)
+        # 2x2 box average
+        expect = px.reshape(20, 2, 30, 2, 3).mean(axis=(1, 3))
+        assert np.allclose(out, expect)
+
+
+class TestPixelFunctions:
+    def test_registry(self):
+        px = np.dstack([np.full((4, 4), 10.0), np.full((4, 4), 2.0)]).astype(np.uint8)
+        assert np.allclose(ro.pixel_function(px, "sum"), 12)
+        assert np.allclose(ro.pixel_function(px, "diff"), 8)
+        assert np.allclose(ro.pixel_function(px, "mul"), 20)
+        assert np.allclose(ro.pixel_function(px, "div"), 5)
+        assert np.allclose(ro.pixel_function(px, "mean"), 6)
+        assert np.allclose(ro.pixel_function(px, "norm_diff"), 8 / 12)
+        assert np.allclose(ro.pixel_function(px, "interpolate_linear", t=0.25), 8)
+
+    def test_reclassify(self):
+        b = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+        out = ro.reclassify(b, {1: 100, 3: 50}, default=0)
+        assert out.tolist() == [[0, 100], [0, 50]]
+
+    def test_color_map(self):
+        b = np.array([[0, 50, 100]], dtype=np.uint8)
+        out = ro.color_map(b, [(0, (0, 0, 0)), (100, (200, 100, 0))])
+        assert out.shape == (1, 3, 3)
+        assert out[0, 2].tolist() == [200, 100, 0]
+        assert out[0, 1].tolist() == [100, 50, 0]
+
+
+class TestDEM:
+    def test_slope_plane(self):
+        # plane z = 2x → slope = atan(2), aspect = east-ish
+        y, x = np.mgrid[0:20, 0:20]
+        band = (2.0 * x).astype(np.float64)
+        s = ro.slope(band)
+        inner = s[2:-2, 2:-2]
+        assert np.allclose(inner, np.degrees(np.arctan(2.0)), atol=1e-6)
+
+    def test_aspect_plane(self):
+        y, x = np.mgrid[0:20, 0:20]
+        band = (-3.0 * x).astype(np.float64)  # rises to the west → aspect 270?
+        a = ro.aspect(band)
+        inner = a[2:-2, 2:-2]
+        # gradient points +x downslope... aspect = downslope direction.
+        assert np.allclose(inner, inner[0, 0])
+
+    def test_hillshade_flat(self):
+        band = np.full((10, 10), 100.0)
+        hs = ro.hillshade(band, altitude=45.0)
+        assert np.all(hs == ro.hillshade(band)[0, 0])
+
+    def test_tpi_tri_roughness(self):
+        band = np.zeros((8, 8))
+        band[4, 4] = 8.0
+        assert abs(ro.tpi(band)[4, 4] - 8.0) < 1e-9
+        assert abs(ro.tri(band)[4, 4] - 8.0) < 1e-9
+        assert abs(ro.roughness(band)[4, 4] - 8.0) < 1e-9
+        assert abs(ro.roughness(band)[3, 3] - 8.0) < 1e-9
+
+    def test_convolve_identity(self):
+        rng = np.random.default_rng(3)
+        band = rng.normal(size=(12, 12))
+        k = np.zeros((3, 3)); k[1, 1] = 1.0
+        assert np.allclose(ro.convolve(band, k), band)
+
+    def test_convolve_box(self):
+        band = np.ones((6, 6))
+        out = ro.convolve(band, np.ones((3, 3)) / 9.0)
+        assert np.allclose(out, 1.0)
+
+
+class TestRasterize:
+    def test_square(self):
+        gt = (0, 1, 0, 10, 0, -1)  # 10x10 grid covering (0,0)-(10,10)
+        g = wkb.box(2, 2, 6, 6)
+        out = rv.rasterize([(g, 1)], (10, 10), gt)
+        # pixel centers inside (2,2)-(6,6): cols 2..5, world rows y 2.5..5.5 → rows 4..7
+        assert out.sum() == 16
+        assert out[4:8, 2:6].sum() == 16
+
+    def test_merge_add(self):
+        gt = (0, 1, 0, 10, 0, -1)
+        g = wkb.box(0, 0, 10, 10)
+        out = rv.rasterize([(g, 1), (g, 2)], (10, 10), gt, merge_alg="add")
+        assert (out == 3).all()
+
+    def test_hole(self):
+        gt = (0, 1, 0, 10, 0, -1)
+        g = wkb.polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                        holes=[[(3, 3), (7, 3), (7, 7), (3, 7)]])
+        out = rv.rasterize([(g, 1)], (10, 10), gt)
+        assert out[5, 5] == 0
+        assert out[1, 1] == 1
+
+
+class TestPolygonize:
+    def test_label_components(self):
+        b = np.array([[1, 1, 0], [0, 1, 0], [0, 0, 1]], dtype=np.int64)
+        lab = rv.label_components(b, 4)
+        assert lab[0, 0] == lab[0, 1] == lab[1, 1]
+        assert lab[2, 2] != lab[0, 0]
+        assert lab[1, 0] == lab[2, 0] == lab[2, 1]
+        lab8 = rv.label_components(b, 8)
+        assert lab8[2, 2] == lab8[1, 1]
+
+    def test_polygonize_square(self):
+        b = np.zeros((8, 8), dtype=np.int64)
+        b[2:5, 3:6] = 7
+        polys = rv.polygonize(b)
+        vals = {int(v) for v, _ in polys}
+        assert vals == {0, 7}
+        seven = next(g for v, g in polys if v == 7)
+        from gdal_ray.core.geom import area
+        assert abs(area(seven) - 9.0) < 1e-9
+        env = seven.envelope()
+        assert env == (3.0, 2.0, 6.0, 5.0)
+
+    def test_polygonize_roundtrip_rasterize(self):
+        """polygonize → rasterize reproduces the component mask."""
+        b = np.zeros((10, 10), dtype=np.int64)
+        b[2:5, 3:8] = 1
+        b[6:9, 1:4] = 2
+        polys = rv.polygonize(b)
+        gt = (0, 1, 0, 10, 0, -1)
+        for val, g in polys:
+            if val == 0:
+                continue
+            # pixel-space polygon → flip to world for rasterize oracle:
+            # our polygonize emitted pixel coords (transform=None); burn in
+            # pixel space directly with identity-like transform y-down
+            out = rv.rasterize([(g, 1)], (10, 10), (0, 1, 0, 0, 0, 1))
+            assert np.array_equal(out.astype(bool), b == val)
+
+    def test_polygonize_with_hole(self):
+        b = np.zeros((8, 8), dtype=np.int64)
+        b[1:7, 1:7] = 5
+        b[3:5, 3:5] = 0  # hole
+        polys = rv.polygonize(b)
+        five = next(g for v, g in polys if v == 5)
+        assert len(five.rings) == 2
+        from gdal_ray.core.geom import area
+        assert abs(area(five) - (36 - 4)) < 1e-9
+
+
+class TestSieveProximityFill:
+    def test_sieve(self):
+        b = np.zeros((10, 10), dtype=np.int64)
+        b[5, 5] = 1  # single-pixel component
+        out = rv.sieve(b, threshold=2)
+        assert (out == 0).all()
+
+    def test_proximity(self):
+        m = np.zeros((7, 7), dtype=bool)
+        m[3, 3] = True
+        d = rv.proximity(m)
+        assert d[3, 3] == 0
+        assert abs(d[3, 4] - 1.0) < 1e-9
+        assert abs(d[4, 4] - 2 ** 0.5) < 1e-9  # exact Euclidean diagonal
+
+    def test_fillnodata(self):
+        b = np.full((6, 6), 10.0)
+        valid = np.ones((6, 6), dtype=bool)
+        b[2:4, 2:4] = 0
+        valid[2:4, 2:4] = False
+        out = rv.fillnodata(b, valid)
+        assert np.allclose(out, 10.0)
+
+
+class TestGridInterp:
+    def test_idw_exact_hit(self):
+        pts = np.array([[0.5, 0.5], [3.5, 3.5]])
+        vals = np.array([1.0, 9.0])
+        gt = (0, 1, 0, 4, 0, -1)
+        out = rv.grid_idw(pts, vals, (4, 4), gt)
+        assert abs(out[3, 0] - 1.0) < 1e-9  # pixel center (0.5, 0.5)
+        assert abs(out[0, 3] - 9.0) < 1e-9
+
+    def test_interpolate_at_point(self):
+        band = np.arange(16, dtype=np.float64).reshape(4, 4)
+        gt = (0, 1, 0, 0, 0, 1)  # world == pixel
+        v, ok = rv.interpolate_at_point(band, gt, [1.0], [1.0], "bilinear")
+        # at world (1,1) = pixel corner: average of 0,1,4,5 = 2.5
+        assert ok[0] and abs(v[0] - 2.5) < 1e-9
+        v, ok = rv.interpolate_at_point(band, gt, [2.5], [1.5], "near")
+        assert ok[0] and v[0] == band[1, 2]
+        v, ok = rv.interpolate_at_point(band, gt, [99.0], [1.0], "bilinear")
+        assert not ok[0]
+
+
+class TestVectorOps:
+    def test_douglas_peucker(self):
+        from gdal_ray.stages.vector_ops import douglas_peucker
+        pts = np.array([[0, 0], [1, 0.01], [2, 0], [3, 2], [4, 0]], dtype=float)
+        out = douglas_peucker(pts, 0.1)
+        assert [0, 0] in out.tolist() and [3, 2] in out.tolist()
+        assert [1, 0.01] not in out.tolist()
+
+    def test_convex_hull(self):
+        from gdal_ray.stages.vector_ops import convex_hull
+        pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1]], dtype=float)
+        h = convex_hull(pts)
+        from gdal_ray.core.geom import ring_area
+        assert abs(abs(ring_area(h)) - 4.0) < 1e-9
+
+    def test_buffer_point_area(self):
+        from gdal_ray.stages.vector_ops import buffer_geometry
+        g = buffer_geometry(wkb.point(0, 0), 10.0, segments=32)
+        from gdal_ray.core.geom import area
+        assert abs(area(g) - np.pi * 100) / (np.pi * 100) < 0.01
+
+    def test_swap_xy(self):
+        from gdal_ray.stages.vector_ops import swap_xy
+        g = swap_xy(wkb.linestring([(1, 2), (3, 4)]))
+        assert g.coords.tolist() == [[2, 1], [4, 3]]
+
+    def test_segmentize(self):
+        from gdal_ray.stages.vector_ops import segmentize
+        out = segmentize(np.array([[0.0, 0.0], [10.0, 0.0]]), 3.0)
+        d = np.hypot(*np.diff(out, axis=0).T)
+        assert (d <= 3.0 + 1e-9).all()
+        assert out[0].tolist() == [0, 0] and out[-1].tolist() == [10, 0]
+
+    def test_explode(self):
+        import pyarrow as pa
+        from gdal_ray.stages.vector_ops import explode_collections
+        g = wkb.multipolygon([wkb.box(0, 0, 1, 1), wkb.box(2, 2, 3, 3)])
+        t = pa.table({"fid": [1], "wkb": [wkb.dumps(g)]})
+        out = explode_collections(t)
+        assert out.num_rows == 2
+        assert out["part_index"].to_pylist() == [0, 1]
+
+    def test_geometry_columns(self):
+        import pyarrow as pa
+        from gdal_ray.stages.vector_ops import add_geometry_columns
+        t = pa.table({"wkb": [wkb.dumps(wkb.box(0, 0, 4, 2))]})
+        out = add_geometry_columns(t)
+        assert out["area"][0].as_py() == 8.0
+        assert out["centroid_x"][0].as_py() == 2.0
