@@ -92,8 +92,10 @@ def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near"):
         squeeze = True
     else:
         squeeze = False
-    sh, sw, nb = src.shape
     m = composite_affine(src_gt, dst_gt)
+
+    if resampling in ("average", "mode", "min", "max", "sum"):
+        return _warp_area(src, m, (dh, dw), resampling, squeeze)
 
     # dst pixel centers
     cols_d = np.arange(dw, dtype=np.float64) + 0.5
@@ -101,6 +103,21 @@ def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near"):
     # src pixel-space coordinates of each dst pixel center (continuous)
     sx = m[0] + m[1] * cols_d[None, :] + m[2] * rows_d[:, None]
     sy = m[3] + m[4] * cols_d[None, :] + m[5] * rows_d[:, None]
+    out, valid = sample_grid(src, sx, sy, resampling)
+    return (out[:, :, 0] if squeeze else out), valid
+
+
+def sample_grid(src: np.ndarray, sx: np.ndarray, sy: np.ndarray,
+                resampling: str = "near"):
+    """Sample src (h, w, nb) at continuous source pixel coordinates
+    (sx, sy) — point-kernel core shared by the affine warp and the
+    transformer-driven reprojection warp (GDALWarpKernel's per-pixel
+    gather, alg/gdalwarpkernel.cpp specializations).
+
+    sx/sy are arrays of any shape giving src pixel-space positions
+    (0.5 = first pixel center). Returns (values shape+(*nb,), valid)."""
+    sh, sw, nb = src.shape
+    dh, dw = sx.shape
 
     if resampling == "near":
         ix = np.floor(sx).astype(np.int64)
@@ -108,7 +125,7 @@ def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near"):
         valid = (ix >= 0) & (ix < sw) & (iy >= 0) & (iy < sh)
         out = np.zeros((dh, dw, nb), dtype=src.dtype)
         out[valid] = src[iy[valid], ix[valid]]
-        return (out[:, :, 0] if squeeze else out), valid
+        return out, valid
 
     if resampling == "bilinear":
         fx = sx - 0.5
@@ -134,7 +151,7 @@ def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near"):
         valid = wsum[:, :, 0] > 0
         with np.errstate(invalid="ignore", divide="ignore"):
             out = np.where(wsum > 0, out / np.maximum(wsum, 1e-300), 0.0)
-        return (out[:, :, 0] if squeeze else out), valid
+        return out, valid
 
     if resampling in _KERNELS:
         kfn, radius = _KERNELS[resampling]
@@ -160,10 +177,7 @@ def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near"):
         valid = wsum[:, :, 0] > 1e-10
         with np.errstate(invalid="ignore", divide="ignore"):
             out = np.where(wsum > 1e-10, out / np.maximum(wsum, 1e-300), 0.0)
-        return (out[:, :, 0] if squeeze else out), valid
-
-    if resampling in ("average", "mode", "min", "max", "sum"):
-        return _warp_area(src, m, (dh, dw), resampling, squeeze)
+        return out, valid
 
     raise ValueError(f"unknown resampling {resampling!r}")
 

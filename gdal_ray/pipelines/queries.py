@@ -941,6 +941,45 @@ def q_idw_grid(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_reproject(sf_dir: str):
+    """gdalwarp analog: reproject each georeferenced image from
+    EPSG:3857 to EPSG:4326 through the mesh-approximated transformer
+    actor pool; per-image output dims + checksum."""
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+    from ..stages.warp import ReprojectImages
+
+    return images_dataset(96) \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(ReprojectImages,
+                     fn_constructor_kwargs={"src_crs": "EPSG:3857",
+                                            "dst_crs": "EPSG:4326",
+                                            "resampling": "bilinear"},
+                     concurrency=4, batch_size=32, batch_format="pyarrow") \
+        .select_columns(["image_id", "dst_w", "dst_h", "cs_reproj"])
+
+
+def q_zonal_raster(sf_dir: str):
+    """Per-polygon raster-pixel statistics (alg/zonal.cpp): cell-join
+    images×polygons, per-pair mask partials, groupby(fid) combine."""
+    from ..sources.images import images_dataset
+    from ..sources.vector import polygons_dataset
+    from ..stages.georef import with_georef
+    from ..stages.zonal import zonal_raster_stats
+
+    imgs = images_dataset(128).map_batches(with_georef, batch_format="pyarrow")
+    out = zonal_raster_stats(imgs, polygons_dataset(60), zoom=7)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        for c in ("pixel_sum", "pixel_mean"):
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pa.array(_half_away(t.column(c).to_numpy()),
+                                      pa.float64()))
+        return t
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -979,6 +1018,8 @@ QUERIES = {
     "vector_ops": q_vector_ops,
     "buffer_explode": q_buffer_explode,
     "idw_grid": q_idw_grid,
+    "reproject": q_reproject,
+    "zonal_raster": q_zonal_raster,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,
