@@ -17,6 +17,57 @@ import pandas as pd
 import pyarrow as pa
 
 # ---------------------------------------------------------------------------
+# shared bucket-shuffle machinery
+# ---------------------------------------------------------------------------
+#
+# High-cardinality keys (band_key / block_key / LSH bucket) must not be
+# Ray groupby keys directly: tens of thousands of 1-row groups cost
+# ~0.2 ms of per-group overhead each in map_groups. Instead we shuffle
+# on a SALTED bucket (key % n_buckets) and do the fine-key grouping
+# vectorized inside the group callable — all rows of a fine key land in
+# the same bucket, so semantics are identical.
+
+_N_BUCKETS = 256
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a byte LUT (numpy<2 has no
+    bitwise_count)."""
+    return _POP8[x.view(np.uint8).reshape(x.shape + (8,))].sum(axis=-1)
+
+
+def _collided_pairs(ds_rows, fine_key: str, pair_fn, empty: pd.DataFrame):
+    """groupby(bucket) → drop singleton fine keys vectorized → per-fine-key
+    pair_fn.
+
+    Cross-key pair dedup is the CALLER's job, done locally inside
+    pair_fn via the canonical-key rule (emit a pair only in its lowest
+    matching block/band, decidable from the two signatures alone) — a
+    global groupby((id_a,id_b)) re-shuffle on the pair table is both an
+    extra all-to-all and, with hundreds of thousands of two-key groups,
+    slower than the whole rest of the pipeline."""
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        k = t[fine_key].to_numpy()
+        return t.append_column(
+            "bucket", pa.array((k % _N_BUCKETS).astype(np.int64), pa.int64()))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized singleton elimination: most fine keys are unique
+        g = g[g.duplicated(fine_key, keep=False)]
+        if len(g) < 2:
+            return empty
+        frames = [r for _, sub in g.groupby(fine_key, sort=False)
+                  for r in (pair_fn(sub),) if r is not None and len(r)]
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return ds_rows.map_batches(bucketed, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -29,14 +80,18 @@ def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id"):
     content hash (groupby ships 8 bytes + id, not the text)."""
 
     def sig(t: pa.Table) -> pa.Table:
-        hs = [sha1_64(str(v).encode()) for v in t[key_col].to_pylist()]
-        return pa.table({"h": pa.array(hs, pa.int64()), id_col: t[id_col]})
+        hs = np.array([sha1_64(str(v).encode())
+                       for v in t[key_col].to_pylist()], dtype=np.int64)
+        return pa.table({"bucket": pa.array(hs % _N_BUCKETS, pa.int64()),
+                         "h": pa.array(hs, pa.int64()), id_col: t[id_col]})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)[[id_col]]
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized min-per-hash inside a salted bucket (all rows of a
+        # hash share its bucket) — no per-hash Ray group overhead
+        return g.groupby("h", sort=False)[[id_col]].min().reset_index(drop=True)
 
     return ds.map_batches(sig, batch_format="pyarrow") \
-        .groupby("h").map_groups(first, batch_format="pandas")
+        .groupby("bucket").map_groups(first_per_hash, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -89,9 +144,11 @@ class MinHasher:
                 out_key.append(key)
                 out_id.append(ids[i])
                 out_sig.append(sig_b)
+        bands = np.tile(np.arange(self.n_bands, dtype=np.int32), len(ids))
         return pa.table({"band_key": pa.array(out_key, pa.int64()),
                          self.id_col: pa.array(out_id),
-                         "sig": pa.array(out_sig, pa.binary())})
+                         "sig": pa.array(out_sig, pa.binary()),
+                         "band": pa.array(bands, pa.int32())})
 
 
 def minhash_candidates(ds, *, n_perm=64, shingle_k=5, n_bands=16,
@@ -101,34 +158,34 @@ def minhash_candidates(ds, *, n_perm=64, shingle_k=5, n_bands=16,
     actor pool) → groupby(band_key) pairs → estimate jaccard from full
     signatures → global pair dedup."""
     hasher = MinHasher(n_perm, shingle_k, n_bands, text_col, id_col)
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "est_jaccard": pd.Series([], dtype="float64")})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"id_a": [], "id_b": [], "est_jaccard": []}
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({k: pd.Series(v, dtype="int64" if k != "est_jaccard"
-                                              else "float64") for k, v in out.items()})
-        ids = g[id_col].to_numpy()
-        sigs = [np.frombuffer(s, dtype="<u8") for s in g["sig"]]
-        order = np.argsort(ids)
-        for ii in range(n):
-            for jj in range(ii + 1, n):
-                a, b = order[ii], order[jj]
-                est = float((sigs[a] == sigs[b]).mean())
-                if est >= jaccard_threshold:
-                    out["id_a"].append(int(ids[a]))
-                    out["id_b"].append(int(ids[b]))
-                    out["est_jaccard"].append(est)
-        return pd.DataFrame({"id_a": pd.Series(out["id_a"], dtype="int64"),
-                             "id_b": pd.Series(out["id_b"], dtype="int64"),
-                             "est_jaccard": pd.Series(out["est_jaccard"], dtype="float64")})
+    rpb = hasher.rows_per_band
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def pairs(sub: pd.DataFrame) -> pd.DataFrame:
+        band = int(sub["band"].iloc[0])
+        ids = sub[id_col].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype="<u8") for s in sub["sig"]])
+        # pairwise signature-agreement fraction, fully vectorized
+        eq = sigs[:, None, :] == sigs[None, :, :]
+        est = eq.mean(axis=2)
+        hit = np.triu(est >= jaccard_threshold, k=1)
+        # canonical-band dedup: emit a pair only in the lowest band whose
+        # segments agree — decidable from the signatures, no re-shuffle
+        for lower in range(band):
+            hit &= ~eq[:, :, lower * rpb:(lower + 1) * rpb].all(axis=2)
+        ii, jj = np.nonzero(hit)
+        if not len(ii):
+            return empty
+        return pd.DataFrame({
+            "id_a": pd.Series(np.minimum(ids[ii], ids[jj]), dtype="int64"),
+            "id_b": pd.Series(np.maximum(ids[ii], ids[jj]), dtype="int64"),
+            "est_jaccard": pd.Series(est[ii, jj], dtype="float64")})
 
-    cands = ds.map_batches(hasher, batch_format="pyarrow", concurrency=4) \
-        .groupby("band_key").map_groups(pairs, batch_format="pandas")
-    return cands.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    rows = ds.map_batches(hasher, batch_format="pyarrow", concurrency=4)
+    return _collided_pairs(rows, "band_key", pairs, empty)
 
 
 # ---------------------------------------------------------------------------
@@ -160,42 +217,45 @@ def simhash_near_dups(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
     4-block pigeonhole trick: if d(a,b) ≤ 3 then at least one of 4
     16-bit blocks matches exactly → groupby(block_key) buckets."""
     def sig(t: pa.Table) -> pa.Table:
-        out_key, out_id, out_h = [], [], []
-        for i, text in enumerate(t[text_col].to_pylist()):
-            h = simhash(str(text))
-            for blk in range(4):
-                part = (h >> (16 * blk)) & 0xFFFF
-                out_key.append((blk << 16) | part)
-                out_id.append(t[id_col][i].as_py())
-                out_h.append(h)
-        return pa.table({"block_key": pa.array(out_key, pa.int64()),
-                         id_col: pa.array(out_id),
-                         "simhash": pa.array(np.array(out_h, dtype=np.uint64).view(np.int64),
-                                             pa.int64())})
+        n = t.num_rows
+        hs = np.array([simhash(str(x)) for x in t[text_col].to_pylist()],
+                      dtype=np.uint64)
+        ids = t[id_col].to_numpy()
+        # 4 block keys per doc, built columnar (no per-row appends)
+        blk = np.repeat(np.arange(4, dtype=np.uint64), n)
+        hrep = np.tile(hs, 4)
+        part = (hrep >> (blk * np.uint64(16))) & np.uint64(0xFFFF)
+        keys = ((blk << np.uint64(16)) | part).view(np.int64)
+        return pa.table({"block_key": pa.array(keys, pa.int64()),
+                         id_col: pa.array(np.tile(ids, 4)),
+                         "simhash": pa.array(hrep.view(np.int64), pa.int64())})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"id_a": [], "id_b": [], "hamming": []}
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        order = np.argsort(ids)
-        for ii in range(len(g)):
-            for jj in range(ii + 1, len(g)):
-                a, b = order[ii], order[jj]
-                if ids[a] == ids[b]:
-                    continue
-                d = int(bin(int(hs[a]) ^ int(hs[b])).count("1"))
-                if d <= max_hamming:
-                    out["id_a"].append(int(ids[a]))
-                    out["id_b"].append(int(ids[b]))
-                    out["hamming"].append(d)
-        return pd.DataFrame({"id_a": pd.Series(out["id_a"], dtype="int64"),
-                             "id_b": pd.Series(out["id_b"], dtype="int64"),
-                             "hamming": pd.Series(out["hamming"], dtype="int64")})
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "hamming": pd.Series([], dtype="int64")})
 
-    cands = ds.map_batches(sig, batch_format="pyarrow") \
-        .groupby("block_key").map_groups(pairs, batch_format="pandas")
-    return cands.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    def pairs(sub: pd.DataFrame) -> pd.DataFrame:
+        blk = int(sub["block_key"].iloc[0]) >> 16
+        ids = sub[id_col].to_numpy()
+        hs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        x = hs[:, None] ^ hs[None, :]
+        d = popcount64(x).astype(np.int64)
+        hit = np.triu(d <= max_hamming, k=1) & (ids[:, None] != ids[None, :])
+        # canonical-block dedup: a pair matches in every block where its
+        # XOR's 16 bits are zero; emit only in the LOWEST such block, so
+        # each pair appears exactly once globally with no extra shuffle
+        for lower in range(blk):
+            hit &= (x >> np.uint64(16 * lower)) & np.uint64(0xFFFF) != 0
+        ii, jj = np.nonzero(hit)
+        if not len(ii):
+            return empty
+        return pd.DataFrame({
+            "id_a": pd.Series(np.minimum(ids[ii], ids[jj]), dtype="int64"),
+            "id_b": pd.Series(np.maximum(ids[ii], ids[jj]), dtype="int64"),
+            "hamming": pd.Series(d[ii, jj], dtype="int64")})
+
+    rows = ds.map_batches(sig, batch_format="pyarrow")
+    return _collided_pairs(rows, "block_key", pairs, empty)
 
 
 # ---------------------------------------------------------------------------
@@ -257,21 +317,27 @@ def embedding_near_dups(ds, *, vec_col="embedding", id_col="vec_id",
                 @ (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)))
         norm = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = mat / np.maximum(norm, 1e-300)
-        return pa.table({"bucket": pa.array(keys.view(np.int64), pa.int64()),
+        return pa.table({"plane_key": pa.array(keys.view(np.int64), pa.int64()),
                          id_col: t[id_col],
                          "unit": pa.array(list(unit), pa.list_(pa.float64()))})
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "cos_sim": pd.Series([], dtype="float64")})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         mat = np.stack(g["unit"].to_numpy())
         cos = mat @ mat.T
         ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+        if not len(ii):
+            return empty
         return pd.DataFrame({
             "id_a": pd.Series(np.minimum(ids[ii], ids[jj]), dtype="int64"),
             "id_b": pd.Series(np.maximum(ids[ii], ids[jj]), dtype="int64"),
             "cos_sim": pd.Series(cos[ii, jj], dtype="float64")})
 
-    cands = ds.map_batches(sig, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(pairs, batch_format="pandas")
-    return cands.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # each vector lives in exactly one hyperplane bucket, so pairs can
+    # never duplicate across fine keys — no dedup pass needed
+    rows = ds.map_batches(sig, batch_format="pyarrow")
+    return _collided_pairs(rows, "plane_key", pairs, empty)

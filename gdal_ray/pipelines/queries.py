@@ -49,26 +49,34 @@ def _round_cols(df: pd.DataFrame, cols) -> pd.DataFrame:
 def q_pricing_summary(sf_dir: str):
     """Grouped aggregates (SWQ summary ops AVG/MIN/MAX/COUNT/SUM,
     ogr/ogr_swq.h:67-75 — grouped variant via Ray groupby)."""
-    from ray.data.aggregate import Count, Mean, Sum
     ds = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
               "l_discount", "l_shipdate"])
-    def prep(t: pa.Table) -> pa.Table:
+
+    # partial+final aggregation: combine inside map_batches so the
+    # exchange carries ≤6 rows per block instead of shuffling every
+    # lineitem row for a 4-group result
+    def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"],
                                    pa.scalar(pd.Timestamp("1998-09-02"))))
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("revenue", rev)
+        t = t.append_column("revenue", rev)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("revenue", "sum"), ("l_discount", "sum"),
+             ("l_quantity", "count")])
+        return g
 
-    ds = ds.map_batches(prep, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("revenue", alias_name="sum_revenue"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
-    ).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], sort=False) \
+        .sum().reset_index()
+    out["avg_qty"] = out["l_quantity_sum"] / out["l_quantity_count"]
+    out["avg_disc"] = out["l_discount_sum"] / out["l_quantity_count"]
+    out = out.rename(columns={
+        "l_quantity_sum": "sum_qty", "l_extendedprice_sum": "sum_base_price",
+        "revenue_sum": "sum_revenue", "l_quantity_count": "count_order"}) \
+        .drop(columns=["l_discount_sum"])
     return _round_cols(out, ["sum_qty", "sum_base_price", "sum_revenue",
                              "avg_qty", "avg_disc"])
 
