@@ -67,53 +67,59 @@ def rasterize(shapes, out_shape, transform, *, fill=0, merge_alg="replace",
 # ---------------------------------------------------------------------------
 
 def label_components(band: np.ndarray, connectedness: int = 4) -> np.ndarray:
-    """Label connected components of equal-valued pixels. Returns int32
-    labels starting at 0 (every pixel belongs to a component)."""
+    """Label connected components of equal-valued pixels (run-based
+    union-find: runs are found vectorized per row, unions happen only
+    between overlapping runs of adjacent rows — O(runs), not O(pixels),
+    of Python work; alg/polygonize.cpp's two-scanline structure)."""
     h, w = band.shape
-    labels = -np.ones((h, w), dtype=np.int64)
-    parent: list[int] = []
+    # run starts per row, vectorized over the whole band
+    starts_mask = np.ones((h, w), dtype=bool)
+    starts_mask[:, 1:] = band[:, 1:] != band[:, :-1]
+    run_id = np.cumsum(starts_mask.ravel()).reshape(h, w) - 1
+    n_runs = int(run_id[-1, -1]) + 1
+    parent = np.arange(n_runs, dtype=np.int64)
 
     def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
-    def union(a: int, b: int):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-
-    # first pass: row scan with union to upper neighbors
-    for y in range(h):
-        row = band[y]
-        for x in range(w):
-            v = row[x]
-            left_same = x > 0 and row[x - 1] == v
-            up_same = y > 0 and band[y - 1, x] == v
-            if left_same:
-                labels[y, x] = labels[y, x - 1]
-                if up_same:
-                    union(int(labels[y, x]), int(labels[y - 1, x]))
-            elif up_same:
-                labels[y, x] = labels[y - 1, x]
-            else:
-                labels[y, x] = len(parent)
-                parent.append(len(parent))
-            if connectedness == 8 and y > 0:
-                if x > 0 and band[y - 1, x - 1] == v:
-                    union(int(labels[y, x]), int(labels[y - 1, x - 1]))
-                if x < w - 1 and band[y - 1, x + 1] == v:
-                    union(int(labels[y, x]), int(labels[y - 1, x + 1]))
-    # second pass: flatten
-    roots = np.array([find(i) for i in range(len(parent))], dtype=np.int64)
-    remap = -np.ones(len(parent), dtype=np.int64)
-    nxt = 0
-    for r in roots:
-        if remap[r] < 0:
-            remap[r] = nxt
-            nxt += 1
-    return remap[roots[labels]]
+    # per-row run tables
+    rows_starts = [np.flatnonzero(starts_mask[y]) for y in range(h)]
+    off = 1 if connectedness == 8 else 0
+    for y in range(1, h):
+        sa = rows_starts[y - 1]
+        ea = np.append(sa[1:], w)          # prev-row run extents
+        sb = rows_starts[y]
+        eb = np.append(sb[1:], w)
+        va = band[y - 1, sa]
+        vb = band[y, sb]
+        ida = run_id[y - 1, sa]
+        idb = run_id[y, sb]
+        # candidate overlaps ([sb-off, eb+off) vs [sa, ea)) via merge walk
+        i = np.searchsorted(ea, sb - off, side="right")
+        for j in range(len(sb)):
+            k = i[j]
+            while k < len(sa) and sa[k] < eb[j] + off:
+                if va[k] == vb[j]:
+                    ra, rb = find(int(ida[k])), find(int(idb[j]))
+                    if ra != rb:
+                        parent[rb] = ra
+                k += 1
+    # flatten with full path compression (vectorized repeat until fixed)
+    roots = parent.copy()
+    while True:
+        nxt = roots[roots]
+        if (nxt == roots).all():
+            break
+        roots = nxt
+    # renumber in first-appearance (row-major) order
+    uniq, first, inv = np.unique(roots, return_index=True, return_inverse=True)
+    rank = np.argsort(np.argsort(first))
+    return rank[inv][run_id]
 
 
 def _trace_rings(mask: np.ndarray):
@@ -129,16 +135,27 @@ def _trace_rings(mask: np.ndarray):
     def add(a, b):
         edges.setdefault(a, []).append(b)
 
-    ys, xs = np.nonzero(mask)
-    for y, x in zip(ys, xs):
-        if y == 0 or not mask[y - 1, x]:        # top edge, left→right
-            add((x, y), (x + 1, y))
-        if y == h - 1 or not mask[y + 1, x]:    # bottom edge, right→left
-            add((x + 1, y + 1), (x, y + 1))
-        if x == 0 or not mask[y, x - 1]:        # left edge, bottom→top
-            add((x, y + 1), (x, y))
-        if x == w - 1 or not mask[y, x + 1]:    # right edge, top→bottom
-            add((x + 1, y), (x + 1, y + 1))
+    m = np.asarray(mask, bool)
+    pad = np.zeros((1, w), bool)
+    padc = np.zeros((h, 1), bool)
+    # vectorized boundary detection: an edge exists where the neighbor
+    # (or border) is outside the mask
+    top = m & ~np.vstack([pad, m[:-1]])
+    bot = m & ~np.vstack([m[1:], pad])
+    left = m & ~np.hstack([padc, m[:, :-1]])
+    right = m & ~np.hstack([m[:, 1:], padc])
+    ys, xs = np.nonzero(top)
+    for y, x in zip(ys.tolist(), xs.tolist()):   # top edge, left→right
+        add((x, y), (x + 1, y))
+    ys, xs = np.nonzero(bot)
+    for y, x in zip(ys.tolist(), xs.tolist()):   # bottom edge, right→left
+        add((x + 1, y + 1), (x, y + 1))
+    ys, xs = np.nonzero(left)
+    for y, x in zip(ys.tolist(), xs.tolist()):   # left edge, bottom→top
+        add((x, y + 1), (x, y))
+    ys, xs = np.nonzero(right)
+    for y, x in zip(ys.tolist(), xs.tolist()):   # right edge, top→bottom
+        add((x + 1, y), (x + 1, y + 1))
 
     rings = []
     while edges:
@@ -359,3 +376,38 @@ def interpolate_at_point(band: np.ndarray, transform, xs, ys,
             wsum += wgt
     ok = wsum > 0
     return np.where(ok, vals / np.maximum(wsum, 1e-300), 0.0), ok
+
+
+def footprint(band: np.ndarray, nodata=0, transform=None):
+    """Raster footprint (apps/gdal_footprint_lib.cpp): the outline
+    multipolygon of valid (!= nodata) pixels.
+
+    Traces the binary validity mask ONCE (no per-component label pass):
+    outer rings become parts, holes attach to the outer ring containing
+    their first vertex."""
+    from . import geom as _geom
+    from .wkb import Geometry, POLYGON, multipolygon
+
+    if isinstance(nodata, float) and np.isnan(nodata):
+        mask = ~np.isnan(band)
+    else:
+        mask = band != nodata
+    if not mask.any():
+        return None
+    rings = _trace_rings(mask)
+    outers = [r for r, is_outer in rings if is_outer]
+    holes = [r for r, is_outer in rings if not is_outer]
+    if transform is not None:
+        def to_world(r):
+            x, y = gtr.apply(transform, r[:, 0], r[:, 1])
+            return np.column_stack([x, y])
+        outers = [to_world(r) for r in outers]
+        holes = [to_world(r) for r in holes]
+    if len(outers) == 1:
+        return Geometry(POLYGON, rings=[outers[0]] + holes)
+    polys = []
+    for o in outers:
+        mine = [hh for hh in holes
+                if _geom.points_in_ring(hh[:1, 0], hh[:1, 1], o)[0]]
+        polys.append(Geometry(POLYGON, rings=[o] + mine))
+    return multipolygon(polys)

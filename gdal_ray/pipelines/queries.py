@@ -988,6 +988,50 @@ def q_zonal_raster(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_contours(sf_dir: str):
+    """Marching-squares contours (alg/contour.cpp): iso-lines of band 0
+    at fixed levels per image → per-image line count + total length."""
+    from ..core.contour import contour_lines
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import image_op
+
+    LEVELS = (64.0, 128.0, 192.0)
+
+    def ctr(px, row):
+        lines = contour_lines(px[:, :, 0].astype(np.float64), LEVELS)
+        total = 0.0
+        for _, ln in lines:
+            total += float(np.hypot(np.diff(ln[:, 0]), np.diff(ln[:, 1])).sum())
+        return {"n_lines": int(len(lines)),
+                "total_len": _half_away([total])[0]}
+
+    return images_dataset(96).map_batches(
+        image_op(ctr), batch_format="pyarrow") \
+        .select_columns(["image_id", "n_lines", "total_len"])
+
+
+def q_footprint(sf_dir: str):
+    """Raster footprint (gdal_footprint): outline polygon of pixels
+    above a threshold → per-image footprint area + part count."""
+    from ..core.geom import area
+    from ..core.rastervec import footprint
+    from ..core.wkb import MULTIPOLYGON
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import image_op
+
+    def fp(px, row):
+        mask = (px[:, :, 0].astype(np.int64) > 100).astype(np.int64)
+        g = footprint(mask, nodata=0)
+        if g is None:
+            return {"fp_area": 0.0, "n_parts": 0}
+        n = len(g.parts) if g.geom_type == MULTIPOLYGON else 1
+        return {"fp_area": float(area(g)), "n_parts": int(n)}
+
+    return images_dataset(96).map_batches(
+        image_op(fp), batch_format="pyarrow") \
+        .select_columns(["image_id", "fp_area", "n_parts"])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -1028,6 +1072,8 @@ QUERIES = {
     "idw_grid": q_idw_grid,
     "reproject": q_reproject,
     "zonal_raster": q_zonal_raster,
+    "contours": q_contours,
+    "footprint": q_footprint,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,
