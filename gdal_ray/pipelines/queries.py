@@ -1032,6 +1032,46 @@ def q_footprint(sf_dir: str):
         .select_columns(["image_id", "fp_area", "n_parts"])
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal audio: binary column → actor-pool feature extraction
+    (rms/zcr/spectral centroid); decode stubbed deterministically."""
+    from ..stages.multimodal import AudioFeatures, audio_dataset
+
+    def rnd(t: pa.Table) -> pa.Table:
+        for c in ("rms", "zcr", "spectral_centroid"):
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pa.array(_half_away(t[c].to_numpy()), pa.float64()))
+        return t
+
+    return audio_dataset(128).map_batches(
+        AudioFeatures, fn_constructor_kwargs={"backend": "fake"},
+        concurrency=4, batch_size=32, batch_format="pyarrow") \
+        .map_batches(rnd, batch_format="pyarrow")
+
+
+def q_video_frames(sf_dir: str):
+    """Multimodal video: flat-map frame sampling (1 fps, stubbed
+    decode) → per-video frame count + first-frame checksum."""
+    from ray.data.aggregate import Count, Min
+    from ..stages.multimodal import VideoFrameSample, video_dataset
+
+    return video_dataset(64).map_batches(
+        VideoFrameSample, fn_constructor_kwargs={"backend": "fake"},
+        concurrency=4, batch_size=16, batch_format="pyarrow") \
+        .groupby("video_id").aggregate(
+            Count(alias_name="n_frames_sampled"),
+            Min("frame_index", alias_name="first_frame"))
+
+
+def q_pipeline_dsl(sf_dir: str):
+    """User-extension surface (gdal pipeline analog): run a pipeline
+    from its config-string form through the step registry."""
+    from .registry import run_pipeline
+    return run_pipeline(
+        "read_images n=64 ! georef ! filter expr=w>=256"
+        " ! select cols=image_id,w,h,minx,maxy")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -1074,6 +1114,9 @@ QUERIES = {
     "zonal_raster": q_zonal_raster,
     "contours": q_contours,
     "footprint": q_footprint,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
+    "pipeline_dsl": q_pipeline_dsl,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,

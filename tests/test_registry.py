@@ -1,0 +1,64 @@
+"""Pipeline-step registry: parsing, chaining, user extension."""
+
+import pytest
+
+from gdal_ray.pipelines.registry import (STEPS, parse_pipeline,
+                                         register_step, run_pipeline)
+
+
+class TestParse:
+    def test_basic(self):
+        steps = parse_pipeline("read_images n=4 ! georef ! select cols=image_id,w")
+        assert [s[0] for s in steps] == ["read_images", "georef", "select"]
+        assert steps[0][1] == {"n": 4}
+        assert steps[2][1] == {"cols": ["image_id", "w"]}
+
+    def test_coercion(self):
+        (_, kw), = parse_pipeline("x a=1 b=2.5 c=true d=hello")
+        assert kw == {"a": 1, "b": 2.5, "c": True, "d": "hello"}
+
+    def test_bad_arg(self):
+        with pytest.raises(ValueError):
+            parse_pipeline("read_images nope")
+
+    def test_unknown_step(self):
+        with pytest.raises(ValueError, match="unknown step"):
+            run_pipeline("not_a_step")
+
+
+class TestRun:
+    def test_read_filter_select(self, ray_session):
+        ds = run_pipeline(
+            "read_images n=8 ! filter expr=w>=256 ! select cols=image_id,w")
+        out = ds.to_pandas()
+        assert (out["w"] >= 256).all()
+        assert list(out.columns) == ["image_id", "w"]
+
+    def test_georef_reproject_chain(self, ray_session):
+        ds = run_pipeline(
+            "read_images n=4 ! georef ! reproject dst=EPSG:4326 concurrency=2"
+            " ! select cols=image_id,dst_w,dst_h")
+        out = ds.to_pandas()
+        assert len(out) == 4
+        assert (out["dst_w"] > 0).all()
+
+    def test_user_registered_step(self, ray_session):
+        @register_step("double_w")
+        def _double(ds, **kw):
+            import pyarrow.compute as pc
+            return ds.map_batches(
+                lambda t: t.set_column(t.schema.get_field_index("w"), "w",
+                                       pc.multiply(t["w"], 2)),
+                batch_format="pyarrow")
+
+        base = run_pipeline("read_images n=3 ! select cols=image_id,w").to_pandas()
+        out = run_pipeline(
+            "read_images n=3 ! double_w ! select cols=image_id,w").to_pandas()
+        assert (out["w"].to_numpy() == base["w"].to_numpy() * 2).all()
+
+    def test_sort_limit(self, ray_session):
+        out = run_pipeline(
+            "read_images n=16 ! select cols=image_id,w ! sort by=w desc=true"
+            " ! limit n=3").to_pandas()
+        assert len(out) == 3
+        assert out["w"].is_monotonic_decreasing
