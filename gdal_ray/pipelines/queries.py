@@ -1072,6 +1072,69 @@ def q_pipeline_dsl(sf_dir: str):
         " ! select cols=image_id,w,h,minx,maxy")
 
 
+def q_layer_intersection(sf_dir: str):
+    """OGR layer algebra Intersection (ogrlayer.cpp:5386): polygons ×
+    z6 tile-rect layer → exact pairwise intersection areas via convex
+    decomposition; tile rects partition the plane so per-polygon sums
+    equal polygon areas (verified in tests)."""
+    from ..sources.vector import polygons_table, polygons_dataset, tile_rects_dataset
+    from ..stages.layer_algebra import layer_intersection
+
+    pt = polygons_table(30)
+    minx = pt["minx"].to_numpy().min() - 1e4
+    miny = pt["miny"].to_numpy().min() - 1e4
+    maxx = pt["maxx"].to_numpy().max() + 1e4
+    maxy = pt["maxy"].to_numpy().max() + 1e4
+    zones = tile_rects_dataset(6, minx, miny, maxx, maxy)
+    out = layer_intersection(polygons_dataset(30), zones, zoom=6)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("inter_area")
+        return t.set_column(i, "inter_area",
+                            pa.array(_half_away(t["inter_area"].to_numpy(), 2),
+                                     pa.float64()))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_layer_clip_erase(sf_dir: str):
+    """Vector clip + erase vs a rectangle (gdalalg_vector_clip /
+    ogrlayer.cpp:7538): per-feature clipped area + erased area."""
+    from ..core.geom import area as _area
+    from ..core import wkb as _W
+    from ..sources.vector import polygons_table, polygons_dataset
+    from ..stages.layer_algebra import layer_clip_rect, layer_erase_rect
+
+    pt = polygons_table(30)
+    minx = pt["minx"].to_numpy().min()
+    miny = pt["miny"].to_numpy().min()
+    maxx = float(np.median(pt["maxx"].to_numpy()))
+    maxy = float(np.median(pt["maxy"].to_numpy()))
+
+    clipped = layer_clip_rect(polygons_dataset(30), minx, miny, maxx, maxy)
+
+    def areas(t: pa.Table) -> pa.Table:
+        vals = [_area(_W.loads(b)) for b in t["wkb"].to_pylist()]
+        return pa.table({"fid": t["fid"],
+                         "clip_area": pa.array(_half_away(vals, 2), pa.float64())})
+
+    ca = clipped.map_batches(areas, batch_format="pyarrow")
+    er = layer_erase_rect(polygons_dataset(30), minx, miny, maxx, maxy)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        for c in ("area", "erased_area"):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pa.array(_half_away(t[c].to_numpy(), 2),
+                                            pa.float64()))
+        return t
+
+    er = er.map_batches(rnd, batch_format="pyarrow")
+    # join the two small per-fid tables driver-side
+    df = er.to_pandas().merge(ca.to_pandas(), on="fid", how="left")
+    df["clip_area"] = df["clip_area"].fillna(0.0)
+    return df
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -1117,6 +1180,8 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "pipeline_dsl": q_pipeline_dsl,
+    "layer_intersection": q_layer_intersection,
+    "layer_clip_erase": q_layer_clip_erase,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,

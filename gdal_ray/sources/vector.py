@@ -106,3 +106,31 @@ def polygons_dataset(m: int):
 def points_dataset(k: int):
     import ray.data as rd
     return rd.from_arrow(points_table(k))
+
+
+def tile_rects_table(zoom: int, minx: float, miny: float,
+                     maxx: float, maxy: float) -> pa.Table:
+    """Polygon layer of XYZ tile rectangles covering a bbox — a
+    deterministic second layer for layer-algebra pipelines (fid = cell
+    id). Tile rects partition the plane, so per-feature intersection
+    areas against this layer must sum to the feature's area."""
+    from ..core import mercator as merc
+
+    cells = merc.cells_for_envelope(minx, miny, maxx, maxy, zoom,
+                                    max_cells=1 << 20)
+    zz, xx, yy = merc.cell_decode(cells)
+    rows = []
+    for c, x, y in zip(cells.tolist(), xx.tolist(), yy.tolist()):
+        ty = int(merc.xyz_to_tms(y, zoom))
+        bx0, by0, bx1, by1 = merc.tile_bounds(int(x), ty, zoom)
+        g = wkb.box(bx0, by0, bx1, by1)
+        e = g.envelope()
+        rows.append({"fid": int(c), "wkb": wkb.dumps(g),
+                     "minx": e[0], "miny": e[1], "maxx": e[2], "maxy": e[3]})
+    return pa.Table.from_pylist(rows)
+
+
+def tile_rects_dataset(zoom: int, minx: float, miny: float,
+                       maxx: float, maxy: float):
+    import ray.data as rd
+    return rd.from_arrow(tile_rects_table(zoom, minx, miny, maxx, maxy))

@@ -57,10 +57,15 @@ def with_cells(ds, zoom: int, keep: list[str]):
 
 
 def reference_cell(minx_a, miny_a, minx_b, miny_b, zoom: int):
-    """Cell of the envelope-intersection top-left reference point
-    (PBSM dedup rule). Vectorized."""
-    rx = np.maximum(minx_a, minx_b)
-    ry = np.maximum(miny_a, miny_b)
+    """Cell of the envelope-intersection bottom-left reference point
+    (PBSM dedup rule). Vectorized.
+
+    The same +eps nudge as cells_for_envelope: a reference point landing
+    exactly on a tile boundary must resolve to the same cell that the
+    envelope cover listed, or the pair is silently dropped."""
+    eps = merc.resolution(zoom) * 1e-6
+    rx = np.maximum(minx_a, minx_b) + eps
+    ry = np.maximum(miny_a, miny_b) + eps
     tx, ty = merc.meters_to_tile(rx, ry, zoom)
     n = 2**zoom
     tx = np.clip(tx, 0, n - 1)
