@@ -79,8 +79,14 @@ def main():
 
     if "--scaling" in sys.argv:
         results = {}
+        # fixed LARGE workload at both parallelism levels: the scaling
+        # criterion measures how compute spreads across cores, so the
+        # corpus must be big enough that per-stage barrier overhead
+        # (a few seconds, size-independent) is a small fraction
+        n_scale = os.environ.get("GRAFT_SCALING_IMAGES", "24000")
         for cpus in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
+                       GRAFT_N_IMAGES=n_scale)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env, capture_output=True, text=True, timeout=3600)
@@ -105,11 +111,15 @@ def main():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  logging_level="ERROR")
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # push-based sort shuffle: measurably faster exchanges on this Ray
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     sf = sf_of(SF_DIR)
-    headline = run_headline(n_images_for(sf))
+    n_images = int(os.environ.get("GRAFT_N_IMAGES", "0")) or n_images_for(sf)
+    headline = run_headline(n_images)
 
     qtimes: dict[str, float] = {}
     total = headline["total_sec"]

@@ -120,33 +120,48 @@ def contour_segments(band: np.ndarray, level: float):
 def stitch_segments(segs: np.ndarray, tol: float = 1e-9):
     """Join segments end-to-end into polylines. Returns list of (k, 2)
     arrays. Closed rings end where they start."""
-    if len(segs) == 0:
+    n = len(segs)
+    if n == 0:
         return []
-    key = lambda x, y: (round(float(x) / tol), round(float(y) / tol))
+    # quantized endpoint keys, computed vectorized once
+    q = np.round(segs / tol).astype(np.int64)
+    ks = list(zip(q[:, 0].tolist(), q[:, 1].tolist()))
+    ke = list(zip(q[:, 2].tolist(), q[:, 3].tolist()))
+    s0 = segs[:, 0:2].tolist()
+    s1 = segs[:, 2:4].tolist()
     adj: dict[tuple, list] = {}
-    for i, (x0, y0, x1, y1) in enumerate(segs):
-        adj.setdefault(key(x0, y0), []).append((i, False))
-        adj.setdefault(key(x1, y1), []).append((i, True))
-    used = np.zeros(len(segs), bool)
+    for i in range(n):
+        adj.setdefault(ks[i], []).append((i, False))
+        adj.setdefault(ke[i], []).append((i, True))
+    used = bytearray(n)
     lines = []
-    for start in range(len(segs)):
+    for start in range(n):
         if used[start]:
             continue
-        used[start] = True
-        x0, y0, x1, y1 = segs[start]
-        pts = [(x0, y0), (x1, y1)]
-        # extend forward
+        used[start] = 1
+        pts = [s0[start], s1[start]]
+        kpts = [ks[start], ke[start]]
         for _ in range(2):
             while True:
-                k = key(*pts[-1])
-                nxt = [(i, rev) for i, rev in adj.get(k, []) if not used[i]]
-                if not nxt:
+                lst = adj.get(kpts[-1])
+                nxt = None
+                while lst:
+                    i, rev = lst.pop()     # lazily discard used entries
+                    if not used[i]:
+                        nxt = (i, rev)
+                        break
+                if nxt is None:
                     break
-                i, rev = nxt[0]
-                used[i] = True
-                sx0, sy0, sx1, sy1 = segs[i]
-                pts.append((sx0, sy0) if rev else (sx1, sy1))
+                i, rev = nxt
+                used[i] = 1
+                if rev:                     # arrived at i's end → walk to start
+                    pts.append(s0[i])
+                    kpts.append(ks[i])
+                else:
+                    pts.append(s1[i])
+                    kpts.append(ke[i])
             pts.reverse()
+            kpts.reverse()
         lines.append(np.array(pts, np.float64))
     return lines
 

@@ -100,11 +100,53 @@ def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near"):
     # dst pixel centers
     cols_d = np.arange(dw, dtype=np.float64) + 0.5
     rows_d = np.arange(dh, dtype=np.float64) + 0.5
+    if resampling == "bilinear" and abs(m[2]) < 1e-15 and abs(m[4]) < 1e-15:
+        # axis-aligned fast path: the mapping separates into 1-D x / y
+        # interpolations (two 1-D weight vectors instead of (dh, dw)
+        # weight planes) — the tile-render hot path
+        out, valid = _bilinear_separable(src, m[0] + m[1] * cols_d,
+                                         m[3] + m[5] * rows_d)
+        return (out[:, :, 0] if squeeze else out), valid
     # src pixel-space coordinates of each dst pixel center (continuous)
     sx = m[0] + m[1] * cols_d[None, :] + m[2] * rows_d[:, None]
     sy = m[3] + m[4] * cols_d[None, :] + m[5] * rows_d[:, None]
     out, valid = sample_grid(src, sx, sy, resampling)
     return (out[:, :, 0] if squeeze else out), valid
+
+
+def _bilinear_separable(src: np.ndarray, sx: np.ndarray, sy: np.ndarray):
+    """Bilinear sampling when sx depends only on dst col and sy only on
+    dst row: interpolate rows first, then columns. Outside-source taps
+    get zero weight (same edge semantics as the general kernel)."""
+    sh, sw, nb = src.shape
+    fx = sx - 0.5
+    fy = sy - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    tx = fx - x0
+    ty = fy - y0
+    okx0 = (x0 >= 0) & (x0 < sw)
+    okx1 = (x0 + 1 >= 0) & (x0 + 1 < sw)
+    oky0 = (y0 >= 0) & (y0 < sh)
+    oky1 = (y0 + 1 >= 0) & (y0 + 1 < sh)
+    xc0 = np.clip(x0, 0, sw - 1)
+    xc1 = np.clip(x0 + 1, 0, sw - 1)
+    yc0 = np.clip(y0, 0, sh - 1)
+    yc1 = np.clip(y0 + 1, 0, sh - 1)
+    wx0 = (1 - tx) * okx0
+    wx1 = tx * okx1
+    wy0 = (1 - ty) * oky0
+    wy1 = ty * oky1
+    srcf = src.astype(np.float64)
+    # rows: (dh, sw, nb) weighted pair of source rows
+    rows = (srcf[yc0] * wy0[:, None, None] + srcf[yc1] * wy1[:, None, None])
+    # cols: gather the two column taps from the interpolated rows
+    out = rows[:, xc0] * wx0[None, :, None] + rows[:, xc1] * wx1[None, :, None]
+    wsum = (wy0 + wy1)[:, None] * (wx0 + wx1)[None, :]
+    valid = wsum > 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(valid[:, :, None], out / np.maximum(wsum, 1e-300)[:, :, None], 0.0)
+    return out, valid
 
 
 def sample_grid(src: np.ndarray, sx: np.ndarray, sy: np.ndarray,

@@ -1135,6 +1135,66 @@ def q_layer_clip_erase(sf_dir: str):
     return df
 
 
+def q_raster_histogram(sf_dir: str):
+    """Corpus-wide band histogram (GetHistogram,
+    gcore/gdalrasterband.cpp:4224): per-image partial 16-bin histograms
+    inside map_batches, tiny final combine — counts, not pixels, cross
+    the exchange."""
+    from ..sources.images import images_dataset
+    from ..codecs import decode as _dec
+
+    BINS = 16
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc = np.zeros(BINS, np.int64)
+        for blob, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+            px = _dec(blob, fmt)
+            h, _ = np.histogram(px[:, :, 0], bins=BINS, range=(0, 256))
+            acc += h
+        return pa.table({"bin": pa.array(np.arange(BINS), pa.int64()),
+                         "count": pa.array(acc, pa.int64())})
+
+    parts = images_dataset(128).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("bin", sort=True)["count"].sum().reset_index()
+    return out
+
+
+def q_spatial_sort(sf_dir: str):
+    """Hilbert-style spatial locality sort (FlatGeobuf packed R-tree
+    idea, packedrtree.h:78): order events by interleaved-bit cell id;
+    emits the per-block cell ranges a locality-preserving writer would
+    produce."""
+    from ..core import mercator as merc
+
+    Z = 10
+
+    def cellify(t: pa.Table) -> pa.Table:
+        i = t["event_id"].to_numpy()
+        x, y = geo.point_xy(i)
+        tx, ty = merc.meters_to_tile(x, y, Z)
+        cells = merc.cell_id(Z, tx, merc.tms_to_xyz(ty, Z))
+        return pa.table({"event_id": t["event_id"],
+                         "cell": pa.array(cells.view(np.int64), pa.int64())})
+
+    ds = _rp(sf_dir, "events", ["event_id"]) \
+        .map_batches(cellify, batch_format="pyarrow").sort("cell")
+
+    # verify-friendly digest: 64 equal row-count chunks → (chunk, min/max
+    # cell); monotone non-overlapping ranges == locality achieved
+    df = ds.to_pandas()
+    n = len(df)
+    k = max(1, n // 64)
+    rows = []
+    for b in range(0, n, k):
+        ch = df.iloc[b:b + k]
+        rows.append({"chunk": b // k,
+                     "cell_min": int(ch["cell"].min()),
+                     "cell_max": int(ch["cell"].max()),
+                     "n_rows": len(ch)})
+    return pd.DataFrame(rows)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -1182,6 +1242,8 @@ QUERIES = {
     "pipeline_dsl": q_pipeline_dsl,
     "layer_intersection": q_layer_intersection,
     "layer_clip_erase": q_layer_clip_erase,
+    "raster_histogram": q_raster_histogram,
+    "spatial_sort": q_spatial_sort,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,

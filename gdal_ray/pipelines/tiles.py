@@ -24,18 +24,36 @@ from ..stages.georef import with_georef
 from ..stages.tiles import CombineChildren, RenderTile, add_parent_cell, cover_batch
 
 
+N_RENDER_BUCKETS = 128
+
+
+def _with_bucket(batch: pa.Table, key: str) -> pa.Table:
+    """Salted shuffle key: Fibonacci-hash the cell so hot/adjacent cells
+    spread across buckets; all rows of a cell share its bucket. Shuffling
+    ~n_cpus×4 buckets instead of one group per tile keeps reduce tasks
+    balanced (hot-cell skew) and amortizes per-group overhead."""
+    k = batch[key].to_numpy().astype(np.uint64)
+    b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+        % np.uint64(N_RENDER_BUCKETS)
+    return batch.append_column("bucket", pa.array(b.astype(np.int64),
+                                                  pa.int64()))
+
+
 def build_base_tiles(images, zoom: int | None = None, *,
                      resampling: str = "bilinear",
                      render_concurrency: int | None = None):
     """images Dataset (raw schema) → base-zoom tile Dataset."""
     ds = images.map_batches(with_georef, batch_format="pyarrow")
     ds = ds.map_batches(lambda b: cover_batch(b, zoom), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _with_bucket(b, "cell"),
+                        batch_format="pyarrow")
     renderer = RenderTile(resampling=resampling)
 
     def render_tile_group(g):
         return renderer(g)
 
-    return ds.groupby("cell").map_groups(render_tile_group, batch_format="pandas")
+    return ds.groupby("bucket").map_groups(render_tile_group,
+                                           batch_format="pandas")
 
 
 def build_overviews(tiles, min_z: int, max_z: int):
@@ -52,7 +70,9 @@ def build_overviews(tiles, min_z: int, max_z: int):
 
     for z in range(max_z, min_z, -1):
         cur = (cur.map_batches(add_parent_cell, batch_format="pyarrow")
-               .groupby("parent")
+               .map_batches(lambda b: _with_bucket(b, "parent"),
+                            batch_format="pyarrow")
+               .groupby("bucket")
                .map_groups(combine_children_group, batch_format="pandas")
                .materialize())
         levels[z - 1] = cur

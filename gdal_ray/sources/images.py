@@ -131,11 +131,18 @@ def gen_images_batch(batch: pa.Table) -> pa.Table:
 
 
 def images_dataset(n: int, *, parallelism: int = -1, batch_size: int = 64):
-    """Streaming synthetic corpus of n images as a ray.data.Dataset."""
+    """Streaming synthetic corpus of n images as a ray.data.Dataset.
+
+    Default block count is n/16 (clamped to [8, 512]): block count caps
+    the parallelism of every downstream stage INCLUDING the groupby
+    reduce side, so coarse blocks would leave most of the cluster idle
+    during tile render."""
     import ray.data as rd
 
-    ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
-    return ds.map_batches(gen_images_batch, batch_format="pyarrow", batch_size=batch_size)
+    blocks = parallelism if parallelism > 0 else max(8, min(512, n // 16))
+    ds = rd.range(n, override_num_blocks=blocks)
+    return ds.map_batches(gen_images_batch, batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 def write_images_parquet(n: int, path: str, rows_per_file: int = 4096):

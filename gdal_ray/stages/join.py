@@ -29,6 +29,9 @@ import pyarrow as pa
 from ..core import geom, mercator as merc, wkb as wkb_mod
 
 
+N_JOIN_BUCKETS = 128
+
+
 def _cover_cells_batch(batch: pa.Table, zoom: int, keep: list[str],
                        max_cells: int = 65536) -> pa.Table:
     """Envelope columns → one output row per covering cell (flat-map)."""
@@ -189,10 +192,27 @@ def spatial_join(images_geo, polygons, zoom: int = 7,
     both = imgs.select_columns(cols).union(pols.select_columns(cols))
     joiner = SpatialJoinCell(zoom, predicate)
 
+    # salt-bucket shuffle: one Ray group per hashed cell bucket (not per
+    # cell) — balanced reduce tasks, per-cell work grouped inside
+    def bucketize(b: pa.Table) -> pa.Table:
+        k = b["cell"].to_numpy().astype(np.uint64)
+        bk = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+            % np.uint64(N_JOIN_BUCKETS)
+        return b.append_column("bucket", pa.array(bk.astype(np.int64),
+                                                  pa.int64()))
+
     def join_cell_group(g):
+        if g["cell"].nunique() > 1:
+            frames = [joiner(sub) for _, sub in g.groupby("cell", sort=False)]
+            frames = [f for f in frames if len(f)]
+            if not frames:
+                return _typed_pairs_frame(
+                    {"image_id": [], "fid": [], "name": [], "category": []})
+            return pd.concat(frames, ignore_index=True)
         return joiner(g)
 
-    return both.groupby("cell").map_groups(join_cell_group, batch_format="pandas")
+    return both.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(join_cell_group, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -130,7 +130,8 @@ class RenderTile:
             self._cache_bytes += px.nbytes
         return px
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    def _render_one(self, group: pd.DataFrame, out: dict) -> None:
+        """Render one tile's contribution group; append to column lists."""
         z = int(group["z"].iloc[0]); x = int(group["x"].iloc[0])
         y = int(group["y"].iloc[0]); cell = np.uint64(group["cell"].iloc[0])
         ts = self.tile_size
@@ -138,30 +139,76 @@ class RenderTile:
         acc = np.zeros((ts, ts, 3), dtype=np.float64)
         alpha = np.zeros((ts, ts), dtype=bool)
         # deterministic compositing order: ascending image_id, later wins
-        order = np.argsort(group["image_id"].to_numpy(), kind="stable")
+        ids = group["image_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        blobs = group["bytes"].to_numpy()
+        fmts = group["fmt"].to_numpy()
+        gts = [group[f"gt{k}"].to_numpy() for k in range(6)]
+        ws = group["img_w"].to_numpy()
+        hs = group["img_h"].to_numpy()
         n_src = 0
         for ridx in order:
-            row = group.iloc[ridx]
-            px = self._decode(row["image_id"], row["bytes"], row["fmt"])
-            src_gt = (row["gt0"], row["gt1"], row["gt2"],
-                      row["gt3"], row["gt4"], row["gt5"])
-            warped, valid = rs.warp(px, src_gt, dst_gt, (ts, ts), self.resampling)
+            src_gt = tuple(g[ridx] for g in gts)
+            # dst sub-window covered by this image's footprint — warping
+            # only it makes hot tiles (hundreds of small images) linear
+            # in footprint area, not in tile area × images
+            # (ComputeSourceWindow's dual, alg/gdalwarpoperation.cpp:134)
+            exs = (src_gt[0], src_gt[0] + ws[ridx] * src_gt[1])
+            eys = (src_gt[3], src_gt[3] + hs[ridx] * src_gt[5])
+            c0 = int(np.floor((min(exs) - dst_gt[0]) / dst_gt[1]))
+            c1 = int(np.ceil((max(exs) - dst_gt[0]) / dst_gt[1]))
+            r0 = int(np.floor((max(eys) - dst_gt[3]) / dst_gt[5]))
+            r1 = int(np.ceil((min(eys) - dst_gt[3]) / dst_gt[5]))
+            # pad 1 dst px: boundary pixels can carry partial kernel
+            # weight from taps just inside the source edge
+            c0 = max(c0 - 1, 0); r0 = max(r0 - 1, 0)
+            c1 = min(c1 + 1, ts); r1 = min(r1 + 1, ts)
+            if c0 >= c1 or r0 >= r1:
+                continue
+            sub_gt = (dst_gt[0] + c0 * dst_gt[1], dst_gt[1], 0.0,
+                      dst_gt[3] + r0 * dst_gt[5], 0.0, dst_gt[5])
+            px = self._decode(ids[ridx], blobs[ridx], fmts[ridx])
+            warped, valid = rs.warp(px, src_gt, sub_gt, (r1 - r0, c1 - c0),
+                                    self.resampling)
             if not valid.any():
                 continue
-            acc[valid] = warped[valid]
-            alpha |= valid
+            acc[r0:r1, c0:c1][valid] = warped[valid]
+            alpha[r0:r1, c0:c1] |= valid
             n_src += 1
         if self.skip_blank and not alpha.any():
-            return _empty_tile_frame()
+            return
         rgb = rs.to_uint8(acc)
         rgba = np.dstack([rgb, (alpha * 255).astype(np.uint8)])
         cs = checksum_multiband(rgb)
+        out["cell"].append(np.uint64(cell)); out["z"].append(z)
+        out["x"].append(x); out["y"].append(y)
+        out["png"].append(codec_encode(rgba, "png"))
+        out["n_src"].append(n_src)
+        out["cs_r"].append(int(cs[0])); out["cs_g"].append(int(cs[1]))
+        out["cs_b"].append(int(cs[2]))
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        """Salt-bucket group: many tiles per call (all rows of a cell are
+        in the same bucket); renders each cell's tile, one frame out."""
+        out = {k: [] for k in ("cell", "z", "x", "y", "png", "n_src",
+                               "cs_r", "cs_g", "cs_b")}
+        if "bucket" in group.columns and group["cell"].nunique() > 1:
+            for _, sub in group.groupby("cell", sort=False):
+                self._render_one(sub, out)
+        elif len(group):
+            self._render_one(group, out)
+        if not out["cell"]:
+            return _empty_tile_frame()
         return pd.DataFrame({
-            "cell": [np.uint64(cell)], "z": [np.int32(z)],
-            "x": [np.int64(x)], "y": [np.int64(y)],
-            "png": [codec_encode(rgba, "png")],
-            "n_src": [np.int32(n_src)],
-            "cs_r": [np.int32(cs[0])], "cs_g": [np.int32(cs[1])], "cs_b": [np.int32(cs[2])],
+            "cell": pd.Series(out["cell"], dtype="uint64"),
+            "z": pd.Series(out["z"], dtype="int32"),
+            "x": pd.Series(out["x"], dtype="int64"),
+            "y": pd.Series(out["y"], dtype="int64"),
+            "png": pd.Series(out["png"], dtype=object),
+            "n_src": pd.Series(out["n_src"], dtype="int32"),
+            "cs_r": pd.Series(out["cs_r"], dtype="int32"),
+            "cs_g": pd.Series(out["cs_g"], dtype="int32"),
+            "cs_b": pd.Series(out["cs_b"], dtype="int32"),
         })
 
 
@@ -183,31 +230,55 @@ class CombineChildren:
     def __init__(self, tile_size: int = TILE_SIZE):
         self.tile_size = tile_size
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    def _combine_one(self, group: pd.DataFrame, out: dict) -> None:
         ts = self.tile_size
         pz = int(group["z"].iloc[0]) - 1
         px_ = int(group["x"].iloc[0]) >> 1
         py_ = int(group["y"].iloc[0]) >> 1
         mosaic = np.zeros((2 * ts, 2 * ts, 4), dtype=np.uint8)
         n_src = 0
-        for _, row in group.iterrows():
-            child = codec_decode(row["png"], "png")
-            dx = (int(row["x"]) & 1) * ts
-            dy = (int(row["y"]) & 1) * ts  # XYZ y grows downward
+        xs = group["x"].to_numpy()
+        ys = group["y"].to_numpy()
+        pngs = group["png"].to_numpy()
+        srcs = group["n_src"].to_numpy()
+        for i in range(len(group)):
+            child = codec_decode(pngs[i], "png")
+            dx = (int(xs[i]) & 1) * ts
+            dy = (int(ys[i]) & 1) * ts  # XYZ y grows downward
             mosaic[dy:dy + ts, dx:dx + ts] = child
-            n_src += int(row["n_src"])
+            n_src += int(srcs[i])
         down = rs.downsample2x_average(mosaic)
         # de-premultiply-free alpha: average alpha independently
         rgba = rs.to_uint8(down)
         rgb = rgba[:, :, :3]
         cs = checksum_multiband(rgb)
-        cell = np.uint64(merc.cell_id(pz, px_, py_))
+        out["cell"].append(np.uint64(merc.cell_id(pz, px_, py_)))
+        out["z"].append(pz); out["x"].append(px_); out["y"].append(py_)
+        out["png"].append(codec_encode(rgba, "png"))
+        out["n_src"].append(n_src)
+        out["cs_r"].append(int(cs[0])); out["cs_g"].append(int(cs[1]))
+        out["cs_b"].append(int(cs[2]))
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in ("cell", "z", "x", "y", "png", "n_src",
+                               "cs_r", "cs_g", "cs_b")}
+        if "bucket" in group.columns and group["parent"].nunique() > 1:
+            for _, sub in group.groupby("parent", sort=False):
+                self._combine_one(sub, out)
+        elif len(group):
+            self._combine_one(group, out)
+        if not out["cell"]:
+            return _empty_tile_frame()
         return pd.DataFrame({
-            "cell": [cell], "z": [np.int32(pz)],
-            "x": [np.int64(px_)], "y": [np.int64(py_)],
-            "png": [codec_encode(rgba, "png")],
-            "n_src": [np.int32(n_src)],
-            "cs_r": [np.int32(cs[0])], "cs_g": [np.int32(cs[1])], "cs_b": [np.int32(cs[2])],
+            "cell": pd.Series(out["cell"], dtype="uint64"),
+            "z": pd.Series(out["z"], dtype="int32"),
+            "x": pd.Series(out["x"], dtype="int64"),
+            "y": pd.Series(out["y"], dtype="int64"),
+            "png": pd.Series(out["png"], dtype=object),
+            "n_src": pd.Series(out["n_src"], dtype="int32"),
+            "cs_r": pd.Series(out["cs_r"], dtype="int32"),
+            "cs_g": pd.Series(out["cs_g"], dtype="int32"),
+            "cs_b": pd.Series(out["cs_b"], dtype="int32"),
         })
 
 
