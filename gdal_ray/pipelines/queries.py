@@ -1195,6 +1195,118 @@ def q_spatial_sort(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_mosaic(sf_dir: str):
+    """Raster mosaic (gdalbuildvrt / raster mosaic): 96 images onto one
+    512×512 grid; per-batch PARTIAL mosaics (rank-wins rule, associative)
+    merged driver-side — compositing never serializes."""
+    from ..codecs import decode as _dec
+    from ..core import geotransform as gtr
+    from ..core.checksum import checksum
+    from ..sources import geo as G
+    from ..sources.images import images_dataset
+    from ..stages.georef import image_index, with_georef
+    from ..stages.raster_ops import mosaic_merge, mosaic_partial
+
+    W = 512
+    dst_gt = gtr.from_bounds(G.METRO_X0, G.METRO_Y0,
+                             G.METRO_X0 + G.METRO_W,
+                             G.METRO_Y0 + G.METRO_W, W, W)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pxs, gts, ranks = [], [], []
+        idx = image_index(t["image_id"])
+        for i in range(t.num_rows):
+            pxs.append(_dec(t["bytes"][i].as_py(), t["fmt"][i].as_py()))
+            gts.append(tuple(t[f"gt{k}"][i].as_py() for k in range(6)))
+            ranks.append(int(idx[i]))
+        vals, rank = mosaic_partial(pxs, gts, ranks, dst_gt, (W, W))
+        return pa.table({"vals": pa.array([vals.tobytes()], pa.binary()),
+                         "rank": pa.array([rank.tobytes()], pa.binary()),
+                         "nb": pa.array([vals.shape[2]], pa.int32())})
+
+    parts = images_dataset(96).map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow", batch_size=24).take_all()
+    acc_v = acc_r = None
+    for p in parts:
+        nb = int(p["nb"])
+        v = np.frombuffer(p["vals"], np.float64).reshape(W, W, nb)
+        r = np.frombuffer(p["rank"], np.int64).reshape(W, W)
+        if acc_v is None:
+            acc_v, acc_r = v.copy(), r.copy()
+        else:
+            acc_v, acc_r = mosaic_merge(acc_v, acc_r, v, r)
+    covered = acc_r >= 0
+    return pd.DataFrame([{
+        "cs_band0": int(checksum(np.round(acc_v[:, :, 0]))),
+        "covered_px": int(covered.sum()),
+        "n_sources": int(len(np.unique(acc_r[covered]))),
+    }])
+
+
+def q_cutline_clip(sf_dir: str):
+    """gdalwarp -cutline: clip each image to its intersecting polygon
+    (first match), per-image kept-pixel count."""
+    from ..codecs import decode as _dec
+    from ..core import wkb as _W
+    from ..sources.images import images_dataset
+    from ..sources.vector import polygons_table
+    from ..stages.georef import with_georef
+    from ..stages.raster_ops import cutline_clip
+    import ray
+
+    polys = polygons_table(40)
+    ref = ray.put([( _W.loads(b), e) for b, e in zip(
+        polys["wkb"].to_pylist(),
+        zip(polys["minx"].to_pylist(), polys["miny"].to_pylist(),
+            polys["maxx"].to_pylist(), polys["maxy"].to_pylist()))])
+
+    def clip(t: pa.Table) -> pa.Table:
+        cands = ray.get(ref)
+        ids, kept = [], []
+        for i in range(t.num_rows):
+            e = (t["minx"][i].as_py(), t["miny"][i].as_py(),
+                 t["maxx"][i].as_py(), t["maxy"][i].as_py())
+            g = next((gg for gg, pe in cands
+                      if not (pe[0] > e[2] or e[0] > pe[2]
+                              or pe[1] > e[3] or e[1] > pe[3])), None)
+            ids.append(t["image_id"][i].as_py())
+            if g is None:
+                kept.append(0)
+                continue
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            gt = tuple(t[f"gt{k}"][i].as_py() for k in range(6))
+            _, mask = cutline_clip(px, gt, g)
+            kept.append(int(mask.sum()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "kept_px": pa.array(kept, pa.int64())})
+
+    return images_dataset(96).map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(clip, batch_format="pyarrow")
+
+
+def q_geojson_roundtrip(sf_dir: str):
+    """GeoJSON driver: write the polygon layer to a FeatureCollection,
+    read it back, verify geometry byte-equality + areas."""
+    import tempfile, os
+    from ..core import wkb as _W
+    from ..core.geom import area as _area
+    from ..sources.geojson import read_geojson, write_geojson
+    from ..sources.vector import polygons_table
+
+    src = polygons_table(25)
+    path = os.path.join(tempfile.mkdtemp(prefix="gj_", dir="/tmp"),
+                        "layer.geojson")
+    write_geojson(src, path)
+
+    def check(t: pa.Table) -> pa.Table:
+        areas = [_half_away([_area(_W.loads(b))], 2)[0]
+                 for b in t["wkb"].to_pylist()]
+        return pa.table({"fid": t["fid"],
+                         "area": pa.array(areas, pa.float64())})
+
+    return read_geojson(path).map_batches(check, batch_format="pyarrow")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -1244,6 +1356,9 @@ QUERIES = {
     "layer_clip_erase": q_layer_clip_erase,
     "raster_histogram": q_raster_histogram,
     "spatial_sort": q_spatial_sort,
+    "mosaic": q_mosaic,
+    "cutline_clip": q_cutline_clip,
+    "geojson_roundtrip": q_geojson_roundtrip,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,

@@ -1,0 +1,77 @@
+"""GeoJSON vector driver — FeatureCollection ⇄ Dataset.
+
+Reference: ogr/ogrsf_frmts/geojson (schema-on-read driver). Read side
+infers the property schema from the features (union of keys, arrow type
+from first non-null value — OGR's inference approach), geometry lands
+as the standard WKB column + envelope columns, fid from the feature's
+"id" or positional. Write side emits a FeatureCollection.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import wkb as W
+from ..core.wkt import from_geojson, to_geojson
+
+
+def read_geojson_table(path: str) -> pa.Table:
+    """FeatureCollection file → Arrow table (fid, properties..., wkb,
+    minx, miny, maxx, maxy)."""
+    with open(path) as f:
+        fc = json.load(f)
+    if fc.get("type") != "FeatureCollection":
+        raise ValueError("expected a FeatureCollection")
+    feats = fc.get("features", [])
+    keys: list[str] = []
+    for ft in feats:
+        for k in (ft.get("properties") or {}):
+            if k not in keys:
+                keys.append(k)
+    cols: dict[str, list] = {"fid": []}
+    for k in keys:
+        cols[k] = []
+    wkbs, envs = [], []
+    for i, ft in enumerate(feats):
+        props = ft.get("properties") or {}
+        fid = ft.get("id", i)
+        cols["fid"].append(int(fid) if isinstance(fid, (int, float)) else i)
+        for k in keys:
+            cols[k].append(props.get(k))
+        g = from_geojson(ft["geometry"])
+        wkbs.append(W.dumps(g))
+        envs.append(g.envelope())
+    env = np.array(envs, np.float64) if envs else np.empty((0, 4))
+    t = pa.table({"fid": pa.array(cols["fid"], pa.int64()),
+                  **{k: pa.array(cols[k]) for k in keys}})
+    t = t.append_column("wkb", pa.array(wkbs, pa.binary()))
+    for j, name in enumerate(["minx", "miny", "maxx", "maxy"]):
+        t = t.append_column(name, pa.array(env[:, j], pa.float64()))
+    return t
+
+
+def read_geojson(path: str):
+    """GeoJSON file → ray.data.Dataset (single file = single block;
+    shard many files with ray.data.from_items + map_batches at scale)."""
+    import ray.data as rd
+    return rd.from_arrow(read_geojson_table(path))
+
+
+def write_geojson(table: pa.Table, path: str, *,
+                  wkb_col: str = "wkb") -> None:
+    """Arrow table with a WKB column → FeatureCollection file."""
+    skip = {wkb_col, "minx", "miny", "maxx", "maxy"}
+    prop_cols = [c for c in table.column_names if c not in skip and c != "fid"]
+    fids = table["fid"].to_pylist() if "fid" in table.column_names \
+        else list(range(table.num_rows))
+    feats = []
+    for i in range(table.num_rows):
+        g = W.loads(table[wkb_col][i].as_py())
+        props = {c: table[c][i].as_py() for c in prop_cols}
+        feats.append({"type": "Feature", "id": fids[i],
+                      "properties": props, "geometry": to_geojson(g)})
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)

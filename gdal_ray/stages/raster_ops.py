@@ -238,3 +238,53 @@ def image_op(fn, *, out_fmt: str = "png", extra_cols=None):
         return out
 
     return batch_fn
+
+
+def cutline_clip(px: np.ndarray, gt, geom, nodata=0):
+    """gdalwarp -cutline analog (alg/gdalcutline.cpp: the cutline polygon
+    is burned into a validity mask on the target grid). Returns
+    (clipped_pixels, mask)."""
+    from ..core.rastervec import rasterize
+
+    h, w = px.shape[:2]
+    mask = rasterize([(geom, 1)], (h, w), gt, dtype=np.uint8).astype(bool)
+    if px.ndim == 3:
+        out = np.where(mask[:, :, None], px, nodata)
+    else:
+        out = np.where(mask, px, nodata)
+    return out.astype(px.dtype), mask
+
+
+def mosaic_partial(pxs, gts, ranks, dst_gt, dst_shape,
+                   resampling: str = "bilinear"):
+    """Partial mosaic of several images onto one output grid.
+
+    Returns (values (h,w,bands) float64, rank (h,w) int64, -1=empty).
+    Compositing rule: highest rank wins per pixel — ASSOCIATIVE, so
+    partials from parallel batches merge in any order (unlike raw
+    last-write compositing). rank = image ordinal (mosaic order,
+    apps/gdalalg_raster_mosaic.cpp / gdalbuildvrt semantics)."""
+    from ..core import resample as rs
+
+    dh, dw = dst_shape
+    nb = pxs[0].shape[2] if pxs and pxs[0].ndim == 3 else 1
+    acc = np.zeros((dh, dw, nb), np.float64)
+    rank = np.full((dh, dw), -1, np.int64)
+    for px, gt, rk in zip(pxs, gts, ranks):
+        warped, valid = rs.warp(px, gt, dst_gt, dst_shape, resampling)
+        if warped.ndim == 2:
+            warped = warped[:, :, None]
+        take = valid & (rk > rank)
+        acc[take] = warped[take]
+        rank[take] = rk
+    return acc, rank
+
+
+def mosaic_merge(a_vals, a_rank, b_vals, b_rank):
+    """Merge two mosaic partials (associative, commutative given
+    distinct ranks)."""
+    take = b_rank > a_rank
+    out_vals = a_vals.copy()
+    out_vals[take] = b_vals[take]
+    out_rank = np.maximum(a_rank, b_rank)
+    return out_vals, out_rank

@@ -269,3 +269,40 @@ class TestVectorOps:
         out = add_geometry_columns(t)
         assert out["area"][0].as_py() == 8.0
         assert out["centroid_x"][0].as_py() == 2.0
+
+
+class TestCutlineMosaic:
+    def test_cutline_clip(self):
+        from gdal_ray.core import wkb
+        from gdal_ray.stages.raster_ops import cutline_clip
+        px = np.full((10, 10, 3), 77, np.uint8)
+        gt = (0, 1, 0, 10, 0, -1)
+        g = wkb.box(2, 2, 6, 6)
+        out, mask = cutline_clip(px, gt, g, nodata=0)
+        assert mask.sum() == 16
+        assert (out[mask] == 77).all()
+        assert (out[~mask] == 0).all()
+        assert out.dtype == px.dtype
+
+    def test_mosaic_rank_wins_and_merge_associative(self):
+        from gdal_ray.stages.raster_ops import mosaic_merge, mosaic_partial
+        dst_gt = (0, 1, 0, 8, 0, -1)
+        # two 4x8 images stacked; overlap rows 3..5 - higher rank wins
+        a = np.full((5, 8, 1), 10, np.uint8)   # covers y 3..8
+        b = np.full((5, 8, 1), 20, np.uint8)   # covers y 0..5
+        gta = (0, 1, 0, 8, 0, -1)
+        gtb = (0, 1, 0, 5, 0, -1)
+        v1, r1 = mosaic_partial([a], [gta], [0], dst_gt, (8, 8), "near")
+        v2, r2 = mosaic_partial([b], [gtb], [1], dst_gt, (8, 8), "near")
+        m12v, m12r = mosaic_merge(v1, r1, v2, r2)
+        m21v, m21r = mosaic_merge(v2, r2, v1, r1)
+        assert np.array_equal(m12v, m21v) and np.array_equal(m12r, m21r)
+        both, rboth = mosaic_partial([a, b], [gta, gtb], [0, 1],
+                                     dst_gt, (8, 8), "near")
+        assert np.array_equal(both, m12v)
+        # a covers dst rows 0..5 (world y 3..8), b covers rows 3..8
+        # (world y 0..5); overlap rows 3..5 -> rank-1 (b) wins
+        assert (m12v[3:5, :, 0] == 20).all()
+        assert (m12v[0:3, :, 0] == 10).all()
+        assert (m12v[5:8, :, 0] == 20).all()
+        assert (rboth >= 0).all()
