@@ -88,13 +88,31 @@ def tile_pyramid(n_images: int, zoom: int = 8, min_z: int = 5, *,
 
 
 def write_pyramid(levels: dict, out_dir: str):
-    """Write each level to out_dir/z=K/ (one directory per zoom —
-    resumable: a restart skips completed levels)."""
+    """Write each level to out_dir/z=K/ (one directory per zoom).
+
+    Resumable (gdal raster tile --resume, gdalalg_raster_tile.cpp:288):
+    a level whose directory is already recorded in manifest.json is
+    skipped on restart; the manifest is written only AFTER the level's
+    parquet lands, so a killed run re-does at most one level. Returns
+    the manifest dict."""
+    import json
     import os
 
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "manifest.json")
+    manifest = {}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
     for z, ds in sorted(levels.items()):
-        path = os.path.join(out_dir, f"z={z}")
-        if os.path.exists(path):
+        key = f"z={z}"
+        path = os.path.join(out_dir, key)
+        if key in manifest:
             continue
-        ds.drop_columns(["parent"] if "parent" in ds.schema().names else []) \
-          .write_parquet(path)
+        drop = [c for c in ("parent", "bucket") if c in ds.schema().names]
+        out = ds.drop_columns(drop) if drop else ds
+        out.write_parquet(path)
+        manifest[key] = {"n_tiles": out.count()}
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+    return manifest

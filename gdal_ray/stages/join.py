@@ -295,10 +295,27 @@ def pip_join(points, polygons, zoom: int = 7, emit: str = "inner"):
     both = pts.select_columns(cols).union(pols.select_columns(cols))
     j = PiPJoinCell(emit)
 
+    def bucketize(b: pa.Table) -> pa.Table:
+        k = b["cell"].to_numpy().astype(np.uint64)
+        bk = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+            % np.uint64(N_JOIN_BUCKETS)
+        return b.append_column("bucket", pa.array(bk.astype(np.int64),
+                                                  pa.int64()))
+
     def pip_cell_group(g):
+        if g["cell"].nunique() > 1:
+            frames = [j(sub) for _, sub in g.groupby("cell", sort=False)]
+            frames = [f for f in frames if len(f)]
+            if not frames:
+                return _typed_pip_frame(
+                    {"pt_fid": [], "fid": [], "name": [], "category": []})
+            return pd.concat(frames, ignore_index=True)
         return j(g)
 
-    return both.groupby("cell").map_groups(pip_cell_group, batch_format="pandas")
+    both = both.map_batches(bucketize, batch_format="pyarrow")
+
+    return both.groupby("bucket").map_groups(pip_cell_group,
+                                             batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -165,3 +165,34 @@ class TestInvariants:
         ph = [r["phash"] for r in t.to_pylist()]
         assert ph[0] == ph[1]  # 97 repeats 0
         assert ph[1] == ph[2]  # 194 repeats 97
+
+
+class TestWritePyramidResume:
+    def test_write_and_resume(self, ray_session, tmp_path):
+        import json, os
+        import ray.data as rd
+        from gdal_ray.pipelines.tiles import tile_pyramid, write_pyramid
+
+        levels = tile_pyramid(24, zoom=7, min_z=6)
+        out = str(tmp_path / "pyr")
+        m1 = write_pyramid(levels, out)
+        assert set(m1) == {"z=6", "z=7"}
+        assert all(v["n_tiles"] > 0 for v in m1.values())
+        # parquet actually landed and reads back
+        back = rd.read_parquet(os.path.join(out, "z=7"))
+        assert back.count() == m1["z=7"]["n_tiles"]
+        assert "png" in back.schema().names
+        # resume: tamper one level's manifest entry away -> only that
+        # level is rewritten; the other's files stay untouched
+        mpath = os.path.join(out, "manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        del m["z=6"]
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        mtimes_z7 = {p: os.path.getmtime(os.path.join(out, "z=7", p))
+                     for p in os.listdir(os.path.join(out, "z=7"))}
+        m2 = write_pyramid(levels, out)
+        assert set(m2) == {"z=6", "z=7"}
+        for p, t in mtimes_z7.items():
+            assert os.path.getmtime(os.path.join(out, "z=7", p)) == t
