@@ -1307,6 +1307,39 @@ def q_geojson_roundtrip(sf_dir: str):
     return read_geojson(path).map_batches(check, batch_format="pyarrow")
 
 
+def q_raster_index(sf_dir: str):
+    """Tile-index layer (gdal raster index,
+    apps/gdalalg_raster_index.cpp): per-z6-cell manifest of covering
+    images — image count, total pixels, envelope union."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+    from ..stages.georef import with_georef
+    from ..stages.join import with_cells
+    from ..sources.images import images_dataset
+
+    imgs = images_dataset(128).map_batches(with_georef,
+                                           batch_format="pyarrow")
+
+    def px_count(t: pa.Table) -> pa.Table:
+        n = (t["w"].to_numpy().astype(np.int64)
+             * t["h"].to_numpy().astype(np.int64))
+        return t.append_column("n_px", pa.array(n, pa.int64()))
+
+    cells = with_cells(imgs.map_batches(px_count, batch_format="pyarrow"),
+                       6, ["image_id", "n_px", "minx", "miny", "maxx", "maxy"])
+
+    def to_signed(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy().astype(np.uint64).view(np.int64)
+        return t.set_column(t.schema.get_field_index("cell"), "cell",
+                            pa.array(c, pa.int64()))
+
+    return cells.map_batches(to_signed, batch_format="pyarrow") \
+        .groupby("cell").aggregate(
+            Count(alias_name="n_images"),
+            Sum("n_px", alias_name="total_px"),
+            Min("minx", alias_name="minx"), Min("miny", alias_name="miny"),
+            Max("maxx", alias_name="maxx"), Max("maxy", alias_name="maxy"))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -1359,6 +1392,7 @@ QUERIES = {
     "mosaic": q_mosaic,
     "cutline_clip": q_cutline_clip,
     "geojson_roundtrip": q_geojson_roundtrip,
+    "raster_index": q_raster_index,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,

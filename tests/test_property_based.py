@@ -1,0 +1,109 @@
+"""Property-based invariants (hypothesis): codec round trips, transform
+inverses, overlay conservation — the fuzz layer over the closed-form
+unit tests."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from gdal_ray.core import geotransform as gtr
+from gdal_ray.core import mercator as merc
+from gdal_ray.core import wkb as W
+from gdal_ray.core import wkt as T
+
+finite = st.floats(min_value=-1e7, max_value=1e7, allow_nan=False,
+                   width=64)
+
+
+coords_strategy = st.lists(
+    st.tuples(finite, finite), min_size=3, max_size=12)
+
+
+@st.composite
+def geometry(draw):
+    kind = draw(st.sampled_from(["point", "linestring", "polygon",
+                                 "multipolygon"]))
+    if kind == "point":
+        return W.point(draw(finite), draw(finite))
+    if kind == "linestring":
+        return W.linestring(draw(coords_strategy))
+    if kind == "polygon":
+        return W.polygon(draw(coords_strategy))
+    return W.multipolygon([W.polygon(draw(coords_strategy))
+                           for _ in range(draw(st.integers(1, 3)))])
+
+
+class TestCodecRoundTrips:
+    @settings(max_examples=150, deadline=None)
+    @given(geometry())
+    def test_wkb(self, g):
+        assert W.dumps(W.loads(W.dumps(g))) == W.dumps(g)
+
+    @settings(max_examples=150, deadline=None)
+    @given(geometry())
+    def test_wkt(self, g):
+        assert W.dumps(T.loads_wkt(T.dumps_wkt(g))) == W.dumps(g)
+
+    @settings(max_examples=150, deadline=None)
+    @given(geometry())
+    def test_geojson(self, g):
+        assert W.dumps(T.from_geojson(T.to_geojson(g))) == W.dumps(g)
+
+
+class TestGeotransform:
+    @settings(max_examples=200, deadline=None)
+    @given(st.tuples(finite,
+                     st.floats(0.001, 1e4), st.floats(-10, 10),
+                     finite,
+                     st.floats(-10, 10), st.floats(-1e4, -0.001)),
+           st.floats(-1e4, 1e4), st.floats(-1e4, 1e4))
+    def test_inverse_round_trip(self, gt, col, row):
+        # keep the matrix well-conditioned
+        det = gt[1] * gt[5] - gt[2] * gt[4]
+        if abs(det) < 1e-6:
+            return
+        x, y = gtr.apply(gt, col, row)
+        c2, r2 = gtr.apply_inverse(gt, x, y)
+        # fp error scales with |world coordinate| / |pixel size|
+        # (catastrophic cancellation when origin ≫ resolution)
+        cond = (abs(gt[0]) + abs(gt[3]) + abs(x) + abs(y) + 1.0) \
+            / min(abs(gt[1]), abs(gt[5]))
+        tol = 64 * np.finfo(np.float64).eps * cond + 1e-9
+        assert abs(c2 - col) < tol + 1e-6 * abs(col)
+        assert abs(r2 - row) < tol + 1e-6 * abs(row)
+
+
+class TestMercator:
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(-85.0, 85.0), st.floats(-179.9, 179.9))
+    def test_latlon_round_trip(self, lat, lon):
+        mx, my = merc.latlon_to_meters(lat, lon)
+        lat2, lon2 = merc.meters_to_latlon(mx, my)
+        assert abs(lat2 - lat) < 1e-9
+        assert abs(lon2 - lon) < 1e-9
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 20), st.integers(0, 2**20 - 1),
+           st.integers(0, 2**20 - 1))
+    def test_cell_id_bijective(self, z, x, y):
+        n = 2 ** z
+        x, y = x % n, y % n
+        cid = merc.cell_id(z, np.int64(x), np.int64(y))
+        z2, x2, y2 = merc.cell_decode(np.uint64(cid))
+        assert (int(z2), int(x2), int(y2)) == (z, x, y)
+
+
+class TestOverlayFuzz:
+    @settings(max_examples=60, deadline=None)
+    @given(st.floats(-50, 50), st.floats(-50, 50),
+           st.floats(1, 40), st.floats(1, 40),
+           st.floats(-50, 50), st.floats(-50, 50),
+           st.floats(1, 40), st.floats(1, 40))
+    def test_box_intersection_closed_form(self, ax, ay, aw, ah,
+                                          bx, by, bw, bh):
+        from gdal_ray.core.overlay import intersection_area
+        a = W.box(ax, ay, ax + aw, ay + ah)
+        b = W.box(bx, by, bx + bw, by + bh)
+        expect = (max(0.0, min(ax + aw, bx + bw) - max(ax, bx))
+                  * max(0.0, min(ay + ah, by + bh) - max(ay, by)))
+        got = intersection_area(a, b)
+        assert abs(got - expect) < 1e-6 * max(1.0, expect)
