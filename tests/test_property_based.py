@@ -52,14 +52,17 @@ class TestCodecRoundTrips:
 class TestGeotransform:
     @settings(max_examples=200, deadline=None)
     @given(st.tuples(finite,
-                     st.floats(0.001, 1e4), st.floats(-10, 10),
+                     st.floats(0.001, 1e4), st.floats(-0.5, 0.5),
                      finite,
-                     st.floats(-10, 10), st.floats(-1e4, -0.001)),
+                     st.floats(-0.5, 0.5), st.floats(-1e4, -0.001)),
            st.floats(-1e4, 1e4), st.floats(-1e4, 1e4))
     def test_inverse_round_trip(self, gt, col, row):
-        # keep the matrix well-conditioned
+        # realistic geotransforms: rotation as a FRACTION of the scale
+        # terms (unconstrained rotation makes the matrix arbitrarily
+        # ill-conditioned and the round trip fp-impossible)
+        gt = (gt[0], gt[1], gt[2] * gt[1], gt[3], gt[4] * abs(gt[5]), gt[5])
         det = gt[1] * gt[5] - gt[2] * gt[4]
-        if abs(det) < 1e-6:
+        if abs(det) < 1e-12:
             return
         x, y = gtr.apply(gt, col, row)
         c2, r2 = gtr.apply_inverse(gt, x, y)
