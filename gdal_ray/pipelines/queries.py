@@ -136,7 +136,16 @@ def q_orderby_limit(sf_dir: str):
     """ORDER BY + LIMIT (ogr_gensql.cpp:2202 CreateOrderByIndex;
     ogr/ogr_swq.h:479-483). Ties broken by orderkey for determinism."""
     ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("o_totalprice", "descending"),
+                                            ("o_orderkey", "ascending")])
+        return t.take(idx[:10])
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]).head(10) \
+        .reset_index(drop=True)
 
 
 SQL_ORDERBY_LIMIT = """
@@ -219,15 +228,27 @@ def q_topk_revenue(sf_dir: str):
     """Top-k by computed column (sort+limit, §2.6)."""
     ds = _rp(sf_dir, "lineitem",
              ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
-    ds = ds.map_batches(
-        lambda t: t.append_column(
+    K = 20
+
+    # partial top-k per block (top-k is associative) → tiny driver-side
+    # final sort; no global all-to-all for a 20-row result
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column(
             "revenue", pc.round(pc.multiply(t["l_extendedprice"],
-                                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
-                                ndigits=ROUND, round_mode="half_towards_infinity"))
-        .select(["l_orderkey", "l_linenumber", "revenue"]),
-        batch_format="pyarrow")
-    return ds.sort(["revenue", "l_orderkey", "l_linenumber"],
-                   descending=[True, False, False]).limit(20)
+                                            pc.subtract(pa.scalar(1.0),
+                                                        t["l_discount"])),
+                                ndigits=ROUND,
+                                round_mode="half_towards_infinity")) \
+            .select(["l_orderkey", "l_linenumber", "revenue"])
+        idx = pc.sort_indices(t, sort_keys=[("revenue", "descending"),
+                                            ("l_orderkey", "ascending"),
+                                            ("l_linenumber", "ascending")])
+        return t.take(idx[:K])
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["revenue", "l_orderkey", "l_linenumber"],
+                           ascending=[False, True, True]).head(K) \
+        .reset_index(drop=True)
 
 
 SQL_TOPK_REVENUE = """
