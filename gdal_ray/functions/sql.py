@@ -1,0 +1,493 @@
+"""OGR SQL dialect — a single-table SELECT engine over Ray Datasets.
+
+Reference semantics: the OGR SQL engine (`ogr/ogr_swq.h` grammar,
+`ogr/ogrsf_frmts/generic/ogr_gensql.cpp` execution): SELECT list with
+arithmetic and AVG/MIN/MAX/COUNT/SUM aggregates (ogr_swq.h:67-75),
+DISTINCT (SWQM_DISTINCT_LIST :320), WHERE with AND/OR/NOT/IN/BETWEEN/
+LIKE (swq_op_registrar.cpp), ORDER BY multi-key (:400-407), LIMIT
+(:479-483). OGR's dialect has *global-only* aggregates; we add GROUP BY
+(free on Ray) as the natural superset.
+
+Compilation is Ray-Data-first:
+  * WHERE / projections → vectorized pyarrow.compute inside map_batches;
+  * aggregates → per-batch PARTIALS (sum/count/min/max per group)
+    combined driver-side — grouped results are assumed small, the scan
+    is the big side and it streams;
+  * DISTINCT → per-batch dedup partial + driver-side final;
+  * ORDER BY + LIMIT → per-batch partial top-k; ORDER BY alone sorts
+    the (already reduced) result driver-side.
+
+The DuckDB correctness oracle runs the *same SQL string* — the dialect
+is intersection-compatible by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<num>\d+\.\d*(?:[eE][-+]?\d+)?|\.\d+|\d+)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*|/|\+|-)
+    )""", re.VERBOSE)
+
+_KEYWORDS = {"SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "BY",
+             "ORDER", "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN",
+             "LIKE", "ASC", "DESC", "IS", "NULL"}
+_AGGS = {"MIN", "MAX", "SUM", "AVG", "COUNT"}
+
+
+def tokenize(sql: str):
+    out, i = [], 0
+    while i < len(sql):
+        m = _TOKEN_RE.match(sql, i)
+        if not m:
+            if sql[i:].strip() == "":
+                break
+            raise ValueError(f"SQL tokenize error at {i}: {sql[i:i+12]!r}")
+        i = m.end()
+        if m.group("num") is not None:
+            v = m.group("num")
+            out.append(("num", float(v) if ("." in v or "e" in v.lower())
+                        else int(v)))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("id") is not None:
+            w = m.group("id")
+            out.append(("kw", w.upper()) if w.upper() in _KEYWORDS
+                       or w.upper() in _AGGS else ("id", w))
+        else:
+            out.append(("op", m.group("op")))
+    out.append(("end", ""))
+    return out
+
+
+class _P:
+    def __init__(self, toks):
+        self.t = toks
+        self.i = 0
+
+    def peek(self):
+        return self.t[self.i]
+
+    def next(self):
+        tok = self.t[self.i]
+        self.i += 1
+        return tok
+
+    def accept(self, kind, val=None):
+        k, v = self.t[self.i]
+        if k == kind and (val is None or v == val):
+            self.i += 1
+            return v
+        return None
+
+    def expect(self, kind, val=None):
+        got = self.accept(kind, val)
+        if got is None:
+            raise ValueError(f"SQL parse error near {self.t[self.i]}: "
+                             f"expected {val or kind}")
+        return got
+
+
+# AST: ("col", name) ("lit", v) ("bin", op, l, r) ("agg", fn, expr|"*")
+# ("not", e) ("in", e, [lits]) ("between", e, lo, hi) ("like", e, pat)
+
+def _parse_or(p):
+    l = _parse_and(p)
+    while p.accept("kw", "OR"):
+        l = ("bin", "OR", l, _parse_and(p))
+    return l
+
+
+def _parse_and(p):
+    l = _parse_not(p)
+    while p.accept("kw", "AND"):
+        l = ("bin", "AND", l, _parse_not(p))
+    return l
+
+
+def _parse_not(p):
+    if p.accept("kw", "NOT"):
+        return ("not", _parse_not(p))
+    return _parse_cmp(p)
+
+
+def _parse_cmp(p):
+    l = _parse_add(p)
+    k, v = p.peek()
+    if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
+        p.next()
+        return ("bin", v, l, _parse_add(p))
+    if p.accept("kw", "IN"):
+        p.expect("op", "(")
+        lits = [_parse_add(p)]
+        while p.accept("op", ","):
+            lits.append(_parse_add(p))
+        p.expect("op", ")")
+        return ("in", l, lits)
+    if p.accept("kw", "BETWEEN"):
+        lo = _parse_add(p)
+        p.expect("kw", "AND")
+        return ("between", l, lo, _parse_add(p))
+    if p.accept("kw", "LIKE"):
+        return ("like", l, _parse_add(p))
+    if p.accept("kw", "IS"):
+        neg = p.accept("kw", "NOT") is not None
+        p.expect("kw", "NULL")
+        node = ("isnull", l)
+        return ("not", node) if neg else node
+    return l
+
+
+def _parse_add(p):
+    l = _parse_mul(p)
+    while True:
+        k, v = p.peek()
+        if k == "op" and v in ("+", "-"):
+            p.next()
+            l = ("bin", v, l, _parse_mul(p))
+        else:
+            return l
+
+
+def _parse_mul(p):
+    l = _parse_atom(p)
+    while True:
+        k, v = p.peek()
+        if k == "op" and v in ("*", "/"):
+            p.next()
+            l = ("bin", v, l, _parse_atom(p))
+        else:
+            return l
+
+
+def _parse_atom(p):
+    k, v = p.peek()
+    if k == "num" or k == "str":
+        p.next()
+        return ("lit", v)
+    if k == "op" and v == "-":
+        p.next()
+        return ("bin", "*", ("lit", -1), _parse_atom(p))
+    if k == "op" and v == "(":
+        p.next()
+        e = _parse_or(p)
+        p.expect("op", ")")
+        return e
+    if k == "kw" and v in _AGGS:
+        p.next()
+        p.expect("op", "(")
+        if v == "COUNT" and p.accept("op", "*"):
+            p.expect("op", ")")
+            return ("agg", "COUNT", "*")
+        inner = _parse_add(p)
+        p.expect("op", ")")
+        return ("agg", v, inner)
+    if k == "id":
+        p.next()
+        return ("col", v)
+    raise ValueError(f"SQL parse error at token {p.peek()}")
+
+
+def parse_select(sql: str) -> dict:
+    p = _P(tokenize(sql))
+    p.expect("kw", "SELECT")
+    distinct = p.accept("kw", "DISTINCT") is not None
+    items = []
+    while True:
+        e = _parse_add(p)
+        alias = None
+        if p.accept("kw", "AS"):
+            alias = p.expect("id")
+        items.append((e, alias))
+        if not p.accept("op", ","):
+            break
+    p.expect("kw", "FROM")
+    table = p.expect("id")
+    where = group = None
+    order, limit = [], None
+    if p.accept("kw", "WHERE"):
+        where = _parse_or(p)
+    if p.accept("kw", "GROUP"):
+        p.expect("kw", "BY")
+        group = [p.expect("id")]
+        while p.accept("op", ","):
+            group.append(p.expect("id"))
+    if p.accept("kw", "ORDER"):
+        p.expect("kw", "BY")
+        while True:
+            col = p.expect("id")
+            desc = False
+            if p.accept("kw", "DESC"):
+                desc = True
+            else:
+                p.accept("kw", "ASC")
+            order.append((col, desc))
+            if not p.accept("op", ","):
+                break
+    if p.accept("kw", "LIMIT"):
+        limit = int(p.expect("num"))
+    p.expect("end")
+    return {"distinct": distinct, "items": items, "table": table,
+            "where": where, "group": group, "order": order, "limit": limit}
+
+
+# ---------------------------------------------------------------------------
+# expression evaluation over a pandas frame (vectorized)
+# ---------------------------------------------------------------------------
+
+def _eval(e, df: pd.DataFrame):
+    kind = e[0]
+    if kind == "lit":
+        return e[1]
+    if kind == "col":
+        if e[1] not in df.columns:
+            raise ValueError(f"unknown column {e[1]!r}")
+        return df[e[1]]
+    if kind == "isnull":
+        v = _eval(e[1], df)
+        return pd.isna(v)
+    if kind == "not":
+        return ~_eval(e[1], df).astype(bool)
+    if kind == "in":
+        v = _eval(e[1], df)
+        lits = [_eval(x, df) for x in e[2]]
+        return pd.Series(v).isin(lits).to_numpy()
+    if kind == "between":
+        v = _eval(e[1], df)
+        return (v >= _eval(e[2], df)) & (v <= _eval(e[3], df))
+    if kind == "like":
+        v = pd.Series(_eval(e[1], df)).astype(str)
+        pat = re.escape(str(_eval(e[2], df))).replace("%", ".*").replace("_", ".")
+        # re.escape escaped % and _ themselves; undo
+        pat = pat.replace(re.escape("%"), ".*").replace(re.escape("_"), ".")
+        return v.str.fullmatch(pat).fillna(False).to_numpy()
+    if kind == "bin":
+        op = e[1]
+        l = _eval(e[2], df)
+        r = _eval(e[3], df)
+        if op == "AND":
+            return np.asarray(l, bool) & np.asarray(r, bool)
+        if op == "OR":
+            return np.asarray(l, bool) | np.asarray(r, bool)
+        if op == "=":
+            return l == r
+        if op in ("<>", "!="):
+            return l != r
+        return {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+                "+": lambda a, b: a + b, "-": lambda a, b: a - b,
+                "*": lambda a, b: a * b, "/": lambda a, b: a / b}[op](l, r)
+    raise ValueError(f"bad expression node {e}")
+
+
+def _expr_name(e) -> str:
+    if e[0] == "col":
+        return e[1]
+    if e[0] == "lit":
+        return str(e[1])
+    if e[0] == "agg":
+        inner = "*" if e[2] == "*" else _expr_name(e[2])
+        return f"{e[1].lower()}({inner})"
+    if e[0] == "bin":
+        return f"({_expr_name(e[2])} {e[1]} {_expr_name(e[3])})"
+    return "expr"
+
+
+def _collect_aggs(e, found: list):
+    if not isinstance(e, tuple):
+        return
+    if e[0] == "agg":
+        found.append(e)
+        return
+    for part in e[1:]:
+        if isinstance(part, tuple):
+            _collect_aggs(part, found)
+        elif isinstance(part, list):
+            for q in part:
+                _collect_aggs(q, found)
+
+
+def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
+    """Run a SELECT against {'name': ray Dataset}; returns a pandas
+    DataFrame (results are the reduced side)."""
+    q = parse_select(sql)
+    if q["table"] not in tables:
+        raise ValueError(f"unknown table {q['table']!r}")
+    ds = tables[q["table"]]
+
+    aggs: list = []
+    for e, _ in q["items"]:
+        _collect_aggs(e, aggs)
+    has_aggs = bool(aggs)
+
+    where = q["where"]
+
+    if has_aggs or q["group"]:
+        return _run_aggregate(q, ds)
+
+    # plain scan: filter + project per batch, optional partial top-k
+    def scan(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if where is not None:
+            df = df[np.asarray(_eval(where, df), bool)]
+        out = pd.DataFrame(index=df.index)
+        for e, alias in q["items"]:
+            name = alias or _expr_name(e)
+            out[name] = _eval(e, df)
+        if q["distinct"]:
+            out = out.drop_duplicates()
+        if q["order"] and q["limit"] is not None:
+            out = out.sort_values([c for c, _ in q["order"]],
+                                  ascending=[not d for _, d in q["order"]]) \
+                .head(q["limit"])
+        elif q["limit"] is not None:
+            out = out.head(q["limit"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    res = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if len(res) == 0:
+        # typed empty result (Ray may drop all-empty block schemas)
+        return pd.DataFrame(
+            columns=[a or _expr_name(e) for e, a in q["items"]])
+    if q["distinct"]:
+        res = res.drop_duplicates()
+    if q["order"]:
+        res = res.sort_values([c for c, _ in q["order"]],
+                              ascending=[not d for _, d in q["order"]])
+    if q["limit"] is not None:
+        res = res.head(q["limit"])
+    return res.reset_index(drop=True)
+
+
+def _run_aggregate(q, ds) -> pd.DataFrame:
+    """Partial-per-batch grouped aggregation; final combine driver-side."""
+    where = q["where"]
+    group = q["group"] or []
+    aggs: list = []
+    for e, _ in q["items"]:
+        _collect_aggs(e, aggs)
+    # unique partial slots: (fn, input-name)
+    slots = []
+    for a in aggs:
+        key = (a[1], "*" if a[2] == "*" else _expr_name(a[2]))
+        if key not in [s[0] for s in slots]:
+            slots.append((key, a))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if where is not None:
+            df = df[np.asarray(_eval(where, df), bool)]
+        work = pd.DataFrame(index=df.index)
+        for k in group:
+            work[k] = df[k]
+        cols = {}
+        for (fn, nm), a in slots:
+            base = f"{fn}:{nm}"
+            if fn == "COUNT" and a[2] == "*":
+                work[base + ":n"] = 1
+                cols[base] = [("n", "sum")]
+            else:
+                v = _eval(a[2], df)
+                work[base + ":v"] = v
+                if fn in ("SUM", "AVG"):
+                    cols[base] = [("v", "sum"), ("v", "count")]
+                elif fn == "MIN":
+                    cols[base] = [("v", "min")]
+                elif fn == "MAX":
+                    cols[base] = [("v", "max")]
+                elif fn == "COUNT":
+                    cols[base] = [("v", "count")]
+        if group:
+            g = work.groupby(group, sort=False)
+        else:
+            g = work.groupby(lambda _: 0)
+        out = pd.DataFrame()
+        for (fn, nm), a in slots:
+            base = f"{fn}:{nm}"
+            if fn == "COUNT" and a[2] == "*":
+                out[base + "|sum"] = g[base + ":n"].sum()
+            else:
+                if fn in ("SUM", "AVG"):
+                    out[base + "|sum"] = g[base + ":v"].sum()
+                    out[base + "|cnt"] = g[base + ":v"].count()
+                elif fn == "MIN":
+                    out[base + "|min"] = g[base + ":v"].min()
+                elif fn == "MAX":
+                    out[base + "|max"] = g[base + ":v"].max()
+                elif fn == "COUNT":
+                    out[base + "|cnt"] = g[base + ":v"].count()
+        out = out.reset_index()
+        if not group:
+            out = out.drop(columns=["index"], errors="ignore")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if group:
+        g = parts.groupby(group, sort=False)
+    else:
+        g = parts.groupby(lambda _: 0)
+    final = pd.DataFrame()
+    for col in parts.columns:
+        if col in group:
+            continue
+        if col.endswith("|sum") or col.endswith("|cnt"):
+            final[col] = g[col].sum()
+        elif col.endswith("|min"):
+            final[col] = g[col].min()
+        elif col.endswith("|max"):
+            final[col] = g[col].max()
+    final = final.reset_index()
+    if not group and "index" in final.columns:
+        final = final.drop(columns=["index"])
+
+    # substitute aggregate values into the select expressions
+    def agg_value(a):
+        fn, inner = a[1], a[2]
+        nm = "*" if inner == "*" else _expr_name(inner)
+        base = f"{fn}:{nm}"
+        if fn == "COUNT" and inner == "*":
+            return final[base + "|sum"]
+        if fn == "SUM":
+            return final[base + "|sum"]
+        if fn == "AVG":
+            return final[base + "|sum"] / final[base + "|cnt"]
+        if fn == "MIN":
+            return final[base + "|min"]
+        if fn == "MAX":
+            return final[base + "|max"]
+        if fn == "COUNT":
+            return final[base + "|cnt"]
+        raise ValueError(fn)
+
+    def eval_item(e):
+        if e[0] == "agg":
+            return agg_value(e)
+        if e[0] == "col":
+            return final[e[1]]
+        if e[0] == "lit":
+            return e[1]
+        if e[0] == "bin":
+            l, r = eval_item(e[2]), eval_item(e[3])
+            return {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
+                    "*": lambda a, b: a * b, "/": lambda a, b: a / b}[e[1]](l, r)
+        raise ValueError(e)
+
+    out = pd.DataFrame()
+    for e, alias in q["items"]:
+        name = alias or _expr_name(e)
+        out[name] = eval_item(e)
+    if q["order"]:
+        out = out.sort_values([c for c, _ in q["order"]],
+                              ascending=[not d for _, d in q["order"]])
+    if q["limit"] is not None:
+        out = out.head(q["limit"])
+    return out.reset_index(drop=True)

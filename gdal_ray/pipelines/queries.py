@@ -14,6 +14,8 @@ Conventions:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -36,9 +38,9 @@ def _half_away(x, nd: int = ROUND):
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
-def _round_cols(df: pd.DataFrame, cols) -> pd.DataFrame:
+def _round_cols(df: pd.DataFrame, cols, nd: int = ROUND) -> pd.DataFrame:
     for c in cols:
-        df[c] = _half_away(df[c].astype(float).to_numpy())
+        df[c] = _half_away(df[c].astype(float).to_numpy(), nd)
     return df
 
 
@@ -1361,6 +1363,45 @@ def q_raster_index(sf_dir: str):
             Max("maxx", alias_name="maxx"), Max("maxy", alias_name="maxy"))
 
 
+# OGR SQL dialect entries: the battery runs OUR SQL engine over the
+# parquet tables and the driver runs the IDENTICAL string in DuckDB —
+# the dialect is exact-oracle-checked end to end.
+SQL_VECTOR_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders WHERE o_totalprice BETWEEN 1000 AND 300000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+SQL_VECTOR_SQL_SCAN = """
+SELECT p_partkey, p_name, ROUND(p_retailprice * 2 - 10, 2) AS adj
+FROM part WHERE p_size IN (1, 5, 9) AND p_name LIKE '%bolt%'
+ORDER BY adj DESC, p_partkey LIMIT 40
+"""
+
+
+def _dialect_round(sql: str) -> str:
+    """Our dialect lacks ROUND(); strip it for our side and round the
+    named columns after — the oracle keeps the ROUND calls."""
+    return re.sub(r"ROUND\(([^,]+), \d\)", r"\1", sql)
+
+
+def q_vector_sql(sf_dir: str):
+    """OGR SQL engine (functions/sql.py) — grouped aggregates."""
+    from ..functions.sql import execute_sql
+    out = execute_sql(_dialect_round(SQL_VECTOR_SQL),
+                      {"orders": _rp(sf_dir, "orders")})
+    return _round_cols(out, ["total", "lo", "hi"], nd=2)
+
+
+def q_vector_sql_scan(sf_dir: str):
+    """OGR SQL engine — filtered computed scan with LIKE/IN + top-k."""
+    from ..functions.sql import execute_sql
+    out = execute_sql(_dialect_round(SQL_VECTOR_SQL_SCAN),
+                      {"part": _rp(sf_dir, "part")})
+    return _round_cols(out, ["adj"], nd=2)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -1414,6 +1455,8 @@ QUERIES = {
     "cutline_clip": q_cutline_clip,
     "geojson_roundtrip": q_geojson_roundtrip,
     "raster_index": q_raster_index,
+    "vector_sql": q_vector_sql,
+    "vector_sql_scan": q_vector_sql_scan,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,
@@ -1446,6 +1489,8 @@ def oracle_sql() -> dict[str, str]:
         "histogram": SQL_HISTOGRAM,
         "count_distinct": SQL_COUNT_DISTINCT,
         "doc_quality": SQL_DOC_QUALITY,
+        "vector_sql": SQL_VECTOR_SQL,
+        "vector_sql_scan": SQL_VECTOR_SQL_SCAN,
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }

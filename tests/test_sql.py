@@ -1,0 +1,79 @@
+"""OGR SQL dialect vs DuckDB running the identical statements on the
+identical data — the exact-oracle pattern at unit scale."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_ray.functions.sql import execute_sql, parse_select
+
+
+@pytest.fixture(scope="module")
+def data(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(42)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "cat": rng.choice(["a", "b", "c"], n),
+        "v": np.round(rng.normal(100, 25, n), 3),
+        "w": rng.integers(1, 50, n),
+        "name": [f"item{i:05d}" for i in range(n)],
+    })
+    return rd.from_pandas(df).repartition(8), df
+
+
+STATEMENTS = [
+    "SELECT name, v FROM t WHERE v > 120 AND w < 10",
+    "SELECT name, v * w AS total FROM t WHERE cat = 'a' ORDER BY total DESC, name LIMIT 15",
+    "SELECT DISTINCT cat FROM t",
+    "SELECT k, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS mn, MAX(v) AS mx "
+    "FROM t GROUP BY k ORDER BY k",
+    "SELECT cat, AVG(v) AS av FROM t WHERE w BETWEEN 5 AND 20 "
+    "GROUP BY cat ORDER BY cat",
+    "SELECT COUNT(*) AS n FROM t",
+    "SELECT SUM(v * w) AS dot FROM t WHERE k IN (1, 3, 5)",
+    "SELECT name FROM t WHERE name LIKE 'item0000_' ORDER BY name",
+    "SELECT k, MAX(v) - MIN(v) AS spread FROM t GROUP BY k ORDER BY k",
+    "SELECT name, v FROM t WHERE NOT (v >= 60 AND v <= 140) "
+    "ORDER BY v LIMIT 25",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+class TestVsDuckdb:
+    @pytest.mark.parametrize("sql", STATEMENTS,
+                             ids=[s[:40] for s in STATEMENTS])
+    def test_matches(self, data, sql):
+        ds, df = data
+        got = canon(execute_sql(sql, {"t": ds}))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = canon(con.execute(sql).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestErrors:
+    def test_unknown_table(self, data):
+        with pytest.raises(ValueError, match="unknown table"):
+            execute_sql("SELECT k FROM missing", {"t": data[0]})
+
+    def test_unknown_column(self, data):
+        with pytest.raises(Exception):
+            execute_sql("SELECT nope FROM t", {"t": data[0]})
+
+    def test_parse_errors(self):
+        for bad in ("SELECT FROM t", "SELECT a FROM", "SELECT a t",
+                    "SELECT a FROM t WHERE", "FROM t SELECT a"):
+            with pytest.raises(ValueError):
+                parse_select(bad)
