@@ -170,3 +170,45 @@ def _spatial_sort(ds, z: int = 8, **kw):
 def _write_parquet(ds, path: str = "", **kw):
     ds.write_parquet(path)
     return ds
+
+
+@register_step("contour")
+def _contour(ds, levels="64,128,192", **kw):
+    from ..core.contour import contour_lines
+    import numpy as np
+    import pyarrow as pa
+    from ..stages.raster_ops import image_op
+    lv = [float(v) for v in (levels if isinstance(levels, list)
+                             else [levels])]
+
+    def ctr(px, row):
+        lines = contour_lines(px[:, :, 0].astype(np.float64), lv)
+        total = sum(float(np.hypot(np.diff(l[:, 0]), np.diff(l[:, 1])).sum())
+                    for _, l in lines)
+        return {"n_lines": len(lines), "total_len": total}
+
+    return ds.map_batches(image_op(ctr), batch_format="pyarrow")
+
+
+@register_step("footprint")
+def _footprint(ds, threshold: int = 100, **kw):
+    import numpy as np
+    from ..core.geom import area
+    from ..core.rastervec import footprint
+    from ..stages.raster_ops import image_op
+
+    def fp(px, row):
+        g = footprint((px[:, :, 0].astype(np.int64) > int(threshold))
+                      .astype(np.int64), nodata=0)
+        return {"fp_area": float(area(g)) if g is not None else 0.0}
+
+    return ds.map_batches(image_op(fp), batch_format="pyarrow")
+
+
+@register_step("vector_sql")
+def _vector_sql(ds, query: str = "", **kw):
+    """Run an OGR-SQL statement; the FROM table name binds to the
+    incoming dataset."""
+    from ..functions.sql import execute_sql, parse_select
+    table = parse_select(query)["table"]
+    return execute_sql(query, {table: ds})

@@ -430,13 +430,33 @@ def knn_join(points, queries, k: int = 3, zoom: int = 6):
     both = pts.select_columns(cols).union(qs.select_columns(cols))
     knn = KnnCell(k)
 
+    def bucketize(b: pa.Table, key: str) -> pa.Table:
+        kk = b[key].to_numpy().astype(np.uint64)
+        bk = ((kk * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+            % np.uint64(N_JOIN_BUCKETS)
+        return b.append_column("bucket", pa.array(bk.astype(np.int64),
+                                                  pa.int64()))
+
     def knn_cell_group(g):
+        if g["cell"].nunique() > 1:
+            frames = [knn(sub) for _, sub in g.groupby("cell", sort=False)]
+            frames = [f for f in frames if len(f)]
+            if not frames:
+                return knn(g.iloc[0:0])
+            return pd.concat(frames, ignore_index=True)
         return knn(g)
 
-    cands = both.groupby("cell").map_groups(knn_cell_group, batch_format="pandas")
+    cands = both.map_batches(lambda b: bucketize(b, "cell"),
+                             batch_format="pyarrow") \
+        .groupby("bucket").map_groups(knn_cell_group, batch_format="pandas")
 
+    # final top-k per query: salt-bucket by qid, vectorized inner head(k)
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=["fid"]).nsmallest(k, "dist")
-        return g
+        g = g.sort_values("dist", kind="stable") \
+            .drop_duplicates(subset=["qid", "fid"])
+        return g.groupby("qid", sort=False).head(k)
 
-    return cands.groupby("qid").map_groups(topk, batch_format="pandas")
+    return cands.map_batches(lambda b: bucketize(b, "qid"),
+                             batch_format="pyarrow") \
+        .groupby("bucket").map_groups(topk, batch_format="pandas") \
+        .drop_columns(["bucket"])
