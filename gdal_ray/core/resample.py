@@ -292,6 +292,50 @@ def downsample2x_average(src: np.ndarray) -> np.ndarray:
     return a.mean(axis=(1, 3))
 
 
+def downsample2x(src: np.ndarray, alg: str = "average") -> np.ndarray:
+    """2× overview reduction with the gcore/overview.cpp algorithm set:
+    average (box), rms, mode (majority of the 4 children), min, max,
+    near (top-left child)."""
+    h, w = src.shape[:2]
+    assert h % 2 == 0 and w % 2 == 0, "tile sizes are powers of two"
+    squeeze = src.ndim == 2
+    s = src[:, :, None] if squeeze else src
+    q = s.reshape(h // 2, 2, w // 2, 2, s.shape[2])
+    if alg == "average":
+        out = q.astype(np.float64).mean(axis=(1, 3))
+    elif alg == "rms":
+        out = np.sqrt((q.astype(np.float64) ** 2).mean(axis=(1, 3)))
+    elif alg == "near":
+        out = q[:, 0, :, 0].astype(np.float64)
+    elif alg == "min":
+        out = q.min(axis=(1, 3)).astype(np.float64)
+    elif alg == "max":
+        out = q.max(axis=(1, 3)).astype(np.float64)
+    elif alg == "mode":
+        # majority of the 4 children; ties resolved toward the smallest
+        # value (overview.cpp mode semantics for small neighborhoods)
+        flat = q.transpose(0, 2, 4, 1, 3).reshape(h // 2, w // 2,
+                                                  s.shape[2], 4)
+        vals = np.sort(flat, axis=-1)
+        # run lengths within the sorted 4: count occurrences of each
+        best = vals[..., 0].astype(np.float64)
+        best_n = np.ones(best.shape, np.int64)
+        cur = vals[..., 0].astype(np.float64)
+        cur_n = np.ones(best.shape, np.int64)
+        for i in range(1, 4):
+            v = vals[..., i].astype(np.float64)
+            same = v == cur
+            cur_n = np.where(same, cur_n + 1, 1)
+            cur = v
+            take = cur_n > best_n
+            best = np.where(take, cur, best)
+            best_n = np.where(take, cur_n, best_n)
+        out = best
+    else:
+        raise ValueError(f"unknown overview algorithm {alg!r}")
+    return out[:, :, 0] if squeeze else out
+
+
 def to_uint8(arr: np.ndarray) -> np.ndarray:
     """Round-half-up + clamp to byte range (GDALCopyWords float→byte)."""
     return np.clip(np.floor(arr + 0.5), 0, 255).astype(np.uint8)

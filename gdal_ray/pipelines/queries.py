@@ -1402,6 +1402,24 @@ def q_vector_sql_scan(sf_dir: str):
     return _round_cols(out, ["adj"], nd=2)
 
 
+def q_raster_calc(sf_dir: str):
+    """gdal raster calc (muparser band algebra): evaluate
+    "(A - B) / (A + B + 1) * 100 + C / 2" per image → mean of result."""
+    from ..functions.calc import image_calc
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import image_op
+
+    EXPR = "(A - B) / (A + B + 1) * 100 + C / 2"
+
+    def calc(px, row):
+        v = image_calc(px, EXPR)
+        return {"mean_calc": _half_away([float(np.nanmean(v))])[0]}
+
+    return images_dataset(96).map_batches(
+        image_op(calc), batch_format="pyarrow") \
+        .select_columns(["image_id", "mean_calc"])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -1457,6 +1475,7 @@ QUERIES = {
     "raster_index": q_raster_index,
     "vector_sql": q_vector_sql,
     "vector_sql_scan": q_vector_sql_scan,
+    "raster_calc": q_raster_calc,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,

@@ -227,8 +227,9 @@ class CombineChildren:
     tiles into a 2×2 mosaic and box-downsamples (gdal2tiles
     create_overview_tile semantics)."""
 
-    def __init__(self, tile_size: int = TILE_SIZE):
+    def __init__(self, tile_size: int = TILE_SIZE, alg: str = "average"):
         self.tile_size = tile_size
+        self.alg = alg
 
     def _combine_one(self, group: pd.DataFrame, out: dict) -> None:
         ts = self.tile_size
@@ -247,7 +248,7 @@ class CombineChildren:
             dy = (int(ys[i]) & 1) * ts  # XYZ y grows downward
             mosaic[dy:dy + ts, dx:dx + ts] = child
             n_src += int(srcs[i])
-        down = rs.downsample2x_average(mosaic)
+        down = rs.downsample2x(mosaic, self.alg)
         # de-premultiply-free alpha: average alpha independently
         rgba = rs.to_uint8(down)
         rgb = rgba[:, :, :3]

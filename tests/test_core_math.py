@@ -145,3 +145,65 @@ class TestChecksum:
             acc += m if v >= 0 else -m
             acc &= 0xFFFF
         assert checksum(band) == acc
+
+
+class TestCalcAndOverviewAlgs:
+    def test_band_calc_vs_numpy(self):
+        import numpy as np
+        from gdal_ray.functions.calc import band_calc, image_calc
+        rng = np.random.default_rng(2)
+        A = rng.uniform(1, 9, (6, 7))
+        B = rng.uniform(1, 9, (6, 7))
+        assert np.allclose(band_calc({"A": A, "B": B}, "(A + B) / 2"),
+                           (A + B) / 2)
+        assert np.allclose(band_calc({"A": A, "B": B}, "A * 2 - B / 4 + 1"),
+                           A * 2 - B / 4 + 1)
+        px = np.dstack([A, B]).astype(np.uint8)
+        got = image_calc(px, "(A - B) / (A + B)")
+        a0 = px[:, :, 0].astype(float); b0 = px[:, :, 1].astype(float)
+        assert np.allclose(got, (a0 - b0) / (a0 + b0), equal_nan=True)
+
+    def test_band_calc_errors(self):
+        import numpy as np
+        import pytest
+        from gdal_ray.functions.calc import band_calc
+        with pytest.raises(ValueError):
+            band_calc({"A": np.ones((2, 2)), "B": np.ones((3, 3))}, "A+B")
+        with pytest.raises(Exception):
+            band_calc({"A": np.ones((2, 2))}, "A +")
+
+    def test_downsample2x_algs(self):
+        import numpy as np
+        import pytest
+        from gdal_ray.core.resample import downsample2x, downsample2x_average
+        rng = np.random.default_rng(4)
+        src = rng.integers(0, 9, (8, 8), np.int64)
+        assert np.allclose(downsample2x(src, "average"),
+                           downsample2x_average(src))
+        assert np.allclose(downsample2x(src, "rms"),
+                           np.sqrt(downsample2x_average(src.astype(float) ** 2)))
+        assert np.array_equal(downsample2x(src, "near"), src[::2, ::2])
+        assert np.array_equal(downsample2x(src, "min"),
+                              np.minimum.reduce([src[::2, ::2], src[1::2, ::2],
+                                                 src[::2, 1::2], src[1::2, 1::2]]))
+        assert np.array_equal(downsample2x(src, "max"),
+                              np.maximum.reduce([src[::2, ::2], src[1::2, ::2],
+                                                 src[::2, 1::2], src[1::2, 1::2]]))
+        with pytest.raises(ValueError):
+            downsample2x(src, "nope")
+
+    def test_downsample2x_mode_oracle(self):
+        import numpy as np
+        from collections import Counter
+        from gdal_ray.core.resample import downsample2x
+        rng = np.random.default_rng(9)
+        src = rng.integers(0, 3, (16, 16), np.int64)
+        got = downsample2x(src, "mode")
+        for r in range(8):
+            for c in range(8):
+                quad = [src[2*r, 2*c], src[2*r+1, 2*c],
+                        src[2*r, 2*c+1], src[2*r+1, 2*c+1]]
+                cnt = Counter(int(v) for v in quad)
+                m = max(cnt.values())
+                winners = sorted(v for v, n in cnt.items() if n == m)
+                assert got[r, c] == winners[0], (r, c, quad, got[r, c])
