@@ -189,10 +189,42 @@ def reproject_array(src: np.ndarray, src_gt, src_crs: str, dst_crs: str,
         dst_gt, dst_w, dst_h = suggested_warp_output(src_gt, w, h, fwd)
     else:
         dst_gt, dst_w, dst_h = dst_grid
+    if resampling in ("average", "sum"):
+        return _area_reproject(src3, squeeze, src_gt, inv, dst_gt,
+                               dst_w, dst_h, resampling, max_error)
     sx, sy = approx_src_coords(dst_gt, src_gt, inv, dst_w, dst_h,
                                max_error=max_error)
     out, valid = sample_grid(src3, sx, sy, resampling)
     return (out[:, :, 0] if squeeze else out), valid, dst_gt
+
+
+_SUPERSAMPLE = 4
+
+
+def _area_reproject(src3, squeeze, src_gt, inv, dst_gt, dst_w, dst_h,
+                    resampling, max_error):
+    """Area-style resampling through a non-affine transform: each dst
+    pixel is supersampled at 4×4 sub-points mapped through the
+    transformer, nearest-sampled, and reduced — the standard
+    approximation of GWKAverageOrMode's source-footprint walk
+    (alg/gdalwarpkernel.cpp:194) when the mapping isn't affine."""
+    s = _SUPERSAMPLE
+    fine_gt = (dst_gt[0], dst_gt[1] / s, 0.0, dst_gt[3], 0.0, dst_gt[5] / s)
+    sx, sy = approx_src_coords(fine_gt, src_gt, inv, dst_w * s, dst_h * s,
+                               max_error=max_error * s)
+    vals, valid = sample_grid(src3, sx, sy, "near")
+    nb = src3.shape[2]
+    v = vals.reshape(dst_h, s, dst_w, s, nb).astype(np.float64)
+    m = valid.reshape(dst_h, s, dst_w, s)
+    cnt = m.sum(axis=(1, 3))
+    tot = (v * m[:, :, :, :, None]).sum(axis=(1, 3))
+    ok = cnt > 0
+    if resampling == "average":
+        out = np.where(ok[:, :, None], tot / np.maximum(cnt, 1)[:, :, None],
+                       0.0)
+    else:  # sum: scale sub-sample total to pixel-area units
+        out = tot / (s * s)
+    return (out[:, :, 0] if squeeze else out), ok, dst_gt
 
 
 class ReprojectImages:

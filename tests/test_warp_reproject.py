@@ -124,3 +124,40 @@ class TestReproject:
         out, valid, _ = wp.reproject_array(
             px, gt, "EPSG:4326", "EPSG:3857", resampling="bilinear")
         assert abs(out[valid].mean() - px.mean()) / px.mean() < 0.02
+
+
+class TestAreaReproject:
+    def test_average_identity_downscale_matches_affine(self):
+        """Identity CRS + 2x downscale: supersampled average must track
+        the exact affine area warp closely."""
+        from gdal_ray.core import resample as rs
+        px, gt = lonlat_image(64, 48)
+        dst_gt = (gt[0], gt[1] * 2, 0.0, gt[3], 0.0, gt[5] * 2)
+        got, valid, _ = wp.reproject_array(
+            px, gt, "EPSG:4326", "EPSG:4326", resampling="average",
+            dst_grid=(dst_gt, 32, 24))
+        exact, v2 = rs.warp(px, gt, dst_gt, (24, 32), "average")
+        assert valid.all()
+        # interior: 3x3 supersample of a 2x2 box — small quantization
+        # error only (boundary pixels differ where sub-samples fall
+        # outside the source and partial-coverage weights kick in)
+        inner = np.abs(got - exact)[1:-1, 1:-1]
+        assert inner.max() <= 30.0
+        assert inner.mean() < 1.5
+
+    def test_average_mercator_mean_preserved(self):
+        px, gt = lonlat_image()
+        out, valid, _ = wp.reproject_array(
+            px, gt, "EPSG:4326", "EPSG:3857", resampling="average")
+        assert abs(out[valid].mean() - px.mean()) / px.mean() < 0.02
+
+    def test_sum_scales_with_area(self):
+        """sum resampling at 2x downscale: total mass ~ preserved."""
+        px, gt = lonlat_image(64, 48)
+        dst_gt = (gt[0], gt[1] * 2, 0.0, gt[3], 0.0, gt[5] * 2)
+        got, valid, _ = wp.reproject_array(
+            px, gt, "EPSG:4326", "EPSG:4326", resampling="sum",
+            dst_grid=(dst_gt, 32, 24))
+        # each dst pixel covers 4 src pixels; sum/(s*s) * (dst/src area
+        # ratio 4) ≈ 4 * mean of the 4 src px
+        assert abs(got.sum() * 4 / 4 - px.sum() / 4) / (px.sum() / 4) < 0.05
