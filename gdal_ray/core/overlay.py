@@ -92,9 +92,14 @@ def triangulate(ring: np.ndarray) -> list:
         r = r[::-1]                        # CCW
     idx = list(range(len(r)))
     tris = []
+    max_iters = 4 * len(r) + 16
     guard = 0
-    while len(idx) > 3 and guard < 10000:
+    while len(idx) > 3:
         guard += 1
+        if guard > max_iters:
+            raise ValueError(
+                f"ear-clipping failed to converge on a {len(r)}-vertex "
+                "ring (self-intersecting or degenerate input?)")
         n = len(idx)
         for k in range(n):
             i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
@@ -118,7 +123,9 @@ def triangulate(ring: np.ndarray) -> list:
             idx.pop(k)
             break
         else:
-            break                           # no ear found (degenerate)
+            raise ValueError(
+                "no ear found - ring is self-intersecting or degenerate; "
+                "triangulation would silently drop area")
     if len(idx) == 3:
         tris.append(np.array([r[idx[0]], r[idx[1]], r[idx[2]]]))
     return tris

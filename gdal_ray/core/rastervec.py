@@ -242,10 +242,11 @@ def sieve(band: np.ndarray, threshold: int, connectedness: int = 4) -> np.ndarra
                 continue
             nlabs = labels[nb]
             best = nlabs[np.argmax(sizes[nlabs])]
-            if sizes[best] >= threshold:
-                ys, xs = np.nonzero(labels == best)
-                out[m] = out[ys[0], xs[0]]
-                changed = True
+            # gdalsievefilter merges into the largest neighbor even if
+            # that neighbor is itself small; iteration coalesces chains
+            ys, xs = np.nonzero(labels == best)
+            out[m] = out[ys[0], xs[0]]
+            changed = True
         if not changed:
             break
     return out

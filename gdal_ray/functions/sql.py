@@ -266,9 +266,8 @@ def _eval(e, df: pd.DataFrame):
         return (v >= _eval(e[2], df)) & (v <= _eval(e[3], df))
     if kind == "like":
         v = pd.Series(_eval(e[1], df)).astype(str)
+        # re.escape leaves % and _ unescaped (py>=3.7), so map them
         pat = re.escape(str(_eval(e[2], df))).replace("%", ".*").replace("_", ".")
-        # re.escape escaped % and _ themselves; undo
-        pat = pat.replace(re.escape("%"), ".*").replace(re.escape("_"), ".")
         return v.str.fullmatch(pat).fillna(False).to_numpy()
     if kind == "bin":
         op = e[1]
@@ -389,23 +388,12 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
         work = pd.DataFrame(index=df.index)
         for k in group:
             work[k] = df[k]
-        cols = {}
         for (fn, nm), a in slots:
             base = f"{fn}:{nm}"
             if fn == "COUNT" and a[2] == "*":
                 work[base + ":n"] = 1
-                cols[base] = [("n", "sum")]
             else:
-                v = _eval(a[2], df)
-                work[base + ":v"] = v
-                if fn in ("SUM", "AVG"):
-                    cols[base] = [("v", "sum"), ("v", "count")]
-                elif fn == "MIN":
-                    cols[base] = [("v", "min")]
-                elif fn == "MAX":
-                    cols[base] = [("v", "max")]
-                elif fn == "COUNT":
-                    cols[base] = [("v", "count")]
+                work[base + ":v"] = _eval(a[2], df)
         if group:
             g = work.groupby(group, sort=False)
         else:
@@ -431,6 +419,28 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
         return pa.Table.from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if group and (len(parts) == 0 or group[0] not in parts.columns):
+        # grouped aggregate over zero rows: zero groups, typed empty
+        return pd.DataFrame(
+            columns=[a or _expr_name(e) for e, a in q["items"]])
+    if not group and len(parts) == 0:
+        # SQL semantics: a global aggregate over zero rows yields ONE
+        # row (COUNT()=0, SUM/MIN/MAX/AVG=NULL)
+        seed = {}
+        for (fn, nm), a in slots:
+            base = f"{fn}:{nm}"
+            if fn == "COUNT" and a[2] == "*":
+                seed[base + "|sum"] = [0]
+            elif fn in ("SUM", "AVG"):
+                seed[base + "|sum"] = [np.nan]
+                seed[base + "|cnt"] = [0]
+            elif fn == "MIN":
+                seed[base + "|min"] = [np.nan]
+            elif fn == "MAX":
+                seed[base + "|max"] = [np.nan]
+            elif fn == "COUNT":
+                seed[base + "|cnt"] = [0]
+        parts = pd.DataFrame(seed)
     if group:
         g = parts.groupby(group, sort=False)
     else:
@@ -439,7 +449,11 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
     for col in parts.columns:
         if col in group:
             continue
-        if col.endswith("|sum") or col.endswith("|cnt"):
+        if col.endswith("|sum"):
+            # min_count=1: an all-NaN (zero-row seed) sum stays NULL,
+            # matching SQL SUM-over-empty semantics
+            final[col] = g[col].sum(min_count=1)
+        elif col.endswith("|cnt"):
             final[col] = g[col].sum()
         elif col.endswith("|min"):
             final[col] = g[col].min()

@@ -46,9 +46,13 @@ def _coerce(v: str):
 
 
 def parse_pipeline(spec: str):
-    """'step a=1 b=x ! step2 ...' → [(name, {kwargs}), ...]."""
+    """'step a=1 b=x ! step2 ...' → [(name, {kwargs}), ...].
+
+    The separator is a whitespace-delimited '!' (as in `gdal pipeline`),
+    so '!' inside an argument — e.g. `filter expr=w!=256` — survives."""
+    import re as _re
     steps = []
-    for part in spec.split("!"):
+    for part in _re.split(r"(?:^|\s)!(?:\s|$)", spec):
         toks = part.split()
         if not toks:
             raise ValueError("empty pipeline step")

@@ -28,15 +28,11 @@ N_RENDER_BUCKETS = 128
 
 
 def _with_bucket(batch: pa.Table, key: str) -> pa.Table:
-    """Salted shuffle key: Fibonacci-hash the cell so hot/adjacent cells
-    spread across buckets; all rows of a cell share its bucket. Shuffling
-    ~n_cpus×4 buckets instead of one group per tile keeps reduce tasks
-    balanced (hot-cell skew) and amortizes per-group overhead."""
-    k = batch[key].to_numpy().astype(np.uint64)
-    b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
-        % np.uint64(N_RENDER_BUCKETS)
-    return batch.append_column("bucket", pa.array(b.astype(np.int64),
-                                                  pa.int64()))
+    """Salted shuffle key (shared recipe in stages/join.py): ~n_cpus×4
+    buckets instead of one Ray group per tile — balanced reduce tasks,
+    per-group overhead amortized."""
+    from ..stages.join import salted_bucket
+    return salted_bucket(batch, key, N_RENDER_BUCKETS)
 
 
 def build_base_tiles(images, zoom: int | None = None, *,
@@ -110,8 +106,10 @@ def write_pyramid(levels: dict, out_dir: str):
         if key in manifest:
             continue
         drop = [c for c in ("parent", "bucket") if c in ds.schema().names]
-        out = ds.drop_columns(drop) if drop else ds
+        out = (ds.drop_columns(drop) if drop else ds).materialize()
         out.write_parquet(path)
+        # count() on the materialized handle reads cached block metadata
+        # instead of re-running the render pipeline
         manifest[key] = {"n_tiles": out.count()}
         with open(mpath, "w") as f:
             json.dump(manifest, f)

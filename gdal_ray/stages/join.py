@@ -32,6 +32,18 @@ from ..core import geom, mercator as merc, wkb as wkb_mod
 N_JOIN_BUCKETS = 128
 
 
+def salted_bucket(batch: pa.Table, key: str,
+                  n_buckets: int = N_JOIN_BUCKETS) -> pa.Table:
+    """Append a Fibonacci-hashed shuffle bucket for `key` — the shared
+    salt-bucket recipe (all rows of a key share its bucket; hot/adjacent
+    keys spread): used by every join/render shuffle."""
+    k = batch[key].to_numpy().astype(np.uint64)
+    b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+        % np.uint64(n_buckets)
+    return batch.append_column("bucket", pa.array(b.astype(np.int64),
+                                                  pa.int64()))
+
+
 def _cover_cells_batch(batch: pa.Table, zoom: int, keep: list[str],
                        max_cells: int = 65536) -> pa.Table:
     """Envelope columns → one output row per covering cell (flat-map)."""
@@ -192,14 +204,8 @@ def spatial_join(images_geo, polygons, zoom: int = 7,
     both = imgs.select_columns(cols).union(pols.select_columns(cols))
     joiner = SpatialJoinCell(zoom, predicate)
 
-    # salt-bucket shuffle: one Ray group per hashed cell bucket (not per
-    # cell) — balanced reduce tasks, per-cell work grouped inside
     def bucketize(b: pa.Table) -> pa.Table:
-        k = b["cell"].to_numpy().astype(np.uint64)
-        bk = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
-            % np.uint64(N_JOIN_BUCKETS)
-        return b.append_column("bucket", pa.array(bk.astype(np.int64),
-                                                  pa.int64()))
+        return salted_bucket(b, "cell")
 
     def join_cell_group(g):
         if g["cell"].nunique() > 1:
@@ -296,11 +302,7 @@ def pip_join(points, polygons, zoom: int = 7, emit: str = "inner"):
     j = PiPJoinCell(emit)
 
     def bucketize(b: pa.Table) -> pa.Table:
-        k = b["cell"].to_numpy().astype(np.uint64)
-        bk = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
-            % np.uint64(N_JOIN_BUCKETS)
-        return b.append_column("bucket", pa.array(bk.astype(np.int64),
-                                                  pa.int64()))
+        return salted_bucket(b, "cell")
 
     def pip_cell_group(g):
         if g["cell"].nunique() > 1:
@@ -431,11 +433,7 @@ def knn_join(points, queries, k: int = 3, zoom: int = 6):
     knn = KnnCell(k)
 
     def bucketize(b: pa.Table, key: str) -> pa.Table:
-        kk = b[key].to_numpy().astype(np.uint64)
-        bk = ((kk * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
-            % np.uint64(N_JOIN_BUCKETS)
-        return b.append_column("bucket", pa.array(bk.astype(np.int64),
-                                                  pa.int64()))
+        return salted_bucket(b, key)
 
     def knn_cell_group(g):
         if g["cell"].nunique() > 1:

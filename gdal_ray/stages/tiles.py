@@ -159,10 +159,14 @@ class RenderTile:
             c1 = int(np.ceil((max(exs) - dst_gt[0]) / dst_gt[1]))
             r0 = int(np.floor((max(eys) - dst_gt[3]) / dst_gt[5]))
             r1 = int(np.ceil((min(eys) - dst_gt[3]) / dst_gt[5]))
-            # pad 1 dst px: boundary pixels can carry partial kernel
-            # weight from taps just inside the source edge
-            c0 = max(c0 - 1, 0); r0 = max(r0 - 1, 0)
-            c1 = min(c1 + 1, ts); r1 = min(r1 + 1, ts)
+            # pad by the kernel's reach: a dst pixel center up to
+            # radius src-px outside the footprint can still get weight;
+            # convert to dst px via the src/dst resolution ratio
+            radius = {"near": 1, "bilinear": 1, "cubic": 2,
+                      "cubicspline": 2, "lanczos": 3}.get(self.resampling, 2)
+            pad = int(np.ceil(radius * abs(src_gt[1]) / abs(dst_gt[1]))) + 1
+            c0 = max(c0 - pad, 0); r0 = max(r0 - pad, 0)
+            c1 = min(c1 + pad, ts); r1 = min(r1 + pad, ts)
             if c0 >= c1 or r0 >= r1:
                 continue
             sub_gt = (dst_gt[0] + c0 * dst_gt[1], dst_gt[1], 0.0,

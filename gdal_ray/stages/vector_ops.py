@@ -156,7 +156,8 @@ def wkb_map(fn, wkb_col: str = "wkb", refresh_envelope: bool = True):
         t = t.set_column(t.schema.get_field_index(wkb_col), wkb_col,
                          pa.array(out_wkb, pa.binary()))
         if refresh_envelope and "minx" in t.schema.names:
-            env = np.asarray(envs, dtype=np.float64)
+            env = (np.asarray(envs, dtype=np.float64) if envs
+                   else np.empty((0, 4), np.float64))
             for i, name in enumerate(["minx", "miny", "maxx", "maxy"]):
                 t = t.set_column(t.schema.get_field_index(name), name,
                                  pa.array(env[:, i], pa.float64()))

@@ -77,3 +77,23 @@ class TestErrors:
                     "SELECT a FROM t WHERE", "FROM t SELECT a"):
             with pytest.raises(ValueError):
                 parse_select(bad)
+
+
+class TestZeroRowAggregates:
+    def test_global_agg_empty_returns_one_row(self, data):
+        ds, df = data
+        sql = ("SELECT COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS mn, "
+               "AVG(v) AS av FROM t WHERE v > 1000000")
+        got = execute_sql(sql, {"t": ds})
+        con = duckdb.connect(); con.register("t", df)
+        want = con.execute(sql).df()
+        assert len(got) == 1 == len(want)
+        assert got["n"].iloc[0] == 0 == want["n"].iloc[0]
+        assert pd.isna(got["sv"].iloc[0]) and pd.isna(want["sv"].iloc[0])
+        assert pd.isna(got["mn"].iloc[0]) and pd.isna(got["av"].iloc[0])
+
+    def test_grouped_agg_empty_returns_zero_rows(self, data):
+        ds, df = data
+        sql = "SELECT k, COUNT(*) AS n FROM t WHERE v > 1000000 GROUP BY k"
+        got = execute_sql(sql, {"t": ds})
+        assert len(got) == 0
