@@ -97,3 +97,62 @@ class TestZeroRowAggregates:
         sql = "SELECT k, COUNT(*) AS n FROM t WHERE v > 1000000 GROUP BY k"
         got = execute_sql(sql, {"t": ds})
         assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz: random statements vs DuckDB
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_num_col = st.sampled_from(["v", "w", "k"])
+_cmp_op = st.sampled_from(["<", "<=", ">", ">=", "=", "<>"])
+
+
+@st.composite
+def _where(draw):
+    clauses = []
+    for _ in range(draw(st.integers(1, 3))):
+        c = draw(_num_col)
+        op = draw(_cmp_op)
+        lit = round(draw(st.floats(-10, 200)), 2)
+        clauses.append(f"{c} {op} {lit}")
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    return joiner.join(clauses)
+
+
+class TestFuzzVsDuckdb:
+    @settings(max_examples=40, deadline=None)
+    @given(_where(), st.lists(st.sampled_from(
+        ["k", "cat", "v", "w", "name", "v * w", "v + k", "w - k"]),
+        min_size=1, max_size=4, unique=True))
+    def test_scalar_queries(self, data, where, items):
+        ds, df = data
+        sel = ", ".join(f"{it} AS c{i}" for i, it in enumerate(items))
+        sql = f"SELECT {sel} FROM t WHERE {where}"
+        got = canon(execute_sql(sql, {"t": ds}))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = canon(con.execute(sql).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    @settings(max_examples=40, deadline=None)
+    @given(_where(),
+           st.lists(st.sampled_from(["k", "cat"]), min_size=0, max_size=2,
+                    unique=True),
+           st.lists(st.sampled_from(
+               ["COUNT(*)", "SUM(w)", "MIN(v)", "MAX(v)", "AVG(v)",
+                "SUM(v * w)", "COUNT(w)"]),
+               min_size=1, max_size=4, unique=True))
+    def test_aggregate_queries(self, data, where, group, aggs):
+        ds, df = data
+        sel_items = group + [f"{a} AS a{i}" for i, a in enumerate(aggs)]
+        sql = f"SELECT {', '.join(sel_items)} FROM t WHERE {where}"
+        if group:
+            sql += f" GROUP BY {', '.join(group)}"
+        got = canon(execute_sql(sql, {"t": ds}))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = canon(con.execute(sql).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      atol=1e-6)
