@@ -50,6 +50,11 @@ def run_headline(n_images: int) -> dict:
     from gdal_ray.stages.join import spatial_join
 
     t0 = time.time()
+    # each stage re-streams the corpus from the source (the synthetic
+    # generator stands in for the storage read): at the 100 TB target
+    # the corpus cannot be pinned in the object store, so tile-cut and
+    # join each pay their own storage scan - measuring it that way keeps
+    # the benchmark representative (and the scan parallelizes)
     base = build_base_tiles(images_dataset(n_images), zoom=8).materialize()
     n_base = base.count()
     t_tiles = time.time() - t0
@@ -60,7 +65,8 @@ def run_headline(n_images: int) -> dict:
     t_overview = time.time() - t1
 
     t2 = time.time()
-    imgs_geo = images_dataset(n_images).map_batches(with_georef, batch_format="pyarrow")
+    imgs_geo = images_dataset(n_images).map_batches(with_georef,
+                                                    batch_format="pyarrow")
     n_pairs = spatial_join(imgs_geo, polygons_dataset(200), zoom=7).count()
     t_join = time.time() - t2
 

@@ -354,3 +354,70 @@ def buffer_point(x: float, y: float, dist: float, segments: int = 16) -> Geometr
     ang = np.linspace(0, 2 * np.pi, segments * 4, endpoint=False)
     ring = np.column_stack([x + dist * np.cos(ang), y + dist * np.sin(ang)])
     return make_polygon(ring)
+
+
+def boxes_intersect_polygon(minx, miny, maxx, maxy, poly: Geometry) -> np.ndarray:
+    """Vectorized exact Intersects(box_i, poly) for axis-aligned boxes.
+
+    Same semantics as intersects(box(...), poly) (the OGR spatial-filter
+    predicate) but evaluated for all boxes at once:
+      (a) any polygon vertex inside a box  → polygon (partly) in box;
+      (b) any box corner inside the polygon → box (partly) in polygon;
+      (c) any polygon edge crosses a box boundary (Liang–Barsky slab
+          test) → boundaries intersect.
+    Together these cover every intersecting configuration of an
+    axis-aligned rectangle and a polygon."""
+    minx = np.asarray(minx, np.float64); miny = np.asarray(miny, np.float64)
+    maxx = np.asarray(maxx, np.float64); maxy = np.asarray(maxy, np.float64)
+    n = len(minx)
+    res = np.zeros(n, bool)
+
+    from .wkb import _all_coords
+    pts = _all_coords(poly)
+    if pts.size:
+        inx = ((pts[None, :, 0] >= minx[:, None])
+               & (pts[None, :, 0] <= maxx[:, None])
+               & (pts[None, :, 1] >= miny[:, None])
+               & (pts[None, :, 1] <= maxy[:, None]))
+        res |= inx.any(axis=1)
+
+    # (b) box corners inside polygon (covers box ⊂ polygon)
+    todo = ~res
+    if todo.any():
+        cx = np.concatenate([minx[todo], maxx[todo], minx[todo], maxx[todo]])
+        cy = np.concatenate([miny[todo], miny[todo], maxy[todo], maxy[todo]])
+        hit = points_in_polygon(cx, cy, poly).reshape(4, -1).any(axis=0)
+        res[np.flatnonzero(todo)[hit]] = True
+
+    # (c) polygon edges crossing box boundaries: Liang–Barsky slab test,
+    # fully vectorized over (remaining boxes × all edges)
+    todo = ~res
+    segs = _geometry_segments(poly)
+    if todo.any() and segs is not None:
+        bi = np.flatnonzero(todo)
+        starts, ends = segs
+
+        def slab(p, d, lo, hi):
+            """Parametric entry/exit of segments vs one slab.
+            p, d: (m,) segment origin/delta; lo, hi: (k,) box slab."""
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ta = (lo[:, None] - p[None, :]) / d[None, :]
+                tb = (hi[:, None] - p[None, :]) / d[None, :]
+            tmin = np.minimum(ta, tb)
+            tmax = np.maximum(ta, tb)
+            zero = d == 0
+            if zero.any():
+                inside = ((p[None, zero] >= lo[:, None])
+                          & (p[None, zero] <= hi[:, None]))
+                tmin[:, zero] = np.where(inside, -np.inf, np.inf)
+                tmax[:, zero] = np.where(inside, np.inf, -np.inf)
+            return tmin, tmax
+
+        tx0, tx1 = slab(starts[:, 0], ends[:, 0] - starts[:, 0],
+                        minx[bi], maxx[bi])
+        ty0, ty1 = slab(starts[:, 1], ends[:, 1] - starts[:, 1],
+                        miny[bi], maxy[bi])
+        t0 = np.maximum(np.maximum(tx0, ty0), 0.0)
+        t1 = np.minimum(np.minimum(tx1, ty1), 1.0)
+        res[bi[(t0 <= t1).any(axis=1)]] = True
+    return res

@@ -124,27 +124,42 @@ class SpatialJoinCell:
             return _typed_pairs_frame(out)
         ref = reference_cell(ia[ii, 0], ia[ii, 1], pa_[jj, 0], pa_[jj, 1], self.zoom)
         own = ref == cell
-        for i, j in zip(ii[own], jj[own]):
-            irow = imgs.iloc[i]
-            prow = polys.iloc[j]
-            poly = self._poly(int(prow["fid"]), prow["wkb"])
-            box = wkb_mod.box(irow["minx"], irow["miny"], irow["maxx"], irow["maxy"])
-            # ogrlayer.cpp:4039-4042 fast accept: candidate envelope fully
-            # inside a rectangular filter
-            penv = (prow["minx"], prow["miny"], prow["maxx"], prow["maxy"])
-            ienv = (irow["minx"], irow["miny"], irow["maxx"], irow["maxy"])
+        oi, oj = ii[own], jj[own]
+        if not len(oi):
+            return _typed_pairs_frame(out)
+        img_ids = imgs["image_id"].to_numpy()
+        p_fids = polys["fid"].to_numpy()
+        p_names = polys["name"].to_numpy()
+        p_cats = polys["category"].to_numpy()
+        p_wkbs = polys["wkb"].to_numpy()
+        # vectorize the exact predicate per polygon over all of its
+        # candidate image boxes (image footprints are axis-aligned)
+        order = np.argsort(oj, kind="stable")
+        oi, oj = oi[order], oj[order]
+        for j0 in np.split(np.arange(len(oj)),
+                           np.flatnonzero(np.diff(oj)) + 1):
+            j = int(oj[j0[0]])
+            cand = oi[j0]
+            poly = self._poly(int(p_fids[j]), p_wkbs[j])
             if self.predicate == "intersects":
-                hit = (_is_rect(poly) and geom.envelope_contains(penv, ienv)) \
-                    or geom.intersects(box, poly)
+                if _is_rect(poly):
+                    # a rectangle IS its envelope: the envelope overlap
+                    # prefilter already decided (ogrlayer.cpp:4039-4042)
+                    hits = np.ones(len(cand), bool)
+                else:
+                    hits = geom.boxes_intersect_polygon(
+                        ia[cand, 0], ia[cand, 1], ia[cand, 2], ia[cand, 3],
+                        poly)
             elif self.predicate == "contains":  # polygon contains image
-                hit = geom.contains(poly, box)
+                hits = np.array([
+                    geom.contains(poly, wkb_mod.box(*ia[c])) for c in cand])
             else:
                 raise ValueError(self.predicate)
-            if hit:
-                out["image_id"].append(irow["image_id"])
-                out["fid"].append(np.int64(prow["fid"]))
-                out["name"].append(prow["name"])
-                out["category"].append(prow["category"])
+            for c in cand[hits]:
+                out["image_id"].append(img_ids[c])
+                out["fid"].append(np.int64(p_fids[j]))
+                out["name"].append(p_names[j])
+                out["category"].append(p_cats[j])
         return _typed_pairs_frame(out)
 
 
