@@ -114,3 +114,42 @@ def write_pyramid(levels: dict, out_dir: str):
         with open(mpath, "w") as f:
             json.dump(manifest, f)
     return manifest
+
+
+def write_tile_tree(levels: dict, out_dir: str, ext: str = "png"):
+    """Write tiles as a z/x/y.png file tree (the gdal2tiles /
+    `gdal raster tile` on-disk layout, apps/gdalalg_raster_tile.cpp:
+    653-660, XYZ y-convention). Distributed: each block of tiles writes
+    its own files via map_batches; resumable per level through the same
+    manifest as write_pyramid."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "tree_manifest.json")
+    manifest = {}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        for i in range(t.num_rows):
+            z = int(t["z"][i].as_py())
+            x = int(t["x"][i].as_py())
+            y = int(t["y"][i].as_py())
+            d = os.path.join(out_dir, str(z), str(x))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{y}.{ext}"), "wb") as f:
+                f.write(t["png"][i].as_py())
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    for z, ds in sorted(levels.items()):
+        key = f"z={z}"
+        if key in manifest:
+            continue
+        counts = ds.map_batches(write_block, batch_format="pyarrow") \
+            .to_pandas()
+        manifest[key] = {"n_tiles": int(counts["n"].sum())}
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+    return manifest

@@ -195,3 +195,48 @@ def add_geometry_columns(t: pa.Table, wkb_col: str = "wkb") -> pa.Table:
     return t.append_column("area", pa.array(areas, pa.float64())) \
         .append_column("centroid_x", pa.array(cxs, pa.float64())) \
         .append_column("centroid_y", pa.array(cys, pa.float64()))
+
+
+def make_valid(g: W.Geometry) -> W.Geometry:
+    """vector make-valid (apps/gdalalg_vector_make_valid.cpp analog) for
+    the failure modes constructible in this model: unclosed rings are
+    closed, consecutive duplicate vertices dropped, rings with <3
+    distinct vertices removed, outer-ring orientation normalized CCW
+    and holes CW (OGC winding)."""
+    from ..core.geom import ring_area
+
+    def fix_ring(r: np.ndarray, outer: bool):
+        r = np.asarray(r, np.float64)
+        if len(r) and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        if len(r) > 1:
+            keep = np.ones(len(r), bool)
+            keep[1:] = (np.diff(r, axis=0) != 0).any(axis=1)
+            r = r[keep]
+            if len(r) and not np.array_equal(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+        if len(r) < 4:          # closed triangle = 4 points
+            return None
+        a = ring_area(r)
+        if a == 0:
+            return None
+        if outer and a < 0 or (not outer and a > 0):
+            r = r[::-1].copy()
+        return r
+
+    t = g.geom_type
+    if t == W.POLYGON:
+        rings = []
+        for i, r in enumerate(g.rings):
+            fr = fix_ring(r, outer=(i == 0))
+            if fr is not None:
+                rings.append(fr)
+        if not rings:
+            return W.Geometry(W.GEOMETRYCOLLECTION, parts=[])
+        return W.Geometry(W.POLYGON, rings=rings)
+    if t in (W.MULTIPOLYGON, W.GEOMETRYCOLLECTION):
+        parts = [make_valid(p) for p in g.parts]
+        parts = [p for p in parts
+                 if not (p.geom_type == W.GEOMETRYCOLLECTION and not p.parts)]
+        return W.Geometry(t, parts=parts)
+    return g

@@ -306,3 +306,30 @@ class TestCutlineMosaic:
         assert (m12v[0:3, :, 0] == 10).all()
         assert (m12v[5:8, :, 0] == 20).all()
         assert (rboth >= 0).all()
+
+
+class TestMakeValid:
+    def test_fixes_orientation_and_dupes(self):
+        from gdal_ray.core import wkb as W
+        from gdal_ray.core.geom import area, ring_area
+        from gdal_ray.stages.vector_ops import make_valid
+        # CW outer ring, duplicate vertex, unclosed, CCW hole
+        outer = np.array([(0, 0), (0, 4), (0, 4), (4, 4), (4, 0)], float)
+        hole = np.array([(1, 1), (2, 1), (2, 2), (1, 2)], float)
+        g = W.Geometry(W.POLYGON, rings=[outer, hole])
+        v = make_valid(g)
+        assert ring_area(v.rings[0]) > 0     # outer CCW
+        assert ring_area(v.rings[1]) < 0     # hole CW
+        assert abs(area(v) - (16 - 1)) < 1e-9
+        # closed rings, no consecutive dupes
+        for r in v.rings:
+            assert np.array_equal(r[0], r[-1])
+            assert (np.diff(r, axis=0) != 0).any(axis=1).all()
+
+    def test_degenerate_ring_dropped(self):
+        from gdal_ray.core import wkb as W
+        from gdal_ray.stages.vector_ops import make_valid
+        g = W.Geometry(W.POLYGON,
+                       rings=[np.array([(0, 0), (1, 1), (0, 0)], float)])
+        v = make_valid(g)
+        assert v.geom_type == W.GEOMETRYCOLLECTION and not v.parts

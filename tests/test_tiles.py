@@ -196,3 +196,31 @@ class TestWritePyramidResume:
         assert set(m2) == {"z=6", "z=7"}
         for p, t in mtimes_z7.items():
             assert os.path.getmtime(os.path.join(out, "z=7", p)) == t
+
+
+class TestWriteTileTree:
+    def test_zxy_layout_and_resume(self, ray_session, tmp_path):
+        import json, os
+        from gdal_ray.codecs import decode
+        from gdal_ray.pipelines.tiles import tile_pyramid, write_tile_tree
+
+        levels = tile_pyramid(16, zoom=7, min_z=6)
+        out = str(tmp_path / "tree")
+        m = write_tile_tree(levels, out)
+        assert set(m) == {"z=6", "z=7"}
+        # files exist in z/x/y.png layout and decode as PNG tiles
+        found = 0
+        for z in (6, 7):
+            zdir = os.path.join(out, str(z))
+            assert os.path.isdir(zdir)
+            for xd in os.listdir(zdir):
+                for yf in os.listdir(os.path.join(zdir, xd)):
+                    assert yf.endswith(".png")
+                    px = decode(open(os.path.join(zdir, xd, yf), "rb").read(),
+                                "png")
+                    assert px.shape == (256, 256, 4)
+                    found += 1
+        assert found == m["z=6"]["n_tiles"] + m["z=7"]["n_tiles"]
+        # resume skips recorded levels entirely
+        m2 = write_tile_tree(levels, out)
+        assert m2 == m
