@@ -1028,7 +1028,7 @@ def q_contours(sf_dir: str):
         return {"n_lines": int(len(lines)),
                 "total_len": _half_away([total])[0]}
 
-    return images_dataset(96).map_batches(
+    return images_dataset(96, parallelism=32).map_batches(
         image_op(ctr), batch_format="pyarrow") \
         .select_columns(["image_id", "n_lines", "total_len"])
 
@@ -1050,7 +1050,7 @@ def q_footprint(sf_dir: str):
         n = len(g.parts) if g.geom_type == MULTIPOLYGON else 1
         return {"fp_area": float(area(g)), "n_parts": int(n)}
 
-    return images_dataset(96).map_batches(
+    return images_dataset(96, parallelism=32).map_batches(
         image_op(fp), batch_format="pyarrow") \
         .select_columns(["image_id", "fp_area", "n_parts"])
 

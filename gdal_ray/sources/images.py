@@ -141,8 +141,13 @@ def images_dataset(n: int, *, parallelism: int = -1, batch_size: int = 64):
 
     blocks = parallelism if parallelism > 0 else max(8, min(512, n // 16))
     ds = rd.range(n, override_num_blocks=blocks)
+    # Ray COALESCES blocks to fill batches, so task count ≈ n/batch_size
+    # regardless of block count: cap the batch so at least ~32 tasks
+    # exist (small corpora would otherwise collapse to 2 tasks), keep
+    # the requested size for large corpora (right-sized tasks)
+    bs = max(1, min(batch_size, n // 32)) if n >= 32 else 1
     return ds.map_batches(gen_images_batch, batch_format="pyarrow",
-                          batch_size=batch_size)
+                          batch_size=bs)
 
 
 def write_images_parquet(n: int, path: str, rows_per_file: int = 4096):
