@@ -1420,6 +1420,31 @@ def q_raster_calc(sf_dir: str):
         .select_columns(["image_id", "mean_calc"])
 
 
+def q_distributed_polygonize(sf_dir: str):
+    """Cross-tile polygonize (SURVEY §2.10's hard part): a 256×512
+    blobby class field split into 64×64 tiles; per-tile components +
+    edge-run stitching must reproduce global connectivity. Returns
+    per-component (value, total_px, n_pieces, n_tiles)."""
+    import ray.data as rd
+    from ..stages.poly_merge import distributed_polygonize
+    from ..stages.raster_ops import convolve
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(256, 512))
+    grid = np.digitize(convolve(base, np.ones((7, 7)) / 49.0),
+                       [-0.05, 0.05]).astype(np.int64)
+    rows = []
+    for ty in range(4):
+        for tx in range(8):
+            sub = grid[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+            rows.append({"tile_x": tx, "tile_y": ty, "h": 64, "w": 64,
+                         "grid": np.ascontiguousarray(sub).tobytes()})
+    out = distributed_polygonize(rd.from_items(rows))
+    out = out.sort_values(["value", "total_px", "n_pieces"]) \
+        .reset_index(drop=True)
+    return out.drop(columns=["component"])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -1476,6 +1501,7 @@ QUERIES = {
     "vector_sql": q_vector_sql,
     "vector_sql_scan": q_vector_sql_scan,
     "raster_calc": q_raster_calc,
+    "distributed_polygonize": q_distributed_polygonize,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,

@@ -1,0 +1,238 @@
+"""Distributed polygonize — connected components across tile boundaries.
+
+Reference: alg/polygonize.cpp runs single-image; SURVEY §2.10 marks the
+distributed version's hard part as "groupby(value) boundary-merge of
+polygons touching tile edges". This module implements that merge:
+
+  1. per tile (map_batches, vectorized): label components of the tile's
+     grid, compute per-component pixel areas, and extract the runs each
+     component exposes on the tile's four edges;
+  2. shuffle the edge runs by SHARED-EDGE key (the edge between tiles
+     (x,y) and (x+1,y) is one key, owned by the left tile): a
+     `groupby(edge_key)` brings both sides of every boundary together;
+     matching runs (same value, overlapping pixel intervals) become
+     merge pairs ((tile,label) ↔ (tile,label));
+  3. the pair list is tiny (∝ boundary components, not pixels): a
+     driver-side union-find assigns global component ids, broadcast
+     back as a lookup to label the per-tile pieces;
+  4. final small `groupby(component)`: total area, piece/tile counts.
+
+Geometry stays as per-tile pieces (exact as a region, like
+intersection_pieces); the stitched statistics (area, extent, piece
+count) are what the cross-tile merge adds. Pixels never cross a
+shuffle; edge runs are (value, interval) integers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.rastervec import label_components
+
+
+def tile_pieces_and_edges(tile_id: int, grid: np.ndarray,
+                          connectedness: int = 4):
+    """One tile's grid → (pieces rows, edge-run rows).
+
+    pieces: (tile_id, label, value, n_px)
+    edges:  (side ∈ {N,S,W,E}, label, value, start, end) — run intervals
+    in tile-local pixel indices along that edge."""
+    labels = label_components(grid, connectedness)
+    n = int(labels.max()) + 1
+    counts = np.bincount(labels.ravel(), minlength=n)
+    # representative value per label = value at its first pixel
+    flat_lab = labels.ravel()
+    first_idx = np.zeros(n, np.int64)
+    uniq, first = np.unique(flat_lab, return_index=True)
+    first_idx[uniq] = first
+    values = grid.ravel()[first_idx]
+
+    pieces = {"tile_id": np.full(n, tile_id, np.int64),
+              "label": np.arange(n, dtype=np.int64),
+              "value": values.astype(np.int64),
+              "n_px": counts.astype(np.int64)}
+
+    def runs(line_labels: np.ndarray, line_values: np.ndarray):
+        """Consecutive equal-label runs along one edge line."""
+        m = len(line_labels)
+        if m == 0:
+            return []
+        brk = np.flatnonzero(np.diff(line_labels)) + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [m]])
+        return [(int(line_labels[s]), int(line_values[s]), int(s), int(e))
+                for s, e in zip(starts, ends)]
+
+    edges = []
+    for side, lab_line, val_line in (
+            ("N", labels[0], grid[0]), ("S", labels[-1], grid[-1]),
+            ("W", labels[:, 0], grid[:, 0]), ("E", labels[:, -1], grid[:, -1])):
+        for lab, val, s, e in runs(lab_line, val_line):
+            edges.append((side, lab, val, s, e))
+    return pieces, edges
+
+
+class TilePolygonize:
+    """map_batches callable: tile rows (tile_x, tile_y, grid bytes +
+    shape) → union of piece rows and edge-run rows (side-tagged)."""
+
+    def __init__(self, connectedness: int = 4):
+        self.conn = connectedness
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {"kind": [], "tile_x": [], "tile_y": [], "label": [],
+                "value": [], "n_px": [], "side": [], "start": [],
+                "end": [], "edge_key": []}
+        for i in range(t.num_rows):
+            tx = int(t["tile_x"][i].as_py())
+            ty = int(t["tile_y"][i].as_py())
+            h = int(t["h"][i].as_py())
+            w = int(t["w"][i].as_py())
+            grid = np.frombuffer(t["grid"][i].as_py(),
+                                 np.int64).reshape(h, w)
+            tile_id = (tx << 32) | ty
+            pieces, edges = tile_pieces_and_edges(tile_id, grid, self.conn)
+            np_ = len(pieces["label"])
+            rows["kind"].extend(["P"] * np_)
+            rows["tile_x"].extend([tx] * np_)
+            rows["tile_y"].extend([ty] * np_)
+            rows["label"].extend(pieces["label"].tolist())
+            rows["value"].extend(pieces["value"].tolist())
+            rows["n_px"].extend(pieces["n_px"].tolist())
+            rows["side"].extend([""] * np_)
+            rows["start"].extend([0] * np_)
+            rows["end"].extend([0] * np_)
+            rows["edge_key"].extend([0] * np_)
+            for side, lab, val, s, e in edges:
+                # shared-edge canonical key, owned by the W/N tile:
+                #  vertical edge between (tx-1,ty)|(tx,ty) and
+                #  horizontal edge between (tx,ty-1)|(tx,ty)
+                M = (1 << 30) - 1      # 30-bit tile coords (z ≤ 30)
+                if side == "W":
+                    ek = (1 << 60) | (((tx - 1) & M) << 30) | (ty & M)
+                elif side == "E":
+                    ek = (1 << 60) | ((tx & M) << 30) | (ty & M)
+                elif side == "N":
+                    ek = (2 << 60) | ((tx & M) << 30) | ((ty - 1) & M)
+                else:  # S
+                    ek = (2 << 60) | ((tx & M) << 30) | (ty & M)
+                rows["kind"].append("B")
+                rows["tile_x"].append(tx)
+                rows["tile_y"].append(ty)
+                rows["label"].append(lab)
+                rows["value"].append(val)
+                rows["n_px"].append(0)
+                rows["side"].append(side)
+                rows["start"].append(s)
+                rows["end"].append(e)
+                rows["edge_key"].append(ek)
+        return pa.table({
+            "kind": pa.array(rows["kind"], pa.string()),
+            "tile_x": pa.array(rows["tile_x"], pa.int64()),
+            "tile_y": pa.array(rows["tile_y"], pa.int64()),
+            "label": pa.array(rows["label"], pa.int64()),
+            "value": pa.array(rows["value"], pa.int64()),
+            "n_px": pa.array(rows["n_px"], pa.int64()),
+            "side": pa.array(rows["side"], pa.string()),
+            "start": pa.array(rows["start"], pa.int64()),
+            "end": pa.array(rows["end"], pa.int64()),
+            "edge_key": pa.array(rows["edge_key"], pa.int64()),
+        })
+
+
+def _match_edge_group(g: pd.DataFrame) -> pd.DataFrame:
+    """All runs on one shared edge → merge pairs (same value, interval
+    overlap, opposite sides)."""
+    out = {"a": [], "b": []}
+    # the two sides of a vertical edge are E (left tile) and W (right
+    # tile); of a horizontal edge S (upper) and N (lower)
+    for sa, sb in (("E", "W"), ("S", "N")):
+        A = g[g["side"] == sa]
+        B = g[g["side"] == sb]
+        if not len(A) or not len(B):
+            continue
+        av = A["value"].to_numpy(); bv = B["value"].to_numpy()
+        as_ = A["start"].to_numpy(); ae = A["end"].to_numpy()
+        bs = B["start"].to_numpy(); be = B["end"].to_numpy()
+        # piece id: (tx, ty, label) packed 20 bits each (fits z<=20
+        # tile grids and 256^2-pixel tiles in 60 bits)
+        aid = ((((A["tile_x"].to_numpy().astype(np.int64) << 20)
+                 | A["tile_y"].to_numpy()) << 20) | A["label"].to_numpy())
+        bid = ((((B["tile_x"].to_numpy().astype(np.int64) << 20)
+                 | B["tile_y"].to_numpy()) << 20) | B["label"].to_numpy())
+        ov = ((as_[:, None] < be[None, :]) & (bs[None, :] < ae[:, None])
+              & (av[:, None] == bv[None, :]))
+        ii, jj = np.nonzero(ov)
+        out["a"].extend(aid[ii].tolist())
+        out["b"].extend(bid[jj].tolist())
+    return pd.DataFrame({"a": pd.Series(out["a"], dtype="int64"),
+                         "b": pd.Series(out["b"], dtype="int64")})
+
+
+def distributed_polygonize(tiles_ds, connectedness: int = 4):
+    """Tile dataset (tile_x, tile_y, h, w, grid: int64 bytes) →
+    pandas frame (component, value, total_px, n_pieces, n_tiles).
+
+    Components are stitched across tile boundaries exactly; verified
+    against single-grid polygonize in tests."""
+    import ray
+    from .join import salted_bucket
+
+    tp = TilePolygonize(connectedness)
+    parts = tiles_ds.map_batches(tp, batch_format="pyarrow").materialize()
+
+    pieces = parts.filter(expr="kind == 'P'")
+    bounds = parts.filter(expr="kind == 'B'")
+
+    def edge_groups(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [r for _, sub in g.groupby("edge_key", sort=False)
+                  for r in (_match_edge_group(sub),) if len(r)]
+        if not frames:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = bounds.map_batches(lambda b: salted_bucket(b, "edge_key"),
+                               batch_format="pyarrow") \
+        .groupby("bucket").map_groups(edge_groups, batch_format="pandas") \
+        .to_pandas()
+
+    # driver-side union-find over the (small) boundary pair list
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    if "a" not in pairs.columns:   # Ray drops all-empty block schemas
+        pairs = pd.DataFrame({"a": [], "b": []})
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[rb] = ra
+
+    roots = {k: find(k) for k in list(parent)}
+    ref = ray.put(roots)
+
+    def assign(t: pa.Table) -> pa.Table:
+        comp_map = ray.get(ref)
+        pid = ((((t["tile_x"].to_numpy().astype(np.int64) << 20)
+                 | t["tile_y"].to_numpy()) << 20) | t["label"].to_numpy())
+        comp = np.array([comp_map.get(int(p), int(p)) for p in pid],
+                        np.int64)
+        return pa.table({"component": pa.array(comp, pa.int64()),
+                         "value": t["value"], "n_px": t["n_px"],
+                         "tile_x": t["tile_x"], "tile_y": t["tile_y"]})
+
+    labeled = pieces.map_batches(assign, batch_format="pyarrow").to_pandas()
+    labeled["tile"] = (labeled["tile_x"].to_numpy().astype(np.int64) << 32) \
+        | labeled["tile_y"].to_numpy().astype(np.int64)
+    agg = labeled.groupby(["component", "value"], sort=False).agg(
+        total_px=("n_px", "sum"), n_pieces=("n_px", "size"),
+        n_tiles=("tile", "nunique")).reset_index()
+    return agg
