@@ -40,7 +40,7 @@ _TOKEN_RE = re.compile(r"""
 
 _KEYWORDS = {"SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "BY",
              "ORDER", "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN",
-             "LIKE", "ASC", "DESC", "IS", "NULL"}
+             "LIKE", "ASC", "DESC", "IS", "NULL", "HAVING"}
 _AGGS = {"MIN", "MAX", "SUM", "AVG", "COUNT"}
 
 
@@ -188,6 +188,10 @@ def _parse_atom(p):
         if v == "COUNT" and p.accept("op", "*"):
             p.expect("op", ")")
             return ("agg", "COUNT", "*")
+        if v == "COUNT" and p.accept("kw", "DISTINCT"):
+            inner = _parse_add(p)
+            p.expect("op", ")")
+            return ("agg", "COUNTD", inner)
         inner = _parse_add(p)
         p.expect("op", ")")
         return ("agg", v, inner)
@@ -212,7 +216,7 @@ def parse_select(sql: str) -> dict:
             break
     p.expect("kw", "FROM")
     table = p.expect("id")
-    where = group = None
+    where = group = having = None
     order, limit = [], None
     if p.accept("kw", "WHERE"):
         where = _parse_or(p)
@@ -221,6 +225,8 @@ def parse_select(sql: str) -> dict:
         group = [p.expect("id")]
         while p.accept("op", ","):
             group.append(p.expect("id"))
+    if p.accept("kw", "HAVING"):
+        having = _parse_or(p)
     if p.accept("kw", "ORDER"):
         p.expect("kw", "BY")
         while True:
@@ -237,7 +243,8 @@ def parse_select(sql: str) -> dict:
         limit = int(p.expect("num"))
     p.expect("end")
     return {"distinct": distinct, "items": items, "table": table,
-            "where": where, "group": group, "order": order, "limit": limit}
+            "where": where, "group": group, "having": having,
+            "order": order, "limit": limit}
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +333,8 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
     aggs: list = []
     for e, _ in q["items"]:
         _collect_aggs(e, aggs)
+    if q.get("having") is not None:
+        _collect_aggs(q["having"], aggs)
     has_aggs = bool(aggs)
 
     where = q["where"]
@@ -374,6 +383,9 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
     aggs: list = []
     for e, _ in q["items"]:
         _collect_aggs(e, aggs)
+    if q.get("having") is not None:
+        _collect_aggs(q["having"], aggs)   # HAVING may use aggregates
+        # that are not in the select list
     # unique partial slots: (fn, input-name)
     slots = []
     for a in aggs:
@@ -413,6 +425,11 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
                     out[base + "|max"] = g[base + ":v"].max()
                 elif fn == "COUNT":
                     out[base + "|cnt"] = g[base + ":v"].count()
+                elif fn == "COUNTD":
+                    # distinct values survive the partial as a list —
+                    # the exchange carries per-group uniques, not rows
+                    out[base + "|set"] = g[base + ":v"].agg(
+                        lambda sr: list(pd.unique(sr.dropna())))
         out = out.reset_index()
         if not group:
             out = out.drop(columns=["index"], errors="ignore")
@@ -440,6 +457,8 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
                 seed[base + "|max"] = [np.nan]
             elif fn == "COUNT":
                 seed[base + "|cnt"] = [0]
+            elif fn == "COUNTD":
+                seed[base + "|set"] = [[]]
         parts = pd.DataFrame(seed)
     if group:
         g = parts.groupby(group, sort=False)
@@ -459,6 +478,9 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
             final[col] = g[col].min()
         elif col.endswith("|max"):
             final[col] = g[col].max()
+        elif col.endswith("|set"):
+            final[col.replace("|set", "|nuniq")] = g[col].agg(
+                lambda sr: len(set().union(*(set(v) for v in sr))))
     final = final.reset_index()
     if not group and "index" in final.columns:
         final = final.drop(columns=["index"])
@@ -480,6 +502,8 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
             return final[base + "|max"]
         if fn == "COUNT":
             return final[base + "|cnt"]
+        if fn == "COUNTD":
+            return final[base + "|nuniq"]
         raise ValueError(fn)
 
     def eval_item(e):
@@ -491,9 +515,22 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
             return e[1]
         if e[0] == "bin":
             l, r = eval_item(e[2]), eval_item(e[3])
-            return {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
-                    "*": lambda a, b: a * b, "/": lambda a, b: a / b}[e[1]](l, r)
+            ops = {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
+                   "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+                   "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
+                   "!=": lambda a, b: a != b,
+                   "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                   ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+                   "AND": lambda a, b: np.asarray(a, bool) & np.asarray(b, bool),
+                   "OR": lambda a, b: np.asarray(a, bool) | np.asarray(b, bool)}
+            return ops[e[1]](l, r)
+        if e[0] == "not":
+            return ~np.asarray(eval_item(e[1]), bool)
         raise ValueError(e)
+
+    if q.get("having") is not None:
+        mask = np.asarray(eval_item(q["having"]), bool)
+        final = final[mask].reset_index(drop=True)
 
     out = pd.DataFrame()
     for e, alias in q["items"]:

@@ -156,3 +156,24 @@ class TestFuzzVsDuckdb:
         want = canon(con.execute(sql).df())
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       atol=1e-6)
+
+
+class TestCountDistinctHaving:
+    CASES = [
+        "SELECT k, COUNT(DISTINCT cat) AS nc FROM t GROUP BY k ORDER BY k",
+        "SELECT COUNT(DISTINCT k) AS nk FROM t WHERE v > 100",
+        "SELECT cat, COUNT(*) AS n, COUNT(DISTINCT k) AS nk FROM t "
+        "GROUP BY cat HAVING COUNT(*) > 1500 ORDER BY cat",
+        "SELECT k, SUM(w) AS sw FROM t GROUP BY k "
+        "HAVING SUM(w) > 17000 AND COUNT(*) > 600 ORDER BY k",
+        "SELECT COUNT(DISTINCT cat) AS nc FROM t WHERE v > 1000000",
+    ]
+
+    @pytest.mark.parametrize("sql", CASES, ids=[c[:45] for c in CASES])
+    def test_matches_duckdb(self, data, sql):
+        ds, df = data
+        got = canon(execute_sql(sql, {"t": ds}))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = canon(con.execute(sql).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
