@@ -1445,6 +1445,25 @@ def q_distributed_polygonize(sf_dir: str):
     return out.drop(columns=["component"])
 
 
+def q_distributed_contour(sf_dir: str):
+    """Cross-tile contour stitching (SURVEY §2.10): iso-lines of a
+    257×513 field split into 33×33 overlapping tiles, stitched by
+    shared-edge crossing points. Per-component (level, total_length,
+    n_pieces, closed)."""
+    import ray.data as rd
+    from ..stages.contour_merge import (distributed_contour,
+                                        split_with_overlap)
+
+    y, x = np.mgrid[0:257, 0:513].astype(np.float64)
+    grid = (np.sin(x / 23.0) * np.cos(y / 19.0)
+            + 0.3 * np.sin((x + y) / 41.0))
+    ds = rd.from_items(split_with_overlap(grid, 33, 33))
+    out = distributed_contour(ds, [-0.4, 0.0, 0.4])
+    out["total_length"] = _half_away(out["total_length"].to_numpy(), 3)
+    return out.sort_values(["level", "total_length", "n_pieces"]) \
+        .reset_index(drop=True).drop(columns=["component"])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
@@ -1502,6 +1521,7 @@ QUERIES = {
     "vector_sql_scan": q_vector_sql_scan,
     "raster_calc": q_raster_calc,
     "distributed_polygonize": q_distributed_polygonize,
+    "distributed_contour": q_distributed_contour,
     "image_tiles": q_image_tiles,
     "image_spatial_join": q_image_spatial_join,
     "image_phash_dedup": q_image_phash_dedup,
