@@ -245,6 +245,11 @@ def within(a: Geometry, b: Geometry) -> bool:
 # ---------------------------------------------------------------------------
 
 def clip_ring_to_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
+    # NOTE: overlay.sh_clip implements Sutherland-Hodgman for a GENERAL
+    # convex clipper; this rect-specialized version predates it and is
+    # kept for the axis-aligned fast path (no import cycle with
+    # overlay). Epsilon semantics are checked by the shared overlay
+    # tests (clip areas equal intersection_area on the battery layers).
     """Sutherland–Hodgman clip of one closed ring against an axis-aligned
     rectangle; returns a closed ring (possibly empty)."""
     poly = ring[:-1] if len(ring) and np.array_equal(ring[0], ring[-1]) else ring

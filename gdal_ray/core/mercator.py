@@ -199,6 +199,11 @@ def cells_for_envelope(minx, miny, maxx, maxy, zoom, tile_size: int = TILE_SIZE,
     n = 2**int(zoom)
     tx0 = int(np.clip(tx0, 0, n - 1)); tx1 = int(np.clip(tx1, 0, n - 1))
     ty0 = int(np.clip(ty0, 0, n - 1)); ty1 = int(np.clip(ty1, 0, n - 1))
+    # degenerate / sub-eps envelopes on a tile boundary: the +/-eps
+    # nudges can invert the range — every feature still covers the cell
+    # of its (nudged) min corner, never zero cells
+    tx1 = max(tx1, tx0)
+    ty1 = max(ty1, ty0)
     count = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
     if count > max_cells:
         raise ValueError(f"envelope covers {count} cells at z{zoom} > max_cells={max_cells}")

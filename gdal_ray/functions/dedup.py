@@ -213,21 +213,32 @@ def simhash_batch(batch: pa.Table, text_col="text") -> pa.Table:
 
 
 def simhash_near_dups(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
-    """Near-dup candidates with Hamming distance ≤ max_hamming using the
-    4-block pigeonhole trick: if d(a,b) ≤ 3 then at least one of 4
-    16-bit blocks matches exactly → groupby(block_key) buckets."""
+    """Near-dup candidates with Hamming distance ≤ max_hamming.
+
+    Pigeonhole with (max_hamming + 1) bit blocks: if d(a, b) ≤ k then
+    at least one of k+1 disjoint blocks matches exactly — FULL recall
+    for the stated radius (a fixed 4-block split would only guarantee
+    d ≤ 3). Block widths divide the 64 bits as evenly as possible."""
+    nb = max(2, int(max_hamming) + 1)
+    base_w = 64 // nb
+    rem = 64 % nb
+    widths = np.array([base_w + 1] * rem + [base_w] * (nb - rem), np.uint64)
+    offs = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.uint64)
+    masks = ((np.uint64(1) << widths) - np.uint64(1))
+
     def sig(t: pa.Table) -> pa.Table:
         n = t.num_rows
         hs = np.array([simhash(str(x)) for x in t[text_col].to_pylist()],
                       dtype=np.uint64)
         ids = t[id_col].to_numpy()
-        # 4 block keys per doc, built columnar (no per-row appends)
-        blk = np.repeat(np.arange(4, dtype=np.uint64), n)
-        hrep = np.tile(hs, 4)
-        part = (hrep >> (blk * np.uint64(16))) & np.uint64(0xFFFF)
-        keys = ((blk << np.uint64(16)) | part).view(np.int64)
+        blk = np.repeat(np.arange(nb, dtype=np.uint64), n)
+        hrep = np.tile(hs, nb)
+        part = (hrep >> np.repeat(offs, n)) & np.repeat(masks, n)
+        # widths ≤ 33 bits for nb ≥ 2 → (blk << 58) | part is collision
+        # free in an int64 key
+        keys = ((blk << np.uint64(58)) | part).view(np.int64)
         return pa.table({"block_key": pa.array(keys, pa.int64()),
-                         id_col: pa.array(np.tile(ids, 4)),
+                         id_col: pa.array(np.tile(ids, nb)),
                          "simhash": pa.array(hrep.view(np.int64), pa.int64())})
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -235,17 +246,17 @@ def simhash_near_dups(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
                           "hamming": pd.Series([], dtype="int64")})
 
     def pairs(sub: pd.DataFrame) -> pd.DataFrame:
-        blk = int(sub["block_key"].iloc[0]) >> 16
+        blk = int(np.uint64(sub["block_key"].iloc[0]) >> np.uint64(58))
         ids = sub[id_col].to_numpy()
         hs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         x = hs[:, None] ^ hs[None, :]
         d = popcount64(x).astype(np.int64)
         hit = np.triu(d <= max_hamming, k=1) & (ids[:, None] != ids[None, :])
         # canonical-block dedup: a pair matches in every block where its
-        # XOR's 16 bits are zero; emit only in the LOWEST such block, so
-        # each pair appears exactly once globally with no extra shuffle
+        # XOR bits are zero; emit only in the LOWEST such block, so each
+        # pair appears exactly once globally with no extra shuffle
         for lower in range(blk):
-            hit &= (x >> np.uint64(16 * lower)) & np.uint64(0xFFFF) != 0
+            hit &= (x >> offs[lower]) & masks[lower] != 0
         ii, jj = np.nonzero(hit)
         if not len(ii):
             return empty
@@ -305,31 +316,59 @@ def verify_pairs_jaccard(ds_pairs, docs_by_id: dict, k: int = 5,
 # ---------------------------------------------------------------------------
 
 def embedding_near_dups(ds, *, vec_col="embedding", id_col="vec_id",
-                        threshold=0.95, n_planes=16):
-    """Near-dup pairs by cosine ≥ threshold via random-hyperplane LSH
-    buckets (SimHash for vectors) + exact verification in-bucket."""
+                        threshold=0.95, n_tables=8, bits_per_table=8):
+    """Near-dup pairs by cosine ≥ threshold via MULTI-TABLE
+    random-hyperplane LSH + exact verification in-bucket.
+
+    A single b-bit key finds a cos=θ pair only with probability
+    (1 − acos(θ)/π)^b (~8% at θ=0.9, b=16); n_tables independent keys
+    raise recall to 1 − (1 − p)^T (~0.97 at T=8, b=8 for θ=0.9).
+    Cross-table pair dedup is LOCAL (canonical-table rule: emit only in
+    the lowest table whose keys agree, decidable from the stored bit
+    signatures) — no re-shuffle."""
+    total_bits = n_tables * bits_per_table
+
     def sig(t: pa.Table) -> pa.Table:
         mat = np.stack(t[vec_col].to_pylist()).astype(np.float64)
         rng = np.random.default_rng(7)
-        planes = rng.standard_normal((mat.shape[1], n_planes))
+        planes = rng.standard_normal((mat.shape[1], total_bits))
         bits = (mat @ planes) > 0
-        keys = (bits.astype(np.uint64)
-                @ (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)))
+        full = (bits.astype(np.uint64)
+                @ (np.uint64(1) << np.arange(total_bits, dtype=np.uint64)))
         norm = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = mat / np.maximum(norm, 1e-300)
-        return pa.table({"plane_key": pa.array(keys.view(np.int64), pa.int64()),
-                         id_col: t[id_col],
-                         "unit": pa.array(list(unit), pa.list_(pa.float64()))})
+        n = mat.shape[0]
+        tb = np.repeat(np.arange(n_tables, dtype=np.uint64), n)
+        frep = np.tile(full, n_tables)
+        part = (frep >> (tb * np.uint64(bits_per_table))) \
+            & np.uint64((1 << bits_per_table) - 1)
+        keys = ((tb << np.uint64(58)) | part).view(np.int64)
+        ids_rep = pa.concat_arrays([t[id_col].combine_chunks()] * n_tables)
+        return pa.table({"plane_key": pa.array(keys, pa.int64()),
+                         id_col: ids_rep,
+                         "bits": pa.array(frep.view(np.int64), pa.int64()),
+                         "unit": pa.array(np.tile(unit, (n_tables, 1)).tolist(),
+                                          pa.list_(pa.float64()))})
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64"),
                           "cos_sim": pd.Series([], dtype="float64")})
 
+    mask = np.uint64((1 << bits_per_table) - 1)
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        table = int(np.uint64(g["plane_key"].iloc[0]) >> np.uint64(58))
         ids = g[id_col].to_numpy()
         mat = np.stack(g["unit"].to_numpy())
+        bits = g["bits"].to_numpy().astype(np.int64).view(np.uint64)
         cos = mat @ mat.T
-        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+        hit = np.triu(cos >= threshold, k=1) & (ids[:, None] != ids[None, :])
+        # canonical-table dedup: emit only in the lowest table whose
+        # key slices agree for the pair
+        x = bits[:, None] ^ bits[None, :]
+        for lower in range(table):
+            hit &= (x >> np.uint64(lower * bits_per_table)) & mask != 0
+        ii, jj = np.nonzero(hit)
         if not len(ii):
             return empty
         return pd.DataFrame({
@@ -337,7 +376,5 @@ def embedding_near_dups(ds, *, vec_col="embedding", id_col="vec_id",
             "id_b": pd.Series(np.maximum(ids[ii], ids[jj]), dtype="int64"),
             "cos_sim": pd.Series(cos[ii, jj], dtype="float64")})
 
-    # each vector lives in exactly one hyperplane bucket, so pairs can
-    # never duplicate across fine keys — no dedup pass needed
     rows = ds.map_batches(sig, batch_format="pyarrow")
     return _collided_pairs(rows, "plane_key", pairs, empty)

@@ -65,7 +65,9 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     alpha, punct, stopr = [], [], []
     for t in texts.to_pylist():
         n = max(len(t), 1)
-        a = sum(c.isalpha() for c in t)
+        # ASCII letter class [a-zA-Z] to match the SQL oracle's
+        # regexp_replace(text, '[^a-zA-Z]') exactly on non-ASCII text
+        a = sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in t)
         p = sum(not c.isalnum() and not c.isspace() for c in t)
         words = t.lower().split()
         sw = sum(1 for w in words if w in _STOPWORDS["en"]) / max(len(words), 1)

@@ -164,10 +164,25 @@ def _sort(ds, by: str = "", desc: bool = False, **kw):
 def _spatial_sort(ds, z: int = 8, **kw):
     """Hilbert-style locality sort on interleaved-bit cell ids (the
     FlatGeobuf packed-R-tree idea, ogr/ogrsf_frmts/flatgeobuf/
-    packedrtree.h:78) — sort by the space-filling cell id."""
-    from ..stages.join import with_cells
-    cols = [c for c in ds.schema().names]
-    return with_cells(ds, int(z), cols).sort("cell")
+    packedrtree.h:78): each row gets ONE representative cell (its
+    envelope center) so cardinality is preserved, then sort by it."""
+    import numpy as np
+    import pyarrow as pa
+    from ..core import mercator as merc
+
+    def rep_cell(b: pa.Table) -> pa.Table:
+        cx = (b["minx"].to_numpy() + b["maxx"].to_numpy()) * 0.5
+        cy = (b["miny"].to_numpy() + b["maxy"].to_numpy()) * 0.5
+        zz = int(z)
+        n = 2 ** zz
+        tx, ty = merc.meters_to_tile(cx, cy, zz)
+        tx = np.clip(tx, 0, n - 1)
+        ty = np.clip(ty, 0, n - 1)
+        cells = merc.cell_id(zz, tx, merc.tms_to_xyz(ty, zz))
+        return b.append_column("cell", pa.array(cells.view(np.int64),
+                                                pa.int64()))
+
+    return ds.map_batches(rep_cell, batch_format="pyarrow").sort("cell")
 
 
 @register_step("write_parquet")

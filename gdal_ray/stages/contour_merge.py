@@ -37,14 +37,20 @@ def split_with_overlap(grid: np.ndarray, th: int, tw: int):
     samples on each side)."""
     H, W = grid.shape
     rows = []
-    for ty in range((H - 1) // (th - 1)):
-        for tx in range((W - 1) // (tw - 1)):
+    ny = -(-(H - 1) // (th - 1))       # ceil: remainders get SMALLER
+    nx = -(-(W - 1) // (tw - 1))       # tiles (never re-traced strips)
+    for ty in range(ny):
+        for tx in range(nx):
             y0 = ty * (th - 1)
             x0 = tx * (tw - 1)
-            sub = grid[y0:y0 + th, x0:x0 + tw]
+            hh = min(th, H - y0)
+            ww = min(tw, W - x0)
+            if hh < 2 or ww < 2:       # only the shared row/col left
+                continue
+            sub = grid[y0:y0 + hh, x0:x0 + ww]
             rows.append({"tile_x": tx, "tile_y": ty,
                          "off_x": x0, "off_y": y0,
-                         "h": sub.shape[0], "w": sub.shape[1],
+                         "h": hh, "w": ww,
                          "grid": np.ascontiguousarray(
                              sub, np.float64).tobytes()})
     return rows

@@ -77,7 +77,14 @@ def reference_cell(minx_a, miny_a, minx_b, miny_b, zoom: int):
 
     The same +eps nudge as cells_for_envelope: a reference point landing
     exactly on a tile boundary must resolve to the same cell that the
-    envelope cover listed, or the pair is silently dropped."""
+    envelope cover listed, or the pair is silently dropped.
+
+    Known boundary-semantics limit: two envelopes that TOUCH exactly on
+    a tile boundary (zero-width intersection aligned with the grid)
+    have no common cell in the two covers and the pair is not emitted;
+    OGC Intersects is true for touching geometries, but the
+    intersection has measure zero and every area-based consumer
+    (zonal, layer_intersection with min_area) is unaffected."""
     eps = merc.resolution(zoom) * 1e-6
     rx = np.maximum(minx_a, minx_b) + eps
     ry = np.maximum(miny_a, miny_b) + eps

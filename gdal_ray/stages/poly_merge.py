@@ -176,9 +176,17 @@ def distributed_polygonize(tiles_ds, connectedness: int = 4):
     pandas frame (component, value, total_px, n_pieces, n_tiles).
 
     Components are stitched across tile boundaries exactly; verified
-    against single-grid polygonize in tests."""
+    against single-grid polygonize in tests. 4-connectivity only: the
+    edge-run overlap match does not see 8-connect diagonal adjacency
+    across tile edges/corners (GDAL's polygonize default is also 4)."""
     import ray
     from .join import salted_bucket
+
+    if connectedness != 4:
+        raise NotImplementedError(
+            "distributed_polygonize stitches 4-connected components; "
+            "8-connect diagonal adjacency across tile boundaries is not "
+            "matched by the edge-run rule")
 
     tp = TilePolygonize(connectedness)
     parts = tiles_ds.map_batches(tp, batch_format="pyarrow").materialize()

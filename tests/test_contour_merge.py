@@ -55,3 +55,15 @@ def test_single_tile(ray_session):
     got_l = sorted(round(float(v), 5) for v in got["total_length"])
     assert got_l == want[0.0]
     assert (got["n_pieces"] == 1).all()
+
+
+def test_unaligned_grid_fully_covered(ray_session):
+    """Grid sizes that are NOT multiples of (tile-1) must still cover
+    every sample (the truncation bug dropped trailing rows/cols)."""
+    import ray.data as rd
+    grid = field((60, 100), seed=5)
+    ds = rd.from_items(split_with_overlap(grid, 33, 33))
+    got = distributed_contour(ds, [0.0])
+    want = oracle(grid, [0.0])
+    got_l = sorted(round(float(v), 5) for v in got["total_length"])
+    assert got_l == want[0.0]
