@@ -133,19 +133,34 @@ def loads(buf: bytes) -> Geometry:
 def _read(mv: memoryview, off: int):
     bo = "<" if mv[off] == 1 else ">"
     (raw_type,) = struct.unpack_from(bo + "I", mv, off + 1)
-    t = raw_type % 1000  # strip 2.5D/Z flags (1001→1 etc.)
+    # coordinate dimension: ISO (1000=Z, 2000=M, 3000=ZM) and EWKB
+    # (0x80000000=Z, 0x40000000=M) flags; extra ordinates are read and
+    # DROPPED (our model is 2-D), never silently mis-offset
+    dims = 2
+    base = raw_type & 0x0FFFFFFF        # EWKB flags masked off first
+    iso = (base % 10000) // 1000
+    if iso in (1, 2):
+        dims = 3
+    elif iso == 3:
+        dims = 4
     if raw_type & 0x80000000:
-        t = raw_type & 0xFF  # old-style wkb25DBit
+        dims += 1
+    if raw_type & 0x40000000:
+        dims += 1
+    t = base % 1000
     off += 5
+    stride = 8 * dims
+
     if t == POINT:
         x, y = struct.unpack_from(bo + "2d", mv, off)
-        return point(x, y), off + 16
+        return point(x, y), off + stride
     if t == LINESTRING:
         (n,) = struct.unpack_from(bo + "I", mv, off)
         off += 4
-        coords = np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off)
-        off += 16 * n
-        return Geometry(LINESTRING, coords=coords.reshape(n, 2).astype(np.float64)), off
+        coords = np.frombuffer(mv, dtype=bo + "f8", count=dims * n,
+                               offset=off).reshape(n, dims)[:, :2]
+        off += stride * n
+        return Geometry(LINESTRING, coords=coords.astype(np.float64)), off
     if t == POLYGON:
         (nr,) = struct.unpack_from(bo + "I", mv, off)
         off += 4
@@ -153,9 +168,10 @@ def _read(mv: memoryview, off: int):
         for _ in range(nr):
             (n,) = struct.unpack_from(bo + "I", mv, off)
             off += 4
-            r = np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off)
-            rings.append(r.reshape(n, 2).astype(np.float64))
-            off += 16 * n
+            r = np.frombuffer(mv, dtype=bo + "f8", count=dims * n,
+                              offset=off).reshape(n, dims)[:, :2]
+            rings.append(r.astype(np.float64))
+            off += stride * n
         return Geometry(POLYGON, rings=rings), off
     if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
         (n,) = struct.unpack_from(bo + "I", mv, off)

@@ -207,3 +207,52 @@ class TestResample:
         gt = (0, 1, 0, 0, 0, 1)
         out, valid = resample.warp(src, gt, (10, 1, 0, 10, 0, 1), (4, 4), "near")
         assert not valid.any()
+
+
+class TestWkbZDimensions:
+    def _pack_z(self, iso_offset=1000, ewkb=False):
+        """Hand-build a LineStringZ WKB: 3 points with z values."""
+        import struct
+        pts = [(1.0, 2.0, 9.0), (3.0, 4.0, 9.5), (5.0, 6.0, 10.0)]
+        t = (2 + iso_offset) if not ewkb else (2 | 0x80000000)
+        buf = struct.pack("<BII", 1, t, len(pts))
+        for x, y, z in pts:
+            buf += struct.pack("<3d", x, y, z)
+        return buf
+
+    def test_iso_z_linestring(self):
+        from gdal_ray.core import wkb as W
+        g = W.loads(self._pack_z(1000))
+        assert g.geom_type == W.LINESTRING
+        assert g.coords.tolist() == [[1, 2], [3, 4], [5, 6]]
+
+    def test_ewkb_z_linestring(self):
+        from gdal_ray.core import wkb as W
+        g = W.loads(self._pack_z(ewkb=True))
+        assert g.coords.tolist() == [[1, 2], [3, 4], [5, 6]]
+
+    def test_iso_zm_point_and_multipointz(self):
+        import struct
+        from gdal_ray.core import wkb as W
+        # PointZM
+        buf = struct.pack("<BI4d", 1, 3001, 7.0, 8.0, 1.0, 2.0)
+        g = W.loads(buf)
+        assert g.coords[0].tolist() == [7.0, 8.0]
+        # MultiPointZ: collection header + 2 PointZ members
+        mp = struct.pack("<BII", 1, 1004, 2)
+        for x, y, z in ((1.0, 1.0, 5.0), (2.0, 2.0, 6.0)):
+            mp += struct.pack("<BI3d", 1, 1001, x, y, z)
+        g2 = W.loads(mp)
+        assert g2.geom_type == W.MULTIPOINT
+        assert [p.coords[0].tolist() for p in g2.parts] == [[1, 1], [2, 2]]
+
+    def test_polygon_z_area(self):
+        import struct
+        from gdal_ray.core.geom import area
+        from gdal_ray.core import wkb as W
+        ring = [(0, 0, 1), (4, 0, 1), (4, 4, 1), (0, 4, 1), (0, 0, 1)]
+        buf = struct.pack("<BIII", 1, 1003, 1, len(ring))
+        for x, y, z in ring:
+            buf += struct.pack("<3d", float(x), float(y), float(z))
+        g = W.loads(buf)
+        assert area(g) == 16.0
