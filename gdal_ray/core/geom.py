@@ -131,6 +131,30 @@ def _segments_cross(a0, a1, b0, b1, eps=1e-12) -> bool:
     return False
 
 
+def _segments_properly_cross(a0, a1, b0, b1, eps=1e-12) -> bool:
+    """True if any segment in A transversally crosses any in B strictly
+    in both interiors (endpoint touches and collinear overlaps do NOT
+    count). Used by contains() to reject exit-and-reenter edges against
+    concave boundaries without over-rejecting boundary touches."""
+    ax0, ay0 = a0[:, 0][:, None], a0[:, 1][:, None]
+    ax1, ay1 = a1[:, 0][:, None], a1[:, 1][:, None]
+    bx0, by0 = b0[:, 0][None, :], b0[:, 1][None, :]
+    bx1, by1 = b1[:, 0][None, :], b1[:, 1][None, :]
+    d1x, d1y = ax1 - ax0, ay1 - ay0
+    d2x, d2y = bx1 - bx0, by1 - by0
+    denom = d1x * d2y - d1y * d2x
+    ex, ey = bx0 - ax0, by0 - ay0
+    t_num = ex * d2y - ey * d2x
+    u_num = ex * d1y - ey * d1x
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = t_num / denom
+        u = u_num / denom
+    scale = np.maximum(1.0, np.abs(d1x) + np.abs(d1y) + np.abs(d2x) + np.abs(d2y))
+    strict = (np.abs(denom) > eps * scale) & \
+        (t > eps) & (t < 1 - eps) & (u > eps) & (u < 1 - eps)
+    return bool(strict.any())
+
+
 def _collinear_overlap(p0, p1, q0, q1, eps):
     d = p1 - p0
     axis = 0 if abs(d[0]) >= abs(d[1]) else 1
@@ -233,7 +257,16 @@ def contains(a: Geometry, b: Geometry) -> bool:
     # midpoints of b's edges are inside too)
     sb = _geometry_segments(b)
     mids = (sb[0] + sb[1]) / 2.0
-    return bool(points_in_polygon(mids[:, 0], mids[:, 1], a).all())
+    if not points_in_polygon(mids[:, 0], mids[:, 1], a).all():
+        return False
+    # concave a: an edge of b can exit and re-enter between sampled
+    # points — reject any PROPER (transversal, interior-to-interior)
+    # crossing of b's edges with a's rings; touch-only and collinear
+    # contacts remain allowed per OGC Contains
+    sa = _geometry_segments(a)
+    if sa is not None and _segments_properly_cross(sb[0], sb[1], sa[0], sa[1]):
+        return False
+    return True
 
 
 def within(a: Geometry, b: Geometry) -> bool:

@@ -149,6 +149,11 @@ def _read(mv: memoryview, off: int):
         dims += 1
     t = base % 1000
     off += 5
+    # EWKB SRID flag (PostGIS 0x20000000): a 4-byte SRID follows the type
+    # word before the coordinates — skip it (our model carries CRS at the
+    # layer level, not per geometry).
+    if raw_type & 0x20000000:
+        off += 4
     stride = 8 * dims
 
     if t == POINT:

@@ -407,7 +407,7 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
             else:
                 work[base + ":v"] = _eval(a[2], df)
         if group:
-            g = work.groupby(group, sort=False)
+            g = work.groupby(group, sort=False, dropna=False)
         else:
             g = work.groupby(lambda _: 0)
         out = pd.DataFrame()
@@ -461,7 +461,7 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
                 seed[base + "|set"] = [[]]
         parts = pd.DataFrame(seed)
     if group:
-        g = parts.groupby(group, sort=False)
+        g = parts.groupby(group, sort=False, dropna=False)
     else:
         g = parts.groupby(lambda _: 0)
     final = pd.DataFrame()

@@ -466,11 +466,11 @@ def q_ann_cosine(sf_dir: str):
     import ray.data as rd
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = None
-    for r in emb.iter_rows():
-        if r["vec_id"] == 0:
-            q = np.asarray(r["embedding"], dtype=np.float64)
-            break
+    # distributed pruned lookup of the query row (NOT a driver row scan):
+    # filter pushes the predicate into the read tasks, take(1) streams
+    # back exactly one row
+    qrow = emb.filter(expr="vec_id == 0").take(1)[0]
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
     qn = q / np.linalg.norm(q)
     qref = ray.put(qn)
 
@@ -1247,17 +1247,39 @@ def q_mosaic(sf_dir: str):
                          "rank": pa.array([rank.tobytes()], pa.binary()),
                          "nb": pa.array([vals.shape[2]], pa.int32())})
 
-    parts = images_dataset(96).map_batches(with_georef, batch_format="pyarrow") \
-        .map_batches(partial, batch_format="pyarrow", batch_size=24).take_all()
-    acc_v = acc_r = None
-    for p in parts:
-        nb = int(p["nb"])
-        v = np.frombuffer(p["vals"], np.float64).reshape(W, W, nb)
-        r = np.frombuffer(p["rank"], np.int64).reshape(W, W)
-        if acc_v is None:
-            acc_v, acc_r = v.copy(), r.copy()
-        else:
-            acc_v, acc_r = mosaic_merge(acc_v, acc_r, v, r)
+    def merge_round(t: pa.Table) -> pa.Table:
+        acc_v = acc_r = None
+        for i in range(t.num_rows):
+            nb = int(t["nb"][i].as_py())
+            v = np.frombuffer(t["vals"][i].as_py(),
+                              np.float64).reshape(W, W, nb)
+            r = np.frombuffer(t["rank"][i].as_py(), np.int64).reshape(W, W)
+            if acc_v is None:
+                acc_v, acc_r = v.copy(), r.copy()
+            else:
+                acc_v, acc_r = mosaic_merge(acc_v, acc_r, v, r)
+        return pa.table({"vals": pa.array([acc_v.tobytes()], pa.binary()),
+                         "rank": pa.array([acc_r.tobytes()], pa.binary()),
+                         "nb": pa.array([acc_v.shape[2]], pa.int32())})
+
+    # tree reduce in the workers (merge is associative): each round
+    # fans FANIN partials into one inside map_batches; the driver only
+    # counts rounds — the ~6 MB partials never ship to the driver until
+    # exactly ONE remains
+    FANIN, BATCH = 8, 24
+    n_imgs = 96
+    parts = images_dataset(n_imgs) \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow", batch_size=BATCH)
+    n = -(-n_imgs // BATCH)
+    while n > 1:
+        parts = parts.repartition(n).map_batches(
+            merge_round, batch_format="pyarrow", batch_size=FANIN)
+        n = -(-n // FANIN)
+    final = parts.take_all()[0]
+    nb = int(final["nb"])
+    acc_v = np.frombuffer(final["vals"], np.float64).reshape(W, W, nb)
+    acc_r = np.frombuffer(final["rank"], np.int64).reshape(W, W)
     covered = acc_r >= 0
     return pd.DataFrame([{
         "cs_band0": int(checksum(np.round(acc_v[:, :, 0]))),

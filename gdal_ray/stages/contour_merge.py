@@ -75,6 +75,11 @@ class TileContour:
             w = int(t["w"][i].as_py())
             grid = np.frombuffer(t["grid"][i].as_py(),
                                  np.float64).reshape(h, w)
+            # piece ids are PER TILE (contour_lines order is
+            # deterministic for a given grid), so a task retry or a
+            # different batch composition assigns identical (tile, pid)
+            # identities — required for the pairs↔pieces groupby match
+            tile_pid = 0
             for level, line in contour_lines(grid, self.levels):
                 # gt=None → tile-local PIXEL coords in [0, w-1]/[0, h-1];
                 # global = local + tile offset
@@ -82,7 +87,8 @@ class TileContour:
                 gy = line[:, 1] + oy
                 seg = np.hypot(np.diff(gx), np.diff(gy)).sum()
                 closed = bool(np.allclose(line[0], line[-1]))
-                pid = len([k for k in out["kind"] if k == "P"])
+                pid = tile_pid
+                tile_pid += 1
                 out["kind"].append("P")
                 out["tile_x"].append(tx)
                 out["tile_y"].append(ty)

@@ -256,3 +256,56 @@ class TestWkbZDimensions:
             buf += struct.pack("<3d", float(x), float(y), float(z))
         g = W.loads(buf)
         assert area(g) == 16.0
+
+
+class TestAdviceRegressions:
+    """Round-2 ADVICE fixes: EWKB SRID offset + concave contains."""
+
+    def test_ewkb_srid_point(self):
+        import struct
+        from gdal_ray.core import wkb as W
+        # PostGIS EWKB: type 0x20000001 (point + SRID flag), srid=3857,
+        # then the coordinates — the 4 SRID bytes must be skipped
+        buf = struct.pack("<BIi2d", 1, 0x20000001, 3857, 1.5, 2.5)
+        g = W.loads(buf)
+        assert g.coords[0].tolist() == [1.5, 2.5]
+
+    def test_ewkb_srid_polygon_z(self):
+        import struct
+        from gdal_ray.core import wkb as W
+        from gdal_ray.core.geom import area
+        ring = [(0, 0, 9), (2, 0, 9), (2, 2, 9), (0, 2, 9), (0, 0, 9)]
+        buf = struct.pack("<BIiI", 1, 0xA0000003, 4326, 1)  # Z|SRID|polygon
+        buf += struct.pack("<I", len(ring))
+        for x, y, z in ring:
+            buf += struct.pack("<3d", float(x), float(y), float(z))
+        g = W.loads(buf)
+        assert area(g) == 4.0
+
+    def test_contains_concave_exit_reenter(self):
+        from gdal_ray.core import geom as G
+        import numpy as np
+        # U-shaped container: a horizontal segment whose endpoints and
+        # midpoint all sit inside the two prongs / below the notch can
+        # still exit through the notch — must NOT be contained
+        u = G.Geometry(G.POLYGON, rings=[np.array(
+            [(0, 0), (10, 0), (10, 10), (8, 10), (8, 2.5), (2, 2.5),
+             (2, 10), (0, 10), (0, 0)], float)])
+        # segment y=2: sits fully below the notch floor (2.5) -> inside
+        seg_in = G.Geometry(G.LINESTRING,
+                            coords=np.array([(1, 2), (9, 2)], float))
+        assert G.contains(u, seg_in)
+        # segment y=5 from prong to prong: endpoints at x=1,x=9 (inside
+        # prongs), midpoint x=5 is inside the notch (outside the poly)
+        seg_out = G.Geometry(G.LINESTRING,
+                             coords=np.array([(1, 5), (9, 5)], float))
+        assert not G.contains(u, seg_out)
+        # quarter-point-evading: endpoints and midpoint inside, crossing
+        # between samples — triangle poking through the notch wall
+        tri = G.Geometry(G.POLYGON, rings=[np.array(
+            [(0.5, 1), (9.5, 1), (9.5, 1.5), (0.5, 1.5), (0.5, 1)], float)])
+        assert G.contains(u, tri)
+        poke = G.Geometry(G.POLYGON, rings=[np.array(
+            [(1, 2.0), (3, 4.0), (1, 4.0), (1, 2.0)], float)])
+        # edge (1,2)->(3,4) crosses the notch wall x=2 above y=2.5
+        assert not G.contains(u, poke)
