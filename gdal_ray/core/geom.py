@@ -347,8 +347,12 @@ def clip_to_rect(g: Geometry, minx, miny, maxx, maxy) -> Geometry | None:
 
 
 def ring_area(ring: np.ndarray) -> float:
-    """Signed shoelace area (positive = CCW)."""
-    x, y = ring[:, 0], ring[:, 1]
+    """Signed shoelace area (positive = CCW). Coordinates are shifted
+    to a local origin first: web-mercator magnitudes (~2e7) would
+    otherwise lose ~8 decimal digits to catastrophic cancellation in
+    the cross products."""
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
@@ -366,10 +370,14 @@ def area(g: Geometry) -> float:
 
 
 def centroid(g: Geometry):
-    """Area-weighted centroid of polygon/multipolygon; mean for others."""
+    """Area-weighted centroid of polygon/multipolygon; mean for others.
+    Computed in a local frame (first vertex of the outer ring) to keep
+    full precision at web-mercator coordinate magnitudes."""
     if g.geom_type == POLYGON and g.rings:
+        ox, oy = float(g.rings[0][0, 0]), float(g.rings[0][0, 1])
         cx = cy = atot = 0.0
         for i, r in enumerate(g.rings):
+            r = r - np.array([ox, oy])
             x, y = r[:-1, 0], r[:-1, 1]
             xn, yn = r[1:, 0], r[1:, 1]
             cross = x * yn - xn * y
@@ -382,7 +390,7 @@ def centroid(g: Geometry):
             cy += w * float(((y + yn) * cross).sum() / (6.0 * a))
             atot += w
         if atot != 0:
-            return cx / atot, cy / atot
+            return ox + cx / atot, oy + cy / atot
     pts = _representative_points(g)
     return float(pts[:, 0].mean()), float(pts[:, 1].mean())
 

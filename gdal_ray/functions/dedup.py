@@ -192,15 +192,22 @@ def minhash_candidates(ds, *, n_perm=64, shingle_k=5, n_bands=16,
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SIMHASH_B = 1099511628211
+
+
 def simhash(text: str, k: int = 4) -> int:
-    """64-bit SimHash over k-byte shingles (weighted bit voting)."""
-    data = text.encode("utf-8")
-    if len(data) < k:
-        return sha1_64(data) & 0xFFFFFFFFFFFFFFFF
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    h = np.zeros(len(arr) - k + 1, dtype=np.uint64)
+    """64-bit SimHash over k-CODEPOINT shingles (weighted bit voting).
+
+    The shingle hash is a plain degree-(k-1) polynomial in the unicode
+    codepoints mod 2^64 — deliberately simple so an independent SQL
+    oracle can recompute the identical signature with HUGEINT modular
+    arithmetic (see pipelines/oracles.py sql_simhash_pairs)."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < k:
+        return sha1_64(text.encode()) & 0xFFFFFFFFFFFFFFFF
+    h = np.zeros(len(cp) - k + 1, dtype=np.uint64)
     for i in range(k):
-        h = h * np.uint64(1099511628211) + arr[i:len(arr) - k + 1 + i]
+        h = h * np.uint64(_SIMHASH_B) + cp[i:len(cp) - k + 1 + i]
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
     votes = bits.sum(axis=0).astype(np.int64) * 2 - np.int64(len(h))
     return int((votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
@@ -290,6 +297,42 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def chargram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact Jaccard over DISTINCT character k-grams (no hashing) —
+    bit-identical to a SQL oracle computing
+    COUNT(DISTINCT substr(text, g, k)) set arithmetic."""
+    if len(text_a) < k or len(text_b) < k:
+        return 1.0 if text_a == text_b else 0.0
+    sa = {text_a[i:i + k] for i in range(len(text_a) - k + 1)}
+    sb = {text_b[i:i + k] for i in range(len(text_b) - k + 1)}
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def verify_pairs_chargram(ds_pairs, docs_by_id: dict, k: int = 5,
+                          threshold: float = 0.5):
+    """Exact char-k-gram Jaccard verification of candidate pairs against
+    a broadcast doc lookup. Emits (id_a, id_b, jaccard) for pairs at or
+    above threshold. Broadcast is fine only while the doc side fits in
+    a worker heap; the 100 TB path co-shuffles texts by pair key."""
+    import ray
+
+    ref = ray.put(docs_by_id)
+
+    def verify(t: pa.Table) -> pa.Table:
+        docs = ray.get(ref)
+        keep, jac = [], []
+        for ia, ib in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+            j = chargram_jaccard(docs[ia], docs[ib], k)
+            keep.append(j >= threshold)
+            jac.append(j)
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        "jaccard": pa.array(jac, pa.float64())})
+        return out.filter(pa.array(keep))
+
+    return ds_pairs.map_batches(verify, batch_format="pyarrow")
+
+
 def verify_pairs_jaccard(ds_pairs, docs_by_id: dict, k: int = 5,
                          threshold: float = 0.7):
     """Exact-Jaccard verification of candidate pairs against a broadcast
@@ -328,10 +371,21 @@ def embedding_near_dups(ds, *, vec_col="embedding", id_col="vec_id",
     signatures) — no re-shuffle."""
     total_bits = n_tables * bits_per_table
 
-    def sig(t: pa.Table) -> pa.Table:
-        mat = np.stack(t[vec_col].to_pylist()).astype(np.float64)
-        rng = np.random.default_rng(7)
-        planes = rng.standard_normal((mat.shape[1], total_bits))
+    class Sig:
+        """Actor-pool signature stage: the hyperplane matrix is drawn
+        ONCE per actor in __init__ (not per batch)."""
+
+        def __init__(self):
+            self._planes: np.ndarray | None = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+            if self._planes is None:
+                rng = np.random.default_rng(7)
+                self._planes = rng.standard_normal((mat.shape[1], total_bits))
+            return _sig_table(t, mat, self._planes)
+
+    def _sig_table(t: pa.Table, mat: np.ndarray, planes: np.ndarray) -> pa.Table:
         bits = (mat @ planes) > 0
         full = (bits.astype(np.uint64)
                 @ (np.uint64(1) << np.arange(total_bits, dtype=np.uint64)))
@@ -376,5 +430,5 @@ def embedding_near_dups(ds, *, vec_col="embedding", id_col="vec_id",
             "id_b": pd.Series(np.maximum(ids[ii], ids[jj]), dtype="int64"),
             "cos_sim": pd.Series(cos[ii, jj], dtype="float64")})
 
-    rows = ds.map_batches(sig, batch_format="pyarrow")
+    rows = ds.map_batches(Sig, batch_format="pyarrow", concurrency=4)
     return _collided_pairs(rows, "plane_key", pairs, empty)

@@ -124,3 +124,28 @@ def fingerprint(text: str, window: int = 64) -> int:
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fps = [fingerprint(t) for t in batch[text_col].to_pylist()]
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+
+_FP6_POW = [131 ** p for p in range(5, -1, -1)]  # 131^5 … 131^0
+
+
+def fingerprint6(text: str) -> int:
+    """Winnowing-style document fingerprint: MIN over every 6-codepoint
+    window of the degree-5 polynomial hash sum(cp_j * 131^(5-j)).
+
+    No modulus (max value ≈ 2.6e17 fits int64 for any unicode text), so
+    an independent SQL oracle recomputes it exactly with unicode() +
+    integer arithmetic. Docs shorter than 6 codepoints → -1."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if len(cp) < 6:
+        return -1
+    n = len(cp) - 5
+    h = np.zeros(n, np.int64)
+    for j in range(6):
+        h = h * 131 + cp[j:j + n]
+    return int(h.min())
+
+
+def fingerprint6_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = [fingerprint6(t) for t in batch[text_col].to_pylist()]
+    return batch.append_column("fingerprint", pa.array(fps, pa.int64()))

@@ -1,0 +1,375 @@
+"""DuckDB oracle SQL builders for the battery queries.
+
+Every builder returns an ANSI-SQL string DuckDB can run over the
+driver-registered parquet views (documents, embeddings, …). The raster
+and geometry oracles reconstruct the synthetic inputs from their
+closed-form generators (sources/images.py, sources/vector.py,
+sources/geo.py) with generate_series — an INDEPENDENT recomputation of
+each operator's result, not a re-run of the Ray code.
+
+DuckDB 1.0 notes baked in here:
+  * generate_series cannot take lateral column bounds → constant-bound
+    series JOINed with a <= filter;
+  * 1::UBIGINT << 63 overflows → (1::HUGEINT << b) % 2^64;
+  * HUGEINT arithmetic gives exact mod-2^64 polynomial hashes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..sources import geo as G
+from ..sources.images import H_CYCLE, W_CYCLE
+
+_M64 = 1 << 64
+
+# ---------------------------------------------------------------------------
+# shared closed-form snippets (images corpus)
+# ---------------------------------------------------------------------------
+
+
+def sql_images_cte(n: int, *, png_only: bool = False, series_name: str = "imgs") -> str:
+    """CTE reconstructing image params for indices 0..n-1:
+    (i, a, b, c, w, h, image_id[, res, x0, y1]).  Mirrors
+    sources/images.py pattern_params/image_dims and sources/geo.py
+    image_geotransform exactly."""
+    wc = " ".join(f"WHEN {k} THEN {int(v)}" for k, v in enumerate(W_CYCLE))
+    hc = " ".join(f"WHEN {k} THEN {int(v)}" for k, v in enumerate(H_CYCLE))
+    filt = " WHERE i % 2 = 0" if png_only else ""
+    x_expr, y_expr = G.sql_point_xy("i")
+    return f"""
+{series_name} AS (
+  SELECT i, p,
+         1 + (p * 7919) % 13  AS a,
+         1 + (p * 104729) % 17 AS b,
+         (p * 1299709) % 97   AS c,
+         CASE WHEN p % 251 = 13 THEN 1 ELSE (CASE p % 4 {wc} END) END AS w,
+         CASE WHEN p % 251 = 13 THEN 1 ELSE (CASE (p // 4) % 4 {hc} END) END AS h,
+         printf('img%08d', i) AS image_id,
+         power(2.0, 1 + (i % 4)) AS res,
+         {x_expr} AS x0,
+         {y_expr} AS y1
+  FROM (SELECT g AS i, CASE WHEN g % 97 = 0 THEN 0 ELSE g END AS p
+        FROM generate_series(0, {n - 1}) t(g)){filt}
+)"""
+
+
+def sql_pixels_cte(n: int, *, png_only: bool = True,
+                   max_dim: int = 512) -> str:
+    """CTE of every (image, pixel) with closed-form band values v0/v1
+    ((a*gx + b*gy [+ c]) % 256). Pairs imgs with constant-bound series
+    filtered to gx < w, gy < h."""
+    return f"""
+WITH {sql_images_cte(n, png_only=png_only)},
+gxs AS (SELECT g AS gx FROM generate_series(0, {max_dim - 1}) t(g)),
+gys AS (SELECT g AS gy FROM generate_series(0, {max_dim - 1}) t(g)),
+px AS (
+  SELECT i, image_id, w, h, gx, gy,
+         (a * gx + b * gy) % 256       AS v0,
+         (a * gx + b * gy + c) % 256   AS v1
+  FROM imgs JOIN gxs ON gx < w JOIN gys ON gy < h
+)"""
+
+
+# ---------------------------------------------------------------------------
+# text / embedding family
+# ---------------------------------------------------------------------------
+
+def sql_minhash_pairs(threshold: float = 0.5, k: int = 5) -> str:
+    """Brute-force exact char-k-gram Jaccard over all doc pairs —
+    verifies the MinHash-LSH + exact-verify pipeline end to end."""
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+gs AS (SELECT g FROM generate_series(1, 8192) t(g)),
+sh AS (SELECT DISTINCT doc_id, substr(text, g, {k}) AS s
+       FROM d JOIN gs ON g <= L - {k - 1}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = ia
+JOIN sz sb ON sb.doc_id = ib
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}
+"""
+
+
+def sql_simhash_pairs(max_hamming: int = 6, k: int = 4) -> str:
+    """Brute-force SimHash Hamming pairs: recomputes the identical
+    codepoint-polynomial signature (functions/dedup.py simhash) with
+    HUGEINT mod-2^64 arithmetic, then all-pairs popcount."""
+    B = 1099511628211
+    pows = [pow(B, p, _M64) for p in range(k - 1, -1, -1)]
+    terms = " + ".join(
+        f"unicode(substr(text, g + {j}, 1))::HUGEINT * {pows[j]}"
+        for j in range(k))
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+gs AS (SELECT g FROM generate_series(1, 8192) t(g)),
+sh AS (SELECT doc_id, (({terms}) % {_M64})::UBIGINT AS hv
+       FROM d JOIN gs ON g <= L - {k - 1}),
+bits AS (SELECT doc_id, b.g AS bit,
+                2 * SUM(CASE WHEN (hv >> b.g) & 1 = 1 THEN 1 ELSE 0 END)
+                  - COUNT(*) AS v
+         FROM sh, generate_series(0, 63) b(g) GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               SUM(CASE WHEN v > 0
+                   THEN ((1::HUGEINT << bit) % {_M64})::UBIGINT
+                   ELSE 0::UBIGINT END) AS s
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
+def sql_embedding_pairs(threshold: float = 0.9) -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+"""
+
+
+def sql_ivf_topk(nq: int = 4, k: int = 5) -> str:
+    """Exact per-query cosine top-k — equals IVF output when every list
+    is probed (nprobe = nlist)."""
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {nq}),
+s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(qe, e.embedding) AS c
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT qid, vec_id, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+      FROM s)
+SELECT qid, vec_id, ROUND(c, 4) AS cos_sim FROM r WHERE rn <= {k}
+"""
+
+
+def sql_lang_id(stopwords: dict[str, set[str]]) -> str:
+    """Stopword-voting language ID (functions/text.py detect_language):
+    first-400-words vote, first language in registration order wins
+    ties, 'und' when no stopword hits."""
+    langs = list(stopwords)  # dict order == Python iteration order
+
+    def inlist(lang):
+        return ", ".join(f"'{w}'" for w in sorted(stopwords[lang]))
+
+    scores = ",\n  ".join(
+        f"len(list_filter(ws, x -> x IN ({inlist(lg)}))) AS s_{lg}"
+        for lg in langs)
+    gmax = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs)
+    return f"""
+WITH w AS (SELECT doc_id,
+  list_slice(regexp_extract_all(lower(text),
+             '[a-zàâäéèêëïîôöùûüçßñ]+'), 1, 400) AS ws
+  FROM documents),
+s AS (SELECT doc_id,
+  {scores}
+  FROM w),
+p AS (SELECT doc_id, {gmax} AS m, * FROM s),
+pred AS (SELECT doc_id,
+  CASE WHEN m = 0 THEN 'und' {case} END AS pred_lang FROM p)
+SELECT pred_lang, COUNT(*)::BIGINT AS n FROM pred GROUP BY pred_lang
+"""
+
+
+def sql_fingerprints() -> str:
+    """Min-over-windows polynomial fingerprint (functions/text.py
+    fingerprint6): degree-5 polynomial in codepoints, base 131."""
+    pows = [131 ** p for p in range(5, -1, -1)]
+    terms = " + ".join(
+        f"unicode(substr(text, g + {j}, 1))::BIGINT * {pows[j]}"
+        if pows[j] != 1 else f"unicode(substr(text, g + {j}, 1))::BIGINT"
+        for j in range(6))
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+gs AS (SELECT g FROM generate_series(1, 8192) t(g)),
+h AS (SELECT doc_id, {terms} AS v
+      FROM d JOIN gs ON g <= L - 5)
+SELECT d.doc_id, COALESCE(MIN(h.v), -1) AS fingerprint
+FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# raster family (closed-form pixel reconstruction, lossless PNG rows)
+# ---------------------------------------------------------------------------
+
+def sql_raster_stats(n: int = 128) -> str:
+    return sql_pixels_cte(n) + """
+SELECT image_id, ROUND(AVG(v0), 4) AS mean_b0,
+       MIN(v0)::DOUBLE AS min_b0, MAX(v0)::DOUBLE AS max_b0
+FROM px GROUP BY image_id
+"""
+
+
+def sql_raster_histogram(n: int = 128, bins: int = 16) -> str:
+    return sql_pixels_cte(n) + f"""
+SELECT (v0 // {256 // bins}) AS bin, COUNT(*)::BIGINT AS count
+FROM px GROUP BY 1
+"""
+
+
+def sql_norm_diff(n: int = 128) -> str:
+    return sql_pixels_cte(n) + """
+SELECT image_id,
+       ROUND(AVG(CASE WHEN v0 + v1 <> 0
+                 THEN (v0 - v1)::DOUBLE / (v0 + v1) END), 4) AS mean_nd
+FROM px GROUP BY image_id
+"""
+
+
+def sql_footprint(n: int = 96, threshold: int = 100) -> str:
+    """Footprint area (pixel units) == count of mask pixels: the traced
+    outline polygon (with holes) of a binary mask encloses exactly the
+    mask's pixels."""
+    return sql_pixels_cte(n) + f"""
+SELECT image_id, COALESCE(SUM(CASE WHEN v0 > {threshold} THEN 1 END), 0)::DOUBLE
+       AS fp_area
+FROM px GROUP BY image_id
+"""
+
+
+def sql_interpolate_at_points(n: int = 96) -> str:
+    """Bilinear sample of band 0 at each image's center: pixel-center
+    convention puts the sample midway between the four pixels around
+    (w/2, h/2); replicate interpolate_at_point's exact weights."""
+    # col = w/2 → fx = w/2 - 0.5; x0 = floor(fx); tx = fx - x0
+    return f"""
+WITH {sql_images_cte(n, png_only=True)},
+c AS (SELECT image_id, a, b, w, h,
+             CAST(floor(w / 2.0 - 0.5) AS BIGINT) AS px0,
+             CAST(floor(h / 2.0 - 0.5) AS BIGINT) AS py0,
+             (w / 2.0 - 0.5) - floor(w / 2.0 - 0.5) AS tx,
+             (h / 2.0 - 0.5) - floor(h / 2.0 - 0.5) AS ty
+      FROM imgs),
+v AS (SELECT image_id,
+  ((a * px0 + b * py0) % 256)             * (1 - tx) * (1 - ty)
++ ((a * least(px0 + 1, w - 1) + b * py0) % 256)       * tx * (1 - ty)
++ ((a * px0 + b * least(py0 + 1, h - 1)) % 256)       * (1 - tx) * ty
++ ((a * least(px0 + 1, w - 1) + b * least(py0 + 1, h - 1)) % 256) * tx * ty
+  AS val
+  FROM c)
+SELECT image_id, ROUND(val, 4) AS center_val FROM v
+"""
+
+
+def sql_pipeline_dsl(n: int = 64, min_w: int = 256) -> str:
+    """read_images ! georef ! filter w>=256 ! select — dims + placement
+    are closed-form."""
+    return f"""
+WITH {sql_images_cte(n)}
+SELECT image_id, w::INTEGER AS w, h::INTEGER AS h,
+       x0 AS minx, y1 AS maxy
+FROM imgs WHERE w >= {min_w}
+"""
+
+
+# ---------------------------------------------------------------------------
+# vector family (closed-form polygon generator, sources/vector.py)
+# ---------------------------------------------------------------------------
+
+def sql_polygons_cte(m: int, name: str = "polys") -> str:
+    """CTE of polygon params for fid 0..m-1: center, size, shape class.
+    Mirrors sources/vector.py make_polygon."""
+    x_expr, y_expr = G.sql_point_xy("(fid * 3 + 1)")
+    return f"""
+{name} AS (
+  SELECT fid, {x_expr} AS cx, {y_expr} AS cy,
+         5000.0 * (1 + (fid * 7) % 5) AS s,
+         fid % 5 AS k
+  FROM (SELECT g AS fid FROM generate_series(0, {m - 1}) t(g))
+)"""
+
+
+def sql_polygon_area_expr() -> str:
+    """Closed-form area per shape class k (size s):
+    k=0 square (2s)^2; k=1 rotated square 2s^2; k=2 L-shape 3s^2;
+    k=3 square minus (2s/3)^2 hole; k=4 two s-squares."""
+    return ("CASE k WHEN 0 THEN 4*s*s WHEN 1 THEN 2*s*s WHEN 2 THEN 3*s*s "
+            "WHEN 3 THEN 4*s*s - (2.0*s/3)*(2.0*s/3) ELSE 2*s*s END")
+
+
+def sql_pip_expr(px: str = "qx", py: str = "qy") -> str:
+    """Point-in-polygon predicate for the generator's 5 shape classes
+    (strict interior; boundary events have measure zero for float
+    inputs). dx/dy are offsets from the polygon center."""
+    return f"""(
+  CASE k
+    WHEN 0 THEN abs({px} - cx) < s AND abs({py} - cy) < s
+    WHEN 1 THEN abs({px} - cx) + abs({py} - cy) < s
+    WHEN 2 THEN abs({px} - cx) < s AND abs({py} - cy) < s
+             AND NOT ({px} - cx > 0 AND {py} - cy > 0)
+    WHEN 3 THEN abs({px} - cx) < s AND abs({py} - cy) < s
+             AND NOT (abs({px} - cx) < s/3 AND abs({py} - cy) < s/3)
+    ELSE ({px} >= cx - s AND {px} < cx AND {py} >= cy - s AND {py} < cy)
+      OR ({px} >= cx + 1.5*s AND {px} < cx + 2.5*s
+          AND {py} >= cy + 1.5*s AND {py} < cy + 2.5*s)
+  END)"""
+
+
+def sql_vector_ops(m: int = 40) -> str:
+    """Segmentize → area/centroid: segmentize inserts vertices but
+    leaves area and centroid invariant; both are closed-form per shape
+    class."""
+    # centroid: k=0,1,3 symmetric → (cx, cy).
+    # k=2 L-shape: 3 unit squares (s/2 centers): mean of (-s/2,-s/2),
+    #   (s/2,-s/2), (-s/2,s/2) → (cx - s/6, cy - s/6).
+    # k=4 two squares: centers (cx-s/2, cy-s/2) and (cx+2s, cy+2s)
+    #   → (cx + 0.75s, cy + 0.75s).
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid,
+       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2,
+       ROUND(CASE k WHEN 2 THEN cx - s/6.0 WHEN 4 THEN cx + 0.75*s
+             ELSE cx END, 3) AS centroid_x,
+       ROUND(CASE k WHEN 2 THEN cy - s/6.0 WHEN 4 THEN cy + 0.75*s
+             ELSE cy END, 3) AS centroid_y
+FROM polys
+"""
+
+
+def sql_buffer_explode(m: int = 40) -> str:
+    """Explode collections → one row per part with area. Only k=4 rows
+    are multipolygons (2 parts of s^2 each); all other classes emit one
+    part with the class area (holes stay with their outer ring)."""
+    area = sql_polygon_area_expr()
+    return f"""
+WITH {sql_polygons_cte(m)},
+parts AS (
+  SELECT fid, 0 AS part_index,
+         CASE WHEN k = 4 THEN s*s ELSE {area} END AS area
+  FROM polys
+  UNION ALL
+  SELECT fid, 1 AS part_index, s*s AS area FROM polys WHERE k = 4
+)
+SELECT fid, part_index, ROUND(area / 1e6, 3) AS area_km2 FROM parts
+"""
+
+
+def sql_layer_intersection_total(m: int = 30) -> str:
+    """Tile rects partition the plane → per-feature intersection areas
+    sum to the feature's area (closed form)."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid, ROUND({sql_polygon_area_expr()} / 1e6, 3) AS total_area_km2
+FROM polys
+"""
+
+
+def sql_layer_clip_erase(m: int = 30) -> str:
+    """clip_area + erased_area == feature area (complementarity of
+    Clip/Erase against the same rectangle)."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid, ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_total
+FROM polys
+"""

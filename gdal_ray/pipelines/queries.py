@@ -22,6 +22,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources import geo
+from ..functions.text import _STOPWORDS as _STOPWORDS_FOR_ORACLE
+from . import oracles as _OR
 
 ROUND = 4
 
@@ -740,9 +742,27 @@ FROM documents GROUP BY source
 # ---------------------------------------------------------------------------
 
 def q_minhash_near_dups(sf_dir: str):
-    from ..functions.dedup import minhash_candidates
+    """MinHash-LSH candidate generation + EXACT char-5-gram Jaccard
+    verification: emits true near-dup pairs (J ≥ 0.5). The oracle
+    brute-forces all-pairs Jaccard in SQL — a full end-to-end recall +
+    precision check of the LSH pipeline."""
+    from ..functions.dedup import minhash_candidates, verify_pairs_chargram
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_candidates(ds, jaccard_threshold=0.5)
+    # loose candidate net (est ≥ 0.35), exact filter at 0.5
+    cands = minhash_candidates(ds, jaccard_threshold=0.35)
+    # broadcast doc lookup (bounded: text side fits while ≤ ~1e6 docs;
+    # the 100 TB path co-shuffles texts by pair key instead)
+    ddf = _rp(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    docs = dict(zip(ddf["doc_id"], ddf["text"]))
+    verified = verify_pairs_chargram(cands, docs, k=5, threshold=0.5)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("jaccard")
+        return t.set_column(i, "jaccard",
+                            pa.array(_half_away(t["jaccard"].to_numpy()),
+                                     pa.float64()))
+
+    return verified.map_batches(rnd, batch_format="pyarrow")
 
 
 def q_simhash_near_dups(sf_dir: str):
@@ -754,15 +774,37 @@ def q_simhash_near_dups(sf_dir: str):
 def q_embedding_near_dups(sf_dir: str):
     from ..functions.dedup import embedding_near_dups
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dups(ds, threshold=0.9)
+    out = embedding_near_dups(ds, threshold=0.9)
+    df = out.to_pandas()
+    if df.empty:
+        # stable schema even for a no-pairs corpus (driver hash-compares
+        # column names of empty frames too)
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cos_sim": pd.Series([], dtype="float64")})
+    df["cos_sim"] = _half_away(df["cos_sim"].to_numpy())
+    return df
 
 
 def q_ivf_ann(sf_dir: str):
+    """IVF ANN with every list probed (nprobe = nlist): the bucketed
+    machinery (train → broadcast centroids → groupby(bucket) search →
+    per-query merge) provably returns the EXACT top-k, which the SQL
+    oracle recomputes brute-force. The approximate setting (nprobe <
+    nlist) is recall-tested in pytest."""
     from ..functions.ann import ivf_topk
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = emb.limit(4).take_all()
+    qrows = sorted(emb.filter(expr="vec_id < 4").take_all(),
+                   key=lambda r: r["vec_id"])
     queries = np.stack([np.asarray(r["embedding"]) for r in qrows]).astype(np.float64)
-    return ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
+    out = ivf_topk(emb, queries, k=5, nlist=8, nprobe=8)
+
+    def rnd(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["cos_sim"] = _half_away(t["cos_sim"].to_numpy())
+        return t
+
+    return out.map_batches(rnd, batch_format="pandas")
 
 
 def q_lang_id(sf_dir: str):
@@ -774,9 +816,11 @@ def q_lang_id(sf_dir: str):
 
 
 def q_doc_fingerprints(sf_dir: str):
-    from ..functions.text import fingerprint_batch
+    """Winnowing-style min-over-windows polynomial fingerprint — the SQL
+    oracle recomputes the identical codepoint hash per window."""
+    from ..functions.text import fingerprint6_batch
     return _rp(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(fingerprint_batch, batch_format="pyarrow") \
+        .map_batches(fingerprint6_batch, batch_format="pyarrow") \
         .select_columns(["doc_id", "fingerprint"])
 
 
@@ -787,9 +831,17 @@ def q_doc_fingerprints(sf_dir: str):
 # checks; pixel semantics verified by tests/test_raster_ops.py oracles)
 # ---------------------------------------------------------------------------
 
+def _png_only(t: pa.Table) -> pa.Table:
+    """Lossless subset: the DCT stand-in codec on 'jpeg' rows is lossy,
+    so pixel-exact SQL oracles cover the PNG half of the corpus (the
+    lossy half is PSNR-verified in pytest)."""
+    return t.filter(pc.equal(t["fmt"], "png"))
+
+
 def q_raster_stats(sf_dir: str):
     """Per-image band statistics (ComputeStatistics analog) over the
-    synthetic corpus: decode → per-band mean/min/max → rows."""
+    synthetic corpus: decode → per-band mean/min/max → rows. Oracle:
+    closed-form pixel reconstruction in SQL (oracles.sql_raster_stats)."""
     from ..sources.images import images_dataset
     from ..stages.raster_ops import image_op
 
@@ -799,8 +851,8 @@ def q_raster_stats(sf_dir: str):
                 "min_b0": float(f[:, :, 0].min()),
                 "max_b0": float(f[:, :, 0].max())}
 
-    return images_dataset(128).map_batches(
-        image_op(stats), batch_format="pyarrow") \
+    return images_dataset(128).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(stats), batch_format="pyarrow") \
         .select_columns(["image_id", "mean_b0", "min_b0", "max_b0"])
 
 
@@ -829,8 +881,8 @@ def q_norm_diff(sf_dir: str):
         v = pixel_function(px[:, :, :2], "norm_diff")
         return {"mean_nd": _half_away([float(np.nanmean(v))])[0]}
 
-    return images_dataset(128).map_batches(
-        image_op(nd), batch_format="pyarrow") \
+    return images_dataset(128).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(nd), batch_format="pyarrow") \
         .select_columns(["image_id", "mean_nd"])
 
 
@@ -916,22 +968,37 @@ def q_interpolate_at_points(sf_dir: str):
         return pa.table({"image_id": pa.array(ids, pa.string()),
                          "center_val": pa.array(vals, pa.float64())})
 
-    return images_dataset(96).map_batches(with_georef, batch_format="pyarrow") \
+    return images_dataset(96).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
         .map_batches(probe, batch_format="pyarrow")
 
 
 def q_vector_ops(sf_dir: str):
-    """Geometry unary ops chain: simplify → area/centroid columns over
-    the polygon layer (vector simplify + geometry measures)."""
+    """Geometry unary ops chain: segmentize (densify edges) →
+    area/centroid columns over the polygon layer. Segmentize leaves
+    area and centroid INVARIANT, so the oracle computes both in closed
+    form per shape class — a real check that densification neither
+    moves nor distorts the geometry. (simplify is pytest-covered.)"""
     from ..sources.vector import polygons_dataset
-    from ..stages.vector_ops import add_geometry_columns, simplify_geometry, wkb_map
+    from ..stages.vector_ops import add_geometry_columns, segmentize_geometry, wkb_map
 
-    simp = wkb_map(lambda g: simplify_geometry(g, 100.0))
+    seg = wkb_map(lambda g: segmentize_geometry(g, 5000.0))
+
+    def out_cols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "fid": t["fid"],
+            "area_km2": pa.array(
+                _half_away(t["area"].to_numpy() / 1e6, 3), pa.float64()),
+            "centroid_x": pa.array(
+                _half_away(t["centroid_x"].to_numpy(), 3), pa.float64()),
+            "centroid_y": pa.array(
+                _half_away(t["centroid_y"].to_numpy(), 3), pa.float64()),
+        })
+
     return polygons_dataset(40) \
-        .map_batches(simp, batch_format="pyarrow") \
+        .map_batches(seg, batch_format="pyarrow") \
         .map_batches(add_geometry_columns, batch_format="pyarrow") \
-        .map_batches(lambda t: t.select(["fid", "area", "centroid_x", "centroid_y"]),
-                     batch_format="pyarrow")
+        .map_batches(out_cols, batch_format="pyarrow")
 
 
 def q_buffer_explode(sf_dir: str):
@@ -940,11 +1007,17 @@ def q_buffer_explode(sf_dir: str):
     from ..sources.vector import polygons_dataset
     from ..stages.vector_ops import add_geometry_columns, explode_collections
 
+    def out_cols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "fid": t["fid"], "part_index": t["part_index"],
+            "area_km2": pa.array(
+                _half_away(t["area"].to_numpy() / 1e6, 3), pa.float64()),
+        })
+
     return polygons_dataset(40) \
         .map_batches(explode_collections, batch_format="pyarrow") \
         .map_batches(add_geometry_columns, batch_format="pyarrow") \
-        .map_batches(lambda t: t.select(["fid", "part_index", "area"]),
-                     batch_format="pyarrow")
+        .map_batches(out_cols, batch_format="pyarrow")
 
 
 def q_idw_grid(sf_dir: str):
@@ -1046,13 +1119,16 @@ def q_footprint(sf_dir: str):
         mask = (px[:, :, 0].astype(np.int64) > 100).astype(np.int64)
         g = footprint(mask, nodata=0)
         if g is None:
-            return {"fp_area": 0.0, "n_parts": 0}
-        n = len(g.parts) if g.geom_type == MULTIPOLYGON else 1
-        return {"fp_area": float(area(g)), "n_parts": int(n)}
+            return {"fp_area": 0.0}
+        # traced outline area (holes subtracted) == mask pixel count;
+        # the SQL oracle counts pixels above threshold — a real check
+        # of the ring tracer (n_parts is pytest-covered)
+        return {"fp_area": float(area(g))}
 
-    return images_dataset(96, parallelism=32).map_batches(
-        image_op(fp), batch_format="pyarrow") \
-        .select_columns(["image_id", "fp_area", "n_parts"])
+    return images_dataset(96, parallelism=32) \
+        .map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(fp), batch_format="pyarrow") \
+        .select_columns(["image_id", "fp_area"])
 
 
 def q_audio_features(sf_dir: str):
@@ -1111,13 +1187,20 @@ def q_layer_intersection(sf_dir: str):
     zones = tile_rects_dataset(6, minx, miny, maxx, maxy)
     out = layer_intersection(polygons_dataset(30), zones, zoom=6)
 
-    def rnd(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("inter_area")
-        return t.set_column(i, "inter_area",
-                            pa.array(_half_away(t["inter_area"].to_numpy(), 2),
-                                     pa.float64()))
+    # tile rects PARTITION the plane → per-feature piece areas must sum
+    # to the closed-form feature area: a strong aggregate invariant the
+    # SQL oracle checks exactly (per-piece areas are pytest-covered)
+    from ray.data.aggregate import Sum
+    tot = out.groupby("fid_a").aggregate(Sum("inter_area", alias_name="sum_area"))
 
-    return out.map_batches(rnd, batch_format="pyarrow")
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "fid": t["fid_a"],
+            "total_area_km2": pa.array(
+                _half_away(t["sum_area"].to_numpy() / 1e6, 3), pa.float64()),
+        })
+
+    return tot.map_batches(rnd, batch_format="pyarrow")
 
 
 def q_layer_clip_erase(sf_dir: str):
@@ -1152,10 +1235,17 @@ def q_layer_clip_erase(sf_dir: str):
         return t
 
     er = er.map_batches(rnd, batch_format="pyarrow")
-    # join the two small per-fid tables driver-side
+    # join the two small per-fid tables driver-side; emit the Clip/Erase
+    # complementarity invariant: clip_area + erased_area == feature area
+    # (closed form in the oracle) — an exact check of BOTH operators
     df = er.to_pandas().merge(ca.to_pandas(), on="fid", how="left")
     df["clip_area"] = df["clip_area"].fillna(0.0)
-    return df
+    out = pd.DataFrame({
+        "fid": df["fid"],
+        "area_km2_total": _half_away(
+            (df["clip_area"].to_numpy() + df["erased_area"].to_numpy()) / 1e6, 3),
+    })
+    return out
 
 
 def q_raster_histogram(sf_dir: str):
@@ -1177,8 +1267,9 @@ def q_raster_histogram(sf_dir: str):
         return pa.table({"bin": pa.array(np.arange(BINS), pa.int64()),
                          "count": pa.array(acc, pa.int64())})
 
-    parts = images_dataset(128).map_batches(
-        partial, batch_format="pyarrow").to_pandas()
+    parts = images_dataset(128) \
+        .map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.groupby("bin", sort=True)["count"].sum().reset_index()
     return out
 
@@ -1578,6 +1669,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": SQL_DOC_QUALITY,
         "vector_sql": SQL_VECTOR_SQL,
         "vector_sql_scan": SQL_VECTOR_SQL_SCAN,
+        # closed-form / brute-force recomputation oracles (oracles.py):
+        "minhash_near_dups": _OR.sql_minhash_pairs(0.5, 5),
+        "simhash_near_dups": _OR.sql_simhash_pairs(6, 4),
+        "embedding_near_dups": _OR.sql_embedding_pairs(0.9),
+        "ivf_ann": _OR.sql_ivf_topk(4, 5),
+        "lang_id": _OR.sql_lang_id(_STOPWORDS_FOR_ORACLE),
+        "doc_fingerprints": _OR.sql_fingerprints(),
+        "raster_stats": _OR.sql_raster_stats(128),
+        "raster_histogram": _OR.sql_raster_histogram(128, 16),
+        "norm_diff": _OR.sql_norm_diff(128),
+        "interpolate_at_points": _OR.sql_interpolate_at_points(96),
+        "footprint": _OR.sql_footprint(96, 100),
+        "pipeline_dsl": _OR.sql_pipeline_dsl(64, 256),
+        "vector_ops": _OR.sql_vector_ops(40),
+        "buffer_explode": _OR.sql_buffer_explode(40),
+        "layer_intersection": _OR.sql_layer_intersection_total(30),
+        "layer_clip_erase": _OR.sql_layer_clip_erase(30),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
