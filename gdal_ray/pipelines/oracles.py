@@ -65,8 +65,9 @@ gxs AS (SELECT g AS gx FROM generate_series(0, {max_dim - 1}) t(g)),
 gys AS (SELECT g AS gy FROM generate_series(0, {max_dim - 1}) t(g)),
 px AS (
   SELECT i, image_id, w, h, gx, gy,
-         (a * gx + b * gy) % 256       AS v0,
-         (a * gx + b * gy + c) % 256   AS v1
+         (a * gx + b * gy) % 256         AS v0,
+         (a * gx + b * gy + c) % 256     AS v1,
+         (a * gx + b * gy + 2 * c) % 256 AS v2
   FROM imgs JOIN gxs ON gx < w JOIN gys ON gy < h
 )"""
 
@@ -299,20 +300,22 @@ def sql_polygon_area_expr() -> str:
 
 
 def sql_pip_expr(px: str = "qx", py: str = "qy") -> str:
-    """Point-in-polygon predicate for the generator's 5 shape classes
-    (strict interior; boundary events have measure zero for float
-    inputs). dx/dy are offsets from the polygon center."""
+    """Point-in-polygon predicate for the generator's 5 shape classes,
+    replicating geom.points_in_polygon's convention exactly: inside OR
+    on the outer boundary counts; only the strict interior of a hole is
+    excluded. The synthetic grids are dyadic-aligned, so boundary hits
+    are exact float equalities, not measure-zero events."""
     return f"""(
   CASE k
-    WHEN 0 THEN abs({px} - cx) < s AND abs({py} - cy) < s
-    WHEN 1 THEN abs({px} - cx) + abs({py} - cy) < s
-    WHEN 2 THEN abs({px} - cx) < s AND abs({py} - cy) < s
+    WHEN 0 THEN abs({px} - cx) <= s AND abs({py} - cy) <= s
+    WHEN 1 THEN abs({px} - cx) + abs({py} - cy) <= s
+    WHEN 2 THEN abs({px} - cx) <= s AND abs({py} - cy) <= s
              AND NOT ({px} - cx > 0 AND {py} - cy > 0)
-    WHEN 3 THEN abs({px} - cx) < s AND abs({py} - cy) < s
+    WHEN 3 THEN abs({px} - cx) <= s AND abs({py} - cy) <= s
              AND NOT (abs({px} - cx) < s/3 AND abs({py} - cy) < s/3)
-    ELSE ({px} >= cx - s AND {px} < cx AND {py} >= cy - s AND {py} < cy)
-      OR ({px} >= cx + 1.5*s AND {px} < cx + 2.5*s
-          AND {py} >= cy + 1.5*s AND {py} < cy + 2.5*s)
+    ELSE ({px} >= cx - s AND {px} <= cx AND {py} >= cy - s AND {py} <= cy)
+      OR ({px} >= cx + 1.5*s AND {px} <= cx + 2.5*s
+          AND {py} >= cy + 1.5*s AND {py} <= cy + 2.5*s)
   END)"""
 
 
@@ -372,4 +375,195 @@ def sql_layer_clip_erase(m: int = 30) -> str:
 WITH {sql_polygons_cte(m)}
 SELECT fid, ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_total
 FROM polys
+"""
+
+
+def sql_raster_calc(n: int = 96) -> str:
+    """Band algebra "(A - B) / (A + B + 1) * 100 + C / 2" → per-image
+    mean (denominator ≥ 1, so no NaN path)."""
+    return sql_pixels_cte(n) + """
+SELECT image_id,
+       ROUND(AVG((v0 - v1)::DOUBLE / (v0 + v1 + 1) * 100 + v2 / 2.0), 4)
+         AS mean_calc
+FROM px GROUP BY image_id
+"""
+
+
+def sql_geojson_roundtrip(m: int = 25) -> str:
+    """GeoJSON write→read roundtrip is lossless (repr floats), so areas
+    equal the closed-form shape-class areas."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid, ROUND({sql_polygon_area_expr()}, 2) AS area
+FROM polys
+"""
+
+
+def sql_rasterize_zones(m: int = 30, zoom: int = 6) -> str:
+    """Scanline-burn pixel counts: pixels of the global z{{zoom}}
+    256px-tile lattice whose CENTERS fall inside each polygon.
+
+    The lattice center at integer index X is
+    -ORIGIN_SHIFT + (X + 0.5) * res with res = 2*OS / (2^z * 256)."""
+    from ..core.mercator import ORIGIN_SHIFT as OS
+    res = 2 * OS / ((1 << zoom) * 256)
+    return f"""
+WITH {sql_polygons_cte(m)},
+span AS (SELECT g AS d FROM generate_series(0, 63) t(g)),
+base AS (SELECT fid, cx, cy, s, k,
+    CAST(floor((cx - s + {OS!r}) / {res!r}) AS BIGINT) - 1 AS xb,
+    CAST(floor((cy - s + {OS!r}) / {res!r}) AS BIGINT) - 1 AS yb,
+    CASE WHEN k = 4 THEN 2.5*s ELSE s END AS xhi
+  FROM polys),
+cand AS (SELECT fid, cx, cy, s, k,
+    -{OS!r} + ((xb + dx.d) + 0.5) * {res!r} AS qx,
+    -{OS!r} + ((yb + dy.d) + 0.5) * {res!r} AS qy
+  FROM base, span dx(d), span dy(d)
+  WHERE (xb + dx.d + 0.5) * {res!r} - {OS!r} <= cx + xhi + {res!r}
+    AND (yb + dy.d + 0.5) * {res!r} - {OS!r} <= cy + (CASE WHEN k = 4 THEN 2.5*s ELSE s END) + {res!r})
+SELECT fid, COALESCE(SUM(CASE WHEN {sql_pip_expr()} THEN 1 END), 0)::BIGINT
+       AS total_px
+FROM cand GROUP BY fid
+"""
+
+
+def sql_polygonize_roundtrip(m: int = 20) -> str:
+    """Rasterize→polygonize roundtrip: traced polygon area equals burned
+    pixel count × cell area on the per-feature 66×66 grid (padding res =
+    env_size/64). Both output columns equal count * sx * sy."""
+    return f"""
+WITH {sql_polygons_cte(m)},
+grid AS (SELECT fid, cx, cy, s, k,
+    CASE WHEN k = 4 THEN 3.5*s ELSE 2*s END AS ew,
+    CASE WHEN k = 4 THEN cx - s ELSE cx - s END AS e0,
+    CASE WHEN k = 4 THEN cy - s ELSE cy - s END AS e1
+  FROM polys),
+g2 AS (SELECT *, ew / 64.0 AS res,
+       (ew + 2 * (ew / 64.0)) / 66.0 AS sx,
+       (ew + 2 * (ew / 64.0)) / 66.0 AS sy,
+       e0 - ew / 64.0 AS gx0,
+       e1 + ew + ew / 64.0 AS gy1
+  FROM grid),
+span AS (SELECT g AS d FROM generate_series(0, 65) t(g)),
+cand AS (SELECT fid, cx, cy, s, k, sx, sy,
+    gx0 + (dx.d + 0.5) * sx AS qx,
+    gy1 - (dy.d + 0.5) * sy AS qy
+  FROM g2, span dx(d), span dy(d)),
+cnt AS (SELECT fid, sx, sy,
+    COALESCE(SUM(CASE WHEN {sql_pip_expr()} THEN 1 END), 0) AS n
+  FROM cand GROUP BY fid, sx, sy)
+SELECT fid, ROUND(n * sx * sy / 1e6, 3) AS pixel_area_km2,
+       ROUND(n * sx * sy / 1e6, 3) AS polygon_area_km2
+FROM cnt
+"""
+
+
+def sql_cutline_clip(n: int = 96, m: int = 40) -> str:
+    """Per-image kept-pixel count after clipping to the FIRST (lowest
+    fid) polygon whose envelope overlaps the image's: count of image
+    pixel centers inside that polygon."""
+    return f"""
+WITH {sql_images_cte(n)},
+{sql_polygons_cte(m)},
+penv AS (SELECT fid, cx, cy, s, k,
+    cx - s AS pminx, cy - s AS pminy,
+    CASE WHEN k = 4 THEN cx + 2.5*s ELSE cx + s END AS pmaxx,
+    CASE WHEN k = 4 THEN cy + 2.5*s ELSE cy + s END AS pmaxy
+  FROM polys),
+ienv AS (SELECT i, image_id, w, h, res, x0, y1,
+    x0 AS iminx, y1 - h * res AS iminy,
+    x0 + w * res AS imaxx, y1 AS imaxy
+  FROM imgs),
+match AS (SELECT ienv.*, p.fid, p.cx, p.cy, p.s, p.k,
+    row_number() OVER (PARTITION BY i ORDER BY p.fid) AS rn
+  FROM ienv JOIN penv p
+    ON NOT (p.pminx > imaxx OR iminx > p.pmaxx
+         OR p.pminy > imaxy OR iminy > p.pmaxy)),
+first AS (SELECT * FROM match WHERE rn = 1),
+span AS (SELECT g AS d FROM generate_series(0, 511) t(g)),
+cand AS (SELECT f.image_id, f.cx, f.cy, f.s, f.k,
+    f.x0 + (dx.d + 0.5) * f.res AS qx,
+    f.y1 - (dy.d + 0.5) * f.res AS qy
+  FROM first f JOIN span dx(d) ON dx.d < f.w JOIN span dy(d) ON dy.d < f.h),
+cnt AS (SELECT image_id,
+    COALESCE(SUM(CASE WHEN {sql_pip_expr()} THEN 1 END), 0) AS kept
+  FROM cand GROUP BY image_id)
+SELECT ienv.image_id, COALESCE(cnt.kept, 0)::BIGINT AS kept_px
+FROM ienv LEFT JOIN cnt ON ienv.image_id = cnt.image_id
+"""
+
+
+def sql_morton_cell(zoom: int, tx: str, ty_xyz: str) -> str:
+    """cell_id(zoom, tx, ty_xyz) = zoom<<58 | interleave(tx, ty) as a
+    BIGINT expression (bit-by-bit interleave, zoom bits ≤ 29)."""
+    nbits = zoom if zoom > 0 else 1
+    terms = []
+    for kbit in range(nbits):
+        terms.append(f"(((({tx}) >> {kbit}) & 1) << {2 * kbit})")
+        terms.append(f"(((({ty_xyz}) >> {kbit}) & 1) << {2 * kbit + 1})")
+    return f"(({zoom}::BIGINT << 58) | (" + " | ".join(terms) + "))"
+
+
+def sql_spatial_sort(zoom: int = 10, n_chunks: int = 64) -> str:
+    """Hilbert-ish locality sort digest: events ordered by Morton cell
+    id (then event_id), split into ~64 equal chunks, per-chunk cell
+    range."""
+    from ..core.mercator import ORIGIN_SHIFT as OS
+    x_expr, y_expr = G.sql_point_xy("event_id")
+    tx_e, ty_e = G.sql_tile_xy("px.x", "px.y", zoom)
+    cell = sql_morton_cell(zoom, "t.tx", "t.ty")
+    return f"""
+WITH px AS (SELECT event_id, {x_expr} AS x, {y_expr} AS y FROM events),
+t AS (SELECT event_id, {tx_e} AS tx, {ty_e} AS ty FROM px),
+c AS (SELECT event_id, {cell} AS cell FROM t),
+r AS (SELECT cell, row_number() OVER (ORDER BY cell, event_id) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM c),
+k AS (SELECT *, greatest(n // {n_chunks}, 1) AS ck FROM r)
+SELECT (rn // ck)::BIGINT AS chunk,
+       MIN(cell)::BIGINT AS cell_min, MAX(cell)::BIGINT AS cell_max,
+       COUNT(*)::BIGINT AS n_rows
+FROM k GROUP BY 1
+"""
+
+
+def sql_raster_index(n: int = 128, zoom: int = 6) -> str:
+    """Per-cell manifest: covering z6 cells per image envelope
+    (mercator.cells_for_envelope semantics: eps-nudged corner tiles,
+    inclusive tile range, degenerate ranges collapse to the min
+    corner's tile), aggregated per cell."""
+    from ..core import mercator as M
+    OS = M.ORIGIN_SHIFT
+    res = float(M.resolution(zoom))
+    eps = res * 1e-6
+    ntiles = 1 << zoom
+
+    def tile_of(v):
+        return (f"least(greatest(CAST(ceil((({v}) + {OS!r}) / {res!r} / 256.0)"
+                f" AS BIGINT) - 1, 0), {ntiles - 1})")
+
+    cell = sql_morton_cell(zoom, "tx", f"({ntiles - 1} - ty_tms)")
+    return f"""
+WITH {sql_images_cte(n)},
+env AS (SELECT i, image_id, w, h,
+    (w::BIGINT * h)::BIGINT AS n_px,
+    x0 AS minx, y1 - h * res AS miny, x0 + w * res AS maxx, y1 AS maxy
+  FROM imgs),
+rng AS (SELECT *,
+    {tile_of(f"minx + {eps!r}")} AS tx0, {tile_of(f"maxx - {eps!r}")} AS tx1r,
+    {tile_of(f"miny + {eps!r}")} AS ty0, {tile_of(f"maxy - {eps!r}")} AS ty1r
+  FROM env),
+rng2 AS (SELECT *, greatest(tx1r, tx0) AS tx1, greatest(ty1r, ty0) AS ty1
+  FROM rng),
+span AS (SELECT g FROM generate_series(0, 7) t(g)),
+cov AS (SELECT r.n_px, r.minx, r.miny, r.maxx, r.maxy,
+               r.tx0 + sx.g AS tx, r.ty0 + sy.g AS ty_tms
+  FROM rng2 r
+  JOIN span sx ON r.tx0 + sx.g <= r.tx1
+  JOIN span sy ON r.ty0 + sy.g <= r.ty1)
+SELECT {cell} AS cell, COUNT(*)::BIGINT AS n_images,
+       SUM(n_px)::BIGINT AS total_px,
+       MIN(minx) AS minx, MIN(miny) AS miny,
+       MAX(maxx) AS maxx, MAX(maxy) AS maxy
+FROM cov GROUP BY 1
 """

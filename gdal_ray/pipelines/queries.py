@@ -938,9 +938,12 @@ def q_polygonize_roundtrip(sf_dir: str):
             fids.append(row["fid"])
             pix_area.append(float(arr.sum() * abs(gt[1] * gt[5])))
             poly_area.append(float(a))
-        return pa.table({"fid": pa.array(fids, pa.int64()),
-                         "pixel_area": pa.array(pix_area, pa.float64()),
-                         "polygon_area": pa.array(poly_area, pa.float64())})
+        return pa.table({
+            "fid": pa.array(fids, pa.int64()),
+            "pixel_area_km2": pa.array(
+                _half_away(np.asarray(pix_area) / 1e6, 3), pa.float64()),
+            "polygon_area_km2": pa.array(
+                _half_away(np.asarray(poly_area) / 1e6, 3), pa.float64())})
 
     return polygons_dataset(20).map_batches(roundtrip, batch_format="pyarrow")
 
@@ -1291,8 +1294,9 @@ def q_spatial_sort(sf_dir: str):
         return pa.table({"event_id": t["event_id"],
                          "cell": pa.array(cells.view(np.int64), pa.int64())})
 
+    # secondary key makes chunk membership deterministic on cell ties
     ds = _rp(sf_dir, "events", ["event_id"]) \
-        .map_batches(cellify, batch_format="pyarrow").sort("cell")
+        .map_batches(cellify, batch_format="pyarrow").sort(["cell", "event_id"])
 
     # verify-friendly digest: 64 equal row-count chunks → (chunk, min/max
     # cell); monotone non-overlapping ranges == locality achieved
@@ -1528,8 +1532,8 @@ def q_raster_calc(sf_dir: str):
         v = image_calc(px, EXPR)
         return {"mean_calc": _half_away([float(np.nanmean(v))])[0]}
 
-    return images_dataset(96).map_batches(
-        image_op(calc), batch_format="pyarrow") \
+    return images_dataset(96).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(calc), batch_format="pyarrow") \
         .select_columns(["image_id", "mean_calc"])
 
 
@@ -1577,7 +1581,10 @@ def q_distributed_contour(sf_dir: str):
         .reset_index(drop=True).drop(columns=["component"])
 
 
+# Dict ORDER matters: the driver's correctness gate records the first
+# 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
+    # --- relational / windowed (DuckDB oracles) ---
     "pricing_summary": q_pricing_summary,
     "attribute_filter": q_attribute_filter,
     "select_project": q_select_project,
@@ -1600,39 +1607,45 @@ QUERIES = {
     "histogram": q_histogram,
     "count_distinct": q_count_distinct,
     "doc_quality": q_doc_quality,
+    # --- OGR SQL dialect (identical string runs in DuckDB) ---
+    "vector_sql": q_vector_sql,
+    "vector_sql_scan": q_vector_sql_scan,
+    # --- dedup / ANN / text (brute-force recompute oracles) ---
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "ivf_ann": q_ivf_ann,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
+    # --- raster (closed-form pixel reconstruction oracles) ---
     "raster_stats": q_raster_stats,
-    "hillshade": q_hillshade,
+    "raster_histogram": q_raster_histogram,
     "norm_diff": q_norm_diff,
-    "rasterize_zones": q_rasterize_zones,
-    "polygonize_roundtrip": q_polygonize_roundtrip,
+    "raster_calc": q_raster_calc,
     "interpolate_at_points": q_interpolate_at_points,
+    "footprint": q_footprint,
+    "pipeline_dsl": q_pipeline_dsl,
+    # --- vector / raster↔vector (closed-form geometry oracles) ---
     "vector_ops": q_vector_ops,
     "buffer_explode": q_buffer_explode,
+    "layer_intersection": q_layer_intersection,
+    "layer_clip_erase": q_layer_clip_erase,
+    "geojson_roundtrip": q_geojson_roundtrip,
+    "rasterize_zones": q_rasterize_zones,
+    "polygonize_roundtrip": q_polygonize_roundtrip,
+    "cutline_clip": q_cutline_clip,
+    "spatial_sort": q_spatial_sort,
+    "raster_index": q_raster_index,
+    # --- rows-only entries inside the 50-window ---
+    "hillshade": q_hillshade,
+    "mosaic": q_mosaic,
     "idw_grid": q_idw_grid,
+    # --- battery-only (rows 51+; pytest-oracled) ---
     "reproject": q_reproject,
     "zonal_raster": q_zonal_raster,
     "contours": q_contours,
-    "footprint": q_footprint,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
-    "pipeline_dsl": q_pipeline_dsl,
-    "layer_intersection": q_layer_intersection,
-    "layer_clip_erase": q_layer_clip_erase,
-    "raster_histogram": q_raster_histogram,
-    "spatial_sort": q_spatial_sort,
-    "mosaic": q_mosaic,
-    "cutline_clip": q_cutline_clip,
-    "geojson_roundtrip": q_geojson_roundtrip,
-    "raster_index": q_raster_index,
-    "vector_sql": q_vector_sql,
-    "vector_sql_scan": q_vector_sql_scan,
-    "raster_calc": q_raster_calc,
     "distributed_polygonize": q_distributed_polygonize,
     "distributed_contour": q_distributed_contour,
     "image_tiles": q_image_tiles,
@@ -1686,6 +1699,13 @@ def oracle_sql() -> dict[str, str]:
         "buffer_explode": _OR.sql_buffer_explode(40),
         "layer_intersection": _OR.sql_layer_intersection_total(30),
         "layer_clip_erase": _OR.sql_layer_clip_erase(30),
+        "raster_calc": _OR.sql_raster_calc(96),
+        "geojson_roundtrip": _OR.sql_geojson_roundtrip(25),
+        "rasterize_zones": _OR.sql_rasterize_zones(30, 6),
+        "polygonize_roundtrip": _OR.sql_polygonize_roundtrip(20),
+        "cutline_clip": _OR.sql_cutline_clip(96, 40),
+        "spatial_sort": _OR.sql_spatial_sort(10, 64),
+        "raster_index": _OR.sql_raster_index(128, 6),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
