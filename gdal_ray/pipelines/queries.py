@@ -1066,6 +1066,55 @@ def q_reproject(sf_dir: str):
         .select_columns(["image_id", "dst_w", "dst_h", "cs_reproj"])
 
 
+def q_utm_warp(sf_dir: str):
+    """The reference's own benchmark workload shape (autotest/benchmark/
+    test_gdalwarp.py:24-56): UTM EPSG:32631 3-band uint8 source warped
+    to EPSG:4326 with near AND cubic, through the 0.125-px approximate
+    transformer mesh. Emits per-image dst dims + per-resampler checksums
+    (pixel parity vs the exact transform is pytest-verified)."""
+    from ..core.checksum import checksum
+    from ..stages.warp import reproject_array
+
+    N_IMG, W = 24, 512
+
+    def gen(t: pa.Table) -> pa.Table:
+        rows = {"image_id": [], "dst_w": [], "dst_h": [],
+                "cs_near": [], "cs_cubic": []}
+        for i in t["id"].to_pylist():
+            a, b = 1 + (i * 7919) % 13, 1 + (i * 104729) % 17
+            x = np.arange(W)[None, :]
+            y = np.arange(W)[:, None]
+            px = np.repeat((((a * x + b * y) % 256)
+                            .astype(np.uint8))[:, :, None], 3, axis=2)
+            # zone-31 interior anchors (lat ~41-49N), 10 m pixels
+            x0 = 350000.0 + (i * 37) % 300 * 1000.0
+            y0 = 4600000.0 + (i * 53) % 800 * 1000.0
+            gt = (x0, 10.0, 0.0, y0 + W * 10.0, 0.0, -10.0)
+            outs = {}
+            for rs in ("near", "cubic"):
+                out, valid, dgt = reproject_array(
+                    px, gt, "EPSG:32631", "EPSG:4326", resampling=rs)
+                outs[rs] = (out, dgt)
+            o_near, _ = outs["near"]
+            o_cubic, _ = outs["cubic"]
+            rows["image_id"].append(f"utm{i:05d}")
+            rows["dst_h"].append(o_near.shape[0])
+            rows["dst_w"].append(o_near.shape[1])
+            rows["cs_near"].append(int(checksum(np.round(o_near[:, :, 0]))))
+            rows["cs_cubic"].append(int(checksum(np.round(o_cubic[:, :, 0]))))
+        return pa.table({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "dst_w": pa.array(rows["dst_w"], pa.int32()),
+            "dst_h": pa.array(rows["dst_h"], pa.int32()),
+            "cs_near": pa.array(rows["cs_near"], pa.int64()),
+            "cs_cubic": pa.array(rows["cs_cubic"], pa.int64()),
+        })
+
+    import ray.data as rd
+    return rd.range(N_IMG, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow", batch_size=3)
+
+
 def q_zonal_raster(sf_dir: str):
     """Per-polygon raster-pixel statistics (alg/zonal.cpp): cell-join
     images×polygons, per-pair mask partials, groupby(fid) combine."""
@@ -1641,6 +1690,7 @@ QUERIES = {
     "mosaic": q_mosaic,
     "idw_grid": q_idw_grid,
     # --- battery-only (rows 51+; pytest-oracled) ---
+    "utm_warp": q_utm_warp,
     "reproject": q_reproject,
     "zonal_raster": q_zonal_raster,
     "contours": q_contours,

@@ -58,14 +58,51 @@ _TRANSFORMS = {
 }
 
 
+def _hub_legs(crs: str):
+    """(to_lonlat, from_lonlat) legs for a CRS, or None if unknown.
+    Known: EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx (Krüger series,
+    core/tmerc.py) — the registry GDAL keeps in PROJ's CRS database
+    (ogr/ogrspatialreference.cpp) reduced to the engine's working set."""
+    from ..core import tmerc
+
+    if crs == "EPSG:4326":
+        return _identity, _identity
+    if crs == "EPSG:3857":
+        return _merc_to_lonlat, _lonlat_to_merc
+    utm = tmerc.parse_utm_epsg(crs)
+    if utm is not None:
+        lon0, south = utm
+
+        def to_ll(x, y, lon0=lon0, south=south):
+            return tmerc.tmerc_to_lonlat(x, y, lon0, south=south)
+
+        def from_ll(x, y, lon0=lon0, south=south):
+            return tmerc.lonlat_to_tmerc(x, y, lon0, south=south)
+
+        return to_ll, from_ll
+    return None
+
+
 def get_transform(src_crs: str, dst_crs: str):
-    """Vectorized (x, y) -> (x, y) coordinate transform."""
+    """Vectorized (x, y) -> (x, y) coordinate transform. Direct entries
+    first, then composition through the EPSG:4326 hub (how GDAL chains
+    src→geographic→dst in GDALCreateGenImgProjTransformer2)."""
     if src_crs == dst_crs:
         return _identity
-    try:
-        return _TRANSFORMS[(src_crs, dst_crs)]
-    except KeyError:
-        raise ValueError(f"no transform {src_crs} -> {dst_crs}") from None
+    direct = _TRANSFORMS.get((src_crs, dst_crs))
+    if direct is not None:
+        return direct
+    src_legs = _hub_legs(src_crs)
+    dst_legs = _hub_legs(dst_crs)
+    if src_legs is None or dst_legs is None:
+        raise ValueError(f"no transform {src_crs} -> {dst_crs}")
+    to_ll, from_ll = src_legs[0], dst_legs[1]
+
+    def chained(x, y):
+        lon, lat = to_ll(x, y)
+        return from_ll(lon, lat)
+
+    return chained
 
 
 # ---------------------------------------------------------------------------

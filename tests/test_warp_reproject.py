@@ -30,8 +30,11 @@ class TestTransformRegistry:
 
     def test_identity_and_unknown(self):
         assert wp.get_transform("EPSG:3857", "EPSG:3857") is wp._identity
+        # UTM is supported since round 2 (core/tmerc.py) — a truly
+        # unknown CRS still raises
+        assert wp.get_transform("EPSG:3857", "EPSG:32633") is not None
         with pytest.raises(ValueError):
-            wp.get_transform("EPSG:3857", "EPSG:32633")
+            wp.get_transform("EPSG:3857", "EPSG:27700")
 
 
 class TestSuggestedOutput:
