@@ -1116,15 +1116,18 @@ def q_utm_warp(sf_dir: str):
 
 
 def q_zonal_raster(sf_dir: str):
-    """Per-polygon raster-pixel statistics (alg/zonal.cpp): cell-join
-    images×polygons, per-pair mask partials, groupby(fid) combine."""
+    """Per-polygon raster-pixel statistics (alg/zonal.cpp): the zone
+    layer is the small side → broadcast it once (ray.put) and emit
+    additive partials from a per-image map; the only shuffle is the
+    tiny groupby(fid) combine. The both-sides-huge cell co-shuffle path
+    (zonal_raster_stats, salted) is exercised in tests."""
     from ..sources.images import images_dataset
-    from ..sources.vector import polygons_dataset
+    from ..sources.vector import polygons_table
     from ..stages.georef import with_georef
-    from ..stages.zonal import zonal_raster_stats
+    from ..stages.zonal import zonal_raster_broadcast
 
     imgs = images_dataset(128).map_batches(with_georef, batch_format="pyarrow")
-    out = zonal_raster_stats(imgs, polygons_dataset(60), zoom=7)
+    out = zonal_raster_broadcast(imgs, polygons_table(60))
 
     def rnd(t: pa.Table) -> pa.Table:
         for c in ("pixel_sum", "pixel_mean"):

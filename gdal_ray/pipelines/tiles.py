@@ -21,7 +21,9 @@ import pyarrow as pa
 
 from ..sources.images import images_dataset
 from ..stages.georef import with_georef
-from ..stages.tiles import CombineChildren, RenderTile, add_parent_cell, cover_batch
+from ..stages.tiles import (CombineChildren, RenderFragments, RenderTile,
+                            add_parent_cell, cover_batch,
+                            warp_fragments_batch)
 
 
 N_RENDER_BUCKETS = 128
@@ -38,12 +40,24 @@ def _with_bucket(batch: pa.Table, key: str) -> pa.Table:
 def build_base_tiles(images, zoom: int | None = None, *,
                      resampling: str = "bilinear",
                      render_concurrency: int | None = None):
-    """images Dataset (raw schema) → base-zoom tile Dataset."""
+    """images Dataset (raw schema) → base-zoom tile Dataset.
+
+    Scale shape (round-2 fix for the shuffle-volume risk): the MAP side
+    decodes each image once and pre-warps one ≤256² RGBA-PNG fragment
+    per covering tile (warp_fragments_batch), so the groupby exchange
+    carries ≈1× the corpus in encoded fragments — NOT the source bytes
+    duplicated per covering cell (up to cover-factor×, unbounded at low
+    zooms). The reduce side only composites fragments (later-image-id
+    wins), which also moves the warp compute to the perfectly-parallel
+    map stage. Pixel output is checksum-identical to the previous
+    warp-in-reduce path (tests/test_tiles.py parity test)."""
     ds = images.map_batches(with_georef, batch_format="pyarrow")
-    ds = ds.map_batches(lambda b: cover_batch(b, zoom), batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: warp_fragments_batch(b, zoom, resampling=resampling),
+        batch_format="pyarrow")
     ds = ds.map_batches(lambda b: _with_bucket(b, "cell"),
                         batch_format="pyarrow")
-    renderer = RenderTile(resampling=resampling)
+    renderer = RenderFragments()
 
     def render_tile_group(g):
         return renderer(g)

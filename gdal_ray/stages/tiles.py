@@ -101,6 +101,157 @@ def tile_geotransform(z: int, x: int, y_xyz: int, tile_size: int = TILE_SIZE):
                            tile_size, tile_size)
 
 
+FRAGMENT_SCHEMA = pa.schema([
+    ("cell", pa.uint64()),
+    ("z", pa.int32()), ("x", pa.int64()), ("y", pa.int64()),
+    ("image_id", pa.string()),
+    ("r0", pa.int32()), ("c0", pa.int32()),
+    ("frag", pa.binary()),          # RGBA png: rgb + validity alpha
+])
+
+_KERNEL_RADIUS = {"near": 1, "bilinear": 1, "cubic": 2,
+                  "cubicspline": 2, "lanczos": 3}
+
+
+def _footprint_window(src_gt, w, h, dst_gt, ts, resampling):
+    """dst sub-window (c0, r0, c1, r1) covered by a source footprint,
+    padded by the resampling kernel's reach (ComputeSourceWindow's dual,
+    alg/gdalwarpoperation.cpp:134)."""
+    exs = (src_gt[0], src_gt[0] + w * src_gt[1])
+    eys = (src_gt[3], src_gt[3] + h * src_gt[5])
+    c0 = int(np.floor((min(exs) - dst_gt[0]) / dst_gt[1]))
+    c1 = int(np.ceil((max(exs) - dst_gt[0]) / dst_gt[1]))
+    r0 = int(np.floor((max(eys) - dst_gt[3]) / dst_gt[5]))
+    r1 = int(np.ceil((min(eys) - dst_gt[3]) / dst_gt[5]))
+    radius = _KERNEL_RADIUS.get(resampling, 2)
+    pad = int(np.ceil(radius * abs(src_gt[1]) / abs(dst_gt[1]))) + 1
+    return (max(c0 - pad, 0), max(r0 - pad, 0),
+            min(c1 + pad, ts), min(r1 + pad, ts))
+
+
+def warp_fragments_batch(batch: pa.Table, zoom: int | None = None,
+                         *, resampling: str = "bilinear",
+                         tile_size: int = TILE_SIZE,
+                         max_cells_per_image: int = 4096) -> pa.Table:
+    """Image rows (with georef cols) → one PRE-WARPED tile fragment per
+    covering tile: decode once in the map stage, warp each covering
+    tile's sub-window, re-encode the fragment as RGBA PNG (alpha =
+    validity).
+
+    This is the scale fix for the render shuffle: the exchange carries
+    ≤tile_size² encoded fragments totalling ≈1× the corpus, instead of
+    the full source bytes duplicated once per covering cell
+    (cover-factor×). Per-pixel results are IDENTICAL to warping inside
+    the render group: to_uint8 is elementwise and compositing is
+    later-id-wins either way (checksum-verified in tests)."""
+    n = batch.num_rows
+    minx = batch["minx"].to_numpy(); miny = batch["miny"].to_numpy()
+    maxx = batch["maxx"].to_numpy(); maxy = batch["maxy"].to_numpy()
+    native = batch["native_z"].to_numpy()
+    ids = batch["image_id"].to_pylist()
+    bys = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    gts = [batch[f"gt{k}"].to_numpy() for k in range(6)]
+    ts = tile_size
+    out: dict[str, list] = {k.name: [] for k in FRAGMENT_SCHEMA}
+    for i in range(n):
+        z = int(zoom if zoom is not None else native[i])
+        cells = merc.cells_for_envelope(minx[i], miny[i], maxx[i], maxy[i], z,
+                                        max_cells=max_cells_per_image)
+        if len(cells) == 0:
+            continue
+        src_gt = tuple(float(g[i]) for g in gts)
+        px = codec_decode(bys[i], fmts[i])
+        h, w = px.shape[:2]
+        zz, xx, yy = merc.cell_decode(cells)
+        for cell, tx, ty in zip(cells.tolist(), xx.tolist(), yy.tolist()):
+            dst_gt = tile_geotransform(z, int(tx), int(ty), ts)
+            c0, r0, c1, r1 = _footprint_window(src_gt, w, h, dst_gt, ts,
+                                               resampling)
+            if c0 >= c1 or r0 >= r1:
+                continue
+            sub_gt = (dst_gt[0] + c0 * dst_gt[1], dst_gt[1], 0.0,
+                      dst_gt[3] + r0 * dst_gt[5], 0.0, dst_gt[5])
+            warped, valid = rs.warp(px, src_gt, sub_gt, (r1 - r0, c1 - c0),
+                                    resampling)
+            if not valid.any():
+                continue
+            rgb = rs.to_uint8(np.where(valid[:, :, None], warped, 0.0))
+            rgba = np.dstack([rgb, (valid * 255).astype(np.uint8)])
+            out["cell"].append(np.uint64(cell))
+            out["z"].append(z); out["x"].append(int(tx)); out["y"].append(int(ty))
+            out["image_id"].append(ids[i])
+            out["r0"].append(r0); out["c0"].append(c0)
+            out["frag"].append(codec_encode(rgba, "png"))
+    return pa.Table.from_pydict(out, schema=FRAGMENT_SCHEMA)
+
+
+class RenderFragments:
+    """map_groups callable: pre-warped fragments of one (z,x,y) tile →
+    one rendered RGBA tile row. Compositing order: ascending image_id,
+    later wins on valid pixels — identical to RenderTile."""
+
+    def __init__(self, tile_size: int = TILE_SIZE, skip_blank: bool = True):
+        self.tile_size = tile_size
+        self.skip_blank = skip_blank
+
+    def _render_one(self, group: pd.DataFrame, out: dict) -> None:
+        z = int(group["z"].iloc[0]); x = int(group["x"].iloc[0])
+        y = int(group["y"].iloc[0]); cell = np.uint64(group["cell"].iloc[0])
+        ts = self.tile_size
+        acc = np.zeros((ts, ts, 3), dtype=np.uint8)
+        alpha = np.zeros((ts, ts), dtype=bool)
+        ids = group["image_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        frags = group["frag"].to_numpy()
+        r0s = group["r0"].to_numpy()
+        c0s = group["c0"].to_numpy()
+        n_src = 0
+        for ridx in order:
+            rgba = codec_decode(frags[ridx], "png")
+            fh, fw = rgba.shape[:2]
+            r0, c0 = int(r0s[ridx]), int(c0s[ridx])
+            valid = rgba[:, :, 3] > 0
+            if not valid.any():
+                continue
+            win = acc[r0:r0 + fh, c0:c0 + fw]
+            win[valid] = rgba[:, :, :3][valid]
+            alpha[r0:r0 + fh, c0:c0 + fw] |= valid
+            n_src += 1
+        if self.skip_blank and not alpha.any():
+            return
+        rgba_out = np.dstack([acc, (alpha * 255).astype(np.uint8)])
+        cs = checksum_multiband(acc)
+        out["cell"].append(np.uint64(cell)); out["z"].append(z)
+        out["x"].append(x); out["y"].append(y)
+        out["png"].append(codec_encode(rgba_out, "png"))
+        out["n_src"].append(n_src)
+        out["cs_r"].append(int(cs[0])); out["cs_g"].append(int(cs[1]))
+        out["cs_b"].append(int(cs[2]))
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in ("cell", "z", "x", "y", "png", "n_src",
+                               "cs_r", "cs_g", "cs_b")}
+        if "bucket" in group.columns and group["cell"].nunique() > 1:
+            for _, sub in group.groupby("cell", sort=False):
+                self._render_one(sub, out)
+        elif len(group):
+            self._render_one(group, out)
+        if not out["cell"]:
+            return _empty_tile_frame()
+        return pd.DataFrame({
+            "cell": pd.Series(out["cell"], dtype="uint64"),
+            "z": pd.Series(out["z"], dtype="int32"),
+            "x": pd.Series(out["x"], dtype="int64"),
+            "y": pd.Series(out["y"], dtype="int64"),
+            "png": pd.Series(out["png"], dtype=object),
+            "n_src": pd.Series(out["n_src"], dtype="int32"),
+            "cs_r": pd.Series(out["cs_r"], dtype="int32"),
+            "cs_g": pd.Series(out["cs_g"], dtype="int32"),
+            "cs_b": pd.Series(out["cs_b"], dtype="int32"),
+        })
+
+
 class RenderTile:
     """map_groups callable: all contributions of one (z,x,y) tile →
     one rendered RGBA tile row.

@@ -5,21 +5,22 @@ Reference semantics: alg/zonal.cpp (2,233 LoC) + the
 for every (raster, zone polygon) pair, the polygon is burned onto the
 raster grid and the covered pixels are reduced (count/sum/min/max/mean).
 
-Ray-Data-first plan (the partial+final aggregation pattern from
-gcore/gdalrasterband.cpp:5217 ComputeStatistics, distributed):
+Ray-Data-first plan (round-2 scale shape):
 
-  1. index both sides by mercator cell (`with_cells`) — ONE shuffle key
-     shared with the spatial-join stages;
-  2. `groupby(cell).map_groups(ZonalCell)` — inside a cell: vectorized
-     envelope prefilter → PBSM reference-point dedup (each pair counted
-     in exactly one cell) → decode image, scanline-rasterize the
-     polygon mask on the image's own grid, emit a PARTIAL row
-     (fid, sum, count, min, max) per pair;
-  3. tiny final `groupby(fid).aggregate(Sum/Sum/Min/Max)` — the only
-     all-to-all on the small partials table, never on pixels.
-
-Image bytes ship through the cell shuffle once; pixel decode happens
-exactly once per (pair, cell-owner).
+  1. MAP: crop each image to its covering cells — every pixel belongs
+     to exactly ONE cell (the cell containing its center), so the cell
+     pieces PARTITION the image. The exchange carries ≤cell-sized
+     re-encoded crops totalling ≈1× the corpus (never source bytes ×
+     cover factor), and partial stats become purely ADDITIVE — no
+     PBSM reference-point dedup needed.
+  2. SHUFFLE: groupby on the house salted bucket (stages/join.py
+     salted_bucket) — balanced reduce tasks, no per-cell group
+     overhead, no hot-cell straggler groups.
+  3. REDUCE (ZonalCell): inside a cell, envelope-prefilter crop×polygon
+     pairs, burn the polygon on each crop's grid, emit partial rows
+     (fid, sum, count, min, max).
+  4. tiny final groupby(fid).aggregate — the only all-to-all on the
+     small partials table, never on pixels.
 """
 
 from __future__ import annotations
@@ -29,63 +30,193 @@ import pandas as pd
 import pyarrow as pa
 
 from ..core import geom
+from ..core import mercator as merc
 from ..core import wkb as wkb_mod
 from ..core.rastervec import rasterize
-from .join import reference_cell, with_cells
+from .join import salted_bucket, with_cells
+
+N_ZONAL_BUCKETS = 128
+
+CROP_SCHEMA = pa.schema([
+    ("cell", pa.uint64()),
+    ("side", pa.string()),
+    ("image_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("fmt", pa.string()),
+    ("gt0", pa.float64()), ("gt1", pa.float64()), ("gt2", pa.float64()),
+    ("gt3", pa.float64()), ("gt4", pa.float64()), ("gt5", pa.float64()),
+    ("minx", pa.float64()), ("miny", pa.float64()),
+    ("maxx", pa.float64()), ("maxy", pa.float64()),
+    ("fid", pa.int64()), ("wkb", pa.binary()),
+])
+
+
+def crop_images_to_cells(batch: pa.Table, zoom: int) -> pa.Table:
+    """Image rows (georef cols) → one re-encoded crop row per covering
+    cell, partitioned by pixel-CENTER cell membership (each source pixel
+    appears in exactly one output row)."""
+    from ..codecs import decode as _dec, encode as _enc
+
+    tile_m = 2 * merc.ORIGIN_SHIFT / (1 << zoom)
+    n2 = (1 << zoom) - 1
+    out: dict[str, list] = {k.name: [] for k in CROP_SCHEMA}
+    gts = [batch[f"gt{k}"].to_numpy() for k in range(6)]
+    ids = batch["image_id"].to_pylist()
+    bys = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    ws = batch["w"].to_numpy()
+    hs = batch["h"].to_numpy()
+    for i in range(batch.num_rows):
+        w, h = int(ws[i]), int(hs[i])
+        gt = tuple(float(g[i]) for g in gts)
+        px = None
+        cxs = gt[0] + (np.arange(w) + 0.5) * gt[1]
+        cys = gt[3] + (np.arange(h) + 0.5) * gt[5]
+        txs = np.clip(np.floor((cxs + merc.ORIGIN_SHIFT) / tile_m)
+                      .astype(np.int64), 0, n2)
+        tys = np.clip(np.floor((cys + merc.ORIGIN_SHIFT) / tile_m)
+                      .astype(np.int64), 0, n2)           # TMS y
+        # contiguous runs (centers are monotone along each axis)
+        cbreaks = np.concatenate([[0], np.nonzero(np.diff(txs))[0] + 1, [w]])
+        rbreaks = np.concatenate([[0], np.nonzero(np.diff(tys))[0] + 1, [h]])
+        for r0, r1 in zip(rbreaks[:-1], rbreaks[1:]):
+            for c0, c1 in zip(cbreaks[:-1], cbreaks[1:]):
+                if px is None:
+                    px = _dec(bys[i], fmts[i])
+                crop = px[r0:r1, c0:c1]
+                cgt = (gt[0] + c0 * gt[1], gt[1], 0.0,
+                       gt[3] + r0 * gt[5], 0.0, gt[5])
+                cell = merc.cell_id(zoom, int(txs[c0]),
+                                    int(merc.tms_to_xyz(int(tys[r0]), zoom)))
+                out["cell"].append(np.uint64(cell))
+                out["side"].append("I")
+                out["image_id"].append(ids[i])
+                out["bytes"].append(_enc(np.ascontiguousarray(crop), "png"))
+                out["fmt"].append("png")
+                for g in range(6):
+                    out[f"gt{g}"].append(float(cgt[g]))
+                out["minx"].append(float(cgt[0]))
+                out["maxy"].append(float(cgt[3]))
+                out["maxx"].append(float(cgt[0] + (c1 - c0) * cgt[1]))
+                out["miny"].append(float(cgt[3] + (r1 - r0) * cgt[5]))
+                out["fid"].append(None)
+                out["wkb"].append(None)
+    return pa.Table.from_pydict(out, schema=CROP_SCHEMA)
 
 
 class ZonalCell:
-    """map_groups callable over one cell: emit per-(image, polygon)
-    partial pixel statistics."""
+    """map_groups callable over one salt bucket: emit per-(crop, polygon)
+    partial pixel statistics. Crops partition pixels, so partials are
+    additive — no cross-cell dedup."""
 
-    def __init__(self, zoom: int, band: int = 0):
+    def __init__(self, band: int = 0):
         from ..codecs import decode
-        self.zoom = zoom
         self.band = band
         self._decode = decode
-        self._px_cache: dict[str, np.ndarray] = {}
 
-    def _pixels(self, image_id: str, blob: bytes, fmt: str) -> np.ndarray:
-        px = self._px_cache.get(image_id)
-        if px is None:
-            px = self._decode(blob, fmt)
-            if px.ndim == 3:
-                px = px[:, :, self.band]
-            if len(self._px_cache) > 512:
-                self._px_cache.clear()
-            self._px_cache[image_id] = px
-        return px
-
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        cell = np.uint64(group["cell"].iloc[0])
+    def _cell_pairs(self, group: pd.DataFrame, out: dict) -> None:
         imgs = group[group["side"] == "I"]
         polys = group[group["side"] == "P"]
+        if not len(imgs) or not len(polys):
+            return
+        ia = imgs[["minx", "miny", "maxx", "maxy"]].to_numpy()
+        pe = polys[["minx", "miny", "maxx", "maxy"]].to_numpy()
+        overlap = ((ia[:, None, 0] <= pe[None, :, 2])
+                   & (pe[None, :, 0] <= ia[:, None, 2])
+                   & (ia[:, None, 1] <= pe[None, :, 3])
+                   & (pe[None, :, 1] <= ia[:, None, 3]))
+        ii, jj = np.nonzero(overlap)
+        if not len(ii):
+            return
+        geoms: dict[int, object] = {}
+        for i, j in zip(ii, jj):
+            irow = imgs.iloc[i]
+            prow = polys.iloc[j]
+            fid = int(prow["fid"])
+            g = geoms.get(fid)
+            if g is None:
+                g = geoms.setdefault(fid, wkb_mod.loads(prow["wkb"]))
+            px = self._decode(irow["bytes"], irow["fmt"])
+            if px.ndim == 3:
+                px = px[:, :, self.band]
+            h, w = px.shape
+            gt = (irow["gt0"], irow["gt1"], irow["gt2"],
+                  irow["gt3"], irow["gt4"], irow["gt5"])
+            mask = rasterize([(g, 1)], (h, w), gt,
+                             dtype=np.uint8).astype(bool)
+            if not mask.any():
+                continue
+            vals = px[mask].astype(np.float64)
+            out["fid"].append(fid)
+            out["psum"].append(float(vals.sum()))
+            out["pcount"].append(int(vals.size))
+            out["pmin"].append(float(vals.min()))
+            out["pmax"].append(float(vals.max()))
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         out = {"fid": [], "psum": [], "pcount": [], "pmin": [], "pmax": []}
-        if len(imgs) and len(polys):
-            ia = imgs[["minx", "miny", "maxx", "maxy"]].to_numpy()
-            pe = polys[["minx", "miny", "maxx", "maxy"]].to_numpy()
-            overlap = ((ia[:, None, 0] <= pe[None, :, 2])
-                       & (pe[None, :, 0] <= ia[:, None, 2])
-                       & (ia[:, None, 1] <= pe[None, :, 3])
-                       & (pe[None, :, 1] <= ia[:, None, 3]))
-            ii, jj = np.nonzero(overlap)
-            if len(ii):
-                ref = reference_cell(ia[ii, 0], ia[ii, 1],
-                                     pe[jj, 0], pe[jj, 1], self.zoom)
-                own = ref == cell
-                geoms: dict[int, object] = {}
-                for i, j in zip(ii[own], jj[own]):
-                    irow = imgs.iloc[i]
-                    prow = polys.iloc[j]
-                    fid = int(prow["fid"])
-                    g = geoms.get(fid)
-                    if g is None:
-                        g = geoms.setdefault(fid, wkb_mod.loads(prow["wkb"]))
-                    px = self._pixels(irow["image_id"], irow["bytes"],
-                                      irow["fmt"])
-                    h, w = px.shape
-                    gt = (irow["gt0"], irow["gt1"], irow["gt2"],
-                          irow["gt3"], irow["gt4"], irow["gt5"])
+        if "bucket" in group.columns and group["cell"].nunique() > 1:
+            for _, sub in group.groupby("cell", sort=False):
+                self._cell_pairs(sub, out)
+        elif len(group):
+            self._cell_pairs(group, out)
+        return pd.DataFrame({
+            "fid": pd.Series(out["fid"], dtype="int64"),
+            "psum": pd.Series(out["psum"], dtype="float64"),
+            "pcount": pd.Series(out["pcount"], dtype="int64"),
+            "pmin": pd.Series(out["pmin"], dtype="float64"),
+            "pmax": pd.Series(out["pmax"], dtype="float64"),
+        })
+
+
+def zonal_raster_broadcast(images_geo, polygons_table: pa.Table,
+                           band: int = 0):
+    """Zonal stats with a BROADCAST zone layer (the usual shape: zone
+    layers are small, the raster corpus is the 100 TB side). The polygon
+    table ships once via ray.put; the per-image map emits additive
+    partials; the only shuffle is the tiny groupby(fid) combine — no
+    cell exchange, no image bytes movement, no hot-cell skew.
+
+    Use zonal_raster_stats (salted cell co-shuffle) when BOTH sides are
+    too large to broadcast."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    polys = [(int(f), wkb_mod.loads(b), (mn, mi, mx, my))
+             for f, b, mn, mi, mx, my in zip(
+                 polygons_table["fid"].to_pylist(),
+                 polygons_table["wkb"].to_pylist(),
+                 polygons_table["minx"].to_pylist(),
+                 polygons_table["miny"].to_pylist(),
+                 polygons_table["maxx"].to_pylist(),
+                 polygons_table["maxy"].to_pylist())]
+    pref = ray.put(polys)
+
+    class Partials:
+        def __init__(self):
+            from ..codecs import decode
+            self._decode = decode
+            self._polys = ray.get(pref)     # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = {"fid": [], "psum": [], "pcount": [],
+                   "pmin": [], "pmax": []}
+            gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+            blobs = t["bytes"].to_pylist()
+            fmts = t["fmt"].to_pylist()
+            ie = [t[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")]
+            for i in range(t.num_rows):
+                cand = [(f, g) for f, g, pe in self._polys
+                        if not (pe[0] > ie[2][i] or ie[0][i] > pe[2]
+                                or pe[1] > ie[3][i] or ie[1][i] > pe[3])]
+                if not cand:
+                    continue
+                px = self._decode(blobs[i], fmts[i])
+                if px.ndim == 3:
+                    px = px[:, :, band]
+                h, w = px.shape
+                gt = tuple(float(g[i]) for g in gts)
+                for fid, g in cand:
                     mask = rasterize([(g, 1)], (h, w), gt,
                                      dtype=np.uint8).astype(bool)
                     if not mask.any():
@@ -96,13 +227,31 @@ class ZonalCell:
                     out["pcount"].append(int(vals.size))
                     out["pmin"].append(float(vals.min()))
                     out["pmax"].append(float(vals.max()))
-        return pd.DataFrame({
-            "fid": pd.Series(out["fid"], dtype="int64"),
-            "psum": pd.Series(out["psum"], dtype="float64"),
-            "pcount": pd.Series(out["pcount"], dtype="int64"),
-            "pmin": pd.Series(out["pmin"], dtype="float64"),
-            "pmax": pd.Series(out["pmax"], dtype="float64"),
-        })
+            return pa.table({
+                "fid": pa.array(out["fid"], pa.int64()),
+                "psum": pa.array(out["psum"], pa.float64()),
+                "pcount": pa.array(out["pcount"], pa.int64()),
+                "pmin": pa.array(out["pmin"], pa.float64()),
+                "pmax": pa.array(out["pmax"], pa.float64()),
+            })
+
+    # (1, N) actor pool: scales up to N but starts as soon as one actor
+    # schedules — a fixed N would deadlock on sessions with < N CPUs
+    partials = images_geo.map_batches(Partials, batch_format="pyarrow",
+                                      concurrency=(1, 8), batch_size=8)
+    agg = partials.groupby("fid").aggregate(
+        Sum("psum", alias_name="pixel_sum"),
+        Sum("pcount", alias_name="pixel_count"),
+        Min("pmin", alias_name="pixel_min"),
+        Max("pmax", alias_name="pixel_max"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("pixel_sum").to_numpy()
+        n = t.column("pixel_count").to_numpy()
+        mean = np.where(n > 0, s / np.maximum(n, 1), 0.0)
+        return t.append_column("pixel_mean", pa.array(mean, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def zonal_raster_stats(images_geo, polygons, zoom: int = 7, band: int = 0):
@@ -112,14 +261,8 @@ def zonal_raster_stats(images_geo, polygons, zoom: int = 7, band: int = 0):
     (fid, pixel_count, pixel_sum, pixel_min, pixel_max, pixel_mean)."""
     from ray.data.aggregate import Max, Min, Sum
 
-    img_keep = ["image_id", "bytes", "fmt", "gt0", "gt1", "gt2", "gt3",
-                "gt4", "gt5", "minx", "miny", "maxx", "maxy"]
-    imgs = with_cells(images_geo, zoom, img_keep)
-    imgs = imgs.map_batches(
-        lambda b: (b.append_column("side", pa.array(["I"] * b.num_rows))
-                   .append_column("fid", pa.nulls(b.num_rows, pa.int64()))
-                   .append_column("wkb", pa.nulls(b.num_rows, pa.binary()))),
-        batch_format="pyarrow")
+    imgs = images_geo.map_batches(
+        lambda b: crop_images_to_cells(b, zoom), batch_format="pyarrow")
     pols = with_cells(polygons, zoom,
                       ["fid", "wkb", "minx", "miny", "maxx", "maxy"])
 
@@ -133,17 +276,18 @@ def zonal_raster_stats(images_geo, polygons, zoom: int = 7, band: int = 0):
         return b
 
     pols = pols.map_batches(pol_pad, batch_format="pyarrow")
-    cols = ["cell", "side", "image_id", "bytes", "fmt",
-            "gt0", "gt1", "gt2", "gt3", "gt4", "gt5",
-            "minx", "miny", "maxx", "maxy", "fid", "wkb"]
+    cols = [k.name for k in CROP_SCHEMA]
     both = imgs.select_columns(cols).union(pols.select_columns(cols))
-    zc = ZonalCell(zoom, band)
+    both = both.map_batches(
+        lambda b: salted_bucket(b, "cell", N_ZONAL_BUCKETS),
+        batch_format="pyarrow")
+    zc = ZonalCell(band)
 
     def zonal_cell_group(g):
         return zc(g)
 
-    partials = both.groupby("cell").map_groups(zonal_cell_group,
-                                               batch_format="pandas")
+    partials = both.groupby("bucket").map_groups(zonal_cell_group,
+                                                 batch_format="pandas")
     agg = partials.groupby("fid").aggregate(
         Sum("psum", alias_name="pixel_sum"),
         Sum("pcount", alias_name="pixel_count"),

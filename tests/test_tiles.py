@@ -224,3 +224,71 @@ class TestWriteTileTree:
         # resume skips recorded levels entirely
         m2 = write_tile_tree(levels, out)
         assert m2 == m
+
+
+class TestFragmentParity:
+    """Round-2 shuffle fix: pre-warped fragments must produce
+    checksum-identical tiles to the warp-in-reduce RenderTile path."""
+
+    def test_fragment_pipeline_matches_rendertile(self, ray_session):
+        import pandas as pd
+        from gdal_ray.sources.images import images_dataset
+        from gdal_ray.stages.georef import with_georef
+        from gdal_ray.stages.tiles import (RenderFragments, RenderTile,
+                                           cover_batch, warp_fragments_batch)
+
+        imgs = images_dataset(24).map_batches(with_georef,
+                                              batch_format="pyarrow")
+        Z = 7
+        # old path: ship bytes, warp in reduce
+        old_rows = []
+        for b in imgs.map_batches(lambda t: cover_batch(t, Z),
+                                  batch_format="pyarrow").iter_batches(
+                                  batch_format="pandas", batch_size=4096):
+            old_rows.append(b)
+        old = pd.concat(old_rows, ignore_index=True)
+        rt = RenderTile(resampling="bilinear")
+        old_tiles = pd.concat([rt(g) for _, g in old.groupby("cell")],
+                              ignore_index=True)
+
+        # new path: pre-warp fragments in map, composite in reduce
+        frag_rows = []
+        for b in imgs.map_batches(
+                lambda t: warp_fragments_batch(t, Z, resampling="bilinear"),
+                batch_format="pyarrow").iter_batches(
+                batch_format="pandas", batch_size=4096):
+            frag_rows.append(b)
+        frags = pd.concat(frag_rows, ignore_index=True)
+        rf = RenderFragments()
+        new_tiles = pd.concat([rf(g) for _, g in frags.groupby("cell")],
+                              ignore_index=True)
+
+        cols = ["cell", "z", "x", "y", "n_src", "cs_r", "cs_g", "cs_b"]
+        o = old_tiles[cols].sort_values("cell").reset_index(drop=True)
+        n = new_tiles[cols].sort_values("cell").reset_index(drop=True)
+        assert len(o) == len(n) and len(o) > 0
+        pd.testing.assert_frame_equal(o, n)
+
+    def test_fragment_shuffle_smaller_than_bytes_dup(self, ray_session):
+        """The exchange payload of the fragment path must not exceed the
+        old duplicated-source-bytes payload (and is typically smaller at
+        low zoom where cover factor grows)."""
+        from gdal_ray.sources.images import images_dataset
+        from gdal_ray.stages.georef import with_georef
+        from gdal_ray.stages.tiles import cover_batch, warp_fragments_batch
+
+        imgs = images_dataset(24).map_batches(with_georef,
+                                              batch_format="pyarrow")
+        Z = 7
+        old_bytes = 0
+        for b in imgs.map_batches(lambda t: cover_batch(t, Z),
+                                  batch_format="pyarrow").iter_batches(
+                                  batch_format="pyarrow", batch_size=4096):
+            old_bytes += sum(len(v) for v in b["bytes"].to_pylist())
+        new_bytes = 0
+        for b in imgs.map_batches(
+                lambda t: warp_fragments_batch(t, Z),
+                batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=4096):
+            new_bytes += sum(len(v) for v in b["frag"].to_pylist())
+        assert new_bytes < old_bytes * 1.5

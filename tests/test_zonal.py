@@ -65,3 +65,26 @@ class TestZonalRaster:
     def test_mean_in_band_range(self, zonal_result):
         assert (zonal_result["pixel_mean"] >= 0).all()
         assert (zonal_result["pixel_mean"] <= 255).all()
+
+
+class TestBroadcastParity:
+    def test_broadcast_equals_shuffle_path(self, ray_session):
+        """zonal_raster_broadcast (small zone layer shipped via ray.put)
+        must produce identical stats to the salted cell co-shuffle
+        path."""
+        from gdal_ray.sources.images import images_dataset
+        from gdal_ray.sources.vector import polygons_dataset, polygons_table
+        from gdal_ray.stages.georef import with_georef
+        from gdal_ray.stages.zonal import (zonal_raster_broadcast,
+                                           zonal_raster_stats)
+
+        imgs = images_dataset(48).map_batches(with_georef,
+                                              batch_format="pyarrow")
+        a = zonal_raster_stats(imgs, polygons_dataset(30), zoom=7) \
+            .to_pandas().sort_values("fid").reset_index(drop=True)
+        imgs2 = images_dataset(48).map_batches(with_georef,
+                                               batch_format="pyarrow")
+        b = zonal_raster_broadcast(imgs2, polygons_table(30)) \
+            .to_pandas().sort_values("fid").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)
