@@ -1,0 +1,423 @@
+"""GeoTIFF reader/writer — pure Python + numpy, no libtiff.
+
+Independently implements the published TIFF 6.0 + GeoTIFF 1.1 formats
+(reference behavior: frmts/gtiff/gtiffdataset_read.cpp for strip/tile
+layout semantics, gcore/gdal.h:47-67 for the dtype model). Golden-file
+conformance is tested against the reference's own fixtures
+(autotest/gcore/data/byte.tif checksum 4672 per
+autotest/gcore/tiff_read.py:111; autotest/utilities/data/utmsmall.tif
+checksum 50054 per autotest/utilities/test_gdalalg_raster_convert.py:33).
+
+Reader: classic TIFF (II/MM), strips and tiles, PlanarConfig chunky,
+compression none/deflate/adobe-deflate/LZW/PackBits, horizontal
+predictor, u/int 8/16/32, float32/64 via (BitsPerSample, SampleFormat),
+geotransform from ModelPixelScale+ModelTiepoint or ModelTransformation,
+CRS from the GeoKey directory (EPSG codes), GDAL_NODATA tag.
+
+Writer: tiled or stripped, deflate or none, same dtype set, geo tags +
+nodata — enough for a full read→transform→write GeoTIFF pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# TIFF tag ids
+_T_WIDTH, _T_HEIGHT = 256, 257
+_T_BITS, _T_COMP, _T_PHOTO = 258, 259, 262
+_T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 273, 277, 278, 279
+_T_PLANAR = 284
+_T_PREDICTOR = 317
+_T_TILE_W, _T_TILE_H, _T_TILE_OFF, _T_TILE_CNT = 322, 323, 324, 325
+_T_EXTRA_SAMPLES = 338
+_T_SFMT = 339
+_T_PIXEL_SCALE, _T_TIEPOINT, _T_TRANSFORM = 33550, 33922, 34264
+_T_GEO_KEYS, _T_GEO_DOUBLES, _T_GEO_ASCII = 34735, 34736, 34737
+_T_NODATA = 42113
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
+             11: "f", 12: "d", 16: "Q", 17: "q"}
+
+
+class GeoTiff:
+    """Decoded GeoTIFF: pixels (h, w, bands), geotransform, CRS, nodata."""
+
+    def __init__(self, pixels, geotransform=None, crs=None, nodata=None):
+        self.pixels = pixels
+        self.geotransform = geotransform
+        self.crs = crs
+        self.nodata = nodata
+
+
+def _read_ifd_values(buf, bo, typ, cnt, val_off_raw):
+    size = _TYPE_SIZES.get(typ, 1) * cnt
+    if size <= 4:
+        raw = val_off_raw
+    else:
+        (off,) = struct.unpack(bo + "I", val_off_raw)
+        raw = buf[off:off + size]
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return raw
+    if typ == 5:  # RATIONAL
+        vals = struct.unpack(bo + f"{2 * cnt}I", raw[:8 * cnt])
+        return [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(cnt)]
+    return list(struct.unpack(bo + f"{cnt}{fmt}", raw[:size * 1]
+                              if size > 4 else raw[:struct.calcsize(bo + f"{cnt}{fmt}")]))
+
+
+def _dtype_of(bits, sfmt, bo):
+    base = {(8, 1): "u1", (8, 4): "u1", (16, 1): "u2", (32, 1): "u4",
+            (8, 2): "i1", (16, 2): "i2", (32, 2): "i4",
+            (16, 3): "f2", (32, 3): "f4", (64, 3): "f8"}.get((bits, sfmt))
+    if base is None:
+        raise ValueError(f"unsupported TIFF sample: {bits} bits fmt {sfmt}")
+    return np.dtype(base if base == "u1" or base == "i1" else bo + base)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, ClearCode 256, EOI 257,
+    early-change code-width bump)."""
+    out = bytearray()
+    table: list[bytes] = []
+    bitpos = 0
+    nbits = 9
+    prev: bytes | None = None
+    nbytes = len(data)
+
+    def reset():
+        nonlocal table, nbits, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        nbits = 9
+        prev = None
+
+    reset()
+    while True:
+        byte0 = bitpos >> 3
+        if byte0 + 3 > nbytes:
+            chunk = data[byte0:byte0 + 3] + b"\x00\x00"
+        else:
+            chunk = data[byte0:byte0 + 3]
+        word = (chunk[0] << 16) | (chunk[1] << 8) | chunk[2]
+        code = (word >> (24 - nbits - (bitpos & 7))) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == 257 or byte0 >= nbytes:
+            break
+        if code == 256:
+            reset()
+            continue
+        if prev is None:
+            entry = table[code]
+            out += entry
+        else:
+            if code < len(table):
+                entry = table[code]
+            else:
+                entry = prev + prev[:1]
+            out += entry
+            table.append(prev + entry[:1])
+        prev = entry
+        # early change: widen one code before the table fills
+        if len(table) + 1 >= (1 << nbits) and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i:i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _decompress(raw: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return raw
+    if comp in (8, 32946):        # deflate / adobe deflate
+        return zlib.decompress(raw)
+    if comp == 5:
+        return _lzw_decode(raw)
+    if comp == 32773:
+        return _packbits_decode(raw)
+    raise ValueError(f"unsupported TIFF compression {comp}")
+
+
+def _undo_predictor(arr: np.ndarray) -> np.ndarray:
+    """Horizontal differencing predictor (2): cumulative sum per row
+    with dtype wraparound."""
+    return np.cumsum(arr, axis=1, dtype=np.int64).astype(arr.dtype) \
+        if not np.issubdtype(arr.dtype, np.floating) else np.cumsum(arr, axis=1)
+
+
+def decode_gtiff(buf: bytes) -> GeoTiff:
+    """Decode a classic GeoTIFF byte stream (first IFD)."""
+    mv = bytes(buf)
+    if mv[:2] == b"II":
+        bo = "<"
+    elif mv[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte order mark)")
+    (magic,) = struct.unpack_from(bo + "H", mv, 2)
+    if magic != 42:
+        raise ValueError(f"not a classic TIFF (magic {magic})")
+    (ifd_off,) = struct.unpack_from(bo + "I", mv, 4)
+    (n_tags,) = struct.unpack_from(bo + "H", mv, ifd_off)
+    tags: dict[int, list] = {}
+    for i in range(n_tags):
+        base = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", mv, base)
+        tags[tag] = _read_ifd_values(mv, bo, typ, cnt, mv[base + 8:base + 12])
+
+    w = int(tags[_T_WIDTH][0])
+    h = int(tags[_T_HEIGHT][0])
+    spp = int(tags.get(_T_SPP, [1])[0])
+    bits_list = tags.get(_T_BITS, [8])
+    bits = int(bits_list[0] if isinstance(bits_list, list) else bits_list)
+    comp = int(tags.get(_T_COMP, [1])[0])
+    sfmt_l = tags.get(_T_SFMT, [1])
+    sfmt = int(sfmt_l[0] if isinstance(sfmt_l, list) else sfmt_l)
+    planar = int(tags.get(_T_PLANAR, [1])[0])
+    pred = int(tags.get(_T_PREDICTOR, [1])[0])
+    dt = _dtype_of(bits, sfmt, bo)
+    # planar=2 (separate): each block carries ONE band, bands iterate
+    # in the outer block dimension
+    bspp = spp if planar == 1 else 1
+
+    out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
+
+    def place(block_bytes, row0, col0, bh, bw, band0):
+        need = bh * bw * bspp * dt.itemsize
+        if len(block_bytes) < need:
+            # writers may truncate edge blocks — pad with zeros
+            block_bytes = block_bytes + b"\x00" * (need - len(block_bytes))
+        arr = np.frombuffer(block_bytes, dtype=dt,
+                            count=bh * bw * bspp).reshape(bh, bw, bspp)
+        arr = arr.astype(dt.newbyteorder("="))
+        if pred == 2:
+            a = np.cumsum(arr.astype(np.int64), axis=1) \
+                if not np.issubdtype(arr.dtype, np.floating) \
+                else np.cumsum(arr, axis=1)
+            arr = a.astype(dt.newbyteorder("="))
+        eh = min(bh, h - row0)
+        ew = min(bw, w - col0)
+        out[row0:row0 + eh, col0:col0 + ew,
+            band0:band0 + bspp] = arr[:eh, :ew]
+
+    if _T_TILE_OFF in tags:
+        tw = int(tags[_T_TILE_W][0])
+        tl = int(tags[_T_TILE_H][0])
+        offs = tags[_T_TILE_OFF]
+        cnts = tags[_T_TILE_CNT]
+        tiles_across = -(-w // tw)
+        tiles_per_band = tiles_across * (-(-h // tl))
+        for ti, (o, c) in enumerate(zip(offs, cnts)):
+            band0 = 0 if planar == 1 else ti // tiles_per_band
+            bi = ti if planar == 1 else ti % tiles_per_band
+            row0 = (bi // tiles_across) * tl
+            col0 = (bi % tiles_across) * tw
+            place(_decompress(mv[o:o + c], comp), row0, col0, tl, tw, band0)
+    else:
+        rps = int(tags.get(_T_RPS, [h])[0])
+        offs = tags[_T_STRIP_OFF]
+        cnts = tags[_T_STRIP_CNT]
+        strips_per_band = -(-h // rps)
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            band0 = 0 if planar == 1 else si // strips_per_band
+            bi = si if planar == 1 else si % strips_per_band
+            row0 = bi * rps
+            bh = min(rps, h - row0)
+            place(_decompress(mv[o:o + c], comp), row0, 0, bh, w, band0)
+
+    gt = None
+    if _T_TRANSFORM in tags:
+        m = tags[_T_TRANSFORM]
+        gt = (m[3], m[0], m[1], m[7], m[4], m[5])
+    elif _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:
+        sx, sy = tags[_T_PIXEL_SCALE][0], tags[_T_PIXEL_SCALE][1]
+        tp = tags[_T_TIEPOINT]
+        # tiepoint: (i, j, k, X, Y, Z) — raster (i,j) maps to world (X,Y)
+        gt = (tp[3] - tp[0] * sx, sx, 0.0, tp[4] + tp[1] * sy, 0.0, -sy)
+
+    crs = None
+    if _T_GEO_KEYS in tags:
+        gk = tags[_T_GEO_KEYS]
+        for i in range(4, len(gk), 4):
+            key, loc, cnt, val = gk[i:i + 4]
+            if key == 3072 and loc == 0:          # ProjectedCSTypeGeoKey
+                crs = f"EPSG:{val}"
+            elif key == 2048 and loc == 0 and crs is None:  # GeographicType
+                crs = f"EPSG:{val}"
+
+    nodata = None
+    if _T_NODATA in tags:
+        raw = tags[_T_NODATA]
+        s = raw.split(b"\x00")[0].decode() if isinstance(raw, (bytes, bytearray)) \
+            else "".join(chr(c) for c in raw if c).strip()
+        try:
+            nodata = float(s)
+        except ValueError:
+            nodata = None
+
+    px = out[:, :, 0] if spp == 1 else out
+    return GeoTiff(px, gt, crs, nodata)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+_DT_TO_TIFF = {
+    np.dtype("u1"): (8, 1), np.dtype("u2"): (16, 1), np.dtype("u4"): (32, 1),
+    np.dtype("i1"): (8, 2), np.dtype("i2"): (16, 2), np.dtype("i4"): (32, 2),
+    np.dtype("f4"): (32, 3), np.dtype("f8"): (64, 3),
+}
+
+
+def encode_gtiff(pixels: np.ndarray, *, geotransform=None, crs=None,
+                 nodata=None, tile_size: int = 256,
+                 compress: str = "deflate") -> bytes:
+    """Encode (h, w[, bands]) → tiled little-endian GeoTIFF bytes."""
+    px = pixels if pixels.ndim == 3 else pixels[:, :, None]
+    h, w, spp = px.shape
+    dt = px.dtype
+    if dt not in _DT_TO_TIFF:
+        raise ValueError(f"unsupported dtype {dt}")
+    bits, sfmt = _DT_TO_TIFF[dt]
+    comp_id = {"none": 1, "deflate": 8}[compress]
+
+    ts = tile_size
+    tiles_across = -(-w // ts)
+    tiles_down = -(-h // ts)
+    blocks = []
+    for ty in range(tiles_down):
+        for tx in range(tiles_across):
+            tile = np.zeros((ts, ts, spp), dtype=dt)
+            sub = px[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            tile[:sub.shape[0], :sub.shape[1]] = sub
+            raw = np.ascontiguousarray(tile).astype(
+                dt.newbyteorder("<")).tobytes()
+            blocks.append(zlib.compress(raw, 6) if comp_id == 8 else raw)
+
+    # --- assemble tag data ---
+    entries: list[tuple[int, int, int, bytes]] = []   # (tag, type, count, payload)
+
+    def tag_short(t, v):
+        entries.append((t, 3, 1, struct.pack("<HH", v, 0)))
+
+    def tag_long(t, v):
+        entries.append((t, 4, 1, struct.pack("<I", v)))
+
+    def tag_longs(t, vals):
+        entries.append((t, 4, len(vals),
+                        struct.pack(f"<{len(vals)}I", *vals)))
+
+    def tag_doubles(t, vals):
+        entries.append((t, 12, len(vals),
+                        struct.pack(f"<{len(vals)}d", *vals)))
+
+    def tag_ascii(t, s):
+        b = s.encode() + b"\x00"
+        entries.append((t, 2, len(b), b))
+
+    def tag_shorts(t, vals):
+        entries.append((t, 3, len(vals),
+                        struct.pack(f"<{len(vals)}H", *vals)))
+
+    tag_long(_T_WIDTH, w)
+    tag_long(_T_HEIGHT, h)
+    tag_shorts(_T_BITS, [bits] * spp)
+    tag_short(_T_COMP, comp_id)
+    tag_short(_T_PHOTO, 2 if spp >= 3 else 1)
+    tag_short(_T_SPP, spp)
+    tag_short(_T_PLANAR, 1)
+    if spp > 3:
+        tag_shorts(_T_EXTRA_SAMPLES, [0] * (spp - 3))
+    tag_shorts(_T_SFMT, [sfmt] * spp)
+    tag_short(_T_TILE_W, ts)
+    tag_short(_T_TILE_H, ts)
+    # offsets patched later
+    tag_longs(_T_TILE_OFF, [0] * len(blocks))
+    tag_longs(_T_TILE_CNT, [len(b) for b in blocks])
+    if geotransform is not None:
+        g = geotransform
+        tag_doubles(_T_PIXEL_SCALE, [g[1], -g[5], 0.0])
+        tag_doubles(_T_TIEPOINT, [0.0, 0.0, 0.0, g[0], g[3], 0.0])
+    if crs is not None and crs.upper().startswith("EPSG:"):
+        code = int(crs.split(":")[1])
+        is_geo = code == 4326
+        keys = [1, 1, 0, 3,
+                1024, 0, 1, 2 if is_geo else 1,   # GTModelType
+                1025, 0, 1, 1]                    # RasterPixelIsArea
+        keys += ([2048, 0, 1, code] if is_geo else [3072, 0, 1, code])
+        keys[3] = (len(keys) - 4) // 4
+        tag_shorts(_T_GEO_KEYS, keys)
+    if nodata is not None:
+        tag_ascii(_T_NODATA, repr(float(nodata)))
+
+    entries.sort(key=lambda e: e[0])
+
+    # layout: header(8) + IFD + out-of-line tag data + blocks
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    data_off = ifd_off + ifd_size
+    out_of_line = []
+    fixed = []
+    for t, typ, cnt, payload in entries:
+        size = len(payload)
+        if size <= 4:
+            fixed.append((t, typ, cnt, payload.ljust(4, b"\x00"), None))
+        else:
+            fixed.append((t, typ, cnt, None, len(out_of_line)))
+            out_of_line.append(payload)
+    ool_offsets = []
+    cur = data_off
+    for p in out_of_line:
+        ool_offsets.append(cur)
+        cur += len(p) + (len(p) & 1)   # word align
+    block_off0 = cur
+    block_offsets = []
+    for b in blocks:
+        block_offsets.append(cur)
+        cur += len(b) + (len(b) & 1)
+
+    # patch tile offsets payload
+    for i, (t, typ, cnt, payload, ooli) in enumerate(fixed):
+        if t == _T_TILE_OFF:
+            new_payload = struct.pack(f"<{len(blocks)}I", *block_offsets)
+            if len(new_payload) <= 4:
+                fixed[i] = (t, typ, cnt, new_payload.ljust(4, b"\x00"), None)
+            else:
+                out_of_line[ooli] = new_payload
+
+    buf = bytearray()
+    buf += b"II*\x00" + struct.pack("<I", ifd_off)
+    buf += struct.pack("<H", len(fixed))
+    for t, typ, cnt, payload, ooli in fixed:
+        if payload is not None:
+            buf += struct.pack("<HHI", t, typ, cnt) + payload
+        else:
+            buf += struct.pack("<HHII", t, typ, cnt, ool_offsets[ooli])
+    buf += struct.pack("<I", 0)     # next IFD
+    for p in out_of_line:
+        buf += p
+        if len(p) & 1:
+            buf += b"\x00"
+    for b in blocks:
+        buf += b
+        if len(b) & 1:
+            buf += b"\x00"
+    return bytes(buf)

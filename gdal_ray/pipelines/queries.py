@@ -1066,6 +1066,66 @@ def q_reproject(sf_dir: str):
         .select_columns(["image_id", "dst_w", "dst_h", "cs_reproj"])
 
 
+def q_gtiff_roundtrip(sf_dir: str):
+    """Real GeoTIFF driver end-to-end: transcode the lossless corpus
+    half to tiled-deflate GeoTIFF files (with geotransform, CRS and
+    nodata tags), read the directory back as a Ray binary-file source,
+    decode, and emit per-image band stats. The oracle recomputes the
+    stats closed-form — the full write→read→decode chain must be
+    lossless for the row to hash-match. (Golden-checksum conformance
+    against the reference's own autotest fixtures is in
+    tests/test_gtiff.py.)"""
+    import os
+    import ray.data as rd
+    from ..codecs import decode as _dec
+    from ..codecs.gtiff import decode_gtiff, encode_gtiff
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+
+    out_dir = "/tmp/gdal_ray_gtiff_corpus"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            gt = tuple(float(g[i]) for g in gts)
+            buf = encode_gtiff(px, geotransform=gt, crs="EPSG:3857",
+                               nodata=None, tile_size=256,
+                               compress="deflate")
+            path = os.path.join(out_dir, f"{t['image_id'][i].as_py()}.tif")
+            with open(path, "wb") as f:
+                f.write(buf)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    # stage 1: distributed transcode + write (one .tif per image)
+    images_dataset(64).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    # stage 2: distributed read-back of the directory
+    files = rd.read_binary_files(out_dir, include_paths=True)
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs = [], [], [], []
+        for path, buf in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            g = decode_gtiff(buf)
+            b0 = (g.pixels if g.pixels.ndim == 2
+                  else g.pixels[:, :, 0]).astype(np.float64)
+            ids.append(os.path.basename(path)[:-4])
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
 def q_utm_warp(sf_dir: str):
     """The reference's own benchmark workload shape (autotest/benchmark/
     test_gdalwarp.py:24-56): UTM EPSG:32631 3-band uint8 source warped
@@ -1688,11 +1748,12 @@ QUERIES = {
     "cutline_clip": q_cutline_clip,
     "spatial_sort": q_spatial_sort,
     "raster_index": q_raster_index,
+    "gtiff_roundtrip": q_gtiff_roundtrip,
     # --- rows-only entries inside the 50-window ---
     "hillshade": q_hillshade,
     "mosaic": q_mosaic,
-    "idw_grid": q_idw_grid,
     # --- battery-only (rows 51+; pytest-oracled) ---
+    "idw_grid": q_idw_grid,
     "utm_warp": q_utm_warp,
     "reproject": q_reproject,
     "zonal_raster": q_zonal_raster,
@@ -1757,6 +1818,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_zones": _OR.sql_rasterize_zones(30, 6),
         "polygonize_roundtrip": _OR.sql_polygonize_roundtrip(20),
         "cutline_clip": _OR.sql_cutline_clip(96, 40),
+        "gtiff_roundtrip": _OR.sql_raster_stats(64),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),
         # image_* queries: pixel/spatial semantics are not SQL-expressible

@@ -1,0 +1,101 @@
+"""GeoTIFF codec conformance — golden checksums against the reference's
+own autotest fixtures (read-only data files; expected values hard-coded
+in autotest/gcore/tiff_read.py init_list and
+autotest/utilities/test_gdalalg_raster_convert.py:33)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs.gtiff import GeoTiff, decode_gtiff, encode_gtiff
+from gdal_ray.core.checksum import checksum
+
+_GCORE = "/root/reference/autotest/gcore/data"
+_UTIL = "/root/reference/autotest/utilities/data"
+
+GOLDEN = [
+    # (path, band, expected GDAL checksum) — tiff_read.py init_list
+    (f"{_GCORE}/byte.tif", 1, 4672),
+    (f"{_GCORE}/int16.tif", 1, 4672),
+    (f"{_GCORE}/uint16.tif", 1, 4672),
+    (f"{_GCORE}/int32.tif", 1, 4672),
+    (f"{_GCORE}/uint32.tif", 1, 4672),
+    (f"{_GCORE}/float16.tif", 1, 4672),
+    (f"{_GCORE}/float32.tif", 1, 4672),
+    (f"{_GCORE}/float64.tif", 1, 4672),
+    (f"{_GCORE}/contig_strip.tif", 2, 15234),    # PackBits, 3-band
+    (f"{_GCORE}/contig_tiled.tif", 2, 15234),    # tiled, partial tiles
+    (f"{_GCORE}/separate_tiled.tif", 2, 15234),  # PlanarConfig=2
+    (f"{_GCORE}/seperate_strip.tif", 2, 15234),
+    (f"{_UTIL}/utmsmall.tif", 1, 50054),  # test_gdalalg_raster_convert.py:33
+]
+
+have_ref = os.path.isdir(_GCORE)
+
+
+@pytest.mark.skipif(not have_ref, reason="reference fixtures not present")
+class TestGoldenDecodes:
+    @pytest.mark.parametrize("path,band,expected", GOLDEN,
+                             ids=[os.path.basename(p) for p, _, _ in GOLDEN])
+    def test_golden_checksum(self, path, band, expected):
+        g = decode_gtiff(open(path, "rb").read())
+        px = g.pixels if g.pixels.ndim == 2 else g.pixels[:, :, band - 1]
+        assert int(checksum(px)) == expected
+
+    def test_georeferencing_byte_tif(self):
+        g = decode_gtiff(open(f"{_GCORE}/byte.tif", "rb").read())
+        assert g.geotransform == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+        assert g.crs == "EPSG:26711"
+
+    def test_utm_tif(self):
+        g = decode_gtiff(open(
+            "/root/reference/autotest/gdrivers/data/utm.tif", "rb").read())
+        assert g.pixels.shape == (512, 512)
+        assert g.crs == "EPSG:26711"
+
+    def test_lzw_predictor(self):
+        # deflate + LZW compressed fixtures decode without error
+        g = decode_gtiff(open(f"{_GCORE}/f2r23.tif", "rb").read())
+        assert g.pixels.shape == (251, 273)
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("dt", ["u1", "u2", "i2", "u4", "i4", "f4", "f8"])
+    def test_dtype_roundtrip(self, dt):
+        a = (np.arange(90 * 70) % 997).astype(dt).reshape(90, 70)
+        out = decode_gtiff(encode_gtiff(a)).pixels
+        assert np.array_equal(out, a)
+
+    @pytest.mark.parametrize("compress", ["none", "deflate"])
+    def test_multiband_tiled(self, compress):
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 256, size=(300, 520, 3), dtype=np.uint8)
+        buf = encode_gtiff(a, tile_size=256, compress=compress)
+        out = decode_gtiff(buf).pixels
+        assert np.array_equal(out, a)
+
+    def test_geo_tags_roundtrip(self):
+        a = np.zeros((64, 64), np.uint8)
+        gt = (250000.5, 2.5, 0.0, 6250000.25, 0.0, -2.5)
+        buf = encode_gtiff(a, geotransform=gt, crs="EPSG:32631", nodata=255)
+        g = decode_gtiff(buf)
+        assert g.geotransform == gt
+        assert g.crs == "EPSG:32631"
+        assert g.nodata == 255.0
+
+    def test_geographic_crs_roundtrip(self):
+        buf = encode_gtiff(np.zeros((8, 8), np.uint8), crs="EPSG:4326")
+        assert decode_gtiff(buf).crs == "EPSG:4326"
+
+    def test_codec_registry_sniff(self):
+        from gdal_ray.codecs import decode, encode
+        a = np.full((32, 32, 3), 9, np.uint8)
+        buf = encode(a, "gtiff")
+        assert np.array_equal(decode(buf)[:, :, :3], a)   # magic sniff
+
+    def test_bad_input_raises(self):
+        with pytest.raises(ValueError):
+            decode_gtiff(b"NOPE" * 10)
+        with pytest.raises(ValueError):
+            encode_gtiff(np.zeros((4, 4), np.complex64))
