@@ -35,13 +35,14 @@ _TOKEN_RE = re.compile(r"""
       (?P<num>\d+\.\d*(?:[eE][-+]?\d+)?|\.\d+|\d+)
     | (?P<str>'(?:[^']|'')*')
     | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*|/|\+|-)
+    | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*|/|\+|-|\.)
     )""", re.VERBOSE)
 
 _KEYWORDS = {"SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "BY",
-             "ORDER", "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN",
-             "LIKE", "ASC", "DESC", "IS", "NULL", "HAVING"}
-_AGGS = {"MIN", "MAX", "SUM", "AVG", "COUNT"}
+             "ORDER", "LIMIT", "OFFSET", "AS", "AND", "OR", "NOT", "IN",
+             "BETWEEN", "LIKE", "ASC", "DESC", "IS", "NULL", "HAVING",
+             "JOIN", "LEFT", "INNER", "ON"}
+_AGGS = {"MIN", "MAX", "SUM", "AVG", "COUNT", "STDDEV_POP", "STDDEV_SAMP"}
 
 
 def tokenize(sql: str):
@@ -197,6 +198,12 @@ def _parse_atom(p):
         return ("agg", v, inner)
     if k == "id":
         p.next()
+        if p.accept("op", "."):
+            # qualified reference tbl.col: the qualifier attributes JOIN
+            # keys to their table; outside ON clauses it resolves to the
+            # bare column (the merged frame keeps original names)
+            col = p.expect("id")
+            return ("qcol", v, col)
         return ("col", v)
     raise ValueError(f"SQL parse error at token {p.peek()}")
 
@@ -216,6 +223,22 @@ def parse_select(sql: str) -> dict:
             break
     p.expect("kw", "FROM")
     table = p.expect("id")
+    joins = []
+    while True:
+        if p.accept("kw", "LEFT"):
+            p.expect("kw", "JOIN")
+            how = "left"
+        elif p.accept("kw", "INNER"):
+            p.expect("kw", "JOIN")
+            how = "inner"
+        elif p.accept("kw", "JOIN"):
+            how = "inner"
+        else:
+            break
+        jt = p.expect("id")
+        p.expect("kw", "ON")
+        on = _parse_or(p)
+        joins.append((jt, how, on))
     where = group = having = None
     order, limit = [], None
     if p.accept("kw", "WHERE"):
@@ -239,12 +262,16 @@ def parse_select(sql: str) -> dict:
             order.append((col, desc))
             if not p.accept("op", ","):
                 break
+    offset = 0
     if p.accept("kw", "LIMIT"):
         limit = int(p.expect("num"))
+        if p.accept("kw", "OFFSET"):
+            offset = int(p.expect("num"))
     p.expect("end")
     return {"distinct": distinct, "items": items, "table": table,
-            "where": where, "group": group, "having": having,
-            "order": order, "limit": limit}
+            "joins": joins, "where": where, "group": group,
+            "having": having, "order": order, "limit": limit,
+            "offset": offset}
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +286,10 @@ def _eval(e, df: pd.DataFrame):
         if e[1] not in df.columns:
             raise ValueError(f"unknown column {e[1]!r}")
         return df[e[1]]
+    if kind == "qcol":
+        if e[2] not in df.columns:
+            raise ValueError(f"unknown column {e[1]}.{e[2]}")
+        return df[e[2]]
     if kind == "isnull":
         v = _eval(e[1], df)
         return pd.isna(v)
@@ -298,6 +329,8 @@ def _eval(e, df: pd.DataFrame):
 def _expr_name(e) -> str:
     if e[0] == "col":
         return e[1]
+    if e[0] == "qcol":
+        return e[2]
     if e[0] == "lit":
         return str(e[1])
     if e[0] == "agg":
@@ -322,6 +355,49 @@ def _collect_aggs(e, found: list):
                 _collect_aggs(q, found)
 
 
+def _join_spec(q, tables):
+    """Materialize secondary join tables (OGR JOIN semantics: the
+    secondary layer is the lookup side, ogr_gensql.cpp:1521-1542 probes
+    it per primary feature — here it broadcasts once and each batch
+    does a vectorized merge). Returns [(df, how, left_key, right_key)]."""
+    specs = []
+    for jt, how, on in q.get("joins") or []:
+        if jt not in tables:
+            raise ValueError(f"unknown join table {jt!r}")
+        jdf = tables[jt].to_pandas()
+        if not (isinstance(on, tuple) and on[0] == "bin" and on[1] == "="
+                and on[2][0] in ("col", "qcol") and on[3][0] in ("col", "qcol")):
+            raise ValueError("JOIN ON must be column = column")
+
+        def side(node):
+            # (column, qualifier-or-None)
+            return (node[2], node[1]) if node[0] == "qcol" else (node[1], None)
+
+        (a, qa), (b, qb) = side(on[2]), side(on[3])
+        if qa == jt or (qb is not None and qb != jt):
+            lk, rk = b, a
+        elif qb == jt or (qa is not None and qa != jt):
+            lk, rk = a, b
+        elif b in jdf.columns and a not in jdf.columns:
+            lk, rk = a, b
+        elif a in jdf.columns and b not in jdf.columns:
+            lk, rk = b, a
+        else:
+            raise ValueError(f"cannot attribute JOIN keys {a}/{b} — "
+                             "qualify them (table.column)")
+        specs.append((jdf, how, lk, rk))
+    return specs
+
+
+def _apply_joins(df: pd.DataFrame, specs) -> pd.DataFrame:
+    for jdf, how, lk, rk in specs:
+        if lk == rk:
+            df = df.merge(jdf, on=lk, how=how)
+        else:
+            df = df.merge(jdf, left_on=lk, right_on=rk, how=how)
+    return df
+
+
 def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
     """Run a SELECT against {'name': ray Dataset}; returns a pandas
     DataFrame (results are the reduced side)."""
@@ -329,6 +405,7 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
     if q["table"] not in tables:
         raise ValueError(f"unknown table {q['table']!r}")
     ds = tables[q["table"]]
+    join_specs = _join_spec(q, tables)
 
     aggs: list = []
     for e, _ in q["items"]:
@@ -340,11 +417,15 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
     where = q["where"]
 
     if has_aggs or q["group"]:
-        return _run_aggregate(q, ds)
+        return _run_aggregate(q, ds, join_specs)
+
+    keep = (q["limit"] + q.get("offset", 0)) if q["limit"] is not None else None
 
     # plain scan: filter + project per batch, optional partial top-k
     def scan(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        if join_specs:
+            df = _apply_joins(df, join_specs)
         if where is not None:
             df = df[np.asarray(_eval(where, df), bool)]
         out = pd.DataFrame(index=df.index)
@@ -353,12 +434,14 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
             out[name] = _eval(e, df)
         if q["distinct"]:
             out = out.drop_duplicates()
-        if q["order"] and q["limit"] is not None:
+        if q["order"] and keep is not None:
+            # partial top-(limit+offset): every globally-surviving row
+            # survives its batch partial
             out = out.sort_values([c for c, _ in q["order"]],
                                   ascending=[not d for _, d in q["order"]]) \
-                .head(q["limit"])
-        elif q["limit"] is not None:
-            out = out.head(q["limit"])
+                .head(keep)
+        elif keep is not None:
+            out = out.head(keep)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     res = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
@@ -371,12 +454,15 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
     if q["order"]:
         res = res.sort_values([c for c, _ in q["order"]],
                               ascending=[not d for _, d in q["order"]])
+    off = q.get("offset", 0)
     if q["limit"] is not None:
-        res = res.head(q["limit"])
+        res = res.iloc[off:off + q["limit"]]
+    elif off:
+        res = res.iloc[off:]
     return res.reset_index(drop=True)
 
 
-def _run_aggregate(q, ds) -> pd.DataFrame:
+def _run_aggregate(q, ds, join_specs=()) -> pd.DataFrame:
     """Partial-per-batch grouped aggregation; final combine driver-side."""
     where = q["where"]
     group = q["group"] or []
@@ -395,6 +481,8 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        if join_specs:
+            df = _apply_joins(df, join_specs)
         if where is not None:
             df = df[np.asarray(_eval(where, df), bool)]
         work = pd.DataFrame(index=df.index)
@@ -418,6 +506,11 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
             else:
                 if fn in ("SUM", "AVG"):
                     out[base + "|sum"] = g[base + ":v"].sum()
+                    out[base + "|cnt"] = g[base + ":v"].count()
+                elif fn in ("STDDEV_POP", "STDDEV_SAMP"):
+                    out[base + "|sum"] = g[base + ":v"].sum()
+                    out[base + "|sq"] = (g[base + ":v"]
+                                         .apply(lambda sr: (sr.astype(float) ** 2).sum()))
                     out[base + "|cnt"] = g[base + ":v"].count()
                 elif fn == "MIN":
                     out[base + "|min"] = g[base + ":v"].min()
@@ -451,6 +544,10 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
             elif fn in ("SUM", "AVG"):
                 seed[base + "|sum"] = [np.nan]
                 seed[base + "|cnt"] = [0]
+            elif fn in ("STDDEV_POP", "STDDEV_SAMP"):
+                seed[base + "|sum"] = [np.nan]
+                seed[base + "|sq"] = [np.nan]
+                seed[base + "|cnt"] = [0]
             elif fn == "MIN":
                 seed[base + "|min"] = [np.nan]
             elif fn == "MAX":
@@ -474,6 +571,8 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
             final[col] = g[col].sum(min_count=1)
         elif col.endswith("|cnt"):
             final[col] = g[col].sum()
+        elif col.endswith("|sq"):
+            final[col] = g[col].sum(min_count=1)
         elif col.endswith("|min"):
             final[col] = g[col].min()
         elif col.endswith("|max"):
@@ -504,6 +603,16 @@ def _run_aggregate(q, ds) -> pd.DataFrame:
             return final[base + "|cnt"]
         if fn == "COUNTD":
             return final[base + "|nuniq"]
+        if fn in ("STDDEV_POP", "STDDEV_SAMP"):
+            n = final[base + "|cnt"].astype(float)
+            sm = final[base + "|sum"].astype(float)
+            sq = final[base + "|sq"].astype(float)
+            # ogr_swq.h:67-75 STDDEV_POP/STDDEV_SAMP; NULL when the
+            # sample variant has < 2 rows (SQL semantics)
+            var_n = sq - sm * sm / n.where(n > 0)
+            if fn == "STDDEV_POP":
+                return np.sqrt((var_n / n.where(n > 0)).clip(lower=0.0))
+            return np.sqrt((var_n / (n - 1).where(n > 1)).clip(lower=0.0))
         raise ValueError(fn)
 
     def eval_item(e):

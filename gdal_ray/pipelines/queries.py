@@ -1623,6 +1623,25 @@ def q_vector_sql(sf_dir: str):
     return _round_cols(out, ["total", "lo", "hi"], nd=2)
 
 
+SQL_VECTOR_SQL_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+       ROUND(STDDEV_POP(o_totalprice), 2) AS sd
+FROM orders LEFT JOIN customer ON orders.o_custkey = customer.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_vector_sql_join(sf_dir: str):
+    """OGR SQL dialect LEFT JOIN + STDDEV_POP
+    (ogr_gensql.cpp:1521-1542 join semantics; ogr_swq.h:67-75 stddev):
+    the identical string runs in DuckDB as the oracle."""
+    from ..functions.sql import execute_sql
+    out = execute_sql(_dialect_round(SQL_VECTOR_SQL_JOIN),
+                      {"orders": _rp(sf_dir, "orders"),
+                       "customer": _rp(sf_dir, "customer")})
+    return _round_cols(out, ["total", "sd"], nd=2)
+
+
 def q_vector_sql_scan(sf_dir: str):
     """OGR SQL engine — filtered computed scan with LIKE/IN + top-k."""
     from ..functions.sql import execute_sql
@@ -1722,6 +1741,7 @@ QUERIES = {
     # --- OGR SQL dialect (identical string runs in DuckDB) ---
     "vector_sql": q_vector_sql,
     "vector_sql_scan": q_vector_sql_scan,
+    "vector_sql_join": q_vector_sql_join,
     # --- dedup / ANN / text (brute-force recompute oracles) ---
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1749,10 +1769,10 @@ QUERIES = {
     "spatial_sort": q_spatial_sort,
     "raster_index": q_raster_index,
     "gtiff_roundtrip": q_gtiff_roundtrip,
-    # --- rows-only entries inside the 50-window ---
+    # --- rows-only entry inside the 50-window ---
     "hillshade": q_hillshade,
-    "mosaic": q_mosaic,
     # --- battery-only (rows 51+; pytest-oracled) ---
+    "mosaic": q_mosaic,
     "idw_grid": q_idw_grid,
     "utm_warp": q_utm_warp,
     "reproject": q_reproject,
@@ -1796,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": SQL_DOC_QUALITY,
         "vector_sql": SQL_VECTOR_SQL,
         "vector_sql_scan": SQL_VECTOR_SQL_SCAN,
+        "vector_sql_join": SQL_VECTOR_SQL_JOIN,
         # closed-form / brute-force recomputation oracles (oracles.py):
         "minhash_near_dups": _OR.sql_minhash_pairs(0.5, 5),
         "simhash_near_dups": _OR.sql_simhash_pairs(6, 4),

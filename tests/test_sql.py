@@ -177,3 +177,65 @@ class TestCountDistinctHaving:
         con.register("t", df)
         want = canon(con.execute(sql).df())
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestJoinStddevOffset:
+    """Round-2 dialect extensions: LEFT/INNER JOIN (ogr_gensql.cpp:
+    1521-1542), STDDEV_POP/STDDEV_SAMP (ogr_swq.h:67-75), OFFSET."""
+
+    def _tabs(self):
+        import ray.data as rd
+        import pandas as pd
+        orders = pd.DataFrame({"ok": [1, 2, 3, 4], "ck": [10, 10, 20, 99],
+                               "amt": [5.0, 7.0, 11.0, 1.0]})
+        cust = pd.DataFrame({"ck": [10, 20], "seg": ["A", "B"]})
+        return {"orders": rd.from_pandas(orders),
+                "customer": rd.from_pandas(cust)}
+
+    def test_left_join_keeps_unmatched(self, ray_session):
+        from gdal_ray.functions.sql import execute_sql
+        out = execute_sql(
+            "SELECT ok, seg FROM orders LEFT JOIN customer "
+            "ON orders.ck = customer.ck ORDER BY ok", self._tabs())
+        assert len(out) == 4
+        assert out["seg"].isna().sum() == 1     # ck=99 unmatched
+
+    def test_inner_join_drops_unmatched(self, ray_session):
+        from gdal_ray.functions.sql import execute_sql
+        out = execute_sql(
+            "SELECT ok FROM orders JOIN customer ON orders.ck = customer.ck",
+            self._tabs())
+        assert sorted(out["ok"]) == [1, 2, 3]
+
+    def test_join_grouped_agg(self, ray_session):
+        from gdal_ray.functions.sql import execute_sql
+        out = execute_sql(
+            "SELECT seg, SUM(amt) AS s FROM orders JOIN customer "
+            "ON orders.ck = customer.ck GROUP BY seg ORDER BY seg",
+            self._tabs())
+        assert out["s"].tolist() == [12.0, 11.0]
+
+    def test_stddev(self, ray_session):
+        import numpy as np
+        from gdal_ray.functions.sql import execute_sql
+        out = execute_sql(
+            "SELECT STDDEV_POP(amt) AS sp, STDDEV_SAMP(amt) AS ss "
+            "FROM orders", self._tabs())
+        vals = np.array([5.0, 7.0, 11.0, 1.0])
+        assert abs(out["sp"][0] - vals.std()) < 1e-9
+        assert abs(out["ss"][0] - vals.std(ddof=1)) < 1e-9
+
+    def test_offset(self, ray_session):
+        from gdal_ray.functions.sql import execute_sql
+        out = execute_sql(
+            "SELECT ok FROM orders ORDER BY ok LIMIT 2 OFFSET 1",
+            self._tabs())
+        assert out["ok"].tolist() == [2, 3]
+
+    def test_stddev_single_row_samp_null(self, ray_session):
+        import pandas as pd
+        from gdal_ray.functions.sql import execute_sql
+        out = execute_sql(
+            "SELECT STDDEV_SAMP(amt) AS ss FROM orders WHERE ok = 1",
+            self._tabs())
+        assert pd.isna(out["ss"][0])
