@@ -567,3 +567,55 @@ SELECT {cell} AS cell, COUNT(*)::BIGINT AS n_images,
        MAX(maxx) AS maxx, MAX(maxy) AS maxy
 FROM cov GROUP BY 1
 """
+
+
+def sql_layer_setops(m_a: int = 30, m_b: int = 40) -> str:
+    """Pairwise layer-algebra set-op areas: polygons (classes 0,2,3,4 —
+    every non-rotated class, incl. concave L, hole and multipolygon)
+    × axis-aligned boxes. Each A class decomposes into ≤2 SIGNED
+    axis-aligned boxes, so inter/union/symdiff areas are exact box
+    algebra in SQL."""
+    bx, by = G.sql_point_xy("(fid * 5 + 2)")
+    area_a = sql_polygon_area_expr()
+    return f"""
+WITH {sql_polygons_cte(m_a)},
+pa2 AS (SELECT fid, cx, cy, s, k, {area_a} AS area_a FROM polys
+        WHERE k <> 1),
+-- signed axis-box decomposition of each A class
+apieces AS (
+  SELECT fid, area_a, 1.0 AS sgn, cx - s AS x0, cy - s AS y0,
+         cx + s AS x1, CASE WHEN k = 4 THEN cy ELSE cy + s END AS y1,
+         k FROM pa2 WHERE k IN (0, 2, 3)
+  UNION ALL   -- k=2: minus top-right quadrant
+  SELECT fid, area_a, -1.0, cx, cy, cx + s, cy + s, k
+  FROM pa2 WHERE k = 2
+  UNION ALL   -- k=3: minus center hole
+  SELECT fid, area_a, -1.0, cx - s/3, cy - s/3, cx + s/3, cy + s/3, k
+  FROM pa2 WHERE k = 3
+  UNION ALL   -- k=4: two boxes
+  SELECT fid, area_a, 1.0, cx - s, cy - s, cx, cy, k FROM pa2 WHERE k = 4
+  UNION ALL
+  SELECT fid, area_a, 1.0, cx + 1.5*s, cy + 1.5*s, cx + 2.5*s, cy + 2.5*s, k
+  FROM pa2 WHERE k = 4
+),
+boxes AS (
+  SELECT fid AS fid_b, {bx} AS bcx, {by} AS bcy,
+         4000.0 * (1 + (fid * 11) % 3) AS bs
+  FROM (SELECT g AS fid FROM generate_series(0, {m_b - 1}) t(g))),
+b2 AS (SELECT fid_b, bcx - bs AS bx0, bcy - bs AS by0,
+              bcx + bs AS bx1, bcy + bs AS by1,
+              4.0 * bs * bs AS area_b FROM boxes),
+inter AS (
+  SELECT p.fid AS fid_a, b.fid_b, p.area_a, b.area_b,
+         SUM(p.sgn * greatest(0.0, least(p.x1, b.bx1) - greatest(p.x0, b.bx0))
+                   * greatest(0.0, least(p.y1, b.by1) - greatest(p.y0, b.by0)))
+           AS i
+  FROM apieces p JOIN b2 b
+    ON p.x0 <= b.bx1 AND b.bx0 <= p.x1 AND p.y0 <= b.by1 AND b.by0 <= p.y1
+  GROUP BY 1, 2, 3, 4)
+SELECT fid_a, fid_b,
+       ROUND(i / 1e6, 3) AS inter_km2,
+       ROUND((area_a + area_b - i) / 1e6, 3) AS union_km2,
+       ROUND((area_a + area_b - 2 * i) / 1e6, 3) AS symdiff_km2
+FROM inter WHERE i > 1.0
+"""

@@ -1318,6 +1318,39 @@ def q_layer_intersection(sf_dir: str):
     return tot.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_layer_setops(sf_dir: str):
+    """Layer algebra Union/SymDifference pairwise areas
+    (ogrlayer.cpp:5804/:6341): polygons (all non-rotated classes, incl.
+    concave L, hole, multipolygon) × axis-box layer through the cell
+    co-partitioned SetOpCell. Oracle: exact signed-box algebra in SQL."""
+    from ..sources.vector import boxes_dataset, polygons_dataset
+    from ..stages.layer_algebra import layer_set_op_pairs
+
+    def drop_diamonds(t: pa.Table) -> pa.Table:
+        fid = t["fid"].to_numpy()
+        return t.filter(pa.array(fid % 5 != 1))
+
+    A = polygons_dataset(30).map_batches(drop_diamonds,
+                                         batch_format="pyarrow")
+    out = layer_set_op_pairs(A, boxes_dataset(40), zoom=6)
+
+    def fin(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["inter_area"], 1.0)
+        t = t.filter(keep)
+        return pa.table({
+            "fid_a": t["fid_a"], "fid_b": t["fid_b"],
+            "inter_km2": pa.array(
+                _half_away(t["inter_area"].to_numpy() / 1e6, 3), pa.float64()),
+            "union_km2": pa.array(
+                _half_away(t["union_area"].to_numpy() / 1e6, 3), pa.float64()),
+            "symdiff_km2": pa.array(
+                _half_away(t["symdiff_area"].to_numpy() / 1e6, 3),
+                pa.float64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_layer_clip_erase(sf_dir: str):
     """Vector clip + erase vs a rectangle (gdalalg_vector_clip /
     ogrlayer.cpp:7538): per-feature clipped area + erased area."""
@@ -1762,6 +1795,7 @@ QUERIES = {
     "buffer_explode": q_buffer_explode,
     "layer_intersection": q_layer_intersection,
     "layer_clip_erase": q_layer_clip_erase,
+    "layer_setops": q_layer_setops,
     "geojson_roundtrip": q_geojson_roundtrip,
     "rasterize_zones": q_rasterize_zones,
     "polygonize_roundtrip": q_polygonize_roundtrip,
@@ -1769,9 +1803,8 @@ QUERIES = {
     "spatial_sort": q_spatial_sort,
     "raster_index": q_raster_index,
     "gtiff_roundtrip": q_gtiff_roundtrip,
-    # --- rows-only entry inside the 50-window ---
-    "hillshade": q_hillshade,
     # --- battery-only (rows 51+; pytest-oracled) ---
+    "hillshade": q_hillshade,
     "mosaic": q_mosaic,
     "idw_grid": q_idw_grid,
     "utm_warp": q_utm_warp,
@@ -1834,6 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         "buffer_explode": _OR.sql_buffer_explode(40),
         "layer_intersection": _OR.sql_layer_intersection_total(30),
         "layer_clip_erase": _OR.sql_layer_clip_erase(30),
+        "layer_setops": _OR.sql_layer_setops(30, 40),
         "raster_calc": _OR.sql_raster_calc(96),
         "geojson_roundtrip": _OR.sql_geojson_roundtrip(25),
         "rasterize_zones": _OR.sql_rasterize_zones(30, 6),

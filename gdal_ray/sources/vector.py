@@ -134,3 +134,27 @@ def tile_rects_dataset(zoom: int, minx: float, miny: float,
                        maxx: float, maxy: float):
     import ray.data as rd
     return rd.from_arrow(tile_rects_table(zoom, minx, miny, maxx, maxy))
+
+
+def boxes_table(m: int, *, seed_mult: int = 5, seed_add: int = 2) -> pa.Table:
+    """Second deterministic polygon layer: AXIS-ALIGNED boxes only
+    (closed-form box algebra in the SQL oracle). Box j is centered at
+    point_xy(j*seed_mult + seed_add) with half-size 4-12 km."""
+    rows = []
+    for j in range(m):
+        cx, cy = geo.point_xy(np.int64(j * seed_mult + seed_add))
+        cx, cy = float(cx), float(cy)
+        s = 4000.0 * (1 + (j * 11) % 3)
+        g = wkb.box(cx - s, cy - s, cx + s, cy + s)
+        env = g.envelope()
+        rows.append({
+            "fid": j, "wkb": wkb.dumps(g),
+            "minx": env[0], "miny": env[1], "maxx": env[2], "maxy": env[3],
+            "name": f"box{j}", "category": _CATS[j % 3],
+        })
+    return pa.Table.from_pylist(rows, schema=POLY_SCHEMA)
+
+
+def boxes_dataset(m: int):
+    import ray.data as rd
+    return rd.from_arrow(boxes_table(m))

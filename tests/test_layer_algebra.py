@@ -71,3 +71,65 @@ class TestClipErase:
         # and a rect covering nothing → erased == area
         out2 = layer_erase_rect(polygons_dataset(8), 0, 0, 1, 1).to_pandas()
         assert np.allclose(out2["erased_area"], out2["area"])
+
+
+class TestSetOps:
+    """Round-2 layer-algebra set ops (ogrlayer.cpp:5804-7847)."""
+
+    def test_pair_areas_identities(self, ray_session):
+        from gdal_ray.sources.vector import boxes_dataset, polygons_dataset
+        from gdal_ray.stages.layer_algebra import layer_set_op_pairs
+        out = layer_set_op_pairs(polygons_dataset(15), boxes_dataset(20),
+                                 zoom=6).to_pandas()
+        if len(out):
+            # set identities hold row-wise
+            assert (abs(out.union_area - (out.area_a + out.area_b
+                                          - out.inter_area)) < 1e-6).all()
+            assert (abs(out.symdiff_area - (out.union_area
+                                            - out.inter_area)) < 1e-6).all()
+            assert (out.inter_area <= out.area_a + 1e-6).all()
+            assert (out.inter_area <= out.area_b + 1e-6).all()
+
+    def test_erase_vs_plane_partition_is_zero(self, ray_session):
+        """Erasing a plane-partitioning tile layer removes everything."""
+        import numpy as np
+        from gdal_ray.sources.vector import polygons_table, polygons_dataset, \
+            tile_rects_dataset
+        from gdal_ray.stages.layer_algebra import layer_erase_layer
+        pt = polygons_table(10)
+        zones = tile_rects_dataset(
+            6, pt["minx"].to_numpy().min() - 1e4,
+            pt["miny"].to_numpy().min() - 1e4,
+            pt["maxx"].to_numpy().max() + 1e4,
+            pt["maxy"].to_numpy().max() + 1e4)
+        out = layer_erase_layer(polygons_dataset(10), zones, zoom=6) \
+            .to_pandas()
+        assert len(out) == 10
+        assert np.allclose(out["erased_area"], 0.0, atol=out["area"].max() * 1e-9)
+
+    def test_update_areas(self, ray_session):
+        """Update(A, B): total output area = area(B) + area(A outside B)."""
+        from gdal_ray.sources.vector import boxes_dataset, polygons_dataset
+        from gdal_ray.stages.layer_algebra import layer_update_layer
+        out = layer_update_layer(polygons_dataset(8), boxes_dataset(10),
+                                 zoom=6).to_pandas()
+        assert set(out["side"]) <= {"A", "B"}
+        assert (out.loc[out.side == "B", "out_area"] > 0).all()
+        assert (out.loc[out.side == "A", "out_area"] >= -1e-6).all()
+
+    def test_clip_geom_arbitrary(self, ray_session):
+        """Clip by an arbitrary concave polygon: area equals the exact
+        pairwise intersection; clipped multipolygon WKB parses."""
+        import numpy as np
+        from gdal_ray.core import wkb as W
+        from gdal_ray.core.overlay import intersection_area
+        from gdal_ray.sources.vector import make_polygon, polygons_dataset
+        from gdal_ray.stages.layer_algebra import layer_clip_geom
+        clip = make_polygon(7)   # k=2: concave L-shape
+        out = layer_clip_geom(polygons_dataset(20), clip).to_pandas()
+        assert len(out) >= 1
+        for _, row in out.iterrows():
+            g = W.loads(row["wkb"])          # parses
+            src = make_polygon(int(row["fid"]))
+            assert abs(row["clip_area"]
+                       - intersection_area(src, clip)) < 1e-3
