@@ -94,7 +94,8 @@ def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near"):
         squeeze = False
     m = composite_affine(src_gt, dst_gt)
 
-    if resampling in ("average", "mode", "min", "max", "sum"):
+    if resampling in ("average", "mode", "min", "max", "sum",
+                      "rms", "med", "q1", "q3"):
         return _warp_area(src, m, (dh, dw), resampling, squeeze)
 
     # dst pixel centers
@@ -250,16 +251,25 @@ def _warp_area(src, m, dst_shape, op, squeeze):
 
     out = np.zeros((dh, dw, nb), dtype=np.float64)
     valid = np.zeros((dh, dw), dtype=bool)
-    # integral-image path for average/sum; loop fallback for mode/min/max
-    if op in ("average", "sum"):
+    # integral-image path for average/sum/rms; loop fallback for
+    # order statistics (mode/min/max/med/q1/q3)
+    if op in ("average", "sum", "rms"):
+        f = src.astype(np.float64)
+        if op == "rms":                     # alg/gdalwarper.h GRA_RMS
+            f = f * f
         ii = np.zeros((sh + 1, sw + 1, nb), dtype=np.float64)
-        ii[1:, 1:] = np.cumsum(np.cumsum(src.astype(np.float64), axis=0), axis=1)
+        ii[1:, 1:] = np.cumsum(np.cumsum(f, axis=0), axis=1)
         Y0 = y0[:, None]; Y1 = y1[:, None]; X0 = x0[None, :]; X1 = x1[None, :]
         tot = (ii[Y1, X1] - ii[Y0, X1] - ii[Y1, X0] + ii[Y0, X0])
         cnt = ((y1[:, None] - y0[:, None]) * (x1[None, :] - x0[None, :]))
         valid = cnt > 0
         cntf = np.maximum(cnt, 1)[..., None].astype(np.float64)
-        out = tot / cntf if op == "average" else tot
+        if op == "sum":
+            out = tot
+        elif op == "average":
+            out = tot / cntf
+        else:
+            out = np.sqrt(tot / cntf)
     else:
         for i in range(dh):
             if y1[i] <= y0[i]:
@@ -273,6 +283,12 @@ def _warp_area(src, m, dst_shape, op, squeeze):
                     out[i, j] = win.min(axis=0)
                 elif op == "max":
                     out[i, j] = win.max(axis=0)
+                elif op in ("med", "q1", "q3"):
+                    # GRA_Med/Q1/Q3 (alg/gdalwarper.h:35-69): linear-
+                    # interpolated quantiles of the covered source px
+                    qq = {"med": 50.0, "q1": 25.0, "q3": 75.0}[op]
+                    out[i, j] = np.percentile(win.astype(np.float64), qq,
+                                              axis=0)
                 else:  # mode
                     for b in range(nb):
                         vals, counts = np.unique(win[:, b], return_counts=True)
@@ -311,6 +327,11 @@ def downsample2x(src: np.ndarray, alg: str = "average") -> np.ndarray:
         out = q.min(axis=(1, 3)).astype(np.float64)
     elif alg == "max":
         out = q.max(axis=(1, 3)).astype(np.float64)
+    elif alg in ("med", "q1", "q3"):
+        qq = {"med": 50.0, "q1": 25.0, "q3": 75.0}[alg]
+        win = q.transpose(0, 2, 4, 1, 3).reshape(h // 2, w // 2,
+                                                 s.shape[2], 4)
+        out = np.percentile(win.astype(np.float64), qq, axis=3)
     elif alg == "mode":
         # majority of the 4 children; ties resolved toward the smallest
         # value (overview.cpp mode semantics for small neighborhoods)

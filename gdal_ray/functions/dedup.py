@@ -131,12 +131,40 @@ class MinHasher:
         vals = (self.a[:, None] * shingles[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
+    def _shingles(self, text: str) -> np.ndarray:
+        data = text.encode("utf-8")
+        if len(data) < self.k:
+            return np.array([sha1_64(data)], dtype=np.uint64)
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        h = np.zeros(len(arr) - self.k + 1, dtype=np.uint64)
+        for i in range(self.k):
+            h = h * np.uint64(257) + arr[i:len(arr) - self.k + 1 + i]
+        return np.unique(h)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """batch → one row per (doc, band): (band_key, doc_id, sig_bytes)."""
+        """batch → one row per (doc, band): (band_key, doc_id, sig_bytes).
+
+        Signatures for the WHOLE batch run as one (n_perm, Σ shingles)
+        affine hash + segmented min (np.minimum.reduceat) — no per-doc
+        matrix calls (the round-1 per-doc loop was the hot spot)."""
         ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        if not texts:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.binary()),
+                             "band": pa.array([], pa.int32())})
+        shingle_lists = [self._shingles(str(t)) for t in texts]
+        lens = np.array([len(s) for s in shingle_lists], np.int64)
+        cat = np.concatenate(shingle_lists)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        vals = (self.a[:, None] * cat[None, :] + self.b[:, None]) \
+            % np.uint64(_MERSENNE)
+        sigs = np.minimum.reduceat(vals, starts, axis=1)   # (n_perm, ndocs)
+        sigs = sigs.T                                       # (ndocs, n_perm)
         out_key, out_id, out_sig = [], [], []
-        for i, text in enumerate(batch[self.text_col].to_pylist()):
-            sig = self.signature(str(text))
+        for i in range(len(ids)):
+            sig = sigs[i]
             sig_b = sig.astype("<u8").tobytes()
             for band in range(self.n_bands):
                 seg = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]

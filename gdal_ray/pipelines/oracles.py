@@ -619,3 +619,39 @@ SELECT fid_a, fid_b,
        ROUND((area_a + area_b - 2 * i) / 1e6, 3) AS symdiff_km2
 FROM inter WHERE i > 1.0
 """
+
+
+def sql_idw_grid(k: int = 400, n: int = 64) -> str:
+    """IDW (power 2, no radius) quadrant means over the metro box:
+    points and grid centers are closed-form; the IDW quotient is plain
+    SQL arithmetic (sin() is bit-identical between numpy and DuckDB's
+    libm on this platform — verified empirically)."""
+    xw, yw = G.sql_point_xy("(i * 7 + 3)")
+    ux = G.sql_unit_hash("i", 97003)
+    uy = G.sql_unit_hash("i", 57301)
+    MX0, MY0, MW = G.METRO_X0, G.METRO_Y0, G.METRO_W
+    res = MW / n
+    return f"""
+WITH pts0 AS (
+  SELECT i,
+    CASE WHEN i % 5 = 2 THEN {MX0!r} + {ux} * {MW!r} ELSE {xw} END AS x,
+    CASE WHEN i % 5 = 2 THEN {MY0!r} + {uy} * {MW!r} ELSE {yw} END AS y,
+    sin(i::DOUBLE) AS v
+  FROM (SELECT g AS i FROM generate_series(0, {k - 1}) t(g))),
+pts AS (SELECT * FROM pts0
+        WHERE x >= {MX0!r} AND x <= {MX0 + MW!r}
+          AND y >= {MY0!r} AND y <= {MY0 + MW!r}),
+cells AS (
+  SELECT cx.g AS col, cy.g AS row,
+         {MX0!r} + (cx.g + 0.5) * {res!r} AS gx,
+         {MY0 + MW!r} - (cy.g + 0.5) * {res!r} AS gy
+  FROM generate_series(0, {n - 1}) cx(g), generate_series(0, {n - 1}) cy(g)),
+idw AS (
+  SELECT col, row,
+         SUM(v / ((gx - x) * (gx - x) + (gy - y) * (gy - y)))
+         / SUM(1.0 / ((gx - x) * (gx - x) + (gy - y) * (gy - y))) AS val
+  FROM cells CROSS JOIN pts GROUP BY col, row)
+SELECT ((row // 32) * 2 + (col // 32))::BIGINT AS quadrant,
+       ROUND(AVG(val), 4) AS mean_val
+FROM idw GROUP BY 1
+"""

@@ -1024,12 +1024,15 @@ def q_buffer_explode(sf_dir: str):
 
 
 def q_idw_grid(sf_dir: str):
-    """gdal_grid invdist: IDW-interpolate the dense point cluster onto a
-    64×64 grid over the metro box; returns grid stats per quadrant."""
+    """gdal_grid invdist, DISTRIBUTED: the grid is partitioned into
+    tiles computed by a stateless map over broadcast points
+    (stages/grid.py; the radius-bounded halo-partition path is
+    parity-tested in tests/test_grid.py). Returns per-quadrant means —
+    closed-form in the SQL oracle."""
     from ..core import geotransform as gtr
-    from ..core.rastervec import grid_idw
     from ..sources import geo as G
     from ..sources.vector import points_table
+    from ..stages.grid import assemble_grid, grid_broadcast
 
     t = points_table(400)
     df = t.to_pandas()
@@ -1037,8 +1040,9 @@ def q_idw_grid(sf_dir: str):
            & (df.y >= G.METRO_Y0) & (df.y <= G.METRO_Y0 + G.METRO_W)]
     gt = gtr.from_bounds(G.METRO_X0, G.METRO_Y0,
                          G.METRO_X0 + G.METRO_W, G.METRO_Y0 + G.METRO_W, 64, 64)
-    grid = grid_idw(m[["x", "y"]].to_numpy(), m["value"].to_numpy(),
-                    (64, 64), gt)
+    tiles = grid_broadcast(m[["x", "y", "value"]].to_numpy(), gt, (64, 64),
+                           method="invdist", tile=32).to_pandas()
+    grid = assemble_grid(tiles, (64, 64))
     rows = []
     for qy in range(2):
         for qx in range(2):
@@ -1868,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "layer_intersection": _OR.sql_layer_intersection_total(30),
         "layer_clip_erase": _OR.sql_layer_clip_erase(30),
         "layer_setops": _OR.sql_layer_setops(30, 40),
+        "idw_grid": _OR.sql_idw_grid(400, 64),
         "raster_calc": _OR.sql_raster_calc(96),
         "geojson_roundtrip": _OR.sql_geojson_roundtrip(25),
         "rasterize_zones": _OR.sql_rasterize_zones(30, 6),

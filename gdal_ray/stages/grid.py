@@ -1,0 +1,204 @@
+"""Distributed gdal_grid — vector→raster interpolation over grid tiles.
+
+Reference semantics: alg/gdalgrid.cpp (invdist :110, moving average
+:630, nearest :905, data metrics) with the CPLQuadTree acceleration
+(port/cpl_quad_tree.cpp:138) replaced by per-tile numpy vectorization.
+
+Two Ray shapes, chosen by the POINT side's size:
+
+  * broadcast (default): the scattered points ship once via ray.put;
+    the GRID is partitioned into tile rows and a stateless map_batches
+    computes each tile — no shuffle at all. Right whenever the point
+    layer fits in a worker heap (gdal_grid's own model: it holds all
+    points in the quadtree).
+
+  * halo-partitioned (radius-bounded methods): points flat-map into
+    every tile whose EXPANDED bounds (tile ∪ radius halo) contain them,
+    then groupby(tile) computes each tile from exactly the points that
+    can influence it — the 100 TB shape where neither side broadcasts.
+    Results are identical to broadcast for any search radius ≤ halo.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core import geotransform as gtr
+
+TILE_SPEC_SCHEMA = pa.schema([
+    ("tile_id", pa.int64()),
+    ("col0", pa.int64()), ("row0", pa.int64()),
+    ("tw", pa.int32()), ("th", pa.int32()),
+])
+
+
+def make_tile_specs(shape, tile: int = 64) -> pa.Table:
+    """Grid (h, w) → tile spec rows."""
+    h, w = shape
+    rows = {k.name: [] for k in TILE_SPEC_SCHEMA}
+    tid = 0
+    for r0 in range(0, h, tile):
+        for c0 in range(0, w, tile):
+            rows["tile_id"].append(tid)
+            rows["col0"].append(c0)
+            rows["row0"].append(r0)
+            rows["tw"].append(min(tile, w - c0))
+            rows["th"].append(min(tile, h - r0))
+            tid += 1
+    return pa.Table.from_pydict(rows, schema=TILE_SPEC_SCHEMA)
+
+
+def _tile_centers(transform, col0, row0, tw, th):
+    cols = col0 + np.arange(tw) + 0.5
+    rows = row0 + np.arange(th) + 0.5
+    cc, rr = np.meshgrid(cols, rows)
+    return gtr.apply(transform, cc, rr)
+
+
+def _interp_tile(gx, gy, px, py, vals, method, power, radius, min_points):
+    """Vectorized interpolation of one tile against candidate points."""
+    d2 = ((gx[..., None] - px[None, None, :]) ** 2
+          + (gy[..., None] - py[None, None, :]) ** 2)
+    if method == "nearest":
+        if d2.shape[2] == 0:
+            return np.full(gx.shape, np.nan)
+        if radius is not None:
+            d2 = np.where(d2 > radius * radius, np.inf, d2)
+        idx = d2.argmin(axis=2)
+        out = vals[idx]
+        return np.where(np.isfinite(d2.min(axis=2)), out, np.nan)
+    if method == "average":
+        if radius is None:
+            raise ValueError("average requires a radius")
+        m = d2 <= radius * radius
+        cnt = m.sum(axis=2)
+        s = (vals[None, None, :] * m).sum(axis=2)
+        ok = cnt >= max(min_points, 1)
+        return np.where(ok, s / np.maximum(cnt, 1), np.nan)
+    if method == "count":                    # data-metric: point count
+        if radius is None:
+            raise ValueError("count requires a radius")
+        return (d2 <= radius * radius).sum(axis=2).astype(np.float64)
+    if method == "invdist":
+        if d2.shape[2] == 0:
+            return np.full(gx.shape, np.nan)
+        if radius is not None:
+            d2 = np.where(d2 > radius * radius, np.inf, d2)
+        exact = d2 < 1e-18
+        wgt = 1.0 / np.power(np.maximum(d2, 1e-300), power / 2.0)
+        wgt = np.where(np.isinf(d2), 0.0, wgt)
+        wsum = wgt.sum(axis=2)
+        out = (wgt * vals[None, None, :]).sum(axis=2) \
+            / np.where(wsum == 0, np.nan, wsum)
+        hit = exact.any(axis=2)
+        if hit.any():
+            out = np.where(hit, vals[exact.argmax(axis=2)], out)
+        return out
+    raise ValueError(f"unknown grid method {method!r}")
+
+
+def grid_broadcast(points_xyv: np.ndarray, transform, shape, *,
+                   method: str = "invdist", power: float = 2.0,
+                   radius: float | None = None, min_points: int = 0,
+                   tile: int = 64):
+    """Distributed grid with BROADCAST points: returns a Dataset of
+    tile rows (tile_id, col0, row0, tw, th, data float64 bytes)."""
+    import ray
+    import ray.data as rd
+
+    pref = ray.put(np.ascontiguousarray(points_xyv, np.float64))
+
+    def compute(t: pa.Table) -> pa.Table:
+        pts = ray.get(pref)
+        px, py, vals = pts[:, 0], pts[:, 1], pts[:, 2]
+        out = {"tile_id": [], "col0": [], "row0": [], "tw": [], "th": [],
+               "data": []}
+        for i in range(t.num_rows):
+            c0 = int(t["col0"][i].as_py()); r0 = int(t["row0"][i].as_py())
+            tw = int(t["tw"][i].as_py()); th = int(t["th"][i].as_py())
+            gx, gy = _tile_centers(transform, c0, r0, tw, th)
+            g = _interp_tile(gx, gy, px, py, vals, method, power, radius,
+                             min_points)
+            out["tile_id"].append(int(t["tile_id"][i].as_py()))
+            out["col0"].append(c0); out["row0"].append(r0)
+            out["tw"].append(tw); out["th"].append(th)
+            out["data"].append(g.astype(np.float64).tobytes())
+        return pa.table({
+            "tile_id": pa.array(out["tile_id"], pa.int64()),
+            "col0": pa.array(out["col0"], pa.int64()),
+            "row0": pa.array(out["row0"], pa.int64()),
+            "tw": pa.array(out["tw"], pa.int32()),
+            "th": pa.array(out["th"], pa.int32()),
+            "data": pa.array(out["data"], pa.binary()),
+        })
+
+    specs = rd.from_arrow(make_tile_specs(shape, tile))
+    return specs.map_batches(compute, batch_format="pyarrow", batch_size=4)
+
+
+def grid_partitioned(points_ds, transform, shape, *, method: str = "invdist",
+                     power: float = 2.0, radius: float, min_points: int = 0,
+                     tile: int = 64):
+    """Distributed grid with HALO-PARTITIONED points (radius-bounded
+    methods only): each point flat-maps into every tile whose expanded
+    bounds (± radius) contain it; groupby(tile) computes tiles from
+    exactly their influence set. Identical results to grid_broadcast
+    for the same radius."""
+    h, w = shape
+    specs = make_tile_specs(shape, tile)
+    # tile world bounds
+    sc0 = specs["col0"].to_numpy(); sr0 = specs["row0"].to_numpy()
+    stw = specs["tw"].to_numpy(); sth = specs["th"].to_numpy()
+    x0, y0 = gtr.apply(transform, sc0.astype(float), (sr0 + sth).astype(float))
+    x1, y1 = gtr.apply(transform, (sc0 + stw).astype(float), sr0.astype(float))
+    tminx, tmaxx = np.minimum(x0, x1), np.maximum(x0, x1)
+    tminy, tmaxy = np.minimum(y0, y1), np.maximum(y0, y1)
+    ntiles = len(sc0)
+
+    def assign(t: pa.Table) -> pa.Table:
+        px = t["x"].to_numpy(); py = t["y"].to_numpy()
+        vals = t["value"].to_numpy()
+        hit = ((px[:, None] >= tminx[None, :] - radius)
+               & (px[:, None] <= tmaxx[None, :] + radius)
+               & (py[:, None] >= tminy[None, :] - radius)
+               & (py[:, None] <= tmaxy[None, :] + radius))
+        ii, jj = np.nonzero(hit)
+        return pa.table({
+            "tile_id": pa.array(jj.astype(np.int64), pa.int64()),
+            "x": pa.array(px[ii], pa.float64()),
+            "y": pa.array(py[ii], pa.float64()),
+            "value": pa.array(vals[ii], pa.float64()),
+        })
+
+    spec_by_id = {int(i): (int(c), int(r), int(tw_), int(th_))
+                  for i, c, r, tw_, th_ in zip(
+                      specs["tile_id"].to_numpy(), sc0, sr0, stw, sth)}
+
+    def compute(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["tile_id"].iloc[0])
+        c0, r0, tw_, th_ = spec_by_id[tid]
+        gx, gy = _tile_centers(transform, c0, r0, tw_, th_)
+        grid = _interp_tile(gx, gy, g["x"].to_numpy(), g["y"].to_numpy(),
+                            g["value"].to_numpy(), method, power, radius,
+                            min_points)
+        return pd.DataFrame({"tile_id": [tid], "col0": [c0], "row0": [r0],
+                             "tw": [tw_], "th": [th_],
+                             "data": [grid.astype(np.float64).tobytes()]})
+
+    return points_ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("tile_id").map_groups(compute, batch_format="pandas")
+
+
+def assemble_grid(tiles_df: pd.DataFrame, shape) -> np.ndarray:
+    """Tile rows (bounded: one per tile) → full (h, w) array. Tiles not
+    present stay NaN (empty influence sets in the partitioned path)."""
+    h, w = shape
+    out = np.full((h, w), np.nan)
+    for _, row in tiles_df.iterrows():
+        th, tw = int(row["th"]), int(row["tw"])
+        d = np.frombuffer(row["data"], np.float64).reshape(th, tw)
+        out[int(row["row0"]):int(row["row0"]) + th,
+            int(row["col0"]):int(row["col0"]) + tw] = d
+    return out

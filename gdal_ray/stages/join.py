@@ -262,6 +262,7 @@ class PiPJoinCell:
             return _typed_pip_frame(out)
         px = pts["minx"].to_numpy()  # for points minx==maxx==x
         py = pts["miny"].to_numpy()
+        pt_ids = pts["image_id"].to_numpy()
         matched = np.zeros(len(pts), dtype=bool)
         for _, prow in polys.iterrows():
             env_ok = ((px >= prow["minx"]) & (px <= prow["maxx"])
@@ -273,18 +274,22 @@ class PiPJoinCell:
             inside[env_ok] = geom.points_in_polygon(px[env_ok], py[env_ok], g)
             matched |= inside
             if self.emit == "inner":
-                for i in np.nonzero(inside)[0]:
-                    out["pt_fid"].append(np.int64(pts.iloc[i]["image_id"]))
-                    out["fid"].append(np.int64(prow["fid"]))
-                    out["name"].append(prow["name"])
-                    out["category"].append(prow["category"])
+                # vectorized emit: slice the hit rows at once instead of
+                # iloc-per-row (the round-1 per-row loop)
+                hit = np.nonzero(inside)[0]
+                if len(hit):
+                    out["pt_fid"].extend(
+                        pt_ids[hit].astype(np.int64).tolist())
+                    out["fid"].extend([np.int64(prow["fid"])] * len(hit))
+                    out["name"].extend([prow["name"]] * len(hit))
+                    out["category"].extend([prow["category"]] * len(hit))
         if self.emit in ("semi", "anti"):
-            sel = matched if self.emit == "semi" else ~matched
-            for i in np.nonzero(sel)[0]:
-                out["pt_fid"].append(np.int64(pts.iloc[i]["image_id"]))
-                out["fid"].append(np.int64(-1))
-                out["name"].append(None)
-                out["category"].append(None)
+            sel = np.nonzero(matched if self.emit == "semi" else ~matched)[0]
+            if len(sel):
+                out["pt_fid"].extend(pt_ids[sel].astype(np.int64).tolist())
+                out["fid"].extend([np.int64(-1)] * len(sel))
+                out["name"].extend([None] * len(sel))
+                out["category"].extend([None] * len(sel))
         return _typed_pip_frame(out)
 
 
@@ -393,15 +398,14 @@ class KnnCell:
         d2 = (qx - px) ** 2 + (qy - py) ** 2
         k = min(self.k, d2.shape[1])
         nn = np.argpartition(d2, k - 1, axis=1)[:, :k]
-        rows = {"qid": [], "fid": [], "dist": []}
         qids = qs["qid"].to_numpy()
         fids = ps["fid"].to_numpy()
-        for i in range(len(qs)):
-            for j in nn[i]:
-                rows["qid"].append(np.int64(qids[i]))
-                rows["fid"].append(np.int64(fids[j]))
-                rows["dist"].append(float(np.sqrt(d2[i, j])))
-        return pd.DataFrame(rows)
+        # vectorized emit: gather the (query, neighbor) matrix at once
+        qrep = np.repeat(qids, k).astype(np.int64)
+        frep = fids[nn.ravel()].astype(np.int64)
+        drep = np.sqrt(np.take_along_axis(d2, nn, axis=1)).ravel()
+        return pd.DataFrame({"qid": qrep, "fid": frep,
+                             "dist": drep.astype(np.float64)})
 
 
 def knn_join(points, queries, k: int = 3, zoom: int = 6):

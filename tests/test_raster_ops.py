@@ -333,3 +333,39 @@ class TestMakeValid:
                        rings=[np.array([(0, 0), (1, 1), (0, 0)], float)])
         v = make_valid(g)
         assert v.geom_type == W.GEOMETRYCOLLECTION and not v.parts
+
+
+class TestQuantileKernels:
+    """Round-2 warp kernels: rms / med / q1 / q3 (alg/gdalwarper.h:35-69)."""
+
+    def test_warp_rms_exact(self):
+        import numpy as np
+        from gdal_ray.core.resample import warp
+        src = np.array([[3.0, 4.0], [0.0, 0.0]])[:, :]
+        # 2x2 -> 1x1, rms of {3,4,0,0} = sqrt(25/4)
+        out, valid = warp(src, (0, 1, 0, 0, 0, 1), (0, 2, 0, 0, 0, 2),
+                          (1, 1), "rms")
+        assert valid.all()
+        assert abs(float(out[0, 0]) - 2.5) < 1e-12
+
+    def test_warp_quartiles(self):
+        import numpy as np
+        from gdal_ray.core.resample import warp
+        src = np.arange(16, dtype=np.float64).reshape(4, 4)
+        for op, expect in (("med", np.percentile(np.arange(16), 50)),
+                           ("q1", np.percentile(np.arange(16), 25)),
+                           ("q3", np.percentile(np.arange(16), 75))):
+            out, valid = warp(src, (0, 1, 0, 0, 0, 1), (0, 4, 0, 0, 0, 4),
+                              (1, 1), op)
+            assert valid.all()
+            assert abs(float(out[0, 0]) - expect) < 1e-12, op
+
+    def test_downsample2x_quartiles(self):
+        import numpy as np
+        from gdal_ray.core.resample import downsample2x
+        src = np.array([[1, 7], [3, 5]], dtype=np.uint8)
+        assert abs(float(downsample2x(src, "med")[0, 0]) - 4.0) < 1e-12
+        assert abs(float(downsample2x(src, "q1")[0, 0]) - 2.5) < 1e-12
+        assert abs(float(downsample2x(src, "q3")[0, 0]) - 5.5) < 1e-12
+        assert abs(float(downsample2x(src, "rms")[0, 0])
+                   - np.sqrt((1 + 49 + 9 + 25) / 4.0)) < 1e-12
