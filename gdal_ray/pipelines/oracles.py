@@ -655,3 +655,115 @@ SELECT ((row // 32) * 2 + (col // 32))::BIGINT AS quadrant,
        ROUND(AVG(val), 4) AS mean_val
 FROM idw GROUP BY 1
 """
+
+
+def sql_zonal_raster(n_img: int = 128, m_poly: int = 60) -> str:
+    """Zonal statistics closed form: per-polygon count/sum/min/max/mean
+    of band-0 values of every lossless image pixel whose CENTER lies in
+    the polygon (same inside-or-on-boundary convention as the burn)."""
+    return f"""
+WITH {sql_images_cte(n_img, png_only=True)},
+{sql_polygons_cte(m_poly)},
+penv AS (SELECT fid, cx, cy, s, k,
+    cx - s AS pminx, cy - s AS pminy,
+    CASE WHEN k = 4 THEN cx + 2.5*s ELSE cx + s END AS pmaxx,
+    CASE WHEN k = 4 THEN cy + 2.5*s ELSE cy + s END AS pmaxy
+  FROM polys),
+ienv AS (SELECT i, a, b, w, h, res, x0, y1,
+    x0 AS iminx, y1 - h * res AS iminy, x0 + w * res AS imaxx, y1 AS imaxy
+  FROM imgs),
+pairs AS (SELECT ienv.*, p.fid, p.cx, p.cy, p.s, p.k
+  FROM ienv JOIN penv p
+    ON NOT (p.pminx > imaxx OR iminx > p.pmaxx
+         OR p.pminy > imaxy OR iminy > p.pmaxy)),
+span AS (SELECT g AS d FROM generate_series(0, 511) t(g)),
+cand AS (SELECT pr.fid, pr.cx, pr.cy, pr.s, pr.k,
+    (pr.a * dx.d + pr.b * dy.d) % 256 AS v,
+    pr.x0 + (dx.d + 0.5) * pr.res AS qx,
+    pr.y1 - (dy.d + 0.5) * pr.res AS qy
+  FROM pairs pr
+  JOIN span dx(d) ON dx.d < pr.w
+  JOIN span dy(d) ON dy.d < pr.h),
+hit AS (SELECT fid, v FROM cand WHERE {sql_pip_expr()})
+SELECT fid, ROUND(SUM(v)::DOUBLE, 4) AS pixel_sum,
+       COUNT(*)::BIGINT AS pixel_count,
+       MIN(v)::DOUBLE AS pixel_min, MAX(v)::DOUBLE AS pixel_max,
+       ROUND(SUM(v)::DOUBLE / COUNT(*), 4) AS pixel_mean
+FROM hit GROUP BY fid
+"""
+
+
+def sql_hillshade(n: int = 128) -> str:
+    """Horn hillshade interior mean: each interior pixel's 3×3 neighbor
+    values are closed-form, so dzdx/dzdy and the full shade formula
+    (gdaldem Horn kernel, az=315 alt=45) replay exactly in SQL (libm
+    trig parity verified to 1e-15 on this platform)."""
+    v = "((a * ({x}) + b * ({y})) % 256)"
+
+    def vv(dx, dy):
+        return v.format(x=f"gx + {dx}", y=f"gy + {dy}")
+
+    dzdx = (f"(({vv(1,-1)} + 2 * {vv(1,0)} + {vv(1,1)}) "
+            f"- ({vv(-1,-1)} + 2 * {vv(-1,0)} + {vv(-1,1)})) / 8.0")
+    dzdy = (f"(({vv(-1,1)} + 2 * {vv(0,1)} + {vv(1,1)}) "
+            f"- ({vv(-1,-1)} + 2 * {vv(0,-1)} + {vv(1,-1)})) / 8.0")
+    return f"""
+WITH {sql_images_cte(n, png_only=True)},
+gxs AS (SELECT g AS gx FROM generate_series(1, 510) t(g)),
+gys AS (SELECT g AS gy FROM generate_series(1, 510) t(g)),
+grad AS (
+  SELECT image_id, {dzdx} AS p, {dzdy} AS q
+  FROM imgs JOIN gxs ON gx < w - 1 JOIN gys ON gy < h - 1),
+sh AS (
+  SELECT image_id,
+         sin(pi()/4) * cos(atan(sqrt(p*p + q*q)))
+       + cos(pi()/4) * sin(atan(sqrt(p*p + q*q)))
+         * cos(radians(135.0) - atan2(q, -p)) AS shade
+  FROM grad)
+SELECT image_id, ROUND(AVG(shade), 4) AS mean_shade
+FROM sh GROUP BY image_id
+"""
+
+
+def sql_mosaic(n_img: int = 96, W: int = 512) -> str:
+    """Mosaic composite oracle (rank-wins nearest sampling onto the
+    metro grid, ~10 overlapping hot-cluster sources): covered pixels
+    and distinct winning sources. Every coordinate step mirrors the
+    engine's float op order exactly (affine inverse/composition, floor
+    sampling), so pixel membership is bit-identical; band VALUES of the
+    lossy half are PSNR/pytest-covered, hence no checksum column."""
+    from ..core import geotransform as gtr
+    MX0, MY0, MW = G.METRO_X0, G.METRO_Y0, G.METRO_W
+    dst_gt = gtr.from_bounds(MX0, MY0, MX0 + MW, MY0 + MW, W, W)
+    D0, DRX, D3, DRY = (repr(dst_gt[0]), repr(dst_gt[1]),
+                        repr(dst_gt[3]), repr(dst_gt[5]))
+    return f"""
+WITH {sql_images_cte(n_img)},
+aff AS (
+  SELECT i, a, b, w, h,
+         (0.0 - res) * (1.0 / (res * (0.0 - res))) AS ia,
+         res * (1.0 / (res * (0.0 - res))) AS ie,
+         x0, y1
+  FROM imgs),
+m AS (
+  SELECT i, a, b, w, h,
+         -(x0 * ia) + ia * {D0} AS m0, ia * {DRX} AS m1,
+         -(y1 * ie) + ie * {D3} AS m3, ie * {DRY} AS m5,
+         x0, y1, ia, ie
+  FROM aff
+  WHERE NOT (x0 > {MX0 + MW!r} OR {MX0!r} > x0 + w * (1.0/ia)
+          OR y1 < {MY0!r} OR {MY0 + MW!r} < y1 - h * (1.0/ie))),
+span AS (SELECT g AS d FROM generate_series(0, {W - 1}) t(g)),
+samp AS (
+  SELECT px.d AS gx, py.d AS gy, m.i,
+         CAST(floor(m.m0 + m.m1 * (px.d + 0.5)) AS BIGINT) AS ix,
+         CAST(floor(m.m3 + m.m5 * (py.d + 0.5)) AS BIGINT) AS iy,
+         m.w, m.h
+  FROM m, span px(d), span py(d)),
+valid AS (
+  SELECT gx, gy, i
+  FROM samp WHERE ix >= 0 AND ix < w AND iy >= 0 AND iy < h),
+win AS (SELECT gx, gy, MAX(i) AS wi FROM valid GROUP BY gx, gy)
+SELECT (SELECT COUNT(*) FROM win)::BIGINT AS covered_px,
+       (SELECT COUNT(DISTINCT wi) FROM win)::BIGINT AS n_sources
+"""

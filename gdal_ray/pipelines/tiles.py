@@ -114,17 +114,37 @@ def write_pyramid(levels: dict, out_dir: str):
     if os.path.exists(mpath):
         with open(mpath) as f:
             manifest = json.load(f)
+    import time
+
     for z, ds in sorted(levels.items()):
         key = f"z={z}"
         path = os.path.join(out_dir, key)
         if key in manifest:
             continue
+        t0 = time.time()
         drop = [c for c in ("parent", "bucket") if c in ds.schema().names]
         out = (ds.drop_columns(drop) if drop else ds).materialize()
         out.write_parquet(path)
-        # count() on the materialized handle reads cached block metadata
-        # instead of re-running the render pipeline
-        manifest[key] = {"n_tiles": out.count()}
+        # per-partition LINEAGE + METRICS row (north rule): counts,
+        # source fan-in, a checksum digest of the level's tile
+        # checksums (order-free XOR — parallel-safe), wall time.
+        # count()/aggregates on the materialized handle read cached
+        # blocks instead of re-running the render pipeline.
+        import pyarrow as _pa
+
+        digest = 0
+        n_src_total = 0
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=4096):
+            cs = (b["cs_r"].to_numpy().astype(np.int64)
+                  ^ (b["cs_g"].to_numpy().astype(np.int64) << 16)
+                  ^ (b["cs_b"].to_numpy().astype(np.int64) << 32))
+            for v in cs.tolist():
+                digest ^= v
+            n_src_total += int(np.sum(b["n_src"].to_numpy()))
+        manifest[key] = {"n_tiles": out.count(),
+                         "n_source_contributions": n_src_total,
+                         "checksum_digest": int(digest),
+                         "wall_sec": round(time.time() - t0, 3)}
         with open(mpath, "w") as f:
             json.dump(manifest, f)
     return manifest

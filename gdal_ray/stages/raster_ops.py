@@ -151,6 +151,20 @@ def aspect(band: np.ndarray, xres=1.0, yres=1.0) -> np.ndarray:
     return np.where(flat, -9999.0, out)
 
 
+def hillshade_float(band: np.ndarray, xres=1.0, yres=1.0, *, azimuth=315.0,
+                    altitude=45.0, z_factor=1.0) -> np.ndarray:
+    """Raw Horn shade value in [-1, 1] (before the 1-255 byte mapping) —
+    the quantity a closed-form oracle can recompute per pixel."""
+    dzdx, dzdy = _horn_gradients(band, xres, yres)
+    dzdx, dzdy = dzdx * z_factor, dzdy * z_factor
+    az = np.radians(360.0 - azimuth + 90.0)
+    alt = np.radians(altitude)
+    slope_r = np.arctan(np.sqrt(dzdx**2 + dzdy**2))
+    aspect_r = np.arctan2(dzdy, -dzdx)
+    return (np.sin(alt) * np.cos(slope_r)
+            + np.cos(alt) * np.sin(slope_r) * np.cos(az - aspect_r))
+
+
 def hillshade(band: np.ndarray, xres=1.0, yres=1.0, *, azimuth=315.0,
               altitude=45.0, z_factor=1.0) -> np.ndarray:
     """Horn hillshade, 1-255 byte convention (gdaldem_lib.cpp)."""

@@ -182,7 +182,9 @@ def warp_fragments_batch(batch: pa.Table, zoom: int | None = None,
             out["z"].append(z); out["x"].append(int(tx)); out["y"].append(int(ty))
             out["image_id"].append(ids[i])
             out["r0"].append(r0); out["c0"].append(c0)
-            out["frag"].append(codec_encode(rgba, "png"))
+            # level-1 deflate: fragments live only through one exchange,
+            # so trade ~15% size for ~3x faster encode
+            out["frag"].append(codec_encode(rgba, "png", level=1))
     return pa.Table.from_pydict(out, schema=FRAGMENT_SCHEMA)
 
 

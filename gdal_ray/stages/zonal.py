@@ -192,53 +192,50 @@ def zonal_raster_broadcast(images_geo, polygons_table: pa.Table,
                  polygons_table["maxy"].to_pylist())]
     pref = ray.put(polys)
 
-    class Partials:
-        def __init__(self):
-            from ..codecs import decode
-            self._decode = decode
-            self._polys = ray.get(pref)     # once per actor
+    from ..codecs import decode as _decode_fn
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            out = {"fid": [], "psum": [], "pcount": [],
-                   "pmin": [], "pmax": []}
-            gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
-            blobs = t["bytes"].to_pylist()
-            fmts = t["fmt"].to_pylist()
-            ie = [t[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")]
-            for i in range(t.num_rows):
-                cand = [(f, g) for f, g, pe in self._polys
-                        if not (pe[0] > ie[2][i] or ie[0][i] > pe[2]
-                                or pe[1] > ie[3][i] or ie[1][i] > pe[3])]
-                if not cand:
+    def partials_batch(t: pa.Table) -> pa.Table:
+        # stateless task: ray.get of the broadcast polygon list is a
+        # zero-copy plasma read per task (no actor-pool startup cost)
+        polys_local = ray.get(pref)
+        out = {"fid": [], "psum": [], "pcount": [],
+               "pmin": [], "pmax": []}
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        blobs = t["bytes"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        ie = [t[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")]
+        for i in range(t.num_rows):
+            cand = [(f, g) for f, g, pe in polys_local
+                    if not (pe[0] > ie[2][i] or ie[0][i] > pe[2]
+                            or pe[1] > ie[3][i] or ie[1][i] > pe[3])]
+            if not cand:
+                continue
+            px = _decode_fn(blobs[i], fmts[i])
+            if px.ndim == 3:
+                px = px[:, :, band]
+            h, w = px.shape
+            gt = tuple(float(g[i]) for g in gts)
+            for fid, g in cand:
+                mask = rasterize([(g, 1)], (h, w), gt,
+                                 dtype=np.uint8).astype(bool)
+                if not mask.any():
                     continue
-                px = self._decode(blobs[i], fmts[i])
-                if px.ndim == 3:
-                    px = px[:, :, band]
-                h, w = px.shape
-                gt = tuple(float(g[i]) for g in gts)
-                for fid, g in cand:
-                    mask = rasterize([(g, 1)], (h, w), gt,
-                                     dtype=np.uint8).astype(bool)
-                    if not mask.any():
-                        continue
-                    vals = px[mask].astype(np.float64)
-                    out["fid"].append(fid)
-                    out["psum"].append(float(vals.sum()))
-                    out["pcount"].append(int(vals.size))
-                    out["pmin"].append(float(vals.min()))
-                    out["pmax"].append(float(vals.max()))
-            return pa.table({
-                "fid": pa.array(out["fid"], pa.int64()),
-                "psum": pa.array(out["psum"], pa.float64()),
-                "pcount": pa.array(out["pcount"], pa.int64()),
-                "pmin": pa.array(out["pmin"], pa.float64()),
-                "pmax": pa.array(out["pmax"], pa.float64()),
-            })
+                vals = px[mask].astype(np.float64)
+                out["fid"].append(fid)
+                out["psum"].append(float(vals.sum()))
+                out["pcount"].append(int(vals.size))
+                out["pmin"].append(float(vals.min()))
+                out["pmax"].append(float(vals.max()))
+        return pa.table({
+            "fid": pa.array(out["fid"], pa.int64()),
+            "psum": pa.array(out["psum"], pa.float64()),
+            "pcount": pa.array(out["pcount"], pa.int64()),
+            "pmin": pa.array(out["pmin"], pa.float64()),
+            "pmax": pa.array(out["pmax"], pa.float64()),
+        })
 
-    # (1, N) actor pool: scales up to N but starts as soon as one actor
-    # schedules — a fixed N would deadlock on sessions with < N CPUs
-    partials = images_geo.map_batches(Partials, batch_format="pyarrow",
-                                      concurrency=(1, 8), batch_size=8)
+    partials = images_geo.map_batches(partials_batch, batch_format="pyarrow",
+                                      batch_size=8)
     agg = partials.groupby("fid").aggregate(
         Sum("psum", alias_name="pixel_sum"),
         Sum("pcount", alias_name="pixel_count"),
