@@ -274,6 +274,130 @@ def within(a: Geometry, b: Geometry) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# predicate completeness: Touches / Crosses / Overlaps / Distance
+# (ogr/ogr_geometry.h:548-557 API surface)
+# ---------------------------------------------------------------------------
+
+def _interiors_meet(a: Geometry, b: Geometry) -> bool:
+    """True if the interiors intersect (not just boundaries): a proper
+    transversal edge crossing, a vertex/midpoint of one STRICTLY inside
+    the other (inside but not on the boundary), or positive overlap
+    area for polygon pairs."""
+    sa, sb = _geometry_segments(a), _geometry_segments(b)
+    if sa is not None and sb is not None and \
+            _segments_properly_cross(sa[0], sa[1], sb[0], sb[1]):
+        return True
+
+    def strict_inside(pts, poly):
+        if poly.geom_type not in (POLYGON, MULTIPOLYGON) or len(pts) == 0:
+            return False
+        inside = points_in_polygon(pts[:, 0], pts[:, 1], poly)
+        if not inside.any():
+            return False
+        polys = poly.parts if poly.geom_type == MULTIPOLYGON else [poly]
+        on_edge = np.zeros(len(pts), bool)
+        for p in polys:
+            for r in p.rings:
+                on_edge |= _ring_boundary_mask(pts[:, 0], pts[:, 1], r)
+        return bool((inside & ~on_edge).any())
+
+    def probes(g):
+        pts = [_representative_points(g)]
+        segs = _geometry_segments(g)
+        if segs is not None:
+            pts.append((segs[0] + segs[1]) / 2.0)
+        return np.vstack(pts)
+
+    if strict_inside(probes(b), a) or strict_inside(probes(a), b):
+        return True
+    if a.geom_type in (POLYGON, MULTIPOLYGON) \
+            and b.geom_type in (POLYGON, MULTIPOLYGON):
+        from .overlay import intersection_area
+        scale = max((abs(v) for v in (*a.envelope(), *b.envelope())),
+                    default=1.0)
+        return intersection_area(a, b) > (1e-9 * max(scale, 1.0)) ** 2
+    return False
+
+
+def touches(a: Geometry, b: Geometry) -> bool:
+    """Boundaries meet but interiors do not (OGC Touches)."""
+    if not intersects(a, b):
+        return False
+    return not _interiors_meet(a, b)
+
+
+def crosses(a: Geometry, b: Geometry) -> bool:
+    """OGC Crosses for the dimension pairs the model supports:
+    line × line (single transversal crossing point) and line × polygon
+    (the line passes through both interior and exterior)."""
+    la = a.geom_type in (LINESTRING, MULTILINESTRING)
+    lb = b.geom_type in (LINESTRING, MULTILINESTRING)
+    if la and lb:
+        sa, sb = _geometry_segments(a), _geometry_segments(b)
+        return sa is not None and sb is not None and \
+            _segments_properly_cross(sa[0], sa[1], sb[0], sb[1])
+    line, poly = (a, b) if la else (b, a) if lb else (None, None)
+    if line is None or poly.geom_type not in (POLYGON, MULTIPOLYGON):
+        return False
+    pts = _representative_points(line)
+    segs = _geometry_segments(line)
+    if segs is not None:
+        pts = np.vstack([pts, (segs[0] + segs[1]) / 2.0])
+    inside = points_in_polygon(pts[:, 0], pts[:, 1], poly)
+    return bool(inside.any() and (~inside).any())
+
+
+def overlaps(a: Geometry, b: Geometry) -> bool:
+    """OGC Overlaps for polygon pairs: interiors intersect with
+    positive area and neither contains the other."""
+    if a.geom_type not in (POLYGON, MULTIPOLYGON) \
+            or b.geom_type not in (POLYGON, MULTIPOLYGON):
+        return False
+    if not _interiors_meet(a, b):
+        return False
+    return not contains(a, b) and not contains(b, a)
+
+
+def _seg_point_d2(px, py, x0, y0, x1, y1):
+    """Squared distances from points (n,) to segments (m,) → (n, m)."""
+    dx = (x1 - x0)[None, :]
+    dy = (y1 - y0)[None, :]
+    L2 = dx * dx + dy * dy
+    t = ((px[:, None] - x0[None, :]) * dx + (py[:, None] - y0[None, :]) * dy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(np.where(L2 > 0, t / L2, 0.0), 0.0, 1.0)
+    cx = x0[None, :] + t * dx
+    cy = y0[None, :] + t * dy
+    return (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
+
+
+def distance(a: Geometry, b: Geometry) -> float:
+    """Minimum euclidean distance (OGR Distance): 0 when intersecting,
+    else min over vertex↔segment distances both ways (exact for the
+    segment model — the closest pair is always vertex-to-segment unless
+    segments cross, which intersects() already caught)."""
+    if intersects(a, b):
+        return 0.0
+    pa_ = _representative_points(a)
+    pb_ = _representative_points(b)
+    best = np.inf
+    sa, sb = _geometry_segments(a), _geometry_segments(b)
+    if sb is not None and len(pa_):
+        best = min(best, float(_seg_point_d2(
+            pa_[:, 0], pa_[:, 1], sb[0][:, 0], sb[0][:, 1],
+            sb[1][:, 0], sb[1][:, 1]).min()))
+    if sa is not None and len(pb_):
+        best = min(best, float(_seg_point_d2(
+            pb_[:, 0], pb_[:, 1], sa[0][:, 0], sa[0][:, 1],
+            sa[1][:, 0], sa[1][:, 1]).min()))
+    if not np.isfinite(best):
+        dx = pa_[:, 0][:, None] - pb_[:, 0][None, :]
+        dy = pa_[:, 1][:, None] - pb_[:, 1][None, :]
+        best = float((dx * dx + dy * dy).min())
+    return float(np.sqrt(best))
+
+
+# ---------------------------------------------------------------------------
 # constructive: clip to rectangle (Sutherland–Hodgman), area, centroid
 # ---------------------------------------------------------------------------
 

@@ -767,3 +767,15 @@ win AS (SELECT gx, gy, MAX(i) AS wi FROM valid GROUP BY gx, gy)
 SELECT (SELECT COUNT(*) FROM win)::BIGINT AS covered_px,
        (SELECT COUNT(DISTINCT wi) FROM win)::BIGINT AS n_sources
 """
+
+
+def sql_vector_drivers(m: int = 25) -> str:
+    """CSV and GeoPackage roundtrips are lossless → per-driver areas
+    equal the closed-form shape-class areas."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid,
+       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_csv,
+       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_gpkg
+FROM polys
+"""

@@ -1581,6 +1581,39 @@ def q_cutline_clip(sf_dir: str):
         .map_batches(clip, batch_format="pyarrow")
 
 
+def q_vector_drivers(sf_dir: str):
+    """Common vector drivers end-to-end: the polygon layer writes to
+    CSV (WKT column) AND GeoPackage (GPB+WKB blobs via sqlite3), both
+    read back as Ray datasets; per-fid areas from each driver must
+    match the closed-form shape-class areas (oracle). Shapefile read is
+    golden-tested against the reference's own poly.shp in pytest."""
+    import os
+    import tempfile
+    from ..core import wkb as _W
+    from ..core.geom import area as _area
+    from ..sources.csvio import read_csv_dataset, write_csv
+    from ..sources.gpkg import read_gpkg_dataset, write_gpkg
+    from ..sources.vector import polygons_table
+
+    src = polygons_table(25)
+    d = tempfile.mkdtemp(prefix="drv_", dir="/tmp")
+    write_csv(src, os.path.join(d, "layer.csv"))
+    write_gpkg(src, os.path.join(d, "layer.gpkg"))
+
+    def areas(col):
+        def fn(t: pa.Table) -> pa.Table:
+            vals = [_half_away([_area(_W.loads(b)) / 1e6], 3)[0]
+                    for b in t["wkb"].to_pylist()]
+            return pa.table({"fid": t["fid"],
+                             col: pa.array(vals, pa.float64())})
+        return fn
+
+    csv_ds = read_csv_dataset(os.path.join(d, "layer.csv"))         .map_batches(areas("area_km2_csv"), batch_format="pyarrow")
+    gpkg_ds = read_gpkg_dataset(os.path.join(d, "layer.gpkg"))         .map_batches(areas("area_km2_gpkg"), batch_format="pyarrow")
+    df = csv_ds.to_pandas().merge(gpkg_ds.to_pandas(), on="fid")
+    return df
+
+
 def q_geojson_roundtrip(sf_dir: str):
     """GeoJSON driver: write the polygon layer to a FeatureCollection,
     read it back, verify geometry byte-equality + areas."""
@@ -1809,6 +1842,7 @@ QUERIES = {
     "layer_clip_erase": q_layer_clip_erase,
     "layer_setops": q_layer_setops,
     "geojson_roundtrip": q_geojson_roundtrip,
+    "vector_drivers": q_vector_drivers,
     "rasterize_zones": q_rasterize_zones,
     "polygonize_roundtrip": q_polygonize_roundtrip,
     "cutline_clip": q_cutline_clip,
@@ -1884,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_raster": _OR.sql_zonal_raster(128, 60),
         "hillshade": _OR.sql_hillshade(128),
         "mosaic": _OR.sql_mosaic(96, 512),
+        "vector_drivers": _OR.sql_vector_drivers(25),
         "raster_calc": _OR.sql_raster_calc(96),
         "geojson_roundtrip": _OR.sql_geojson_roundtrip(25),
         "rasterize_zones": _OR.sql_rasterize_zones(30, 6),

@@ -309,3 +309,63 @@ class TestAdviceRegressions:
             [(1, 2.0), (3, 4.0), (1, 4.0), (1, 2.0)], float)])
         # edge (1,2)->(3,4) crosses the notch wall x=2 above y=2.5
         assert not G.contains(u, poke)
+
+
+class TestPredicateCompleteness:
+    """Round-2 predicates: Touches / Crosses / Overlaps / Distance
+    (ogr_geometry.h:548-557)."""
+
+    def _sq(self, x0, y0, s):
+        from gdal_ray.core import geom as G
+        import numpy as np
+        return G.Geometry(G.POLYGON, rings=[np.array(
+            [(x0, y0), (x0+s, y0), (x0+s, y0+s), (x0, y0+s), (x0, y0)],
+            float)])
+
+    def test_touches_edge_and_corner(self):
+        from gdal_ray.core import geom as G
+        a = self._sq(0, 0, 2)
+        assert G.touches(a, self._sq(2, 0, 2))       # shared edge
+        assert G.touches(a, self._sq(2, 2, 2))       # shared corner
+        assert not G.touches(a, self._sq(1, 1, 2))   # overlapping
+        assert not G.touches(a, self._sq(5, 5, 2))   # disjoint
+
+    def test_crosses_lines(self):
+        import numpy as np
+        from gdal_ray.core import geom as G
+        l1 = G.Geometry(G.LINESTRING, coords=np.array([(0, 0), (4, 4)], float))
+        l2 = G.Geometry(G.LINESTRING, coords=np.array([(0, 4), (4, 0)], float))
+        l3 = G.Geometry(G.LINESTRING, coords=np.array([(0, 1), (4, 5)], float))
+        assert G.crosses(l1, l2)
+        assert not G.crosses(l1, l3)                 # parallel
+
+    def test_crosses_line_polygon(self):
+        import numpy as np
+        from gdal_ray.core import geom as G
+        poly = self._sq(0, 0, 4)
+        through = G.Geometry(G.LINESTRING,
+                             coords=np.array([(-2, 2), (6, 2)], float))
+        inside = G.Geometry(G.LINESTRING,
+                            coords=np.array([(1, 1), (3, 3)], float))
+        assert G.crosses(through, poly)
+        assert not G.crosses(inside, poly)           # wholly interior
+
+    def test_overlaps(self):
+        from gdal_ray.core import geom as G
+        a = self._sq(0, 0, 4)
+        assert G.overlaps(a, self._sq(2, 2, 4))
+        assert not G.overlaps(a, self._sq(1, 1, 2))  # contained
+        assert not G.overlaps(a, self._sq(4, 0, 4))  # touches only
+
+    def test_distance(self):
+        import numpy as np
+        from gdal_ray.core import geom as G
+        a = self._sq(0, 0, 2)
+        b = self._sq(5, 0, 2)
+        assert abs(G.distance(a, b) - 3.0) < 1e-12
+        assert G.distance(a, self._sq(1, 1, 4)) == 0.0
+        c = self._sq(5, 5, 2)                        # diagonal gap
+        assert abs(G.distance(a, c) - np.hypot(3, 3)) < 1e-12
+        from gdal_ray.core import wkb as W
+        pt = W.point(0, 10)
+        assert abs(G.distance(a, pt) - 8.0) < 1e-12
