@@ -44,6 +44,34 @@ _KEYWORDS = {"SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "BY",
              "JOIN", "LEFT", "INNER", "ON"}
 _AGGS = {"MIN", "MAX", "SUM", "AVG", "COUNT", "STDDEV_POP", "STDDEV_SAMP"}
 
+# scalar function registry — built-ins + the user-extension hook
+# (swq_custom_func_registrar, ogr/ogr_swq.h:126,418)
+_SQL_FUNCS = {
+    "ROUND": lambda v, nd=0: np.round(np.asarray(v, dtype=np.float64),
+                                      int(nd)),
+    "ABS": lambda v: np.abs(v),
+    "SQRT": lambda v: np.sqrt(np.asarray(v, dtype=np.float64)),
+    "FLOOR": lambda v: np.floor(np.asarray(v, dtype=np.float64)),
+    "CEIL": lambda v: np.ceil(np.asarray(v, dtype=np.float64)),
+    "UPPER": lambda v: pd.Series(np.asarray(v, dtype=object)).astype(str)
+        .str.upper().to_numpy(),
+    "LOWER": lambda v: pd.Series(np.asarray(v, dtype=object)).astype(str)
+        .str.lower().to_numpy(),
+    "LENGTH": lambda v: pd.Series(np.asarray(v, dtype=object)).astype(str)
+        .str.len().to_numpy(),
+    "COALESCE": lambda *vs: np.where(
+        pd.isna(np.asarray(vs[0], dtype=object)),
+        vs[1] if len(vs) > 1 else None, vs[0]),
+}
+
+
+def register_sql_function(name: str, fn) -> None:
+    """Register a scalar SQL function callable(*column_values) usable
+    in any expression of the dialect."""
+    if not callable(fn):
+        raise TypeError("sql function must be callable")
+    _SQL_FUNCS[name.upper()] = fn
+
 
 def tokenize(sql: str):
     out, i = [], 0
@@ -197,6 +225,15 @@ def _parse_atom(p):
         p.expect("op", ")")
         return ("agg", v, inner)
     if k == "id":
+        nk, nv = p.t[p.i + 1] if p.i + 1 < len(p.t) else ("end", "")
+        if nk == "op" and nv == "(" and v.upper() in _SQL_FUNCS:
+            p.next()
+            p.next()
+            args = [_parse_add(p)]
+            while p.accept("op", ","):
+                args.append(_parse_add(p))
+            p.expect("op", ")")
+            return ("func", v.upper(), args)
         p.next()
         if p.accept("op", "."):
             # qualified reference tbl.col: the qualifier attributes JOIN
@@ -278,7 +315,7 @@ def parse_select(sql: str) -> dict:
 # expression evaluation over a pandas frame (vectorized)
 # ---------------------------------------------------------------------------
 
-def _eval(e, df: pd.DataFrame):
+def _eval(e, df: pd.DataFrame, funcs: dict | None = None):
     kind = e[0]
     if kind == "lit":
         return e[1]
@@ -290,27 +327,31 @@ def _eval(e, df: pd.DataFrame):
         if e[2] not in df.columns:
             raise ValueError(f"unknown column {e[1]}.{e[2]}")
         return df[e[2]]
+    if kind == "func":
+        reg = funcs if funcs is not None else _SQL_FUNCS
+        args = [_eval(x, df, funcs) for x in e[2]]
+        return reg[e[1]](*args)
     if kind == "isnull":
-        v = _eval(e[1], df)
+        v = _eval(e[1], df, funcs)
         return pd.isna(v)
     if kind == "not":
-        return ~_eval(e[1], df).astype(bool)
+        return ~_eval(e[1], df, funcs).astype(bool)
     if kind == "in":
-        v = _eval(e[1], df)
-        lits = [_eval(x, df) for x in e[2]]
+        v = _eval(e[1], df, funcs)
+        lits = [_eval(x, df, funcs) for x in e[2]]
         return pd.Series(v).isin(lits).to_numpy()
     if kind == "between":
-        v = _eval(e[1], df)
-        return (v >= _eval(e[2], df)) & (v <= _eval(e[3], df))
+        v = _eval(e[1], df, funcs)
+        return (v >= _eval(e[2], df, funcs)) & (v <= _eval(e[3], df, funcs))
     if kind == "like":
-        v = pd.Series(_eval(e[1], df)).astype(str)
+        v = pd.Series(_eval(e[1], df, funcs)).astype(str)
         # re.escape leaves % and _ unescaped (py>=3.7), so map them
-        pat = re.escape(str(_eval(e[2], df))).replace("%", ".*").replace("_", ".")
+        pat = re.escape(str(_eval(e[2], df, funcs))).replace("%", ".*").replace("_", ".")
         return v.str.fullmatch(pat).fillna(False).to_numpy()
     if kind == "bin":
         op = e[1]
-        l = _eval(e[2], df)
-        r = _eval(e[3], df)
+        l = _eval(e[2], df, funcs)
+        r = _eval(e[3], df, funcs)
         if op == "AND":
             return np.asarray(l, bool) & np.asarray(r, bool)
         if op == "OR":
@@ -331,6 +372,8 @@ def _expr_name(e) -> str:
         return e[1]
     if e[0] == "qcol":
         return e[2]
+    if e[0] == "func":
+        return f"{e[1].lower()}({', '.join(_expr_name(x) for x in e[2])})"
     if e[0] == "lit":
         return str(e[1])
     if e[0] == "agg":
@@ -420,6 +463,9 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
         return _run_aggregate(q, ds, join_specs)
 
     keep = (q["limit"] + q.get("offset", 0)) if q["limit"] is not None else None
+    # custom scalar functions registered on the driver must reach the
+    # workers: ship a snapshot in the closure and merge on first use
+    fsnap = dict(_SQL_FUNCS)
 
     # plain scan: filter + project per batch, optional partial top-k
     def scan(t: pa.Table) -> pa.Table:
@@ -427,11 +473,11 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
         if join_specs:
             df = _apply_joins(df, join_specs)
         if where is not None:
-            df = df[np.asarray(_eval(where, df), bool)]
+            df = df[np.asarray(_eval(where, df, fsnap), bool)]
         out = pd.DataFrame(index=df.index)
         for e, alias in q["items"]:
             name = alias or _expr_name(e)
-            out[name] = _eval(e, df)
+            out[name] = _eval(e, df, fsnap)
         if q["distinct"]:
             out = out.drop_duplicates()
         if q["order"] and keep is not None:
@@ -479,12 +525,14 @@ def _run_aggregate(q, ds, join_specs=()) -> pd.DataFrame:
         if key not in [s[0] for s in slots]:
             slots.append((key, a))
 
+    fsnap = dict(_SQL_FUNCS)
+
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         if join_specs:
             df = _apply_joins(df, join_specs)
         if where is not None:
-            df = df[np.asarray(_eval(where, df), bool)]
+            df = df[np.asarray(_eval(where, df, fsnap), bool)]
         work = pd.DataFrame(index=df.index)
         for k in group:
             work[k] = df[k]
@@ -493,7 +541,7 @@ def _run_aggregate(q, ds, join_specs=()) -> pd.DataFrame:
             if fn == "COUNT" and a[2] == "*":
                 work[base + ":n"] = 1
             else:
-                work[base + ":v"] = _eval(a[2], df)
+                work[base + ":v"] = _eval(a[2], df, fsnap)
         if group:
             g = work.groupby(group, sort=False, dropna=False)
         else:
@@ -635,6 +683,8 @@ def _run_aggregate(q, ds, join_specs=()) -> pd.DataFrame:
             return ops[e[1]](l, r)
         if e[0] == "not":
             return ~np.asarray(eval_item(e[1]), bool)
+        if e[0] == "func":
+            return _SQL_FUNCS[e[1]](*[eval_item(x) for x in e[2]])
         raise ValueError(e)
 
     if q.get("having") is not None:

@@ -81,6 +81,16 @@ PIXEL_FUNCTIONS = {
 }
 
 
+def register_pixel_function(name: str, fn) -> None:
+    """User-extension hook (GDALAddDerivedBandPixelFunc,
+    frmts/vrt/pixelfunctions.cpp:4365): register a band-algebra
+    callable fn(bands: list[np.ndarray], **kw) -> np.ndarray under a
+    name usable anywhere a built-in pixel function is."""
+    if not callable(fn):
+        raise TypeError("pixel function must be callable")
+    PIXEL_FUNCTIONS[name] = fn
+
+
 def pixel_function(px: np.ndarray, name: str, **kw) -> np.ndarray:
     """Apply a registered band-algebra function: input (h, w, b) →
     (h, w) float64. Bands become the function's inputs."""

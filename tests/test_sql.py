@@ -239,3 +239,53 @@ class TestJoinStddevOffset:
             "SELECT STDDEV_SAMP(amt) AS ss FROM orders WHERE ok = 1",
             self._tabs())
         assert pd.isna(out["ss"][0])
+
+
+class TestExtensionHooks:
+    """§2.12 user-extension surface: registered SQL scalar functions
+    (swq_custom_func_registrar analog) + built-ins."""
+
+    def test_builtin_scalars(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        from gdal_ray.functions.sql import execute_sql
+        t = {"t": rd.from_pandas(pd.DataFrame(
+            {"a": [1.234, -5.678], "s": ["x", "Yy"]}))}
+        out = execute_sql(
+            "SELECT ROUND(a, 1) AS r, ABS(a) AS ab, UPPER(s) AS u, "
+            "LENGTH(s) AS n FROM t", t)
+        assert out["r"].tolist() == [1.2, -5.7]
+        assert out["u"].tolist() == ["X", "YY"]
+        assert out["n"].tolist() == [1, 2]
+
+    def test_round_of_aggregate(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        from gdal_ray.functions.sql import execute_sql
+        t = {"t": rd.from_pandas(pd.DataFrame({"a": [1.111, 2.222]}))}
+        out = execute_sql("SELECT ROUND(SUM(a), 2) AS s FROM t", t)
+        assert out["s"][0] == 3.33
+
+    def test_custom_function_reaches_workers(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        from gdal_ray.functions.sql import execute_sql, register_sql_function
+        register_sql_function("TRIPLE_IT", lambda v: v * 3)
+        t = {"t": rd.from_pandas(pd.DataFrame({"a": [2.0, 4.0]}))}
+        out = execute_sql("SELECT TRIPLE_IT(a) AS d FROM t "
+                          "WHERE TRIPLE_IT(a) > 7", t)
+        assert out["d"].tolist() == [12.0]
+
+    def test_pixel_function_registration(self):
+        import numpy as np
+        from gdal_ray.stages.raster_ops import (pixel_function,
+                                                register_pixel_function)
+        register_pixel_function("half_sum",
+                                lambda bands: np.sum(bands, axis=0) / 2.0)
+        px = np.stack([np.full((4, 4), 10), np.full((4, 4), 30)],
+                      axis=2).astype(np.uint8)
+        out = pixel_function(px, "half_sum")
+        assert float(out[0, 0]) == 20.0
+        import pytest
+        with pytest.raises(TypeError):
+            register_pixel_function("bad", 42)
