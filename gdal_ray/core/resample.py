@@ -80,11 +80,19 @@ def composite_affine(src_gt, dst_gt):
     return (c0, c1, c2, f0, f1, f2)
 
 
-def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near"):
+def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near",
+         *, nodata=None):
     """Warp src (h, w) or (h, w, bands) onto a dst grid.
 
     Returns (dst_pixels float64 or src dtype for 'near', valid_mask bool
     (dh, dw)). Pixels with no source coverage are 0 with valid=False.
+
+    nodata: source pixels equal to this value are EXCLUDED from every
+    area reduction (GDAL's nodata-weighted average/mode semantics,
+    GDALWarpNoDataMasker + GWKAverageOrMode, alg/gdalwarper.h:77-111 /
+    gcore/overview.cpp:1214+): a dst pixel whose window is all-nodata
+    comes back invalid. For point kernels (near/bilinear/...) nodata
+    source pixels invalidate the sampled result.
     """
     dh, dw = dst_shape
     if src.ndim == 2:
@@ -96,7 +104,17 @@ def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near"):
 
     if resampling in ("average", "mode", "min", "max", "sum",
                       "rms", "med", "q1", "q3"):
-        return _warp_area(src, m, (dh, dw), resampling, squeeze)
+        return _warp_area(src, m, (dh, dw), resampling, squeeze,
+                          nodata=nodata)
+    if nodata is not None:
+        # point kernels: sample, then invalidate dst pixels whose
+        # nearest source pixel is nodata (conservative mask via 'near')
+        out, valid = warp(src if not squeeze else src[:, :, 0],
+                          src_gt, dst_gt, dst_shape, resampling)
+        nd_near, v2 = warp((src == nodata).all(axis=2).astype(np.uint8),
+                           src_gt, dst_gt, dst_shape, "near")
+        valid = valid & v2 & (nd_near == 0)
+        return out, valid
 
     # dst pixel centers
     cols_d = np.arange(dw, dtype=np.float64) + 0.5
@@ -225,7 +243,7 @@ def sample_grid(src: np.ndarray, sx: np.ndarray, sy: np.ndarray,
     raise ValueError(f"unknown resampling {resampling!r}")
 
 
-def _warp_area(src, m, dst_shape, op, squeeze):
+def _warp_area(src, m, dst_shape, op, squeeze, nodata=None):
     """Area-based reductions: each dst pixel covers a rectangle of source
     pixels (axis-aligned mapping assumed — the mercator tile case);
     mirrors GWKAverageOrMode / overview average semantics."""
@@ -251,19 +269,32 @@ def _warp_area(src, m, dst_shape, op, squeeze):
 
     out = np.zeros((dh, dw, nb), dtype=np.float64)
     valid = np.zeros((dh, dw), dtype=bool)
+    nd_mask = None
+    if nodata is not None:
+        nd_mask = (src == nodata) if src.ndim == 3 else (src == nodata)
     # integral-image path for average/sum/rms; loop fallback for
     # order statistics (mode/min/max/med/q1/q3)
     if op in ("average", "sum", "rms"):
         f = src.astype(np.float64)
+        if nd_mask is not None:
+            f = np.where(nd_mask, 0.0, f)
         if op == "rms":                     # alg/gdalwarper.h GRA_RMS
             f = f * f
         ii = np.zeros((sh + 1, sw + 1, nb), dtype=np.float64)
         ii[1:, 1:] = np.cumsum(np.cumsum(f, axis=0), axis=1)
         Y0 = y0[:, None]; Y1 = y1[:, None]; X0 = x0[None, :]; X1 = x1[None, :]
         tot = (ii[Y1, X1] - ii[Y0, X1] - ii[Y1, X0] + ii[Y0, X0])
-        cnt = ((y1[:, None] - y0[:, None]) * (x1[None, :] - x0[None, :]))
-        valid = cnt > 0
-        cntf = np.maximum(cnt, 1)[..., None].astype(np.float64)
+        if nd_mask is None:
+            cnt = ((y1[:, None] - y0[:, None])
+                   * (x1[None, :] - x0[None, :]))[..., None]                 * np.ones((1, 1, nb), np.int64)
+        else:
+            # per-band VALID count via an integral image of the mask
+            vi = np.zeros((sh + 1, sw + 1, nb), dtype=np.int64)
+            vi[1:, 1:] = np.cumsum(np.cumsum(
+                (~nd_mask).astype(np.int64), axis=0), axis=1)
+            cnt = (vi[Y1, X1] - vi[Y0, X1] - vi[Y1, X0] + vi[Y0, X0])
+        valid = (cnt > 0).any(axis=2)
+        cntf = np.maximum(cnt, 1).astype(np.float64)
         if op == "sum":
             out = tot
         elif op == "average":
@@ -278,6 +309,12 @@ def _warp_area(src, m, dst_shape, op, squeeze):
                 if x1[j] <= x0[j]:
                     continue
                 win = src[y0[i]:y1[i], x0[j]:x1[j]].reshape(-1, nb)
+                if nd_mask is not None:
+                    wmask = nd_mask[y0[i]:y1[i], x0[j]:x1[j]].reshape(-1, nb)
+                    keep = ~wmask.all(axis=1)
+                    win = win[keep]
+                    if not len(win):
+                        continue
                 valid[i, j] = True
                 if op == "min":
                     out[i, j] = win.min(axis=0)

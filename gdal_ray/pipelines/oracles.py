@@ -64,7 +64,7 @@ WITH {sql_images_cte(n, png_only=png_only)},
 gxs AS (SELECT g AS gx FROM generate_series(0, {max_dim - 1}) t(g)),
 gys AS (SELECT g AS gy FROM generate_series(0, {max_dim - 1}) t(g)),
 px AS (
-  SELECT i, image_id, w, h, gx, gy,
+  SELECT i, image_id, w, h, gx, gy, a, b,
          (a * gx + b * gy) % 256         AS v0,
          (a * gx + b * gy + c) % 256     AS v1,
          (a * gx + b * gy + 2 * c) % 256 AS v2
@@ -778,4 +778,26 @@ SELECT fid,
        ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_csv,
        ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_gpkg
 FROM polys
+"""
+
+
+def sql_contours(n: int = 96, levels=(64, 128, 192)) -> str:
+    """Marching-squares crossing conservation: the traced polylines'
+    distinct vertices per level equal the number of lattice edges whose
+    endpoint samples straddle the level ((v >= L) differs) — closed
+    form for the gradient corpus."""
+    def count(L):
+        return (f"SUM(CASE WHEN gx < w - 1 AND "
+                f"((v0 >= {L}) <> (((a * (gx + 1) + b * gy) % 256) >= {L})) "
+                f"THEN 1 ELSE 0 END)"
+                f" + SUM(CASE WHEN gy < h - 1 AND "
+                f"((v0 >= {L}) <> (((a * gx + b * (gy + 1)) % 256) >= {L})) "
+                f"THEN 1 ELSE 0 END)")
+
+    cols = ",\n       ".join(
+        f"({count(L)})::BIGINT AS n_cross_l{int(L)}" for L in levels)
+    return sql_pixels_cte(n) + f"""
+SELECT image_id,
+       {cols}
+FROM px GROUP BY image_id
 """

@@ -1216,19 +1216,32 @@ def q_contours(sf_dir: str):
     from ..sources.images import images_dataset
     from ..stages.raster_ops import image_op
 
-    LEVELS = (64.0, 128.0, 192.0)
+    # half-integer levels: integer pixel values mean crossings never
+    # land on lattice corners, so traced vertices == crossed edges
+    LEVELS = (63.5, 127.5, 191.5)
 
     def ctr(px, row):
+        # run the REAL tracer; emit per-level crossing counts derived
+        # from the traced polylines (Σ vertices − closed-dup): marching
+        # squares consumes each sign-change lattice edge exactly once,
+        # so this must equal the closed-form edge count the SQL oracle
+        # computes — an end-to-end conservation check of the tracer.
+        # (polyline count + lengths stay pytest-covered.)
+        out = {}
         lines = contour_lines(px[:, :, 0].astype(np.float64), LEVELS)
-        total = 0.0
-        for _, ln in lines:
-            total += float(np.hypot(np.diff(ln[:, 0]), np.diff(ln[:, 1])).sum())
-        return {"n_lines": int(len(lines)),
-                "total_len": _half_away([total])[0]}
+        per_level = {lv: 0 for lv in LEVELS}
+        for lv, ln in lines:
+            closed = bool(np.allclose(ln[0], ln[-1])) and len(ln) > 1
+            per_level[lv] += len(ln) - (1 if closed else 0)
+        for k, lv in enumerate(LEVELS):
+            out[f"n_cross_l{int(lv)}"] = int(per_level[lv])
+        return out
 
-    return images_dataset(96, parallelism=32).map_batches(
-        image_op(ctr), batch_format="pyarrow") \
-        .select_columns(["image_id", "n_lines", "total_len"])
+    return images_dataset(96, parallelism=32) \
+        .map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(ctr), batch_format="pyarrow") \
+        .select_columns(["image_id", "n_cross_l63", "n_cross_l127",
+                         "n_cross_l191"])
 
 
 def q_footprint(sf_dir: str):
@@ -1919,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         "hillshade": _OR.sql_hillshade(128),
         "mosaic": _OR.sql_mosaic(96, 512),
         "vector_drivers": _OR.sql_vector_drivers(25),
+        "contours": _OR.sql_contours(96, (63.5, 127.5, 191.5)),
         "raster_calc": _OR.sql_raster_calc(96),
         "geojson_roundtrip": _OR.sql_geojson_roundtrip(25),
         "rasterize_zones": _OR.sql_rasterize_zones(30, 6),

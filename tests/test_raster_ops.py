@@ -369,3 +369,53 @@ class TestQuantileKernels:
         assert abs(float(downsample2x(src, "q3")[0, 0]) - 5.5) < 1e-12
         assert abs(float(downsample2x(src, "rms")[0, 0])
                    - np.sqrt((1 + 49 + 9 + 25) / 4.0)) < 1e-12
+
+
+class TestNodataWeighted:
+    """GDAL nodata-weighted reduction parity (GDALWarpNoDataMasker /
+    GWKAverageOrMode, gcore/overview.cpp:1214+)."""
+
+    def test_average_excludes_nodata(self):
+        import numpy as np
+        from gdal_ray.core.resample import warp
+        src = np.array([[10.0, 255.0], [30.0, 255.0]])
+        out, valid = warp(src, (0, 1, 0, 0, 0, 1), (0, 2, 0, 0, 0, 2),
+                          (1, 1), "average", nodata=255.0)
+        assert valid.all()
+        assert float(out[0, 0]) == 20.0      # mean of {10, 30} only
+
+    def test_all_nodata_window_invalid(self):
+        import numpy as np
+        from gdal_ray.core.resample import warp
+        src = np.full((2, 2), 9.0)
+        out, valid = warp(src, (0, 1, 0, 0, 0, 1), (0, 2, 0, 0, 0, 2),
+                          (1, 1), "average", nodata=9.0)
+        assert not valid.any()
+
+    def test_quantiles_exclude_nodata(self):
+        import numpy as np
+        from gdal_ray.core.resample import warp
+        src = np.array([[1.0, 7.0], [0.0, 5.0]])
+        out, valid = warp(src, (0, 1, 0, 0, 0, 1), (0, 2, 0, 0, 0, 2),
+                          (1, 1), "med", nodata=0.0)
+        assert valid.all()
+        assert float(out[0, 0]) == 5.0       # median of {1, 7, 5}
+
+    def test_point_kernel_nodata_invalidates(self):
+        import numpy as np
+        from gdal_ray.core.resample import warp
+        src = np.array([[7.0, 9.0], [7.0, 7.0]])
+        out, valid = warp(src, (0, 1, 0, 0, 0, 1), (0, 1, 0, 0, 0, 1),
+                          (2, 2), "near", nodata=9.0)
+        assert valid.sum() == 3              # the nodata cell masked
+        assert not valid[0, 1]
+
+    def test_no_nodata_unchanged(self):
+        import numpy as np
+        from gdal_ray.core.resample import warp
+        src = np.arange(16, dtype=np.float64).reshape(4, 4)
+        a, va = warp(src, (0, 1, 0, 0, 0, 1), (0, 2, 0, 0, 0, 2),
+                     (2, 2), "average")
+        b, vb = warp(src, (0, 1, 0, 0, 0, 1), (0, 2, 0, 0, 0, 2),
+                     (2, 2), "average", nodata=-1.0)
+        assert np.array_equal(a, b) and np.array_equal(va, vb)
