@@ -801,3 +801,113 @@ SELECT image_id,
        {cols}
 FROM px GROUP BY image_id
 """
+
+
+def sql_image_spatial_join(n_img: int = 200, m_poly: int = 40) -> str:
+    """The flagship spatial join, recomputed closed-form: image
+    footprints are axis rects; each polygon class has an exact
+    rect-Intersects test (boundary touching counts, matching
+    geom.intersects):
+      k=0 box: closed rect overlap;
+      k=1 diamond: min L1 distance from rect to center ≤ s;
+      k=2 L: union of the two closed half boxes;
+      k=3 box-with-hole: overlap big AND NOT strictly inside open hole;
+      k=4 multipolygon: either closed box."""
+    ov = ("({bx0} <= imaxx AND iminx <= {bx1} "
+          "AND {by0} <= imaxy AND iminy <= {by1})")
+
+    def box(bx0, by0, bx1, by1):
+        return ov.format(bx0=bx0, by0=by0, bx1=bx1, by1=by1)
+
+    pred = f"""(
+  CASE k
+    WHEN 0 THEN {box('cx - s', 'cy - s', 'cx + s', 'cy + s')}
+    WHEN 1 THEN (greatest(0, cx - imaxx, iminx - cx)
+               + greatest(0, cy - imaxy, iminy - cy)) <= s
+    WHEN 2 THEN ({box('cx - s', 'cy - s', 'cx + s', 'cy')}
+              OR {box('cx - s', 'cy - s', 'cx', 'cy + s')})
+    WHEN 3 THEN {box('cx - s', 'cy - s', 'cx + s', 'cy + s')}
+             AND NOT (iminx > cx - s/3 AND imaxx < cx + s/3
+                  AND iminy > cy - s/3 AND imaxy < cy + s/3)
+    ELSE ({box('cx - s', 'cy - s', 'cx', 'cy')}
+       OR {box('cx + 1.5*s', 'cy + 1.5*s', 'cx + 2.5*s', 'cy + 2.5*s')})
+  END)"""
+    return f"""
+WITH {sql_images_cte(n_img)},
+{sql_polygons_cte(m_poly)},
+ienv AS (SELECT image_id, x0 AS iminx, y1 - h * res AS iminy,
+                x0 + w * res AS imaxx, y1 AS imaxy
+         FROM imgs),
+cats AS (SELECT fid, cx, cy, s, k,
+                'zone' || fid AS name,
+                CASE fid % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                             ELSE 'c' END AS category
+         FROM polys)
+SELECT i.image_id, p.fid, p.name, p.category
+FROM ienv i JOIN cats p ON {pred}
+"""
+
+
+def sql_points_cte(k: int = 300, name: str = "pts") -> str:
+    """CTE for points_table(k): position + dense-cluster override."""
+    xw, yw = G.sql_point_xy("(i * 7 + 3)")
+    ux = G.sql_unit_hash("i", 97003)
+    uy = G.sql_unit_hash("i", 57301)
+    MX0, MY0, MW = G.METRO_X0, G.METRO_Y0, G.METRO_W
+    return f"""
+{name} AS (
+  SELECT i AS fid,
+    CASE WHEN i % 5 = 2 THEN {MX0!r} + {ux} * {MW!r} ELSE {xw} END AS x,
+    CASE WHEN i % 5 = 2 THEN {MY0!r} + {uy} * {MW!r} ELSE {yw} END AS y
+  FROM (SELECT g AS i FROM generate_series(0, {k - 1}) t(g)))"""
+
+
+def sql_image_pip(k_pts: int = 300, m_poly: int = 40) -> str:
+    """Point-in-polygon join closed form (inside-or-on-boundary,
+    matching geom.points_in_polygon)."""
+    return f"""
+WITH {sql_points_cte(k_pts)},
+{sql_polygons_cte(m_poly)},
+cats AS (SELECT fid, cx, cy, s, k,
+                'zone' || fid AS name,
+                CASE fid % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                             ELSE 'c' END AS category
+         FROM polys)
+SELECT p.fid AS pt_fid, c.fid, c.name, c.category
+FROM pts p JOIN cats c ON {sql_pip_expr('p.x', 'p.y')}
+"""
+
+
+def sql_image_knn(k_pts: int = 300, nq: int = 10, kk: int = 3) -> str:
+    """kNN join brute force: for the first nq dense-cluster points, the
+    kk nearest cluster points by euclidean distance (fid tie-break)."""
+    return f"""
+WITH {sql_points_cte(k_pts)},
+cluster AS (SELECT row_number() OVER (ORDER BY fid) - 1 AS ord, fid, x, y
+            FROM pts WHERE fid % 5 = 2),
+queries AS (SELECT fid AS qid, x AS qx, y AS qy FROM cluster
+            WHERE ord < {nq}),
+d AS (SELECT q.qid, c.fid,
+             sqrt((q.qx - c.x) * (q.qx - c.x)
+                + (q.qy - c.y) * (q.qy - c.y)) AS dist
+      FROM queries q CROSS JOIN (SELECT fid, x, y FROM cluster) c),
+r AS (SELECT qid, fid, dist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist, fid) AS rn
+      FROM d)
+SELECT qid, fid, ROUND(dist, 4) AS dist FROM r WHERE rn <= {kk}
+"""
+
+
+def sql_image_phash_dedup(n: int = 200) -> str:
+    """phash dedup closed form: phash is integer arithmetic on the
+    pattern params (sources/images.py phash_of); keep MIN(image_id) per
+    phash."""
+    return f"""
+WITH {sql_images_cte(n)},
+ph AS (SELECT image_id,
+        ((a::BIGINT * 1000003 + b * 10007 + c * 101 + w * 31 + h)
+         * 2654435761) % {2**62} AS phash
+       FROM imgs)
+SELECT phash, MIN(image_id) AS image_id FROM ph GROUP BY phash
+"""

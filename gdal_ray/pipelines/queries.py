@@ -570,7 +570,15 @@ def q_image_knn(sf_dir: str):
     from ..stages.join import knn_join
     data = rd.from_arrow(cluster)
     queries = rd.from_arrow(cluster.slice(0, 10))
-    return knn_join(data, queries, k=3, zoom=6)
+    out = knn_join(data, queries, k=3, zoom=6)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("dist")
+        return t.set_column(i, "dist",
+                            pa.array(_half_away(t["dist"].to_numpy()),
+                                     pa.float64()))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1933,6 +1941,10 @@ def oracle_sql() -> dict[str, str]:
         "mosaic": _OR.sql_mosaic(96, 512),
         "vector_drivers": _OR.sql_vector_drivers(25),
         "contours": _OR.sql_contours(96, (63.5, 127.5, 191.5)),
+        "image_spatial_join": _OR.sql_image_spatial_join(200, 40),
+        "image_pip": _OR.sql_image_pip(300, 40),
+        "image_knn": _OR.sql_image_knn(300, 10, 3),
+        "image_phash_dedup": _OR.sql_image_phash_dedup(200),
         "raster_calc": _OR.sql_raster_calc(96),
         "geojson_roundtrip": _OR.sql_geojson_roundtrip(25),
         "rasterize_zones": _OR.sql_rasterize_zones(30, 6),
