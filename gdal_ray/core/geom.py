@@ -526,6 +526,118 @@ def buffer_point(x: float, y: float, dist: float, segments: int = 16) -> Geometr
     return make_polygon(ring)
 
 
+def _arc(cx, cy, r, a0, a1, seg_per_quad: int = 8):
+    """CCW arc points from angle a0 to a1 (a1 normalized above a0)."""
+    while a1 < a0:
+        a1 += 2 * np.pi
+    n = max(2, int(np.ceil((a1 - a0) / (np.pi / 2) * seg_per_quad)))
+    ang = np.linspace(a0, a1, n)
+    return np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+
+
+def _offset_side(pts: np.ndarray, dist: float, seg_per_quad: int = 8):
+    """One side of a round-join offset of an open polyline: offset each
+    edge by its left normal scaled -dist (i.e. the right side for
+    positive dist), inserting arcs at convex turns."""
+    d = np.diff(pts, axis=0)
+    L = np.hypot(d[:, 0], d[:, 1])
+    keep = L > 0
+    d = d[keep] / L[keep][:, None]
+    verts = np.vstack([pts[:1], pts[1:][keep]])
+    if len(d) == 0:
+        return np.empty((0, 2))
+    nx, ny = d[:, 1], -d[:, 0]          # right normals
+    out = [verts[0] + dist * np.array([nx[0], ny[0]])]
+    for i in range(1, len(d)):
+        v = verts[i]
+        a0 = np.arctan2(ny[i - 1], nx[i - 1])
+        a1 = np.arctan2(ny[i], nx[i])
+        cross = d[i - 1, 0] * d[i, 1] - d[i - 1, 1] * d[i, 0]
+        if cross > 0:     # left turn → the right side sweeps an arc
+            out.append(_arc(v[0], v[1], dist, a0, a1, seg_per_quad))
+        else:             # right turn → the right side pinches (join)
+            out.append(v + dist * np.array([nx[i - 1], ny[i - 1]]))
+            out.append(v + dist * np.array([nx[i], ny[i]]))
+    out.append(verts[-1] + dist * np.array([nx[-1], ny[-1]]))
+    return np.vstack([np.atleast_2d(p) for p in out])
+
+
+def buffer_line(coords: np.ndarray, dist: float,
+                seg_per_quad: int = 8) -> Geometry:
+    """Round-cap, round-join buffer of an open polyline (GEOS-free):
+    right side forward + end-cap arc + right side of the reversed line
+    + start-cap arc. Exact-area capsule for a single segment; for
+    polylines the ring can self-touch when dist exceeds the local
+    feature size (same caveat GDAL inherits from non-noded inputs)."""
+    pts = np.asarray(coords, np.float64)
+    if len(pts) < 2:
+        return buffer_point(float(pts[0, 0]), float(pts[0, 1]), dist,
+                            seg_per_quad)
+    side1 = _offset_side(pts, dist, seg_per_quad)
+    side2 = _offset_side(pts[::-1], dist, seg_per_quad)
+    d_end = pts[-1] - pts[-2]
+    a_end = np.arctan2(-d_end[0], d_end[1])      # right normal angle
+    cap_end = _arc(pts[-1, 0], pts[-1, 1], dist, a_end, a_end + np.pi,
+                   seg_per_quad)
+    d_start = pts[0] - pts[1]
+    a_start = np.arctan2(-d_start[0], d_start[1])
+    cap_start = _arc(pts[0, 0], pts[0, 1], dist, a_start, a_start + np.pi,
+                     seg_per_quad)
+    ring = np.vstack([side1, cap_end, side2, cap_start, side1[:1]])
+    return make_polygon(ring)
+
+
+def buffer_polygon(g: Geometry, dist: float,
+                   seg_per_quad: int = 8) -> Geometry:
+    """Positive buffer of a polygon: outer ring offset outward with
+    round joins at convex vertices; holes shrink (dropped when they
+    vanish). Exact area growth A + P·d + πd² for convex input (up to
+    arc discretization); concave outers can self-touch for large d."""
+    if dist <= 0:
+        raise ValueError("only positive buffer distances supported")
+    outer = g.rings[0]
+    closed = outer[:-1] if np.array_equal(outer[0], outer[-1]) else outer
+    # orient CCW: interior on the LEFT of travel, so the walk's RIGHT
+    # side (the offset side) faces outward
+    if ring_area(outer) < 0:
+        closed = closed[::-1]
+    loop = np.vstack([closed, closed[:2]])
+    off = _offset_side(loop, dist, seg_per_quad)
+    ring = np.vstack([off, off[:1]])
+    new_rings = [ring]
+    for h in g.rings[1:]:
+        hc = h[:-1] if np.array_equal(h[0], h[-1]) else h
+        if ring_area(h) > 0:      # holes walk CW: right side = inward
+            hc = hc[::-1]
+        hloop = np.vstack([hc, hc[:2]])
+        hoff = _offset_side(hloop, dist, seg_per_quad)
+        hr = np.vstack([hoff, hoff[:1]])
+        if abs(ring_area(hr)) > 1e-9:
+            new_rings.append(hr)
+    return Geometry(POLYGON, rings=new_rings)
+
+
+def buffer_geometry(g: Geometry, dist: float,
+                    seg_per_quad: int = 8) -> Geometry:
+    """Buffer for the supported geometry kinds (vector buffer step,
+    apps/gdalalg_vector_buffer.cpp semantics; reference delegates to
+    GEOS ogr_geometry.h:560)."""
+    if g.geom_type == POINT:
+        return buffer_point(float(g.coords[0, 0]), float(g.coords[0, 1]),
+                            dist, seg_per_quad)
+    if g.geom_type == LINESTRING:
+        return buffer_line(g.coords, dist, seg_per_quad)
+    if g.geom_type == POLYGON:
+        return buffer_polygon(g, dist, seg_per_quad)
+    if g.geom_type in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
+                       GEOMETRYCOLLECTION):
+        return Geometry(GEOMETRYCOLLECTION if g.geom_type == GEOMETRYCOLLECTION
+                        else MULTIPOLYGON,
+                        parts=[buffer_geometry(p, dist, seg_per_quad)
+                               for p in g.parts])
+    raise ValueError(f"cannot buffer geometry type {g.geom_type}")
+
+
 def boxes_intersect_polygon(minx, miny, maxx, maxy, poly: Geometry) -> np.ndarray:
     """Vectorized exact Intersects(box_i, poly) for axis-aligned boxes.
 

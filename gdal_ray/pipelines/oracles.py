@@ -911,3 +911,25 @@ ph AS (SELECT image_id,
        FROM imgs)
 SELECT phash, MIN(image_id) AS image_id FROM ph GROUP BY phash
 """
+
+
+def sql_gtiff_float_nodata(n: int = 32, W: int = 128,
+                           nd: float = -9999.0) -> str:
+    """Float32+nodata GeoTIFF pipeline oracle: values are
+    ((a*x+b*y)%256)/4 cast to float32 (exact: quarter-integers ≤ 64),
+    holes on (x+y)%17 == 0."""
+    return f"""
+WITH imgs AS (
+  SELECT i, 1 + (i * 7919) % 13 AS a, 1 + (i * 104729) % 17 AS b
+  FROM (SELECT g AS i FROM generate_series(0, {n - 1}) t(g))),
+gxs AS (SELECT g AS gx FROM generate_series(0, {W - 1}) t(g)),
+gys AS (SELECT g AS gy FROM generate_series(0, {W - 1}) t(g)),
+px AS (
+  SELECT i, ((a * gx + b * gy) % 256) / 4.0 AS v,
+         (gx + gy) % 17 = 0 AS hole
+  FROM imgs, gxs, gys)
+SELECT i AS rid,
+       SUM(CASE WHEN NOT hole THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       ROUND(AVG(CASE WHEN NOT hole THEN v END), 4) AS mean_valid
+FROM px GROUP BY i
+"""

@@ -1143,6 +1143,58 @@ def q_gtiff_roundtrip(sf_dir: str):
     return files.map_batches(stats, batch_format="pyarrow")
 
 
+def q_gtiff_float_nodata(sf_dir: str):
+    """Wider raster data model end-to-end: float32 single-band rasters
+    with a NODATA value written as deflate GeoTIFF (dtype + GDAL_NODATA
+    tag), read back distributed, nodata-aware stats. The oracle
+    reconstructs values and hole positions closed-form — the whole
+    float path (encode → tag → decode → masked reduction) must be
+    lossless to hash-match."""
+    import os
+    import ray.data as rd
+    from ..codecs.gtiff import decode_gtiff, encode_gtiff
+
+    N, W = 32, 128
+    ND = -9999.0
+    out_dir = "/tmp/gdal_ray_gtiff_f32"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        n = 0
+        for i in t["id"].to_pylist():
+            a = 1 + (i * 7919) % 13
+            b = 1 + (i * 104729) % 17
+            x = np.arange(W)[None, :]
+            y = np.arange(W)[:, None]
+            vals = (((a * x + b * y) % 256) / 4.0).astype(np.float32)
+            vals[(x + y) % 17 == 0] = np.float32(ND)
+            buf = encode_gtiff(vals, nodata=ND, compress="deflate",
+                               tile_size=64)
+            with open(os.path.join(out_dir, f"f{i:05d}.tif"), "wb") as f:
+                f.write(buf)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    rd.range(N).map_batches(write, batch_format="pyarrow",
+                            batch_size=8).materialize()
+    files = rd.read_binary_files(out_dir, include_paths=True)
+
+    def stats(t: pa.Table) -> pa.Table:
+        rids, nvalid, means = [], [], []
+        for path, buf in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            g = decode_gtiff(buf)
+            px = g.pixels.astype(np.float64)
+            mask = px != g.nodata
+            rids.append(int(os.path.basename(path)[1:6]))
+            nvalid.append(int(mask.sum()))
+            means.append(_half_away([float(px[mask].mean())])[0])
+        return pa.table({"rid": pa.array(rids, pa.int64()),
+                         "n_valid": pa.array(nvalid, pa.int64()),
+                         "mean_valid": pa.array(means, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
 def q_utm_warp(sf_dir: str):
     """The reference's own benchmark workload shape (autotest/benchmark/
     test_gdalwarp.py:24-56): UTM EPSG:32631 3-band uint8 source warped
@@ -1870,6 +1922,7 @@ QUERIES = {
     "spatial_sort": q_spatial_sort,
     "raster_index": q_raster_index,
     "gtiff_roundtrip": q_gtiff_roundtrip,
+    "gtiff_float_nodata": q_gtiff_float_nodata,
     # --- battery-only (rows 51+; pytest-oracled) ---
     "hillshade": q_hillshade,
     "mosaic": q_mosaic,
@@ -1945,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
         "image_pip": _OR.sql_image_pip(300, 40),
         "image_knn": _OR.sql_image_knn(300, 10, 3),
         "image_phash_dedup": _OR.sql_image_phash_dedup(200),
+        "gtiff_float_nodata": _OR.sql_gtiff_float_nodata(32, 128),
         "raster_calc": _OR.sql_raster_calc(96),
         "geojson_roundtrip": _OR.sql_geojson_roundtrip(25),
         "rasterize_zones": _OR.sql_rasterize_zones(30, 6),

@@ -82,25 +82,14 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
 
 
 def buffer_geometry(g: W.Geometry, dist: float, segments: int = 8) -> W.Geometry:
-    """Positive buffer. Points → circles; polygons → convex-hull of
-    circles around boundary vertices after segmentizing (exact for
-    convex shapes; a documented approximation for concave — OGR
-    delegates to GEOS which this container lacks)."""
-    if g.geom_type == W.POINT:
-        return geom.buffer_point(g.coords[0, 0], g.coords[0, 1], dist, segments)
-    pts = []
-    src = (g.rings[0] if g.geom_type == W.POLYGON
-           else g.coords if g.geom_type == W.LINESTRING
-           else None)
-    if src is None:
-        return W.multipolygon([buffer_geometry(p, dist, segments) for p in g.parts])
-    dense = segmentize(src, max(dist, 1e-9))
-    ang = np.linspace(0, 2 * np.pi, segments * 4, endpoint=False)
-    circ = np.column_stack([np.cos(ang), np.sin(ang)]) * dist
-    for v in dense:
-        pts.append(v[None, :] + circ)
-    hull = convex_hull(np.vstack(pts))
-    return W.Geometry(W.POLYGON, rings=[hull])
+    """Positive buffer for every supported kind: points → circles,
+    polylines → round-cap round-join offset rings, polygons → outward
+    boundary offset with round joins at convex vertices (holes shrink).
+    Exact up to arc discretization for convex inputs (area A + P·d +
+    πd²); concave boundaries / small local feature size can self-touch
+    — the caveat OGR inherits from non-noded inputs (the reference
+    delegates the general case to GEOS, ogr_geometry.h:560)."""
+    return geom.buffer_geometry(g, dist, seg_per_quad=segments)
 
 
 def swap_xy(g: W.Geometry) -> W.Geometry:

@@ -369,3 +369,49 @@ class TestPredicateCompleteness:
         from gdal_ray.core import wkb as W
         pt = W.point(0, 10)
         assert abs(G.distance(a, pt) - 8.0) < 1e-12
+
+
+class TestBufferConstructive:
+    """Round-2 buffer for lines and polygons (the last constructive
+    gap — round joins/caps, area law A + P·d + πd² for convex)."""
+
+    def test_segment_capsule(self):
+        import numpy as np
+        from gdal_ray.core import geom as G
+        g = G.buffer_line(np.array([(0.0, 0.0), (10.0, 0.0)]), 2.0, 32)
+        a = abs(G.ring_area(g.rings[0]))
+        assert abs(a - (2 * 10 * 2 + np.pi * 4)) < 0.02
+
+    def test_convex_polygon_area_law(self):
+        import numpy as np
+        from gdal_ray.core import geom as G, wkb as W
+        for d in (1.0, 3.0):
+            gb = G.buffer_polygon(W.box(0, 0, 10, 10), d, 32)
+            expect = 100 + 40 * d + np.pi * d * d
+            assert abs(G.area(gb) - expect) / expect < 1e-3
+
+    def test_buffered_contains_original(self):
+        import numpy as np
+        from gdal_ray.core import geom as G, wkb as W
+        src = W.box(0, 0, 10, 10)
+        gb = G.buffer_polygon(src, 2.0, 16)
+        # every original vertex + edge midpoint strictly inside
+        pts = src.rings[0]
+        assert G.points_in_polygon(pts[:, 0], pts[:, 1], gb).all()
+
+    def test_multipolygon_dispatch(self):
+        from gdal_ray.core import geom as G, wkb as W
+        mp = W.multipolygon([W.box(0, 0, 1, 1), W.box(5, 5, 6, 6)])
+        out = G.buffer_geometry(mp, 0.5)
+        assert out.geom_type == W.MULTIPOLYGON
+        assert G.area(out) > 2.0
+
+    def test_vector_ops_wrapper(self):
+        import numpy as np
+        from gdal_ray.core import geom as G, wkb as W
+        from gdal_ray.stages.vector_ops import buffer_geometry
+        line = W.Geometry(W.LINESTRING,
+                          coords=np.array([(0, 0), (5, 0), (5, 5)], float))
+        out = buffer_geometry(line, 1.0)
+        assert out.geom_type == W.POLYGON
+        assert G.area(out) > 2 * 10 * 1 * 0.8   # ballpark of capsule law
