@@ -12,8 +12,27 @@ import numpy as np
 
 from . import dct, png
 
+# user-extension surface (GDAL driver-manager analog,
+# gcore/gdaldrivermanager.cpp): registered codecs are consulted before
+# the built-ins; a magic-sniffer may claim un-tagged buffers
+_CUSTOM: dict[str, tuple] = {}      # fmt -> (encode_fn, decode_fn)
+_SNIFFERS: list = []                # [(predicate(bytes)->bool, fmt)]
+
+
+def register_codec(fmt: str, encode_fn, decode_fn, sniffer=None) -> None:
+    """Register a user image codec: encode_fn(img, **kw) -> bytes,
+    decode_fn(bytes) -> ndarray; optional sniffer(buf) -> bool for
+    magic-based dispatch when fmt is unknown."""
+    if not callable(encode_fn) or not callable(decode_fn):
+        raise TypeError("codec hooks must be callable")
+    _CUSTOM[fmt] = (encode_fn, decode_fn)
+    if sniffer is not None:
+        _SNIFFERS.append((sniffer, fmt))
+
 
 def encode(img: np.ndarray, fmt: str, **kw) -> bytes:
+    if fmt in _CUSTOM:
+        return _CUSTOM[fmt][0](img, **kw)
     if fmt == "png":
         return png.encode(img, **kw)
     if fmt in ("jpeg", "jpg"):
@@ -26,6 +45,13 @@ def encode(img: np.ndarray, fmt: str, **kw) -> bytes:
 
 def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
     """Decode by fmt, or sniff from magic bytes when fmt is None."""
+    if fmt is None:
+        for sniff, f in _SNIFFERS:
+            if sniff(buf):
+                fmt = f
+                break
+    if fmt in _CUSTOM:
+        return _CUSTOM[fmt][1](buf)
     if fmt is None:
         if buf[:8] == b"\x89PNG\r\n\x1a\n":
             fmt = "png"

@@ -933,3 +933,28 @@ SELECT i AS rid,
        ROUND(AVG(CASE WHEN NOT hole THEN v END), 4) AS mean_valid
 FROM px GROUP BY i
 """
+
+
+def sql_proximity(n: int = 48, crop: int = 64) -> str:
+    """Exact EDT oracle: per pixel, min euclidean distance to any
+    zero-valued pixel of the crop, brute-forced in SQL (floored sums;
+    -1 when the crop has no target pixel)."""
+    return f"""
+WITH {sql_images_cte(n, png_only=True)},
+gxs AS (SELECT g AS gx FROM generate_series(0, {crop - 1}) t(g)),
+gys AS (SELECT g AS gy FROM generate_series(0, {crop - 1}) t(g)),
+px AS (SELECT i, image_id, gx, gy, (a * gx + b * gy) % 256 AS v
+       FROM imgs, gxs, gys),
+tgt AS (SELECT i, gx AS tx, gy AS ty FROM px WHERE v = 0),
+d AS (SELECT p.i, p.image_id, p.gx, p.gy,
+             MIN(sqrt((p.gx - t.tx) * (p.gx - t.tx)
+                    + (p.gy - t.ty) * (p.gy - t.ty))) AS dist
+      FROM px p JOIN tgt t ON t.i = p.i
+      GROUP BY p.i, p.image_id, p.gx, p.gy),
+per AS (SELECT image_id,
+               CAST(SUM(floor(dist + 1e-9)) AS BIGINT) AS dist_sum
+        FROM d GROUP BY image_id)
+SELECT img.image_id, COALESCE(per.dist_sum, -1) AS dist_sum
+FROM (SELECT DISTINCT image_id FROM px) img
+LEFT JOIN per ON per.image_id = img.image_id
+"""

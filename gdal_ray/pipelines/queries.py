@@ -1143,6 +1143,30 @@ def q_gtiff_roundtrip(sf_dir: str):
     return files.map_batches(stats, batch_format="pyarrow")
 
 
+def q_proximity(sf_dir: str):
+    """Exact euclidean distance transform (alg/gdalproximity.cpp):
+    per-image EDT to the nearest zero-valued band-0 pixel on 64×64
+    crops; emits sum of integer-floored distances — the SQL oracle
+    brute-forces min distance per pixel closed-form."""
+    from ..core.rastervec import proximity
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import image_op
+
+    CROP = 64
+
+    def prox(px, row):
+        b0 = px[:CROP, :CROP, 0].astype(np.int64)
+        mask = b0 == 0
+        if not mask.any():
+            return {"dist_sum": -1}
+        d = proximity(mask)
+        return {"dist_sum": int(np.floor(d + 1e-9).sum())}
+
+    return images_dataset(48).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(prox), batch_format="pyarrow") \
+        .select_columns(["image_id", "dist_sum"])
+
+
 def q_gtiff_float_nodata(sf_dir: str):
     """Wider raster data model end-to-end: float32 single-band rasters
     with a NODATA value written as deflate GeoTIFF (dtype + GDAL_NODATA
@@ -1923,6 +1947,7 @@ QUERIES = {
     "raster_index": q_raster_index,
     "gtiff_roundtrip": q_gtiff_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
+    "proximity": q_proximity,
     # --- battery-only (rows 51+; pytest-oracled) ---
     "hillshade": q_hillshade,
     "mosaic": q_mosaic,
@@ -1999,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
         "image_knn": _OR.sql_image_knn(300, 10, 3),
         "image_phash_dedup": _OR.sql_image_phash_dedup(200),
         "gtiff_float_nodata": _OR.sql_gtiff_float_nodata(32, 128),
+        "proximity": _OR.sql_proximity(48, 64),
         "raster_calc": _OR.sql_raster_calc(96),
         "geojson_roundtrip": _OR.sql_geojson_roundtrip(25),
         "rasterize_zones": _OR.sql_rasterize_zones(30, 6),

@@ -415,3 +415,21 @@ class TestBufferConstructive:
         out = buffer_geometry(line, 1.0)
         assert out.geom_type == W.POLYGON
         assert G.area(out) > 2 * 10 * 1 * 0.8   # ballpark of capsule law
+
+
+class TestCodecRegistry:
+    def test_register_custom_codec(self):
+        import numpy as np
+        from gdal_ray import codecs
+        codecs.register_codec(
+            "raw8t",
+            lambda img, **kw: b"RAW8T" + bytes(img.shape) + img.tobytes(),
+            lambda b: np.frombuffer(b[8:], np.uint8).reshape(b[5], b[6], b[7]),
+            sniffer=lambda b: b[:5] == b"RAW8T")
+        a = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        buf = codecs.encode(a, "raw8t")
+        assert np.array_equal(codecs.decode(buf, "raw8t"), a)
+        assert np.array_equal(codecs.decode(buf), a)      # magic sniff
+        import pytest
+        with pytest.raises(TypeError):
+            codecs.register_codec("bad", 1, 2)
