@@ -1,0 +1,74 @@
+"""Vector driver dispatch — the OGR driver-manager analog
+(gcore/gdaldrivermanager.cpp): one `read_vector(path)` entry point that
+routes by file extension (or sniff) to the registered reader, plus a
+user-registration hook for new formats (Python driver plugin analog,
+gcore/gdalpythondriverloader.cpp)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+_READERS: dict[str, object] = {}
+
+
+def register_vector_driver(extension: str, reader) -> None:
+    """Register reader(path) -> pyarrow.Table for a file extension
+    (e.g. '.kml'). User hook; built-ins are pre-registered below."""
+    if not callable(reader):
+        raise TypeError("vector driver reader must be callable")
+    _READERS[extension.lower().lstrip(".")] = reader
+
+
+def read_vector(path: str) -> pa.Table:
+    """Read any registered vector format into the engine's standard
+    layer table (fid, wkb, envelope cols, attributes)."""
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    reader = _READERS.get(ext)
+    if reader is None:
+        raise ValueError(f"no vector driver registered for .{ext} "
+                         f"(have: {sorted(_READERS)})")
+    return reader(path)
+
+
+def read_vector_dataset(path: str):
+    import ray.data as rd
+    return rd.from_arrow(read_vector(path))
+
+
+def _builtin(ext):
+    def deco(fn):
+        _READERS[ext] = fn
+        return fn
+    return deco
+
+
+@_builtin("shp")
+def _read_shp(path):
+    from .shapefile import read_shapefile
+    return read_shapefile(path)
+
+
+@_builtin("gpkg")
+def _read_gpkg(path):
+    from .gpkg import read_gpkg
+    return read_gpkg(path)
+
+
+@_builtin("csv")
+def _read_csv(path):
+    from .csvio import read_csv
+    return read_csv(path)
+
+
+@_builtin("geojson")
+def _read_geojson(path):
+    from .geojson import read_geojson_table
+    return read_geojson_table(path)
+
+
+@_builtin("parquet")
+def _read_parquet(path):
+    import pyarrow.parquet as pq
+    return pq.read_table(path)

@@ -124,3 +124,21 @@ class TestUtmWarp:
         m = df.sort_values("image_id").reset_index(drop=True)
         n = df2.sort_values("image_id").reset_index(drop=True)
         assert m.equals(n)
+
+
+class TestReprojectLarge:
+    def test_parity_with_single_task(self, ray_session):
+        """Row-band parallel reprojection must equal the single-task
+        path exactly (same mesh contract per chunk)."""
+        import numpy as np
+        from gdal_ray.stages.warp import reproject_array, reproject_large
+        x, y = np.meshgrid(np.arange(300), np.arange(300))
+        px = (((3 * x + 5 * y) % 256).astype(np.uint8))[:, :, None]
+        gt = (500000.0, 10.0, 0.0, 4500000.0, 0.0, -10.0)
+        a, va, ga = reproject_array(px, gt, "EPSG:32631", "EPSG:4326",
+                                    resampling="bilinear")
+        b, vb, gb = reproject_large(px, gt, "EPSG:32631", "EPSG:4326",
+                                    resampling="bilinear", band_rows=64)
+        assert ga == gb
+        assert np.array_equal(va, vb)
+        assert np.allclose(a, b)

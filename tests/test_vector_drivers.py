@@ -113,3 +113,36 @@ class TestCSV:
         from gdal_ray.sources.csvio import read_csv
         with pytest.raises(ValueError):
             read_csv("\n")   # header-less text (no file path lookup)
+
+
+class TestDriverDispatch:
+    """§2.12 driver manager analog: extension routing + user hook."""
+
+    def test_builtin_routing(self):
+        import tempfile
+        from gdal_ray.sources.drivers import read_vector
+        from gdal_ray.sources.csvio import write_csv
+        from gdal_ray.sources.gpkg import write_gpkg
+        from gdal_ray.sources.vector import polygons_table
+        src = polygons_table(5)
+        d = tempfile.mkdtemp(dir="/tmp")
+        write_csv(src, f"{d}/l.csv")
+        write_gpkg(src, f"{d}/l.gpkg")
+        assert read_vector(f"{d}/l.csv").num_rows == 5
+        assert read_vector(f"{d}/l.gpkg").num_rows == 5
+        if have_ref:
+            assert read_vector(f"{_OGR_DATA}/poly.shp").num_rows == 10
+
+    def test_user_registration(self):
+        import pyarrow as pa
+        from gdal_ray.sources.drivers import (read_vector,
+                                              register_vector_driver)
+        register_vector_driver(".fake", lambda p: pa.table({"fid": [1]}))
+        import tempfile, os
+        p = os.path.join(tempfile.mkdtemp(dir="/tmp"), "x.fake")
+        open(p, "w").close()
+        assert read_vector(p).num_rows == 1
+        with pytest.raises(ValueError):
+            read_vector("/tmp/nope.unknownext")
+        with pytest.raises(TypeError):
+            register_vector_driver(".bad", 3)
