@@ -123,5 +123,13 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, nlist: int = 16,
 
     cands = ds.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(search, batch_format="pandas")
-    return cands.groupby("qid").map_groups(
-        lambda g: g.nlargest(k, "cos_sim"), batch_format="pandas")
+    # final per-query merge: candidates are BOUNDED (≤ nq × k per
+    # probed bucket), so the combine is a driver-side pandas top-k —
+    # a second Ray sort exchange would cost more than the whole result
+    df = cands.to_pandas()
+    if df.empty:
+        return df
+    out = (df.sort_values(["qid", "cos_sim", id_col],
+                          ascending=[True, False, True])
+           .groupby("qid", sort=True).head(k).reset_index(drop=True))
+    return out

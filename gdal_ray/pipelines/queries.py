@@ -806,13 +806,10 @@ def q_ivf_ann(sf_dir: str):
                    key=lambda r: r["vec_id"])
     queries = np.stack([np.asarray(r["embedding"]) for r in qrows]).astype(np.float64)
     out = ivf_topk(emb, queries, k=5, nlist=8, nprobe=8)
-
-    def rnd(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["cos_sim"] = _half_away(t["cos_sim"].to_numpy())
-        return t
-
-    return out.map_batches(rnd, batch_format="pandas")
+    # ivf_topk returns a bounded pandas frame (nq × k rows)
+    out = out.copy()
+    out["cos_sim"] = _half_away(out["cos_sim"].to_numpy())
+    return out
 
 
 def q_lang_id(sf_dir: str):

@@ -176,7 +176,7 @@ class TestANN:
         mat = np.stack(embs["embedding"].to_numpy()).astype(np.float64)
         ids = embs["vec_id"].to_numpy()
         queries = mat[:3]
-        out = ivf_topk(ds, queries, k=5, nlist=8, nprobe=4).to_pandas()
+        out = ivf_topk(ds, queries, k=5, nlist=8, nprobe=4)  # pandas now
         unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         recalls = []
         for qi in range(3):
