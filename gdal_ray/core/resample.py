@@ -222,18 +222,27 @@ def sample_grid(src: np.ndarray, sx: np.ndarray, sy: np.ndarray,
         y0 = np.floor(fy).astype(np.int64)
         out = np.zeros((dh, dw, nb), dtype=np.float64)
         wsum = np.zeros((dh, dw, 1), dtype=np.float64)
-        for dyy in range(-radius + 1, radius + 1):
+        srcf = src.reshape(-1, nb).astype(np.float64)
+        taps = range(-radius + 1, radius + 1)
+        # x-weights/masks/indices depend only on dxx — hoist out of the
+        # row loop (computed once instead of once per dyy)
+        xw, xok, xsi = {}, {}, {}
+        for dxx in taps:
+            xx = x0 + dxx
+            xw[dxx] = kfn(xx - fx)
+            xok[dxx] = (xx >= 0) & (xx < sw)
+            xsi[dxx] = np.clip(xx, 0, sw - 1)
+        for dyy in taps:
             yy = y0 + dyy
             wy = kfn(yy - fy)
             oky = (yy >= 0) & (yy < sh)
-            ys = np.clip(yy, 0, sh - 1)
-            for dxx in range(-radius + 1, radius + 1):
-                xx = x0 + dxx
-                wx = kfn(xx - fx)
-                ok = oky & (xx >= 0) & (xx < sw)
-                xs = np.clip(xx, 0, sw - 1)
-                wgt = (wx * wy * ok)[..., None]
-                out += src[ys, xs].astype(np.float64) * wgt
+            ybase = np.clip(yy, 0, sh - 1) * sw
+            for dxx in taps:
+                ok = oky & xok[dxx]
+                wgt = (xw[dxx] * wy * ok)[..., None]
+                # flat take is measurably faster than 2-D fancy indexing
+                v = srcf.take(ybase + xsi[dxx], axis=0)
+                out += v * wgt
                 wsum += wgt
         valid = wsum[:, :, 0] > 1e-10
         with np.errstate(invalid="ignore", divide="ignore"):

@@ -77,10 +77,22 @@ def _interp_tile(gx, gy, px, py, vals, method, power, radius, min_points):
         s = (vals[None, None, :] * m).sum(axis=2)
         ok = cnt >= max(min_points, 1)
         return np.where(ok, s / np.maximum(cnt, 1), np.nan)
-    if method == "count":                    # data-metric: point count
+    if method in ("count", "minimum", "maximum", "range"):
+        # data metrics (alg/gdalgrid.cpp GDALGridDataMetric*)
         if radius is None:
-            raise ValueError("count requires a radius")
-        return (d2 <= radius * radius).sum(axis=2).astype(np.float64)
+            raise ValueError(f"{method} requires a radius")
+        m = d2 <= radius * radius
+        if method == "count":
+            return m.sum(axis=2).astype(np.float64)
+        big = np.where(m, vals[None, None, :], np.nan)
+        with np.errstate(all="ignore"):
+            mn = np.nanmin(big, axis=2)
+            mx = np.nanmax(big, axis=2)
+        if method == "minimum":
+            return mn
+        if method == "maximum":
+            return mx
+        return mx - mn
     if method == "invdist":
         if d2.shape[2] == 0:
             return np.full(gx.shape, np.nan)

@@ -84,3 +84,24 @@ class TestGridPartitioned:
                 rd.from_pandas(pdf), _GT, (48, 48), method=method,
                 radius=R, tile=16).to_pandas(), (48, 48))
             assert np.allclose(bc, pt, equal_nan=True), method
+
+
+class TestDataMetrics:
+    def test_min_max_range(self, ray_session):
+        import numpy as np
+        from gdal_ray.stages.grid import assemble_grid, grid_broadcast
+        pts = _pts(50, seed=3)
+        R = 200.0
+        mn = assemble_grid(grid_broadcast(pts, _GT, (24, 24),
+                                          method="minimum", radius=R,
+                                          tile=12).to_pandas(), (24, 24))
+        mx = assemble_grid(grid_broadcast(pts, _GT, (24, 24),
+                                          method="maximum", radius=R,
+                                          tile=12).to_pandas(), (24, 24))
+        rg = assemble_grid(grid_broadcast(pts, _GT, (24, 24),
+                                          method="range", radius=R,
+                                          tile=12).to_pandas(), (24, 24))
+        ok = ~np.isnan(mn)
+        assert ok.any()
+        assert np.allclose(rg[ok], (mx - mn)[ok])
+        assert (mx[ok] >= mn[ok]).all()
