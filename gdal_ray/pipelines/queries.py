@@ -1097,7 +1097,9 @@ def q_gtiff_roundtrip(sf_dir: str):
     from ..stages.georef import with_georef
 
     out_dir = "/tmp/gdal_ray_gtiff_corpus"
-    os.makedirs(out_dir, exist_ok=True)
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)   # stale files would
+    os.makedirs(out_dir, exist_ok=True)          # poison a re-run
 
     def write(t: pa.Table) -> pa.Table:
         gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
@@ -1178,6 +1180,8 @@ def q_gtiff_float_nodata(sf_dir: str):
     N, W = 32, 128
     ND = -9999.0
     out_dir = "/tmp/gdal_ray_gtiff_f32"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     def write(t: pa.Table) -> pa.Table:
