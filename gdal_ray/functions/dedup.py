@@ -242,9 +242,15 @@ def simhash(text: str, k: int = 4) -> int:
 
 
 def simhash_batch(batch: pa.Table, text_col="text") -> pa.Table:
-    hs = [simhash(str(t)) for t in batch[text_col].to_pylist()]
+    # NOTE: a fully-batched variant (concatenated windows + unpackbits
+    # + segmented reduceat) was measured 20x SLOWER than this loop on
+    # this hardware: the per-doc work is already numpy-vectorized and
+    # cache-resident, while the batched form materializes ~0.5 GB of
+    # bit-matrix temporaries and becomes memory-bound. Keep the loop.
+    hs = np.array([simhash(str(t)) for t in batch[text_col].to_pylist()],
+                  dtype=np.uint64)
     return batch.append_column(
-        "simhash", pa.array(np.array(hs, dtype=np.uint64).view(np.int64), pa.int64()))
+        "simhash", pa.array(hs.view(np.int64), pa.int64()))
 
 
 def simhash_near_dups(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
