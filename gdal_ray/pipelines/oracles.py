@@ -958,3 +958,37 @@ SELECT img.image_id, COALESCE(per.dist_sum, -1) AS dist_sum
 FROM (SELECT DISTINCT image_id FROM px) img
 LEFT JOIN per ON per.image_id = img.image_id
 """
+
+
+def sql_reproject_dims(n: int = 96) -> str:
+    """Suggested-warp-output dims for 3857→4326 (the 21-point edge walk
+    collapses to the 4 corners for a monotone north-up transform):
+    lon = x/OS*180; lat = 180/pi*(2*atan(exp(y/OS*pi)) - pi/2);
+    res = dst_diag/src_diag; dims = round(span/res). The warped PIXELS
+    are mesh-path values verified in pytest; the grid geometry is
+    hash-checked here."""
+    from ..core.mercator import ORIGIN_SHIFT as OS
+    lat = ("(180.0 / pi() * (2.0 * atan(exp(({y}) / {OS} * 180.0 "
+           "* pi() / 180.0)) - pi() / 2.0))")
+
+    def LAT(y):
+        return lat.format(y=y, OS=repr(float(OS)))
+
+    return f"""
+WITH {sql_images_cte(n)},
+env AS (SELECT image_id, w, h,
+    x0 / {OS!r} * 180.0 AS lon0,
+    (x0 + w * res) / {OS!r} * 180.0 AS lon1,
+    {LAT('y1 - h * res')} AS lat0,
+    {LAT('y1')} AS lat1
+  FROM imgs),
+g AS (SELECT image_id, w, h,
+    sqrt((lon1 - lon0) * (lon1 - lon0) + (lat1 - lat0) * (lat1 - lat0))
+      / sqrt(w * w + h * h + 0.0) AS r,
+    lon1 - lon0 AS sx, lat1 - lat0 AS sy
+  FROM env)
+SELECT image_id,
+       greatest(1, CAST(ROUND(sx / r) AS INTEGER)) AS dst_w,
+       greatest(1, CAST(ROUND(sy / r) AS INTEGER)) AS dst_h
+FROM g
+"""

@@ -1070,6 +1070,9 @@ def q_reproject(sf_dir: str):
     from ..stages.georef import with_georef
     from ..stages.warp import ReprojectImages
 
+    # dims are hash-checked against the analytic suggested-output
+    # oracle; the warped pixels (cs_reproj) are pytest-verified against
+    # the exact transform (mesh values are not SQL-expressible)
     return images_dataset(96) \
         .map_batches(with_georef, batch_format="pyarrow") \
         .map_batches(ReprojectImages,
@@ -1077,7 +1080,7 @@ def q_reproject(sf_dir: str):
                                             "dst_crs": "EPSG:4326",
                                             "resampling": "bilinear"},
                      concurrency=4, batch_size=32, batch_format="pyarrow") \
-        .select_columns(["image_id", "dst_w", "dst_h", "cs_reproj"])
+        .select_columns(["image_id", "dst_w", "dst_h"])
 
 
 def q_gtiff_roundtrip(sf_dir: str):
@@ -2024,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
         "image_pip": _OR.sql_image_pip(300, 40),
         "image_knn": _OR.sql_image_knn(300, 10, 3),
         "image_phash_dedup": _OR.sql_image_phash_dedup(200),
+        "reproject": _OR.sql_reproject_dims(96),
         "gtiff_float_nodata": _OR.sql_gtiff_float_nodata(32, 128),
         "proximity": _OR.sql_proximity(48, 64),
         "raster_calc": _OR.sql_raster_calc(96),
