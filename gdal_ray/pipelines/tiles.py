@@ -167,13 +167,22 @@ def write_tile_tree(levels: dict, out_dir: str, ext: str = "png"):
             manifest = json.load(f)
 
     def write_block(t: pa.Table) -> pa.Table:
+        # pyarrow.fs keeps this multi-node portable: out_dir may be a
+        # local path OR any fs URI (s3://, gs://, hdfs://) — workers on
+        # different nodes write through the same filesystem handle
+        # (VSI-filesystem analog, port/cpl_vsil_*.cpp)
+        from pyarrow import fs as pafs
+        try:
+            fsys, root = pafs.FileSystem.from_uri(out_dir)
+        except (ValueError, pafs.lib.ArrowInvalid):
+            fsys, root = pafs.LocalFileSystem(), out_dir
         for i in range(t.num_rows):
             z = int(t["z"][i].as_py())
             x = int(t["x"][i].as_py())
             y = int(t["y"][i].as_py())
-            d = os.path.join(out_dir, str(z), str(x))
-            os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, f"{y}.{ext}"), "wb") as f:
+            d = f"{root}/{z}/{x}"
+            fsys.create_dir(d, recursive=True)
+            with fsys.open_output_stream(f"{d}/{y}.{ext}") as f:
                 f.write(t["png"][i].as_py())
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
