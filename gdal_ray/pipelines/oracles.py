@@ -569,6 +569,45 @@ FROM cov GROUP BY 1
 """
 
 
+def sql_mbtiles_roundtrip(n: int = 128, zoom: int = 6) -> str:
+    """MBTiles roundtrip: distinct covering XYZ tiles at `zoom` over the
+    n-image corpus (cells_for_envelope semantics, as sql_raster_index)
+    plus their zoom-1 parents (x//2, y//2 in XYZ). The Ray side wrote
+    these through a sqlite .mbtiles (TMS rows) and read them back, so
+    equality proves cover math AND the container's y-flip/rowcount."""
+    from ..core import mercator as M
+    OS = M.ORIGIN_SHIFT
+    res = float(M.resolution(zoom))
+    eps = res * 1e-6
+    ntiles = 1 << zoom
+
+    def tile_of(v):
+        return (f"least(greatest(CAST(ceil((({v}) + {OS!r}) / {res!r} / 256.0)"
+                f" AS BIGINT) - 1, 0), {ntiles - 1})")
+
+    return f"""
+WITH {sql_images_cte(n)},
+env AS (SELECT x0 AS minx, y1 - h * res AS miny,
+               x0 + w * res AS maxx, y1 AS maxy FROM imgs),
+rng AS (SELECT *,
+    {tile_of(f"minx + {eps!r}")} AS tx0, {tile_of(f"maxx - {eps!r}")} AS tx1r,
+    {tile_of(f"miny + {eps!r}")} AS ty0, {tile_of(f"maxy - {eps!r}")} AS ty1r
+  FROM env),
+rng2 AS (SELECT *, greatest(tx1r, tx0) AS tx1, greatest(ty1r, ty0) AS ty1
+  FROM rng),
+span AS (SELECT g FROM generate_series(0, 7) t(g)),
+base AS (SELECT DISTINCT r.tx0 + sx.g AS x,
+                {ntiles - 1} - (r.ty0 + sy.g) AS y
+  FROM rng2 r
+  JOIN span sx ON r.tx0 + sx.g <= r.tx1
+  JOIN span sy ON r.ty0 + sy.g <= r.ty1)
+SELECT {zoom}::BIGINT AS z, x::BIGINT AS x, y::BIGINT AS y FROM base
+UNION ALL
+SELECT {zoom - 1}::BIGINT, px::BIGINT, py::BIGINT
+FROM (SELECT DISTINCT x // 2 AS px, y // 2 AS py FROM base)
+"""
+
+
 def sql_layer_setops(m_a: int = 30, m_b: int = 40) -> str:
     """Pairwise layer-algebra set-op areas: polygons (classes 0,2,3,4 —
     every non-rotated class, incl. concave L, hole and multipolygon)

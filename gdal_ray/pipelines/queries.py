@@ -1771,6 +1771,70 @@ def q_raster_index(sf_dir: str):
             Max("maxx", alias_name="maxx"), Max("maxy", alias_name="maxy"))
 
 
+def q_mbtiles_roundtrip(sf_dir: str):
+    """MBTiles container roundtrip (frmts/mbtiles/mbtilesdataset.cpp
+    semantics, written from the mapbox/mbtiles-spec): distinct z6 cover
+    tiles of the 128-image corpus + their z5 parents get real PNG blobs,
+    stream into a .mbtiles (TMS row flip on disk), read back via
+    parallel read_sql, return the XYZ tile coordinates. The DuckDB
+    oracle recomputes the cover closed-form — a mismatch catches cover
+    math, the y-flip, or a dropped/duplicated sqlite row."""
+    import os
+    import tempfile
+
+    from ray.data.aggregate import Count
+    from ..core import mercator as merc
+    from ..sources.images import images_dataset
+    from ..sources.mbtiles import read_mbtiles, write_mbtiles
+    from ..stages.georef import with_georef
+    from ..stages.join import with_cells
+
+    Z = 6
+    imgs = images_dataset(128).map_batches(with_georef,
+                                           batch_format="pyarrow")
+    cover = with_cells(imgs, Z, ["image_id"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        z, x, y = merc.cell_decode(t["cell"].to_numpy().astype(np.uint64))
+        return pa.table({"z": pa.array(z.astype(np.int64), pa.int64()),
+                         "x": pa.array(x.astype(np.int64), pa.int64()),
+                         "y": pa.array(y.astype(np.int64), pa.int64())})
+
+    base = cover.map_batches(decode, batch_format="pyarrow") \
+        .groupby(["z", "x", "y"]).aggregate(Count(alias_name="n")) \
+        .drop_columns(["n"])
+
+    def parents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "z": pa.array(np.full(t.num_rows, Z - 1, np.int64), pa.int64()),
+            "x": pa.array(t["x"].to_numpy() // 2, pa.int64()),
+            "y": pa.array(t["y"].to_numpy() // 2, pa.int64())})
+
+    over = base.map_batches(parents, batch_format="pyarrow") \
+        .groupby(["z", "x", "y"]).aggregate(Count(alias_name="n")) \
+        .drop_columns(["n"])
+
+    def blob(t: pa.Table) -> pa.Table:
+        from ..codecs import encode as codec_encode
+        pngs = []
+        for z, x, y in zip(t["z"].to_pylist(), t["x"].to_pylist(),
+                           t["y"].to_pylist()):
+            gx, gy = np.meshgrid(np.arange(16), np.arange(16))
+            px = ((gx * (x % 13 + 1) + gy * (y % 17 + 1) + z) % 256
+                  ).astype(np.uint8)
+            pngs.append(codec_encode(np.dstack([px, px, px]), "png"))
+        return t.append_column("png", pa.array(pngs, pa.binary()))
+
+    levels = {z: ds.map_batches(blob, batch_format="pyarrow")
+              for z, ds in ((Z - 1, over), (Z, base))}
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_ray_mbtiles_{os.getpid()}.mbtiles")
+    if os.path.exists(path):
+        os.remove(path)
+    write_mbtiles(levels, path, name="cover-manifest")
+    return read_mbtiles(path).select_columns(["z", "x", "y"])
+
+
 # OGR SQL dialect entries: the battery runs OUR SQL engine over the
 # parquet tables and the driver runs the IDENTICAL string in DuckDB —
 # the dialect is exact-oracle-checked end to end.
@@ -1949,6 +2013,7 @@ QUERIES = {
     "cutline_clip": q_cutline_clip,
     "spatial_sort": q_spatial_sort,
     "raster_index": q_raster_index,
+    "mbtiles_roundtrip": q_mbtiles_roundtrip,
     "gtiff_roundtrip": q_gtiff_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
     "proximity": q_proximity,
@@ -2038,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         "gtiff_roundtrip": _OR.sql_raster_stats(64),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),
+        "mbtiles_roundtrip": _OR.sql_mbtiles_roundtrip(128, 6),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
