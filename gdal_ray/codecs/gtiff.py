@@ -162,9 +162,7 @@ def _undo_predictor(arr: np.ndarray) -> np.ndarray:
         if not np.issubdtype(arr.dtype, np.floating) else np.cumsum(arr, axis=1)
 
 
-def decode_gtiff(buf: bytes) -> GeoTiff:
-    """Decode a classic GeoTIFF byte stream (first IFD)."""
-    mv = bytes(buf)
+def _tiff_header(mv: bytes):
     if mv[:2] == b"II":
         bo = "<"
     elif mv[:2] == b"MM":
@@ -175,6 +173,30 @@ def decode_gtiff(buf: bytes) -> GeoTiff:
     if magic != 42:
         raise ValueError(f"not a classic TIFF (magic {magic})")
     (ifd_off,) = struct.unpack_from(bo + "I", mv, 4)
+    return bo, ifd_off
+
+
+def decode_gtiff(buf: bytes) -> GeoTiff:
+    """Decode a classic GeoTIFF byte stream (first IFD)."""
+    mv = bytes(buf)
+    bo, ifd_off = _tiff_header(mv)
+    return _decode_ifd(mv, bo, ifd_off)[0]
+
+
+def decode_gtiff_all(buf: bytes) -> list[GeoTiff]:
+    """Decode every IFD in the chain (full resolution + overviews —
+    the COG / gdaladdo layout, frmts/gtiff/gtiffdataset_read.cpp
+    overview enumeration)."""
+    mv = bytes(buf)
+    bo, ifd_off = _tiff_header(mv)
+    out = []
+    while ifd_off:
+        g, ifd_off = _decode_ifd(mv, bo, ifd_off)
+        out.append(g)
+    return out
+
+
+def _decode_ifd(mv: bytes, bo: str, ifd_off: int):
     (n_tags,) = struct.unpack_from(bo + "H", mv, ifd_off)
     tags: dict[int, list] = {}
     for i in range(n_tags):
@@ -273,7 +295,9 @@ def decode_gtiff(buf: bytes) -> GeoTiff:
             nodata = None
 
     px = out[:, :, 0] if spp == 1 else out
-    return GeoTiff(px, gt, crs, nodata)
+    (next_off,) = struct.unpack_from(bo + "I", mv,
+                                     ifd_off + 2 + n_tags * 12)
+    return GeoTiff(px, gt, crs, nodata), next_off
 
 
 # ---------------------------------------------------------------------------

@@ -212,6 +212,23 @@ FROM px GROUP BY image_id
 """
 
 
+def sql_cog_roundtrip(n: int = 48) -> str:
+    """COG roundtrip: band stats (as sql_raster_stats) + analytic
+    overview-level count. With ceil-halving, the minimal k with
+    ceil(maxdim / 2^k) <= 256 is exactly max(0, ceil(log2(maxdim/256)))
+    — so n_levels is closed-form from the dims cycle."""
+    return sql_pixels_cte(n) + """
+, st AS (SELECT image_id, ROUND(AVG(v0), 4) AS mean_b0,
+         MIN(v0)::DOUBLE AS min_b0, MAX(v0)::DOUBLE AS max_b0
+         FROM px GROUP BY image_id)
+SELECT st.*,
+       (1 + greatest(0, CAST(ceil(log2(greatest(i.w, i.h) / 256.0))
+                             AS BIGINT)))::BIGINT AS n_levels,
+       TRUE AS cog_ok
+FROM st JOIN imgs i USING (image_id)
+"""
+
+
 def sql_raster_histogram(n: int = 128, bins: int = 16) -> str:
     return sql_pixels_cte(n) + f"""
 SELECT (v0 // {256 // bins}) AS bin, COUNT(*)::BIGINT AS count

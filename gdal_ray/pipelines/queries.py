@@ -1145,6 +1145,70 @@ def q_gtiff_roundtrip(sf_dir: str):
     return files.map_batches(stats, batch_format="pyarrow")
 
 
+def q_cog_roundtrip(sf_dir: str):
+    """Cloud-Optimized GeoTIFF driver (cogeo.org layout;
+    frmts/cog/cogdriver.cpp): transcode the lossless corpus half to
+    COG files (tiled deflate, average-overview cascade, IFDs at head,
+    overview data first), read the directory back, decode the full IFD
+    chain, and emit band stats + overview count + a structural-validity
+    flag. The oracle recomputes stats closed-form and the level count
+    analytically (k = max(0, ceil(log2(maxdim/256))) + 1)."""
+    import os
+    import shutil
+    import ray.data as rd
+    from ..codecs import decode as _dec
+    from ..codecs.cog import cog_is_valid, decode_cog, encode_cog
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+
+    out_dir = "/tmp/gdal_ray_cog_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            gt = tuple(float(g[i]) for g in gts)
+            buf = encode_cog(px, geotransform=gt, crs="EPSG:3857")
+            with open(os.path.join(
+                    out_dir, f"{t['image_id'][i].as_py()}.tif"), "wb") as f:
+                f.write(buf)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(48).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(out_dir, include_paths=True)
+
+    def stats(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "mean_b0": [], "min_b0": [], "max_b0": [],
+               "n_levels": [], "cog_ok": []}
+        for path, buf in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            gs = decode_cog(buf)
+            v = cog_is_valid(buf)
+            b0 = (gs[0].pixels if gs[0].pixels.ndim == 2
+                  else gs[0].pixels[:, :, 0]).astype(np.float64)
+            out["image_id"].append(os.path.basename(path)[:-4])
+            out["mean_b0"].append(_half_away([b0.mean()])[0])
+            out["min_b0"].append(float(b0.min()))
+            out["max_b0"].append(float(b0.max()))
+            out["n_levels"].append(len(gs))
+            out["cog_ok"].append(bool(v["tiled"]
+                                      and v["metadata_before_data"]))
+        return pa.table({"image_id": pa.array(out["image_id"], pa.string()),
+                         "mean_b0": pa.array(out["mean_b0"], pa.float64()),
+                         "min_b0": pa.array(out["min_b0"], pa.float64()),
+                         "max_b0": pa.array(out["max_b0"], pa.float64()),
+                         "n_levels": pa.array(out["n_levels"], pa.int64()),
+                         "cog_ok": pa.array(out["cog_ok"], pa.bool_())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
 def q_proximity(sf_dir: str):
     """Exact euclidean distance transform (alg/gdalproximity.cpp):
     per-image EDT to the nearest zero-valued band-0 pixel on 64×64
@@ -2015,6 +2079,7 @@ QUERIES = {
     "raster_index": q_raster_index,
     "mbtiles_roundtrip": q_mbtiles_roundtrip,
     "gtiff_roundtrip": q_gtiff_roundtrip,
+    "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
     "proximity": q_proximity,
     # --- battery-only (rows 51+; pytest-oracled) ---
@@ -2101,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_roundtrip": _OR.sql_polygonize_roundtrip(20),
         "cutline_clip": _OR.sql_cutline_clip(96, 40),
         "gtiff_roundtrip": _OR.sql_raster_stats(64),
+        "cog_roundtrip": _OR.sql_cog_roundtrip(48),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),
         "mbtiles_roundtrip": _OR.sql_mbtiles_roundtrip(128, 6),
