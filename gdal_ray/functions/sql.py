@@ -701,3 +701,46 @@ def _run_aggregate(q, ds, join_specs=()) -> pd.DataFrame:
     if q["limit"] is not None:
         out = out.head(q["limit"])
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SQLITE dialect
+# ---------------------------------------------------------------------------
+
+def execute_sql_sqlite(sql: str, tables: dict,
+                       batch_size: int = 8192) -> pd.DataFrame:
+    """The SQLITE dialect (ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql
+    .cpp): copy each referenced layer into a temporary SQLite database
+    and run the statement there — full SQLite expressiveness
+    (subqueries, CASE, window functions) in exchange for materializing
+    the inputs, which is EXACTLY the reference's tradeoff (it loads
+    each layer into sqlite the same way).
+
+    Scale contract: inputs must be bounded (a filtered layer, a lookup
+    table) — the Ray side streams blocks into the db so driver memory
+    holds one batch + the db, never a take_all() list. For unbounded
+    scans use the native dialect (execute_sql), which compiles to
+    map_batches partials.
+    """
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    try:
+        for name, ds in tables.items():
+            if not re.search(rf"\b{re.escape(name)}\b", sql):
+                continue                      # prune unreferenced layers
+            first = True
+            for b in ds.iter_batches(batch_format="pandas",
+                                     batch_size=batch_size):
+                if first:
+                    cols = ", ".join(f'"{c}"' for c in b.columns)
+                    con.execute(f'CREATE TABLE "{name}" ({cols})')
+                    ins = (f'INSERT INTO "{name}" VALUES '
+                           f'({", ".join("?" * len(b.columns))})')
+                    first = False
+                con.executemany(ins, b.itertuples(index=False, name=None))
+        cur = con.execute(sql)
+        names = [d[0] for d in cur.description]
+        return pd.DataFrame(cur.fetchall(), columns=names)
+    finally:
+        con.close()

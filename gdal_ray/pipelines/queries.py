@@ -1949,6 +1949,30 @@ def q_vector_sql_join(sf_dir: str):
     return _round_cols(out, ["total", "sd"], nd=2)
 
 
+SQL_VECTOR_SQL_SQLITE = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rich
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_totalprice > 200000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_vector_sql_sqlite(sf_dir: str):
+    """SQLITE dialect (ogrsqliteexecutesql.cpp): IN-subquery + CASE —
+    shapes the native OGR dialect doesn't parse — executed by copying
+    the referenced layers into sqlite, exactly the reference's
+    mechanism. The identical string runs in DuckDB as the oracle."""
+    from ..functions.sql import execute_sql_sqlite
+    return execute_sql_sqlite(
+        SQL_VECTOR_SQL_SQLITE,
+        {"customer": _rp(sf_dir, "customer",
+                         ["c_custkey", "c_mktsegment", "c_acctbal"]),
+         "orders": _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])})
+
+
 def q_vector_sql_scan(sf_dir: str):
     """OGR SQL engine — filtered computed scan with LIKE/IN + top-k."""
     from ..functions.sql import execute_sql
@@ -2049,6 +2073,7 @@ QUERIES = {
     "vector_sql": q_vector_sql,
     "vector_sql_scan": q_vector_sql_scan,
     "vector_sql_join": q_vector_sql_join,
+    "vector_sql_sqlite": q_vector_sql_sqlite,
     # --- dedup / ANN / text (brute-force recompute oracles) ---
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -2129,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_sql": SQL_VECTOR_SQL,
         "vector_sql_scan": SQL_VECTOR_SQL_SCAN,
         "vector_sql_join": SQL_VECTOR_SQL_JOIN,
+        "vector_sql_sqlite": SQL_VECTOR_SQL_SQLITE,
         # closed-form / brute-force recomputation oracles (oracles.py):
         "minhash_near_dups": _OR.sql_minhash_pairs(0.5, 5),
         "simhash_near_dups": _OR.sql_simhash_pairs(6, 4),

@@ -289,3 +289,51 @@ class TestExtensionHooks:
         import pytest
         with pytest.raises(TypeError):
             register_pixel_function("bad", 42)
+
+
+class TestSqliteDialect:
+    """SQLITE dialect (ogrsqliteexecutesql.cpp analog): full SQLite
+    expressiveness over materialized layers."""
+
+    def test_subquery_and_case_matches_pandas(self, data):
+        from gdal_ray.functions.sql import execute_sql_sqlite
+        ds, df = data
+        sql = ("SELECT cat, COUNT(*) AS n, "
+               "CAST(SUM(CASE WHEN v > 100 THEN 1 ELSE 0 END) AS BIGINT)"
+               " AS hi FROM t WHERE k IN (SELECT DISTINCT k FROM t WHERE"
+               " w > 45) GROUP BY cat ORDER BY cat")
+        out = execute_sql_sqlite(sql, {"t": ds})
+        keep = df[df.k.isin(df[df.w > 45].k.unique())]
+        want = (keep.groupby("cat")
+                .agg(n=("v", "size"), hi=("v", lambda s: (s > 100).sum()))
+                .reset_index().sort_values("cat").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            out.astype({"n": "int64", "hi": "int64"}),
+            want.astype({"n": "int64", "hi": "int64"}))
+
+    def test_window_function(self, data):
+        """Window functions — beyond both the native dialect AND the
+        oracle intersection; sqlite executes them directly."""
+        from gdal_ray.functions.sql import execute_sql_sqlite
+        ds, df = data
+        sql = ("SELECT name, v, RANK() OVER (PARTITION BY cat ORDER BY"
+               " v DESC) AS r FROM t WHERE w = 1 ORDER BY name")
+        out = execute_sql_sqlite(sql, {"t": ds})
+        sub = df[df.w == 1].copy()
+        sub["r"] = sub.groupby("cat")["v"].rank(
+            method="min", ascending=False).astype(int)
+        want = sub.sort_values("name")[["name", "v", "r"]] \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(out.astype({"r": "int64"}), want)
+
+    def test_unreferenced_layers_not_loaded(self, data):
+        from gdal_ray.functions.sql import execute_sql_sqlite
+
+        class Boom:
+            def iter_batches(self, **kw):
+                raise AssertionError("unreferenced layer was materialized")
+
+        ds, df = data
+        out = execute_sql_sqlite("SELECT COUNT(*) AS n FROM t",
+                                 {"t": ds, "other": Boom()})
+        assert out["n"][0] == len(df)
