@@ -718,7 +718,7 @@ def execute_sql_sqlite(sql: str, tables: dict,
 
     Scale contract: inputs must be bounded (a filtered layer, a lookup
     table) — the Ray side streams blocks into the db so driver memory
-    holds one batch + the db, never a take_all() list. For unbounded
+    holds one batch + the db, never a full-table driver list. For unbounded
     scans use the native dialect (execute_sql), which compiles to
     map_batches partials.
     """

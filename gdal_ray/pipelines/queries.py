@@ -1864,19 +1864,23 @@ def q_mbtiles_roundtrip(sf_dir: str):
                          "x": pa.array(x.astype(np.int64), pa.int64()),
                          "y": pa.array(y.astype(np.int64), pa.int64())})
 
+    def local_distinct(t: pa.Table) -> pa.Table:
+        # map-side combiner: per-batch dedup before the exchange
+        import pandas as pd_
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     base = cover.map_batches(decode, batch_format="pyarrow") \
+        .map_batches(local_distinct, batch_format="pyarrow") \
         .groupby(["z", "x", "y"]).aggregate(Count(alias_name="n")) \
-        .drop_columns(["n"])
+        .drop_columns(["n"]).materialize()
 
-    def parents(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "z": pa.array(np.full(t.num_rows, Z - 1, np.int64), pa.int64()),
-            "x": pa.array(t["x"].to_numpy() // 2, pa.int64()),
-            "y": pa.array(t["y"].to_numpy() // 2, pa.int64())})
-
-    over = base.map_batches(parents, batch_format="pyarrow") \
-        .groupby(["z", "x", "y"]).aggregate(Count(alias_name="n")) \
-        .drop_columns(["n"])
+    # parent level derived from the REDUCED base (bounded: one row per
+    # distinct tile) — no second all-to-all exchange
+    bt = base.to_pandas()
+    import ray.data as rd
+    pr = bt.assign(z=Z - 1, x=bt.x // 2, y=bt.y // 2).drop_duplicates()
+    over = rd.from_arrow(pa.Table.from_pandas(pr, preserve_index=False))
 
     def blob(t: pa.Table) -> pa.Table:
         from ..codecs import encode as codec_encode

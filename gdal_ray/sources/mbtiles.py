@@ -15,7 +15,7 @@ place in this repo where output funnels through a single writer — the
 format itself is the bottleneck, exactly as in the reference (its
 MBTiles driver also serializes into one sqlite handle). The writer
 therefore STREAMS ``iter_batches`` into the db (bounded driver memory,
-never ``take_all``) and is meant for bounded exports (a city extract, a
+never a whole-table pull) and is meant for bounded exports (a city extract, a
 pyramid level); the 100 TB path is ``write_tile_tree`` / parquet.
 
 The reader IS parallel: one read task per zoom level (each worker opens
