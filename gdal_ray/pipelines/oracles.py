@@ -586,12 +586,10 @@ FROM cov GROUP BY 1
 """
 
 
-def sql_mbtiles_roundtrip(n: int = 128, zoom: int = 6) -> str:
-    """MBTiles roundtrip: distinct covering XYZ tiles at `zoom` over the
-    n-image corpus (cells_for_envelope semantics, as sql_raster_index)
-    plus their zoom-1 parents (x//2, y//2 in XYZ). The Ray side wrote
-    these through a sqlite .mbtiles (TMS rows) and read them back, so
-    equality proves cover math AND the container's y-flip/rowcount."""
+def _sql_cover_base_cte(n: int, zoom: int) -> str:
+    """Shared WITH-body ending in ``base`` = the DISTINCT covering XYZ
+    tiles at `zoom` over the n-image corpus (cells_for_envelope
+    semantics, as sql_raster_index)."""
     from ..core import mercator as M
     OS = M.ORIGIN_SHIFT
     res = float(M.resolution(zoom))
@@ -602,8 +600,7 @@ def sql_mbtiles_roundtrip(n: int = 128, zoom: int = 6) -> str:
         return (f"least(greatest(CAST(ceil((({v}) + {OS!r}) / {res!r} / 256.0)"
                 f" AS BIGINT) - 1, 0), {ntiles - 1})")
 
-    return f"""
-WITH {sql_images_cte(n)},
+    return f"""{sql_images_cte(n)},
 env AS (SELECT x0 AS minx, y1 - h * res AS miny,
                x0 + w * res AS maxx, y1 AS maxy FROM imgs),
 rng AS (SELECT *,
@@ -617,11 +614,36 @@ base AS (SELECT DISTINCT r.tx0 + sx.g AS x,
                 {ntiles - 1} - (r.ty0 + sy.g) AS y
   FROM rng2 r
   JOIN span sx ON r.tx0 + sx.g <= r.tx1
-  JOIN span sy ON r.ty0 + sy.g <= r.ty1)
+  JOIN span sy ON r.ty0 + sy.g <= r.ty1)"""
+
+
+def sql_mbtiles_roundtrip(n: int = 128, zoom: int = 6) -> str:
+    """MBTiles roundtrip: covering tiles at `zoom` plus their zoom-1
+    parents (x//2, y//2 in XYZ). The Ray side wrote these through a
+    sqlite .mbtiles (TMS rows) and read them back, so equality proves
+    cover math AND the container's y-flip/rowcount."""
+    return f"""
+WITH {_sql_cover_base_cte(n, zoom)}
 SELECT {zoom}::BIGINT AS z, x::BIGINT AS x, y::BIGINT AS y FROM base
 UNION ALL
 SELECT {zoom - 1}::BIGINT, px::BIGINT, py::BIGINT
 FROM (SELECT DISTINCT x // 2 AS px, y // 2 AS py FROM base)
+"""
+
+
+def sql_kml_superoverlay(n: int = 128, zoom: int = 6) -> str:
+    """KML superoverlay read-back: one row per written z/x/y.kml with
+    its NetworkLink (child) count. Deepest level links nothing; each
+    zoom-1 parent links its existing children — COUNT(*) over the
+    already-DISTINCT base grouped by parent."""
+    return f"""
+WITH {_sql_cover_base_cte(n, zoom)}
+SELECT {zoom}::BIGINT AS z, x::BIGINT AS x, y::BIGINT AS y,
+       0::BIGINT AS n_links
+FROM base
+UNION ALL
+SELECT {zoom - 1}::BIGINT, x // 2, y // 2, COUNT(*)::BIGINT
+FROM base GROUP BY x // 2, y // 2
 """
 
 

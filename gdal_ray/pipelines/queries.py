@@ -1835,28 +1835,21 @@ def q_raster_index(sf_dir: str):
             Max("maxx", alias_name="maxx"), Max("maxy", alias_name="maxy"))
 
 
-def q_mbtiles_roundtrip(sf_dir: str):
-    """MBTiles container roundtrip (frmts/mbtiles/mbtilesdataset.cpp
-    semantics, written from the mapbox/mbtiles-spec): distinct z6 cover
-    tiles of the 128-image corpus + their z5 parents get real PNG blobs,
-    stream into a .mbtiles (TMS row flip on disk), read back via
-    parallel read_sql, return the XYZ tile coordinates. The DuckDB
-    oracle recomputes the cover closed-form — a mismatch catches cover
-    math, the y-flip, or a dropped/duplicated sqlite row."""
-    import os
-    import tempfile
-
+def _cover_levels(n_imgs: int = 128, zoom: int = 6) -> dict:
+    """Two-level synthetic tile pyramid shared by the container sinks
+    (mbtiles, kml superoverlay): distinct cover tiles of the image
+    corpus at `zoom` + their zoom-1 parents, each carrying a real PNG
+    blob whose pixels are a closed-form function of (z, x, y)."""
+    import ray.data as rd
     from ray.data.aggregate import Count
     from ..core import mercator as merc
     from ..sources.images import images_dataset
-    from ..sources.mbtiles import read_mbtiles, write_mbtiles
     from ..stages.georef import with_georef
     from ..stages.join import with_cells
 
-    Z = 6
-    imgs = images_dataset(128).map_batches(with_georef,
-                                           batch_format="pyarrow")
-    cover = with_cells(imgs, Z, ["image_id"])
+    imgs = images_dataset(n_imgs).map_batches(with_georef,
+                                              batch_format="pyarrow")
+    cover = with_cells(imgs, zoom, ["image_id"])
 
     def decode(t: pa.Table) -> pa.Table:
         z, x, y = merc.cell_decode(t["cell"].to_numpy().astype(np.uint64))
@@ -1866,7 +1859,6 @@ def q_mbtiles_roundtrip(sf_dir: str):
 
     def local_distinct(t: pa.Table) -> pa.Table:
         # map-side combiner: per-batch dedup before the exchange
-        import pandas as pd_
         df = t.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -1878,8 +1870,7 @@ def q_mbtiles_roundtrip(sf_dir: str):
     # parent level derived from the REDUCED base (bounded: one row per
     # distinct tile) — no second all-to-all exchange
     bt = base.to_pandas()
-    import ray.data as rd
-    pr = bt.assign(z=Z - 1, x=bt.x // 2, y=bt.y // 2).drop_duplicates()
+    pr = bt.assign(z=zoom - 1, x=bt.x // 2, y=bt.y // 2).drop_duplicates()
     over = rd.from_arrow(pa.Table.from_pandas(pr, preserve_index=False))
 
     def blob(t: pa.Table) -> pa.Table:
@@ -1893,14 +1884,72 @@ def q_mbtiles_roundtrip(sf_dir: str):
             pngs.append(codec_encode(np.dstack([px, px, px]), "png"))
         return t.append_column("png", pa.array(pngs, pa.binary()))
 
-    levels = {z: ds.map_batches(blob, batch_format="pyarrow")
-              for z, ds in ((Z - 1, over), (Z, base))}
+    return {z: ds.map_batches(blob, batch_format="pyarrow")
+            for z, ds in ((zoom - 1, over), (zoom, base))}
+
+
+def q_mbtiles_roundtrip(sf_dir: str):
+    """MBTiles container roundtrip (frmts/mbtiles/mbtilesdataset.cpp
+    semantics, written from the mapbox/mbtiles-spec): distinct z6 cover
+    tiles of the 128-image corpus + their z5 parents get real PNG blobs,
+    stream into a .mbtiles (TMS row flip on disk), read back via
+    parallel read_sql, return the XYZ tile coordinates. The DuckDB
+    oracle recomputes the cover closed-form — a mismatch catches cover
+    math, the y-flip, or a dropped/duplicated sqlite row."""
+    import os
+    import tempfile
+
+    from ..sources.mbtiles import read_mbtiles, write_mbtiles
+
+    levels = _cover_levels(128, 6)
     path = os.path.join(tempfile.gettempdir(),
                         f"gdal_ray_mbtiles_{os.getpid()}.mbtiles")
     if os.path.exists(path):
         os.remove(path)
     write_mbtiles(levels, path, name="cover-manifest")
     return read_mbtiles(path).select_columns(["z", "x", "y"])
+
+
+def q_kml_superoverlay(sf_dir: str):
+    """KML superoverlay sink roundtrip (frmts/kmlsuperoverlay +
+    gdal2tiles -k semantics): write the two-level cover pyramid as a
+    z/x/y.png + z/x/y.kml tree, then read the KML tree BACK with a
+    parallel binary-file scan and report each tile's NetworkLink count.
+    The DuckDB oracle recomputes the cover and the child fan-out
+    closed-form — a mismatch catches cover math, a missing/extra KML
+    file, or wrong child links."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    levels = _cover_levels(128, 6)
+    out = os.path.join(tempfile.gettempdir(),
+                       f"gdal_ray_kml_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    from .kml import write_superoverlay
+    write_superoverlay(levels, out)
+
+    files = ray.data.read_binary_files(out, include_paths=True,
+                                       file_extensions=["kml"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        zs, xs, ys, nl = [], [], [], []
+        for path, body in zip(t["path"].to_pylist(),
+                              t["bytes"].to_pylist()):
+            m = re.search(r"(\d+)[/\\](\d+)[/\\](\d+)\.kml$", path)
+            if m is None:        # doc.kml root
+                continue
+            zs.append(int(m.group(1))); xs.append(int(m.group(2)))
+            ys.append(int(m.group(3)))
+            nl.append(body.count(b"<NetworkLink>"))
+        return pa.table({"z": pa.array(zs, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "n_links": pa.array(nl, pa.int64())})
+
+    return files.map_batches(parse, batch_format="pyarrow")
 
 
 # OGR SQL dialect entries: the battery runs OUR SQL engine over the
@@ -2047,6 +2096,103 @@ def q_distributed_contour(sf_dir: str):
         .reset_index(drop=True).drop(columns=["component"])
 
 
+KMV_K = 64
+KMV_MULT = 0x9E3779B97F4A7C15  # Fibonacci multiplier — bijective mod 2^64
+
+
+def q_approx_count_distinct(sf_dir: str):
+    """KMV (k-minimum-values) distinct sketch over orders.o_custkey —
+    the sketch family SURVEY §2.5 lists as absent in the reference
+    (ogr has no HLL/quantile sketches; this is the 100 TB replacement
+    for an exact COUNT(DISTINCT) shuffle). Deterministic multiplicative
+    hash → per-batch k smallest → tiny associative combine; estimate =
+    (k-1) * 2^64 / h_k. The oracle replays the identical hash in
+    HUGEINT arithmetic, so the k sketch rows AND the estimate are
+    exact-checked (split into hi/lo int32 halves: bit-exact, no
+    uint64→double rounding in the compare)."""
+    ds = _rp(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = np.unique(t["o_custkey"].to_numpy().astype(np.uint64))
+        hv = np.sort((k * np.uint64(KMV_MULT)))[:KMV_K]
+        return pa.table({"hv_hi": pa.array((hv >> np.uint64(32)).astype(
+                            np.int64), pa.int64()),
+                         "hv_lo": pa.array((hv & np.uint64(0xFFFFFFFF)
+                                            ).astype(np.int64), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hv = np.unique(parts.hv_hi.to_numpy().astype(np.uint64)
+                   * np.uint64(1 << 32)
+                   + parts.hv_lo.to_numpy().astype(np.uint64))[:KMV_K]
+    est = float(KMV_K - 1) * 2.0 ** 64 / float(hv[-1])
+    out = pd.DataFrame({
+        "rank": np.arange(len(hv), dtype=np.int64),
+        "hv_hi": (hv >> np.uint64(32)).astype(np.int64),
+        "hv_lo": (hv & np.uint64(0xFFFFFFFF)).astype(np.int64)})
+    out["est"] = _half_away(np.full(len(hv), est), 2)
+    return out
+
+
+SQL_APPROX_COUNT_DISTINCT = f"""
+WITH h AS (
+  SELECT DISTINCT (o_custkey::HUGEINT * {KMV_MULT}) % (1::HUGEINT << 64)
+         AS hv FROM orders),
+k AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) - 1 AS rank
+      FROM h ORDER BY hv LIMIT {KMV_K}),
+kk AS (SELECT MAX(hv) AS hk FROM k)
+SELECT rank, (hv // (1::HUGEINT << 32))::BIGINT AS hv_hi,
+       (hv % (1::HUGEINT << 32))::BIGINT AS hv_lo,
+       ROUND(({KMV_K} - 1) * power(2.0, 64) / (SELECT hk::DOUBLE FROM kk),
+             2) AS est
+FROM k ORDER BY rank
+"""
+
+
+def q_quantiles(sf_dir: str):
+    """Distributed exact percentiles (PERCENTILE_DISC semantics) of
+    l_quantity: per-batch value-count partials (np.bincount — the
+    domain is small-cardinality), Sum-combine per value, then the
+    bounded value→count table resolves p via cumulative counts. The
+    shuffle carries ≤|domain| rows per block, never data rows — the
+    shape a 100 TB quantile wants when the domain is discrete."""
+    from ray.data.aggregate import Sum
+    ds = _rp(sf_dir, "lineitem", ["l_quantity"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t["l_quantity"].to_numpy().astype(np.int64)
+        c = np.bincount(v)
+        nz = np.nonzero(c)[0]
+        return pa.table({"v": pa.array(nz, pa.int64()),
+                         "n": pa.array(c[nz], pa.int64())})
+
+    agg = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("n", alias_name="n")).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    cum = agg.n.cumsum().to_numpy()
+    tot = int(cum[-1])
+    rows = []
+    # integer percent + exact ceil((pct*tot)/100) — no float ceil on
+    # either side, so Ray and the DECIMAL-typed oracle cannot diverge
+    for pct in (25, 50, 75, 90, 99):
+        target = (pct * tot + 99) // 100
+        rows.append({"pct": pct, "v": int(agg.v[int(np.searchsorted(
+            cum, target))]), "total": tot})
+    return pd.DataFrame(rows).astype({"pct": np.int64})
+
+
+SQL_QUANTILES = """
+WITH c AS (SELECT l_quantity::BIGINT AS v, COUNT(*)::BIGINT AS n
+           FROM lineitem GROUP BY 1),
+w AS (SELECT v, SUM(n) OVER (ORDER BY v)::BIGINT AS cum,
+             SUM(n) OVER ()::BIGINT AS tot FROM c),
+ps AS (SELECT pct::BIGINT AS pct
+       FROM (VALUES (25), (50), (75), (90), (99)) t(pct))
+SELECT pct, MIN(v) AS v, MIN(tot)::BIGINT AS total
+FROM w JOIN ps ON cum >= (pct * tot + 99) // 100
+GROUP BY pct ORDER BY pct
+"""
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2128,6 +2274,9 @@ QUERIES = {
     "image_phash_dedup": q_image_phash_dedup,
     "image_pip": q_image_pip,
     "image_knn": q_image_knn,
+    "kml_superoverlay": q_kml_superoverlay,
+    "approx_count_distinct": q_approx_count_distinct,
+    "quantiles": q_quantiles,
 }
 
 
@@ -2200,6 +2349,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),
         "mbtiles_roundtrip": _OR.sql_mbtiles_roundtrip(128, 6),
+        "kml_superoverlay": _OR.sql_kml_superoverlay(128, 6),
+        "approx_count_distinct": SQL_APPROX_COUNT_DISTINCT,
+        "quantiles": SQL_QUANTILES,
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
