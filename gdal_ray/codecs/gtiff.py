@@ -72,9 +72,16 @@ def _read_ifd_values(buf, bo, typ, cnt, val_off_raw):
 
 
 def _dtype_of(bits, sfmt, bo):
+    """Storage dtype for (BitsPerSample, SampleFormat). Complex int
+    (sfmt 5) returns the integer HALF dtype — the decoder reads value
+    pairs and combines them (gcore/gdal.h:47-67 CInt16/CInt32 have no
+    numpy equivalent, so they surface as complex64/128)."""
     base = {(8, 1): "u1", (8, 4): "u1", (16, 1): "u2", (32, 1): "u4",
-            (8, 2): "i1", (16, 2): "i2", (32, 2): "i4",
-            (16, 3): "f2", (32, 3): "f4", (64, 3): "f8"}.get((bits, sfmt))
+            (64, 1): "u8",
+            (8, 2): "i1", (16, 2): "i2", (32, 2): "i4", (64, 2): "i8",
+            (16, 3): "f2", (32, 3): "f4", (64, 3): "f8",
+            (32, 5): "i2", (64, 5): "i4",       # CInt16 / CInt32 halves
+            (64, 6): "c8", (128, 6): "c16"}.get((bits, sfmt))
     if base is None:
         raise ValueError(f"unsupported TIFF sample: {bits} bits fmt {sfmt}")
     return np.dtype(base if base == "u1" or base == "i1" else bo + base)
@@ -215,21 +222,34 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int):
     planar = int(tags.get(_T_PLANAR, [1])[0])
     pred = int(tags.get(_T_PREDICTOR, [1])[0])
     dt = _dtype_of(bits, sfmt, bo)
+    cint = sfmt == 5              # complex int: value PAIRS of dt
+    odt = (np.dtype("c8") if bits == 32 else np.dtype("c16")) if cint \
+        else dt.newbyteorder("=")
     # planar=2 (separate): each block carries ONE band, bands iterate
     # in the outer block dimension
     bspp = spp if planar == 1 else 1
 
-    out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
+    out = np.zeros((h, w, spp), dtype=odt)
 
     def place(block_bytes, row0, col0, bh, bw, band0):
-        need = bh * bw * bspp * dt.itemsize
+        vals_per = 2 if cint else 1
+        need = bh * bw * bspp * dt.itemsize * vals_per
         if len(block_bytes) < need:
             # writers may truncate edge blocks — pad with zeros
             block_bytes = block_bytes + b"\x00" * (need - len(block_bytes))
-        arr = np.frombuffer(block_bytes, dtype=dt,
-                            count=bh * bw * bspp).reshape(bh, bw, bspp)
-        arr = arr.astype(dt.newbyteorder("="))
-        if pred == 2:
+        if cint:
+            if pred == 2:
+                raise ValueError("predictor on complex-int TIFF")
+            pair = np.frombuffer(block_bytes, dtype=dt,
+                                 count=bh * bw * bspp * 2) \
+                .reshape(bh, bw, bspp, 2).astype(dt.newbyteorder("="))
+            arr = (pair[..., 0].astype(odt)
+                   + np.complex64(1j) * pair[..., 1].astype(odt))
+        else:
+            arr = np.frombuffer(block_bytes, dtype=dt,
+                                count=bh * bw * bspp).reshape(bh, bw, bspp)
+            arr = arr.astype(dt.newbyteorder("="))
+        if pred == 2 and not cint:
             a = np.cumsum(arr.astype(np.int64), axis=1) \
                 if not np.issubdtype(arr.dtype, np.floating) \
                 else np.cumsum(arr, axis=1)
@@ -306,8 +326,13 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int):
 
 _DT_TO_TIFF = {
     np.dtype("u1"): (8, 1), np.dtype("u2"): (16, 1), np.dtype("u4"): (32, 1),
+    np.dtype("u8"): (64, 1),
     np.dtype("i1"): (8, 2), np.dtype("i2"): (16, 2), np.dtype("i4"): (32, 2),
-    np.dtype("f4"): (32, 3), np.dtype("f8"): (64, 3),
+    np.dtype("i8"): (64, 2),
+    np.dtype("f2"): (16, 3), np.dtype("f4"): (32, 3), np.dtype("f8"): (64, 3),
+    # complex writes as CFloat32/CFloat64 (sfmt 6) — same policy as the
+    # reference, which only creates CInt on explicit request
+    np.dtype("c8"): (64, 6), np.dtype("c16"): (128, 6),
 }
 
 

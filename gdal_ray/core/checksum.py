@@ -29,12 +29,20 @@ def _to_int32(arr: np.ndarray) -> np.ndarray:
         out = np.where(np.isfinite(v), np.floor(np.clip(v, -2147483647.0, 2147483647.0)),
                        np.iinfo(np.int32).min).astype(np.int64)
         return out
-    return arr.astype(np.int64)
+    # integer path reads through an Int32 conversion (GDALCopyWords
+    # clamps to the full int32 range; alg/gdalchecksum.cpp:190+)
+    if arr.dtype.kind == "u":
+        return np.minimum(arr, np.uint64(2147483647)).astype(np.int64)
+    return np.clip(arr.astype(np.int64), -2147483648, 2147483647)
 
 
 def checksum(band: np.ndarray) -> int:
-    """Checksum of a 2-D band (or 1-D line) with window offset (0,0)."""
+    """Checksum of a 2-D band (or 1-D line) with window offset (0,0).
+    Complex bands iterate (real, imag) value pairs — the prime index
+    advances per VALUE, not per pixel (gdalchecksum.cpp nValsPerIter)."""
     a = np.asarray(band)
+    if np.issubdtype(a.dtype, np.complexfloating):
+        a = np.stack([a.real, a.imag], axis=-1)
     vals = _to_int32(a).ravel()
     primes = PRIMES[np.arange(vals.size, dtype=np.int64) % 11]
     # C-style truncation-toward-zero modulo:

@@ -363,6 +363,15 @@ def downsample2x(src: np.ndarray, alg: str = "average") -> np.ndarray:
     squeeze = src.ndim == 2
     s = src[:, :, None] if squeeze else src
     q = s.reshape(h // 2, 2, w // 2, 2, s.shape[2])
+    if np.issubdtype(s.dtype, np.complexfloating):
+        # complex: reduce real/imag independently (overview.cpp treats
+        # complex as interleaved component planes); only mean-like and
+        # near reductions are defined for complex in the reference
+        if alg not in ("average", "near"):
+            raise ValueError(f"overview {alg!r} undefined for complex")
+        out = (q.astype(np.complex128).mean(axis=(1, 3))
+               if alg == "average" else q[:, 0, :, 0].astype(np.complex128))
+        return out[:, :, 0] if squeeze else out
     if alg == "average":
         out = q.astype(np.float64).mean(axis=(1, 3))
     elif alg == "rms":

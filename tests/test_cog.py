@@ -108,4 +108,4 @@ def test_first_ifd_back_compat():
 
 def test_bad_dtype_raises():
     with pytest.raises(ValueError):
-        encode_cog(np.zeros((4, 4), dtype=np.complex64))
+        encode_cog(np.zeros((4, 4), dtype="datetime64[s]"))

@@ -29,6 +29,13 @@ GOLDEN = [
     (f"{_GCORE}/separate_tiled.tif", 2, 15234),  # PlanarConfig=2
     (f"{_GCORE}/seperate_strip.tif", 2, 15234),
     (f"{_UTIL}/utmsmall.tif", 1, 50054),  # test_gdalalg_raster_convert.py:33
+    # full dtype model (gcore/gdal.h:47-67): complex + 64-bit ints
+    (f"{_GCORE}/cint16.tif", 1, 5028),
+    (f"{_GCORE}/cint32.tif", 1, 5028),
+    (f"{_GCORE}/cfloat32.tif", 1, 5028),
+    (f"{_GCORE}/cfloat64.tif", 1, 5028),
+    (f"{_GCORE}/gtiff/int64_full_range.tif", 1, 65535),  # int32-clamped
+    (f"{_GCORE}/gtiff/uint64_full_range.tif", 1, 1),
 ]
 
 have_ref = os.path.isdir(_GCORE)
@@ -61,11 +68,20 @@ class TestGoldenDecodes:
 
 
 class TestRoundtrip:
-    @pytest.mark.parametrize("dt", ["u1", "u2", "i2", "u4", "i4", "f4", "f8"])
+    @pytest.mark.parametrize("dt", ["u1", "u2", "i2", "u4", "i4", "f4", "f8",
+                                    "i8", "u8", "f2"])
     def test_dtype_roundtrip(self, dt):
         a = (np.arange(90 * 70) % 997).astype(dt).reshape(90, 70)
         out = decode_gtiff(encode_gtiff(a)).pixels
         assert np.array_equal(out, a)
+
+    @pytest.mark.parametrize("dt", ["c8", "c16"])
+    def test_complex_roundtrip(self, dt):
+        rng = np.arange(60 * 40, dtype=np.float64).reshape(60, 40)
+        a = (rng - 7 + 1j * (rng % 13)).astype(dt)
+        out = decode_gtiff(encode_gtiff(a)).pixels
+        assert np.array_equal(out, a)
+        assert out.dtype == np.dtype(dt)
 
     @pytest.mark.parametrize("compress", ["none", "deflate"])
     def test_multiband_tiled(self, compress):
@@ -98,4 +114,4 @@ class TestRoundtrip:
         with pytest.raises(ValueError):
             decode_gtiff(b"NOPE" * 10)
         with pytest.raises(ValueError):
-            encode_gtiff(np.zeros((4, 4), np.complex64))
+            encode_gtiff(np.zeros((4, 4), dtype="datetime64[s]"))
