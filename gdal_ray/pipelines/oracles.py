@@ -848,13 +848,15 @@ SELECT (SELECT COUNT(*) FROM win)::BIGINT AS covered_px,
 
 
 def sql_vector_drivers(m: int = 25) -> str:
-    """CSV and GeoPackage roundtrips are lossless → per-driver areas
-    equal the closed-form shape-class areas."""
+    """CSV, GeoPackage and KML roundtrips are lossless (KML writes
+    shortest-exact-repr coordinates) → per-driver areas equal the
+    closed-form shape-class areas."""
     return f"""
 WITH {sql_polygons_cte(m)}
 SELECT fid,
        ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_csv,
-       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_gpkg
+       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_gpkg,
+       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_kml
 FROM polys
 """
 

@@ -1758,12 +1758,14 @@ def q_vector_drivers(sf_dir: str):
     from ..core.geom import area as _area
     from ..sources.csvio import read_csv_dataset, write_csv
     from ..sources.gpkg import read_gpkg_dataset, write_gpkg
+    from ..sources.kmlvec import read_kml, write_kml
     from ..sources.vector import polygons_table
 
     src = polygons_table(25)
     d = tempfile.mkdtemp(prefix="drv_", dir="/tmp")
     write_csv(src, os.path.join(d, "layer.csv"))
     write_gpkg(src, os.path.join(d, "layer.gpkg"))
+    write_kml(src, os.path.join(d, "layer.kml"))
 
     def areas(col):
         def fn(t: pa.Table) -> pa.Table:
@@ -1775,7 +1777,9 @@ def q_vector_drivers(sf_dir: str):
 
     csv_ds = read_csv_dataset(os.path.join(d, "layer.csv"))         .map_batches(areas("area_km2_csv"), batch_format="pyarrow")
     gpkg_ds = read_gpkg_dataset(os.path.join(d, "layer.gpkg"))         .map_batches(areas("area_km2_gpkg"), batch_format="pyarrow")
-    df = csv_ds.to_pandas().merge(gpkg_ds.to_pandas(), on="fid")
+    kml_ds = read_kml(os.path.join(d, "layer.kml"))         .map_batches(areas("area_km2_kml"), batch_format="pyarrow")
+    df = csv_ds.to_pandas().merge(gpkg_ds.to_pandas(), on="fid") \
+        .merge(kml_ds.to_pandas(), on="fid")
     return df
 
 

@@ -68,6 +68,12 @@ def _read_geojson(path):
     return read_geojson_table(path)
 
 
+@_builtin("kml")
+def _read_kml(path):
+    from .kmlvec import read_kml_table
+    return read_kml_table(path)
+
+
 @_builtin("parquet")
 def _read_parquet(path):
     import pyarrow.parquet as pq
