@@ -861,6 +861,25 @@ FROM polys
 """
 
 
+def sql_linear_grid(size: int = 64) -> str:
+    """Delaunay-linear grid: every node value equals the source plane
+    (barycentric interpolation is exact on affine data), so row sums
+    are closed-form over node centers."""
+    from ..sources import geo as G
+    res = G.METRO_W / size
+    return f"""
+WITH rows_ AS (SELECT g AS r FROM generate_series(0, {size - 1}) t(g)),
+cols_ AS (SELECT g AS c FROM generate_series(0, {size - 1}) t(g)),
+nodes AS (
+  SELECT r, c,
+         3.0 * ((c + 0.5) * {res!r}) / 1e4
+         - 2.0 * ({G.METRO_W!r} - (r + 0.5) * {res!r}) / 1e4 + 7.0 AS v
+  FROM rows_, cols_)
+SELECT r AS row, ROUND(SUM(v), 2) AS sum_v, COUNT(*)::BIGINT AS n
+FROM nodes GROUP BY r ORDER BY r
+"""
+
+
 def sql_contours(n: int = 96, levels=(64, 128, 192)) -> str:
     """Marching-squares crossing conservation: the traced polylines'
     distinct vertices per level equal the number of lattice edges whose

@@ -1062,6 +1062,40 @@ def q_idw_grid(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_linear_grid(sf_dir: str):
+    """gdal_grid LINEAR (Delaunay + barycentric, alg/gdalgrid.cpp
+    GDALGridLinear): metro points carry values sampled from a plane,
+    plus the four grid corners so the hull covers every node — linear
+    interpolation then reproduces the plane EXACTLY at every node
+    center, which the oracle recomputes closed-form. A wrong triangle,
+    a bad barycentric weight, or a hull gap all break row sums."""
+    from ..core import geotransform as gtr
+    from ..sources import geo as G
+    from ..sources.vector import points_table
+    from ..stages.grid import assemble_grid, grid_broadcast
+
+    X0, Y0, W = G.METRO_X0, G.METRO_Y0, G.METRO_W
+    df = points_table(400).to_pandas()
+    m = df[(df.x >= X0) & (df.x <= X0 + W)
+           & (df.y >= Y0) & (df.y <= Y0 + W)]
+    xs = np.concatenate([m.x.to_numpy(),
+                         [X0, X0 + W, X0, X0 + W]])
+    ys = np.concatenate([m.y.to_numpy(),
+                         [Y0, Y0, Y0 + W, Y0 + W]])
+    vs = 3.0 * (xs - X0) / 1e4 - 2.0 * (ys - Y0) / 1e4 + 7.0
+    pts = np.column_stack([xs, ys, vs])
+
+    gt = gtr.from_bounds(X0, Y0, X0 + W, Y0 + W, 64, 64)
+    grid = assemble_grid(
+        grid_broadcast(pts, gt, (64, 64), method="linear",
+                       tile=32).to_pandas(), (64, 64))
+    rows = [{"row": r,
+             "sum_v": _half_away([float(grid[r].sum())], 2)[0],
+             "n": int(np.isfinite(grid[r]).sum())}
+            for r in range(64)]
+    return pd.DataFrame(rows)
+
+
 def q_reproject(sf_dir: str):
     """gdalwarp analog: reproject each georeferenced image from
     EPSG:3857 to EPSG:4326 through the mesh-approximated transformer
@@ -2281,6 +2315,7 @@ QUERIES = {
     "kml_superoverlay": q_kml_superoverlay,
     "approx_count_distinct": q_approx_count_distinct,
     "quantiles": q_quantiles,
+    "linear_grid": q_linear_grid,
 }
 
 
@@ -2356,6 +2391,7 @@ def oracle_sql() -> dict[str, str]:
         "kml_superoverlay": _OR.sql_kml_superoverlay(128, 6),
         "approx_count_distinct": SQL_APPROX_COUNT_DISTINCT,
         "quantiles": SQL_QUANTILES,
+        "linear_grid": _OR.sql_linear_grid(64),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }

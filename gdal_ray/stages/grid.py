@@ -121,9 +121,17 @@ def grid_broadcast(points_xyv: np.ndarray, transform, shape, *,
     import ray.data as rd
 
     pref = ray.put(np.ascontiguousarray(points_xyv, np.float64))
+    # linear (GDALGridLinear): GLOBAL Delaunay computed once on the
+    # driver from the bounded point side, broadcast alongside the
+    # points — per-tile triangulation would be wrong near tile edges
+    tri_ref = None
+    if method == "linear":
+        from ..core.delaunay import delaunay
+        tri_ref = ray.put(delaunay(points_xyv[:, :2]))
 
     def compute(t: pa.Table) -> pa.Table:
         pts = ray.get(pref)
+        tris = ray.get(tri_ref) if tri_ref is not None else None
         px, py, vals = pts[:, 0], pts[:, 1], pts[:, 2]
         out = {"tile_id": [], "col0": [], "row0": [], "tw": [], "th": [],
                "data": []}
@@ -131,8 +139,13 @@ def grid_broadcast(points_xyv: np.ndarray, transform, shape, *,
             c0 = int(t["col0"][i].as_py()); r0 = int(t["row0"][i].as_py())
             tw = int(t["tw"][i].as_py()); th = int(t["th"][i].as_py())
             gx, gy = _tile_centers(transform, c0, r0, tw, th)
-            g = _interp_tile(gx, gy, px, py, vals, method, power, radius,
-                             min_points)
+            if method == "linear":
+                from ..core.delaunay import linear_interp
+                g = linear_interp(gx, gy, pts[:, :2], vals, tris,
+                                  radius=radius)
+            else:
+                g = _interp_tile(gx, gy, px, py, vals, method, power,
+                                 radius, min_points)
             out["tile_id"].append(int(t["tile_id"][i].as_py()))
             out["col0"].append(c0); out["row0"].append(r0)
             out["tw"].append(tw); out["th"].append(th)
@@ -158,6 +171,11 @@ def grid_partitioned(points_ds, transform, shape, *, method: str = "invdist",
     bounds (± radius) contain it; groupby(tile) computes tiles from
     exactly their influence set. Identical results to grid_broadcast
     for the same radius."""
+    if method == "linear":
+        raise ValueError(
+            "linear needs the GLOBAL Delaunay triangulation — halo "
+            "partitioning cannot bound a triangle's reach; use "
+            "grid_broadcast (gdal_grid's own all-points-in-memory model)")
     h, w = shape
     specs = make_tile_specs(shape, tile)
     # tile world bounds
