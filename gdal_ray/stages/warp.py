@@ -80,6 +80,10 @@ def _hub_legs(crs: str):
             return tmerc.lonlat_to_tmerc(x, y, lon0, south=south)
 
         return to_ll, from_ll
+    from ..core.conic import projection_for
+    proj = projection_for(crs)
+    if proj is not None:
+        return proj.inverse, proj.forward
     return None
 
 
