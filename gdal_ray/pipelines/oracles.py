@@ -406,6 +406,27 @@ FROM px GROUP BY image_id
 """
 
 
+def sql_pansharpen(n: int = 96) -> str:
+    """Weighted Brovey (alg/gdalpansharpen.cpp:471-520): pan is the
+    synthetic sensor 0.5·v0+0.25·v1+0.25·v2, pseudo-pan weights
+    (0.25, 0.5, 0.25) — all exact in binary, so the only inexact ops
+    (divide, multiply, AVG) are shared bit-for-bit with numpy up to
+    summation order, absorbed by the 4-decimal round."""
+    return sql_pixels_cte(n) + """,
+ps AS (
+  SELECT image_id, v0, v1, v2,
+         0.5 * v0 + 0.25 * v1 + 0.25 * v2  AS pan,
+         v0 * 0.25 + v1 * 0.5 + v2 * 0.25  AS pseudo
+  FROM px
+)
+SELECT image_id,
+       ROUND(AVG(CASE WHEN pseudo = 0 THEN 0.0 ELSE v0 * pan / pseudo END), 4) AS mean_ps0,
+       ROUND(AVG(CASE WHEN pseudo = 0 THEN 0.0 ELSE v1 * pan / pseudo END), 4) AS mean_ps1,
+       ROUND(AVG(CASE WHEN pseudo = 0 THEN 0.0 ELSE v2 * pan / pseudo END), 4) AS mean_ps2
+FROM ps GROUP BY image_id
+"""
+
+
 def sql_geojson_roundtrip(m: int = 25) -> str:
     """GeoJSON write→read roundtrip is lossless (repr floats), so areas
     equal the closed-form shape-class areas."""

@@ -896,6 +896,30 @@ def q_norm_diff(sf_dir: str):
         .select_columns(["image_id", "mean_nd"])
 
 
+def q_pansharpen(sf_dir: str):
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp): a
+    synthetic pan sensor (0.5·B0 + 0.25·B1 + 0.25·B2 — exact binary
+    weights) sharpens the 3-band spectral image with pseudo-pan weights
+    (0.25, 0.5, 0.25) → per-image mean of each sharpened band. Pan and
+    spectral share the grid here so the oracle is pure per-pixel
+    algebra; the coarse-spectral upsample path is pytest-oracled
+    (tests/test_raster_ops.py) against the exact bilinear kernel."""
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import image_op, pansharpen
+
+    def ps(px, row):
+        f = px.astype(np.float64)
+        pan = 0.5 * f[:, :, 0] + 0.25 * f[:, :, 1] + 0.25 * f[:, :, 2]
+        out = pansharpen(f, pan, weights=[0.25, 0.5, 0.25])
+        m = _half_away([out[:, :, 0].mean(), out[:, :, 1].mean(),
+                        out[:, :, 2].mean()])
+        return {"mean_ps0": m[0], "mean_ps1": m[1], "mean_ps2": m[2]}
+
+    return images_dataset(96).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(ps), batch_format="pyarrow") \
+        .select_columns(["image_id", "mean_ps0", "mean_ps1", "mean_ps2"])
+
+
 def q_rasterize_zones(sf_dir: str):
     """Rasterize polygons onto z6 tile grids → burned-pixel count per
     polygon (alg/gdalrasterize.cpp; cell-join + scanline burn)."""
@@ -2295,6 +2319,7 @@ QUERIES = {
     "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
     "proximity": q_proximity,
+    "pansharpen": q_pansharpen,
     # --- battery-only (rows 51+; pytest-oracled) ---
     "hillshade": q_hillshade,
     "mosaic": q_mosaic,
@@ -2379,6 +2404,7 @@ def oracle_sql() -> dict[str, str]:
         "gtiff_float_nodata": _OR.sql_gtiff_float_nodata(32, 128),
         "proximity": _OR.sql_proximity(48, 64),
         "raster_calc": _OR.sql_raster_calc(96),
+        "pansharpen": _OR.sql_pansharpen(96),
         "geojson_roundtrip": _OR.sql_geojson_roundtrip(25),
         "rasterize_zones": _OR.sql_rasterize_zones(30, 6),
         "polygonize_roundtrip": _OR.sql_polygonize_roundtrip(20),

@@ -312,3 +312,42 @@ def mosaic_merge(a_vals, a_rank, b_vals, b_rank):
     out_vals[take] = b_vals[take]
     out_rank = np.maximum(a_rank, b_rank)
     return out_vals, out_rank
+
+
+# ---------------------------------------------------------------------------
+# pansharpen: weighted Brovey (alg/gdalpansharpen.cpp)
+# ---------------------------------------------------------------------------
+
+def pansharpen(spectral: np.ndarray, pan: np.ndarray, *,
+               weights=None) -> np.ndarray:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp:471-520
+    semantics): out_i = spectral_i * pan / pseudo_pan with pseudo_pan
+    = Σ w_i · spectral_i. Spectral bands are bilinearly upsampled onto
+    the pan grid when coarser (the reference's default resampling);
+    pseudo_pan == 0 → 0 (its zero guard). Returns float64 (caller
+    casts/clamps — to_uint8 for byte output).
+
+    Embarrassingly parallel per image: wrap with image_op into a
+    map_batches stage, like every other per-image operator here."""
+    from ..core.resample import sample_grid
+
+    sp = np.asarray(spectral, np.float64)
+    if sp.ndim == 2:
+        sp = sp[:, :, None]
+    ph, pw = pan.shape[:2]
+    sh, sw = sp.shape[:2]
+    if (sh, sw) != (ph, pw):
+        # center-aligned bilinear upsample onto the pan grid
+        # (sample_grid convention: 0.5 = first pixel center)
+        cols = (np.arange(pw) + 0.5) * (sw / pw)
+        rows = (np.arange(ph) + 0.5) * (sh / ph)
+        sx, sy = np.meshgrid(cols, rows)
+        sp, _ = sample_grid(sp, sx, sy, "bilinear")
+    nb = sp.shape[2]
+    w = np.full(nb, 1.0 / nb) if weights is None \
+        else np.asarray(weights, np.float64)
+    pseudo = (sp * w[None, None, :]).sum(axis=2)
+    pan64 = np.asarray(pan, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(pseudo == 0.0, 0.0, pan64 / pseudo)
+    return sp * ratio[:, :, None]

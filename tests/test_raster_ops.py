@@ -419,3 +419,63 @@ class TestNodataWeighted:
         b, vb = warp(src, (0, 1, 0, 0, 0, 1), (0, 2, 0, 0, 0, 2),
                      (2, 2), "average", nodata=-1.0)
         assert np.array_equal(a, b) and np.array_equal(va, vb)
+
+
+class TestPansharpen:
+    """Weighted Brovey (alg/gdalpansharpen.cpp:471-520): ratio
+    pan/pseudo-pan scales each spectral band; coarse spectral is
+    bilinearly upsampled onto the pan grid first."""
+
+    def test_identity_when_pan_equals_pseudo(self):
+        import numpy as np
+        from gdal_ray.stages.raster_ops import pansharpen
+        rng = np.random.default_rng(7)
+        sp = rng.integers(1, 255, (8, 8, 3)).astype(np.float64)
+        pan = sp.mean(axis=2)                 # equal-weight pseudo-pan
+        out = pansharpen(sp, pan)
+        assert np.allclose(out, sp)
+
+    def test_ratio_scaling_and_weights(self):
+        import numpy as np
+        from gdal_ray.stages.raster_ops import pansharpen
+        sp = np.full((4, 4, 2), 10.0)
+        sp[:, :, 1] = 30.0
+        pan = np.full((4, 4), 40.0)           # pseudo = .5*10+.5*30 = 20
+        out = pansharpen(sp, pan)             # ratio = 2 everywhere
+        assert np.allclose(out[:, :, 0], 20.0)
+        assert np.allclose(out[:, :, 1], 60.0)
+        outw = pansharpen(sp, pan, weights=[0.75, 0.25])  # pseudo = 15
+        assert np.allclose(outw[:, :, 0], 10.0 * 40 / 15)
+
+    def test_zero_pseudo_guard(self):
+        import numpy as np
+        from gdal_ray.stages.raster_ops import pansharpen
+        sp = np.zeros((3, 3, 3))
+        pan = np.full((3, 3), 100.0)
+        out = pansharpen(sp, pan)
+        assert np.all(out == 0.0) and np.all(np.isfinite(out))
+
+    def test_upsample_path_matches_bilinear_kernel(self):
+        import numpy as np
+        from gdal_ray.core.resample import sample_grid
+        from gdal_ray.stages.raster_ops import pansharpen
+        rng = np.random.default_rng(11)
+        sp_lo = rng.integers(1, 255, (5, 7, 3)).astype(np.float64)
+        pan = rng.integers(1, 255, (10, 14)).astype(np.float64)
+        out = pansharpen(sp_lo, pan)
+        # reproduce: center-aligned bilinear to the pan grid, then Brovey
+        cols = (np.arange(14) + 0.5) * (7 / 14)
+        rows = (np.arange(10) + 0.5) * (5 / 10)
+        sx, sy = np.meshgrid(cols, rows)
+        up, _ = sample_grid(sp_lo, sx, sy, "bilinear")
+        pseudo = up.mean(axis=2)
+        exp = up * (pan / pseudo)[:, :, None]
+        assert np.allclose(out, exp)
+
+    def test_2d_spectral_promoted(self):
+        import numpy as np
+        from gdal_ray.stages.raster_ops import pansharpen
+        sp = np.full((4, 4), 5.0)
+        pan = np.full((4, 4), 15.0)
+        out = pansharpen(sp, pan)             # pseudo = sp, ratio = 3
+        assert out.shape == (4, 4, 1) and np.allclose(out, 15.0)
