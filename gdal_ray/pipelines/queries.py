@@ -2114,6 +2114,36 @@ def q_raster_calc(sf_dir: str):
         .select_columns(["image_id", "mean_calc"])
 
 
+def q_viewshed(sf_dir: str):
+    """Cumulative viewshed (alg/viewshed + cumulative.cpp): 64 grid
+    observers over a deterministic 129² DEM, each an exact Wang-sweep
+    viewshed (golden-parity vs the reference's own unit fixtures —
+    tests/test_viewshed.py), counts tree-summed worker-side. Non-SQL
+    (sequential LOS recurrence): rows-only driver check; values pinned
+    by pytest."""
+    from ..core.checksum import checksum
+    from ..stages.viewshed import cumulative_viewshed, observer_grid
+
+    n = 129
+    y, x = np.mgrid[0:n, 0:n].astype(np.float64)
+    dem = (20.0 * np.sin(x / 9.0) * np.cos(y / 11.0)
+           + 0.05 * (x + y)
+           + 40.0 * np.exp(-((x - n / 2) ** 2 + (y - n / 2) ** 2)
+                           / (2.0 * (n / 6.0) ** 2)))
+
+    ids, vis, acc = cumulative_viewshed(
+        dem, observer_grid(n, n, 8, 8), observer_height=2.0)
+    return pd.DataFrame([{
+        "n_observers": int(len(ids)),
+        "sum_visible_px": int(vis.sum()),
+        "min_visible_px": int(vis.min()),
+        "max_visible_px": int(vis.max()),
+        "px_seen_by_any": int((acc > 0).sum()),
+        "max_observers_per_px": int(acc.max()),
+        "cum_checksum": int(checksum(acc.astype(np.float64))),
+    }])
+
+
 def q_distributed_polygonize(sf_dir: str):
     """Cross-tile polygonize (SURVEY §2.10's hard part): a 256×512
     blobby class field split into 64×64 tiles; per-tile components +
@@ -2341,6 +2371,7 @@ QUERIES = {
     "approx_count_distinct": q_approx_count_distinct,
     "quantiles": q_quantiles,
     "linear_grid": q_linear_grid,
+    "viewshed": q_viewshed,
 }
 
 
