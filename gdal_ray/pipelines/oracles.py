@@ -1080,6 +1080,31 @@ LEFT JOIN per ON per.image_id = img.image_id
 """
 
 
+def sql_gcp_warp(n: int = 96) -> str:
+    """GCP-warp suggested-output geometry: the order-2 fit reproduces
+    the separable quadratic GCP field exactly, both axes monotone, so
+    the 21-point edge walk collapses to the corners:
+      x-span = 1.5·res·w  (qx = res/2w burn-in), y-span = 1.25·res·h,
+      out_res = diag/ src_diag_px, dims = round(span/out_res),
+      minx = x0, maxy = y1 (and the north-up dst_gt anchors there)."""
+    return f"""
+WITH {sql_images_cte(n)},
+g AS (SELECT image_id, w, h, x0, y1,
+    1.5 * res * w  AS sx,
+    1.25 * res * h AS sy
+  FROM imgs),
+r AS (SELECT image_id, w, h, x0, y1, sx, sy,
+    sqrt(sx * sx + sy * sy) / sqrt(w * w + h * h + 0.0) AS res_out
+  FROM g)
+SELECT image_id,
+       greatest(1, CAST(ROUND(sx / res_out) AS INTEGER)) AS dst_w,
+       greatest(1, CAST(ROUND(sy / res_out) AS INTEGER)) AS dst_h,
+       ROUND(x0, 4) AS minx,
+       ROUND(y1, 4) AS maxy
+FROM r
+"""
+
+
 def sql_reproject_dims(n: int = 96) -> str:
     """Suggested-warp-output dims for 3857→4326 (the 21-point edge walk
     collapses to the 4 corners for a monotone north-up transform):

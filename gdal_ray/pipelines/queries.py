@@ -1141,6 +1141,51 @@ def q_reproject(sf_dir: str):
         .select_columns(["image_id", "dst_w", "dst_h"])
 
 
+def q_gcp_warp(sf_dir: str):
+    """GCP-transformer warp (gdalwarp METHOD=GCP_POLYNOMIAL,
+    alg/gdal_crs.cpp): each image gets a 3×3 GCP grid sampled from a
+    separable monotone quadratic distortion of its native georef; the
+    order-2 fit recovers it exactly, so the suggested-output grid
+    geometry is closed-form in SQL. Warped pixels flow through the
+    error-bounded mesh + sampling (pytest-verified; golden transformer
+    parity in tests/test_gcp.py)."""
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+    from ..stages.warp import gcp_warp
+
+    def warp_batch(t: pa.Table) -> pa.Table:
+        from ..codecs import decode as _dec
+        out = {"image_id": [], "dst_w": [], "dst_h": [],
+               "minx": [], "maxy": []}
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            h, w = px.shape[:2]
+            x0 = t["gt0"][i].as_py()
+            res = t["gt1"][i].as_py()
+            y1 = t["gt3"][i].as_py()
+            qx, qy = res / (2.0 * w), res / (4.0 * h)
+            pp, ll = np.meshgrid([0.0, w / 2.0, float(w)],
+                                 [0.0, h / 2.0, float(h)])
+            pp, ll = pp.ravel(), ll.ravel()
+            gcps = np.column_stack([
+                pp, ll,
+                x0 + res * pp + qx * pp * pp,
+                y1 - res * ll - qy * ll * ll])
+            warped, valid, dst_gt = gcp_warp(
+                px.astype(np.float64), gcps, method="polynomial",
+                order=2, resampling="bilinear")
+            out["image_id"].append(t["image_id"][i].as_py())
+            out["dst_w"].append(warped.shape[1])
+            out["dst_h"].append(warped.shape[0])
+            out["minx"].append(_half_away([dst_gt[0]])[0])
+            out["maxy"].append(_half_away([dst_gt[3]])[0])
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return images_dataset(96) \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(warp_batch, batch_format="pyarrow", batch_size=16)
+
+
 def q_gtiff_roundtrip(sf_dir: str):
     """Real GeoTIFF driver end-to-end: transcode the lossless corpus
     half to tiled-deflate GeoTIFF files (with geotransform, CRS and
@@ -2350,6 +2395,7 @@ QUERIES = {
     "gtiff_float_nodata": q_gtiff_float_nodata,
     "proximity": q_proximity,
     "pansharpen": q_pansharpen,
+    "gcp_warp": q_gcp_warp,
     # --- battery-only (rows 51+; pytest-oracled) ---
     "hillshade": q_hillshade,
     "mosaic": q_mosaic,
@@ -2432,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
         "image_knn": _OR.sql_image_knn(300, 10, 3),
         "image_phash_dedup": _OR.sql_image_phash_dedup(200),
         "reproject": _OR.sql_reproject_dims(96),
+        "gcp_warp": _OR.sql_gcp_warp(96),
         "gtiff_float_nodata": _OR.sql_gtiff_float_nodata(32, 128),
         "proximity": _OR.sql_proximity(48, 64),
         "raster_calc": _OR.sql_raster_calc(96),

@@ -382,3 +382,44 @@ def reproject_large(src: np.ndarray, src_gt, src_crs: str, dst_crs: str,
             np.frombuffer(row["valid"], np.uint8),
             count=nrows * dst_w).reshape(nrows, dst_w).astype(bool)
     return (acc[:, :, 0] if squeeze else acc), vacc, dst_gt
+
+
+# ---------------------------------------------------------------------------
+# GCP-driven warp (gdalwarp with METHOD=GCP_POLYNOMIAL / GCP_TPS)
+# ---------------------------------------------------------------------------
+
+def gcp_warp(src: np.ndarray, gcps, *, method: str = "polynomial",
+             order: int = 0, resampling: str = "bilinear",
+             max_error: float = 0.125, dst_grid=None):
+    """Warp one GCP-georeferenced image onto a north-up grid — the
+    transformer chain of alg/gdaltransformer.cpp:2236 with the GCP leg
+    from alg/gdal_crs.cpp (polynomial) or alg/gdal_tps.cpp (TPS)
+    replacing the geotransform+CRS legs. Suggested output reuses the
+    21-point edge walk; the inverse mapping runs through the
+    error-bounded approximate mesh like every other warp here.
+
+    Returns (dst_pixels, valid_mask, dst_gt). Embarrassingly parallel
+    per image: fit in the caller (or actor __init__), warp inside
+    map_batches."""
+    from ..core.gcp import GCPPolynomial, GCPTps
+
+    if method == "tps":
+        tr = GCPTps(gcps)
+    elif method == "polynomial":
+        tr = GCPPolynomial(gcps, order)
+    else:
+        raise ValueError(f"unknown GCP method {method!r}")
+    if src.ndim == 2:
+        src3, squeeze = src[:, :, None], True
+    else:
+        src3, squeeze = src, False
+    h, w = src3.shape[:2]
+    IDENT = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    if dst_grid is None:
+        dst_gt, dst_w, dst_h = suggested_warp_output(IDENT, w, h, tr.forward)
+    else:
+        dst_gt, dst_w, dst_h = dst_grid
+    sx, sy = approx_src_coords(dst_gt, IDENT, tr.inverse, dst_w, dst_h,
+                               max_error=max_error)
+    out, valid = sample_grid(src3, sx, sy, resampling)
+    return (out[:, :, 0] if squeeze else out), valid, dst_gt
