@@ -1137,3 +1137,38 @@ SELECT image_id,
        greatest(1, CAST(ROUND(sy / r) AS INTEGER)) AS dst_h
 FROM g
 """
+
+
+def sql_rpc_locate(n: int = 4096) -> str:
+    """RPC direct transform recomputed in SQL. The synthetic models
+    (core/rpc.py::synthetic_rpc) have denominator 1 at h=0 and
+    numerators L + a·LP + b·L² (samp) / P − a·LP + b·P² (line), with
+    a = 0.02·(k%5), b = 0.01·(k%3); de-normalization is
+    px = samp·2048 + (2048 − 8k) + 0.5, ln = line·2048 + (2048 + 16k)
+    + 0.5 (the +0.5 center→corner shift of RPCTransformPoint). All
+    intermediate values are exact multiples of 2e-4, so ROUND(...,4)
+    is boundary-safe on both sides. rt_ok = TRUE asserts the Ray-side
+    iterative inverse converged."""
+    return f"""
+WITH pts AS (
+  SELECT i, i % 8 AS k,
+         4.6 + (i % 64) * 0.0125 AS lon,
+         43.6 + ((i // 64) % 64) * 0.0125 AS lat
+  FROM generate_series(0, {n - 1}) t(i)
+),
+norm AS (
+  SELECT i, k,
+         (lon - 5.0) / 0.5 AS L,
+         (lat - 44.0) / 0.5 AS P,
+         0.02 * (k % 5) AS a,
+         0.01 * (k % 3) AS b
+  FROM pts
+)
+SELECT i AS pid, k,
+       ROUND((L + a * L * P + b * L * L) * 2048.0
+             + (2048.0 - 8.0 * k) + 0.5, 4) AS px,
+       ROUND((P - a * L * P + b * P * P) * 2048.0
+             + (2048.0 + 16.0 * k) + 0.5, 4) AS ln,
+       TRUE AS rt_ok
+FROM norm
+"""

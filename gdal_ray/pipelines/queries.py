@@ -2330,6 +2330,51 @@ GROUP BY pct ORDER BY pct
 """
 
 
+def q_rpc_locate(sf_dir: str):
+    """RPC sensor-model transform (gdalwarp -rpc / gdaltransform,
+    alg/gdal_rpc.cpp): a deterministic grid of (lon, lat) points is
+    pushed through eight synthetic RPC models (direct geo→image ratio
+    polynomial, RPCTransformPoint:420-466), then back through the
+    iterative image→geo inverse (RPCInverseTransformPoint:1128+).
+    The direct polynomial is pure arithmetic, so px/ln hash-match the
+    SQL oracle; rt_ok proves the iterative inverse closed the loop
+    (< 1e-7° residual) — any regression flips it to false and breaks
+    the hash."""
+    import ray.data as rd
+    from ..core.rpc import synthetic_rpc
+
+    n = 4096
+
+    def locate(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy().astype(np.int64)
+        lon = 4.6 + (ids % 64) * 0.0125
+        lat = 43.6 + ((ids // 64) % 64) * 0.0125
+        k = ids % 8
+        px = np.empty(len(ids))
+        ln = np.empty(len(ids))
+        ok = np.zeros(len(ids), bool)
+        for kk in range(8):
+            m = k == kk
+            if not m.any():
+                continue
+            model = synthetic_rpc(kk)
+            px[m], ln[m] = model.geo_to_pixel(lon[m], lat[m], 0.0)
+            rlon, rlat, conv = model.pixel_to_geo(
+                px[m], ln[m], 0.0, max_iterations=16, threshold=1e-6)
+            ok[m] = conv & (np.abs(rlon - lon[m]) < 1e-7) \
+                & (np.abs(rlat - lat[m]) < 1e-7)
+        return pa.table({
+            "pid": pa.array(ids, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "px": pa.array(_half_away(px)),
+            "ln": pa.array(_half_away(ln)),
+            "rt_ok": pa.array(ok),
+        })
+
+    return rd.range(n, override_num_blocks=8) \
+        .map_batches(locate, batch_format="pyarrow", batch_size=512)
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2418,6 +2463,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "linear_grid": q_linear_grid,
     "viewshed": q_viewshed,
+    "rpc_locate": q_rpc_locate,
 }
 
 
@@ -2496,6 +2542,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_count_distinct": SQL_APPROX_COUNT_DISTINCT,
         "quantiles": SQL_QUANTILES,
         "linear_grid": _OR.sql_linear_grid(64),
+        "rpc_locate": _OR.sql_rpc_locate(4096),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
