@@ -1172,3 +1172,28 @@ SELECT i AS pid, k,
        TRUE AS rt_ok
 FROM norm
 """
+
+
+def sql_geoloc_transform(n: int = 2048) -> str:
+    """Geolocation-array forward transform recomputed in SQL. The
+    synthetic grids are bilinear in the geoloc indices (gp, gl), and
+    bilinear interpolation reproduces a bilinear field exactly, so
+    pixel→geo collapses to the node formula evaluated at
+    gp = px/8 = 2·(t%16)+0.5, gl = 2·((t//16)%16)+0.5.  Expression
+    order mirrors queries.py::q_geoloc_transform so both sides compute
+    bit-identical doubles; exact values carry ≤ 4 decimals."""
+    return f"""
+WITH pts AS (
+  SELECT i, i % 8 AS k,
+         2.0 * ((i // 8) % 16) + 0.5 AS gp,
+         2.0 * (((i // 8) // 16) % 16) + 0.5 AS gl
+  FROM generate_series(0, {n - 1}) t(i)
+),
+d AS (SELECT i, k, gp, gl, 0.01 * (k % 4) AS dd FROM pts)
+SELECT i AS pid, k,
+       ROUND(100.0 + k + 2.5 * gp + 0.25 * gl + dd * gp * gl, 4) AS gx,
+       ROUND(200.0 - 2.0 * k + 0.125 * gp + 3.0 * gl - dd * gp * gl, 4)
+         AS gy,
+       TRUE AS rt_ok
+FROM d
+"""

@@ -2375,6 +2375,60 @@ def q_rpc_locate(sf_dir: str):
         .map_batches(locate, batch_format="pyarrow", batch_size=512)
 
 
+def q_geoloc_transform(sf_dir: str):
+    """Geolocation-array transform (gdalwarp -geoloc,
+    alg/gdalgeoloc.cpp): eight synthetic GEOLOCATION grids (33×33
+    nodes, PIXEL_STEP=LINE_STEP=8, top-left-corner convention) whose
+    node values are bilinear in the grid indices, so the pixel→geo
+    bilinear interpolation (PixelLineToXY) is closed-form in SQL.
+    Sample points sit at half-integer grid coords to force true
+    interpolation between nodes; rt_ok proves the backmap + Newton
+    inverse (GenerateBackMap analog) closed the loop to < 1e-6 px.
+    All exact values carry ≤ 4 decimals, so ROUND(…,4) is
+    boundary-safe on both sides."""
+    import ray.data as rd
+    from ..core.geoloc import GeolocTransformer
+
+    n = 2048
+
+    def build(kk: int) -> GeolocTransformer:
+        gl_, gp_ = np.meshgrid(np.arange(33.0), np.arange(33.0),
+                               indexing="ij")
+        d = 0.01 * (kk % 4)
+        gx = 100.0 + kk + 2.5 * gp_ + 0.25 * gl_ + d * gp_ * gl_
+        gy = 200.0 - 2.0 * kk + 0.125 * gp_ + 3.0 * gl_ - d * gp_ * gl_
+        return GeolocTransformer(gx, gy, pixel_step=8.0, line_step=8.0)
+
+    def locate(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy().astype(np.int64)
+        tt = ids // 8
+        k = ids % 8
+        px = (16 * (tt % 16) + 4).astype(np.float64)
+        ln = (16 * ((tt // 16) % 16) + 4).astype(np.float64)
+        gx = np.empty(len(ids))
+        gy = np.empty(len(ids))
+        ok = np.zeros(len(ids), bool)
+        for kk in range(8):
+            m = k == kk
+            if not m.any():
+                continue
+            tr = build(kk)
+            gx[m], gy[m], good = tr.pixel_to_geo(px[m], ln[m])
+            rpx, rln, conv = tr.geo_to_pixel(gx[m], gy[m])
+            ok[m] = good & conv & (np.abs(rpx - px[m]) < 1e-6) \
+                & (np.abs(rln - ln[m]) < 1e-6)
+        return pa.table({
+            "pid": pa.array(ids, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "gx": pa.array(_half_away(gx)),
+            "gy": pa.array(_half_away(gy)),
+            "rt_ok": pa.array(ok),
+        })
+
+    return rd.range(n, override_num_blocks=8) \
+        .map_batches(locate, batch_format="pyarrow", batch_size=256)
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2464,6 +2518,7 @@ QUERIES = {
     "linear_grid": q_linear_grid,
     "viewshed": q_viewshed,
     "rpc_locate": q_rpc_locate,
+    "geoloc_transform": q_geoloc_transform,
 }
 
 
@@ -2543,6 +2598,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": SQL_QUANTILES,
         "linear_grid": _OR.sql_linear_grid(64),
         "rpc_locate": _OR.sql_rpc_locate(4096),
+        "geoloc_transform": _OR.sql_geoloc_transform(2048),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
