@@ -1197,3 +1197,24 @@ SELECT i AS pid, k,
        TRUE AS rt_ok
 FROM d
 """
+
+
+def sql_nearblack(n: int = 96) -> str:
+    """Nearblack collar mask count recomputed closed-form: the painted
+    frame is the exact union of the four directional runs, so
+    n_masked = w·min(t+b,h) + max(h−t−b,0)·min(l+r,w) with the frame
+    widths derived from the image index exactly as in
+    queries.py::q_nearblack."""
+    return f"""
+WITH {sql_images_cte(n)},
+f AS (
+  SELECT image_id, w, h,
+         (i % 3) + ((i // 3) % 3)  AS tb,
+         ((i // 4) % 4) + ((i // 7) % 4) AS lr
+  FROM imgs
+)
+SELECT image_id, w::INTEGER AS w, h::INTEGER AS h,
+       (w * LEAST(tb, h)
+        + GREATEST(h - tb, 0) * LEAST(lr, w))::BIGINT AS n_masked
+FROM f
+"""

@@ -2429,6 +2429,51 @@ def q_geoloc_transform(sf_dir: str):
         .map_batches(locate, batch_format="pyarrow", batch_size=256)
 
 
+def q_nearblack(sf_dir: str):
+    """Collar removal (nearblack, apps/nearblack_lib.cpp): each corpus
+    image gets a deterministic black frame (widths t/b/l/r derived
+    from its index) painted over an interior clipped to ≥ near_dist+1,
+    then nearblack masks the frame back out. The masked-pixel count is
+    closed-form in SQL: w·min(t+b,h) + max(h−t−b,0)·min(l+r,w).
+    Codec-agnostic — lossy rows participate because only the mask
+    count (not pixel values) crosses to the oracle; pixel semantics
+    are pytest-verified."""
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import nearblack
+
+    def collar(t: pa.Table) -> pa.Table:
+        from ..codecs import decode as _dec
+        out = {"image_id": [], "w": [], "h": [], "n_masked": []}
+        for idx in range(t.num_rows):
+            iid = t["image_id"][idx].as_py()
+            i = int(iid[3:])
+            px = _dec(t["bytes"][idx].as_py(), t["fmt"][idx].as_py())
+            if px.ndim == 2:
+                px = px[:, :, None]
+            h, w = px.shape[:2]
+            tt, bb = i % 3, (i // 3) % 3
+            ll, rr = (i // 4) % 4, (i // 7) % 4
+            v = np.maximum(px, 16)          # interior never near-black
+            v[:tt] = 0
+            if bb:
+                v[h - bb:] = 0
+            v[:, :ll] = 0
+            if rr:
+                v[:, w - rr:] = 0
+            _, valid = nearblack(v, near_dist=15)
+            out["image_id"].append(iid)
+            out["w"].append(w)
+            out["h"].append(h)
+            out["n_masked"].append(int((~valid).sum()))
+        return pa.table({"image_id": pa.array(out["image_id"]),
+                         "w": pa.array(out["w"], pa.int32()),
+                         "h": pa.array(out["h"], pa.int32()),
+                         "n_masked": pa.array(out["n_masked"], pa.int64())})
+
+    return images_dataset(96).map_batches(collar, batch_format="pyarrow",
+                                          batch_size=16)
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2519,6 +2564,7 @@ QUERIES = {
     "viewshed": q_viewshed,
     "rpc_locate": q_rpc_locate,
     "geoloc_transform": q_geoloc_transform,
+    "nearblack": q_nearblack,
 }
 
 
@@ -2599,6 +2645,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_grid": _OR.sql_linear_grid(64),
         "rpc_locate": _OR.sql_rpc_locate(4096),
         "geoloc_transform": _OR.sql_geoloc_transform(2048),
+        "nearblack": _OR.sql_nearblack(96),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }

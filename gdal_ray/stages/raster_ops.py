@@ -351,3 +351,74 @@ def pansharpen(spectral: np.ndarray, pan: np.ndarray, *,
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio = np.where(pseudo == 0.0, 0.0, pan64 / pseudo)
     return sp * ratio[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# nearblack: collar removal
+# ---------------------------------------------------------------------------
+
+def nearblack(px: np.ndarray, *, near_dist: int = 15,
+              max_non_black: int = 0, white: bool = False,
+              colors=None):
+    """Collar removal (apps/nearblack_lib.cpp): mask pixels connected
+    to the image border by directional runs of near-collar color.
+
+    A pixel is near-black when, for SOME color in ``colors``, every
+    band is within ``near_dist`` of it (ProcessLine:592-593; default
+    color all-0s, or all-255s with white=True).  GDAL scans top-down
+    and bottom-up, each pass doing a per-column vertical check plus
+    left→right / right→left horizontal checks; with the default
+    max_non_black=0 the result is exactly the union of the four
+    directional runs of the near-black mask, which is what we compute
+    (vectorized cumulative products/sums instead of the scanline
+    state machine).
+
+    max_non_black > 0 tolerates that many non-collar pixels inside a
+    run (replaced = inclusive run count ≤ max, ProcessLine:606-609)
+    with the reference's edge guard: a non-collar pixel in the
+    outermost line/column terminates that run immediately
+    (:611-616, :707-713).  One documented divergence: GDAL's second
+    (bottom-up) pass re-reads pixels already replaced by the first
+    pass, which can cascade a grey-area run one step further; we
+    compute the runs on the original mask (identical for
+    max_non_black=0, the default).
+
+    Returns (out_pixels, valid_mask) — collar pixels set to the
+    replace value (0, or 255 when the single color is white), valid
+    False where masked.
+    """
+    v = np.asarray(px)
+    if v.ndim == 2:
+        v = v[:, :, None]
+    h, w, nb = v.shape
+    if colors is None:
+        colors = [np.full(nb, 255 if white else 0)]
+    iv = v.astype(np.int64)
+    near = np.zeros((h, w), bool)
+    for col in colors:
+        c = np.asarray(col, np.int64).reshape(1, 1, -1)
+        near |= (np.abs(iv - c) <= near_dist).all(axis=2)
+
+    nb_cnt = (~near).astype(np.int64)
+
+    def run(counts, axis, reverse):
+        c = np.flip(counts, axis=axis) if reverse else counts
+        inc = np.cumsum(c, axis=axis)
+        rep = inc <= max_non_black
+        if max_non_black > 0:
+            # edge guard: non-collar data right at the border kills
+            # the whole run for that line/column
+            first = np.take(c, 0, axis=axis) > 0
+            rep &= ~np.expand_dims(first, axis)
+        return np.flip(rep, axis=axis) if reverse else rep
+
+    collar = run(nb_cnt, 0, False) | run(nb_cnt, 0, True) \
+        | run(nb_cnt, 1, False) | run(nb_cnt, 1, True)
+
+    rep_val = 255 if (len(colors) == 1
+                      and np.asarray(colors[0]).flat[0] == 255) else 0
+    out = v.copy()
+    out[collar] = rep_val
+    if px.ndim == 2:
+        out = out[:, :, 0]
+    return out, ~collar
