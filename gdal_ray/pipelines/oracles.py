@@ -1218,3 +1218,42 @@ SELECT image_id, w::INTEGER AS w, h::INTEGER AS h,
         + GREATEST(h - tb, 0) * LEAST(lr, w))::BIGINT AS n_masked
 FROM f
 """
+
+
+def sql_color_relief(n: int = 64) -> str:
+    """color-relief channel sums recomputed closed-form.  Ramp entries
+    at 0/64/128/192/255 with colors mirrored from
+    queries.py::_RELIEF_RAMP; interpolation follows the reference's
+    first-entry-≥-v bracket, so v=0 takes entry 0 and each segment is
+    half-open (lo, hi].  Channel = FLOOR(0.5 + lo_c + ratio·(hi_c −
+    lo_c)) — expression order mirrors stages/raster_ops.py::
+    color_relief so both sides compute identical doubles (clamp is a
+    no-op for this ramp)."""
+    # (lo_e, hi_e, lo_c, hi_c) per segment, per channel
+    ramp = [(0, (0, 0, 128)), (64, (0, 128, 64)), (128, (255, 255, 0)),
+            (192, (205, 92, 92)), (255, (255, 255, 255))]
+
+    def chan(ci: int) -> str:
+        cases = []
+        for s in range(4):
+            lo_e, lo_c = ramp[s][0], ramp[s][1][ci]
+            hi_e, hi_c = ramp[s + 1][0], ramp[s + 1][1][ci]
+            cases.append(
+                f"WHEN v0 <= {hi_e} THEN FLOOR(0.5 + {lo_c}.0 + "
+                f"(v0 - {lo_e}.0) / {hi_e - lo_e}.0 * {hi_c - lo_c}.0)")
+        first = ramp[0][1][ci]
+        return ("CASE WHEN v0 <= 0 THEN {f}.0 ".format(f=first)
+                + " ".join(cases) + f" ELSE {ramp[4][1][ci]}.0 END")
+
+    return sql_pixels_cte(n) + f"""
+, rel AS (
+  SELECT image_id,
+         {chan(0)} AS r,
+         {chan(1)} AS g,
+         {chan(2)} AS b
+  FROM px
+)
+SELECT image_id, SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+       SUM(b)::BIGINT AS sum_b
+FROM rel GROUP BY image_id
+"""

@@ -2474,6 +2474,33 @@ def q_nearblack(sf_dir: str):
                                           batch_size=16)
 
 
+_RELIEF_RAMP = [(0, 0, 0, 128), (64, 0, 128, 64), (128, 255, 255, 0),
+                (192, 205, 92, 92), (255, 255, 255, 255)]
+
+
+def q_color_relief(sf_dir: str):
+    """gdaldem color-relief (apps/gdaldem_lib.cpp
+    GDALColorReliefGetColor): band 0 is the elevation, mapped through
+    a 5-entry ramp with the reference's linear interpolation
+    (clamp(int(0.5 + lo + ratio·(hi−lo)))). Per-image channel sums are
+    recomputed closed-form in SQL from the synthetic pixel formula —
+    every interpolation branch (exact entry, interior ratio, both
+    segment widths) is exercised by the 0..255 value range."""
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import color_relief, image_op
+
+    def relief(px, row):
+        rgba = color_relief(px[:, :, 0].astype(np.float64), _RELIEF_RAMP)
+        c = rgba.astype(np.int64)
+        return {"sum_r": int(c[:, :, 0].sum()),
+                "sum_g": int(c[:, :, 1].sum()),
+                "sum_b": int(c[:, :, 2].sum())}
+
+    return images_dataset(64).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(relief), batch_format="pyarrow") \
+        .select_columns(["image_id", "sum_r", "sum_g", "sum_b"])
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2565,6 +2592,7 @@ QUERIES = {
     "rpc_locate": q_rpc_locate,
     "geoloc_transform": q_geoloc_transform,
     "nearblack": q_nearblack,
+    "color_relief": q_color_relief,
 }
 
 
@@ -2646,6 +2674,7 @@ def oracle_sql() -> dict[str, str]:
         "rpc_locate": _OR.sql_rpc_locate(4096),
         "geoloc_transform": _OR.sql_geoloc_transform(2048),
         "nearblack": _OR.sql_nearblack(96),
+        "color_relief": _OR.sql_color_relief(64),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }

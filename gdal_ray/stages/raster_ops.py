@@ -422,3 +422,69 @@ def nearblack(px: np.ndarray, *, near_dist: int = 15,
     if px.ndim == 2:
         out = out[:, :, 0]
     return out, ~collar
+
+
+# ---------------------------------------------------------------------------
+# gdaldem color-relief
+# ---------------------------------------------------------------------------
+
+def color_relief(values: np.ndarray, ramp, mode: str = "interpolate",
+                 nan_color=None):
+    """gdaldem color-relief (apps/gdaldem_lib.cpp
+    GDALColorReliefGetColor:1641-1807): map elevations through a
+    (value → RGBA) ramp.
+
+    ramp: sequence of (value, r, g, b[, a]) sorted ascending.  Modes:
+      interpolate — linear between bracketing entries, channel =
+          clamp(int(0.5 + lo + ratio·(hi−lo)), 0, 255); values at or
+          beyond the ends take the end entry's color (:1691-1731)
+      nearest     — closer entry wins, ties to the upper (:1761-1775)
+      exact       — exact entries only, else transparent (0,0,0,0)
+    NaN values take nan_color (or transparent) — the reference's
+    leading-NaN ramp entry special case (:1648-1662).
+
+    Returns (h, w, 4) uint8 RGBA.
+    """
+    v = np.asarray(values, np.float64)
+    ramp = [tuple(e) + (255,) * (5 - len(e)) for e in ramp]
+    ev = np.array([e[0] for e in ramp], np.float64)
+    cols = np.array([e[1:5] for e in ramp], np.float64)   # (n, 4)
+    nseg = len(ramp)
+    out = np.zeros(v.shape + (4,), np.uint8)
+
+    nan = np.isnan(v)
+    vv = np.where(nan, ev[0], v)
+
+    if mode == "exact":
+        for k in range(nseg):
+            hit = vv == ev[k]
+            out[hit] = cols[k].astype(np.uint8)
+    elif mode == "nearest":
+        # first entry >= v (the reference's binary search), then the
+        # closer of (i-1, i) with ties to i
+        i = np.searchsorted(ev, vv, side="left")
+        i = np.clip(i, 0, nseg - 1)
+        im1 = np.maximum(i - 1, 0)
+        pick_lo = (vv - ev[im1]) < (ev[i] - vv)
+        idx = np.where(pick_lo, im1, i)
+        out[...] = cols[idx].astype(np.uint8)
+    elif mode == "interpolate":
+        i = np.searchsorted(ev, vv, side="left")
+        below = i == 0
+        above = i == nseg
+        mid = ~below & ~above
+        out[below] = cols[0].astype(np.uint8)
+        out[above] = cols[-1].astype(np.uint8)
+        if mid.any():
+            ii = i[mid]
+            lo, hi = ev[ii - 1], ev[ii]
+            ratio = (vv[mid] - lo) / (hi - lo)
+            c = cols[ii - 1] + ratio[:, None] * (cols[ii] - cols[ii - 1])
+            out[mid] = np.clip(np.floor(0.5 + c), 0, 255).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown color-relief mode {mode!r}")
+
+    if nan.any():
+        out[nan] = (0, 0, 0, 0) if nan_color is None \
+            else tuple(nan_color) + (255,) * (4 - len(nan_color))
+    return out
