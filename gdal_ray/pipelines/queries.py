@@ -2501,6 +2501,40 @@ def q_color_relief(sf_dir: str):
         .select_columns(["image_id", "sum_r", "sum_g", "sum_b"])
 
 
+def q_rgb2pct(sf_dir: str):
+    """rgb2pct (GDALComputeMedianCutPCT + GDALDitherRGB2PCT,
+    alg/gdalmediancut.cpp + alg/gdaldither.cpp): per image, fit a
+    64-color median-cut palette, remap via L1-nearest, and dither a
+    64×64 crop with GDAL's 3-tap integer error diffusion. Palette
+    construction is an iterative box-split — not SQL-expressible —
+    so this entry is rows-only; the kernel semantics are
+    pytest-verified (tests/test_quantize.py)."""
+    from ..core.checksum import checksum
+    from ..functions.quantize import (dither_rgb2pct, median_cut_pct,
+                                      remap_to_pct)
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import image_op
+
+    def quantize(px, row):
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        crop = px[:128, :128, :3]
+        pal, counts = median_cut_pct(crop, 64)
+        idx = remap_to_pct(crop, pal)
+        rec = pal[idx].astype(np.int64)
+        err = float(np.abs(rec - crop[:, :, :3].astype(np.int64)).mean())
+        d = dither_rgb2pct(crop[:64, :64], pal)
+        return {"n_pal": int(len(pal)),
+                "mean_err": _half_away([err])[0],
+                "cs_dither": int(checksum(d)),
+                "total": int(counts.sum())}
+
+    return images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(quantize), batch_format="pyarrow") \
+        .select_columns(["image_id", "n_pal", "mean_err", "cs_dither",
+                         "total"])
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2593,6 +2627,7 @@ QUERIES = {
     "geoloc_transform": q_geoloc_transform,
     "nearblack": q_nearblack,
     "color_relief": q_color_relief,
+    "rgb2pct": q_rgb2pct,
 }
 
 
