@@ -1257,3 +1257,44 @@ SELECT image_id, SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
        SUM(b)::BIGINT AS sum_b
 FROM rel GROUP BY image_id
 """
+
+
+def sql_hillshade_multi(n: int = 64) -> str:
+    """Multidirectional hillshade interior mean: the full USGS
+    OF 92-422 weighted formula (four GREATEST(0,·)-clamped azimuth
+    shades, sin²-aspect weights, flat→sin(alt)) replayed per interior
+    pixel; expression order mirrors stages/raster_ops.py::
+    hillshade_multidirectional_float."""
+    v = "((a * ({x}) + b * ({y})) % 256)"
+
+    def vv(dx, dy):
+        return v.format(x=f"gx + {dx}", y=f"gy + {dy}")
+
+    dzdx = (f"(({vv(1,-1)} + 2 * {vv(1,0)} + {vv(1,1)}) "
+            f"- ({vv(-1,-1)} + 2 * {vv(-1,0)} + {vv(-1,1)})) / 8.0")
+    dzdy = (f"(({vv(-1,1)} + 2 * {vv(0,1)} + {vv(1,1)}) "
+            f"- ({vv(-1,-1)} + 2 * {vv(0,-1)} + {vv(1,-1)})) / 8.0")
+    return f"""
+WITH {sql_images_cte(n, png_only=True)},
+gxs AS (SELECT g AS gx FROM generate_series(1, 510) t(g)),
+gys AS (SELECT g AS gy FROM generate_series(1, 510) t(g)),
+grad AS (
+  SELECT image_id, {dzdx} AS p, {dzdy} AS q
+  FROM imgs JOIN gxs ON gx < w - 1 JOIN gys ON gy < h - 1),
+terms AS (
+  SELECT image_id, p, q, p * p + q * q AS s,
+         sin(pi() / 4) AS sa, cos(pi() / 4) AS ca, sqrt(0.5) AS r
+  FROM grad),
+sh AS (
+  SELECT image_id,
+         CASE WHEN s = 0 THEN sa ELSE
+           ((0.5 * s - p * q) * GREATEST(0, sa + ca * r * (p - q))
+            + p * p           * GREATEST(0, sa + ca * p)
+            + (0.5 * s + p * q) * GREATEST(0, sa + ca * r * (p + q))
+            + q * q           * GREATEST(0, sa + ca * q))
+           / (2.0 * s) / sqrt(1.0 + s)
+         END AS shade
+  FROM terms)
+SELECT image_id, ROUND(AVG(shade), 4) AS mean_shade
+FROM sh GROUP BY image_id
+"""

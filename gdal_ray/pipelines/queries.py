@@ -2535,6 +2535,25 @@ def q_rgb2pct(sf_dir: str):
                          "total"])
 
 
+def q_hillshade_multi(sf_dir: str):
+    """Multidirectional hillshade (gdaldem hillshade -multidirectional,
+    GDALHillshadeMultiDirectionalAlg): interior mean of the raw USGS
+    OF 92-422 weighted shade — the full formula (four clamped azimuth
+    shades, sin²-aspect weights) replays closed-form in SQL. The
+    1-255 byte mapping and the combined/Igor variants are
+    pytest-verified."""
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import hillshade_multidirectional_float, image_op
+
+    def shade(px, row):
+        ms = hillshade_multidirectional_float(px[:, :, 0].astype(np.float64))
+        return {"mean_shade": _half_away([float(ms[1:-1, 1:-1].mean())])[0]}
+
+    return images_dataset(64).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(shade), batch_format="pyarrow") \
+        .select_columns(["image_id", "mean_shade"])
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2628,6 +2647,7 @@ QUERIES = {
     "nearblack": q_nearblack,
     "color_relief": q_color_relief,
     "rgb2pct": q_rgb2pct,
+    "hillshade_multi": q_hillshade_multi,
 }
 
 
@@ -2710,6 +2730,7 @@ def oracle_sql() -> dict[str, str]:
         "geoloc_transform": _OR.sql_geoloc_transform(2048),
         "nearblack": _OR.sql_nearblack(96),
         "color_relief": _OR.sql_color_relief(64),
+        "hillshade_multi": _OR.sql_hillshade_multi(64),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }

@@ -488,3 +488,100 @@ def color_relief(values: np.ndarray, ramp, mode: str = "interpolate",
         out[nan] = (0, 0, 0, 0) if nan_color is None \
             else tuple(nan_color) + (255,) * (4 - len(nan_color))
     return out
+
+
+# ---------------------------------------------------------------------------
+# hillshade variants: multidirectional / combined / Igor, ZT gradients
+# ---------------------------------------------------------------------------
+
+def _zt_gradients(band: np.ndarray, xres=1.0, yres=1.0):
+    """Zevenbergen-Thorne gradients (gdaldem_lib.cpp
+    GDALSlopeZevenbergenThorneAlg): 2-point central differences instead
+    of Horn's 6-point sums; same east/south-positive convention as
+    _horn_gradients."""
+    p = _pad_edge(band.astype(np.float64))
+    d, f = p[1:-1, :-2], p[1:-1, 2:]
+    b, h = p[:-2, 1:-1], p[2:, 1:-1]
+    return (f - d) / (2.0 * xres), (h - b) / (2.0 * yres)
+
+
+def _gradients(band, xres, yres, alg):
+    if alg == "zt":
+        return _zt_gradients(band, xres, yres)
+    return _horn_gradients(band, xres, yres)
+
+
+def hillshade_multidirectional_float(band: np.ndarray, xres=1.0, yres=1.0,
+                                     *, altitude=45.0, z_factor=1.0,
+                                     alg="horn") -> np.ndarray:
+    """Raw multidirectional shade in [0, 1] (USGS OF 92-422 weighting,
+    gdaldem_lib.cpp GDALHillshadeMultiDirectionalAlg:1255-1310): the
+    sin²(aspect−az) weighted mean of the 225/270/315/360° shades, each
+    clamped at 0 before weighting. Flat cells → sin(altitude)."""
+    dzdx, dzdy = _gradients(band, xres, yres, alg)
+    X, Y = z_factor * dzdx, z_factor * dzdy
+    sin_alt = np.sin(np.radians(altitude))
+    cos_alt = np.cos(np.radians(altitude))
+    s = X * X + Y * Y
+    r = np.sqrt(0.5)
+    v225 = np.maximum(0.0, sin_alt + cos_alt * r * (X - Y))
+    v270 = np.maximum(0.0, sin_alt + cos_alt * X)
+    v315 = np.maximum(0.0, sin_alt + cos_alt * r * (X + Y))
+    v360 = np.maximum(0.0, sin_alt + cos_alt * Y)
+    w225 = 0.5 * s - X * Y
+    w270 = X * X
+    w315 = 0.5 * s + X * Y
+    w360 = Y * Y
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg = (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360) \
+            / (2.0 * s) / np.sqrt(1.0 + s)
+    return np.where(s == 0.0, sin_alt, avg)
+
+
+def hillshade_multidirectional(band, xres=1.0, yres=1.0, *, altitude=45.0,
+                               z_factor=1.0, alg="horn") -> np.ndarray:
+    """Byte (1-255) multidirectional hillshade."""
+    avg = hillshade_multidirectional_float(band, xres, yres,
+                                           altitude=altitude,
+                                           z_factor=z_factor, alg=alg)
+    return np.clip(1.0 + 254.0 * avg, 1, 255).astype(np.uint8)
+
+
+def hillshade_combined(band, xres=1.0, yres=1.0, *, azimuth=315.0,
+                       altitude=45.0, z_factor=1.0, alg="horn") -> np.ndarray:
+    """Combined shading (gdaldem hillshade -combined,
+    GDALHillshadeCombinedAlg:1151-1181): byte = 1 + 254·(1 −
+    acos(shade)·atan(|∇z|)·4/π²), clamped to 1 where non-positive."""
+    dzdx, dzdy = _gradients(band, xres, yres, alg)
+    X, Y = z_factor * dzdx, z_factor * dzdy
+    sin_alt = np.sin(np.radians(altitude))
+    cos_alt = np.cos(np.radians(altitude))
+    az = np.radians(360.0 - azimuth + 90.0)
+    s = X * X + Y * Y
+    raw = (sin_alt + cos_alt * (Y * np.cos(az) - X * np.sin(az))) \
+        / np.sqrt(1.0 + s)
+    ang = np.arccos(np.clip(raw, -1.0, 1.0))
+    cang = 1.0 - ang * np.arctan(np.sqrt(s)) * (4.0 / np.pi ** 2)
+    return np.where(cang <= 0.0, 1.0,
+                    1.0 + 254.0 * cang).astype(np.uint8)
+
+
+def hillshade_igor(band, xres=1.0, yres=1.0, *, azimuth=315.0,
+                   z_factor=1.0, alg="horn") -> np.ndarray:
+    """Igor's shading (gdaldem hillshade -igor,
+    GDALHillshadeIgorAlg:947-1013): shadowness = 1 − (slope°/90)·(1 −
+    Δaspect/π), byte = 255·shadowness. Aspect uses the unscaled
+    gradient sums, light direction 3π/2 − azimuth."""
+    dzdx, dzdy = _gradients(band, xres, yres, alg)
+    X, Y = z_factor * dzdx, z_factor * dzdy
+    slope_strength = np.degrees(np.arctan(np.sqrt(X * X + Y * Y))) / 90.0
+    # aspect from the unscaled sums — same atan2 arguments up to the
+    # positive res factors, which do not change the angle for square
+    # pixels (the reference assumes them here)
+    aspect = np.arctan2(dzdy, -dzdx)
+    target = 1.5 * np.pi - np.radians(azimuth)
+    diff = np.abs(np.mod(aspect, 2 * np.pi) - np.mod(target, 2 * np.pi))
+    diff = np.where(diff > np.pi, 2 * np.pi - diff, diff)
+    aspect_strength = 1.0 - diff / np.pi
+    shadow = 1.0 - slope_strength * aspect_strength
+    return np.clip(255.0 * shadow, 0, 255).astype(np.uint8)
