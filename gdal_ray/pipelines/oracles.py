@@ -1298,3 +1298,20 @@ sh AS (
 SELECT image_id, ROUND(AVG(shade), 4) AS mean_shade
 FROM sh GROUP BY image_id
 """
+
+
+def sql_contour_polygons(n: int = 32) -> str:
+    """Contour polygon bands: the summed polygonize area per level
+    band must equal the band's pixel count (discrete boundaries), which
+    is a plain classified count over the closed-form pixels, cropped to
+    the same 160×160 window as the query."""
+    return sql_pixels_cte(n) + """
+, cls AS (
+  SELECT image_id,
+         CASE WHEN v0 < 64 THEN 0 WHEN v0 < 128 THEN 1
+              WHEN v0 < 192 THEN 2 ELSE 3 END AS band
+  FROM px WHERE gx < 160 AND gy < 160
+)
+SELECT image_id, band::BIGINT AS band, COUNT(*)::BIGINT AS area_px
+FROM cls GROUP BY image_id, band
+"""

@@ -2554,6 +2554,46 @@ def q_hillshade_multi(sf_dir: str):
         .select_columns(["image_id", "mean_shade"])
 
 
+def q_contour_polygons(sf_dir: str):
+    """Contour polygon bands (gdal_contour -p analog): classify band 0
+    into level bands [<64, <128, <192, rest], polygonize each band's
+    connected regions, and report the summed polygon area per band.
+    This is the reclassify∘polygonize composition — discrete pixel
+    boundaries rather than the reference's sub-pixel marching-squares
+    interpolation (that path is the `contours` query) — so the summed
+    area must equal the band's exact pixel count, which the SQL oracle
+    recomputes closed-form. Any polygonize boundary bug breaks the
+    equality."""
+    from ..core.geom import area
+    from ..core.rastervec import polygonize
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import image_op
+
+    LEVELS = np.array([64.0, 128.0, 192.0])
+
+    def bands(t: pa.Table) -> pa.Table:
+        from ..codecs import decode as _dec
+        out = {"image_id": [], "band": [], "area_px": []}
+        for idx in range(t.num_rows):
+            iid = t["image_id"][idx].as_py()
+            px = _dec(t["bytes"][idx].as_py(), t["fmt"][idx].as_py())
+            v = px[:160, :160, 0].astype(np.float64)
+            cls = np.digitize(v, LEVELS).astype(np.int64)
+            sums: dict[int, float] = {}
+            for val, poly in polygonize(cls):
+                sums[int(val)] = sums.get(int(val), 0.0) + area(poly)
+            for b in sorted(sums):
+                out["image_id"].append(iid)
+                out["band"].append(b)
+                out["area_px"].append(int(round(sums[b])))
+        return pa.table({"image_id": pa.array(out["image_id"]),
+                         "band": pa.array(out["band"], pa.int64()),
+                         "area_px": pa.array(out["area_px"], pa.int64())})
+
+    return images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(bands, batch_format="pyarrow", batch_size=8)
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2648,6 +2688,7 @@ QUERIES = {
     "color_relief": q_color_relief,
     "rgb2pct": q_rgb2pct,
     "hillshade_multi": q_hillshade_multi,
+    "contour_polygons": q_contour_polygons,
 }
 
 
@@ -2731,6 +2772,7 @@ def oracle_sql() -> dict[str, str]:
         "nearblack": _OR.sql_nearblack(96),
         "color_relief": _OR.sql_color_relief(64),
         "hillshade_multi": _OR.sql_hillshade_multi(64),
+        "contour_polygons": _OR.sql_contour_polygons(32),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
