@@ -29,12 +29,18 @@ from .wkb import Geometry
 # ---------------------------------------------------------------------------
 
 def rasterize(shapes, out_shape, transform, *, fill=0, merge_alg="replace",
-              dtype=np.float64):
+              all_touched=False, dtype=np.float64):
     """Burn (geometry, value) pairs into a grid.
 
     shapes: iterable of (Geometry, value); transform: geotransform of
     the output grid; burn rule = pixel-center-in-polygon (GDAL default
-    scanline semantics); merge_alg: 'replace' | 'add'."""
+    scanline semantics); merge_alg: 'replace' | 'add'.
+
+    all_touched=True additionally burns every pixel whose CLOSED cell
+    rectangle the geometry boundary intersects (gdalrasterize.cpp
+    ALL_TOUCHED / GDALdllImageLineAllTouched): interior via the normal
+    center test plus a supercover walk of each ring edge; an edge
+    running exactly along a cell boundary burns both neighbors."""
     h, w = out_shape
     out = np.full((h, w), fill, dtype=dtype)
     inv = gtr.inverse(transform)
@@ -43,23 +49,75 @@ def rasterize(shapes, out_shape, transform, *, fill=0, merge_alg="replace",
         # envelope → pixel window (clamped)
         c0, r0 = gtr.apply(inv, env[0], env[3])
         c1, r1 = gtr.apply(inv, env[2], env[1])
-        cmin = max(int(np.floor(min(c0, c1))), 0)
-        cmax = min(int(np.ceil(max(c0, c1))), w)
-        rmin = max(int(np.floor(min(r0, r1))), 0)
-        rmax = min(int(np.ceil(max(r0, r1))), h)
+        pad = 1 if all_touched else 0   # closed-boundary neighbors
+        cmin = max(int(np.floor(min(c0, c1))) - pad, 0)
+        cmax = min(int(np.ceil(max(c0, c1))) + pad, w)
+        rmin = max(int(np.floor(min(r0, r1))) - pad, 0)
+        rmax = min(int(np.ceil(max(r0, r1))) + pad, h)
         if cmin >= cmax or rmin >= rmax:
             continue
         cols = np.arange(cmin, cmax) + 0.5
         rows = np.arange(rmin, rmax) + 0.5
         cc, rr = np.meshgrid(cols, rows)
         xs, ys = gtr.apply(transform, cc.ravel(), rr.ravel())
-        inside = geom.points_in_polygon(xs, ys, g).reshape(rr.shape)
+        burn = geom.points_in_polygon(xs, ys, g).reshape(rr.shape)
+        if all_touched:
+            touched = np.zeros_like(burn)
+            for ring in getattr(g, "rings", []) or []:
+                pc, pr = gtr.apply(inv, ring[:, 0], ring[:, 1])
+                for k in range(len(pc) - 1):
+                    _burn_edge_touched(touched, pc[k] - cmin, pr[k] - rmin,
+                                       pc[k + 1] - cmin, pr[k + 1] - rmin)
+            burn |= touched
         win = out[rmin:rmax, cmin:cmax]
         if merge_alg == "add":
-            win[inside] += val
+            win[burn] += val
         else:
-            win[inside] = val
+            win[burn] = val
     return out
+
+
+def _burn_edge_touched(mask: np.ndarray, x0, y0, x1, y1):
+    """Mark every cell whose closed unit square the segment
+    (x0,y0)→(x1,y1) intersects (pixel coordinates relative to the
+    mask window). Supercover: split the segment at every gridline
+    crossing; each sub-segment midpoint names a cell, and each
+    breakpoint that lies exactly on a gridline also marks the
+    neighbors sharing that boundary."""
+    h, w = mask.shape
+    ts = [0.0, 1.0]
+    dx, dy = x1 - x0, y1 - y0
+    for (p0, d, lo, hi) in ((x0, dx, min(x0, x1), max(x0, x1)),
+                            (y0, dy, min(y0, y1), max(y0, y1))):
+        if d != 0.0:
+            for k in range(int(np.ceil(lo)), int(np.floor(hi)) + 1):
+                t = (k - p0) / d
+                if 0.0 <= t <= 1.0:
+                    ts.append(t)
+    ts = np.unique(np.clip(ts, 0.0, 1.0))
+
+    def mark(px, py):
+        xs = [int(np.floor(px))]
+        if px == np.floor(px):
+            xs.append(int(px) - 1)
+        ys = [int(np.floor(py))]
+        if py == np.floor(py):
+            ys.append(int(py) - 1)
+        for cx in xs:
+            for cy in ys:
+                if 0 <= cx < w and 0 <= cy < h:
+                    mask[cy, cx] = True
+
+    # sub-segment midpoints: the interior cells the segment passes
+    mids = (ts[:-1] + ts[1:]) / 2.0
+    for t in mids:
+        px, py = x0 + t * dx, y0 + t * dy
+        cx, cy = int(np.floor(px)), int(np.floor(py))
+        if 0 <= cx < w and 0 <= cy < h:
+            mask[cy, cx] = True
+    # breakpoints: boundary touches include both neighbors
+    for t in ts:
+        mark(x0 + t * dx, y0 + t * dy)
 
 
 # ---------------------------------------------------------------------------

@@ -1315,3 +1315,32 @@ def sql_contour_polygons(n: int = 32) -> str:
 SELECT image_id, band::BIGINT AS band, COUNT(*)::BIGINT AS area_px
 FROM cls GROUP BY image_id, band
 """
+
+
+def sql_rasterize_all_touched(m: int = 30, zoom: int = 6) -> str:
+    """ALL_TOUCHED count for axis-aligned boxes on the global z{zoom}
+    lattice: in grid units g = (v + OS)/res a cell k is touched iff
+    [k, k+1] ∩ [g0, g1] ≠ ∅ (closed), i.e. k ∈ [ceil(g0 − 1),
+    floor(g1)] — ceil(g0 − 1) collapses to g0 − 1 exactly on a
+    gridline (both neighbors burn) and floor(g0) otherwise."""
+    from ..core.mercator import ORIGIN_SHIFT as OS
+    res = 2 * OS / ((1 << zoom) * 256)
+    bx, by = G.sql_point_xy("(j * 5 + 2)")
+    return f"""
+WITH boxes AS (
+  SELECT j AS fid, {bx} AS bcx, {by} AS bcy,
+         4000.0 * (1 + (j * 11) % 3) AS s
+  FROM (SELECT g AS j FROM generate_series(0, {m - 1}) t(g))),
+gu AS (
+  SELECT fid,
+         (bcx - s + {OS!r}) / {res!r} AS gx0,
+         (bcx + s + {OS!r}) / {res!r} AS gx1,
+         (bcy - s + {OS!r}) / {res!r} AS gy0,
+         (bcy + s + {OS!r}) / {res!r} AS gy1
+  FROM boxes)
+SELECT fid,
+       ((CAST(floor(gx1) AS BIGINT) - CAST(ceil(gx0 - 1) AS BIGINT) + 1)
+      * (CAST(floor(gy1) AS BIGINT) - CAST(ceil(gy0 - 1) AS BIGINT) + 1))
+       AS total_px
+FROM gu
+"""

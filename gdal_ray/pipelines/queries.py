@@ -2594,6 +2594,41 @@ def q_contour_polygons(sf_dir: str):
         .map_batches(bands, batch_format="pyarrow", batch_size=8)
 
 
+def q_rasterize_all_touched(sf_dir: str):
+    """ALL_TOUCHED rasterization (gdal_rasterize -at,
+    alg/gdalrasterize.cpp GDALdllImageLineAllTouched): burn every z6
+    lattice cell whose closed rectangle the box layer touches —
+    supercover edge walk plus the normal center-in fill, cell-join
+    partitioned exactly like rasterize_zones. For axis-aligned boxes
+    the touched set is closed-form in SQL (ceil/floor interval
+    algebra), so the per-box count is hash-checked."""
+    from ..core import mercator as merc, wkb as W
+    from ..core.rastervec import rasterize
+    from ..sources.vector import boxes_dataset
+    from ..stages.join import with_cells
+    from ..stages.tiles import tile_geotransform
+
+    Z = 6
+
+    def burn(t: pa.Table) -> pa.Table:
+        fids, counts = [], []
+        for row in t.to_pylist():
+            z, x, y = merc.cell_decode(np.uint64(row["cell"]))
+            gt = tile_geotransform(int(z), int(x), int(y))
+            g = W.loads(row["wkb"])
+            arr = rasterize([(g, 1)], (256, 256), gt, all_touched=True)
+            fids.append(row["fid"])
+            counts.append(int(arr.sum()))
+        return pa.table({"fid": pa.array(fids, pa.int64()),
+                         "burned_px": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    cells = with_cells(boxes_dataset(30), Z,
+                       ["fid", "wkb", "minx", "miny", "maxx", "maxy"])
+    return cells.map_batches(burn, batch_format="pyarrow") \
+        .groupby("fid").aggregate(Sum("burned_px", alias_name="total_px"))
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2689,6 +2724,7 @@ QUERIES = {
     "rgb2pct": q_rgb2pct,
     "hillshade_multi": q_hillshade_multi,
     "contour_polygons": q_contour_polygons,
+    "rasterize_all_touched": q_rasterize_all_touched,
 }
 
 
@@ -2773,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "color_relief": _OR.sql_color_relief(64),
         "hillshade_multi": _OR.sql_hillshade_multi(64),
         "contour_polygons": _OR.sql_contour_polygons(32),
+        "rasterize_all_touched": _OR.sql_rasterize_all_touched(30, 6),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
