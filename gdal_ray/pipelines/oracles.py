@@ -1344,3 +1344,32 @@ SELECT fid,
        AS total_px
 FROM gu
 """
+
+
+def sql_cutline_blend(n: int = 48) -> str:
+    """Cutline blend density recomputed closed-form: for the
+    pixel-aligned inset rectangle [l, w−r) × [t, h−b) the EDT distance
+    of interior pixel (c, y) to the nearest outside pixel is
+    min(c−l, w−r−1−c, y−t, h−b−1−y) + 1, density = LEAST(1, d/3).
+    Empty rectangles (tiny images) contribute 0."""
+    return f"""
+WITH {sql_images_cte(n)},
+f AS (SELECT image_id, w, h,
+             2 + (i % 2) AS t, 3 + (i % 3) AS l, 2 AS b, 2 AS r
+      FROM imgs),
+cs AS (SELECT g AS c FROM generate_series(0, 511) t(g)),
+ys AS (SELECT g AS y FROM generate_series(0, 511) t(g)),
+d AS (
+  SELECT image_id,
+         LEAST(1.0,
+           (LEAST(c - l, w - r - 1 - c, y - t, h - b - 1 - y) + 1) / 3.0)
+           AS dens
+  FROM f JOIN cs ON c >= l AND c < w - r
+         JOIN ys ON y >= t AND y < h - b
+)
+SELECT f.image_id,
+       ROUND(COALESCE(SUM(dens), 0.0), 4) AS density_sum,
+       COALESCE(SUM(CASE WHEN dens >= 1.0 THEN 1 END), 0)::BIGINT AS n_full
+FROM f LEFT JOIN d ON f.image_id = d.image_id
+GROUP BY f.image_id
+"""

@@ -2629,6 +2629,56 @@ def q_rasterize_all_touched(sf_dir: str):
         .groupby("fid").aggregate(Sum("burned_px", alias_name="total_px"))
 
 
+def q_cutline_blend(sf_dir: str):
+    """Cutline blend distance (gdalwarp -wo CUTLINE_BLEND_DIST,
+    alg/gdalcutline.cpp density masking): each image gets a
+    pixel-aligned inset rectangle cutline; the density mask ramps
+    linearly over 3 px via the exact EDT. For a rectangle the EDT
+    collapses to axis-min distance, so the per-image density sum and
+    fully-opaque count replay closed-form in SQL — any EDT or
+    rasterize boundary bug breaks both."""
+    from ..core import wkb as W
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+    from ..stages.raster_ops import cutline_blend_density
+
+    B = 3.0
+
+    def blend(t: pa.Table) -> pa.Table:
+        from ..codecs import decode as _dec
+        out = {"image_id": [], "density_sum": [], "n_full": []}
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        for idx in range(t.num_rows):
+            iid = t["image_id"][idx].as_py()
+            i = int(iid[3:])
+            px = _dec(t["bytes"][idx].as_py(), t["fmt"][idx].as_py())
+            h, w = px.shape[:2]
+            gt = tuple(float(g[idx]) for g in gts)
+            tt, ll = 2 + (i % 2), 3 + (i % 3)
+            bb, rr = 2, 2
+            if w - rr <= ll or h - bb <= tt:    # degenerate cutline
+                out["image_id"].append(iid)
+                out["density_sum"].append(0.0)
+                out["n_full"].append(0)
+                continue
+            x0 = gt[0] + ll * gt[1]
+            x1 = gt[0] + (w - rr) * gt[1]
+            ytop = gt[3] + tt * gt[5]
+            ybot = gt[3] + (h - bb) * gt[5]
+            g = W.box(x0, min(ytop, ybot), x1, max(ytop, ybot))
+            d = cutline_blend_density(px, gt, g, B)
+            out["image_id"].append(iid)
+            out["density_sum"].append(_half_away([float(d.sum())])[0])
+            out["n_full"].append(int((d >= 1.0).sum()))
+        return pa.table({"image_id": pa.array(out["image_id"]),
+                         "density_sum": pa.array(out["density_sum"]),
+                         "n_full": pa.array(out["n_full"], pa.int64())})
+
+    return images_dataset(48) \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(blend, batch_format="pyarrow", batch_size=16)
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2725,6 +2775,7 @@ QUERIES = {
     "hillshade_multi": q_hillshade_multi,
     "contour_polygons": q_contour_polygons,
     "rasterize_all_touched": q_rasterize_all_touched,
+    "cutline_blend": q_cutline_blend,
 }
 
 
@@ -2810,6 +2861,7 @@ def oracle_sql() -> dict[str, str]:
         "hillshade_multi": _OR.sql_hillshade_multi(64),
         "contour_polygons": _OR.sql_contour_polygons(32),
         "rasterize_all_touched": _OR.sql_rasterize_all_touched(30, 6),
+        "cutline_blend": _OR.sql_cutline_blend(48),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }

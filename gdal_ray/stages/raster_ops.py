@@ -585,3 +585,33 @@ def hillshade_igor(band, xres=1.0, yres=1.0, *, azimuth=315.0,
     aspect_strength = 1.0 - diff / np.pi
     shadow = 1.0 - slope_strength * aspect_strength
     return np.clip(255.0 * shadow, 0, 255).astype(np.uint8)
+
+
+def cutline_blend_density(px: np.ndarray, gt, geom,
+                          blend_dist: float) -> np.ndarray:
+    """Cutline density mask with blend distance (gdalwarp
+    -wo CUTLINE_BLEND_DIST, alg/gdalcutline.cpp — the cutline is burned
+    into a *density* mask rather than a binary one; GDALWarpKernel then
+    multiplies source contributions by it).
+
+    density = 1 deeper than blend_dist inside the cutline, ramping
+    linearly to 0 at the edge, 0 outside: min(1, d/blend_dist) where d
+    is the exact Euclidean pixel distance (core EDT) from an interior
+    pixel to the nearest exterior pixel. blend_dist is in pixels.
+    Returns (h, w) float64 density in [0, 1]."""
+    from ..core.rastervec import proximity, rasterize
+
+    h, w = px.shape[:2]
+    inside = rasterize([(geom, 1)], (h, w), gt, dtype=np.uint8).astype(bool)
+    if blend_dist <= 0:
+        return inside.astype(np.float64)
+    d = proximity(~inside)              # distance to nearest OUTSIDE px
+    return np.where(inside, np.minimum(1.0, d / blend_dist), 0.0)
+
+
+def apply_density(px: np.ndarray, density: np.ndarray,
+                  background=0.0) -> np.ndarray:
+    """Blend pixels against a background by density (the warp kernel's
+    dst = src·d + dst·(1−d) step for a fresh destination)."""
+    d = density[:, :, None] if px.ndim == 3 else density
+    return px.astype(np.float64) * d + float(background) * (1.0 - d)
