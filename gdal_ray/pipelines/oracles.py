@@ -1354,11 +1354,11 @@ def sql_cutline_blend(n: int = 48) -> str:
     Empty rectangles (tiny images) contribute 0."""
     return f"""
 WITH {sql_images_cte(n)},
-f AS (SELECT image_id, w, h,
+f AS (SELECT image_id, LEAST(w, 256) AS w, LEAST(h, 256) AS h,
              2 + (i % 2) AS t, 3 + (i % 3) AS l, 2 AS b, 2 AS r
       FROM imgs),
-cs AS (SELECT g AS c FROM generate_series(0, 511) t(g)),
-ys AS (SELECT g AS y FROM generate_series(0, 511) t(g)),
+cs AS (SELECT g AS c FROM generate_series(0, 255) t(g)),
+ys AS (SELECT g AS y FROM generate_series(0, 255) t(g)),
 d AS (
   SELECT image_id,
          LEAST(1.0,

@@ -2652,6 +2652,7 @@ def q_cutline_blend(sf_dir: str):
             iid = t["image_id"][idx].as_py()
             i = int(iid[3:])
             px = _dec(t["bytes"][idx].as_py(), t["fmt"][idx].as_py())
+            px = px[:256, :256]         # EDT is O(h·w²): bound the crop
             h, w = px.shape[:2]
             gt = tuple(float(g[idx]) for g in gts)
             tt, ll = 2 + (i % 2), 3 + (i % 3)
