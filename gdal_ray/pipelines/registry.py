@@ -231,3 +231,93 @@ def _vector_sql(ds, query: str = "", **kw):
     from ..functions.sql import execute_sql, parse_select
     table = parse_select(query)["table"]
     return execute_sql(query, {table: ds})
+
+
+@register_step("nearblack")
+def _nearblack(ds, near_dist: int = 15, white: bool = False, **kw):
+    """Collar removal per image; emits masked-pixel count columns
+    (apps/nearblack_lib.cpp)."""
+    import numpy as np
+    from ..stages.raster_ops import image_op, nearblack
+
+    def nb(px, row):
+        _, valid = nearblack(px, near_dist=int(near_dist),
+                             white=bool(white))
+        return {"n_masked": int((~valid).sum())}
+
+    return ds.map_batches(image_op(nb), batch_format="pyarrow")
+
+
+@register_step("color_relief")
+def _color_relief(ds, ramp="0:0:0:128,128:255:255:0,255:255:255:255",
+                  mode: str = "interpolate", **kw):
+    """gdaldem color-relief per image: ramp entries 'val:r:g:b' comma
+    separated; emits per-channel sums."""
+    import numpy as np
+    from ..stages.raster_ops import color_relief, image_op
+
+    entries = [tuple(int(v) for v in e.split(":"))
+               for e in (ramp.split(",") if isinstance(ramp, str) else ramp)]
+
+    def rel(px, row):
+        rgba = color_relief(px[:, :, 0].astype(np.float64), entries,
+                            mode=mode).astype(np.int64)
+        return {"sum_r": int(rgba[:, :, 0].sum()),
+                "sum_g": int(rgba[:, :, 1].sum()),
+                "sum_b": int(rgba[:, :, 2].sum())}
+
+    return ds.map_batches(image_op(rel), batch_format="pyarrow")
+
+
+@register_step("rgb2pct")
+def _rgb2pct(ds, n_colors: int = 256, dither: bool = False, **kw):
+    """Median-cut quantization per image (alg/gdalmediancut.cpp);
+    emits palette size and mean reconstruction error."""
+    import numpy as np
+    from ..functions.quantize import (dither_rgb2pct, median_cut_pct,
+                                      remap_to_pct)
+    from ..stages.raster_ops import image_op
+
+    def q(px, row):
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        crop = px[:256, :256, :3]
+        pal, _ = median_cut_pct(crop, int(n_colors))
+        idx = dither_rgb2pct(crop[:64, :64], pal) if dither \
+            else remap_to_pct(crop, pal)
+        rec = pal[idx].astype(np.int64)
+        src = crop[:64, :64, :3] if dither else crop[:, :, :3]
+        err = float(np.abs(rec - src.astype(np.int64)).mean())
+        return {"n_pal": int(len(pal)), "mean_err": err}
+
+    return ds.map_batches(image_op(q), batch_format="pyarrow")
+
+
+@register_step("hillshade")
+def _hillshade(ds, variant: str = "horn", azimuth: float = 315.0,
+               altitude: float = 45.0, z: float = 1.0, **kw):
+    """gdaldem hillshade per image: variant horn | multidirectional |
+    combined | igor; emits the shaded byte-image mean."""
+    import numpy as np
+    from ..stages.raster_ops import (hillshade, hillshade_combined,
+                                     hillshade_igor,
+                                     hillshade_multidirectional, image_op)
+
+    def sh(px, row):
+        band = px[:, :, 0].astype(np.float64)
+        if variant == "multidirectional":
+            out = hillshade_multidirectional(band, altitude=float(altitude),
+                                             z_factor=float(z))
+        elif variant == "combined":
+            out = hillshade_combined(band, azimuth=float(azimuth),
+                                     altitude=float(altitude),
+                                     z_factor=float(z))
+        elif variant == "igor":
+            out = hillshade_igor(band, azimuth=float(azimuth),
+                                 z_factor=float(z))
+        else:
+            out = hillshade(band, azimuth=float(azimuth),
+                            altitude=float(altitude), z_factor=float(z))
+        return {"mean_shade_byte": float(out.mean())}
+
+    return ds.map_batches(image_op(sh), batch_format="pyarrow")

@@ -62,3 +62,22 @@ class TestRun:
             " ! limit n=3").to_pandas()
         assert len(out) == 3
         assert out["w"].is_monotonic_decreasing
+
+
+def test_new_round2_steps_registered():
+    from gdal_ray.pipelines.registry import STEPS
+    for name in ("nearblack", "color_relief", "rgb2pct", "hillshade"):
+        assert name in STEPS
+
+
+def test_nearblack_step_runs(ray_session):
+    from gdal_ray.pipelines.registry import run_pipeline
+    df = run_pipeline("read_images n=8 ! nearblack ! limit n=2").to_pandas()
+    assert "n_masked" in df.columns and len(df) == 2
+
+
+def test_hillshade_step_variants(ray_session):
+    from gdal_ray.pipelines.registry import run_pipeline
+    df = run_pipeline(
+        "read_images n=8 ! hillshade variant=igor ! limit n=2").to_pandas()
+    assert "mean_shade_byte" in df.columns
