@@ -278,18 +278,25 @@ class ReprojectImages:
 
     def __init__(self, src_crs: str = "EPSG:3857",
                  dst_crs: str = "EPSG:4326",
-                 resampling: str = "bilinear", max_error: float = 0.125):
+                 resampling: str = "bilinear", max_error: float = 0.125,
+                 dst_alpha: bool = False):
         from ..codecs import decode  # bind once per actor
         self._decode = decode
         self.src_crs, self.dst_crs = src_crs, dst_crs
         self.resampling = resampling
         self.max_error = max_error
+        # dst alpha: emit the warp density as an alpha summary — the
+        # GDALWarpDstAlphaMasker analog (alg/gdalwarper.h:95-101): the
+        # destination alpha band receives the per-pixel density (our
+        # mesh warp's validity, 0 or 255)
+        self.dst_alpha = dst_alpha
         # fail fast in __init__ if the CRS pair is unsupported
         get_transform(src_crs, dst_crs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..core.checksum import checksum
         ids, ws, hs, gts, css, means = [], [], [], [], [], []
+        alpha_css, alpha_fracs = [], []
         gt_cols = [batch.column(f"gt{i}").to_numpy() for i in range(6)]
         fmts = batch.column("fmt").to_pylist()
         blobs = batch.column("bytes").to_pylist()
@@ -307,14 +314,22 @@ class ReprojectImages:
             gts.append([float(v) for v in dst_gt])
             css.append(int(checksum(np.round(b0))))
             means.append(float(b0[valid].mean()) if valid.any() else 0.0)
-        return pa.table({
+            if self.dst_alpha:
+                alpha = np.where(valid, 255, 0).astype(np.uint8)
+                alpha_css.append(int(checksum(alpha)))
+                alpha_fracs.append(float(valid.mean()))
+        cols = {
             "image_id": pa.array(ids, pa.string()),
             "dst_w": pa.array(ws, pa.int32()),
             "dst_h": pa.array(hs, pa.int32()),
             "dst_gt": pa.array(gts, pa.list_(pa.float64(), 6)),
             "cs_reproj": pa.array(css, pa.int64()),
             "mean_valid": pa.array(means, pa.float64()),
-        })
+        }
+        if self.dst_alpha:
+            cols["cs_alpha"] = pa.array(alpha_css, pa.int64())
+            cols["alpha_frac"] = pa.array(alpha_fracs, pa.float64())
+        return pa.table(cols)
 
 
 def reproject_large(src: np.ndarray, src_gt, src_crs: str, dst_crs: str,

@@ -43,3 +43,21 @@ def test_apply_density_blends_to_background():
     dens = np.full((4, 4), 0.25)
     out = apply_density(px, dens, background=40.0)
     assert out[0, 0, 0] == pytest.approx(200 * 0.25 + 40 * 0.75)
+
+
+def test_reproject_dst_alpha(ray_session):
+    """GDALWarpDstAlphaMasker analog: 3857→4326 warps produce partial
+    coverage (curved footprint on the lat/lon grid), so alpha_frac
+    must be in (0, 1] and cs_alpha nonzero."""
+    from gdal_ray.sources.images import images_dataset
+    from gdal_ray.stages.georef import with_georef
+    from gdal_ray.stages.warp import ReprojectImages
+
+    df = images_dataset(8) \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(ReprojectImages,
+                     fn_constructor_kwargs={"dst_alpha": True},
+                     concurrency=2, batch_size=8,
+                     batch_format="pyarrow").to_pandas()
+    assert {"cs_alpha", "alpha_frac"} <= set(df.columns)
+    assert ((df.alpha_frac > 0) & (df.alpha_frac <= 1)).all()
