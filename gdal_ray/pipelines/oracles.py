@@ -1373,3 +1373,34 @@ SELECT f.image_id,
 FROM f LEFT JOIN d ON f.image_id = d.image_id
 GROUP BY f.image_id
 """
+
+
+def sql_vector_reproject(m: int = 40) -> str:
+    """Reprojected envelopes of the box layer, 3857→4326: mercator
+    inverse is per-axis monotone, so the envelope transforms
+    cornerwise.  lat/lon expressions mirror
+    core/mercator.py::meters_to_latlon (lat = (my/OS)·180 first, then
+    the 180/π·(2·atan(exp(·π/180)) − π/2) unwrap) so both sides
+    compute identical doubles."""
+    from ..core.mercator import ORIGIN_SHIFT as OS
+    bx, by = G.sql_point_xy("(j * 5 + 2)")
+
+    def LON(x):
+        return f"(({x}) / {OS!r}) * 180.0"
+
+    def LAT(y):
+        return (f"180.0 / pi() * (2.0 * atan(exp((({y}) / {OS!r}) * 180.0"
+                f" * pi() / 180.0)) - pi() / 2.0)")
+
+    return f"""
+WITH boxes AS (
+  SELECT j AS fid, {bx} AS bcx, {by} AS bcy,
+         4000.0 * (1 + (j * 11) % 3) AS s
+  FROM (SELECT g AS j FROM generate_series(0, {m - 1}) t(g)))
+SELECT fid,
+       ROUND({LON('bcx - s')}, 4) AS lon0,
+       ROUND({LAT('bcy - s')}, 4) AS lat0,
+       ROUND({LON('bcx + s')}, 4) AS lon1,
+       ROUND({LAT('bcy + s')}, 4) AS lat1
+FROM boxes
+"""

@@ -2680,6 +2680,39 @@ def q_cutline_blend(sf_dir: str):
         .map_batches(blend, batch_format="pyarrow", batch_size=16)
 
 
+def q_vector_reproject(sf_dir: str):
+    """Vector reprojection (ogr2ogr -t_srs, OGRGeometry::transform):
+    every vertex of the box layer through the 3857→4326 chain, then
+    the reprojected envelope per feature. The mercator inverse is
+    per-axis monotone, so the envelope of the transformed geometry
+    equals the transformed envelope — closed-form in SQL (the same
+    lat/lon formulas as the reproject grid oracle)."""
+    import ray.data as rd
+    from ..core import wkb as W
+    from ..sources.vector import boxes_dataset
+    from ..stages.vector_ops import reproject_wkb_batch
+
+    def envelope(t: pa.Table) -> pa.Table:
+        fids, l0, b0, l1, b1 = [], [], [], [], []
+        for i in range(t.num_rows):
+            g = W.loads(t["wkb"][i].as_py())
+            e = g.envelope()
+            fids.append(t["fid"][i].as_py())
+            l0.append(_half_away([e[0]])[0])
+            b0.append(_half_away([e[1]])[0])
+            l1.append(_half_away([e[2]])[0])
+            b1.append(_half_away([e[3]])[0])
+        return pa.table({"fid": pa.array(fids, pa.int64()),
+                         "lon0": pa.array(l0), "lat0": pa.array(b0),
+                         "lon1": pa.array(l1), "lat1": pa.array(b1)})
+
+    return boxes_dataset(40) \
+        .map_batches(lambda t: reproject_wkb_batch(t, "EPSG:3857",
+                                                   "EPSG:4326"),
+                     batch_format="pyarrow") \
+        .map_batches(envelope, batch_format="pyarrow")
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2777,6 +2810,7 @@ QUERIES = {
     "contour_polygons": q_contour_polygons,
     "rasterize_all_touched": q_rasterize_all_touched,
     "cutline_blend": q_cutline_blend,
+    "vector_reproject": q_vector_reproject,
 }
 
 
@@ -2863,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_polygons": _OR.sql_contour_polygons(32),
         "rasterize_all_touched": _OR.sql_rasterize_all_touched(30, 6),
         "cutline_blend": _OR.sql_cutline_blend(48),
+        "vector_reproject": _OR.sql_vector_reproject(40),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }

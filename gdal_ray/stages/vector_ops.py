@@ -229,3 +229,50 @@ def make_valid(g: W.Geometry) -> W.Geometry:
                  if not (p.geom_type == W.GEOMETRYCOLLECTION and not p.parts)]
         return W.Geometry(t, parts=parts)
     return g
+
+
+# ---------------------------------------------------------------------------
+# vector reprojection (ogr2ogr -s_srs/-t_srs)
+# ---------------------------------------------------------------------------
+
+def transform_geometry(g, fwd):
+    """Apply a vectorized (x, y) -> (X, Y) transform to every
+    coordinate of a geometry, in place semantics of OGR's
+    OGRGeometry::transform (pointwise — ogr2ogr does not densify by
+    default; use segmentize first when arc fidelity matters)."""
+    from ..core.wkb import Geometry
+
+    if g.coords is not None and len(g.coords):
+        x, y = fwd(g.coords[:, 0], g.coords[:, 1])
+        g = Geometry(g.geom_type, coords=np.column_stack([x, y]))
+    elif g.rings:
+        rings = []
+        for r in g.rings:
+            x, y = fwd(r[:, 0], r[:, 1])
+            rings.append(np.column_stack([x, y]))
+        g = Geometry(g.geom_type, rings=rings)
+    elif g.parts:
+        g = Geometry(g.geom_type,
+                     parts=[transform_geometry(p, fwd) for p in g.parts])
+    return g
+
+
+def reproject_wkb_batch(t, src_crs: str, dst_crs: str,
+                        wkb_col: str = "wkb"):
+    """map_batches stage: reproject the WKB geometry column
+    (ogr2ogr -t_srs semantics: every vertex through the CRS chain,
+    attributes untouched). The transform resolves through the same
+    registry/4326-hub the raster warp uses
+    (stages/warp.py::get_transform)."""
+    import pyarrow as pa
+
+    from ..core import wkb as W
+    from .warp import get_transform
+
+    fwd = get_transform(src_crs, dst_crs)
+    out = []
+    for b in t.column(wkb_col).to_pylist():
+        out.append(W.dumps(transform_geometry(W.loads(b), fwd)))
+    cols = {c: t.column(c) for c in t.column_names}
+    cols[wkb_col] = pa.array(out, pa.binary())
+    return pa.table(cols)

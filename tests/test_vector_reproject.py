@@ -1,0 +1,53 @@
+"""Vector reprojection (ogr2ogr -t_srs / OGRGeometry::transform)."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.core import wkb as W
+from gdal_ray.core.mercator import ORIGIN_SHIFT as OS
+from gdal_ray.stages.vector_ops import reproject_wkb_batch, transform_geometry
+from gdal_ray.stages.warp import get_transform
+
+
+def test_box_3857_to_4326():
+    g = W.box(0.0, 0.0, OS / 2, OS / 2)
+    out = transform_geometry(g, get_transform("EPSG:3857", "EPSG:4326"))
+    e = out.envelope()
+    assert e[0] == pytest.approx(0.0)
+    assert e[2] == pytest.approx(90.0)
+    assert e[3] == pytest.approx(66.5132, abs=1e-4)
+
+
+def test_roundtrip_via_hub():
+    # 3857 -> 32631 composes through the 4326 hub
+    fwd = get_transform("EPSG:3857", "EPSG:32631")
+    back = get_transform("EPSG:32631", "EPSG:3857")
+    g = W.box(100000.0, 5000000.0, 300000.0, 5400000.0)
+    rt = transform_geometry(transform_geometry(g, fwd), back)
+    assert np.allclose(rt.envelope(), g.envelope(), atol=1e-3)
+
+
+def test_point_linestring_multipolygon():
+    fwd = get_transform("EPSG:3857", "EPSG:4326")
+    p = transform_geometry(W.point(OS / 2, 0.0), fwd)
+    assert p.coords[0, 0] == pytest.approx(90.0)
+    ls = transform_geometry(
+        W.linestring(np.array([[0.0, 0.0], [OS / 4, 0.0]])), fwd)
+    assert ls.coords[1, 0] == pytest.approx(45.0)
+    mp = transform_geometry(
+        W.multipolygon([W.box(0, 0, OS / 4, OS / 4)]), fwd)
+    assert mp.parts[0].envelope()[2] == pytest.approx(45.0)
+
+
+def test_batch_preserves_attributes():
+    import pyarrow as pa
+    t = pa.table({"fid": [7], "name": ["a"],
+                  "wkb": [W.dumps(W.box(0, 0, OS / 2, OS / 2))]})
+    o = reproject_wkb_batch(t, "EPSG:3857", "EPSG:4326")
+    assert o["fid"][0].as_py() == 7 and o["name"][0].as_py() == "a"
+    assert W.loads(o["wkb"][0].as_py()).envelope()[2] == pytest.approx(90.0)
+
+
+def test_unknown_crs_raises():
+    with pytest.raises(ValueError):
+        get_transform("EPSG:3857", "EPSG:99999")
