@@ -615,3 +615,67 @@ def apply_density(px: np.ndarray, density: np.ndarray,
     dst = src·d + dst·(1−d) step for a fresh destination)."""
     d = density[:, :, None] if px.ndim == 3 else density
     return px.astype(np.float64) * d + float(background) * (1.0 - d)
+
+
+def reclassify_text(px: np.ndarray, text: str, *, nodata=None,
+                    dtype=np.float64) -> np.ndarray:
+    """The reference's textual reclassification grammar
+    (frmts/vrt/vrtreclassifier.h:76-120): ``SOURCE=DEST`` mappings
+    separated by ';', SOURCE = constant | interval like ``(3,4]`` /
+    ``[7,inf]`` | NO_DATA | DEFAULT; DEST = constant | NO_DATA |
+    PASS_THROUGH.  Values matching no mapping raise (the reference
+    errors too unless DEFAULT is given).  Later mappings do not
+    override earlier ones — first match wins, like the reference's
+    ordered interval scan."""
+    v = np.asarray(px, np.float64)
+    out = np.full(v.shape, np.nan)
+    assigned = np.zeros(v.shape, bool)
+    default_dst = None
+    have_default = False
+
+    def parse_dst(s):
+        s = s.strip()
+        if s.upper() == "NO_DATA":
+            if nodata is None:
+                raise ValueError("NO_DATA used but no nodata value set")
+            return float(nodata)
+        if s.upper() == "PASS_THROUGH":
+            return None
+        return float(s)
+
+    for part in text.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        src, _, dst = part.partition("=")
+        src = src.strip()
+        dval = parse_dst(dst)
+        if src.upper() == "DEFAULT":
+            have_default = True
+            default_dst = dval
+            continue
+        if src.upper() == "NO_DATA":
+            if nodata is None:
+                raise ValueError("NO_DATA used but no nodata value set")
+            m = (v == float(nodata)) & ~assigned
+        elif src[0] in "([":
+            lo_inc = src[0] == "["
+            if src[-1] not in ")]":
+                raise ValueError(f"bad interval {src!r}")
+            hi_inc = src[-1] == "]"
+            lo_s, hi_s = src[1:-1].split(",")
+            lo = -np.inf if lo_s.strip() in ("-inf", "inf") else float(lo_s)
+            hi = np.inf if hi_s.strip() == "inf" else float(hi_s)
+            m = ((v > lo) | (lo_inc & (v == lo))) \
+                & ((v < hi) | (hi_inc & (v == hi))) & ~assigned
+        else:
+            m = (v == float(src)) & ~assigned
+        out[m] = v[m] if dval is None else dval
+        assigned |= m
+    rest = ~assigned
+    if rest.any():
+        if not have_default:
+            raise ValueError("values with no reclassification mapping "
+                             "and no DEFAULT given")
+        out[rest] = v[rest] if default_dst is None else default_dst
+    return out.astype(dtype)

@@ -53,3 +53,27 @@ def test_alpha_channel_interpolated():
     ramp = [(0, 0, 0, 0, 0), (100, 0, 0, 0, 200)]
     out = color_relief(np.array([[50.0]]), ramp)
     assert out[0, 0, 3] == 100
+
+
+def test_reclassify_text_grammar():
+    """frmts/vrt/vrtreclassifier.h mapping grammar."""
+    import numpy as np
+    from gdal_ray.stages.raster_ops import reclassify_text
+
+    v = np.array([[1.0, 3.0, 3.5, 4.0, 4.5, 7.0, 99.0]])
+    out = reclassify_text(v, "1=10; (3,4]=20; [7,inf]=30; DEFAULT=0")
+    assert out.tolist() == [[10.0, 0.0, 20.0, 20.0, 0.0, 30.0, 30.0]]
+    # open vs closed bounds
+    out = reclassify_text(v, "[3,4)=1; DEFAULT=0")
+    assert out[0, 1] == 1 and out[0, 3] == 0
+    # NO_DATA both sides + PASS_THROUGH default
+    out = reclassify_text(v, "NO_DATA=0; DEFAULT=PASS_THROUGH", nodata=99)
+    assert out[0, 6] == 0 and out[0, 2] == 3.5
+    # first match wins
+    out = reclassify_text(v, "[0,10]=1; [3,4]=2; DEFAULT=0")
+    assert out[0, 1] == 1
+    import pytest
+    with pytest.raises(ValueError):
+        reclassify_text(v, "NO_DATA=0; DEFAULT=0")  # nodata unset
+    with pytest.raises(ValueError):
+        reclassify_text(v, "1=10")                  # unmapped, no DEFAULT
