@@ -1404,3 +1404,26 @@ SELECT fid,
        ROUND({LAT('bcy + s')}, 4) AS lat1
 FROM boxes
 """
+
+
+def sql_tile_assignment_geodetic(zoom: int = 6) -> str:
+    """Geodetic (Plate Carrée) tile counts per event: lon/lat from the
+    mercator point via the same unwrap as core/mercator.py::
+    meters_to_latlon, then GlobalGeodetic's ceil(p/256)−1 tile rule
+    with res = 180/256/2^z (tmscompatible)."""
+    from ..core.mercator import ORIGIN_SHIFT as OS
+    xs, ys = G.sql_point_xy("event_id")
+    res = 180.0 / 256.0 / (1 << zoom)
+    lon = f"(({xs}) / {OS!r}) * 180.0"
+    lat = (f"180.0 / pi() * (2.0 * atan(exp(((({ys}) / {OS!r}) * 180.0)"
+           f" * pi() / 180.0)) - pi() / 2.0)")
+    return f"""
+WITH px AS (
+  SELECT (180.0 + {lon}) / {res!r} AS ppx,
+         (90.0 + {lat}) / {res!r} AS ppy
+  FROM events)
+SELECT (CAST(ceil(ppx / 256.0) AS BIGINT) - 1) AS tile_x,
+       (CAST(ceil(ppy / 256.0) AS BIGINT) - 1) AS tile_y,
+       COUNT(*) AS n
+FROM px GROUP BY 1, 2
+"""

@@ -2713,6 +2713,30 @@ def q_vector_reproject(sf_dir: str):
         .map_batches(envelope, batch_format="pyarrow")
 
 
+def q_tile_assignment_geodetic(sf_dir: str):
+    """Geodetic-profile tile math (gdal2tiles GlobalGeodetic, the
+    EPSG:4326 Plate Carrée pyramid): per event, mercator point →
+    lon/lat → z6 TMS geodetic tile via the ceil(p/256)−1 convention;
+    counts per tile. Lon/lat unwrap + pixel/tile floor arithmetic all
+    replay closed-form in SQL."""
+    from ray.data.aggregate import Count
+    from ..core import geodetic as gg, mercator as merc
+
+    Z = 6
+    ds = _rp(sf_dir, "events", ["event_id"])
+
+    def tiles(t: pa.Table) -> pa.Table:
+        i = t["event_id"].to_numpy()
+        x, y = geo.point_xy(i)
+        lat, lon = merc.meters_to_latlon(x, y)
+        tx, ty = gg.lonlat_to_tile(lon, lat, Z)
+        return pa.table({"tile_x": pa.array(tx, pa.int64()),
+                         "tile_y": pa.array(ty, pa.int64())})
+
+    return ds.map_batches(tiles, batch_format="pyarrow") \
+        .groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n"))
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2811,6 +2835,7 @@ QUERIES = {
     "rasterize_all_touched": q_rasterize_all_touched,
     "cutline_blend": q_cutline_blend,
     "vector_reproject": q_vector_reproject,
+    "tile_assignment_geodetic": q_tile_assignment_geodetic,
 }
 
 
@@ -2898,6 +2923,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_all_touched": _OR.sql_rasterize_all_touched(30, 6),
         "cutline_blend": _OR.sql_cutline_blend(48),
         "vector_reproject": _OR.sql_vector_reproject(40),
+        "tile_assignment_geodetic": _OR.sql_tile_assignment_geodetic(6),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
