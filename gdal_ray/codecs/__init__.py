@@ -40,6 +40,12 @@ def encode(img: np.ndarray, fmt: str, **kw) -> bytes:
     if fmt in ("gtiff", "tif", "tiff"):
         from . import gtiff
         return gtiff.encode_gtiff(img, **kw)
+    if fmt in ("pnm", "pgm", "ppm"):
+        from . import pnm
+        return pnm.encode_pnm(img, **kw)
+    if fmt == "bmp":
+        from . import bmp
+        return bmp.encode_bmp(img, **kw)
     raise ValueError(f"unknown image format {fmt!r}")
 
 
@@ -59,6 +65,10 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
             fmt = "jpeg"
         elif buf[:2] in (b"II", b"MM"):
             fmt = "gtiff"
+        elif buf[:2] == b"BM":
+            fmt = "bmp"
+        elif buf[:1] == b"P" and buf[1:2] in b"23456":
+            fmt = "pnm"
         else:
             raise ValueError("unrecognized image magic")
     if fmt == "png":
@@ -76,6 +86,13 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         g = gtiff.decode_gtiff(buf)
         px = g.pixels
         return px if px.ndim == 3 else px[:, :, None]
+    if fmt in ("pnm", "pgm", "ppm"):
+        from . import pnm
+        return pnm.decode_pnm(buf)
+    if fmt == "bmp":
+        from . import bmp
+        px, _pal = bmp.decode_bmp(buf)
+        return px
     raise ValueError(f"unknown image format {fmt!r}")
 
 
