@@ -1427,3 +1427,28 @@ SELECT (CAST(ceil(ppx / 256.0) AS BIGINT) - 1) AS tile_x,
        COUNT(*) AS n
 FROM px GROUP BY 1, 2
 """
+
+
+def sql_raster_profile_tiles(n: int = 128) -> str:
+    """Raster-profile grids recomputed closed-form: nativezoom is the
+    bit-length of ceil(dim/256)−1 (== ceil(log2(dim/256))), expressed
+    as a threshold ladder (dims ≤ 4096 in the corpus); tsize(z) =
+    2^(nz−z)·256, count = ceil(w/tsize)·ceil(h/tsize)."""
+    def nzed(dim):
+        cd = f"(({dim} + 255) // 256)"
+        return (f"(CASE WHEN {cd} <= 1 THEN 0 WHEN {cd} <= 2 THEN 1 "
+                f"WHEN {cd} <= 4 THEN 2 WHEN {cd} <= 8 THEN 3 "
+                f"WHEN {cd} <= 16 THEN 4 ELSE 5 END)")
+    return f"""
+WITH {sql_images_cte(n)},
+nz AS (SELECT image_id, w, h,
+              GREATEST({nzed('w')}, {nzed('h')}) AS nz
+       FROM imgs),
+zs AS (SELECT g AS zoom FROM generate_series(0, 16) t(g))
+SELECT image_id, zoom,
+       ((1 << (nz - zoom)) * 256)::BIGINT AS tsize,
+       (((w + (1 << (nz - zoom)) * 256 - 1) // ((1 << (nz - zoom)) * 256))
+        * ((h + (1 << (nz - zoom)) * 256 - 1) // ((1 << (nz - zoom)) * 256)))
+         ::BIGINT AS n_tiles
+FROM nz JOIN zs ON zoom <= nz
+"""

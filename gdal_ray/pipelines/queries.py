@@ -2737,6 +2737,36 @@ def q_tile_assignment_geodetic(sf_dir: str):
         .groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n"))
 
 
+def q_raster_profile_tiles(sf_dir: str):
+    """Raster-profile tile grid (gdal2tiles -p raster, the
+    pixel-space pyramid for non-georeferenced imagery): per image and
+    zoom 0..nativezoom, the tile-grid size and count — all integer
+    math (ceil-log2 native zoom, remainder edge tiles), replayed
+    closed-form in SQL."""
+    import ray.data as rd
+    from ..core.rasterprofile import tile_ranges
+    from ..sources.images import images_dataset
+
+    def grids(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "zoom": [], "tsize": [], "n_tiles": []}
+        ws = t["w"].to_numpy()
+        hs = t["h"].to_numpy()
+        ids = t["image_id"].to_pylist()
+        for i in range(t.num_rows):
+            for tz, (tsize, _, _, tmaxx, tmaxy) in enumerate(
+                    tile_ranges(int(ws[i]), int(hs[i]))):
+                out["image_id"].append(ids[i])
+                out["zoom"].append(tz)
+                out["tsize"].append(tsize)
+                out["n_tiles"].append((tmaxx + 1) * (tmaxy + 1))
+        return pa.table({"image_id": pa.array(out["image_id"]),
+                         "zoom": pa.array(out["zoom"], pa.int64()),
+                         "tsize": pa.array(out["tsize"], pa.int64()),
+                         "n_tiles": pa.array(out["n_tiles"], pa.int64())})
+
+    return images_dataset(128).map_batches(grids, batch_format="pyarrow")
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2836,6 +2866,7 @@ QUERIES = {
     "cutline_blend": q_cutline_blend,
     "vector_reproject": q_vector_reproject,
     "tile_assignment_geodetic": q_tile_assignment_geodetic,
+    "raster_profile_tiles": q_raster_profile_tiles,
 }
 
 
@@ -2924,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
         "cutline_blend": _OR.sql_cutline_blend(48),
         "vector_reproject": _OR.sql_vector_reproject(40),
         "tile_assignment_geodetic": _OR.sql_tile_assignment_geodetic(6),
+        "raster_profile_tiles": _OR.sql_raster_profile_tiles(128),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
