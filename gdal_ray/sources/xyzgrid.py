@@ -95,6 +95,8 @@ def decode_xyz(text: str):
         raise ValueError("irregular X spacing")
     if h > 1 and not np.allclose(dy, dy[0], rtol=1e-6):
         raise ValueError("irregular Y spacing")
+    # a single row/column cannot carry its own spacing: fall back to
+    # 1.0 (the reference requires >= 2 distinct coords per axis too)
     resx = float(dx[0]) if w > 1 else 1.0
     resy = float(dy[0]) if h > 1 else 1.0
     # north-up raster: row 0 = max Y

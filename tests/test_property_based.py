@@ -110,3 +110,53 @@ class TestOverlayFuzz:
                   * max(0.0, min(ay + ah, by + bh) - max(ay, by)))
         got = intersection_area(a, b)
         assert abs(got - expect) < 1e-6 * max(1.0, expect)
+
+
+@given(
+    w=st.integers(1, 40), h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    bands=st.sampled_from([1, 3]),
+)
+@settings(max_examples=30, deadline=None)
+def test_pnm_roundtrip_fuzz(w, h, seed, bands):
+    from gdal_ray.codecs.pnm import decode_pnm, encode_pnm
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if bands == 1 else (h, w, 3)
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert (decode_pnm(encode_pnm(px)) == px).all()
+    assert (decode_pnm(encode_pnm(px, ascii_format=True)) == px).all()
+
+
+@given(
+    w=st.integers(1, 40), h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    paletted=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_fuzz(w, h, seed, paletted):
+    from gdal_ray.codecs.bmp import decode_bmp, encode_bmp
+    rng = np.random.default_rng(seed)
+    if paletted:
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    else:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out, _pal = decode_bmp(encode_bmp(px))
+    assert (out == px).all()
+
+
+@given(
+    w=st.integers(2, 12), h=st.integers(2, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_xyz_roundtrip_fuzz(w, h, seed):
+    # w, h >= 2: a single row/column cannot carry its own spacing
+    # (decode_xyz falls back to res 1.0 there, as documented)
+    from gdal_ray.sources.xyzgrid import decode_xyz, encode_xyz
+    rng = np.random.default_rng(seed)
+    band = rng.integers(0, 1000, (h, w)).astype(np.float64)
+    gt = (float(rng.integers(-100, 100)), 2.5, 0.0,
+          float(rng.integers(-100, 100)), 0.0, -1.25)
+    out, got_gt = decode_xyz(encode_xyz(band, gt))
+    assert np.allclose(out, band)
+    assert np.allclose(got_gt, gt, rtol=1e-9)
