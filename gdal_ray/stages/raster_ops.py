@@ -679,3 +679,29 @@ def reclassify_text(px: np.ndarray, text: str, *, nodata=None,
                              "and no DEFAULT given")
         out[rest] = v[rest] if default_dst is None else default_dst
     return out.astype(dtype)
+
+
+def tri_riley(band: np.ndarray) -> np.ndarray:
+    """Terrain ruggedness index, Riley et al. 1999 variant
+    (gdaldem TRI -alg Riley, GDALTRIAlgRiley:2332-2346):
+    sqrt(Σ (neighbor − center)²) over the 8-neighborhood."""
+    win = _focal_windows(band).astype(np.float64)
+    center = band.astype(np.float64)[:, :, None, None]
+    d2 = (win - center) ** 2
+    # the window includes the center itself (difference 0) — harmless
+    return np.sqrt(d2.sum(axis=(2, 3)))
+
+
+def aspect_trigonometric(band: np.ndarray, xres=1.0, yres=1.0, *,
+                         alg: str = "horn",
+                         zero_for_flat: bool = False) -> np.ndarray:
+    """gdaldem aspect -trigonometric (bAngleAsAzimuth=false,
+    gdaldem_lib.cpp:1455-1478): angle counter-clockwise from east in
+    0..360 instead of azimuth; flat cells → -9999 (or 0 with
+    -zero_for_flat)."""
+    dzdx, dzdy = _gradients(band, xres, yres, alg)
+    asp = np.degrees(np.arctan2(dzdy, -dzdx))
+    asp = np.where(asp < 0, asp + 360.0, asp)
+    asp = np.where(asp == 360.0, 0.0, asp)
+    flat = (dzdx == 0) & (dzdy == 0)
+    return np.where(flat, 0.0 if zero_for_flat else -9999.0, asp)

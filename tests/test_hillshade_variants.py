@@ -76,3 +76,27 @@ def test_zt_gradients_central_difference():
     a = hillshade_multidirectional_float(dem, alg="zt")[8, 8]
     b = hillshade_multidirectional_float(dem, alg="horn")[8, 8]
     assert a == pytest.approx(b)   # identical on a plane
+
+
+def test_tri_riley_plane():
+    import itertools
+    gy, gx = np.mgrid[0:8, 0:8]
+    dem = gx * 2.0 + gy
+    from gdal_ray.stages.raster_ops import tri_riley
+    exp = np.sqrt(sum((2 * dx + dy) ** 2
+                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)))
+    assert tri_riley(dem)[4, 4] == pytest.approx(exp)
+
+
+def test_aspect_trigonometric_conventions():
+    from gdal_ray.stages.raster_ops import aspect, aspect_trigonometric
+    gy, gx = np.mgrid[0:8, 0:8]
+    dem = gx * 1.0                       # upslope due east
+    trig = aspect_trigonometric(dem)[4, 4]
+    azim = aspect(dem)[4, 4]
+    # downslope west: trigonometric = 180 (CCW from east), azimuth = 270
+    assert trig == pytest.approx(180.0)
+    assert azim == pytest.approx(270.0)
+    flat = np.zeros((4, 4))
+    assert aspect_trigonometric(flat)[2, 2] == -9999.0
+    assert aspect_trigonometric(flat, zero_for_flat=True)[2, 2] == 0.0
