@@ -29,13 +29,28 @@ from ..core.resample import to_uint8, warp
 # translate: window / band select / cast / scale / resize
 # ---------------------------------------------------------------------------
 
-def translate(px: np.ndarray, *, window=None, bands=None, scale=None,
+def translate(px: np.ndarray, *, window=None, projwin=None,
+              geotransform=None, bands=None, scale=None,
               offset=0.0, out_size=None, resampling="near",
               out_dtype=None) -> np.ndarray:
     """Compose gdal_translate's core steps on one decoded image
-    (h, w, b). window=(col, row, w, h); bands=list of 0-based indices;
-    scale/offset: v*scale+offset; out_size=(out_w, out_h)."""
+    (h, w, b). window=(col, row, w, h); projwin=(ulx, uly, lrx, lry)
+    in geo coordinates (requires geotransform — gdal_translate
+    -projwin, apps/gdal_translate_lib.cpp: corners snap to the pixel
+    grid by truncation like the reference's int() cast); bands=list of
+    0-based indices; scale/offset: v*scale+offset;
+    out_size=(out_w, out_h)."""
     out = px
+    if projwin is not None:
+        if geotransform is None:
+            raise ValueError("projwin requires geotransform")
+        from ..core import geotransform as _gtr
+        inv = _gtr.inverse(geotransform)
+        ulx, uly, lrx, lry = projwin
+        c0, r0 = _gtr.apply(inv, ulx, uly)
+        c1, r1 = _gtr.apply(inv, lrx, lry)
+        window = (int(c0 + 0.001), int(r0 + 0.001),
+                  int(c1 - c0 + 0.5), int(r1 - r0 + 0.5))
     if window is not None:
         c, r, w, h = window
         out = out[r:r + h, c:c + w]
@@ -144,16 +159,18 @@ def _horn_gradients(band: np.ndarray, xres: float = 1.0, yres: float = 1.0):
     return dzdx, dzdy
 
 
-def slope(band: np.ndarray, xres=1.0, yres=1.0, *, degrees=True) -> np.ndarray:
-    dzdx, dzdy = _horn_gradients(band, xres, yres)
+def slope(band: np.ndarray, xres=1.0, yres=1.0, *, degrees=True,
+          alg: str = "horn") -> np.ndarray:
+    dzdx, dzdy = _gradients(band, xres, yres, alg)
     s = np.sqrt(dzdx**2 + dzdy**2)
     return np.degrees(np.arctan(s)) if degrees else s * 100.0
 
 
-def aspect(band: np.ndarray, xres=1.0, yres=1.0) -> np.ndarray:
+def aspect(band: np.ndarray, xres=1.0, yres=1.0, *,
+           alg: str = "horn") -> np.ndarray:
     """Aspect in degrees clockwise from north (gdaldem convention);
     flat cells → -9999."""
-    dzdx, dzdy = _horn_gradients(band, xres, yres)
+    dzdx, dzdy = _gradients(band, xres, yres, alg)
     asp = np.degrees(np.arctan2(dzdy, -dzdx))
     out = np.where(asp < 0, 90.0 - asp,
                    np.where(asp > 90.0, 360.0 - asp + 90.0, 90.0 - asp))

@@ -100,3 +100,23 @@ def test_aspect_trigonometric_conventions():
     flat = np.zeros((4, 4))
     assert aspect_trigonometric(flat)[2, 2] == -9999.0
     assert aspect_trigonometric(flat, zero_for_flat=True)[2, 2] == 0.0
+
+
+def test_translate_projwin():
+    from gdal_ray.stages.raster_ops import translate
+    px = np.arange(400, dtype=np.uint8).reshape(20, 20)[:, :, None]
+    gt = (1000.0, 10.0, 0.0, 2000.0, 0.0, -10.0)
+    out = translate(px, projwin=(1050.0, 1950.0, 1150.0, 1850.0),
+                    geotransform=gt)
+    assert out.shape == (10, 10, 1)
+    assert out[0, 0, 0] == px[5, 5, 0]
+    with pytest.raises(ValueError):
+        translate(px, projwin=(0, 0, 1, 1))    # no geotransform
+
+
+def test_slope_aspect_alg_switch():
+    from gdal_ray.stages.raster_ops import aspect, slope
+    gy, gx = np.mgrid[0:8, 0:8]
+    dem = gx * 2.0
+    assert slope(dem, alg="zt")[4, 4] == pytest.approx(slope(dem)[4, 4])
+    assert aspect(dem, alg="zt")[4, 4] == pytest.approx(270.0)
