@@ -62,7 +62,28 @@ _SQL_FUNCS = {
     "COALESCE": lambda *vs: np.where(
         pd.isna(np.asarray(vs[0], dtype=object)),
         vs[1] if len(vs) > 1 else None, vs[0]),
+    # SWQ_CONCAT / SWQ_SUBSTR (ogr/ogr_swq.h:63-64); SUBSTR is 1-based
+    # like the reference (and DuckDB)
+    "CONCAT": lambda *vs: _str_concat(*vs),
+    "SUBSTR": lambda v, start, n=None: _substr(v, start, n),
 }
+
+
+def _str_concat(*vs):
+    out = pd.Series(np.asarray(vs[0], dtype=object)).astype(str)
+    for v in vs[1:]:
+        if np.ndim(v) == 0:
+            out = out + str(v)
+        else:
+            out = out + pd.Series(np.asarray(v, dtype=object)).astype(str)
+    return out.to_numpy()
+
+
+def _substr(v, start, n=None):
+    s = pd.Series(np.asarray(v, dtype=object)).astype(str)
+    b = int(start) - 1
+    out = s.str.slice(b, None if n is None else b + int(n))
+    return out.to_numpy()
 
 
 def register_sql_function(name: str, fn) -> None:
@@ -478,12 +499,20 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
         for e, alias in q["items"]:
             name = alias or _expr_name(e)
             out[name] = _eval(e, df, fsnap)
+        # ORDER BY may reference source columns that are not selected
+        # (ogr_gensql.cpp sorts on the layer's fields): carry them as
+        # hidden keys, dropped after the final sort. DISTINCT forbids
+        # hidden keys (they would change row identity).
+        if q["order"] and not q["distinct"]:
+            for c, _ in q["order"]:
+                if c not in out.columns and c in df.columns:
+                    out[f"__ob_{c}"] = df[c]
         if q["distinct"]:
             out = out.drop_duplicates()
         if q["order"] and keep is not None:
             # partial top-(limit+offset): every globally-surviving row
             # survives its batch partial
-            out = out.sort_values([c for c, _ in q["order"]],
+            out = out.sort_values([_ob_key(out, c) for c, _ in q["order"]],
                                   ascending=[not d for _, d in q["order"]]) \
                 .head(keep)
         elif keep is not None:
@@ -498,14 +527,19 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
     if q["distinct"]:
         res = res.drop_duplicates()
     if q["order"]:
-        res = res.sort_values([c for c, _ in q["order"]],
+        res = res.sort_values([_ob_key(res, c) for c, _ in q["order"]],
                               ascending=[not d for _, d in q["order"]])
+    res = res[[c for c in res.columns if not c.startswith("__ob_")]]
     off = q.get("offset", 0)
     if q["limit"] is not None:
         res = res.iloc[off:off + q["limit"]]
     elif off:
         res = res.iloc[off:]
     return res.reset_index(drop=True)
+
+
+def _ob_key(frame, col):
+    return col if col in frame.columns else f"__ob_{col}"
 
 
 def _run_aggregate(q, ds, join_specs=()) -> pd.DataFrame:

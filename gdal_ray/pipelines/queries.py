@@ -2767,6 +2767,23 @@ def q_raster_profile_tiles(sf_dir: str):
     return images_dataset(128).map_batches(grids, batch_format="pyarrow")
 
 
+SQL_VECTOR_SQL_FUNCS = """
+SELECT n_nationkey, CONCAT(SUBSTR(n_name, 1, 3), '-', n_nationkey) AS tag,
+       UPPER(SUBSTR(n_name, 2, 4)) AS mid, LENGTH(n_name) AS len
+FROM nation WHERE n_regionkey IN (0, 2, 4)
+ORDER BY n_nationkey
+"""
+
+
+def q_vector_sql_funcs(sf_dir: str):
+    """OGR SQL scalar string functions CONCAT/SUBSTR (SWQ_CONCAT /
+    SWQ_SUBSTR, ogr/ogr_swq.h:63-64; 1-based SUBSTR) — the identical
+    statement runs in DuckDB as the oracle."""
+    from ..functions.sql import execute_sql
+    return execute_sql(SQL_VECTOR_SQL_FUNCS,
+                       {"nation": _rp(sf_dir, "nation")})
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2867,6 +2884,7 @@ QUERIES = {
     "vector_reproject": q_vector_reproject,
     "tile_assignment_geodetic": q_tile_assignment_geodetic,
     "raster_profile_tiles": q_raster_profile_tiles,
+    "vector_sql_funcs": q_vector_sql_funcs,
 }
 
 
@@ -2956,6 +2974,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_reproject": _OR.sql_vector_reproject(40),
         "tile_assignment_geodetic": _OR.sql_tile_assignment_geodetic(6),
         "raster_profile_tiles": _OR.sql_raster_profile_tiles(128),
+        "vector_sql_funcs": SQL_VECTOR_SQL_FUNCS,
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }

@@ -337,3 +337,33 @@ class TestSqliteDialect:
         out = execute_sql_sqlite("SELECT COUNT(*) AS n FROM t",
                                  {"t": ds, "other": Boom()})
         assert out["n"][0] == len(df)
+
+
+def test_concat_substr_functions(ray_session):
+    """SWQ_CONCAT / SWQ_SUBSTR (1-based, ogr/ogr_swq.h:63-64)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.functions.sql import execute_sql
+
+    t = rd.from_arrow(pa.table({"name": ["alpha", "bx", "gamma"],
+                                "k": [1, 2, 3]}))
+    out = execute_sql(
+        "SELECT k, CONCAT(SUBSTR(name, 1, 2), '-', k) AS tag FROM t "
+        "ORDER BY k", {"t": t})
+    assert list(out["tag"]) == ["al-1", "bx-2", "ga-3"]
+    # SUBSTR without length reads to the end; start beyond end -> ''
+    out = execute_sql("SELECT k, SUBSTR(name, 3) AS s FROM t ORDER BY k",
+                      {"t": t})
+    assert list(out["s"]) == ["pha", "", "mma"]
+
+
+def test_order_by_unselected_column(ray_session):
+    """ogr_gensql.cpp sorts on layer fields even when unselected."""
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.functions.sql import execute_sql
+
+    t = rd.from_arrow(pa.table({"name": ["c", "a", "b"], "k": [3, 1, 2]}))
+    out = execute_sql("SELECT name FROM t ORDER BY k DESC", {"t": t})
+    assert list(out.columns) == ["name"]
+    assert list(out["name"]) == ["c", "b", "a"]
