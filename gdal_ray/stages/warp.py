@@ -438,3 +438,41 @@ def gcp_warp(src: np.ndarray, gcps, *, method: str = "polynomial",
                                max_error=max_error)
     out, valid = sample_grid(src3, sx, sy, resampling)
     return (out[:, :, 0] if squeeze else out), valid, dst_gt
+
+
+def warp_output_grid(src_gt, src_w: int, src_h: int, fwd, *,
+                     te=None, tr=None, ts=None):
+    """gdalwarp's output-grid option algebra (apps/gdalwarp_lib.cpp
+    -te/-tr/-ts handling): returns (dst_gt, dst_w, dst_h) to pass as
+    ``reproject_array(dst_grid=...)``.
+
+      te=(minx, miny, maxx, maxy)  pin the extent
+      tr=(xres, yres)              pin the resolution (yres positive)
+      ts=(width, height)           pin the pixel size
+
+    -tr and -ts are mutually exclusive (the reference errors too);
+    anything unpinned comes from the suggested-output edge walk."""
+    if tr is not None and ts is not None:
+        raise ValueError("tr and ts are mutually exclusive")
+    sug_gt, sug_w, sug_h = suggested_warp_output(src_gt, src_w, src_h, fwd)
+    if te is None:
+        minx, maxy = sug_gt[0], sug_gt[3]
+        maxx = minx + sug_w * sug_gt[1]
+        miny = maxy + sug_h * sug_gt[5]
+    else:
+        minx, miny, maxx, maxy = (float(v) for v in te)
+    if tr is not None:
+        xres, yres = float(tr[0]), float(tr[1])
+        dst_w = max(1, int(round((maxx - minx) / xres)))
+        dst_h = max(1, int(round((maxy - miny) / yres)))
+    elif ts is not None:
+        dst_w, dst_h = int(ts[0]), int(ts[1])
+        xres = (maxx - minx) / dst_w
+        yres = (maxy - miny) / dst_h
+    elif te is not None:
+        xres, yres = sug_gt[1], -sug_gt[5]
+        dst_w = max(1, int(round((maxx - minx) / xres)))
+        dst_h = max(1, int(round((maxy - miny) / yres)))
+    else:
+        return sug_gt, sug_w, sug_h
+    return (minx, xres, 0.0, maxy, 0.0, -yres), dst_w, dst_h

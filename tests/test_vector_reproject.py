@@ -51,3 +51,35 @@ def test_batch_preserves_attributes():
 def test_unknown_crs_raises():
     with pytest.raises(ValueError):
         get_transform("EPSG:3857", "EPSG:99999")
+
+
+def test_warp_output_grid_options():
+    """gdalwarp -te/-tr/-ts algebra (apps/gdalwarp_lib.cpp)."""
+    from gdal_ray.stages.warp import (get_transform, reproject_array,
+                                      suggested_warp_output,
+                                      warp_output_grid)
+    fwd = get_transform("EPSG:3857", "EPSG:4326")
+    src_gt = (0.0, 100.0, 0.0, 100000.0, 0.0, -100.0)
+    # default = suggested
+    assert warp_output_grid(src_gt, 100, 100, fwd) == \
+        suggested_warp_output(src_gt, 100, 100, fwd)
+    # -tr pins resolution
+    gt, w, h = warp_output_grid(src_gt, 100, 100, fwd,
+                                tr=(0.0001, 0.0001))
+    assert gt[1] == 0.0001 and gt[5] == -0.0001
+    # -ts pins dims
+    gt, w, h = warp_output_grid(src_gt, 100, 100, fwd, ts=(50, 40))
+    assert (w, h) == (50, 40)
+    # -te pins extent exactly
+    gt, w, h = warp_output_grid(src_gt, 100, 100, fwd,
+                                te=(0.0, 0.0, 0.05, 0.05), ts=(10, 10))
+    assert gt[0] == 0.0 and gt[3] == 0.05
+    assert gt[1] == pytest.approx(0.005)
+    with pytest.raises(ValueError):
+        warp_output_grid(src_gt, 100, 100, fwd, tr=(1, 1), ts=(2, 2))
+    # the pinned grid flows through reproject_array
+    src = np.arange(10000, dtype=np.float64).reshape(100, 100)
+    out, valid, gt2 = reproject_array(
+        src, src_gt, "EPSG:3857", "EPSG:4326",
+        dst_grid=warp_output_grid(src_gt, 100, 100, fwd, ts=(32, 16)))
+    assert out.shape == (16, 32) and gt2[0] == pytest.approx(0.0)
