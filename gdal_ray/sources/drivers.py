@@ -68,10 +68,42 @@ def _read_geojson(path):
     return read_geojson_table(path)
 
 
+@_builtin("geojsonl")
+def _read_geojsonseq(path):
+    from .geojson import read_geojsonseq_table
+    return read_geojsonseq_table(path)
+
+
+_READERS["geojsons"] = _read_geojsonseq   # .geojsons alias (RFC 8142)
+_READERS["ndjson"] = _read_geojsonseq
+
+
 @_builtin("kml")
 def _read_kml(path):
     from .kmlvec import read_kml_table
     return read_kml_table(path)
+
+
+@_builtin("arrow")
+def _read_arrow(path):
+    # Arrow IPC file (the reference's Arrow driver,
+    # ogr/ogrsf_frmts/arrow): the layer IS the record batch stream
+    import pyarrow.ipc as ipc
+    with ipc.open_file(path) as rd:
+        return rd.read_all()
+
+
+_READERS["arrows"] = _read_arrow
+_READERS["feather"] = _read_arrow
+
+
+def write_arrow(table: pa.Table, path: str) -> int:
+    """Write a layer as an Arrow IPC file (Arrow batch sink,
+    ogrlayerarrow.cpp:6077 analog)."""
+    import pyarrow.ipc as ipc
+    with ipc.new_file(path, table.schema) as wr:
+        wr.write_table(table)
+    return table.num_rows
 
 
 @_builtin("parquet")

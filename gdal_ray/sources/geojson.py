@@ -25,7 +25,10 @@ def read_geojson_table(path: str) -> pa.Table:
         fc = json.load(f)
     if fc.get("type") != "FeatureCollection":
         raise ValueError("expected a FeatureCollection")
-    feats = fc.get("features", [])
+    return _features_to_table(fc.get("features", []))
+
+
+def _features_to_table(feats) -> pa.Table:
     keys: list[str] = []
     for ft in feats:
         for k in (ft.get("properties") or {}):
@@ -75,3 +78,40 @@ def write_geojson(table: pa.Table, path: str, *,
                       "properties": props, "geometry": to_geojson(g)})
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
+
+
+def read_geojsonseq_table(path: str) -> pa.Table:
+    """GeoJSONSeq / newline-delimited features (the reference's
+    GeoJSONSeq driver, ogr/ogrsf_frmts/geojson/ogrgeojsonseqdriver.cpp):
+    one Feature per line, optional RS (0x1e) record separators —
+    the streaming-friendly variant used for large exports."""
+    feats = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip().lstrip("\x1e").strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            if obj.get("type") == "FeatureCollection":
+                feats.extend(obj.get("features", []))
+            else:
+                feats.append(obj)
+    return _features_to_table(feats)
+
+
+def write_geojsonseq(table: pa.Table, path: str, *,
+                     wkb_col: str = "wkb", rs: bool = False) -> int:
+    """Write one Feature per line (RS-prefixed when rs=True)."""
+    from ..core.wkb import loads as wkb_loads
+    n = 0
+    skip = {wkb_col, "minx", "miny", "maxx", "maxy"}
+    with open(path, "w") as f:
+        for row in table.to_pylist():
+            geom = to_geojson(wkb_loads(row[wkb_col]))
+            props = {k: v for k, v in row.items()
+                     if k not in skip and k != "fid"}
+            ft = {"type": "Feature", "id": row.get("fid"),
+                  "properties": props, "geometry": geom}
+            f.write(("\x1e" if rs else "") + json.dumps(ft) + "\n")
+            n += 1
+    return n

@@ -83,3 +83,32 @@ def test_warp_output_grid_options():
         src, src_gt, "EPSG:3857", "EPSG:4326",
         dst_grid=warp_output_grid(src_gt, 100, 100, fwd, ts=(32, 16)))
     assert out.shape == (16, 32) and gt2[0] == pytest.approx(0.0)
+
+
+def test_geojsonseq_roundtrip():
+    import pyarrow as pa
+    from gdal_ray.sources.drivers import read_vector
+    from gdal_ray.sources.geojson import (read_geojsonseq_table,
+                                          write_geojsonseq)
+    t = pa.table({"fid": [1, 2], "name": ["a", "b"],
+                  "wkb": [W.dumps(W.box(0, 0, 1, 1)),
+                          W.dumps(W.point(3.0, 4.0))],
+                  "minx": [0.0, 3.0], "miny": [0.0, 4.0],
+                  "maxx": [1.0, 3.0], "maxy": [1.0, 4.0]})
+    assert write_geojsonseq(t, "/tmp/gj_rt.geojsonl", rs=True) == 2
+    back = read_geojsonseq_table("/tmp/gj_rt.geojsonl")
+    assert back.num_rows == 2
+    assert W.loads(back["wkb"][1].as_py()).coords[0, 0] == 3.0
+    assert back["name"].to_pylist() == ["a", "b"]
+    # extension routing through the driver manager
+    assert read_vector("/tmp/gj_rt.geojsonl").num_rows == 2
+
+
+def test_arrow_ipc_roundtrip():
+    import pyarrow as pa
+    from gdal_ray.sources.drivers import read_vector, write_arrow
+    t = pa.table({"fid": [1], "wkb": [W.dumps(W.point(1.0, 2.0))],
+                  "tag": ["x"]})
+    assert write_arrow(t, "/tmp/layer_rt.arrow") == 1
+    back = read_vector("/tmp/layer_rt.arrow")
+    assert back.num_rows == 1 and back["tag"][0].as_py() == "x"
