@@ -722,3 +722,54 @@ def aspect_trigonometric(band: np.ndarray, xres=1.0, yres=1.0, *,
     asp = np.where(asp == 360.0, 0.0, asp)
     flat = (dzdx == 0) & (dzdy == 0)
     return np.where(flat, 0.0 if zero_for_flat else -9999.0, asp)
+
+
+def neighbors(band: np.ndarray, *, method: str = "mean",
+              size: int = 3, kernel=None) -> np.ndarray:
+    """gdal raster neighbors (apps/gdalalg_raster_neighbors.cpp:207
+    method choices mean|sum|min|max|stddev|median|mode): focal
+    statistic over an odd-sized window, optionally kernel-weighted for
+    mean/sum (weights ignored by the order statistics, as in the
+    reference's VRT kernel source). Edge-padded, vectorized."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if kernel is not None:
+        k = np.asarray(kernel, np.float64)
+        size = k.shape[0]
+    if size % 2 != 1:
+        raise ValueError("window size must be odd")
+    p = np.pad(band.astype(np.float64), size // 2, mode="edge")
+    win = sliding_window_view(p, (size, size))
+    if method == "mean":
+        if kernel is not None:
+            s = k.sum()
+            return np.einsum("ijkl,kl->ij", win, k) / (s if s else 1.0)
+        return win.mean(axis=(2, 3))
+    if method == "sum":
+        if kernel is not None:
+            return np.einsum("ijkl,kl->ij", win, k)
+        return win.sum(axis=(2, 3))
+    if method == "min":
+        return win.min(axis=(2, 3))
+    if method == "max":
+        return win.max(axis=(2, 3))
+    if method == "stddev":
+        return win.std(axis=(2, 3))
+    if method == "median":
+        return np.median(win, axis=(2, 3))
+    if method == "mode":
+        # most frequent value; ties -> smallest (like the byte LUT path)
+        flat = win.reshape(win.shape[0], win.shape[1], -1)
+        srt = np.sort(flat, axis=2)
+        n = srt.shape[2]
+        best_cnt = np.zeros(srt.shape[:2], np.int64)
+        best_val = srt[:, :, 0].copy()
+        run = np.ones(srt.shape[:2], np.int64)
+        for i in range(1, n):
+            same = srt[:, :, i] == srt[:, :, i - 1]
+            run = np.where(same, run + 1, 1)
+            take = run > best_cnt
+            best_cnt = np.where(take, run, best_cnt)
+            best_val = np.where(take, srt[:, :, i], best_val)
+        return best_val
+    raise ValueError(f"unknown neighbors method {method!r}")

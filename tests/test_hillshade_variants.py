@@ -120,3 +120,24 @@ def test_slope_aspect_alg_switch():
     dem = gx * 2.0
     assert slope(dem, alg="zt")[4, 4] == pytest.approx(slope(dem)[4, 4])
     assert aspect(dem, alg="zt")[4, 4] == pytest.approx(270.0)
+
+
+def test_neighbors_methods():
+    from gdal_ray.stages.raster_ops import neighbors
+    b = np.array([[1, 2, 3], [4, 100, 6], [7, 8, 9]], float)
+    assert neighbors(b, method="median")[1, 1] == 6.0
+    assert neighbors(b, method="min")[1, 1] == 1.0
+    assert neighbors(b, method="max")[1, 1] == 100.0
+    assert neighbors(b, method="mean")[1, 1] == pytest.approx(b.mean())
+    m = np.array([[1, 1, 2], [2, 2, 3], [3, 3, 3]], float)
+    assert neighbors(m, method="mode")[1, 1] == 3.0
+    # tie -> smallest value
+    t = np.array([[1, 1, 1], [2, 2, 2], [5, 7, 9]], float)
+    assert neighbors(t, method="mode")[1, 1] == 1.0
+    # weighted mean with a kernel
+    k = np.zeros((3, 3)); k[1, 1] = 1.0
+    assert neighbors(b, method="mean", kernel=k)[1, 1] == 100.0
+    with pytest.raises(ValueError):
+        neighbors(b, method="nope")
+    with pytest.raises(ValueError):
+        neighbors(b, size=4)
