@@ -1452,3 +1452,36 @@ SELECT image_id, zoom,
          ::BIGINT AS n_tiles
 FROM nz JOIN zs ON zoom <= nz
 """
+
+
+def sql_viewshed_plane(m: int = 16, N: int = 64) -> str:
+    """Plane-terrain viewshed census: window bounds replicate
+    core/viewshed.py::viewshed_window for the default unit gt (gt5 > 0
+    → the start row gets the reference's extra −1), clamped to the
+    raster; every window cell with r² ≤ R² is visible, the rest are
+    out-of-range."""
+    return f"""
+WITH cfg AS (
+  SELECT k,
+         20 + 3 * (k % 8) AS ox,
+         25 + 2 * (k % 8) AS oy,
+         7.5 + 0.5 * k AS R
+  FROM generate_series(0, {m - 1}) t(k)),
+w AS (
+  SELECT k, ox, oy, R,
+         GREATEST(CAST(FLOOR(ox - R + 1e-8) AS BIGINT), 0) AS xs,
+         LEAST(CAST(CEIL(ox + R - 1e-8) AS BIGINT) + 1, {N}) AS xe,
+         GREATEST(CAST(FLOOR(oy - R + 1e-8) AS BIGINT) - 1, 0) AS ys,
+         LEAST(CAST(CEIL(oy + R - 1e-8) AS BIGINT), {N}) AS ye
+  FROM cfg),
+xsq AS (SELECT g AS x FROM generate_series(0, {N - 1}) t(g)),
+ysq AS (SELECT g AS y FROM generate_series(0, {N - 1}) t(g)),
+cells AS (
+  SELECT k,
+         CASE WHEN (x - ox) * (x - ox) + (y - oy) * (y - oy) <= R * R
+              THEN 1 ELSE 0 END AS vis
+  FROM w JOIN xsq ON x >= xs AND x < xe
+         JOIN ysq ON y >= ys AND y < ye)
+SELECT k, SUM(vis)::BIGINT AS n_visible, COUNT(*)::BIGINT AS n_window
+FROM cells GROUP BY k
+"""

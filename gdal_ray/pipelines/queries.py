@@ -2784,6 +2784,43 @@ def q_vector_sql_funcs(sf_dir: str):
                        {"nation": _rp(sf_dir, "nation")})
 
 
+def q_viewshed_plane(sf_dir: str):
+    """Viewshed no-false-occlusion invariant (gdal_viewshed,
+    alg/viewshed/viewshed.cpp): on PLANE terrain every in-range cell
+    is visible — the sight line from an above-plane observer to any
+    plane point stays above the plane. 16 observer/slope/radius
+    configs; the in-range census (the reference's max-distance window
+    incl. its documented Y off-by-one, then the per-line r² ≤ max²
+    scan) replays closed-form in SQL. Any false occlusion or window
+    regression changes n_visible. The exact Wang sweep on rough
+    terrain stays pytest-covered (tests/test_viewshed.py); `viewshed`
+    in this battery exercises it distributed."""
+    import ray.data as rd
+    from ..core.viewshed import viewshed
+
+    N = 64
+
+    def run(t: pa.Table) -> pa.Table:
+        ks, nvis, nwin = [], [], []
+        for k in t["id"].to_pylist():
+            a, b = 0.1 * k, 0.05 * (k % 5)
+            gy, gx = np.mgrid[0:N, 0:N]
+            dem = a * gx + b * gy
+            ox, oy = 20 + 3 * (k % 8), 25 + 2 * (k % 8)
+            R = 7.5 + 0.5 * k
+            out, (xs, ys) = viewshed(dem, ox, oy, observer_height=5.0 + k,
+                                     max_distance=R)
+            ks.append(k)
+            nvis.append(int((out == 255.0).sum()))
+            nwin.append(int(out.size))
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "n_visible": pa.array(nvis, pa.int64()),
+                         "n_window": pa.array(nwin, pa.int64())})
+
+    return rd.range(16, override_num_blocks=4) \
+        .map_batches(run, batch_format="pyarrow", batch_size=4)
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2885,6 +2922,7 @@ QUERIES = {
     "tile_assignment_geodetic": q_tile_assignment_geodetic,
     "raster_profile_tiles": q_raster_profile_tiles,
     "vector_sql_funcs": q_vector_sql_funcs,
+    "viewshed_plane": q_viewshed_plane,
 }
 
 
@@ -2975,6 +3013,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assignment_geodetic": _OR.sql_tile_assignment_geodetic(6),
         "raster_profile_tiles": _OR.sql_raster_profile_tiles(128),
         "vector_sql_funcs": SQL_VECTOR_SQL_FUNCS,
+        "viewshed_plane": _OR.sql_viewshed_plane(16, 64),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
