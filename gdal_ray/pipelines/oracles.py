@@ -1485,3 +1485,20 @@ cells AS (
 SELECT k, SUM(vis)::BIGINT AS n_visible, COUNT(*)::BIGINT AS n_window
 FROM cells GROUP BY k
 """
+
+
+def sql_polygonize_census() -> str:
+    """Exact class census of the analytic sin/cos field — the stitched
+    polygonize totals must conserve it. numpy and DuckDB share libm
+    (sin/cos parity ≤ 1e-15; the class thresholds are nowhere near a
+    representable boundary)."""
+    return """
+WITH gxs AS (SELECT g AS gx FROM generate_series(0, 511) t(g)),
+gys AS (SELECT g AS gy FROM generate_series(0, 255) t(g)),
+f AS (SELECT sin(gx / 13.0) + cos(gy / 9.0) AS v FROM gxs, gys),
+cls AS (SELECT CASE WHEN v < -0.5 THEN 0 WHEN v < 0.5 THEN 1 ELSE 2 END
+               AS value
+        FROM f)
+SELECT value::BIGINT AS value, COUNT(*)::BIGINT AS total_px
+FROM cls GROUP BY value
+"""

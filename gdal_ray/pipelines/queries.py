@@ -2821,6 +2821,34 @@ def q_viewshed_plane(sf_dir: str):
         .map_batches(run, batch_format="pyarrow", batch_size=4)
 
 
+def q_polygonize_census(sf_dir: str):
+    """Distributed polygonize conservation census: an ANALYTIC blobby
+    class field (sin/cos bands — closed-form in SQL, unlike the
+    seeded-rng field of `distributed_polygonize`) is tiled, polygonized
+    per tile and stitched across tile edges; the per-class pixel total
+    over all stitched components must equal the exact class census.
+    Double-counted or dropped boundary runs break the equality; the
+    component-level detail stays in the rows-only query."""
+    import ray.data as rd
+    from ..stages.poly_merge import distributed_polygonize
+
+    gy, gx = np.mgrid[0:256, 0:512]
+    v = np.sin(gx / 13.0) + np.cos(gy / 9.0)
+    grid = np.digitize(v, [-0.5, 0.5]).astype(np.int64)
+    rows = []
+    for ty in range(4):
+        for tx in range(8):
+            sub = grid[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+            rows.append({"tile_x": tx, "tile_y": ty, "h": 64, "w": 64,
+                         "grid": np.ascontiguousarray(sub).tobytes()})
+    out = distributed_polygonize(rd.from_items(rows))
+    return out.groupby("value", as_index=False) \
+        .agg(total_px=("total_px", "sum"),
+             n_components=("component", "nunique")) \
+        .astype({"value": np.int64, "total_px": np.int64}) \
+        .drop(columns=["n_components"])
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2923,6 +2951,7 @@ QUERIES = {
     "raster_profile_tiles": q_raster_profile_tiles,
     "vector_sql_funcs": q_vector_sql_funcs,
     "viewshed_plane": q_viewshed_plane,
+    "polygonize_census": q_polygonize_census,
 }
 
 
@@ -3014,6 +3043,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_profile_tiles": _OR.sql_raster_profile_tiles(128),
         "vector_sql_funcs": SQL_VECTOR_SQL_FUNCS,
         "viewshed_plane": _OR.sql_viewshed_plane(16, 64),
+        "polygonize_census": _OR.sql_polygonize_census(),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
