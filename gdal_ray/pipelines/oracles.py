@@ -1502,3 +1502,17 @@ cls AS (SELECT CASE WHEN v < -0.5 THEN 0 WHEN v < 0.5 THEN 1 ELSE 2 END
 SELECT value::BIGINT AS value, COUNT(*)::BIGINT AS total_px
 FROM cls GROUP BY value
 """
+
+
+def sql_fillnodata(n: int = 48) -> str:
+    """fillnodata census: hole count ((7gx+11gy)%37==0) and the exact
+    value sum over non-hole pixels; all_filled asserts completion."""
+    return sql_pixels_cte(n) + """
+SELECT image_id,
+       SUM(CASE WHEN (7 * gx + 11 * gy) % 37 = 0 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_holes,
+       SUM(CASE WHEN (7 * gx + 11 * gy) % 37 = 0 THEN 0 ELSE v0 END)
+         ::BIGINT AS sum_kept,
+       TRUE AS all_filled
+FROM px GROUP BY image_id
+"""

@@ -2849,6 +2849,32 @@ def q_polygonize_census(sf_dir: str):
         .drop(columns=["n_components"])
 
 
+def q_fillnodata(sf_dir: str):
+    """fillnodata (alg/rasterfill.cpp ring-expansion analog):
+    deterministic holes ((7·gx + 11·gy) % 37 == 0) are punched into
+    band 0 and filled back. The oracle recomputes the hole census and
+    the untouched-pixel value sum closed-form — the fill must complete
+    every hole (all_filled) without perturbing any valid pixel
+    (sum_kept). Filled VALUES are neighbor means, pytest-covered."""
+    from ..core.rastervec import fillnodata
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import image_op
+
+    def fill(px, row):
+        gy, gx = np.mgrid[0:px.shape[0], 0:px.shape[1]]
+        hole = (7 * gx + 11 * gy) % 37 == 0
+        band = px[:, :, 0].astype(np.float64)
+        filled = fillnodata(band, ~hole)
+        kept_ok = np.array_equal(filled[~hole], band[~hole])
+        return {"n_holes": int(hole.sum()),
+                "sum_kept": int(band[~hole].sum()) if kept_ok else -1,
+                "all_filled": bool(np.isfinite(filled).all())}
+
+    return images_dataset(48).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(image_op(fill), batch_format="pyarrow") \
+        .select_columns(["image_id", "n_holes", "sum_kept", "all_filled"])
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2952,6 +2978,7 @@ QUERIES = {
     "vector_sql_funcs": q_vector_sql_funcs,
     "viewshed_plane": q_viewshed_plane,
     "polygonize_census": q_polygonize_census,
+    "fillnodata": q_fillnodata,
 }
 
 
@@ -3044,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_sql_funcs": SQL_VECTOR_SQL_FUNCS,
         "viewshed_plane": _OR.sql_viewshed_plane(16, 64),
         "polygonize_census": _OR.sql_polygonize_census(),
+        "fillnodata": _OR.sql_fillnodata(48),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
