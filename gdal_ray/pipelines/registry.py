@@ -321,3 +321,77 @@ def _hillshade(ds, variant: str = "horn", azimuth: float = 315.0,
         return {"mean_shade_byte": float(out.mean())}
 
     return ds.map_batches(image_op(sh), batch_format="pyarrow")
+
+
+@register_step("translate")
+def _translate(ds, window=None, bands=None, scale=None, offset: float = 0.0,
+               out_size=None, resampling: str = "near", **kw):
+    """gdal_translate core: window/bands/scale/resize per image, output
+    re-encoded in place of the bytes column."""
+    import numpy as np
+    import pyarrow as pa
+    from ..codecs import decode as _dec, encode as _enc
+    from ..stages.raster_ops import translate, to_uint8
+
+    def parse_ints(v):
+        if v is None or v == "":
+            return None
+        if isinstance(v, str):
+            return tuple(int(t) for t in v.split(","))
+        return tuple(int(t) for t in v)
+
+    win = parse_ints(window)
+    bnd = parse_ints(bands)
+    osz = parse_ints(out_size)
+
+    def tr(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            out = translate(px, window=win, bands=bnd,
+                            scale=None if scale is None else float(scale),
+                            offset=float(offset), out_size=osz,
+                            resampling=resampling)
+            blobs.append(_enc(to_uint8(np.asarray(out, np.float64)), "png"))
+        cols = {c: t.column(c) for c in t.column_names}
+        cols["bytes"] = pa.array(blobs, pa.binary())
+        cols["fmt"] = pa.array(["png"] * t.num_rows)
+        return pa.table(cols)
+
+    return ds.map_batches(tr, batch_format="pyarrow")
+
+
+@register_step("calc")
+def _calc(ds, expr: str = "(A+B)/2", **kw):
+    """gdal_raster_calc band algebra: A/B/C bind to bands 0/1/2 of each
+    image; emits the per-image mean of the result."""
+    import numpy as np
+    from ..functions.calc import band_calc
+    from ..stages.raster_ops import image_op
+
+    def c(px, row):
+        names = "ABCDEFGH"
+        nb = 1 if px.ndim == 2 else px.shape[2]
+        bands = {names[i]: (px if px.ndim == 2 else px[:, :, i])
+                 for i in range(min(nb, len(names)))}
+        out = band_calc(bands, expr)
+        return {"calc_mean": float(np.nanmean(out))}
+
+    return ds.map_batches(image_op(c), batch_format="pyarrow")
+
+
+@register_step("reclassify")
+def _reclassify(ds, rules: str = "[0,128)=0; [128,256)=1", nodata=None,
+                **kw):
+    """raster reclassify with the reference's textual grammar
+    (frmts/vrt/vrtreclassifier.h); emits the per-image value sum."""
+    import numpy as np
+    from ..stages.raster_ops import image_op, reclassify_text
+
+    def rc(px, row):
+        out = reclassify_text(px[:, :, 0].astype(np.float64), rules,
+                              nodata=None if nodata is None
+                              else float(nodata))
+        return {"reclass_sum": float(out.sum())}
+
+    return ds.map_batches(image_op(rc), batch_format="pyarrow")

@@ -81,3 +81,18 @@ def test_hillshade_step_variants(ray_session):
     df = run_pipeline(
         "read_images n=8 ! hillshade variant=igor ! limit n=2").to_pandas()
     assert "mean_shade_byte" in df.columns
+
+
+def test_translate_calc_reclassify_steps(ray_session):
+    from gdal_ray.codecs import decode
+    from gdal_ray.pipelines.registry import run_pipeline
+    df = run_pipeline(
+        "read_images n=8 ! translate window=0,0,64,64 out_size=32,32 "
+        "! limit n=1").to_pandas()
+    assert decode(df["bytes"][0], "png").shape[:2] == (32, 32)
+    df2 = run_pipeline(
+        "read_images n=8 ! calc expr=(A+B)/2 ! limit n=1").to_pandas()
+    assert "calc_mean" in df2.columns
+    df3 = run_pipeline("read_images n=8 ! reclassify ! limit n=1"
+                       ).to_pandas()
+    assert "reclass_sum" in df3.columns
