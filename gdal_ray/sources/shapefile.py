@@ -179,3 +179,139 @@ def read_shapefile(path: str) -> pa.Table:
 def read_shapefile_dataset(path: str):
     import ray.data as rd
     return rd.from_arrow(read_shapefile(path))
+
+
+# ---------------------------------------------------------------------------
+# writer (.shp + .shx + .dbf)
+# ---------------------------------------------------------------------------
+
+_SHAPE_TYPE = {W.POINT: 1, W.LINESTRING: 3, W.POLYGON: 5}
+
+
+def _shape_record(g) -> tuple[int, bytes]:
+    """One geometry → (shape_type, record content bytes)."""
+    t = g.geom_type
+    base = g
+    if t in (W.POINT + 3, W.LINESTRING + 3, W.POLYGON + 3):  # Multi*
+        # MultiPolygon flattens into one record's parts list; Multi
+        # point/linestring take the first part's type with all parts
+        t -= 3
+    if t == W.POINT:
+        x, y = float(g.coords[0, 0]), float(g.coords[0, 1])
+        return 1, struct.pack("<i2d", 1, x, y)
+    if t == W.LINESTRING:
+        parts = [g.coords] if g.geom_type == W.LINESTRING \
+            else [p.coords for p in g.parts]
+        return 3, _poly_content(3, parts)
+    if t == W.POLYGON:
+        rings = []
+        polys = [g] if g.geom_type == W.POLYGON else g.parts
+        for p in polys:
+            for j, r in enumerate(p.rings):
+                rr = np.asarray(r, np.float64)
+                # outer rings CLOCKWISE, holes CCW (spec)
+                a = _geom.ring_area(rr)
+                if (j == 0 and a > 0) or (j > 0 and a < 0):
+                    rr = rr[::-1]
+                rings.append(rr)
+        return 5, _poly_content(5, rings)
+    raise ValueError(f"unsupported geometry type {g.type_name} "
+                     "for shapefile")
+
+
+def _poly_content(stype: int, parts: list[np.ndarray]) -> bytes:
+    allpts = np.vstack(parts)
+    minx, miny = allpts.min(axis=0)
+    maxx, maxy = allpts.max(axis=0)
+    offs, total = [], 0
+    for p in parts:
+        offs.append(total)
+        total += len(p)
+    out = struct.pack("<i4d2i", stype, minx, miny, maxx, maxy,
+                      len(parts), total)
+    out += struct.pack(f"<{len(offs)}i", *offs)
+    out += allpts.astype("<f8").tobytes()
+    return out
+
+
+def write_shapefile(table: pa.Table, path: str, *,
+                    wkb_col: str = "wkb") -> int:
+    """Write a layer as .shp/.shx/.dbf (ESRI whitepaper layout; the
+    reference's write side is ogr/ogrsf_frmts/shape/shpopen.c). All
+    geometries must share one shape class (point / line / polygon,
+    multi allowed). Attribute columns become DBF fields: floats N
+    19.8, ints N 18.0, everything else C 64. Returns feature count."""
+    import os
+
+    geoms = [W.loads(b) for b in table.column(wkb_col).to_pylist()]
+    if not geoms:
+        raise ValueError("empty layer")
+    records = [_shape_record(g) for g in geoms]
+    stypes = {s for s, _ in records}
+    if len(stypes) != 1:
+        raise ValueError(f"mixed shape types {stypes}")
+    stype = stypes.pop()
+    envs = np.array([g.envelope() for g in geoms], np.float64)
+    bbox = (envs[:, 0].min(), envs[:, 1].min(),
+            envs[:, 2].max(), envs[:, 3].max())
+
+    def header(total_words: int) -> bytes:
+        return struct.pack(">7i", 9994, 0, 0, 0, 0, 0, total_words) \
+            + struct.pack("<2i8d", 1000, stype, *bbox, 0, 0, 0, 0)
+
+    shp_body = bytearray()
+    shx_body = bytearray()
+    for i, (_, content) in enumerate(records):
+        off_words = (100 + len(shp_body)) // 2
+        shp_body += struct.pack(">2i", i + 1, len(content) // 2) + content
+        shx_body += struct.pack(">2i", off_words, len(content) // 2)
+
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    with open(base + ".shp", "wb") as f:
+        f.write(header((100 + len(shp_body)) // 2))
+        f.write(shp_body)
+    with open(base + ".shx", "wb") as f:
+        f.write(header((100 + len(shx_body)) // 2))
+        f.write(shx_body)
+
+    # DBF — fid is positional in this engine (like OGR's implicit FID),
+    # so it is not materialized as a field
+    skip = {wkb_col, "fid", "minx", "miny", "maxx", "maxy"}
+    fields = [(n, table.schema.field(n).type) for n in table.column_names
+              if n not in skip]
+    descs, widths, kinds = [], [], []
+    for name, typ in fields:
+        import pyarrow.types as pt
+        if pt.is_floating(typ):
+            kind, width, dec = b"N", 19, 8
+        elif pt.is_integer(typ):
+            kind, width, dec = b"N", 18, 0
+        else:
+            kind, width, dec = b"C", 64, 0
+        nm = name.encode()[:10].ljust(11, b"\x00")
+        descs.append(nm + kind + b"\x00" * 4
+                     + bytes([width, dec]) + b"\x00" * 14)
+        widths.append(width)
+        kinds.append(kind)
+    n = table.num_rows
+    rec_size = 1 + sum(widths)
+    hdr_size = 32 + 32 * len(descs) + 1
+    dbf = bytearray()
+    dbf += struct.pack("<B3BIHH20x", 0x03, 126, 1, 1, n, hdr_size,
+                       rec_size)
+    dbf += b"".join(descs) + b"\x0d"
+    cols = [table.column(name).to_pylist() for name, _ in fields]
+    for i in range(n):
+        dbf += b" "
+        for j, (w_, k_) in enumerate(zip(widths, kinds)):
+            v = cols[j][i]
+            if k_ == b"N":
+                txt = ("" if v is None else
+                       (f"{v:.8f}" if isinstance(v, float) else str(int(v))))
+                dbf += txt.rjust(w_)[:w_].encode()
+            else:
+                dbf += str("" if v is None else v).ljust(w_)[:w_].encode()
+    dbf += b"\x1a"
+    with open(base + ".dbf", "wb") as f:
+        f.write(dbf)
+    return n

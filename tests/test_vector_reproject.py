@@ -112,3 +112,60 @@ def test_arrow_ipc_roundtrip():
     assert write_arrow(t, "/tmp/layer_rt.arrow") == 1
     back = read_vector("/tmp/layer_rt.arrow")
     assert back.num_rows == 1 and back["tag"][0].as_py() == "x"
+
+
+def test_shapefile_writer_roundtrip(tmp_path):
+    """write_shapefile → read_shapefile: geometry, ring orientation,
+    DBF N/C fields (ESRI whitepaper layout)."""
+    import pyarrow as pa
+    from gdal_ray.sources.shapefile import read_shapefile, write_shapefile
+
+    path = str(tmp_path / "layer.shp")
+    tri = W.polygon(np.array([[20.0, 20.0], [30.0, 20.0],
+                              [25.0, 30.0], [20.0, 20.0]]))
+    t = pa.table({"fid": [0, 1], "name": ["alpha", "beta"],
+                  "score": [1.25, -3.5],
+                  "wkb": [W.dumps(W.box(0, 0, 10, 10)), W.dumps(tri)],
+                  "minx": [0.0, 20.0], "miny": [0.0, 20.0],
+                  "maxx": [10.0, 30.0], "maxy": [10.0, 30.0]})
+    assert write_shapefile(t, path) == 2
+    back = read_shapefile(path)
+    assert back.num_rows == 2
+    assert back["name"].to_pylist() == ["alpha", "beta"]
+    assert back["score"].to_pylist() == [1.25, -3.5]
+    from gdal_ray.core.geom import area
+    assert area(W.loads(back["wkb"][0].as_py())) == pytest.approx(100.0)
+    assert area(W.loads(back["wkb"][1].as_py())) == pytest.approx(50.0)
+
+
+def test_shapefile_writer_point_line(tmp_path):
+    import pyarrow as pa
+    from gdal_ray.sources.shapefile import read_shapefile, write_shapefile
+
+    p = str(tmp_path / "pts.shp")
+    t = pa.table({"fid": [0], "wkb": [W.dumps(W.point(5.0, 6.0))],
+                  "minx": [5.0], "miny": [6.0],
+                  "maxx": [5.0], "maxy": [6.0]})
+    write_shapefile(t, p)
+    assert W.loads(read_shapefile(p)["wkb"][0].as_py()) \
+        .coords.tolist() == [[5.0, 6.0]]
+    ln = str(tmp_path / "ln.shp")
+    ls = W.linestring(np.array([[0.0, 0.0], [5.0, 5.0], [9.0, 2.0]]))
+    t2 = pa.table({"fid": [0], "wkb": [W.dumps(ls)], "minx": [0.0],
+                   "miny": [0.0], "maxx": [9.0], "maxy": [5.0]})
+    write_shapefile(t2, ln)
+    assert W.loads(read_shapefile(ln)["wkb"][0].as_py()).coords.shape \
+        == (3, 2)
+
+
+def test_shapefile_writer_rejects_mixed(tmp_path):
+    import pyarrow as pa
+    from gdal_ray.sources.shapefile import write_shapefile
+
+    t = pa.table({"fid": [0, 1],
+                  "wkb": [W.dumps(W.point(1.0, 1.0)),
+                          W.dumps(W.box(0, 0, 1, 1))],
+                  "minx": [1.0, 0.0], "miny": [1.0, 0.0],
+                  "maxx": [1.0, 1.0], "maxy": [1.0, 1.0]})
+    with pytest.raises(ValueError):
+        write_shapefile(t, str(tmp_path / "mix.shp"))
