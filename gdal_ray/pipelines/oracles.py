@@ -1516,3 +1516,35 @@ SELECT image_id,
        TRUE AS all_filled
 FROM px GROUP BY image_id
 """
+
+
+def sql_vector_translate(m: int = 40) -> str:
+    """ogr2ogr roundtrip envelopes: category 'b' boxes are j % 3 == 1,
+    written positionally (shapefile FID i ↔ source box j = 3i + 1);
+    same mercator inverse algebra as sql_vector_reproject."""
+    from ..core.mercator import ORIGIN_SHIFT as OS
+    bx, by = G.sql_point_xy("(j * 5 + 2)")
+
+    def LON(x):
+        return f"(({x}) / {OS!r}) * 180.0"
+
+    def LAT(y):
+        return (f"180.0 / pi() * (2.0 * atan(exp((({y}) / {OS!r}) * 180.0"
+                f" * pi() / 180.0)) - pi() / 2.0)")
+
+    n_sel = (m + 1) // 3
+    return f"""
+WITH sel AS (
+  SELECT i AS fid, 3 * i + 1 AS j
+  FROM generate_series(0, {n_sel - 1}) t(i)),
+boxes AS (
+  SELECT fid, {bx} AS bcx, {by} AS bcy,
+         4000.0 * (1 + (j * 11) % 3) AS s
+  FROM sel)
+SELECT fid,
+       ROUND({LON('bcx - s')}, 4) AS lon0,
+       ROUND({LAT('bcy - s')}, 4) AS lat0,
+       ROUND({LON('bcx + s')}, 4) AS lon1,
+       ROUND({LAT('bcy + s')}, 4) AS lat1
+FROM boxes
+"""

@@ -2875,6 +2875,47 @@ def q_fillnodata(sf_dir: str):
         .select_columns(["image_id", "n_holes", "sum_kept", "all_filled"])
 
 
+def q_vector_translate(sf_dir: str):
+    """ogr2ogr end-to-end (apps/ogr2ogr_lib.cpp composition traced in
+    SURVEY §3.2): attribute filter (-where category='b') → CRS
+    transform (-t_srs EPSG:4326) → shapefile write → read BACK through
+    the driver manager; per-feature reprojected envelopes of the
+    roundtripped layer hash-check against the closed-form mercator
+    algebra. Any filter, transform, writer or reader bug breaks it."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+    from ..core import wkb as W
+    from ..sources.drivers import read_vector
+    from ..sources.shapefile import write_shapefile
+    from ..sources.vector import boxes_dataset
+    from ..stages.vector_ops import reproject_wkb_batch
+
+    ds = boxes_dataset(40) \
+        .filter(lambda r: r["category"] == "b") \
+        .map_batches(lambda t: reproject_wkb_batch(t, "EPSG:3857",
+                                                   "EPSG:4326"),
+                     batch_format="pyarrow")
+    # layer write is a bounded final (13-feature filter result); the
+    # shapefile's FID becomes positional, so read-back fid i maps to
+    # source box j = 3i + 1 (category cycle), which the oracle replays
+    table = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_ray_ogr2ogr_{os.getpid()}.shp")
+    write_shapefile(table, path)
+    back = read_vector(path)
+    out = {"fid": [], "lon0": [], "lat0": [], "lon1": [], "lat1": []}
+    for i in range(back.num_rows):
+        e = W.loads(back["wkb"][i].as_py()).envelope()
+        out["fid"].append(back["fid"][i].as_py())
+        out["lon0"].append(_half_away([e[0]])[0])
+        out["lat0"].append(_half_away([e[1]])[0])
+        out["lon1"].append(_half_away([e[2]])[0])
+        out["lat1"].append(_half_away([e[3]])[0])
+    return pd.DataFrame(out)
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -2979,6 +3020,7 @@ QUERIES = {
     "viewshed_plane": q_viewshed_plane,
     "polygonize_census": q_polygonize_census,
     "fillnodata": q_fillnodata,
+    "vector_translate": q_vector_translate,
 }
 
 
@@ -3072,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
         "viewshed_plane": _OR.sql_viewshed_plane(16, 64),
         "polygonize_census": _OR.sql_polygonize_census(),
         "fillnodata": _OR.sql_fillnodata(48),
+        "vector_translate": _OR.sql_vector_translate(40),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
