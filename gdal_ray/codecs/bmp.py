@@ -141,7 +141,6 @@ def encode_bmp(px: np.ndarray, palette=None) -> bytes:
     out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0,
                        stride * h, 2835, 2835, n_pal, 0)
     if bits == 8:
-        pal = np.arange(256, dtype=np.uint8) if palette is None else None
         tbl = np.zeros((256, 4), np.uint8)
         if palette is None:
             tbl[:, 0] = tbl[:, 1] = tbl[:, 2] = np.arange(256)
