@@ -395,3 +395,40 @@ def _reclassify(ds, rules: str = "[0,128)=0; [128,256)=1", nodata=None,
         return {"reclass_sum": float(out.sum())}
 
     return ds.map_batches(image_op(rc), batch_format="pyarrow")
+
+
+def _collect_layer(ds):
+    """Bounded final collect for single-file layer sinks (shapefile /
+    geojson are single-file formats; sharded output goes through
+    write_parquet)."""
+    import pyarrow as pa
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+@register_step("write_shapefile")
+def _write_shapefile(ds, path: str = "", **kw):
+    from ..sources.shapefile import write_shapefile
+    write_shapefile(_collect_layer(ds), path)
+    return ds
+
+
+@register_step("write_geojson")
+def _write_geojson(ds, path: str = "", seq: bool = False, **kw):
+    from ..sources.geojson import write_geojson, write_geojsonseq
+    t = _collect_layer(ds)
+    (write_geojsonseq if seq else write_geojson)(t, path)
+    return ds
+
+
+@register_step("write_csv")
+def _write_csv(ds, path: str = "", **kw):
+    from ..sources.csvio import write_csv
+    write_csv(_collect_layer(ds), path)
+    return ds
+
+
+@register_step("read_vector")
+def _read_vector_step(ds, path: str = "", **kw):
+    """Any registered vector driver by extension (driver manager)."""
+    from ..sources.drivers import read_vector_dataset
+    return read_vector_dataset(path)

@@ -51,9 +51,12 @@ class TestRun:
                                        pc.multiply(t["w"], 2)),
                 batch_format="pyarrow")
 
-        base = run_pipeline("read_images n=3 ! select cols=image_id,w").to_pandas()
+        base = run_pipeline("read_images n=3 ! select cols=image_id,w") \
+            .to_pandas().sort_values("image_id").reset_index(drop=True)
         out = run_pipeline(
-            "read_images n=3 ! double_w ! select cols=image_id,w").to_pandas()
+            "read_images n=3 ! double_w ! select cols=image_id,w") \
+            .to_pandas().sort_values("image_id").reset_index(drop=True)
+        # block arrival order is nondeterministic — compare by key
         assert (out["w"].to_numpy() == base["w"].to_numpy() * 2).all()
 
     def test_sort_limit(self, ray_session):
@@ -96,3 +99,15 @@ def test_translate_calc_reclassify_steps(ray_session):
     df3 = run_pipeline("read_images n=8 ! reclassify ! limit n=1"
                        ).to_pandas()
     assert "reclass_sum" in df3.columns
+
+
+def test_write_read_vector_steps(ray_session, tmp_path):
+    from gdal_ray.pipelines.registry import run_pipeline
+    shp = str(tmp_path / "boxes.shp")
+    run_pipeline(f"read_polygons n=6 ! write_shapefile path={shp}")
+    back = run_pipeline(f"read_vector path={shp}").to_pandas()
+    assert len(back) == 6 and "wkb" in back.columns
+    gj = str(tmp_path / "boxes.geojsonl")
+    run_pipeline(f"read_polygons n=6 ! write_geojson path={gj} seq=true")
+    back2 = run_pipeline(f"read_vector path={gj}").to_pandas()
+    assert len(back2) == 6
