@@ -1548,3 +1548,19 @@ SELECT fid,
        ROUND({LAT('bcy + s')}, 4) AS lat1
 FROM boxes
 """
+
+
+def sql_caption_passthrough(n: int = 96) -> str:
+    """Caption invariant oracle: the exact generator string
+    ('caption for img%08d é%d', sources/images.py::caption_of) plus its
+    UTF-8 byte length (the é makes it len+1)."""
+    return f"""
+WITH ids AS (SELECT g AS i FROM generate_series(0, {n - 1}) t(g)),
+c AS (SELECT printf('img%08d', i) AS image_id,
+             'caption for img' || printf('%08d', i) || ' é' || (i % 7)
+               AS caption
+      FROM ids)
+SELECT image_id, caption,
+       octet_length(encode(caption))::BIGINT AS caption_bytes
+FROM c
+"""

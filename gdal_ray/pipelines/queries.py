@@ -2916,6 +2916,35 @@ def q_vector_translate(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def q_caption_passthrough(sf_dir: str):
+    """North-star caption invariant: captions must survive BYTE-FOR-BYTE
+    through a decode → translate → re-encode stage (the reference has
+    no text payload; our engine carries it as an opaque column). The
+    query pushes every image through a real pixel transform and emits
+    the caption and its UTF-8 byte length; the oracle reconstructs both
+    closed-form from the corpus generator (printf + the non-ASCII é
+    marker that catches any encoding mangling)."""
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import translate
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        from ..codecs import decode as _dec, encode as _enc
+        caps = t["caption"].to_pylist()
+        out_caps, blens = [], []
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            small = translate(px, out_size=(16, 16), resampling="near")
+            _enc(np.asarray(small, np.uint8), "png")   # full re-encode
+            out_caps.append(caps[i])
+            blens.append(len(caps[i].encode("utf-8")))
+        return pa.table({"image_id": t["image_id"],
+                         "caption": pa.array(out_caps, pa.string()),
+                         "caption_bytes": pa.array(blens, pa.int64())})
+
+    return images_dataset(96).map_batches(roundtrip,
+                                          batch_format="pyarrow")
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -3021,6 +3050,7 @@ QUERIES = {
     "polygonize_census": q_polygonize_census,
     "fillnodata": q_fillnodata,
     "vector_translate": q_vector_translate,
+    "caption_passthrough": q_caption_passthrough,
 }
 
 
@@ -3115,6 +3145,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_census": _OR.sql_polygonize_census(),
         "fillnodata": _OR.sql_fillnodata(48),
         "vector_translate": _OR.sql_vector_translate(40),
+        "caption_passthrough": _OR.sql_caption_passthrough(96),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
