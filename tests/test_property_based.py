@@ -160,3 +160,40 @@ def test_xyz_roundtrip_fuzz(w, h, seed):
     out, got_gt = decode_xyz(encode_xyz(band, gt))
     assert np.allclose(out, band)
     assert np.allclose(got_gt, gt, rtol=1e-9)
+
+
+@given(
+    k=st.integers(0, 7),
+    lon=st.floats(4.6, 5.4), lat=st.floats(43.6, 44.4),
+    h=st.floats(0.0, 400.0),
+)
+@settings(max_examples=40, deadline=None)
+def test_rpc_inverse_fuzz(k, lon, lat, h):
+    from gdal_ray.core.rpc import synthetic_rpc
+    m = synthetic_rpc(k)
+    px, ln = m.geo_to_pixel(np.array([lon]), np.array([lat]), h)
+    rlon, rlat, ok = m.pixel_to_geo(px, ln, h, max_iterations=16,
+                                    threshold=1e-6)
+    assert ok.all()
+    assert abs(float(rlon[0]) - lon) < 1e-7
+    assert abs(float(rlat[0]) - lat) < 1e-7
+
+
+@given(
+    px=st.floats(0.0, 256.0), ln=st.floats(0.0, 256.0),
+    d=st.integers(0, 3),
+)
+@settings(max_examples=40, deadline=None)
+def test_geoloc_inverse_fuzz(px, ln, d):
+    from gdal_ray.core.geoloc import GeolocTransformer
+    gl, gp = np.meshgrid(np.arange(33.0), np.arange(33.0), indexing="ij")
+    dd = 0.01 * d
+    gx = 100.0 + 2.5 * gp + 0.25 * gl + dd * gp * gl
+    gy = 200.0 + 0.125 * gp + 3.0 * gl - dd * gp * gl
+    tr = GeolocTransformer(gx, gy, pixel_step=8.0, line_step=8.0)
+    X, Y, ok = tr.pixel_to_geo(np.array([px]), np.array([ln]))
+    assert ok.all()
+    rpx, rln, conv = tr.geo_to_pixel(X, Y)
+    assert conv.all()
+    assert abs(float(rpx[0]) - px) < 1e-6
+    assert abs(float(rln[0]) - ln) < 1e-6
