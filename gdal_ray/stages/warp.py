@@ -476,3 +476,42 @@ def warp_output_grid(src_gt, src_w: int, src_h: int, fwd, *,
     else:
         return sug_gt, sug_w, sug_h
     return (minx, xres, 0.0, maxy, 0.0, -yres), dst_w, dst_h
+
+
+def rpc_warp(src: np.ndarray, model, *, height: float = 0.0,
+             resampling: str = "bilinear", max_error: float = 0.125,
+             dst_grid=None):
+    """Warp one RPC-modelled image onto a north-up lon/lat grid
+    (gdalwarp METHOD=RPC, alg/gdal_rpc.cpp, at a constant terrain
+    height — the reference's RPC_HEIGHT option; the DEM lookup is out
+    of scope). Image→geo is the iterative inverse, used only on the
+    21-point edge walk for the suggested output; the per-pixel inverse
+    mapping geo→image is the DIRECT ratio polynomial, so the hot path
+    is pure vectorized arithmetic through the error-bounded mesh.
+
+    Returns (dst_pixels, valid_mask, dst_gt)."""
+    if src.ndim == 2:
+        src3, squeeze = src[:, :, None], True
+    else:
+        src3, squeeze = src, False
+    h, w = src3.shape[:2]
+    IDENT = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+    def fwd(px, ln):
+        lon, lat, _ = model.pixel_to_geo(np.asarray(px, np.float64),
+                                         np.asarray(ln, np.float64),
+                                         height, max_iterations=16,
+                                         threshold=1e-6)
+        return lon, lat
+
+    def inv(lon, lat):
+        return model.geo_to_pixel(lon, lat, height)
+
+    if dst_grid is None:
+        dst_gt, dst_w, dst_h = suggested_warp_output(IDENT, w, h, fwd)
+    else:
+        dst_gt, dst_w, dst_h = dst_grid
+    sx, sy = approx_src_coords(dst_gt, IDENT, inv, dst_w, dst_h,
+                               max_error=max_error)
+    out, valid = sample_grid(src3, sx, sy, resampling)
+    return (out[:, :, 0] if squeeze else out), valid, dst_gt

@@ -77,3 +77,45 @@ def test_bad_coefficient_length_raises():
                  long_scale=1, height_scale=1,
                  line_num=np.zeros(19), line_den=np.zeros(20),
                  samp_num=np.zeros(20), samp_den=np.zeros(20))
+
+
+def test_rpc_warp_roundtrip_geometry():
+    """rpc_warp: a synthetic RPC image warps onto lon/lat; the dst
+    grid must cover the forward-projected corners, and warping a
+    constant image yields that constant wherever valid."""
+    import numpy as np
+    from gdal_ray.stages.warp import rpc_warp
+
+    m = synthetic_rpc(2)
+    src = np.full((256, 256), 77.0)
+    out, valid, gt = rpc_warp(src, m, resampling="near")
+    assert valid.any()
+    assert (out[valid] == 77.0).all()
+    # corners of the image map inside the dst grid bounds
+    lon, lat, ok = m.pixel_to_geo(np.array([0.0, 256.0]),
+                                  np.array([0.0, 256.0]),
+                                  0.0, max_iterations=16, threshold=1e-6)
+    assert ok.all()
+    minx, maxy = gt[0], gt[3]
+    maxx = minx + out.shape[1] * gt[1]
+    miny = maxy + out.shape[0] * gt[5]
+    assert (lon >= minx - 1e-9).all() and (lon <= maxx + 1e-9).all()
+    assert (lat >= miny - 1e-9).all() and (lat <= maxy + 1e-9).all()
+
+
+def test_rpc_warp_gradient_values():
+    """Warping a lon-aligned gradient: output columns follow the
+    direct polynomial's sampling (spot-check the center pixel)."""
+    import numpy as np
+    from gdal_ray.stages.warp import rpc_warp
+
+    m = synthetic_rpc(0)   # pure linear model
+    gy, gx = np.mgrid[0:256, 0:256]
+    src = gx.astype(np.float64)
+    out, valid, gt = rpc_warp(src, m, resampling="bilinear")
+    ch, cw = out.shape[0] // 2, out.shape[1] // 2
+    assert valid[ch, cw]
+    lon = gt[0] + (cw + 0.5) * gt[1]
+    lat = gt[3] + (ch + 0.5) * gt[5]
+    px, _ = m.geo_to_pixel(lon, lat, 0.0)
+    assert abs(out[ch, cw] - (float(px) - 0.5)) < 0.6
