@@ -515,3 +515,37 @@ def rpc_warp(src: np.ndarray, model, *, height: float = 0.0,
                                max_error=max_error)
     out, valid = sample_grid(src3, sx, sy, resampling)
     return (out[:, :, 0] if squeeze else out), valid, dst_gt
+
+
+def geoloc_warp(src: np.ndarray, transformer, *,
+                resampling: str = "bilinear", max_error: float = 0.125,
+                dst_grid=None):
+    """Warp one geolocation-array-referenced image onto a north-up geo
+    grid (gdalwarp -geoloc, alg/gdalgeoloc.cpp): forward pixel→geo is
+    the array bilinear (edge-walk only), the per-pixel inverse runs
+    through the transformer's backmap + Newton polish inside the
+    error-bounded mesh. Returns (dst_pixels, valid_mask, dst_gt)."""
+    if src.ndim == 2:
+        src3, squeeze = src[:, :, None], True
+    else:
+        src3, squeeze = src, False
+    h, w = src3.shape[:2]
+    IDENT = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+    def fwd(px, ln):
+        X, Y, _ = transformer.pixel_to_geo(px, ln)
+        return X, Y
+
+    def inv(X, Y):
+        px, ln, _ = transformer.geo_to_pixel(np.asarray(X, np.float64),
+                                             np.asarray(Y, np.float64))
+        return px, ln
+
+    if dst_grid is None:
+        dst_gt, dst_w, dst_h = suggested_warp_output(IDENT, w, h, fwd)
+    else:
+        dst_gt, dst_w, dst_h = dst_grid
+    sx, sy = approx_src_coords(dst_gt, IDENT, inv, dst_w, dst_h,
+                               max_error=max_error)
+    out, valid = sample_grid(src3, sx, sy, resampling)
+    return (out[:, :, 0] if squeeze else out), valid, dst_gt

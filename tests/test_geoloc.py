@@ -82,3 +82,38 @@ def test_offsets_and_steps():
 def test_shape_mismatch_raises():
     with pytest.raises(ValueError):
         GeolocTransformer(np.zeros((3, 3)), np.zeros((3, 4)))
+
+
+def test_geoloc_warp_constant_and_affine():
+    """geoloc_warp on an affine geoloc grid: constant image warps to
+    that constant; the dst grid covers the geoloc extent."""
+    from gdal_ray.stages.warp import geoloc_warp
+
+    gx, gy = _affine_grid(33, 33)
+    tr = GeolocTransformer(gx, gy, pixel_step=8.0, line_step=8.0)
+    src = np.full((256, 256), 42.0)
+    out, valid, gt = geoloc_warp(src, tr, resampling="near")
+    assert valid.any()
+    assert (out[valid] == 42.0).all()
+    # extent: geo_x spans [10, 10+3*32]; dst grid must cover it
+    assert gt[0] <= 10.0 + 1e-9
+    assert gt[0] + out.shape[1] * gt[1] >= 10.0 + 3 * 32 - 1e-9
+
+
+def test_geoloc_warp_gradient_identityish():
+    """A geoloc grid that IS an affine map warps a gradient image
+    consistently with direct sampling at the center."""
+    from gdal_ray.stages.warp import geoloc_warp
+
+    gx, gy = _affine_grid(33, 33)
+    tr = GeolocTransformer(gx, gy, pixel_step=8.0, line_step=8.0)
+    gyy, gxx = np.mgrid[0:256, 0:256]
+    src = gxx.astype(np.float64)
+    out, valid, gt = geoloc_warp(src, tr, resampling="bilinear")
+    ch, cw = out.shape[0] // 2, out.shape[1] // 2
+    assert valid[ch, cw]
+    X = gt[0] + (cw + 0.5) * gt[1]
+    Y = gt[3] + (ch + 0.5) * gt[5]
+    px, ln, ok = tr.geo_to_pixel(np.array([X]), np.array([Y]))
+    assert ok.all()
+    assert abs(out[ch, cw] - (float(px[0]) - 0.5)) < 0.6
