@@ -1564,3 +1564,22 @@ SELECT image_id, caption,
        octet_length(encode(caption))::BIGINT AS caption_bytes
 FROM c
 """
+
+
+def sql_raster_stack(n: int = 64) -> str:
+    """Stacked band means: pairs (i, i+16) share dims by construction
+    of the W/H cycles; mean_b0/mean_b1 are plain averages of each
+    source's closed-form band-0 pixels."""
+    return f"""
+WITH {sql_images_cte(n, png_only=True)},
+gxs AS (SELECT g AS gx FROM generate_series(0, 511) t(g)),
+gys AS (SELECT g AS gy FROM generate_series(0, 511) t(g)),
+m AS (
+  SELECT i, image_id, ROUND(AVG((a * gx + b * gy) % 256), 4) AS mean_v
+  FROM imgs JOIN gxs ON gx < w JOIN gys ON gy < h
+  GROUP BY i, image_id),
+pairs AS (
+  SELECT a.i AS pair_id, a.mean_v AS mean_b0, b.mean_v AS mean_b1
+  FROM m a JOIN m b ON b.i = a.i + 16)
+SELECT pair_id, mean_b0, mean_b1 FROM pairs
+"""

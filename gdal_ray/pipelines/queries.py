@@ -2945,6 +2945,48 @@ def q_caption_passthrough(sf_dir: str):
                                           batch_format="pyarrow")
 
 
+def q_raster_stack(sf_dir: str):
+    """gdal raster stack / gdalbuildvrt -separate: pair each lossless
+    image with its same-dimension successor (i, i+16 — the dims cycles
+    repeat every 16 indices), stack band 0 of both into a 2-band
+    image, emit per-pair band means. The means are
+    closed-form in SQL over both sources' pixel formulas; same-dims
+    pairing keeps the resample out of the oracle path (resampled
+    stacking is pytest-covered)."""
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import band_stack
+
+    def stack_pairs(t: pa.Table) -> pa.Table:
+        from ..codecs import decode as _dec
+        rows = t.to_pylist()
+        by_id = {int(r["image_id"][3:]): r for r in rows}
+        out = {"pair_id": [], "mean_b0": [], "mean_b1": []}
+        for i, r in sorted(by_id.items()):
+            j = i + 16
+            other = by_id.get(j)
+            if other is None or r["w"] != other["w"] \
+                    or r["h"] != other["h"]:
+                continue
+            a = _dec(r["bytes"], r["fmt"])[:, :, 0]
+            b = _dec(other["bytes"], other["fmt"])[:, :, 0]
+            s = band_stack([a, b])
+            out["pair_id"].append(i)
+            out["mean_b0"].append(
+                _half_away([float(s[:, :, 0].mean())])[0])
+            out["mean_b1"].append(
+                _half_away([float(s[:, :, 1].mean())])[0])
+        return pa.table({"pair_id": pa.array(out["pair_id"], pa.int64()),
+                         "mean_b0": pa.array(out["mean_b0"]),
+                         "mean_b1": pa.array(out["mean_b1"])})
+
+    # one batch holds the whole 64-image window so (i, i+2) pairs are
+    # co-located — a bounded demo corpus; at scale pairing is a cell
+    # join like every other co-partitioning here
+    return images_dataset(64, batch_size=64, parallelism=1) \
+        .map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(stack_pairs, batch_format="pyarrow", batch_size=64)
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -3051,6 +3093,7 @@ QUERIES = {
     "fillnodata": q_fillnodata,
     "vector_translate": q_vector_translate,
     "caption_passthrough": q_caption_passthrough,
+    "raster_stack": q_raster_stack,
 }
 
 
@@ -3146,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "fillnodata": _OR.sql_fillnodata(48),
         "vector_translate": _OR.sql_vector_translate(40),
         "caption_passthrough": _OR.sql_caption_passthrough(96),
+        "raster_stack": _OR.sql_raster_stack(64),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }

@@ -773,3 +773,25 @@ def neighbors(band: np.ndarray, *, method: str = "mean",
             best_val = np.where(take, srt[:, :, i], best_val)
         return best_val
     raise ValueError(f"unknown neighbors method {method!r}")
+
+
+def band_stack(pxs, *, resampling: str = "near") -> np.ndarray:
+    """gdal raster stack / gdalbuildvrt -separate
+    (apps/gdalalg_raster_stack.cpp): stack each input's bands into one
+    multi-band image on the FIRST input's grid; inputs with other
+    dimensions are resampled onto it (the reference's resolution
+    alignment)."""
+    if not pxs:
+        raise ValueError("band_stack needs at least one input")
+    first = pxs[0]
+    h, w = first.shape[:2]
+    out = []
+    for px in pxs:
+        v = px if px.ndim == 3 else px[:, :, None]
+        if v.shape[:2] != (h, w):
+            sh, sw = v.shape[:2]
+            src_gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+            dst_gt = (0.0, sw / w, 0.0, 0.0, 0.0, sh / h)
+            v, _ = warp(v, src_gt, dst_gt, (h, w), resampling)
+        out.append(v)
+    return np.concatenate(out, axis=2)

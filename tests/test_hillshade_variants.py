@@ -141,3 +141,14 @@ def test_neighbors_methods():
         neighbors(b, method="nope")
     with pytest.raises(ValueError):
         neighbors(b, size=4)
+
+
+def test_band_stack_resamples_to_first_grid():
+    from gdal_ray.stages.raster_ops import band_stack
+    a = np.full((8, 8), 3, np.uint8)
+    b = np.full((16, 16, 3), 9, np.uint8)
+    s = band_stack([a, b])
+    assert s.shape == (8, 8, 4)
+    assert s[0, 0].tolist() == [3, 9, 9, 9]
+    with pytest.raises(ValueError):
+        band_stack([])
