@@ -2987,6 +2987,61 @@ def q_raster_stack(sf_dir: str):
         .map_batches(stack_pairs, batch_format="pyarrow", batch_size=64)
 
 
+def q_top_ngrams(sf_dir: str):
+    """Per-language top-3 word bigrams (training-data corpus
+    analysis): map-side bigram counting (partial aggregation — the
+    exchange carries (lang, bigram, n) partials, never text), global
+    combine, deterministic top-3 per language (count desc, bigram
+    asc). The oracle recomputes it in SQL with string_split + window
+    rank."""
+    from ray.data.aggregate import Sum
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        langs_out, grams, counts = [], [], []
+        langs = t["lang"].to_pylist()
+        for i, text in enumerate(t["text"].to_pylist()):
+            toks = text.split(" ")
+            local: dict[str, int] = {}
+            for a, b in zip(toks, toks[1:]):
+                g = a + " " + b
+                local[g] = local.get(g, 0) + 1
+            for g, n in local.items():
+                langs_out.append(langs[i])
+                grams.append(g)
+                counts.append(n)
+        return pa.table({"lang": pa.array(langs_out),
+                         "bigram": pa.array(grams),
+                         "n": pa.array(counts, pa.int64())})
+
+    agg = _rp(sf_dir, "documents", ["text", "lang"]) \
+        .map_batches(bigrams, batch_format="pyarrow") \
+        .groupby(["lang", "bigram"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg = agg.sort_values(["lang", "n", "bigram"],
+                          ascending=[True, False, True])
+    top = agg.groupby("lang", sort=True).head(3).reset_index(drop=True)
+    return top.astype({"n": np.int64})
+
+
+SQL_TOP_NGRAMS = """
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS ts FROM documents),
+bg AS (
+  SELECT lang, ts[g] || ' ' || ts[g + 1] AS bigram
+  FROM toks JOIN generate_series(1, 8192) t(g)
+    ON g <= len(ts) - 1),
+cnt AS (
+  SELECT lang, bigram, COUNT(*)::BIGINT AS n
+  FROM bg GROUP BY lang, bigram),
+rk AS (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, bigram ASC) AS r
+  FROM cnt)
+SELECT lang, bigram, n FROM rk WHERE r <= 3
+"""
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -3094,6 +3149,7 @@ QUERIES = {
     "vector_translate": q_vector_translate,
     "caption_passthrough": q_caption_passthrough,
     "raster_stack": q_raster_stack,
+    "top_ngrams": q_top_ngrams,
 }
 
 
@@ -3190,6 +3246,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_translate": _OR.sql_vector_translate(40),
         "caption_passthrough": _OR.sql_caption_passthrough(96),
         "raster_stack": _OR.sql_raster_stack(64),
+        "top_ngrams": SQL_TOP_NGRAMS,
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
