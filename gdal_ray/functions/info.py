@@ -24,7 +24,10 @@ def raster_info(buf: bytes, fmt: str | None = None, *,
     from ..core.checksum import checksum
 
     geotransform = crs = nodata = None
-    driver = fmt
+    _CANON = {"png": "PNG", "jpeg": "JPEG", "jpg": "JPEG", "bmp": "BMP",
+              "pnm": "PNM", "pgm": "PNM", "ppm": "PNM", "gtiff": "GTiff",
+              "tif": "GTiff", "tiff": "GTiff"}
+    driver = _CANON.get(fmt, fmt) if fmt else None
     if (fmt in ("gtiff", "tif", "tiff")
             or (fmt is None and buf[:2] in (b"II", b"MM"))):
         from ..codecs.gtiff import decode_gtiff

@@ -1583,3 +1583,14 @@ pairs AS (
   FROM m a JOIN m b ON b.i = a.i + 16)
 SELECT pair_id, mean_b0, mean_b1 FROM pairs
 """
+
+
+def sql_raster_info(n: int = 64) -> str:
+    """gdalinfo surface recomputed: PNG driver, dims from the cycles,
+    3 bands, band-0 mean from the pixel formula."""
+    return sql_pixels_cte(n) + """
+SELECT image_id, 'PNG' AS driver, MIN(w)::BIGINT AS w,
+       MIN(h)::BIGINT AS h, 3::BIGINT AS bands,
+       ROUND(AVG(v0), 4) AS mean_b0
+FROM px GROUP BY image_id
+"""

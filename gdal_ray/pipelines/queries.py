@@ -3042,6 +3042,37 @@ SELECT lang, bigram, n FROM rk WHERE r <= 3
 """
 
 
+def q_raster_info(sf_dir: str):
+    """gdalinfo as a distributed stage (functions/info.py::raster_info
+    inside map_batches): per-image driver, dims, band count and band-0
+    mean — the info surface recomputed closed-form by the oracle."""
+    from ..functions.info import raster_info
+    from ..sources.images import images_dataset
+
+    def info(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "driver": [], "w": [], "h": [],
+               "bands": [], "mean_b0": []}
+        for i in range(t.num_rows):
+            inf = raster_info(t["bytes"][i].as_py(),
+                              t["fmt"][i].as_py())
+            out["image_id"].append(t["image_id"][i].as_py())
+            out["driver"].append(inf["driver"])
+            out["w"].append(inf["size"][0])
+            out["h"].append(inf["size"][1])
+            out["bands"].append(inf["bands"])
+            out["mean_b0"].append(
+                _half_away([inf["band_info"][0]["mean"]])[0])
+        return pa.table({"image_id": pa.array(out["image_id"]),
+                         "driver": pa.array(out["driver"]),
+                         "w": pa.array(out["w"], pa.int64()),
+                         "h": pa.array(out["h"], pa.int64()),
+                         "bands": pa.array(out["bands"], pa.int64()),
+                         "mean_b0": pa.array(out["mean_b0"])})
+
+    return images_dataset(64).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(info, batch_format="pyarrow")
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -3150,6 +3181,7 @@ QUERIES = {
     "caption_passthrough": q_caption_passthrough,
     "raster_stack": q_raster_stack,
     "top_ngrams": q_top_ngrams,
+    "raster_info": q_raster_info,
 }
 
 
@@ -3247,6 +3279,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_passthrough": _OR.sql_caption_passthrough(96),
         "raster_stack": _OR.sql_raster_stack(64),
         "top_ngrams": SQL_TOP_NGRAMS,
+        "raster_info": _OR.sql_raster_info(64),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
