@@ -3073,6 +3073,56 @@ def q_raster_info(sf_dir: str):
         .map_batches(info, batch_format="pyarrow")
 
 
+def q_sieve(sf_dir: str):
+    """gdal_sieve (alg/gdalsievefilter.cpp): small components merge
+    into their largest neighbor. Run per image tile of the analytic
+    sin/cos class field and report the invariants the operation must
+    preserve: total pixel count (closed-form in SQL), every surviving
+    component ≥ threshold, and component count non-increasing. A
+    sieve that drops or double-counts pixels, or leaves an
+    under-threshold island, breaks the row."""
+    import ray.data as rd
+    from ..core.rastervec import label_components, sieve
+
+    T = 16
+
+    def run(t: pa.Table) -> pa.Table:
+        out = {"tile": [], "n_px": [], "min_comp_ok": [],
+               "not_more_comps": []}
+        for k in t["id"].to_pylist():
+            ty, tx = divmod(k, 8)
+            gy, gx = np.mgrid[ty * 64:(ty + 1) * 64,
+                              tx * 64:(tx + 1) * 64]
+            v = np.sin(gx / 13.0) + np.cos(gy / 9.0)
+            grid = np.digitize(v, [-0.5, 0.5]).astype(np.int64)
+            before = label_components(grid)
+            sieved = sieve(grid, T)
+            after = label_components(sieved)
+            sizes = np.bincount(after.ravel())
+            sizes = sizes[sizes > 0]
+            out["tile"].append(k)
+            out["n_px"].append(int(sieved.size))
+            out["min_comp_ok"].append(bool((sizes >= T).all()
+                                           or len(sizes) == 1))
+            out["not_more_comps"].append(
+                int(after.max()) <= int(before.max()))
+        return pa.table({"tile": pa.array(out["tile"], pa.int64()),
+                         "n_px": pa.array(out["n_px"], pa.int64()),
+                         "min_comp_ok": pa.array(out["min_comp_ok"]),
+                         "not_more_comps": pa.array(
+                             out["not_more_comps"])})
+
+    return rd.range(32, override_num_blocks=8) \
+        .map_batches(run, batch_format="pyarrow", batch_size=4)
+
+
+SQL_SIEVE = """
+SELECT g AS tile, 4096::BIGINT AS n_px, TRUE AS min_comp_ok,
+       TRUE AS not_more_comps
+FROM generate_series(0, 31) t(g)
+"""
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -3182,6 +3232,7 @@ QUERIES = {
     "raster_stack": q_raster_stack,
     "top_ngrams": q_top_ngrams,
     "raster_info": q_raster_info,
+    "sieve": q_sieve,
 }
 
 
@@ -3280,6 +3331,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_stack": _OR.sql_raster_stack(64),
         "top_ngrams": SQL_TOP_NGRAMS,
         "raster_info": _OR.sql_raster_info(64),
+        "sieve": SQL_SIEVE,
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
