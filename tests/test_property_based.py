@@ -197,3 +197,35 @@ def test_geoloc_inverse_fuzz(px, ln, d):
     assert conv.all()
     assert abs(float(rpx[0]) - px) < 1e-6
     assert abs(float(rln[0]) - ln) < 1e-6
+
+
+@given(
+    h=st.integers(2, 16), w=st.integers(2, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_nearblack_matches_bruteforce(h, w, seed):
+    """Union-of-directional-runs vs a per-line loop reference
+    (max_non_black=0 semantics)."""
+    from gdal_ray.stages.raster_ops import nearblack
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 60, (h, w, 3), dtype=np.uint8)
+
+    near = (px.astype(int) <= 15).all(axis=2)
+    exp = np.zeros((h, w), bool)
+    for y in range(h):                       # horizontal runs
+        for rng_iter in (range(w), range(w - 1, -1, -1)):
+            for x in rng_iter:
+                if near[y, x]:
+                    exp[y, x] = True
+                else:
+                    break
+    for x in range(w):                       # vertical runs
+        for rng_iter in (range(h), range(h - 1, -1, -1)):
+            for y in rng_iter:
+                if near[y, x]:
+                    exp[y, x] = True
+                else:
+                    break
+    _, valid = nearblack(px, near_dist=15)
+    assert (~valid == exp).all()
