@@ -229,3 +229,27 @@ def test_nearblack_matches_bruteforce(h, w, seed):
                     break
     _, valid = nearblack(px, near_dist=15)
     assert (~valid == exp).all()
+
+
+@given(
+    h=st.integers(2, 24), w=st.integers(2, 24),
+    seed=st.integers(0, 2**31 - 1),
+    n_colors=st.sampled_from([4, 16, 64, 256]),
+)
+@settings(max_examples=30, deadline=None)
+def test_median_cut_invariants(h, w, seed, n_colors):
+    from gdal_ray.functions.quantize import median_cut_pct, remap_to_pct
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    pal, cnt = median_cut_pct(px, n_colors)
+    assert 1 <= len(pal) <= n_colors
+    assert cnt.sum() == h * w                    # every pixel boxed once
+    idx = remap_to_pct(px, pal)
+    assert idx.max() < len(pal)
+    n_cells = len(np.unique(
+        (px.reshape(-1, 3) >> 3).astype(np.int32) @ [1024, 32, 1]))
+    if n_cells <= n_colors:
+        # enough boxes for every occupied 5-bit cell: error bounded by
+        # the cell radius in every channel
+        rec = pal[idx].astype(int)
+        assert np.abs(rec - px.astype(int)).max() <= 7 + 4
