@@ -524,7 +524,16 @@ N_IMAGES_QUERY = 200
 
 def q_image_tiles(sf_dir: str):
     """Flagship base-tile render on the synthetic corpus: returns
-    (z, x, y, n_src, checksums) rows."""
+    (z, x, y, n_src, checksums) rows.
+
+    Rows-only by necessity: the rendered tile set is defined by
+    SAMPLED-CENTER validity (a fragment exists only where ≥1 dst pixel
+    center lands inside the source, warp_fragments_batch's
+    valid.any() gate — the skip-blank semantics of
+    gdalalg_raster_tile.cpp:686), which is strictly smaller than the
+    envelope cover a SQL oracle can express; the cover math itself IS
+    oracled (tile_assignment, raster_index, mbtiles, kml), and pixel
+    checksums are pytest-verified."""
     from .tiles import build_base_tiles
     from ..sources.images import images_dataset
     tiles = build_base_tiles(images_dataset(N_IMAGES_QUERY), zoom=8)
