@@ -432,3 +432,12 @@ def _read_vector_step(ds, path: str = "", **kw):
     """Any registered vector driver by extension (driver manager)."""
     from ..sources.drivers import read_vector_dataset
     return read_vector_dataset(path)
+
+
+@register_step("vector_reproject")
+def _vector_reproject(ds, src: str = "EPSG:3857", dst: str = "EPSG:4326",
+                      **kw):
+    """ogr2ogr -s_srs/-t_srs: every WKB vertex through the CRS chain."""
+    from ..stages.vector_ops import reproject_wkb_batch
+    return ds.map_batches(lambda t: reproject_wkb_batch(t, src, dst),
+                          batch_format="pyarrow")

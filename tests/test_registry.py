@@ -111,3 +111,13 @@ def test_write_read_vector_steps(ray_session, tmp_path):
     run_pipeline(f"read_polygons n=6 ! write_geojson path={gj} seq=true")
     back2 = run_pipeline(f"read_vector path={gj}").to_pandas()
     assert len(back2) == 6
+
+
+def test_vector_reproject_step(ray_session):
+    from gdal_ray.core import wkb as W
+    from gdal_ray.pipelines.registry import run_pipeline
+    df = run_pipeline(
+        "read_polygons n=4 ! vector_reproject ! limit n=1").to_pandas()
+    g = W.loads(df["wkb"][0])
+    e = g.envelope()
+    assert -180 <= e[0] <= 180 and -90 <= e[1] <= 90
