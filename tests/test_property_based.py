@@ -249,7 +249,9 @@ def test_median_cut_invariants(h, w, seed, n_colors):
     n_cells = len(np.unique(
         (px.reshape(-1, 3) >> 3).astype(np.int32) @ [1024, 32, 1]))
     if n_cells <= n_colors:
-        # enough boxes for every occupied 5-bit cell: error bounded by
-        # the cell radius in every channel
+        # enough boxes for every occupied 5-bit cell: each pixel's own
+        # cell entry is within L1 distance 21 (7 per channel), and the
+        # L1-nearest remap can only do better in TOTAL distance
         rec = pal[idx].astype(int)
-        assert np.abs(rec - px.astype(int)).max() <= 7 + 4
+        l1 = np.abs(rec - px.astype(int)).sum(axis=2)
+        assert l1.max() <= 21
