@@ -1594,3 +1594,50 @@ SELECT image_id, 'PNG' AS driver, MIN(w)::BIGINT AS w,
        ROUND(AVG(v0), 4) AS mean_b0
 FROM px GROUP BY image_id
 """
+
+
+def sql_geoloc_warp(m: int = 8) -> str:
+    """geoloc_warp suggested-output geometry for the affine grids:
+    X = 100+4k + 0.3125·px + 0.03125·ln, Y = 500−2k + 0.015625·px +
+    0.375·ln over [0,256]² → spans 88 × 100; res = dst_diag/src_diag,
+    dims = greatest(1, round(span/res)) — mirrors
+    stages/warp.py::suggested_warp_output."""
+    return f"""
+WITH cfg AS (SELECT k FROM generate_series(0, {m - 1}) t(k)),
+g AS (SELECT k,
+             100.0 + 4.0 * k AS minx,
+             600.0 - 2.0 * k AS maxy,
+             88.0 AS sx, 100.0 AS sy,
+             sqrt(88.0 * 88.0 + 100.0 * 100.0)
+               / sqrt(256.0 * 256.0 + 256.0 * 256.0) AS res
+      FROM cfg)
+SELECT k,
+       greatest(1, CAST(ROUND(sx / res) AS BIGINT)) AS dst_w,
+       greatest(1, CAST(ROUND(sy / res) AS BIGINT)) AS dst_h,
+       ROUND(minx, 4) AS minx,
+       ROUND(maxy, 4) AS maxy
+FROM g
+"""
+
+
+def sql_rpc_warp(m: int = 8) -> str:
+    """rpc_warp suggested-output geometry for linear models: the
+    affine inverse lon(px) = 5 + (px − 0.5 − (2048 − 8k))/2048·0.5,
+    lat(ln) = 44 + (ln − 0.5 − (2048 + 16k))/2048·0.5 over [0,256]²
+    gives equal spans 0.0625 → square output, dims = 256."""
+    return f"""
+WITH cfg AS (SELECT k FROM generate_series(0, {m - 1}) t(k)),
+g AS (SELECT k,
+             5.0 + (0.0 - 0.5 - (2048.0 - 8.0 * k)) / 2048.0 * 0.5 AS minx,
+             44.0 + (256.0 - 0.5 - (2048.0 + 16.0 * k)) / 2048.0 * 0.5
+               AS maxy,
+             0.0625 AS sx, 0.0625 AS sy,
+             sqrt(2.0 * 0.0625 * 0.0625) / sqrt(2.0 * 256.0 * 256.0) AS res
+      FROM cfg)
+SELECT k,
+       greatest(1, CAST(ROUND(sx / res) AS BIGINT)) AS dst_w,
+       greatest(1, CAST(ROUND(sy / res) AS BIGINT)) AS dst_h,
+       ROUND(minx, 4) AS minx,
+       ROUND(maxy, 4) AS maxy
+FROM g
+"""

@@ -3132,6 +3132,85 @@ FROM generate_series(0, 31) t(g)
 """
 
 
+def q_geoloc_warp(sf_dir: str):
+    """Geolocation-array warp grid geometry (gdalwarp -geoloc): eight
+    AFFINE geoloc grids (bilinear arrays degenerate to an affine map),
+    so the 21-point edge walk collapses to the corners and the
+    suggested-output dims/origin replay closed-form in SQL — the same
+    derivation as the gcp_warp/reproject oracles. Warped pixels run
+    through the backmap+Newton inverse (pytest-verified)."""
+    import ray.data as rd
+    from ..core.geoloc import GeolocTransformer
+    from ..stages.warp import geoloc_warp
+
+    def run(t: pa.Table) -> pa.Table:
+        out = {"k": [], "dst_w": [], "dst_h": [], "minx": [], "maxy": []}
+        for k in t["id"].to_pylist():
+            gl_, gp_ = np.meshgrid(np.arange(33.0), np.arange(33.0),
+                                   indexing="ij")
+            gx = 100.0 + 4.0 * k + 2.5 * gp_ + 0.25 * gl_
+            gy = 500.0 - 2.0 * k + 0.125 * gp_ + 3.0 * gl_
+            tr = GeolocTransformer(gx, gy, pixel_step=8.0, line_step=8.0)
+            src = np.full((256, 256), 10.0 + k)
+            res, valid, gt = geoloc_warp(src, tr, resampling="near")
+            out["k"].append(k)
+            out["dst_h"].append(res.shape[0])
+            out["dst_w"].append(res.shape[1])
+            out["minx"].append(_half_away([gt[0]])[0])
+            out["maxy"].append(_half_away([gt[3]])[0])
+        return pa.table({"k": pa.array(out["k"], pa.int64()),
+                         "dst_w": pa.array(out["dst_w"], pa.int64()),
+                         "dst_h": pa.array(out["dst_h"], pa.int64()),
+                         "minx": pa.array(out["minx"]),
+                         "maxy": pa.array(out["maxy"])})
+
+    return rd.range(8, override_num_blocks=4) \
+        .map_batches(run, batch_format="pyarrow", batch_size=2)
+
+
+def q_rpc_warp(sf_dir: str):
+    """RPC orthorectification grid geometry (gdalwarp METHOD=RPC):
+    eight LINEAR RPC models (numerators L/P, denominator 1) make the
+    iterative inverse exactly affine, so the suggested-output corners
+    replay closed-form in SQL; the full pipeline (edge walk through
+    the iterative inverse, mesh, direct-polynomial sampling) still
+    runs for real. Nonlinear-model pixels are pytest-verified
+    (tests/test_rpc.py)."""
+    import ray.data as rd
+    from ..core.rpc import RPCModel
+    from ..stages.warp import rpc_warp
+
+    def model(k: int) -> RPCModel:
+        num_s = np.zeros(20); num_s[1] = 1.0
+        num_l = np.zeros(20); num_l[2] = 1.0
+        den = np.zeros(20); den[0] = 1.0
+        return RPCModel(
+            line_off=2048.0 + 16.0 * k, samp_off=2048.0 - 8.0 * k,
+            lat_off=44.0, long_off=5.0, height_off=0.0,
+            line_scale=2048.0, samp_scale=2048.0,
+            lat_scale=0.5, long_scale=0.5, height_scale=500.0,
+            line_num=num_l, line_den=den, samp_num=num_s, samp_den=den)
+
+    def run(t: pa.Table) -> pa.Table:
+        out = {"k": [], "dst_w": [], "dst_h": [], "minx": [], "maxy": []}
+        for k in t["id"].to_pylist():
+            src = np.full((256, 256), 10.0 + k)
+            res, valid, gt = rpc_warp(src, model(k), resampling="near")
+            out["k"].append(k)
+            out["dst_h"].append(res.shape[0])
+            out["dst_w"].append(res.shape[1])
+            out["minx"].append(_half_away([gt[0]])[0])
+            out["maxy"].append(_half_away([gt[3]])[0])
+        return pa.table({"k": pa.array(out["k"], pa.int64()),
+                         "dst_w": pa.array(out["dst_w"], pa.int64()),
+                         "dst_h": pa.array(out["dst_h"], pa.int64()),
+                         "minx": pa.array(out["minx"]),
+                         "maxy": pa.array(out["maxy"])})
+
+    return rd.range(8, override_num_blocks=4) \
+        .map_batches(run, batch_format="pyarrow", batch_size=2)
+
+
 # Dict ORDER matters: the driver's correctness gate records the first
 # 50 entries — every oracle-bearing query sits in that window.
 QUERIES = {
@@ -3242,6 +3321,8 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "raster_info": q_raster_info,
     "sieve": q_sieve,
+    "geoloc_warp": q_geoloc_warp,
+    "rpc_warp": q_rpc_warp,
 }
 
 
@@ -3341,6 +3422,8 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": SQL_TOP_NGRAMS,
         "raster_info": _OR.sql_raster_info(64),
         "sieve": SQL_SIEVE,
+        "geoloc_warp": _OR.sql_geoloc_warp(8),
+        "rpc_warp": _OR.sql_rpc_warp(8),
         # image_* queries: pixel/spatial semantics are not SQL-expressible
         # over the provided tables; covered by the pytest oracles instead.
     }
