@@ -102,7 +102,8 @@ def _level_entries(px: np.ndarray, ts: int, comp_id: int, n_blocks: int,
             doubles(_T_TIEPOINT, [0.0, 0.0, 0.0, g[0], g[3], 0.0])
         if crs is not None and crs.upper().startswith("EPSG:"):
             code = int(crs.split(":")[1])
-            is_geo = code == 4326
+            from .gtiff import is_geographic_epsg
+            is_geo = is_geographic_epsg(code)
             keys = [1, 1, 0, 3,
                     1024, 0, 1, 2 if is_geo else 1,
                     1025, 0, 1, 1]

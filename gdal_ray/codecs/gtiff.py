@@ -335,6 +335,18 @@ _DT_TO_TIFF = {
     np.dtype("c8"): (64, 6), np.dtype("c16"): (128, 6),
 }
 
+# EPSG codes 4001-4999 are (with a handful of exceptions) geographic
+# 2D CRS — the classification GeoTIFF needs to pick GeographicTypeGeoKey
+# (2048) vs ProjectedCSTypeGeoKey (3072). The exceptions in that range
+# that are NOT geographic: 4087/4088 (World Equidistant Cylindrical,
+# projected) and 4978 (WGS84 geocentric).
+_NON_GEOGRAPHIC_4XXX = {4087, 4088, 4978}
+
+
+def is_geographic_epsg(code: int) -> bool:
+    """True if the EPSG code names a geographic (lon/lat) CRS."""
+    return 4001 <= code <= 4999 and code not in _NON_GEOGRAPHIC_4XXX
+
 
 def encode_gtiff(pixels: np.ndarray, *, geotransform=None, crs=None,
                  nodata=None, tile_size: int = 256,
@@ -407,7 +419,7 @@ def encode_gtiff(pixels: np.ndarray, *, geotransform=None, crs=None,
         tag_doubles(_T_TIEPOINT, [0.0, 0.0, 0.0, g[0], g[3], 0.0])
     if crs is not None and crs.upper().startswith("EPSG:"):
         code = int(crs.split(":")[1])
-        is_geo = code == 4326
+        is_geo = is_geographic_epsg(code)
         keys = [1, 1, 0, 3,
                 1024, 0, 1, 2 if is_geo else 1,   # GTModelType
                 1025, 0, 1, 1]                    # RasterPixelIsArea

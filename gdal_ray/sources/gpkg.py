@@ -24,7 +24,11 @@ def _parse_gpb(blob: bytes):
     if blob is None or len(blob) < 8 or blob[:2] != b"GP":
         raise ValueError("not a GeoPackage binary geometry")
     flags = blob[3]
-    if flags & 0b00100000:           # empty-geometry flag
+    # bit 5 = extended-type flag, bit 4 = empty flag (spec §2.1.3 /
+    # ogr/ogrsf_frmts/gpkg/ogrgeopackageutility.cpp:368 byFlags & 0x10)
+    if flags & 0b00100000:
+        raise ValueError("extended (non-standard) GPB geometry type")
+    if flags & 0b00010000:           # empty-geometry flag
         return None
     env_code = (flags >> 1) & 0b111
     if env_code not in _ENV_SIZE:

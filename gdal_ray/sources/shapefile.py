@@ -191,11 +191,18 @@ _SHAPE_TYPE = {W.POINT: 1, W.LINESTRING: 3, W.POLYGON: 5}
 def _shape_record(g) -> tuple[int, bytes]:
     """One geometry → (shape_type, record content bytes)."""
     t = g.geom_type
-    base = g
-    if t in (W.POINT + 3, W.LINESTRING + 3, W.POLYGON + 3):  # Multi*
-        # MultiPolygon flattens into one record's parts list; Multi
-        # point/linestring take the first part's type with all parts
-        t -= 3
+    if t == W.MULTIPOINT:
+        # native MultiPoint record (type 8): box, npoints, xy array —
+        # mirrors the reader's multipoint branch
+        pts = np.array([[p.coords[0, 0], p.coords[0, 1]] for p in g.parts],
+                       np.float64)
+        minx, miny = pts.min(axis=0)
+        maxx, maxy = pts.max(axis=0)
+        return 8, struct.pack("<i4di", 8, minx, miny, maxx, maxy,
+                              len(pts)) + pts.astype("<f8").tobytes()
+    if t in (W.MULTILINESTRING, W.MULTIPOLYGON):
+        # MultiPolygon/MultiLineString flatten into one record's parts
+        t = W.LINESTRING if t == W.MULTILINESTRING else W.POLYGON
     if t == W.POINT:
         x, y = float(g.coords[0, 0]), float(g.coords[0, 1])
         return 1, struct.pack("<i2d", 1, x, y)
@@ -308,6 +315,20 @@ def write_shapefile(table: pa.Table, path: str, *,
             if k_ == b"N":
                 txt = ("" if v is None else
                        (f"{v:.8f}" if isinstance(v, float) else str(int(v))))
+                if len(txt) > w_:
+                    # value wider than the field: fall back to scientific
+                    # notation that fits rather than silently truncating
+                    # the most-significant digits (shpopen.c widens the
+                    # field; a fixed-width rewrite would rewrite the file)
+                    if isinstance(v, float):
+                        for prec in range(10, -1, -1):
+                            txt = f"{v:.{prec}e}"
+                            if len(txt) <= w_:
+                                break
+                    if len(txt) > w_:
+                        raise ValueError(
+                            f"numeric value {v!r} does not fit DBF field "
+                            f"width {w_}")
                 dbf += txt.rjust(w_)[:w_].encode()
             else:
                 dbf += str("" if v is None else v).ljust(w_)[:w_].encode()

@@ -95,10 +95,15 @@ def crop_images_to_cells(batch: pa.Table, zoom: int) -> pa.Table:
                 out["fmt"].append("png")
                 for g in range(6):
                     out[f"gt{g}"].append(float(cgt[g]))
-                out["minx"].append(float(cgt[0]))
-                out["maxy"].append(float(cgt[3]))
-                out["maxx"].append(float(cgt[0] + (c1 - c0) * cgt[1]))
-                out["miny"].append(float(cgt[3] + (r1 - r0) * cgt[5]))
+                # min/max of the two corner ordinates so south-up
+                # (gt5 > 0) or west-left (gt1 < 0) rasters still get a
+                # valid envelope for the cell prefilter
+                x0, x1 = cgt[0], cgt[0] + (c1 - c0) * cgt[1]
+                y0, y1 = cgt[3], cgt[3] + (r1 - r0) * cgt[5]
+                out["minx"].append(float(min(x0, x1)))
+                out["maxy"].append(float(max(y0, y1)))
+                out["maxx"].append(float(max(x0, x1)))
+                out["miny"].append(float(min(y0, y1)))
                 out["fid"].append(None)
                 out["wkb"].append(None)
     return pa.Table.from_pydict(out, schema=CROP_SCHEMA)
