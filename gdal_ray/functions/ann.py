@@ -72,64 +72,78 @@ def kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 8,
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, nlist: int = 16,
              nprobe: int = 4, vec_col="embedding", id_col="vec_id",
-             train_sample: int = 2048):
+             train_sample: int = 2048, batch_size: int | None = None):
     """IVF-bucketed approximate top-k: train centroids on a driver-side
-    sample (small), broadcast them, bucket all vectors by nearest
-    centroid (groupby), search only the nprobe closest buckets per
-    query."""
+    sample (small), broadcast them, and score each batch AGAINST ONLY
+    the queries probing the buckets present in that batch.
+
+    No vector ever crosses a shuffle and no task holds more than one
+    batch of vectors (the round-2 version put ~N/nlist full vectors into
+    a single ``groupby(bucket)`` group — an OOM at corpus scale). The
+    per-batch partials (≤ nq×k candidate rows each) merge with a tiny
+    ``groupby(qid)`` top-k, same combiner shape as :func:`brute_topk`,
+    so the driver only ever sees ≤ nq×k result rows."""
     import ray
 
     sample_rows = ds.limit(train_sample).select_columns([vec_col]).take_all()
     sample = np.stack([np.asarray(r[vec_col]) for r in sample_rows]).astype(np.float64)
     cent = kmeans_lite(_unit(sample), nlist)
-    cref = ray.put(cent)
     qunit = _unit(np.asarray(queries, dtype=np.float64))
     # which buckets each query probes
     qd = ((qunit[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(qd, axis=1)[:, :nprobe]  # (nq, nprobe)
-    probe_of_bucket: dict[int, list[int]] = {}
-    for qi, row in enumerate(probes):
-        for b in row:
-            probe_of_bucket.setdefault(int(b), []).append(qi)
-    pref = ray.put((qunit, probe_of_bucket))
+    probe_of_bucket: dict[int, np.ndarray] = {}
+    for b in np.unique(probes):
+        probe_of_bucket[int(b)] = np.nonzero((probes == b).any(axis=1))[0]
+    pref = ray.put((cent, qunit, probe_of_bucket))
+    empty = pa.table({"qid": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "cos_sim": pa.array([], pa.float64())})
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        c = ray.get(cref)
+    def score(t: pa.Table) -> pa.Table:
+        if batch_size is not None and t.num_rows > batch_size:
+            raise AssertionError(
+                f"ivf score task saw {t.num_rows} vectors > "
+                f"batch_size {batch_size}")
+        c, q, pob = ray.get(pref)
         mat = _unit(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        ids = t[id_col].to_numpy()
         d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         b = d.argmin(axis=1).astype(np.int64)
-        return pa.table({"bucket": pa.array(b, pa.int64()),
-                         id_col: t[id_col],
-                         "unit": pa.array(list(mat), pa.list_(pa.float64()))})
+        qids_out, vids_out, sims_out = [], [], []
+        for bucket in np.unique(b):
+            qids = pob.get(int(bucket))
+            if qids is None:
+                continue
+            idx = np.nonzero(b == bucket)[0]
+            cos = q[qids] @ mat[idx].T          # (nq_probing, n_in_bucket)
+            kk = min(k, cos.shape[1])
+            top = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            qids_out.append(np.repeat(qids, kk))
+            vids_out.append(ids[idx][top.ravel()])
+            sims_out.append(np.take_along_axis(cos, top, axis=1).ravel())
+        if not qids_out:
+            return empty
+        return pa.table({
+            "qid": pa.array(np.concatenate(qids_out).astype(np.int64)),
+            id_col: pa.array(np.concatenate(vids_out)),
+            "cos_sim": pa.array(np.concatenate(sims_out), pa.float64())})
 
-    def search(g: pd.DataFrame) -> pd.DataFrame:
-        q, pob = ray.get(pref)
-        bucket = int(g["bucket"].iloc[0])
-        qids = pob.get(bucket, [])
-        if not qids:
-            return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
-                                 id_col: pd.Series([], dtype="int64"),
-                                 "cos_sim": pd.Series([], dtype="float64")})
-        mat = np.stack(g["unit"].to_numpy())
-        ids = g[id_col].to_numpy()
-        cos = q[qids] @ mat.T
-        kk = min(k, cos.shape[1])
-        top = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
-        return pd.DataFrame({
-            "qid": pd.Series(np.repeat(qids, kk), dtype="int64"),
-            id_col: pd.Series(ids[top.ravel()], dtype="int64"),
-            "cos_sim": pd.Series(np.take_along_axis(cos, top, axis=1).ravel(),
-                                 dtype="float64")})
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos_sim", id_col],
+                             ascending=[False, True]).head(k)
 
-    cands = ds.map_batches(bucketize, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(search, batch_format="pandas")
-    # final per-query merge: candidates are BOUNDED (≤ nq × k per
-    # probed bucket), so the combine is a driver-side pandas top-k —
-    # a second Ray sort exchange would cost more than the whole result
+    kwargs = {"batch_format": "pyarrow"}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    cands = ds.map_batches(score, **kwargs) \
+        .groupby("qid").map_groups(topk, batch_format="pandas")
+    # ≤ nq × k rows after the per-query merge — the result itself
     df = cands.to_pandas()
-    if df.empty:
-        return df
-    out = (df.sort_values(["qid", "cos_sim", id_col],
-                          ascending=[True, False, True])
-           .groupby("qid", sort=True).head(k).reset_index(drop=True))
-    return out
+    if df.empty or "qid" not in df.columns:
+        return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "cos_sim": pd.Series([], dtype="float64")})
+    return (df.sort_values(["qid", "cos_sim", id_col],
+                           ascending=[True, False, True])
+            .reset_index(drop=True))

@@ -153,9 +153,10 @@ def _pid(tx, ty, piece):
     return (((int(tx) << 20) | int(ty)) << 20) | int(piece)
 
 
-def distributed_contour(tiles_ds, levels):
+def distributed_contour(tiles_ds, levels, as_dataset: bool = False):
     """Tile dataset (from split_with_overlap) → per-contour-component
-    stats (level, total_length, n_pieces, closed)."""
+    stats (level, total_length, n_pieces, closed); a ray Dataset when
+    ``as_dataset=True``."""
     import ray
     from .join import salted_bucket
 
@@ -210,19 +211,35 @@ def distributed_contour(tiles_ds, levels):
     roots = {k: find(k) for k in list(parent)}
     ref = ray.put(roots)
 
-    def assign(t: pa.Table) -> pa.Table:
+    # piece table ∝ contours × tiles — never driver-materialized.
+    # Broadcast root map → per-batch partial combine by (component,
+    # level) → salted groupby(component) final (same shape as
+    # poly_merge's final aggregation).
+    def assign_partial(t: pa.Table) -> pa.Table:
         cm = ray.get(ref)
-        comp = []
-        for i in range(t.num_rows):
-            raw = _pid(t["tile_x"][i].as_py(), t["tile_y"][i].as_py(),
-                       t["piece"][i].as_py())
-            comp.append(cm.get(raw, raw))
-        return pa.table({"component": pa.array(comp, pa.int64()),
-                         "level": t["level"], "length": t["length"],
-                         "closed": t["closed"]})
+        pid = ((((t["tile_x"].to_numpy().astype(np.int64) << 20)
+                 | t["tile_y"].to_numpy()) << 20) | t["piece"].to_numpy())
+        s = pd.Series(pid, dtype="int64")
+        comp = s.map(cm).fillna(s).astype(np.int64)
+        df = pd.DataFrame({"component": comp.to_numpy(),
+                           "level": t["level"].to_numpy(),
+                           "length": t["length"].to_numpy(),
+                           "closed": t["closed"].to_numpy()})
+        part = df.groupby(["component", "level"], sort=False).agg(
+            total_length=("length", "sum"), n_pieces=("length", "size"),
+            closed=("closed", "all")).reset_index()
+        return pa.Table.from_pandas(part, preserve_index=False)
 
-    lab = pieces.map_batches(assign, batch_format="pyarrow").to_pandas()
-    agg = lab.groupby(["component", "level"], sort=False).agg(
-        total_length=("length", "sum"), n_pieces=("length", "size"),
-        closed=("closed", "all")).reset_index()
-    return agg
+    def final_agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["component", "level"], sort=False).agg(
+            total_length=("total_length", "sum"),
+            n_pieces=("n_pieces", "sum"),
+            closed=("closed", "all")).reset_index()
+
+    agg_ds = pieces.map_batches(assign_partial, batch_format="pyarrow") \
+        .map_batches(lambda b: salted_bucket(b, "component"),
+                     batch_format="pyarrow") \
+        .groupby("bucket").map_groups(final_agg, batch_format="pandas")
+    if as_dataset:
+        return agg_ds
+    return agg_ds.to_pandas()

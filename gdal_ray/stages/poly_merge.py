@@ -171,9 +171,11 @@ def _match_edge_group(g: pd.DataFrame) -> pd.DataFrame:
                          "b": pd.Series(out["b"], dtype="int64")})
 
 
-def distributed_polygonize(tiles_ds, connectedness: int = 4):
+def distributed_polygonize(tiles_ds, connectedness: int = 4,
+                           as_dataset: bool = False):
     """Tile dataset (tile_x, tile_y, h, w, grid: int64 bytes) →
-    pandas frame (component, value, total_px, n_pieces, n_tiles).
+    per-component stats (component, value, total_px, n_pieces, n_tiles)
+    as a pandas frame, or a ray Dataset when ``as_dataset=True``.
 
     Components are stitched across tile boundaries exactly; verified
     against single-grid polygonize in tests. 4-connectivity only: the
@@ -227,20 +229,38 @@ def distributed_polygonize(tiles_ds, connectedness: int = 4):
     roots = {k: find(k) for k in list(parent)}
     ref = ray.put(roots)
 
-    def assign(t: pa.Table) -> pa.Table:
+    # the piece table is ∝ components × tiles — it must NEVER be pulled
+    # to the driver. Final aggregation is a Ray shuffle: broadcast root
+    # map → per-batch partial combine by (component, value, tile) →
+    # salted-bucket groupby(component) final. Only the per-component
+    # result (the operator's answer) leaves the cluster.
+    def assign_partial(t: pa.Table) -> pa.Table:
         comp_map = ray.get(ref)
         pid = ((((t["tile_x"].to_numpy().astype(np.int64) << 20)
                  | t["tile_y"].to_numpy()) << 20) | t["label"].to_numpy())
-        comp = np.array([comp_map.get(int(p), int(p)) for p in pid],
-                        np.int64)
-        return pa.table({"component": pa.array(comp, pa.int64()),
-                         "value": t["value"], "n_px": t["n_px"],
-                         "tile_x": t["tile_x"], "tile_y": t["tile_y"]})
+        s = pd.Series(pid, dtype="int64")
+        comp = s.map(comp_map).fillna(s).astype(np.int64)
+        tile = (t["tile_x"].to_numpy().astype(np.int64) << 32) \
+            | t["tile_y"].to_numpy().astype(np.int64)
+        df = pd.DataFrame({"component": comp.to_numpy(),
+                           "value": t["value"].to_numpy(),
+                           "tile": tile,
+                           "n_px": t["n_px"].to_numpy()})
+        part = df.groupby(["component", "value", "tile"], sort=False).agg(
+            total_px=("n_px", "sum"),
+            n_pieces=("n_px", "size")).reset_index()
+        return pa.Table.from_pandas(part, preserve_index=False)
 
-    labeled = pieces.map_batches(assign, batch_format="pyarrow").to_pandas()
-    labeled["tile"] = (labeled["tile_x"].to_numpy().astype(np.int64) << 32) \
-        | labeled["tile_y"].to_numpy().astype(np.int64)
-    agg = labeled.groupby(["component", "value"], sort=False).agg(
-        total_px=("n_px", "sum"), n_pieces=("n_px", "size"),
-        n_tiles=("tile", "nunique")).reset_index()
-    return agg
+    def final_agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["component", "value"], sort=False).agg(
+            total_px=("total_px", "sum"), n_pieces=("n_pieces", "sum"),
+            n_tiles=("tile", "nunique")).reset_index()
+
+    agg_ds = pieces.map_batches(assign_partial, batch_format="pyarrow") \
+        .map_batches(lambda b: salted_bucket(b, "component"),
+                     batch_format="pyarrow") \
+        .groupby("bucket").map_groups(final_agg, batch_format="pandas")
+    if as_dataset:
+        return agg_ds
+    # per-component stats ARE the result: bounded by component count
+    return agg_ds.to_pandas()

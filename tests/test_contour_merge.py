@@ -46,6 +46,20 @@ def test_matches_single_grid(ray_session, shape, tile, levels):
     assert (got["n_pieces"] > 1).any()
 
 
+def test_stress_10x_tiles(ray_session):
+    """~10× the tile count of the parametrized cases: Ray-side final
+    aggregation still matches the single-grid oracle exactly."""
+    import ray.data as rd
+    grid = field((161, 289), seed=9)
+    ds = rd.from_items(split_with_overlap(grid, 17, 17))   # 180 tiles
+    got_ds = distributed_contour(ds, [0.0], as_dataset=True)
+    got = got_ds.to_pandas()
+    want = oracle(grid, [0.0])
+    got_l = sorted(round(float(v), 5) for v in got["total_length"])
+    assert got_l == want[0.0]
+    assert (got["n_pieces"] > 4).any()
+
+
 def test_single_tile(ray_session):
     import ray.data as rd
     grid = field((33, 33), seed=2)

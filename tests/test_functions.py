@@ -185,3 +185,22 @@ class TestANN:
             got = set(out[out.qid == qi]["vec_id"].astype(int))
             recalls.append(len(got & expect) / 5)
         assert np.mean(recalls) >= 0.6, recalls
+
+    def test_ivf_bounded_tasks_exact_when_all_probed(self, ray_session, embs):
+        """No search task ever holds more than batch_size vectors (the
+        score fn raises if one does), and with nprobe = nlist the
+        bucketed path returns the EXACT brute-force top-k."""
+        import ray.data as rd
+        from gdal_ray.functions.ann import ivf_topk
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        mat = np.stack(embs["embedding"].to_numpy()).astype(np.float64)
+        ids = embs["vec_id"].to_numpy()
+        queries = mat[:4]
+        out = ivf_topk(ds, queries, k=5, nlist=8, nprobe=8, batch_size=64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for qi in range(4):
+            cos = unit @ unit[qi]
+            expect = set(ids[np.argsort(-cos)[:5]])
+            got = set(out[out.qid == qi]["vec_id"].astype(int))
+            assert got == expect

@@ -57,6 +57,25 @@ def test_matches_single_grid(ray_session, seed, shape, tile):
     assert (got["n_tiles"] > 1).any()
 
 
+def test_stress_10x_tiles_no_driver_materialization(ray_session):
+    """10× the tile count of the parametrized cases (8×16 = 128 tiles):
+    the Ray-side final aggregation (no .to_pandas() on the piece table)
+    still stitches exactly, and the Dataset path streams the result."""
+    import ray.data as rd
+    rng = np.random.default_rng(42)
+    from gdal_ray.stages.raster_ops import convolve
+    base = rng.normal(size=(128, 256))
+    smooth = convolve(base, np.ones((7, 7)) / 49.0)
+    grid = np.digitize(smooth, [-0.05, 0.05]).astype(np.int64)
+    ds = rd.from_items(tiles_of(grid, 16, 16))     # 128 tiles
+    got_ds = distributed_polygonize(ds, as_dataset=True)
+    got = got_ds.to_pandas()                       # per-component only
+    got_ms = sorted(zip(got["value"].astype(int),
+                        got["total_px"].astype(int)))
+    assert got_ms == oracle(grid)
+    assert (got["n_tiles"] > 4).any()              # deep stitching
+
+
 def test_single_tile_degenerates_to_local(ray_session):
     import ray.data as rd
     rng = np.random.default_rng(3)
