@@ -388,6 +388,143 @@ def verify_pairs_jaccard(ds_pairs, docs_by_id: dict, k: int = 5,
     return ds_pairs.map_batches(verify, batch_format="pyarrow")
 
 
+def verify_pairs_coshuffle(ds_pairs, ds_docs, *, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5,
+                           threshold: float = 0.5,
+                           scorer: str = "chargram"):
+    """Exact-Jaccard verification of candidate pairs WITHOUT broadcasting
+    the corpus — the 100 TB path (reference semantics identical to the
+    broadcast variants above).
+
+    Two bounded exchanges, texts only ever inside the cluster:
+
+    1. **co-shuffle by doc id** — each candidate pair flat-maps to two
+       request rows ``(doc_id, id_a, id_b)``; doc texts map to
+       ``(doc_id, text)`` rows; the union is salt-bucketed on doc id and
+       each group attaches the text to the requests naming it. Exchange
+       volume ≈ 1× corpus + 2 rows/pair.
+    2. **co-shuffle by pair** — attached rows re-bucket on a hash of
+       ``(id_a, id_b)``; each fine pair now holds exactly its two texts
+       → exact Jaccard, filter at ``threshold``. Exchange volume ≈ one
+       text per pair side.
+
+    No task ever holds more than its bucket's partition; the driver only
+    sees the verified-pair result. ``scorer``: ``"chargram"`` = exact
+    distinct char-k-grams (SQL-oracle-identical), ``"ngram"`` = hashed
+    byte k-grams (matches :func:`verify_pairs_jaccard`)."""
+    if scorer == "chargram":
+        def score(a: str, b: str) -> float:
+            return chargram_jaccard(a, b, k)
+    else:
+        def score(a: str, b: str) -> float:
+            return jaccard(ngram_set(a, k), ngram_set(b, k))
+
+    def requests(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_numpy().astype(np.int64)
+        ib = t["id_b"].to_numpy().astype(np.int64)
+        did = np.concatenate([ia, ib])
+        ia2 = np.concatenate([ia, ia])
+        ib2 = np.concatenate([ib, ib])
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "id_a": pa.array(ia2, pa.int64()),
+            "id_b": pa.array(ib2, pa.int64()),
+            "text": pa.array([None] * len(did), pa.large_string()),
+            "kind": pa.array(np.ones(len(did), np.int8), pa.int8())})
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({
+            "doc_id": t[id_col].combine_chunks().cast(pa.int64()),
+            "id_a": z, "id_b": z,
+            "text": t[text_col].combine_chunks().cast(pa.large_string()),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    def bucket_doc(t: pa.Table) -> pa.Table:
+        b = (t["doc_id"].to_numpy() % _N_BUCKETS).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    empty_attach = pd.DataFrame({
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "is_a": pd.Series([], dtype="bool"),
+        "side_text": pd.Series([], dtype="object")})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        reqs = g[g["kind"] == 1]
+        if not len(reqs):
+            return empty_attach
+        docs = g[g["kind"] == 0]
+        m = dict(zip(docs["doc_id"], docs["text"]))
+        txt = reqs["doc_id"].map(m)
+        ok = txt.notna().to_numpy()
+        return pd.DataFrame({
+            "id_a": reqs["id_a"].to_numpy()[ok],
+            "id_b": reqs["id_b"].to_numpy()[ok],
+            "is_a": (reqs["doc_id"].to_numpy() == reqs["id_a"].to_numpy())[ok],
+            "side_text": txt.to_numpy()[ok]})
+
+    def bucket_pair(t: pa.Table) -> pa.Table:
+        key = (t["id_a"].to_numpy() * np.int64(0x9E3779B1)) \
+            ^ t["id_b"].to_numpy()
+        return t.append_column(
+            "bucket", pa.array((key % _N_BUCKETS).astype(np.int64), pa.int64()))
+
+    empty_out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (ia, ib), sub in g.groupby(["id_a", "id_b"], sort=False):
+            ta = sub.loc[sub["is_a"], "side_text"]
+            tb = sub.loc[~sub["is_a"], "side_text"]
+            if not len(ta) or not len(tb):
+                continue            # a side's doc was missing from ds_docs
+            j = score(str(ta.iloc[0]), str(tb.iloc[0]))
+            if j >= threshold:
+                out_a.append(int(ia))
+                out_b.append(int(ib))
+                out_j.append(j)
+        if not out_a:
+            return empty_out
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "jaccard": pd.Series(out_j, dtype="float64")})
+
+    mixed = ds_docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        ds_pairs.map_batches(requests, batch_format="pyarrow"))
+    attached = mixed.map_batches(bucket_doc, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(attach, batch_format="pandas")
+    return attached.map_batches(bucket_pair, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(score_group, batch_format="pandas")
+
+
+# broadcast is cheaper while the whole corpus fits comfortably in a
+# worker heap; above this many docs the co-shuffle path takes over
+_BROADCAST_DOC_LIMIT = 200_000
+
+
+def verify_pairs(ds_pairs, ds_docs, *, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 5, threshold: float = 0.5,
+                 scorer: str = "chargram",
+                 broadcast_limit: int = _BROADCAST_DOC_LIMIT):
+    """Dispatch exact pair verification: broadcast the doc lookup when
+    the doc side is small (one ``ray.put``, zero extra shuffles), else
+    the :func:`verify_pairs_coshuffle` scale path."""
+    n_docs = ds_docs.count()
+    if n_docs <= broadcast_limit:
+        ddf = ds_docs.select_columns([id_col, text_col]).to_pandas()
+        docs = dict(zip(ddf[id_col], ddf[text_col]))
+        fn = verify_pairs_chargram if scorer == "chargram" \
+            else verify_pairs_jaccard
+        return fn(ds_pairs, docs, k=k, threshold=threshold)
+    return verify_pairs_coshuffle(ds_pairs, ds_docs, text_col=text_col,
+                                  id_col=id_col, k=k, threshold=threshold,
+                                  scorer=scorer)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

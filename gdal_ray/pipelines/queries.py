@@ -763,15 +763,17 @@ def q_minhash_near_dups(sf_dir: str):
     verification: emits true near-dup pairs (J ≥ 0.5). The oracle
     brute-forces all-pairs Jaccard in SQL — a full end-to-end recall +
     precision check of the LSH pipeline."""
-    from ..functions.dedup import minhash_candidates, verify_pairs_chargram
+    from ..functions.dedup import minhash_candidates, verify_pairs_coshuffle
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     # loose candidate net (est ≥ 0.35), exact filter at 0.5
     cands = minhash_candidates(ds, jaccard_threshold=0.35)
-    # broadcast doc lookup (bounded: text side fits while ≤ ~1e6 docs;
-    # the 100 TB path co-shuffles texts by pair key instead)
-    ddf = _rp(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    docs = dict(zip(ddf["doc_id"], ddf["text"]))
-    verified = verify_pairs_chargram(cands, docs, k=5, threshold=0.5)
+    # co-shuffle verification — the 100 TB path: texts never leave the
+    # cluster, no broadcast dict (verify_pairs() falls back to broadcast
+    # below a doc-count threshold; here we exercise the scale path so
+    # the driver's oracle gate covers it)
+    verified = verify_pairs_coshuffle(
+        cands, _rp(sf_dir, "documents", ["doc_id", "text"]),
+        k=5, threshold=0.5)
 
     def rnd(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("jaccard")

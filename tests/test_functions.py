@@ -106,6 +106,44 @@ class TestMinHash:
             assert a < 3 and b < 3
 
 
+class TestVerifyPairs:
+    def test_coshuffle_matches_broadcast(self, ray_session, docs):
+        """The 100 TB co-shuffle verify path returns byte-identical
+        verified pairs to the broadcast-dict path on the same LSH
+        candidates (texts never leave the cluster, two bounded
+        exchanges)."""
+        import ray.data as rd
+        from gdal_ray.functions.dedup import (minhash_candidates,
+                                              verify_pairs_chargram,
+                                              verify_pairs_coshuffle)
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        cands = minhash_candidates(ds, jaccard_threshold=0.35).materialize()
+        lookup = dict(zip(docs["doc_id"], docs["text"]))
+        want = verify_pairs_chargram(cands, lookup, k=5, threshold=0.5) \
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        got = verify_pairs_coshuffle(
+            cands, rd.read_parquet(f"{SF}/documents.parquet",
+                                   columns=["doc_id", "text"]),
+            k=5, threshold=0.5).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert len(got) == len(want) and len(got) > 0
+        pd.testing.assert_frame_equal(got[["id_a", "id_b", "jaccard"]],
+                                      want[["id_a", "id_b", "jaccard"]])
+
+    def test_dispatcher_picks_broadcast_below_limit(self, ray_session):
+        import ray.data as rd
+        from gdal_ray.functions.dedup import minhash_candidates, verify_pairs
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        cands = minhash_candidates(ds, jaccard_threshold=0.35).materialize()
+        small = verify_pairs(cands, ds, threshold=0.5).to_pandas()
+        big = verify_pairs(cands, ds, threshold=0.5,
+                           broadcast_limit=0).to_pandas()
+        assert sorted(map(tuple, small[["id_a", "id_b"]].to_numpy())) \
+            == sorted(map(tuple, big[["id_a", "id_b"]].to_numpy()))
+
+
 class TestSimHash:
     def test_near_dup_detection(self, ray_session):
         import ray.data as rd
