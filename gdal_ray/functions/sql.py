@@ -419,6 +419,13 @@ def _collect_aggs(e, found: list):
                 _collect_aggs(q, found)
 
 
+# A broadcast join side must fit in every worker's heap. OGR's own JOIN
+# is a secondary-layer lookup (small side by construction); above this
+# row count we refuse rather than silently OOM the cluster — co-shuffle
+# both sides by the key instead (stages/join.py patterns).
+JOIN_BROADCAST_LIMIT = 5_000_000
+
+
 def _join_spec(q, tables):
     """Materialize secondary join tables (OGR JOIN semantics: the
     secondary layer is the lookup side, ogr_gensql.cpp:1521-1542 probes
@@ -428,6 +435,13 @@ def _join_spec(q, tables):
     for jt, how, on in q.get("joins") or []:
         if jt not in tables:
             raise ValueError(f"unknown join table {jt!r}")
+        n_join = tables[jt].count()
+        if n_join > JOIN_BROADCAST_LIMIT:
+            raise ValueError(
+                f"JOIN table {jt!r} has {n_join} rows — too large to "
+                f"broadcast (limit {JOIN_BROADCAST_LIMIT}). Co-shuffle "
+                "both sides by the join key instead (gdal_ray.stages."
+                "join), or raise gdal_ray.functions.sql.JOIN_BROADCAST_LIMIT.")
         jdf = tables[jt].to_pandas()
         if not (isinstance(on, tuple) and on[0] == "bin" and on[1] == "="
                 and on[2][0] in ("col", "qcol") and on[3][0] in ("col", "qcol")):
@@ -462,9 +476,16 @@ def _apply_joins(df: pd.DataFrame, specs) -> pd.DataFrame:
     return df
 
 
-def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
+def execute_sql(sql: str, tables: dict, as_dataset: bool = False):
     """Run a SELECT against {'name': ray Dataset}; returns a pandas
-    DataFrame (results are the reduced side)."""
+    DataFrame (results are the reduced side).
+
+    ``as_dataset=True`` returns a ``ray.data.Dataset`` instead. For a
+    plain scan with no DISTINCT/ORDER BY/LIMIT the result is the lazy
+    mapped Dataset itself — NOTHING is materialized on the driver, the
+    scan streams block-by-block no matter how large the layer is (the
+    100 TB `SELECT *` path). Reduced results (aggregates, top-k, offset
+    slices) are bounded by construction and come back wrapped."""
     q = parse_select(sql)
     if q["table"] not in tables:
         raise ValueError(f"unknown table {q['table']!r}")
@@ -481,7 +502,8 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
     where = q["where"]
 
     if has_aggs or q["group"]:
-        return _run_aggregate(q, ds, join_specs)
+        res = _run_aggregate(q, ds, join_specs)
+        return _wrap_ds(res) if as_dataset else res
 
     keep = (q["limit"] + q.get("offset", 0)) if q["limit"] is not None else None
     # custom scalar functions registered on the driver must reach the
@@ -519,11 +541,16 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
             out = out.head(keep)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    res = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    mapped = ds.map_batches(scan, batch_format="pyarrow")
+    if as_dataset and not q["distinct"] and not q["order"] \
+            and q["limit"] is None and not q.get("offset", 0):
+        return mapped          # unbounded scan: stays a streaming Dataset
+    res = mapped.to_pandas()
     if len(res) == 0:
         # typed empty result (Ray may drop all-empty block schemas)
-        return pd.DataFrame(
+        res = pd.DataFrame(
             columns=[a or _expr_name(e) for e, a in q["items"]])
+        return _wrap_ds(res) if as_dataset else res
     if q["distinct"]:
         res = res.drop_duplicates()
     if q["order"]:
@@ -535,7 +562,13 @@ def execute_sql(sql: str, tables: dict) -> pd.DataFrame:
         res = res.iloc[off:off + q["limit"]]
     elif off:
         res = res.iloc[off:]
-    return res.reset_index(drop=True)
+    res = res.reset_index(drop=True)
+    return _wrap_ds(res) if as_dataset else res
+
+
+def _wrap_ds(df: pd.DataFrame):
+    import ray.data as rd
+    return rd.from_pandas(df)
 
 
 def _ob_key(frame, col):

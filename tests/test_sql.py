@@ -367,3 +367,54 @@ def test_order_by_unselected_column(ray_session):
     out = execute_sql("SELECT name FROM t ORDER BY k DESC", {"t": t})
     assert list(out.columns) == ["name"]
     assert list(out["name"]) == ["c", "b", "a"]
+
+
+def test_unlimited_scan_streams_as_dataset(ray_session):
+    """`SELECT *` over a many-block layer with as_dataset=True returns
+    the lazy mapped Dataset: rows stream block-by-block, nothing is
+    pulled to the driver (the 100 TB scan path)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data import Dataset
+    from gdal_ray.functions.sql import execute_sql
+
+    n = 50_000
+    t = rd.from_arrow(pa.table({"k": np.arange(n, dtype=np.int64),
+                                "v": np.arange(n, dtype=np.float64) * 0.5})) \
+        .repartition(16)
+    out = execute_sql("SELECT k, v * 2 AS v2 FROM t WHERE k >= 10", {"t": t},
+                      as_dataset=True)
+    assert isinstance(out, Dataset)
+    total, vsum = 0, 0.0
+    for b in out.iter_batches(batch_format="pyarrow"):
+        total += b.num_rows
+        vsum += float(np.sum(b["v2"].to_numpy()))
+    assert total == n - 10
+    assert vsum == float(np.arange(10, n).sum())
+    # reduced shapes still come back as (wrapped) bounded results
+    agg = execute_sql("SELECT SUM(k) AS s FROM t", {"t": t}, as_dataset=True)
+    assert isinstance(agg, Dataset)
+    assert agg.to_pandas()["s"].iloc[0] == float(np.arange(n).sum())
+
+
+def test_join_broadcast_size_guard(ray_session, monkeypatch):
+    """A JOIN side above JOIN_BROADCAST_LIMIT refuses to broadcast
+    instead of OOMing every worker."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from gdal_ray.functions import sql as sqlmod
+
+    t = rd.from_arrow(pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}))
+    j = rd.from_arrow(pa.table({"k": [1, 2, 3], "name": ["a", "b", "c"]}))
+    monkeypatch.setattr(sqlmod, "JOIN_BROADCAST_LIMIT", 2)
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        sqlmod.execute_sql(
+            "SELECT t.k, name FROM t JOIN j ON t.k = j.k",
+            {"t": t, "j": j})
+    monkeypatch.setattr(sqlmod, "JOIN_BROADCAST_LIMIT", 1000)
+    out = sqlmod.execute_sql(
+        "SELECT t.k, name FROM t JOIN j ON t.k = j.k ORDER BY k",
+        {"t": t, "j": j})
+    assert list(out["name"]) == ["a", "b", "c"]
