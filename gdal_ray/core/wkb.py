@@ -20,9 +20,84 @@ import numpy as np
 
 POINT, LINESTRING, POLYGON = 1, 2, 3
 MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION = 4, 5, 6, 7
+# curved / surface types (ogr/ogr_core.h:440-452) — accepted on READ and
+# linearized to the flat types above, mirroring what
+# OGRGeometryFactory::forceTo + curveToLineString do for non-curve-aware
+# consumers (ogr/ogrgeometryfactory.cpp)
+CIRCULARSTRING, COMPOUNDCURVE, CURVEPOLYGON = 8, 9, 10
+MULTICURVE, MULTISURFACE = 11, 12
+POLYHEDRALSURFACE, TIN, TRIANGLE = 15, 16, 17
 
 _TYPE_NAMES = {1: "Point", 2: "LineString", 3: "Polygon", 4: "MultiPoint",
                5: "MultiLineString", 6: "MultiPolygon", 7: "GeometryCollection"}
+
+# default max angle step for arc linearization, degrees — the
+# reference's OGR_ARC_STEPSIZE default (ogr/ogrgeometryfactory.cpp)
+_ARC_STEP_DEG = 4.0
+
+
+def _arc_points(p0, p1, p2, step: float) -> np.ndarray:
+    """Points along the circular arc through p0→p1→p2 (start,
+    intermediate, end), ≤ ``step`` radians apart; endpoints exact.
+    p0 == p2 is a full circle (GPKG/SQL-MM convention)."""
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    if ax == cx and ay == cy:
+        # start == end: full circle with p0–p1 as diameter (SQL-MM /
+        # GPKG convention — the intermediate point is antipodal)
+        ux, uy = (ax + bx) / 2.0, (ay + by) / 2.0
+        r = float(np.hypot(ax - ux, ay - uy))
+        if r == 0.0:
+            return np.array([p0, p1], dtype=np.float64)
+        a0 = float(np.arctan2(ay - uy, ax - ux))
+        n = max(2, int(np.ceil(2.0 * np.pi / step)))
+        ang = a0 + 2.0 * np.pi * np.linspace(0.0, 1.0, n + 1)
+        pts = np.column_stack([ux + r * np.cos(ang), uy + r * np.sin(ang)])
+        pts[0] = p0
+        pts[-1] = p2
+        return pts
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    scale = max(1.0, abs(ax) + abs(ay) + abs(bx) + abs(by) + abs(cx) + abs(cy))
+    if abs(d) < 1e-12 * scale * scale:
+        return np.array([p0, p1, p2], dtype=np.float64)  # collinear
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    r = float(np.hypot(ax - ux, ay - uy))
+    a0 = float(np.arctan2(ay - uy, ax - ux))
+    a1 = float(np.arctan2(by - uy, bx - ux))
+    a2 = float(np.arctan2(cy - uy, cx - ux))
+    two_pi = 2.0 * np.pi
+    dc = (a2 - a0) % two_pi
+    d1 = (a1 - a0) % two_pi
+    if dc < 1e-12:                      # start == end → full circle
+        sweep, sgn = two_pi, (1.0 if d1 > 0 else -1.0)
+    elif d1 <= dc:                      # intermediate on the CCW path
+        sweep, sgn = dc, 1.0
+    else:                               # CW
+        sweep, sgn = two_pi - dc, -1.0
+    n = max(2, int(np.ceil(sweep / step)))
+    ang = a0 + sgn * sweep * np.linspace(0.0, 1.0, n + 1)
+    pts = np.column_stack([ux + r * np.cos(ang), uy + r * np.sin(ang)])
+    pts[0] = p0
+    pts[-1] = p2
+    return pts
+
+
+def _linearize_arcs(coords: np.ndarray,
+                    step_deg: float = _ARC_STEP_DEG) -> np.ndarray:
+    """CircularString control points (2k+1 rows, consecutive 3-point
+    arcs sharing endpoints) → densified polyline."""
+    if len(coords) < 3:
+        return np.asarray(coords, dtype=np.float64)
+    step = float(np.deg2rad(step_deg))
+    out = [coords[:1]]
+    for i in range(0, len(coords) - 2, 2):
+        seg = _arc_points(coords[i], coords[i + 1], coords[i + 2], step)
+        out.append(seg[1:])
+    return np.vstack(out)
 
 
 @dataclass
@@ -178,13 +253,60 @@ def _read(mv: memoryview, off: int):
             rings.append(r.astype(np.float64))
             off += stride * n
         return Geometry(POLYGON, rings=rings), off
-    if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+    if t == CIRCULARSTRING:
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        coords = np.frombuffer(mv, dtype=bo + "f8", count=dims * n,
+                               offset=off).reshape(n, dims)[:, :2]
+        off += stride * n
+        return Geometry(LINESTRING,
+                        coords=_linearize_arcs(coords.astype(np.float64))), off
+    if t == TRIANGLE:
+        # identical layout to Polygon (ogr_core.h:452); decode as one
+        (nr,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(bo + "I", mv, off)
+            off += 4
+            r = np.frombuffer(mv, dtype=bo + "f8", count=dims * n,
+                              offset=off).reshape(n, dims)[:, :2]
+            rings.append(r.astype(np.float64))
+            off += stride * n
+        return Geometry(POLYGON, rings=rings), off
+    if t in (COMPOUNDCURVE, CURVEPOLYGON, MULTICURVE, MULTISURFACE,
+             POLYHEDRALSURFACE, TIN,
+             MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        # all are counted lists of child geometries, each with its own
+        # byte-order + type header
         (n,) = struct.unpack_from(bo + "I", mv, off)
         off += 4
         parts = []
         for _ in range(n):
             p, off = _read(mv, off)
             parts.append(p)
+        if t == COMPOUNDCURVE:
+            # children (LineString / linearized CircularString) chain
+            # end-to-start: concatenate into ONE LineString
+            segs = [p.coords for p in parts if p.coords is not None
+                    and len(p.coords)]
+            if not segs:
+                return Geometry(LINESTRING, coords=np.empty((0, 2))), off
+            chain = [segs[0]]
+            for s in segs[1:]:
+                drop = 1 if (len(s) and np.allclose(s[0], chain[-1][-1])) else 0
+                chain.append(s[drop:])
+            return Geometry(LINESTRING, coords=np.vstack(chain)), off
+        if t == CURVEPOLYGON:
+            # rings are full child geometries (unlike Polygon's raw
+            # rings); each decodes to a LineString → closed ring
+            rings = [_close_ring(p.coords) for p in parts
+                     if p.coords is not None and len(p.coords)]
+            return Geometry(POLYGON, rings=rings), off
+        if t == MULTICURVE:
+            return Geometry(MULTILINESTRING, parts=parts), off
+        if t in (MULTISURFACE, POLYHEDRALSURFACE, TIN):
+            return Geometry(MULTIPOLYGON, parts=parts), off
         return Geometry(t, parts=parts), off
     raise ValueError(f"unsupported WKB geometry type {raw_type}")
 

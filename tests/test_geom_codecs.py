@@ -433,3 +433,126 @@ class TestCodecRegistry:
         import pytest
         with pytest.raises(TypeError):
             codecs.register_codec("bad", 1, 2)
+
+
+class TestCurvedWKB:
+    """Curved / Z / surface WKB types (ogr/ogr_core.h:440-525) are
+    accepted on read and linearized to the flat ISO set, mirroring
+    OGRGeometryFactory::curveToLineString / forceTo semantics."""
+
+    @staticmethod
+    def _wkb(gtype, payload):
+        import struct
+        return b"\x01" + struct.pack("<I", gtype) + payload
+
+    @staticmethod
+    def _pts(*xy):
+        import struct
+        n = len(xy)
+        return struct.pack("<I", n) + b"".join(
+            struct.pack("<2d", x, y) for x, y in xy)
+
+    @staticmethod
+    def _pts3(*xyz):
+        import struct
+        n = len(xyz)
+        return struct.pack("<I", n) + b"".join(
+            struct.pack("<3d", x, y, z) for x, y, z in xyz)
+
+    def test_circularstring_half_circle(self):
+        # arc (0,0) -> (1,1) -> (2,0): half circle centered (1,0) r=1
+        buf = self._wkb(8, self._pts((0, 0), (1, 1), (2, 0)))
+        g = wkb.loads(buf)
+        assert g.geom_type == wkb.LINESTRING
+        assert len(g.coords) > 20                       # densified at 4°
+        np.testing.assert_allclose(g.coords[0], [0, 0], atol=1e-12)
+        np.testing.assert_allclose(g.coords[-1], [2, 0], atol=1e-12)
+        r = np.hypot(g.coords[:, 0] - 1.0, g.coords[:, 1])
+        np.testing.assert_allclose(r, 1.0, atol=1e-9)   # on the circle
+        env = g.envelope()
+        np.testing.assert_allclose(env, (0, 0, 2, 1), atol=1e-3)
+
+    def test_circularstring_full_circle_envelope(self):
+        # start == end: full circle centered (1,0), r=1
+        buf = self._wkb(8, self._pts((0, 0), (2, 0), (0, 0)))
+        env = wkb.loads(buf).envelope()
+        np.testing.assert_allclose(env, (0, -1, 2, 1), atol=1e-3)
+
+    def test_circularstring_25d(self):
+        # ISO Z variant 1008: extra ordinate read and dropped
+        buf = self._wkb(1008, self._pts3((0, 0, 5), (1, 1, 5), (2, 0, 5)))
+        g = wkb.loads(buf)
+        assert g.geom_type == wkb.LINESTRING
+        np.testing.assert_allclose(g.envelope(), (0, 0, 2, 1), atol=1e-3)
+
+    def test_compoundcurve_chains_segments(self):
+        # linestring (0,0)-(2,0) then arc (2,0)->(3,1)->(4,0)
+        seg1 = self._wkb(2, self._pts((0, 0), (2, 0)))
+        seg2 = self._wkb(8, self._pts((2, 0), (3, 1), (4, 0)))
+        import struct
+        buf = self._wkb(9, struct.pack("<I", 2) + seg1 + seg2)
+        g = wkb.loads(buf)
+        assert g.geom_type == wkb.LINESTRING
+        np.testing.assert_allclose(g.coords[0], [0, 0])
+        np.testing.assert_allclose(g.coords[-1], [4, 0], atol=1e-12)
+        # joint point not duplicated
+        d = np.linalg.norm(np.diff(g.coords, axis=0), axis=1)
+        assert (d > 1e-12).all()
+        np.testing.assert_allclose(g.envelope(), (0, 0, 4, 1), atol=1e-3)
+
+    def test_curvepolygon_circle(self):
+        import struct
+        ring = self._wkb(8, self._pts((0, 0), (2, 0), (0, 0)))
+        buf = self._wkb(10, struct.pack("<I", 1) + ring)
+        g = wkb.loads(buf)
+        assert g.geom_type == wkb.POLYGON
+        assert len(g.rings) == 1
+        r = g.rings[0]
+        np.testing.assert_allclose(r[0], r[-1])         # closed
+        np.testing.assert_allclose(g.envelope(), (0, -1, 2, 1), atol=1e-3)
+        # area of the linearized circle ≈ pi r^2
+        x, y = r[:, 0], r[:, 1]
+        area = 0.5 * abs(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+        np.testing.assert_allclose(area, np.pi, rtol=2e-3)
+
+    def test_multicurve_multisurface(self):
+        import struct
+        ls = self._wkb(2, self._pts((0, 0), (1, 0)))
+        arc = self._wkb(8, self._pts((1, 0), (2, 1), (3, 0)))
+        mc = self._wkb(11, struct.pack("<I", 2) + ls + arc)
+        g = wkb.loads(mc)
+        assert g.geom_type == wkb.MULTILINESTRING
+        assert len(g.parts) == 2
+        poly = self._wkb(3, struct.pack("<I", 1)
+                         + self._pts((0, 0), (1, 0), (1, 1), (0, 0)))
+        ring = self._wkb(8, self._pts((4, 0), (6, 0), (4, 0)))
+        cpoly = self._wkb(10, struct.pack("<I", 1) + ring)
+        msurf = self._wkb(12, struct.pack("<I", 2) + poly + cpoly)
+        g = wkb.loads(msurf)
+        assert g.geom_type == wkb.MULTIPOLYGON
+        np.testing.assert_allclose(g.envelope(), (0, -1, 6, 1), atol=1e-3)
+
+    def test_tin_and_triangle(self):
+        import struct
+        tri = self._wkb(17, struct.pack("<I", 1)
+                        + self._pts((0, 0), (1, 0), (0, 1), (0, 0)))
+        g = wkb.loads(tri)
+        assert g.geom_type == wkb.POLYGON
+        tin = self._wkb(16, struct.pack("<I", 2) + tri
+                        + self._wkb(17, struct.pack("<I", 1)
+                                    + self._pts((1, 0), (1, 1), (0, 1), (1, 0))))
+        g = wkb.loads(tin)
+        assert g.geom_type == wkb.MULTIPOLYGON
+        np.testing.assert_allclose(g.envelope(), (0, 0, 1, 1))
+
+    def test_gpkg_3d_fixture_envelopes(self):
+        """Reference 2.5D GPKG fixture parses with correct envelopes."""
+        import os
+        p = "/root/reference/autotest/ogr/data/gpkg/3d_envelope.gpkg"
+        if not os.path.exists(p):
+            pytest.skip("reference fixtures absent")
+        from gdal_ray.sources.gpkg import read_gpkg
+        t = read_gpkg(p)
+        env = wkb.envelopes_of_wkb(t["wkb"].to_pylist())
+        assert np.isfinite(env).all()
+        assert (env[:, 2] >= env[:, 0]).all() and (env[:, 3] >= env[:, 1]).all()
