@@ -882,6 +882,43 @@ FROM polys
 """
 
 
+def fgb_query_bbox(m: int = 40):
+    """Deterministic query window for the fgb_roundtrip battery row:
+    quantiles of the closed-form polygon envelopes (same numbers are
+    inlined into the SQL oracle and used by the Ray query)."""
+    import numpy as np
+    from ..sources.vector import polygons_table
+    t = polygons_table(m)
+    return (float(np.quantile(t["minx"].to_numpy(), 0.25)),
+            float(np.quantile(t["miny"].to_numpy(), 0.25)),
+            float(np.quantile(t["maxx"].to_numpy(), 0.60)),
+            float(np.quantile(t["maxy"].to_numpy(), 0.60)))
+
+
+def sql_fgb_roundtrip(m: int = 40) -> str:
+    """FlatGeobuf write→read is lossless (f64 coords bit-exact), so
+    roundtripped areas equal the closed-form shape-class areas; the
+    packed-R-tree bbox search returns exactly the envelope-intersecting
+    features (closed-form envelopes per shape class: ±s around the
+    center, class 4 extends to cx+2.5s / cy+2.5s)."""
+    bx0, by0, bx1, by1 = fgb_query_bbox(m)
+    return f"""
+WITH {sql_polygons_cte(m)},
+env AS (
+  SELECT fid, {sql_polygon_area_expr()} AS area,
+         cx - s AS minx, cy - s AS miny,
+         CASE WHEN k = 4 THEN cx + 2.5*s ELSE cx + s END AS maxx,
+         CASE WHEN k = 4 THEN cy + 2.5*s ELSE cy + s END AS maxy
+  FROM polys)
+SELECT fid AS pid,
+       ROUND(area / 1e6, 3) AS area_km2_fgb,
+       (CASE WHEN minx <= {bx1!r} AND maxx >= {bx0!r}
+             AND miny <= {by1!r} AND maxy >= {by0!r}
+        THEN 1 ELSE 0 END)::BIGINT AS in_bbox
+FROM env
+"""
+
+
 def sql_linear_grid(size: int = 64) -> str:
     """Delaunay-linear grid: every node value equals the source plane
     (barycentric interpolation is exact on affine data), so row sums

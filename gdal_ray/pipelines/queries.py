@@ -1897,6 +1897,43 @@ def q_vector_drivers(sf_dir: str):
     return df
 
 
+def q_fgb_roundtrip(sf_dir: str):
+    """FlatGeobuf driver end-to-end: polygon layer → indexed .fgb
+    (Hilbert sort + packed R-tree, ogr/ogrsf_frmts/flatgeobuf) → full
+    read (per-pid areas must equal the closed-form shape-class areas)
+    + bbox read via the R-tree (in_bbox must equal the closed-form
+    envelope-intersection predicate)."""
+    import os
+    import tempfile
+    from ..core import wkb as _W
+    from ..core.geom import area as _area
+    from ..pipelines.oracles import fgb_query_bbox
+    from ..sources.flatgeobuf import read_fgb, read_fgb_dataset, write_fgb
+    from ..sources.vector import polygons_table
+
+    m = 40
+    src = polygons_table(m).rename_columns(
+        ["pid" if c == "fid" else c for c in polygons_table(m).column_names])
+    d = tempfile.mkdtemp(prefix="fgb_", dir="/tmp")
+    path = os.path.join(d, "layer.fgb")
+    write_fgb(src, path, geometry_col="wkb", crs_code=32633)
+
+    bbox = fgb_query_bbox(m)
+    hit_pids = set(read_fgb(path, bbox=bbox)["pid"].to_pylist())
+
+    def stats(t: pa.Table) -> pa.Table:
+        areas = [_half_away([_area(_W.loads(b)) / 1e6], 3)[0]
+                 for b in t["wkb"].to_pylist()]
+        pids = t["pid"].to_pylist()
+        return pa.table({
+            "pid": pa.array(pids, pa.int64()),
+            "area_km2_fgb": pa.array(areas, pa.float64()),
+            "in_bbox": pa.array([1 if p in hit_pids else 0 for p in pids],
+                                pa.int64())})
+
+    return read_fgb_dataset(path).map_batches(stats, batch_format="pyarrow")
+
+
 def q_geojson_roundtrip(sf_dir: str):
     """GeoJSON driver: write the polygon layer to a FeatureCollection,
     read it back, verify geometry byte-equality + areas."""
@@ -3325,6 +3362,7 @@ QUERIES = {
     "sieve": q_sieve,
     "geoloc_warp": q_geoloc_warp,
     "rpc_warp": q_rpc_warp,
+    "fgb_roundtrip": q_fgb_roundtrip,
 }
 
 
@@ -3379,6 +3417,7 @@ def oracle_sql() -> dict[str, str]:
         "hillshade": _OR.sql_hillshade(128),
         "mosaic": _OR.sql_mosaic(96, 512),
         "vector_drivers": _OR.sql_vector_drivers(25),
+        "fgb_roundtrip": _OR.sql_fgb_roundtrip(40),
         "contours": _OR.sql_contours(96, (63.5, 127.5, 191.5)),
         "image_spatial_join": _OR.sql_image_spatial_join(200, 40),
         "image_pip": _OR.sql_image_pip(300, 40),

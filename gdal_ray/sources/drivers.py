@@ -84,6 +84,12 @@ def _read_kml(path):
     return read_kml_table(path)
 
 
+@_builtin("fgb")
+def _read_fgb(path):
+    from .flatgeobuf import read_fgb
+    return read_fgb(path)
+
+
 @_builtin("arrow")
 def _read_arrow(path):
     # Arrow IPC file (the reference's Arrow driver,
