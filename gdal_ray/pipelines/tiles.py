@@ -150,6 +150,102 @@ def write_pyramid(levels: dict, out_dir: str):
     return manifest
 
 
+def render_base_resumable(images, zoom: int, out_dir: str, *,
+                          resampling: str = "bilinear",
+                          resume: bool = True) -> dict:
+    """Base-zoom render with TILE-GRANULAR resume (the reference's
+    per-tile resume contract: gdal2tiles.py:1492-1494 checks each tile
+    file, apps/gdalalg_raster_tile.cpp:663-667 skips existing tiles).
+
+    Commit unit = one rendered block: each block writes
+    ``out_dir/tiles/<name>.parquet`` and THEN its manifest twin
+    ``out_dir/cells/<name>.parquet`` (cell ids only). A kill between
+    the two leaves an orphan tiles file that no manifest names — it is
+    ignored on read and its cells re-render on resume, so the pyramid
+    is always exactly the manifest's cells, no duplicates.
+
+    On restart the done-cell list (ids only — bounded by the tile count
+    at this zoom, not the corpus) broadcasts via ``ray.put`` and prunes
+    fragments on the MAP side: finished cells never enter the shuffle,
+    so a resumed run pays only for the missing tiles.
+
+    Returns {"n_rendered", "n_skipped", "dataset"} — the dataset reads
+    every manifest-validated tiles file (the complete level so far)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    tiles_dir = os.path.join(out_dir, "tiles")
+    cells_dir = os.path.join(out_dir, "cells")
+    os.makedirs(tiles_dir, exist_ok=True)
+    os.makedirs(cells_dir, exist_ok=True)
+
+    done = np.array([], dtype=np.int64)
+    if resume:
+        parts = []
+        for f in sorted(os.listdir(cells_dir)):
+            # trust a manifest only when its tiles twin survived
+            if f.endswith(".parquet") \
+                    and os.path.exists(os.path.join(tiles_dir, f)):
+                parts.append(pq.read_table(
+                    os.path.join(cells_dir, f), columns=["cell"])
+                    ["cell"].to_numpy())
+        if parts:
+            # cell ids are uint64 hashes: keep the comparison in uint64
+            # (mixing int64/uint64 in np.isin promotes to float64 and
+            # loses precision above 2^53 — every cell would "match")
+            done = np.unique(np.concatenate(parts)).astype(np.uint64)
+    done_ref = ray.put(done)
+
+    ds = images.map_batches(with_georef, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: warp_fragments_batch(b, zoom, resampling=resampling),
+        batch_format="pyarrow")
+    if len(done):
+        def drop_done(t: pa.Table) -> pa.Table:
+            d = ray.get(done_ref)
+            keep = ~np.isin(t["cell"].to_numpy().astype(np.uint64), d)
+            return t.filter(pa.array(keep))
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _with_bucket(b, "cell"),
+                        batch_format="pyarrow")
+    renderer = RenderFragments()
+
+    def render_tile_group(g):
+        return renderer(g)
+
+    rendered = ds.groupby("bucket").map_groups(render_tile_group,
+                                               batch_format="pandas")
+
+    def commit_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        cells = np.sort(t["cell"].to_numpy())
+        name = hashlib.sha1(cells.tobytes()).hexdigest()[:16]
+        drop = [c for c in ("parent", "bucket") if c in t.column_names]
+        pq.write_table(t.drop_columns(drop) if drop else t,
+                       os.path.join(tiles_dir, f"{name}.parquet"))
+        # manifest row lands strictly AFTER the tiles file: the commit
+        pq.write_table(pa.table({"cell": pa.array(cells)}),
+                       os.path.join(cells_dir, f"{name}.parquet"))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    counts = rendered.map_batches(commit_block,
+                                  batch_format="pyarrow").to_pandas()
+    n_rendered = int(counts["n"].sum()) if len(counts) else 0
+
+    valid = [f for f in sorted(os.listdir(cells_dir))
+             if f.endswith(".parquet")
+             and os.path.exists(os.path.join(tiles_dir, f))]
+    full = rd.read_parquet([os.path.join(tiles_dir, f) for f in valid]) \
+        if valid else None
+    return {"n_rendered": n_rendered, "n_skipped": int(len(done)),
+            "dataset": full}
+
+
 def write_tile_tree(levels: dict, out_dir: str, ext: str = "png"):
     """Write tiles as a z/x/y.png file tree (the gdal2tiles /
     `gdal raster tile` on-disk layout, apps/gdalalg_raster_tile.cpp:

@@ -292,3 +292,56 @@ class TestFragmentParity:
                 batch_format="pyarrow", batch_size=4096):
             new_bytes += sum(len(v) for v in b["frag"].to_pylist())
         assert new_bytes < old_bytes * 1.5
+
+
+class TestTileGranularResume:
+    """Tile-granular resume (gdal2tiles.py:1492-1494 /
+    gdalalg_raster_tile.cpp:663-667 per-tile resume contract): a killed
+    base render re-renders ONLY the uncommitted cells and the resumed
+    pyramid is checksum-identical to a one-shot render."""
+
+    @staticmethod
+    def _cs_map(ds):
+        df = ds.to_pandas()
+        return {int(c): (int(r), int(g), int(b)) for c, r, g, b in
+                zip(df["cell"], df["cs_r"], df["cs_g"], df["cs_b"])}
+
+    def test_kill_and_resume_renders_only_missing(self, ray_session,
+                                                  tmp_path):
+        import os
+        import pyarrow.parquet as pq
+        from gdal_ray.pipelines.tiles import (build_base_tiles,
+                                              render_base_resumable)
+        from gdal_ray.sources.images import images_dataset
+
+        out = str(tmp_path / "lvl")
+        r1 = render_base_resumable(images_dataset(40), 7, out)
+        assert r1["n_skipped"] == 0 and r1["n_rendered"] > 4
+        total = r1["n_rendered"]
+        want = self._cs_map(r1["dataset"])
+
+        # simulate a mid-level kill: some blocks never committed their
+        # manifest twin (orphan tiles files remain — must be ignored)
+        cells_dir = os.path.join(out, "cells")
+        victims = sorted(os.listdir(cells_dir))[::2]
+        lost = 0
+        for f in victims:
+            lost += pq.read_table(os.path.join(cells_dir, f)).num_rows
+            os.remove(os.path.join(cells_dir, f))
+        assert 0 < lost < total
+
+        r2 = render_base_resumable(images_dataset(40), 7, out)
+        # resume rendered exactly the lost cells, skipped the rest
+        assert r2["n_rendered"] == lost
+        assert r2["n_skipped"] == total - lost
+        got = self._cs_map(r2["dataset"])
+        assert got == want                      # checksum-identical level
+
+        # idempotent third run: everything skipped, nothing rendered
+        r3 = render_base_resumable(images_dataset(40), 7, out)
+        assert r3["n_rendered"] == 0 and r3["n_skipped"] == total
+        assert self._cs_map(r3["dataset"]) == want
+
+        # parity with the non-resumable pipeline
+        ref = build_base_tiles(images_dataset(40), 7)
+        assert self._cs_map(ref) == want
