@@ -430,26 +430,32 @@ def knn_join(points, queries, k: int = 3, zoom: int = 6):
         })
 
     def q_prep(b: pa.Table) -> pa.Table:
-        # flat-map each query into its 3×3 cell neighborhood
+        # flat-map each query into its 3×3 cell neighborhood —
+        # fully vectorized: repeat each query 9×, tile the offsets,
+        # mask the out-of-grid neighbors
         x = b["x"].to_numpy(); y = b["y"].to_numpy()
         fid = b["fid"].to_numpy()
+        nq = len(x)
         n = 2**zoom
         tx, ty = merc.meters_to_tile(x, y, zoom)
-        tx = np.clip(tx, 0, n - 1); ty = np.clip(ty, 0, n - 1)
-        cells, qid, qx, qy = [], [], [], []
-        for i in range(len(x)):
-            for dx in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    cx, cy = int(tx[i]) + dx, int(ty[i]) + dy
-                    if 0 <= cx < n and 0 <= cy < n:
-                        cells.append(int(merc.cell_id(zoom, cx, int(merc.tms_to_xyz(cy, zoom)))))
-                        qid.append(int(fid[i])); qx.append(float(x[i])); qy.append(float(y[i]))
+        tx = np.clip(tx, 0, n - 1).astype(np.int64)
+        ty = np.clip(ty, 0, n - 1).astype(np.int64)
+        dx = np.tile(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1]), nq)
+        dy = np.tile(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1]), nq)
+        cx = np.repeat(tx, 9) + dx
+        cy = np.repeat(ty, 9) + dy
+        ok = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
+        cx, cy = cx[ok], cy[ok]
+        cells = merc.cell_id(zoom, cx.astype(np.uint64),
+                             merc.tms_to_xyz(cy, zoom).astype(np.uint64))
+        m = int(ok.sum())
         return pa.table({
-            "cell": pa.array(np.array(cells, dtype=np.uint64), pa.uint64()),
-            "side": pa.array(["Q"] * len(cells)),
-            "qid": pa.array(qid, pa.int64()),
-            "fid": pa.nulls(len(cells), pa.int64()),
-            "x": pa.array(qx, pa.float64()), "y": pa.array(qy, pa.float64()),
+            "cell": pa.array(cells, pa.uint64()),
+            "side": pa.array(np.full(m, "Q"), pa.string()),
+            "qid": pa.array(np.repeat(fid, 9)[ok].astype(np.int64), pa.int64()),
+            "fid": pa.nulls(m, pa.int64()),
+            "x": pa.array(np.repeat(x, 9)[ok], pa.float64()),
+            "y": pa.array(np.repeat(y, 9)[ok], pa.float64()),
         })
 
     pts = points.map_batches(pts_prep, batch_format="pyarrow")

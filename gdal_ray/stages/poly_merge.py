@@ -82,9 +82,9 @@ class TilePolygonize:
         self.conn = connectedness
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        rows = {"kind": [], "tile_x": [], "tile_y": [], "label": [],
-                "value": [], "n_px": [], "side": [], "start": [],
-                "end": [], "edge_key": []}
+        # outer loop is over TILES (few, fat rows — each is a whole
+        # grid); all per-piece / per-edge emission is numpy-vectorized
+        pp, ee = [], []          # per-tile (tx, ty, pieces) / edge arrays
         for i in range(t.num_rows):
             tx = int(t["tile_x"][i].as_py())
             ty = int(t["tile_y"][i].as_py())
@@ -94,51 +94,69 @@ class TilePolygonize:
                                  np.int64).reshape(h, w)
             tile_id = (tx << 32) | ty
             pieces, edges = tile_pieces_and_edges(tile_id, grid, self.conn)
-            np_ = len(pieces["label"])
-            rows["kind"].extend(["P"] * np_)
-            rows["tile_x"].extend([tx] * np_)
-            rows["tile_y"].extend([ty] * np_)
-            rows["label"].extend(pieces["label"].tolist())
-            rows["value"].extend(pieces["value"].tolist())
-            rows["n_px"].extend(pieces["n_px"].tolist())
-            rows["side"].extend([""] * np_)
-            rows["start"].extend([0] * np_)
-            rows["end"].extend([0] * np_)
-            rows["edge_key"].extend([0] * np_)
-            for side, lab, val, s, e in edges:
-                # shared-edge canonical key, owned by the W/N tile:
-                #  vertical edge between (tx-1,ty)|(tx,ty) and
-                #  horizontal edge between (tx,ty-1)|(tx,ty)
-                M = (1 << 30) - 1      # 30-bit tile coords (z ≤ 30)
-                if side == "W":
-                    ek = (1 << 60) | (((tx - 1) & M) << 30) | (ty & M)
-                elif side == "E":
-                    ek = (1 << 60) | ((tx & M) << 30) | (ty & M)
-                elif side == "N":
-                    ek = (2 << 60) | ((tx & M) << 30) | ((ty - 1) & M)
-                else:  # S
-                    ek = (2 << 60) | ((tx & M) << 30) | (ty & M)
-                rows["kind"].append("B")
-                rows["tile_x"].append(tx)
-                rows["tile_y"].append(ty)
-                rows["label"].append(lab)
-                rows["value"].append(val)
-                rows["n_px"].append(0)
-                rows["side"].append(side)
-                rows["start"].append(s)
-                rows["end"].append(e)
-                rows["edge_key"].append(ek)
+            pp.append((tx, ty, pieces))
+            if edges:
+                side, lab, val, s, e = zip(*edges)
+                ee.append((tx, ty, np.array(side), np.asarray(lab, np.int64),
+                           np.asarray(val, np.int64),
+                           np.asarray(s, np.int64), np.asarray(e, np.int64)))
+
+        def full(vals, n):
+            return np.concatenate([np.full(k, v, np.int64)
+                                   for v, k in zip(vals, n)]) \
+                if n else np.empty(0, np.int64)
+
+        np_per = [len(p["label"]) for _, _, p in pp]
+        p_tx = full([tx for tx, _, _ in pp], np_per)
+        p_ty = full([ty for _, ty, _ in pp], np_per)
+        p_lab = np.concatenate([p["label"] for _, _, p in pp]) \
+            if pp else np.empty(0, np.int64)
+        p_val = np.concatenate([p["value"] for _, _, p in pp]) \
+            if pp else np.empty(0, np.int64)
+        p_npx = np.concatenate([p["n_px"] for _, _, p in pp]) \
+            if pp else np.empty(0, np.int64)
+        n_p = len(p_lab)
+
+        ne_per = [len(x[3]) for x in ee]
+        e_tx = full([x[0] for x in ee], ne_per)
+        e_ty = full([x[1] for x in ee], ne_per)
+        if ee:
+            e_side = np.concatenate([x[2] for x in ee])
+            e_lab = np.concatenate([x[3] for x in ee])
+            e_val = np.concatenate([x[4] for x in ee])
+            e_s = np.concatenate([x[5] for x in ee])
+            e_e = np.concatenate([x[6] for x in ee])
+        else:
+            e_side = np.empty(0, "U1")
+            e_lab = e_val = e_s = e_e = np.empty(0, np.int64)
+        # shared-edge canonical key, owned by the W/N tile: vertical
+        # edge between (tx-1,ty)|(tx,ty), horizontal (tx,ty-1)|(tx,ty)
+        M = np.int64((1 << 30) - 1)    # 30-bit tile coords (z ≤ 30)
+        kx = np.where(e_side == "W", e_tx - 1, e_tx) & M
+        ky = np.where(e_side == "N", e_ty - 1, e_ty) & M
+        vert = (e_side == "W") | (e_side == "E")
+        e_key = (np.where(vert, np.int64(1) << 60, np.int64(2) << 60)
+                 | (kx << 30) | ky)
+        n_e = len(e_lab)
+
+        z = np.zeros
         return pa.table({
-            "kind": pa.array(rows["kind"], pa.string()),
-            "tile_x": pa.array(rows["tile_x"], pa.int64()),
-            "tile_y": pa.array(rows["tile_y"], pa.int64()),
-            "label": pa.array(rows["label"], pa.int64()),
-            "value": pa.array(rows["value"], pa.int64()),
-            "n_px": pa.array(rows["n_px"], pa.int64()),
-            "side": pa.array(rows["side"], pa.string()),
-            "start": pa.array(rows["start"], pa.int64()),
-            "end": pa.array(rows["end"], pa.int64()),
-            "edge_key": pa.array(rows["edge_key"], pa.int64()),
+            "kind": pa.array(np.concatenate([np.full(n_p, "P"),
+                                             np.full(n_e, "B")]), pa.string()),
+            "tile_x": pa.array(np.concatenate([p_tx, e_tx]), pa.int64()),
+            "tile_y": pa.array(np.concatenate([p_ty, e_ty]), pa.int64()),
+            "label": pa.array(np.concatenate([p_lab, e_lab]), pa.int64()),
+            "value": pa.array(np.concatenate([p_val, e_val]), pa.int64()),
+            "n_px": pa.array(np.concatenate([p_npx, z(n_e, np.int64)]),
+                             pa.int64()),
+            "side": pa.array(np.concatenate([np.full(n_p, ""), e_side]),
+                             pa.string()),
+            "start": pa.array(np.concatenate([z(n_p, np.int64), e_s]),
+                              pa.int64()),
+            "end": pa.array(np.concatenate([z(n_p, np.int64), e_e]),
+                            pa.int64()),
+            "edge_key": pa.array(np.concatenate([z(n_p, np.int64), e_key]),
+                                 pa.int64()),
         })
 
 
