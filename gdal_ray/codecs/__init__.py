@@ -46,6 +46,9 @@ def encode(img: np.ndarray, fmt: str, **kw) -> bytes:
     if fmt == "bmp":
         from . import bmp
         return bmp.encode_bmp(img, **kw)
+    if fmt == "webp":
+        from . import webp
+        return webp.encode_webp(img, **kw)
     raise ValueError(f"unknown image format {fmt!r}")
 
 
@@ -69,6 +72,8 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
             fmt = "bmp"
         elif buf[:1] == b"P" and buf[1:2] in b"23456":
             fmt = "pnm"
+        elif buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+            fmt = "webp"
         else:
             raise ValueError("unrecognized image magic")
     if fmt == "png":
@@ -93,6 +98,9 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from . import bmp
         px, _pal = bmp.decode_bmp(buf)
         return px
+    if fmt == "webp":
+        from . import webp
+        return webp.decode_webp(buf)
     raise ValueError(f"unknown image format {fmt!r}")
 
 
