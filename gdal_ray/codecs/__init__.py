@@ -49,6 +49,9 @@ def encode(img: np.ndarray, fmt: str, **kw) -> bytes:
     if fmt == "webp":
         from . import webp
         return webp.encode_webp(img, **kw)
+    if fmt in ("netcdf", "nc"):
+        from . import netcdf
+        return netcdf.encode_netcdf(img, **kw)
     raise ValueError(f"unknown image format {fmt!r}")
 
 
@@ -74,6 +77,8 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
             fmt = "pnm"
         elif buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
             fmt = "webp"
+        elif buf[:3] == b"CDF" and buf[3:4] in (b"\x01", b"\x02", b"\x05"):
+            fmt = "netcdf"
         else:
             raise ValueError("unrecognized image magic")
     if fmt == "png":
@@ -101,6 +106,10 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
     if fmt == "webp":
         from . import webp
         return webp.decode_webp(buf)
+    if fmt in ("netcdf", "nc"):
+        from . import netcdf
+        px, _gt, _nd, _meta = netcdf.decode_netcdf(buf)
+        return px
     raise ValueError(f"unknown image format {fmt!r}")
 
 

@@ -1197,6 +1197,74 @@ def q_gcp_warp(sf_dir: str):
         .map_batches(warp_batch, batch_format="pyarrow", batch_size=16)
 
 
+def q_netcdf_roundtrip(sf_dir: str):
+    """netCDF classic driver end-to-end (frmts/netcdf/netcdfdataset.cpp
+    raster model): transcode the lossless corpus half to CDF-1 files
+    (bottom-up storage, ascending-y coordinate vars, grid-mapping var
+    carrying GeoTransform + spatial_ref — the reference's own write
+    layout), read the directory back as a Ray binary-file source,
+    decode, assert the geotransform survives byte-exactly, and emit per
+    image band stats. The oracle recomputes the stats closed-form, so
+    the write→read→decode chain must be lossless to hash-match.
+    (Golden-checksum conformance against the reference's autotest
+    fixtures byte.nc/trmm-nan.nc/int16-nogeo.nc is tests/test_netcdf.py.)"""
+    import os
+    import shutil
+    import ray.data as rd
+    from ..codecs import decode as _dec
+    from ..codecs.netcdf import decode_netcdf, encode_netcdf
+    from ..sources.images import images_dataset
+    from ..stages.georef import image_index, with_georef
+    from ..sources import geo
+
+    out_dir = "/tmp/gdal_ray_netcdf_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            gt = tuple(float(g[i]) for g in gts)
+            buf = encode_netcdf(px, geotransform=gt, crs="EPSG:3857")
+            path = os.path.join(out_dir, f"{t['image_id'][i].as_py()}.nc")
+            with open(path, "wb") as f:
+                f.write(buf)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(64).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(out_dir, include_paths=True)
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs = [], [], [], []
+        for path, buf in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            px, gt, _nd, _meta = decode_netcdf(buf)
+            iid = os.path.basename(path)[:-3]
+            idx = image_index([iid])
+            exp = geo.image_geotransform(idx,
+                                         np.array([px.shape[1]]),
+                                         np.array([px.shape[0]]))[0]
+            if tuple(float(g) for g in exp) != gt:
+                raise AssertionError(f"geotransform drift for {iid}: "
+                                     f"{gt} != {tuple(exp)}")
+            b0 = (px if px.ndim == 2 else px[:, :, 0]).astype(np.float64)
+            ids.append(iid)
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
 def q_gtiff_roundtrip(sf_dir: str):
     """Real GeoTIFF driver end-to-end: transcode the lossless corpus
     half to tiled-deflate GeoTIFF files (with geotransform, CRS and
@@ -3311,6 +3379,7 @@ QUERIES = {
     "raster_index": q_raster_index,
     "mbtiles_roundtrip": q_mbtiles_roundtrip,
     "gtiff_roundtrip": q_gtiff_roundtrip,
+    "netcdf_roundtrip": q_netcdf_roundtrip,
     "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
     "proximity": q_proximity,
@@ -3434,6 +3503,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_roundtrip": _OR.sql_polygonize_roundtrip(20),
         "cutline_clip": _OR.sql_cutline_clip(96, 40),
         "gtiff_roundtrip": _OR.sql_raster_stats(64),
+        "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "cog_roundtrip": _OR.sql_cog_roundtrip(48),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),
