@@ -1,9 +1,14 @@
-"""Baseline JPEG (JFIF) decoder + encoder — pure Python/numpy.
+"""JPEG (JFIF) decoder + encoder — pure Python/numpy.
 
-Independently implements ITU-T T.81 baseline sequential DCT (the
-public JPEG standard): SOF0, Huffman entropy coding, 8-bit quantization
-tables, restart intervals, 4:4:4 / 4:2:2 / 4:2:0 chroma sampling,
-JFIF YCbCr. The reference reads JPEG via libjpeg
+Independently implements ITU-T T.81 baseline sequential DCT (SOF0)
+AND progressive DCT (SOF2: spectral selection, successive
+approximation, EOB runs, DC/AC refinement passes per Annex G):
+Huffman entropy coding, 8-bit quantization tables, restart intervals,
+4:4:4 / 4:2:2 / 4:2:0 chroma sampling, JFIF YCbCr. The progressive
+encoder uses the libjpeg standard scan script, emitting the same
+quantized coefficients as the baseline stream — so baseline and
+progressive decodes of one image are bit-identical, which is the
+conformance test. The reference reads JPEG via libjpeg
 (frmts/jpeg/jpgdataset.cpp); bit-exact IDCT parity across
 implementations is NOT defined by the standard (the reference's own
 test suite accepts multiple checksums per libjpeg version,
@@ -150,8 +155,252 @@ class _BitReader:
         self.pos = (self.pos + 7) & ~7
 
 
+def _collect_entropy(buf: bytes, pos: int):
+    """Unstuff the entropy-coded segment starting at ``pos``. Returns
+    (bytes, restart bit positions, position of the next marker)."""
+    ecs = bytearray()
+    rst_bitpos = []
+    i = pos
+    n = len(buf)
+    while i < n - 1:
+        b = buf[i]
+        if b == 0xFF:
+            m = buf[i + 1]
+            if m == 0x00:
+                ecs.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                rst_bitpos.append(len(ecs) * 8)
+                i += 2
+                continue
+            break        # EOI or next marker
+        ecs.append(b)
+        i += 1
+    return bytes(ecs), rst_bitpos, i
+
+
+def _huffdec(br, sym, ln, what: str) -> int:
+    win = br.peek16()
+    L = int(ln[win])
+    if L == 0:
+        raise ValueError(f"bad Huffman prefix ({what})")
+    br.pos += L
+    return int(sym[win])
+
+
+def _decode_scan(scan, comps, comp_by_id, coefs, nblocks,
+                 hmax, vmax, mcux, mcuy, w, h, progressive):
+    """Decode one entropy-coded scan into the per-component coefficient
+    stores. Sequential scans decode DC+AC per block; progressive scans
+    decode the (Ss..Se) band at successive-approximation bit Al with
+    EOB-run and refinement semantics (T.81 G.1.2)."""
+    (scan_comps, ss, se, ah, al, huff, restart, ecs, rst_bitpos) = scan
+    br = _BitReader(ecs)
+    end_bits = len(ecs) * 8
+    dc_pred = {cs: 0 for cs, _, _ in scan_comps}
+    eobrun = 0
+    rst_i = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def resync():
+        nonlocal eobrun, rst_i, dc_pred
+        if rst_i < len(rst_bitpos):
+            br.pos = rst_bitpos[rst_i]
+            rst_i += 1
+        else:
+            br.align()
+        dc_pred = {cs: 0 for cs, _, _ in scan_comps}
+        eobrun = 0
+
+    def dc_first(blk, cs, dsym, dlen):
+        t = _huffdec(br, dsym, dlen, "DC")
+        diff = _extend(br.take(t), t) if t else 0
+        dc_pred[cs] += diff
+        blk[0] = dc_pred[cs] << al
+
+    def dc_refine(blk):
+        if br.take(1):
+            blk[0] |= p1
+
+    def ac_first(blk, asym, alen):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huffdec(br, asym, alen, "AC")
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.take(r)
+                break
+            k += r
+            if k > se:
+                break
+            blk[k] = _extend(br.take(s), s) << al
+            k += 1
+
+    def ac_refine(blk, asym, alen):
+        # T.81 G.1.2.3 correction pass: newly-nonzero coefficients
+        # arrive as ±1<<Al; every already-nonzero coefficient passed
+        # over consumes one refinement bit.
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huffdec(br, asym, alen, "AC")
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        # NB: 1<<r (not -1): the current block's tail
+                        # still consumes refinement bits below, then
+                        # decrements the run
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.take(r)
+                        break
+                    # r == 15, s == 0: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("corrupt AC refinement scan")
+                    val = p1 if br.take(1) else m1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.take(1) and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.take(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def seq_block(blk, cs, dsym, dlen, asym, alen):
+        t = _huffdec(br, dsym, dlen, "DC")
+        diff = _extend(br.take(t), t) if t else 0
+        dc_pred[cs] += diff
+        blk[0] = dc_pred[cs]
+        k = 1
+        while k < 64:
+            rs = _huffdec(br, asym, alen, "AC")
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break           # EOB
+            k += r
+            if k > 63:
+                break
+            blk[k] = _extend(br.take(s), s)
+            k += 1
+
+    def tables_for(td, ta, need_dc, need_ac):
+        d = a = (None, None)
+        if need_dc:
+            if (0, td) not in huff:
+                raise ValueError(f"missing Huffman table DC{td}")
+            d = huff[(0, td)]
+        if need_ac:
+            if (1, ta) not in huff:
+                raise ValueError(f"missing Huffman table AC{ta}")
+            a = huff[(1, ta)]
+        return d, a
+
+    is_dc_band = ss == 0
+    first_pass = ah == 0
+    if progressive and not is_dc_band and len(scan_comps) > 1:
+        raise ValueError("progressive AC scans must be single-component")
+
+    if len(scan_comps) > 1:
+        # interleaved MCU walk (sequential scans and progressive DC
+        # scans over several components)
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if br.pos > end_bits:
+                    raise ValueError("truncated JPEG entropy stream")
+                if restart and unit and unit % restart == 0:
+                    resync()
+                for cs, td, ta in scan_comps:
+                    cid, ch, cv, _tq = comp_by_id[cs]
+                    if progressive:
+                        (dsym, dlen), _ = tables_for(td, ta, first_pass, False)
+                    else:
+                        (dsym, dlen), (asym, alen) = \
+                            tables_for(td, ta, True, True)
+                    cols = nblocks[cs][1]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = coefs[cs][(my * cv + by) * cols +
+                                            (mx * ch + bx)]
+                            if not progressive:
+                                seq_block(blk, cs, dsym, dlen, asym, alen)
+                            elif first_pass:
+                                dc_first(blk, cs, dsym, dlen)
+                            else:
+                                dc_refine(blk)
+                unit += 1
+    else:
+        # non-interleaved: walk this component's own ceil-grid
+        cs, td, ta = scan_comps[0]
+        cid, ch, cv, _tq = comp_by_id[cs]
+        comp_w = -(-w * ch // hmax)          # ceil: component pixel dims
+        comp_h = -(-h * cv // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        cols = nblocks[cs][1]
+        if progressive:
+            need_dc = is_dc_band and first_pass
+            need_ac = not is_dc_band
+            (dsym, dlen), (a_s, a_l) = tables_for(td, ta, need_dc, need_ac)
+        else:
+            (dsym, dlen), (a_s, a_l) = tables_for(td, ta, True, True)
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if br.pos > end_bits:
+                    raise ValueError("truncated JPEG entropy stream")
+                if restart and unit and unit % restart == 0:
+                    resync()
+                blk = coefs[cs][by * cols + bx]
+                if not progressive:
+                    seq_block(blk, cs, dsym, dlen, a_s, a_l)
+                elif is_dc_band:
+                    if first_pass:
+                        dc_first(blk, cs, dsym, dlen)
+                    else:
+                        dc_refine(blk)
+                elif first_pass:
+                    ac_first(blk, a_s, a_l)
+                else:
+                    ac_refine(blk, a_s, a_l)
+                unit += 1
+
+
 def decode(buf: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w, 3) or (h, w, 1) uint8."""
+    """JPEG → (h, w, 3) or (h, w, 1) uint8. Handles baseline sequential
+    (SOF0/1) and progressive (SOF2: spectral selection + successive
+    approximation per T.81 Annex G, incl. EOB runs, DC/AC refinement
+    passes, restart markers, multi-scan table redefinition)."""
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -159,9 +408,11 @@ def decode(buf: bytes) -> np.ndarray:
     comps = []          # (id, h, v, tq)
     w = h = 0
     restart = 0
+    progressive = False
     pos = 2
-    scan_comps = []
     n = len(buf)
+    scans = []          # (scan_comps, Ss, Se, Ah, Al, huff snapshot,
+                        #  restart interval, ecs, rst_bitpos)
     while pos < n:
         if buf[pos] != 0xFF:
             pos += 1
@@ -186,7 +437,8 @@ def decode(buf: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[o:o + 128], ">u2").astype(np.int32)
                     o += 128
                 qt[tq] = tbl[_UNZZ].reshape(8, 8)
-        elif marker in (0xC0, 0xC1):            # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             h = struct.unpack_from(">H", seg, 1)[0]
             w = struct.unpack_from(">H", seg, 3)[0]
             nc = seg[5]
@@ -195,10 +447,10 @@ def decode(buf: bytes) -> np.ndarray:
                 cid = seg[6 + ci * 3]
                 hv = seg[7 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + ci * 3]))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                         0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF marker 0xFF{marker:02X} "
-                             "(only baseline sequential)")
+                             "(baseline sequential + progressive only)")
         elif marker == 0xC4:                    # DHT
             o = 0
             while o < len(seg):
@@ -217,111 +469,35 @@ def decode(buf: bytes) -> np.ndarray:
                 cs = seg[1 + si * 2]
                 td_ta = seg[2 + si * 2]
                 scan_comps.append((cs, td_ta >> 4, td_ta & 15))
-            pos += seglen
-            break
+            ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+            ahal = seg[3 + ns * 2]
+            ecs, rst_bitpos, pos = _collect_entropy(buf, pos + seglen)
+            scans.append((scan_comps, ss, se, ahal >> 4, ahal & 15,
+                          dict(huff), restart, ecs, rst_bitpos))
+            continue
         pos += seglen
 
-    if not comps or not scan_comps:
+    if not comps or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-
-    # unstuff entropy bytes, note restart marker positions
-    ecs = bytearray()
-    rst_bitpos = []
-    i = pos
-    while i < n - 1:
-        b = buf[i]
-        if b == 0xFF:
-            m = buf[i + 1]
-            if m == 0x00:
-                ecs.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:
-                rst_bitpos.append(len(ecs) * 8)
-                i += 2
-                continue
-            break        # EOI or next marker
-        ecs.append(b)
-        i += 1
-    ecs = bytes(ecs)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # corrupt-stream guard: a truncated/oversized header would otherwise
+    # walk millions of phantom MCUs off the end of the entropy data
+    if mcux * mcuy > 1 << 22:
+        raise ValueError(f"implausible MCU count {mcux}x{mcuy}")
 
-    # per-component block coefficient stores
+    # per-component block coefficient stores on the MCU-padded grid
     nblocks = {c[0]: (mcuy * c[2], mcux * c[1]) for c in comps}
     coefs = {c[0]: np.zeros((nblocks[c[0]][0] * nblocks[c[0]][1], 64),
                             np.int32) for c in comps}
     comp_by_id = {c[0]: c for c in comps}
 
-    br = _BitReader(ecs)
-    end_bits = len(ecs) * 8
-    # corrupt-stream guard: a truncated/oversized header would otherwise
-    # walk millions of phantom MCUs off the end of the entropy data
-    if mcux * mcuy > 1 << 22:
-        raise ValueError(f"implausible MCU count {mcux}x{mcuy}")
-    dc_pred = {c[0]: 0 for c in comps}
-    mcu_index = 0
-    rst_i = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if br.pos > end_bits:
-                raise ValueError("truncated JPEG entropy stream")
-            if restart and mcu_index and mcu_index % restart == 0:
-                # resync at the recorded restart boundary
-                if rst_i < len(rst_bitpos):
-                    br.pos = rst_bitpos[rst_i]
-                    rst_i += 1
-                else:
-                    br.align()
-                dc_pred = {c[0]: 0 for c in comps}
-            for cs, td, ta in scan_comps:
-                cid, ch, cv, tq = comp_by_id[cs]
-                try:
-                    dsym, dlen = huff[(0, td)]
-                    asym, alen = huff[(1, ta)]
-                except KeyError:
-                    raise ValueError(
-                        f"missing Huffman table DC{td}/AC{ta}") from None
-                for by in range(cv):
-                    for bx in range(ch):
-                        blk = np.zeros(64, np.int32)
-                        # DC
-                        win = br.peek16()
-                        t = int(dsym[win])
-                        L = int(dlen[win])
-                        if L == 0:
-                            raise ValueError("bad Huffman prefix (DC)")
-                        br.pos += L
-                        diff = _extend(br.take(t), t) if t else 0
-                        dc_pred[cs] += diff
-                        blk[0] = dc_pred[cs]
-                        # AC
-                        k = 1
-                        while k < 64:
-                            win = br.peek16()
-                            rs = int(asym[win])
-                            L = int(alen[win])
-                            if L == 0:
-                                raise ValueError("bad Huffman prefix (AC)")
-                            br.pos += L
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break           # EOB
-                            k += r
-                            if k > 63:
-                                break
-                            blk[k] = _extend(br.take(s), s)
-                            k += 1
-                        row = my * cv + by
-                        col = mx * ch + bx
-                        coefs[cs][row * nblocks[cs][1] + col] = blk
-            mcu_index += 1
+    for scan in scans:
+        _decode_scan(scan, comps, comp_by_id, coefs, nblocks,
+                     hmax, vmax, mcux, mcuy, w, h, progressive)
 
     # dequant + batch IDCT per component
     planes = {}
@@ -427,8 +603,186 @@ def _encode_blocks(bw, blocks_zz, dc_tab, ac_tab):
             bw.put(code, ln)                     # EOB
 
 
-def encode(img: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w[, 1|3]) uint8 → baseline JFIF bytes (4:4:4)."""
+# progressive AC table: every K.3 symbol plus the EOBn run symbols
+# (r<<4 for r=1..14), all at code length 8 — a valid canonical Huffman
+# table (176 < 255 codes, all-ones code unused) that can express any
+# EOB run up to 32767. Size-suboptimal, correctness-exact.
+_AC_PROG_SYMS = sorted(set(_AC_LUMA[1]) | {r << 4 for r in range(1, 15)})
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_SYMS), 0, 0, 0, 0, 0, 0,
+             0, 0], _AC_PROG_SYMS)
+
+
+def _prog_scan_script(ncomp: int):
+    """libjpeg-style standard progressive scan script (jcparam.c
+    standard_script): (component indices, Ss, Se, Ah, Al)."""
+    if ncomp == 1:
+        return [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0)]
+
+
+class _ProgACWriter:
+    """AC scan emitter with EOB-run and buffered-correction-bit state
+    (the jchuff.c/jcphuff.c emit_eobrun/BE-buffer mechanics)."""
+
+    def __init__(self, bw, ac_tab):
+        self.bw = bw
+        self.tab = ac_tab
+        self.eobrun = 0
+        self.pending = []        # correction bits queued behind the run
+
+    def sym(self, s):
+        code, ln = self.tab[s]
+        self.bw.put(code, ln)
+
+    def flush_pending(self):
+        for bit in self.pending:
+            self.bw.put(bit, 1)
+        self.pending = []
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        self.flush_pending()
+
+
+def _emit_ac_first(pw: _ProgACWriter, vals):
+    """One block of an AC first pass (vals already point-transformed,
+    indices 0..len-1 = Ss..Se)."""
+    nz = np.nonzero(vals)[0]
+    if len(nz) == 0:
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.emit_eobrun()
+        return
+    pw.emit_eobrun()
+    r = 0
+    last = nz[-1]
+    for k in range(last + 1):
+        v = int(vals[k])
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            pw.sym(0xF0)
+            r -= 16
+        s = abs(v).bit_length()
+        pw.sym((r << 4) | s)
+        pw.bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last < len(vals) - 1:
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.emit_eobrun()
+
+
+def _emit_ac_refine(pw: _ProgACWriter, band, al):
+    """One block of an AC refinement pass (band = raw coefficient
+    values at Ss..Se; Ah = al+1 implied)."""
+    absv = [abs(int(v)) >> al for v in band]
+    eob = -1
+    for k, t in enumerate(absv):
+        if t == 1:
+            eob = k
+    r = 0
+    corr = []                    # correction bits since last symbol
+    for k, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        # emit required ZRLs before ANY nonzero coefficient (history or
+        # new) so correction bits stay in decoder pass order — unless
+        # the run can fold into the EOB (jcphuff.c emit_mcu_AC_refine)
+        while r > 15 and k <= eob:
+            pw.emit_eobrun()
+            pw.sym(0xF0)
+            r -= 16
+            for bit in corr:
+                pw.bw.put(bit, 1)
+            corr = []
+        if t > 1:
+            corr.append(t & 1)
+            continue
+        # t == 1: newly significant
+        pw.emit_eobrun()
+        pw.sym((r << 4) | 1)
+        pw.bw.put(1 if int(band[k]) >= 0 else 0, 1)
+        for bit in corr:
+            pw.bw.put(bit, 1)
+        corr = []
+        r = 0
+    if r > 0 or corr:
+        pw.eobrun += 1
+        pw.pending.extend(corr)
+        if pw.eobrun == 0x7FFF or len(pw.pending) > 900:
+            pw.emit_eobrun()
+
+
+def _emit_progressive_scans(out: bytearray, zz, ncomp: int) -> None:
+    """Append DHT + the scan-script SOS/entropy segments for a
+    progressive stream (coefficients in zigzag per component)."""
+    dc_tab = _enc_table(*_DC_LUMA)
+    ac_tab = _enc_table(*_AC_PROG)
+    for tc, th, (bits, values) in ((0, 0, _DC_LUMA), (1, 0, _AC_PROG)):
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    nb = zz[0].shape[0]
+    for comps_idx, ss, se, ah, al in _prog_scan_script(ncomp):
+        out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * len(comps_idx),
+                                         len(comps_idx))
+        for ci in comps_idx:
+            out += bytes([ci + 1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        if ss == 0 and ah == 0:              # DC first (arithmetic >>)
+            preds = {ci: 0 for ci in comps_idx}
+            for bi in range(nb):
+                for ci in comps_idx:
+                    v = int(zz[ci][bi][0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = abs(diff).bit_length()
+                    code, ln = dc_tab[t]
+                    bw.put(code, ln)
+                    if t:
+                        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        elif ss == 0:                        # DC refinement: 1 bit/block
+            for bi in range(nb):
+                for ci in comps_idx:
+                    bw.put((int(zz[ci][bi][0]) >> al) & 1, 1)
+        elif ah == 0:                        # AC first (truncate-to-zero)
+            pw = _ProgACWriter(bw, ac_tab)
+            ci = comps_idx[0]
+            for bi in range(nb):
+                band = zz[ci][bi][ss:se + 1]
+                a = np.abs(band) >> al
+                _emit_ac_first(pw, np.where(band >= 0, a, -a))
+            pw.emit_eobrun()
+        else:                                # AC refinement
+            pw = _ProgACWriter(bw, ac_tab)
+            ci = comps_idx[0]
+            for bi in range(nb):
+                _emit_ac_refine(pw, zz[ci][bi][ss:se + 1], al)
+            pw.emit_eobrun()
+        bw.flush()
+        out += bw.out
+
+
+def encode(img: np.ndarray, quality: int = 90,
+           progressive: bool = False) -> bytes:
+    """(h, w[, 1|3]) uint8 → JFIF bytes (4:4:4). ``progressive=True``
+    emits SOF2 with the libjpeg standard scan script (spectral
+    selection + successive approximation); the quantized coefficients
+    are identical to the baseline stream, so both decode to the same
+    pixels exactly."""
     px = img if img.ndim == 3 else img[:, :, None]
     if px.shape[2] not in (1, 3):
         px = px[:, :, :3]
@@ -469,6 +823,14 @@ def encode(img: np.ndarray, quality: int = 90) -> bytes:
         out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq]) \
             + bytes(q.reshape(-1)[_ZZ].astype(np.uint8).tolist())
     ncomp = 1 if gray else 3
+    if progressive:
+        out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
+                                         ncomp)
+        for ci in range(ncomp):
+            out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        _emit_progressive_scans(out, zz_per_comp, ncomp)
+        out += b"\xFF\xD9"
+        return bytes(out)
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])

@@ -84,11 +84,79 @@ class TestReferenceFixtures:
         assert psnr(ref[:, :, None], j) >= 25.0
         assert abs(float(ref.mean()) - float(j.mean())) < 1.0
 
-    def test_progressive_rejected_cleanly(self):
-        # progressive SOF2 files must fail fast with a clear error
+    def test_fixture_sweep_no_garbage(self):
+        # every fixture either decodes or fails fast with a clear
+        # error, never hangs or emits garbage shapes
         import glob
         for f in glob.glob(f"{_JDATA}/*.jpg")[:40]:
             try:
-                jpeg.decode(open(f, "rb").read())
+                o = jpeg.decode(open(f, "rb").read())
+                assert o.ndim == 3 and o.dtype == np.uint8
             except ValueError:
                 pass  # unsupported variants raise, never hang/garbage
+
+    def test_progressive_arcgis_fixtures(self):
+        """The reference's two progressive (SOF2) fixtures
+        (autotest/gdrivers/jpeg.py:1676,1691): 6-scan ladder with DC/AC
+        successive approximation. Both are blank rasters — the decode
+        must walk every scan type without error and return the exact
+        dimensions and all-zero samples."""
+        o = jpeg.decode(open(f"{_JDATA}/arcgis_geodataxform_gcp.jpg",
+                             "rb").read())
+        assert o.shape == (30, 30, 1) and int(o.max()) == 0
+        o = jpeg.decode(open(
+            f"{_JDATA}/arcgis_metadata_geodataxform_gcp.jpg", "rb").read())
+        assert o.shape == (62, 58, 1) and int(o.max()) == 0
+
+
+class TestProgressive:
+    """Progressive (SOF2) codec: the progressive scan script encodes
+    the SAME quantized coefficients as the baseline stream, so decoding
+    both must give bit-identical pixels — a full-strength conformance
+    check of spectral selection, successive approximation, EOB runs and
+    the AC refinement correction-bit protocol on both sides."""
+
+    @pytest.mark.parametrize("shape,q", [
+        ((40, 56, 3), 90),    # aligned color
+        ((33, 17, 3), 75),    # unaligned color (partial MCUs)
+        ((64, 64), 90),       # aligned gray
+        ((8, 8), 50),         # single block
+        ((129, 95, 3), 95),   # large unaligned
+        ((100, 3, 3), 85),    # extreme aspect
+    ])
+    def test_progressive_equals_baseline(self, shape, q):
+        img = (np.random.default_rng(11).random(shape) * 255).astype(np.uint8)
+        base = jpeg.decode(jpeg.encode(img, q))
+        prog = jpeg.decode(jpeg.encode(img, q, progressive=True))
+        assert np.array_equal(base, prog)
+
+    def test_flat_image_pure_eob_runs(self):
+        flat = np.full((50, 70, 3), 130, np.uint8)
+        base = jpeg.decode(jpeg.encode(flat, 90))
+        prog = jpeg.decode(jpeg.encode(flat, 90, progressive=True))
+        assert np.array_equal(base, prog)
+
+    def test_gradient_psnr_invariant(self):
+        x = np.linspace(0, 255, 96)
+        rng = np.random.default_rng(13)
+        img = np.clip(np.add.outer(x, x / 2)[:, :, None].repeat(3, 2)
+                      + rng.normal(0, 8, (96, 96, 3)), 0, 255).astype(np.uint8)
+        prog = jpeg.decode(jpeg.encode(img, 85, progressive=True))
+        assert psnr(img, prog) >= 30.0
+
+    def test_sof2_marker_emitted(self):
+        buf = jpeg.encode(np.zeros((16, 16), np.uint8), progressive=True)
+        assert b"\xFF\xC2" in buf and b"\xFF\xC0" not in buf
+
+    def test_fuzz_equivalence(self):
+        rng = np.random.default_rng(17)
+        for _ in range(8):
+            h = int(rng.integers(8, 80))
+            w = int(rng.integers(8, 80))
+            nc = int(rng.choice([1, 3]))
+            q = int(rng.integers(40, 100))
+            shape = (h, w) if nc == 1 else (h, w, 3)
+            img = (rng.random(shape) * 255).astype(np.uint8)
+            base = jpeg.decode(jpeg.encode(img, q))
+            prog = jpeg.decode(jpeg.encode(img, q, progressive=True))
+            assert np.array_equal(base, prog), (h, w, nc, q)
