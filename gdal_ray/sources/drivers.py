@@ -90,6 +90,18 @@ def _read_fgb(path):
     return read_fgb(path)
 
 
+@_builtin("gpx")
+def _read_gpx(path):
+    from .gpx import read_gpx_table
+    return read_gpx_table(path)
+
+
+@_builtin("gml")
+def _read_gml(path):
+    from .gml import read_gml_table
+    return read_gml_table(path)
+
+
 @_builtin("arrow")
 def _read_arrow(path):
     # Arrow IPC file (the reference's Arrow driver,
