@@ -1678,3 +1678,27 @@ SELECT k,
        ROUND(maxy, 4) AS maxy
 FROM g
 """
+
+
+def sql_audio_features_wav(n: int = 48) -> str:
+    """Regenerates make_wav_audio_batch's integer PCM closed-form:
+    clip i = mono int16, n_i = 800 + (i%5)*400 samples, sample s =
+    ((s*(3 + i%17) + i%101) % 4001) - 2000. Stats are integer-exact
+    (sum of squares, signbit crossings) so the hash cannot flake on
+    float rounding."""
+    return f"""
+WITH clips AS (SELECT i::BIGINT AS i FROM range(0, {n}) t(i)),
+ss AS (SELECT s::BIGINT AS s FROM range(0, 2400) t(s)),
+samp AS (
+  SELECT i, s, ((s*(3 + i%17) + (i%101)) % 4001) - 2000 AS v
+  FROM clips JOIN ss ON s < 800 + (i%5)*400
+),
+x AS (SELECT i, s, v, LAG(v) OVER (PARTITION BY i ORDER BY s) AS pv
+      FROM samp)
+SELECT printf('clip%07d', i) AS clip_id,
+       COUNT(*)::BIGINT AS n_samples,
+       SUM(v*v)::BIGINT AS sum_sq,
+       SUM(CASE WHEN pv IS NOT NULL AND (v < 0) != (pv < 0)
+                THEN 1 ELSE 0 END)::BIGINT AS crossings
+FROM x GROUP BY i
+"""

@@ -1620,6 +1620,18 @@ def q_audio_features(sf_dir: str):
         .map_batches(rnd, batch_format="pyarrow")
 
 
+def q_audio_features_wav(sf_dir: str):
+    """REAL audio decode end-to-end: a corpus of genuine RIFF/WAVE
+    payloads (closed-form integer PCM, stages/multimodal.py::
+    make_wav_audio_batch) → actor-pool WAV decode (codecs/wav.py) →
+    integer-exact PCM stats. The oracle regenerates the PCM in SQL, so
+    one mis-decoded sample anywhere breaks the hash. Float rms/zcr
+    over the same real decode path: tests/test_multimodal.py."""
+    from ..stages.multimodal import WavStats, wav_audio_dataset
+    return wav_audio_dataset(48).map_batches(
+        WavStats, concurrency=4, batch_size=16, batch_format="pyarrow")
+
+
 def q_video_frames(sf_dir: str):
     """Multimodal video: flat-map frame sampling (1 fps, stubbed
     decode) → per-video frame count + first-frame checksum."""
@@ -3380,6 +3392,7 @@ QUERIES = {
     "mbtiles_roundtrip": q_mbtiles_roundtrip,
     "gtiff_roundtrip": q_gtiff_roundtrip,
     "netcdf_roundtrip": q_netcdf_roundtrip,
+    "audio_features_wav": q_audio_features_wav,
     "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
     "proximity": q_proximity,
@@ -3504,6 +3517,7 @@ def oracle_sql() -> dict[str, str]:
         "cutline_clip": _OR.sql_cutline_clip(96, 40),
         "gtiff_roundtrip": _OR.sql_raster_stats(64),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
+        "audio_features_wav": _OR.sql_audio_features_wav(48),
         "cog_roundtrip": _OR.sql_cog_roundtrip(48),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),

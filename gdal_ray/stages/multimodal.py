@@ -5,15 +5,22 @@ opaque ``binary`` column plus typed metadata columns, processed by
 actor-pool ``map_batches`` stages (codec state loaded once per actor,
 small batches because payloads are large).
 
-This container has no audio/video codecs (no ffmpeg/PIL/soundfile), so
-the DECODE step is stubbed two ways, clearly marked:
+Two decode backends, selected at actor construction:
 
-  * ``backend="real"``  → raises NotImplementedError at actor __init__
-    (fail fast, not per batch) — the slot where libsndfile/pyav plugs in;
+  * ``backend="real"``  → genuine decode through this package's own
+    pure-Python codecs: RIFF/WAVE PCM (codecs/wav.py) for audio and
+    MJPEG-in-AVI (codecs/avi.py + the T.81 JPEG decoder) for video.
+    No external library needed; other containers/codecs (mp3, h264…)
+    would plug in at the same two methods when a library is available.
   * ``backend="fake"``  → a deterministic pseudo-decoder: payload bytes
     are hashed into a reproducible PCM/frame tensor so the Ray-side
     plumbing (schema, batch sizing, actor signature, flat_map layout)
-    is exercised genuinely end-to-end.
+    can be exercised against arbitrary opaque payloads.
+
+``wav_audio_dataset`` / ``avi_video_dataset`` generate corpora of REAL
+WAV / AVI payloads whose content is closed-form (SQL-reconstructible
+integer PCM; per-frame gradient MJPEG), so the real path is oracled
+end-to-end (queries ``audio_features_wav``).
 
 Schemas:
   audio row:  (clip_id: string, bytes: binary, sample_rate: int32,
@@ -105,6 +112,83 @@ def video_dataset(n: int, batch_size: int = 32):
                                    batch_size=batch_size)
 
 
+def make_wav_audio_batch(indices) -> pa.Table:
+    """REAL RIFF/WAVE payloads with closed-form integer PCM: clip i is
+    mono int16 @ 8 kHz, n = 800 + (i%5)*400 samples, sample s =
+    ((s*(3 + i%17) + i%101) % 4001) - 2000 — integers, so the int16
+    encode/decode is bit-exact and the PCM is reconstructible in SQL
+    (oracle sql_audio_features_wav)."""
+    from ..codecs.wav import encode_wav
+    ids, blobs, srs, chs, durs = [], [], [], [], []
+    for i in indices:
+        i = int(i)
+        n = 800 + (i % 5) * 400
+        s = np.arange(n, dtype=np.int64)
+        v = ((s * (3 + i % 17) + i % 101) % 4001) - 2000
+        blobs.append(encode_wav(v.astype(np.float64) / 32768.0, 8000, 16))
+        ids.append(f"clip{i:07d}")
+        srs.append(8000)
+        chs.append(1)
+        durs.append(int(n * 1000 / 8000))
+    return pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "sample_rate": pa.array(srs, pa.int32()),
+        "n_channels": pa.array(chs, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    })
+
+
+def wav_audio_dataset(n: int, batch_size: int = 64):
+    import ray.data as rd
+
+    def gen(b: pa.Table) -> pa.Table:
+        return make_wav_audio_batch(b["id"].to_numpy())
+
+    return rd.range(n).map_batches(gen, batch_format="pyarrow",
+                                   batch_size=batch_size)
+
+
+def make_avi_video_batch(indices) -> pa.Table:
+    """REAL MJPEG-in-AVI payloads: video i carries 4 + i%5 gradient
+    frames (32×32, per-frame brightness ramp) at 4 fps, each frame a
+    real T.81 JPEG."""
+    from ..codecs import jpeg as _jpeg
+    from ..codecs.avi import encode_avi_mjpeg
+    ids, blobs, fps, nfs, ws, hs = [], [], [], [], [], []
+    grad = np.add.outer(np.arange(32), np.arange(32))[:, :, None] \
+        .repeat(3, 2).astype(np.int32)
+    for i in indices:
+        i = int(i)
+        nf = 4 + i % 5
+        frames = [_jpeg.encode(np.clip(grad * 2 + f * 20, 0, 255)
+                               .astype(np.uint8), 90) for f in range(nf)]
+        blobs.append(encode_avi_mjpeg(frames, 4.0, 32, 32))
+        ids.append(f"vid{i:07d}")
+        fps.append(4.0)
+        nfs.append(nf)
+        ws.append(32)
+        hs.append(32)
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fps": pa.array(fps, pa.float64()),
+        "n_frames": pa.array(nfs, pa.int32()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+    })
+
+
+def avi_video_dataset(n: int, batch_size: int = 32):
+    import ray.data as rd
+
+    def gen(b: pa.Table) -> pa.Table:
+        return make_avi_video_batch(b["id"].to_numpy())
+
+    return rd.range(n).map_batches(gen, batch_format="pyarrow",
+                                   batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # actor stages
 # ---------------------------------------------------------------------------
@@ -118,15 +202,21 @@ class AudioFeatures:
     backend='fake' derives deterministic PCM from the payload hash."""
 
     def __init__(self, backend: str = "fake", n_fft: int = 256):
-        if backend == "real":
-            raise NotImplementedError(
-                "no audio codec in this environment - plug libsndfile/"
-                "soundfile here; use backend='fake' for the stub decoder")
+        if backend not in ("fake", "real"):
+            raise ValueError(f"unknown audio backend {backend!r}")
+        self.backend = backend
         self.n_fft = n_fft
         # per-actor FFT twiddle state (built once)
         self._win = np.hanning(n_fft)
 
     def _decode(self, payload: bytes, sr: int, dur_ms: int) -> np.ndarray:
+        if self.backend == "real":
+            # REAL DECODE: RIFF/WAVE PCM via this package's own codec
+            # (codecs/wav.py); multi-channel downmixes to the channel
+            # mean, the common feature-extraction convention
+            from ..codecs.wav import decode_wav
+            pcm, _sr = decode_wav(payload)
+            return pcm[:, 0] if pcm.shape[1] == 1 else pcm.mean(axis=1)
         # FAKE DECODE (deterministic): hash-seeded PCM of the right length
         n = max(self.n_fft, int(sr * dur_ms / 1000))
         rng = np.random.default_rng(
@@ -154,6 +244,35 @@ class AudioFeatures:
         })
 
 
+class WavStats:
+    """Actor-pool stage: REAL WAV decode → integer-exact PCM stats
+    (sample count, sum of squared int16 samples, sign crossings).
+    Integer outputs make the DuckDB oracle bit-exact — a float rms
+    would hash-flake at rounding boundaries; rms/zcr floats live in
+    AudioFeatures and are pytest-verified instead."""
+
+    def __init__(self):
+        from ..codecs.wav import decode_wav
+        self._dec = decode_wav                 # codec bound once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, sums, crossings = [], [], [], []
+        for cid, blob in zip(batch["clip_id"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            pcm, _sr = self._dec(blob)
+            v = np.round(pcm[:, 0] * 32768.0).astype(np.int64)
+            ids.append(cid)
+            ns.append(len(v))
+            sums.append(int((v * v).sum()))
+            crossings.append(int(np.sum((v[1:] < 0) != (v[:-1] < 0))))
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sum_sq": pa.array(sums, pa.int64()),
+            "crossings": pa.array(crossings, pa.int64()),
+        })
+
+
 class VideoFrameSample:
     """Actor-pool flat-map stage: video row → one row per sampled frame
     (every `stride_s` seconds), frame payload as an encoded image column
@@ -161,10 +280,9 @@ class VideoFrameSample:
 
     def __init__(self, backend: str = "fake", stride_s: float = 1.0,
                  max_frames: int = 8):
-        if backend == "real":
-            raise NotImplementedError(
-                "no video codec in this environment - plug pyav/ffmpeg "
-                "here; use backend='fake' for the stub decoder")
+        if backend not in ("fake", "real"):
+            raise ValueError(f"unknown video backend {backend!r}")
+        self.backend = backend
         self.stride_s = stride_s
         self.max_frames = max_frames
 
@@ -187,6 +305,24 @@ class VideoFrameSample:
         hs = batch["h"].to_numpy()
         blobs = batch["bytes"].to_pylist()
         for i, vid in enumerate(batch["video_id"].to_pylist()):
+            if self.backend == "real":
+                # REAL DECODE: MJPEG-in-AVI via this package's own
+                # container + T.81 codecs; parse the container ONCE per
+                # row, decode only the sampled frames
+                from ..codecs import decode as cdec
+                from ..codecs.avi import decode_avi
+                info = decode_avi(blobs[i])
+                v_fps = info["fps"] or float(fps[i])
+                stride = max(1, int(round(v_fps * self.stride_s)))
+                sel = list(range(0, len(info["frames"]),
+                                 stride))[:self.max_frames]
+                for f in sel:
+                    frame = cdec(info["frames"][f], "jpeg")
+                    vids.append(vid)
+                    fidx.append(f)
+                    ts.append(float(f / v_fps))
+                    pngs.append(cenc(frame, "png"))
+                continue
             stride = max(1, int(round(fps[i] * self.stride_s)))
             frames = list(range(0, int(nfs[i]), stride))[:self.max_frames]
             for f in frames:
