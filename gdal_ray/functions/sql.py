@@ -176,19 +176,37 @@ def _parse_cmp(p):
     if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
         p.next()
         return ("bin", v, l, _parse_add(p))
+    negate = False
+    if p.peek() == ("kw", "NOT"):
+        # postfix negation: x NOT IN (...) / NOT LIKE / NOT BETWEEN
+        nk, nv = p.t[p.i + 1] if p.i + 1 < len(p.t) else (None, None)
+        if nk == "kw" and nv in ("IN", "BETWEEN", "LIKE"):
+            p.next()
+            negate = True
+
+    def _maybe_not(node):
+        return ("not", node) if negate else node
+
     if p.accept("kw", "IN"):
         p.expect("op", "(")
+        if p.peek() == ("kw", "SELECT"):
+            # IN (SELECT ...) subquery — beyond the reference's OGR SQL
+            # (its dialect has no subqueries; the SQLite dialect does);
+            # resolved to a broadcast value set at execution
+            sub = _parse_select_body(p)
+            p.expect("op", ")")
+            return _maybe_not(("in_sub", l, sub))
         lits = [_parse_add(p)]
         while p.accept("op", ","):
             lits.append(_parse_add(p))
         p.expect("op", ")")
-        return ("in", l, lits)
+        return _maybe_not(("in", l, lits))
     if p.accept("kw", "BETWEEN"):
         lo = _parse_add(p)
         p.expect("kw", "AND")
-        return ("between", l, lo, _parse_add(p))
+        return _maybe_not(("between", l, lo, _parse_add(p)))
     if p.accept("kw", "LIKE"):
-        return ("like", l, _parse_add(p))
+        return _maybe_not(("like", l, _parse_add(p)))
     if p.accept("kw", "IS"):
         neg = p.accept("kw", "NOT") is not None
         p.expect("kw", "NULL")
@@ -268,6 +286,15 @@ def _parse_atom(p):
 
 def parse_select(sql: str) -> dict:
     p = _P(tokenize(sql))
+    q = _parse_select_body(p)
+    p.expect("end")
+    return q
+
+
+def _parse_select_body(p: "_P") -> dict:
+    """SELECT statement from an open token stream (also entered
+    recursively for IN (SELECT ...) subqueries, which stop at the
+    closing parenthesis)."""
     p.expect("kw", "SELECT")
     distinct = p.accept("kw", "DISTINCT") is not None
     items = []
@@ -325,7 +352,6 @@ def parse_select(sql: str) -> dict:
         limit = int(p.expect("num"))
         if p.accept("kw", "OFFSET"):
             offset = int(p.expect("num"))
-    p.expect("end")
     return {"distinct": distinct, "items": items, "table": table,
             "joins": joins, "where": where, "group": group,
             "having": having, "order": order, "limit": limit,
@@ -361,6 +387,11 @@ def _eval(e, df: pd.DataFrame, funcs: dict | None = None):
         v = _eval(e[1], df, funcs)
         lits = [_eval(x, df, funcs) for x in e[2]]
         return pd.Series(v).isin(lits).to_numpy()
+    if kind == "in_set":
+        return pd.Series(_eval(e[1], df, funcs)).isin(e[2]).to_numpy()
+    if kind == "in_sub":
+        raise ValueError("IN (SELECT ...) reached the evaluator "
+                         "unresolved — execute via execute_sql()")
     if kind == "between":
         v = _eval(e[1], df, funcs)
         return (v >= _eval(e[2], df, funcs)) & (v <= _eval(e[3], df, funcs))
@@ -486,11 +517,41 @@ def execute_sql(sql: str, tables: dict, as_dataset: bool = False):
     scan streams block-by-block no matter how large the layer is (the
     100 TB `SELECT *` path). Reduced results (aggregates, top-k, offset
     slices) are bounded by construction and come back wrapped."""
-    q = parse_select(sql)
+    return _execute_ast(parse_select(sql), tables, as_dataset)
+
+
+def _resolve_subqueries(node, tables):
+    """Replace ("in_sub", e, subselect) nodes with ("in_set", e, values):
+    the subquery runs first (uncorrelated, like the SQLite dialect's
+    materialized sub-selects) and its single output column broadcasts
+    as a membership set, bounded by JOIN_BROADCAST_LIMIT."""
+    if not isinstance(node, tuple):
+        return node
+    if node[0] == "in_sub":
+        sub = _execute_ast(node[2], tables, False)
+        if len(sub.columns) != 1:
+            raise ValueError("IN (SELECT ...) must select exactly one "
+                             f"column, got {list(sub.columns)}")
+        if len(sub) > JOIN_BROADCAST_LIMIT:
+            raise ValueError(
+                f"IN subquery returned {len(sub)} rows — too large to "
+                f"broadcast (limit {JOIN_BROADCAST_LIMIT})")
+        vals = sub.iloc[:, 0].dropna().unique().tolist()
+        return ("in_set", _resolve_subqueries(node[1], tables), vals)
+    return tuple(_resolve_subqueries(x, tables) if isinstance(x, (tuple, list))
+                 else x for x in node)
+
+
+def _execute_ast(q: dict, tables: dict, as_dataset: bool = False):
     if q["table"] not in tables:
         raise ValueError(f"unknown table {q['table']!r}")
     ds = tables[q["table"]]
     join_specs = _join_spec(q, tables)
+    if q.get("where") is not None or q.get("having") is not None:
+        q = dict(q)
+        for key in ("where", "having"):
+            if q.get(key) is not None:
+                q[key] = _resolve_subqueries(q[key], tables)
 
     aggs: list = []
     for e, _ in q["items"]:

@@ -2218,6 +2218,29 @@ def q_vector_sql(sf_dir: str):
     return _round_cols(out, ["total", "lo", "hi"], nd=2)
 
 
+SQL_VECTOR_SQL_SUBQUERY = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment =
+'BUILDING') AND o_orderstatus NOT IN ('F')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_vector_sql_subquery(sf_dir: str):
+    """SQL IN (SELECT ...) subquery + postfix NOT IN — beyond the
+    reference's OGR SQL dialect (its swq grammar has no subqueries;
+    the SQLite dialect route does): the subquery materializes once and
+    broadcasts as a membership set, bounded by JOIN_BROADCAST_LIMIT.
+    The identical string runs in DuckDB as the oracle."""
+    from ..functions.sql import execute_sql
+    out = execute_sql(
+        SQL_VECTOR_SQL_SUBQUERY,
+        {"orders": _rp(sf_dir, "orders"),
+         "customer": _rp(sf_dir, "customer")})
+    return _round_cols(out, ["total"], nd=2)
+
+
 SQL_VECTOR_SQL_JOIN = """
 SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
        ROUND(STDDEV_POP(o_totalprice), 2) AS sd
@@ -3393,6 +3416,7 @@ QUERIES = {
     "gtiff_roundtrip": q_gtiff_roundtrip,
     "netcdf_roundtrip": q_netcdf_roundtrip,
     "audio_features_wav": q_audio_features_wav,
+    "vector_sql_subquery": q_vector_sql_subquery,
     "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
     "proximity": q_proximity,
@@ -3518,6 +3542,7 @@ def oracle_sql() -> dict[str, str]:
         "gtiff_roundtrip": _OR.sql_raster_stats(64),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),
+        "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,
         "cog_roundtrip": _OR.sql_cog_roundtrip(48),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),

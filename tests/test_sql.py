@@ -418,3 +418,60 @@ def test_join_broadcast_size_guard(ray_session, monkeypatch):
         "SELECT t.k, name FROM t JOIN j ON t.k = j.k ORDER BY k",
         {"t": t, "j": j})
     assert list(out["name"]) == ["a", "b", "c"]
+
+
+class TestSubqueries:
+    """IN (SELECT ...) + postfix NOT — beyond OGR SQL (swq has no
+    subqueries; the SQLite dialect does)."""
+
+    def _tables(self):
+        import pandas as pd
+        import ray.data as rd
+        orders = rd.from_pandas(pd.DataFrame(
+            {"o_id": range(20), "cust": [i % 5 for i in range(20)],
+             "amt": [i * 10.0 for i in range(20)]}))
+        cust = rd.from_pandas(pd.DataFrame(
+            {"c_id": range(5),
+             "tier": ["gold", "silver", "gold", "bronze", "gold"]}))
+        return {"orders": orders, "cust": cust}
+
+    def test_in_subquery(self, ray_session):
+        r = execute_sql(
+            "SELECT o_id FROM orders WHERE cust IN "
+            "(SELECT c_id FROM cust WHERE tier = 'gold') ORDER BY o_id",
+            self._tables())
+        assert r["o_id"].tolist() == [i for i in range(20)
+                                      if i % 5 in (0, 2, 4)]
+
+    def test_not_in_subquery(self, ray_session):
+        r = execute_sql(
+            "SELECT o_id FROM orders WHERE cust NOT IN "
+            "(SELECT c_id FROM cust WHERE tier = 'gold') ORDER BY o_id",
+            self._tables())
+        assert r["o_id"].tolist() == [i for i in range(20)
+                                      if i % 5 in (1, 3)]
+
+    def test_postfix_not_between_like(self, ray_session):
+        r = execute_sql(
+            "SELECT o_id FROM orders WHERE amt NOT BETWEEN 50 AND 150 "
+            "AND cust NOT IN (1, 3) ORDER BY o_id", self._tables())
+        assert r["o_id"].tolist() == [
+            i for i in range(20)
+            if not (50 <= i * 10 <= 150) and i % 5 not in (1, 3)]
+        r2 = execute_sql(
+            "SELECT tier FROM cust WHERE tier NOT LIKE 'g%' ORDER BY tier",
+            self._tables())
+        assert r2["tier"].tolist() == ["bronze", "silver"]
+
+    def test_subquery_feeds_aggregate(self, ray_session):
+        r = execute_sql(
+            "SELECT COUNT(*) AS n, SUM(amt) AS s FROM orders WHERE cust "
+            "IN (SELECT c_id FROM cust WHERE tier <> 'gold')",
+            self._tables())
+        assert r["n"].iloc[0] == 8 and r["s"].iloc[0] == 760.0
+
+    def test_multi_column_subquery_rejected(self, ray_session):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="exactly one"):
+            execute_sql("SELECT o_id FROM orders WHERE cust IN "
+                        "(SELECT c_id, tier FROM cust)", self._tables())
