@@ -1702,3 +1702,58 @@ SELECT printf('clip%07d', i) AS clip_id,
                 THEN 1 ELSE 0 END)::BIGINT AS crossings
 FROM x GROUP BY i
 """
+
+
+def sql_mosaic_alpha(n_img: int = 96, W: int = 512, nc: int = 4,
+                     cap: int = 24) -> str:
+    """Alpha-blend mosaic oracle: per destination cell, the ordered
+    Porter-Duff composite with per-layer alpha 1/2 over the lossless
+    half, emitted scaled by 2^cap (dyadic weights → integer-exact, no
+    float rounding anywhere). Sampling mirrors the engine's per-CELL
+    affine composition op-for-op (cell origin = D0 + cx*128*DRX, then
+    composite_affine's  -(x0*ia) + ia*C0  form), so pixel membership
+    and layer order are bit-identical to rs.warp 'near'. Layer values
+    are the image ordinals (the metro stack is the lossy half, whose
+    decoded pixels are PSNR-gated, not bit-stable) — the composite is
+    still fully order-sensitive."""
+    from ..core import geotransform as gtr
+    MX0, MY0, MW = G.METRO_X0, G.METRO_Y0, G.METRO_W
+    dst_gt = gtr.from_bounds(MX0, MY0, MX0 + MW, MY0 + MW, W, W)
+    D0, DRX, D3, DRY = (repr(dst_gt[0]), repr(dst_gt[1]),
+                        repr(dst_gt[3]), repr(dst_gt[5]))
+    cw = W // nc
+    return f"""
+WITH {sql_images_cte(n_img)},
+aff AS (
+  SELECT i, a, b, w, h,
+         (0.0 - res) * (1.0 / (res * (0.0 - res))) AS ia,
+         res * (1.0 / (res * (0.0 - res))) AS ie,
+         x0, y1
+  FROM imgs),
+cxs AS (SELECT g AS cx FROM generate_series(0, {nc - 1}) t(g)),
+cys AS (SELECT g AS cy FROM generate_series(0, {nc - 1}) t(g)),
+span AS (SELECT g AS d FROM generate_series(0, {cw - 1}) t(g)),
+m AS (
+  SELECT i, a, b, w, h, cx, cy,
+         -(x0 * ia) + ia * ({D0} + cx*{cw}*{DRX}) AS m0, ia * {DRX} AS m1,
+         -(y1 * ie) + ie * ({D3} + cy*{cw}*{DRY}) AS m3, ie * {DRY} AS m5
+  FROM aff, cxs, cys),
+samp AS (
+  SELECT m.cy * {nc} + m.cx AS cell, px.d AS lx, py.d AS ly, m.i, m.a, m.b,
+         CAST(floor(m.m0 + m.m1 * (px.d + 0.5)) AS BIGINT) AS ix,
+         CAST(floor(m.m3 + m.m5 * (py.d + 0.5)) AS BIGINT) AS iy,
+         m.w, m.h
+  FROM m, span px(d), span py(d)),
+valid AS (
+  SELECT cell, lx, ly, i, (i % 256)::BIGINT AS v
+  FROM samp WHERE ix >= 0 AND ix < w AND iy >= 0 AND iy < h),
+ord AS (
+  SELECT cell, lx, ly, v,
+         ROW_NUMBER() OVER (PARTITION BY cell, lx, ly ORDER BY i DESC) AS rn
+  FROM valid)
+SELECT cell,
+       SUM(CASE WHEN rn <= {cap} THEN v << ({cap} - rn)
+                ELSE 0 END)::BIGINT AS comp_sum,
+       COUNT(DISTINCT lx * {cw} + ly)::BIGINT AS covered_px
+FROM ord GROUP BY cell
+"""

@@ -1899,6 +1899,76 @@ def q_mosaic(sf_dir: str):
     }])
 
 
+def q_mosaic_alpha(sf_dir: str):
+    """Alpha-blend mosaic — the NON-associative compositing rule
+    (Porter-Duff "over", per-layer alpha 1/2, draw order = image rank;
+    gdalbuildvrt draws sources in order, gdal_merge.py semantics).
+    "over" only composes along the ordered layer sequence, so unlike
+    q_mosaic's rank-wins partials this uses the cell co-shuffle shape:
+    each image decodes + warps map-side into the 4×4 destination cells
+    it touches (mask fragments ≈ far below 1× corpus across the
+    exchange), groupby(cell) composites in rank order inside the
+    group. The oracle pins the ORDER-SENSITIVE composite over layer
+    ordinals (v = rank % 256, weights dyadic 2^-pos scaled to exact
+    integers): any membership, ordering, or depth-cap error changes
+    the sum. The metro hot cluster is all lossy-half images, so
+    pixel-VALUE compositing is brute-force-verified in pytest instead
+    (tests/test_raster_ops.py), mirroring q_mosaic's split."""
+    from ..codecs import decode as _dec
+    from ..core import geotransform as gtr
+    from ..core import resample as rs
+    from ..sources import geo as G
+    from ..sources.images import images_dataset
+    from ..stages.georef import image_index, with_georef
+    from ..stages.raster_ops import alpha_composite_group
+
+    W, NC, CELL = 512, 4, 128
+    dst_gt = gtr.from_bounds(G.METRO_X0, G.METRO_Y0,
+                             G.METRO_X0 + G.METRO_W,
+                             G.METRO_Y0 + G.METRO_W, W, W)
+
+    def fragments(t: pa.Table) -> pa.Table:
+        cells, ranks, masks = [], [], []
+        idx = image_index(t["image_id"])
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            band0 = px if px.ndim == 2 else px[:, :, 0]
+            gt = tuple(t[f"gt{k}"][i].as_py() for k in range(6))
+            for cy in range(NC):
+                for cx in range(NC):
+                    cgt = (dst_gt[0] + cx * CELL * dst_gt[1], dst_gt[1],
+                           0.0, dst_gt[3] + cy * CELL * dst_gt[5], 0.0,
+                           dst_gt[5])
+                    _warped, valid = rs.warp(band0, gt, cgt, (CELL, CELL),
+                                             "near")
+                    if not valid.any():
+                        continue
+                    cells.append(cy * NC + cx)
+                    ranks.append(int(idx[i]))
+                    masks.append(np.packbits(valid).tobytes())
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "rank": pa.array(ranks, pa.int64()),
+                         "mask": pa.array(masks, pa.binary())})
+
+    def composite(df: pd.DataFrame) -> pd.DataFrame:
+        ranks = df["rank"].to_numpy()
+        valids = [np.unpackbits(np.frombuffer(b, np.uint8))[:CELL * CELL]
+                  .reshape(CELL, CELL).astype(bool) for b in df["mask"]]
+        vals = [np.full((CELL, CELL), int(rk) % 256, np.int64)
+                for rk in ranks]
+        comp, depth = alpha_composite_group(vals, valids, ranks)
+        return pd.DataFrame([{
+            "cell": int(df["cell"].iloc[0]),
+            "comp_sum": int(comp.sum()),
+            "covered_px": int((depth > 0).sum()),
+        }])
+
+    return images_dataset(96) \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(fragments, batch_format="pyarrow", batch_size=16) \
+        .groupby("cell").map_groups(composite, batch_format="pandas")
+
+
 def q_cutline_clip(sf_dir: str):
     """gdalwarp -cutline: clip each image to its intersecting polygon
     (first match), per-image kept-pixel count."""
@@ -3417,6 +3487,7 @@ QUERIES = {
     "netcdf_roundtrip": q_netcdf_roundtrip,
     "audio_features_wav": q_audio_features_wav,
     "vector_sql_subquery": q_vector_sql_subquery,
+    "mosaic_alpha": q_mosaic_alpha,
     "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
     "proximity": q_proximity,
@@ -3543,6 +3614,7 @@ def oracle_sql() -> dict[str, str]:
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,
+        "mosaic_alpha": _OR.sql_mosaic_alpha(96),
         "cog_roundtrip": _OR.sql_cog_roundtrip(48),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),

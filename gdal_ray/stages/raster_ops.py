@@ -321,6 +321,37 @@ def mosaic_partial(pxs, gts, ranks, dst_gt, dst_shape,
     return acc, rank
 
 
+def alpha_composite_group(vals, valids, ranks, depth_cap: int = 24):
+    """Ordered alpha compositing of co-located fragments: Porter-Duff
+    "over" with constant per-layer alpha 1/2 over a transparent
+    background, topmost = highest rank (gdalbuildvrt draw order), at
+    most ``depth_cap`` contributing layers per pixel.
+
+    Unlike rank-wins (associative, mosaic_partial), "over" is only
+    associative along the ordered layer sequence — partials over
+    non-contiguous rank subsets cannot merge. The scalable shape is
+    therefore a CELL co-shuffle: fragments grouped by destination cell
+    and composited in rank order inside the group (pipelines/queries.py
+    ::q_mosaic_alpha).
+
+    Returns (comp_scaled int64 (h, w) = composite * 2**depth_cap —
+    exact, since alpha powers are dyadic — and depth int32 (h, w)).
+    """
+    order = np.argsort(np.asarray(ranks))[::-1]
+    h, w = np.asarray(valids[0]).shape
+    comp = np.zeros((h, w), np.int64)
+    depth = np.zeros((h, w), np.int64)
+    for j in order:
+        m = np.asarray(valids[j], bool) & (depth < depth_cap)
+        if not m.any():
+            continue
+        v = np.asarray(vals[j])[m].astype(np.int64)
+        # layer weight 0.5^(depth+1), scaled by 2^depth_cap
+        comp[m] += v << (depth_cap - 1 - depth[m])
+        depth[m] += 1
+    return comp, depth.astype(np.int32)
+
+
 def mosaic_merge(a_vals, a_rank, b_vals, b_rank):
     """Merge two mosaic partials (associative, commutative given
     distinct ranks)."""

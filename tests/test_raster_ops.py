@@ -479,3 +479,57 @@ class TestPansharpen:
         pan = np.full((4, 4), 15.0)
         out = pansharpen(sp, pan)             # pseudo = sp, ratio = 3
         assert out.shape == (4, 4, 1) and np.allclose(out, 15.0)
+
+
+class TestAlphaComposite:
+    def _brute(self, vals, valids, ranks, cap=24):
+        # reference: per pixel, walk layers in rank-desc order,
+        # weight 0.5^pos, scaled by 2^cap
+        h, w = valids[0].shape
+        comp = np.zeros((h, w), np.int64)
+        depth = np.zeros((h, w), np.int64)
+        order = np.argsort(ranks)[::-1]
+        for y in range(h):
+            for x in range(w):
+                pos = 0
+                for j in order:
+                    if valids[j][y, x] and pos < cap:
+                        comp[y, x] += int(vals[j][y, x]) << (cap - 1 - pos)
+                        pos += 1
+                depth[y, x] = pos
+        return comp, depth
+
+    def test_matches_bruteforce(self):
+        from gdal_ray.stages.raster_ops import alpha_composite_group
+        rng = np.random.default_rng(21)
+        vals = [rng.integers(0, 256, (9, 7)).astype(np.int64)
+                for _ in range(6)]
+        valids = [rng.random((9, 7)) < 0.6 for _ in range(6)]
+        ranks = rng.permutation(6) * 7 + 3
+        comp, depth = alpha_composite_group(vals, valids, ranks)
+        bc, bd = self._brute(vals, valids, list(ranks))
+        assert np.array_equal(comp, bc)
+        assert np.array_equal(depth, bd)
+
+    def test_order_sensitivity(self):
+        # swapping two overlapping layers MUST change the composite —
+        # the property rank-wins partials cannot express
+        from gdal_ray.stages.raster_ops import alpha_composite_group
+        a = np.full((2, 2), 10, np.int64)
+        b = np.full((2, 2), 200, np.int64)
+        m = np.ones((2, 2), bool)
+        c1, _ = alpha_composite_group([a, b], [m, m], [1, 2])
+        c2, _ = alpha_composite_group([a, b], [m, m], [2, 1])
+        assert (c1 != c2).all()
+        # top layer dominates: weight 1/2 vs 1/4
+        assert c1[0, 0] == (200 << 23) + (10 << 22)
+        assert c2[0, 0] == (10 << 23) + (200 << 22)
+
+    def test_depth_cap(self):
+        from gdal_ray.stages.raster_ops import alpha_composite_group
+        m = np.ones((1, 1), bool)
+        layers = [np.full((1, 1), 255, np.int64) for _ in range(30)]
+        comp, depth = alpha_composite_group(
+            layers, [m] * 30, list(range(30)), depth_cap=24)
+        assert depth[0, 0] == 24
+        assert comp[0, 0] == sum(255 << (24 - 1 - p) for p in range(24))
