@@ -93,6 +93,12 @@ def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near",
     gcore/overview.cpp:1214+): a dst pixel whose window is all-nodata
     comes back invalid. For point kernels (near/bilinear/...) nodata
     source pixels invalidate the sampled result.
+
+    nodata may also be a PER-BAND sequence (len == bands), the
+    gdalwarp -srcnodata "v1 v2 ..." form: area reductions exclude each
+    band's own value independently (per-band masking); point kernels
+    invalidate a pixel when every band matches its value
+    (UNIFIED_SRC_NODATA=YES, alg/gdalwarper.cpp GDALWarpNoDataMasker).
     """
     dh, dw = dst_shape
     if src.ndim == 2:
@@ -100,6 +106,14 @@ def warp(src: np.ndarray, src_gt, dst_gt, dst_shape, resampling: str = "near",
         squeeze = True
     else:
         squeeze = False
+    if nodata is not None and not np.isscalar(nodata):
+        nodata = np.asarray(nodata, np.float64).reshape(1, 1, -1)
+        if nodata.shape[2] == 1:
+            nodata = float(nodata[0, 0, 0])
+        elif nodata.shape[2] != src.shape[2]:
+            raise ValueError(
+                f"per-band nodata has {nodata.shape[2]} values for "
+                f"{src.shape[2]} bands")
     m = composite_affine(src_gt, dst_gt)
 
     if resampling in ("average", "mode", "min", "max", "sum",

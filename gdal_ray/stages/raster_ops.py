@@ -297,14 +297,16 @@ def cutline_clip(px: np.ndarray, gt, geom, nodata=0):
 
 
 def mosaic_partial(pxs, gts, ranks, dst_gt, dst_shape,
-                   resampling: str = "bilinear"):
+                   resampling: str = "bilinear", nodata=None):
     """Partial mosaic of several images onto one output grid.
 
     Returns (values (h,w,bands) float64, rank (h,w) int64, -1=empty).
     Compositing rule: highest rank wins per pixel — ASSOCIATIVE, so
     partials from parallel batches merge in any order (unlike raw
     last-write compositing). rank = image ordinal (mosaic order,
-    apps/gdalalg_raster_mosaic.cpp / gdalbuildvrt semantics)."""
+    apps/gdalalg_raster_mosaic.cpp / gdalbuildvrt semantics).
+    nodata: scalar or per-band sequence (gdalwarp -srcnodata) — masked
+    source pixels never win a destination pixel."""
     from ..core import resample as rs
 
     dh, dw = dst_shape
@@ -312,7 +314,8 @@ def mosaic_partial(pxs, gts, ranks, dst_gt, dst_shape,
     acc = np.zeros((dh, dw, nb), np.float64)
     rank = np.full((dh, dw), -1, np.int64)
     for px, gt, rk in zip(pxs, gts, ranks):
-        warped, valid = rs.warp(px, gt, dst_gt, dst_shape, resampling)
+        warped, valid = rs.warp(px, gt, dst_gt, dst_shape, resampling,
+                                nodata=nodata)
         if warped.ndim == 2:
             warped = warped[:, :, None]
         take = valid & (rk > rank)

@@ -533,3 +533,62 @@ class TestAlphaComposite:
             layers, [m] * 30, list(range(30)), depth_cap=24)
         assert depth[0, 0] == 24
         assert comp[0, 0] == sum(255 << (24 - 1 - p) for p in range(24))
+
+
+class TestPerBandNodata:
+    """gdalwarp -srcnodata "v1 v2 v3": per-band masking for area
+    reductions, unified all-bands-match invalidation for point kernels
+    (alg/gdalwarper.cpp GDALWarpNoDataMasker semantics)."""
+
+    def test_point_kernel_unified(self):
+        from gdal_ray.core import resample as rs
+        src = np.zeros((4, 4, 3), np.float64)
+        src[:2] = [9, 8, 7]          # nodata triple in the top half
+        src[2:] = [9, 8, 1]          # band 2 differs -> pixel stays valid
+        gt = (0, 1, 0, 4, 0, -1)
+        out, valid = rs.warp(src, gt, gt, (4, 4), "near",
+                             nodata=[9, 8, 7])
+        assert not valid[:2].any()   # all bands match their nodata
+        assert valid[2:].all()       # one band differs -> valid
+
+    def test_area_per_band_independent(self):
+        from gdal_ray.core import resample as rs
+        src = np.zeros((2, 2, 2), np.float64)
+        src[:, :, 0] = [[5, 5], [10, 10]]
+        src[:, :, 1] = [[7, 3], [3, 3]]
+        gt = (0, 1, 0, 2, 0, -1)
+        dst_gt = (0, 2, 0, 2, 0, -2)  # 2x2 -> 1x1 average
+        out, valid = rs.warp(src, gt, dst_gt, (1, 1), "average",
+                             nodata=[5.0, 3.0])
+        assert valid[0, 0]
+        # band 0 averages the non-5 values, band 1 the non-3 values
+        assert out[0, 0, 0] == 10.0
+        assert out[0, 0, 1] == 7.0
+
+    def test_length_mismatch_raises(self):
+        from gdal_ray.core import resample as rs
+        src = np.zeros((2, 2, 3))
+        gt = (0, 1, 0, 2, 0, -1)
+        with pytest.raises(ValueError, match="per-band nodata"):
+            rs.warp(src, gt, gt, (2, 2), "near", nodata=[1, 2])
+
+    def test_scalar_still_works(self):
+        from gdal_ray.core import resample as rs
+        src = np.full((2, 2), 42.0)
+        gt = (0, 1, 0, 2, 0, -1)
+        out, valid = rs.warp(src, gt, gt, (2, 2), "near", nodata=42.0)
+        assert not valid.any()
+        # single-element list behaves like the scalar
+        out2, valid2 = rs.warp(src, gt, gt, (2, 2), "near", nodata=[42.0])
+        assert not valid2.any()
+
+    def test_mosaic_partial_nodata_never_wins(self):
+        from gdal_ray.stages.raster_ops import mosaic_partial
+        gt = (0, 1, 0, 2, 0, -1)
+        lo = np.full((2, 2), 7.0)              # rank 1, all real
+        hi = np.full((2, 2), 99.0)             # rank 2, all nodata
+        vals, rank = mosaic_partial([lo, hi], [gt, gt], [1, 2], gt,
+                                    (2, 2), resampling="near",
+                                    nodata=99.0)
+        assert (rank == 1).all()
+        assert (vals[:, :, 0] == 7.0).all()
