@@ -81,6 +81,110 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
     return np.vstack([ring, ring[:1]])
 
 
+def concave_hull(pts: np.ndarray, ratio: float = 0.3) -> np.ndarray:
+    """Concave hull of a point set → closed CCW ring (the chi-shape
+    algorithm: Delaunay triangulation, then erode border edges longest
+    first while the boundary stays regular/simple).
+
+    ``ratio`` follows the reference's OGR_G_ConcaveHull parameter
+    (ogr_geometry.h ConcaveHull → GEOS GEOSConcaveHull): the edge-length
+    threshold is  min + ratio·(max − min)  over the triangulation's
+    edge lengths — ratio=1 keeps everything (== convex hull), ratio→0
+    erodes down to the shortest defensible boundary. Regularity (an
+    eroded triangle's opposite vertex must not already be on the
+    boundary) guarantees a simple, hole-free polygon, so the
+    allowHoles=false default of the reference is structural here."""
+    p = np.unique(np.asarray(pts, np.float64), axis=0)
+    if len(p) < 3:
+        return convex_hull(p)
+    from ..core.delaunay import delaunay
+    tris = delaunay(p)
+    if len(tris) == 0:                       # collinear degenerate
+        return convex_hull(p)
+
+    def elen(a, b):
+        return float(np.hypot(*(p[a] - p[b])))
+
+    # edge -> adjacent triangle ids
+    from collections import defaultdict
+    edge_tris = defaultdict(list)
+    for t_i, (a, b, c) in enumerate(tris):
+        for e in ((a, b), (b, c), (c, a)):
+            edge_tris[tuple(sorted(e))].append(t_i)
+
+    lens = [elen(*e) for e in edge_tris]
+    lo, hi = min(lens), max(lens)
+    thresh = lo + float(ratio) * (hi - lo)
+
+    alive = np.ones(len(tris), bool)
+    border_deg = defaultdict(int)           # vertex -> border-edge count
+
+    def tri_edges(t_i):
+        a, b, c = tris[t_i]
+        return [tuple(sorted(e)) for e in ((a, b), (b, c), (c, a))]
+
+    import heapq
+    heap = []
+    border = set()
+    for e, ts in edge_tris.items():
+        if len(ts) == 1:
+            border.add(e)
+            border_deg[e[0]] += 1
+            border_deg[e[1]] += 1
+            heapq.heappush(heap, (-elen(*e), e))
+
+    while heap:
+        neg, e = heapq.heappop(heap)
+        if e not in border or -neg <= thresh:
+            continue
+        ts = [t for t in edge_tris[e] if alive[t]]
+        if len(ts) != 1:
+            continue
+        t_i = ts[0]
+        opp = [v for v in tris[t_i] if v not in e][0]
+        others = [x for x in tri_edges(t_i) if x != e]
+        # regularity: opposite vertex must be interior, and the two
+        # exposed edges must currently be interior edges
+        if border_deg[opp] > 0 or any(x in border for x in others):
+            continue
+        if sum(alive) == 1:
+            break                            # never erode the last one
+        alive[t_i] = False
+        border.discard(e)
+        border_deg[e[0]] -= 1
+        border_deg[e[1]] -= 1
+        for x in others:
+            border.add(x)
+            border_deg[x[0]] += 1
+            border_deg[x[1]] += 1
+            heapq.heappush(heap, (-elen(*x), x))
+
+    # chain the border into the boundary ring (regularity ⇒ every
+    # border vertex has exactly two border edges)
+    nbr = defaultdict(list)
+    for a, b in border:
+        nbr[a].append(b)
+        nbr[b].append(a)
+    start = next(iter(nbr))
+    ring = [start]
+    prev, cur = None, start
+    while True:
+        nxt = [v for v in nbr[cur] if v != prev]
+        if not nxt:
+            break
+        prev, cur = cur, nxt[0]
+        if cur == start:
+            break
+        ring.append(cur)
+    coords = p[np.asarray(ring)]
+    # CCW orientation (shoelace)
+    area2 = float(np.sum(coords[:, 0] * np.roll(coords[:, 1], -1)
+                         - np.roll(coords[:, 0], -1) * coords[:, 1]))
+    if area2 < 0:
+        coords = coords[::-1]
+    return np.vstack([coords, coords[:1]])
+
+
 def buffer_geometry(g: W.Geometry, dist: float, segments: int = 8) -> W.Geometry:
     """Positive buffer for every supported kind: points → circles,
     polylines → round-cap round-join offset rings, polygons → outward

@@ -255,3 +255,55 @@ def test_median_cut_invariants(h, w, seed, n_colors):
         rec = pal[idx].astype(int)
         l1 = np.abs(rec - px.astype(int)).sum(axis=2)
         assert l1.max() <= 21
+
+
+class TestConcaveHull:
+    """chi-shape concave hull (OGR_G_ConcaveHull analog)."""
+
+    def test_c_shape_concavity(self):
+        from gdal_ray.core import wkb as W
+        from gdal_ray.core.geom import area as _area
+        from gdal_ray.stages.vector_ops import concave_hull, convex_hull
+        rng = np.random.default_rng(3)
+        th = rng.uniform(0.4, 2 * np.pi - 0.4, 400)
+        r = rng.uniform(5, 7, 400)
+        pts = np.c_[r * np.cos(th), r * np.sin(th)]
+        a_cv = _area(W.polygon(convex_hull(pts)))
+        a_cc = _area(W.polygon(concave_hull(pts, 0.1)))
+        # the annulus-sector cloud must lose its convex fill
+        assert a_cc < 0.8 * a_cv
+
+    def test_ratio_one_is_convex_hull(self):
+        from gdal_ray.core import wkb as W
+        from gdal_ray.core.geom import area as _area
+        from gdal_ray.stages.vector_ops import concave_hull, convex_hull
+        pts = np.random.default_rng(4).normal(0, 5, (300, 2))
+        a_cv = _area(W.polygon(convex_hull(pts)))
+        a_1 = _area(W.polygon(concave_hull(pts, 1.0)))
+        # ratio=1 erodes nothing; only Delaunay sliver loss may differ
+        assert abs(a_1 - a_cv) < 1e-3 * a_cv
+
+    def test_monotone_in_ratio_and_simple(self):
+        from gdal_ray.core import wkb as W
+        from gdal_ray.core.geom import area as _area
+        from gdal_ray.stages.vector_ops import concave_hull
+        pts = np.random.default_rng(5).random((250, 2)) * 10
+        prev = None
+        for ratio in (0.0, 0.2, 0.5, 1.0):
+            ring = concave_hull(pts, ratio)
+            assert np.array_equal(ring[0], ring[-1])
+            # boundary is a simple chain: vertices unique
+            inner = ring[:-1]
+            assert len(np.unique(inner, axis=0)) == len(inner)
+            a = _area(W.polygon(ring))
+            if prev is not None:
+                assert a >= prev - 1e-9     # larger ratio ⊇ smaller
+            prev = a
+
+    def test_degenerate_inputs(self):
+        from gdal_ray.stages.vector_ops import concave_hull
+        line = np.c_[np.arange(5.0), np.zeros(5)]
+        ring = concave_hull(line, 0.5)      # collinear -> degenerate
+        assert len(ring) >= 2
+        two = np.array([[0.0, 0.0], [1.0, 1.0]])
+        assert len(concave_hull(two)) >= 2
