@@ -102,6 +102,12 @@ def _read_gml(path):
     return read_gml_table(path)
 
 
+@_builtin("mif")
+def _read_mif(path):
+    from .mif import read_mif_table
+    return read_mif_table(path)
+
+
 @_builtin("arrow")
 def _read_arrow(path):
     # Arrow IPC file (the reference's Arrow driver,
