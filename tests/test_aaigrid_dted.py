@@ -1,0 +1,67 @@
+"""AAIGrid + DTED drivers — golden parity with the reference's own
+fixtures (autotest/gdrivers/aaigrid.py, dted.py)."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs.aaigrid import decode_aaigrid, encode_aaigrid
+from gdal_ray.codecs.dted import decode_dted
+from gdal_ray.core.checksum import checksum
+
+D = "/root/reference/autotest/gdrivers/data/"
+
+
+class TestAAIGrid:
+    def test_byte_grd_golden(self):
+        # byte.tif's content as AAIGrid (aaigrid.py:136 → 4672)
+        px, gt, nd = decode_aaigrid(open(D + "aaigrid/byte.tif.grd").read())
+        assert px.dtype == np.int32 and px.shape == (20, 20)
+        assert checksum(px) == 4672
+        assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+
+    def test_pixel_per_line_golden(self):
+        px, _, _ = decode_aaigrid(
+            open(D + "aaigrid/pixel_per_line.asc").read())
+        assert checksum(px) == 1123          # aaigrid.py:44
+
+    def test_case_insensitive_keys(self):
+        px, _, _ = decode_aaigrid(
+            open(D + "aaigrid/case_sensitive.ASC").read())
+        assert checksum(px) == 1123          # aaigrid.py:163
+
+    def test_nodata_variants(self):
+        px, _, nd = decode_aaigrid(open(D + "aaigrid/nodata_float.asc").read())
+        assert px.dtype == np.float64 and nd == -99999.0
+        px2, _, nd2 = decode_aaigrid(open(D + "aaigrid/nodata_int.asc").read())
+        assert px2.dtype == np.int32 and nd2 == -99999.0
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(9)
+        a = rng.integers(-500, 4000, (13, 9)).astype(np.int32)
+        gt = (100.0, 30.0, 0.0, 5000.0, 0.0, -30.0)
+        px, gt2, nd = decode_aaigrid(encode_aaigrid(a, gt, nodata=-9999))
+        assert np.array_equal(px, a) and gt2 == gt and nd == -9999.0
+        f = rng.random((4, 6)) * 100
+        px2, _, _ = decode_aaigrid(encode_aaigrid(f, (0, 1, 0, 4, 0, -1)))
+        assert np.allclose(px2, f)           # repr() floats roundtrip
+
+    def test_rejects_south_up(self):
+        with pytest.raises(ValueError, match="north-up"):
+            encode_aaigrid(np.zeros((2, 2)), (0, 1, 0, 0, 0, 1))
+
+
+class TestDted:
+    def test_n43_golden(self):
+        e, gt, nd = decode_dted(open(D + "n43.dt0", "rb").read())
+        assert e.dtype == np.int16 and e.shape == (121, 121)
+        assert checksum(e) == 49187          # dted.py:31
+        # dted.py:39-55 geotransform
+        assert gt[0] == pytest.approx(-80.004166666666663, abs=1e-6)
+        assert gt[1] == pytest.approx(1 / 120, abs=1e-9)
+        assert gt[3] == pytest.approx(44.00416666666667, abs=1e-6)
+        assert gt[5] == pytest.approx(-1 / 120, abs=1e-9)
+        assert nd == -32767.0
+
+    def test_bad_input(self):
+        with pytest.raises(ValueError):
+            decode_dted(b"NOTDTED" + b"\x00" * 100)
