@@ -65,3 +65,32 @@ class TestDted:
     def test_bad_input(self):
         with pytest.raises(ValueError):
             decode_dted(b"NOTDTED" + b"\x00" * 100)
+
+
+class TestSrtmHgt:
+    def test_dted_cross_parity(self):
+        # the reference's own srtmhgt test flow: n43.dt0's samples
+        # wrapped as n43w080.hgt must checksum identically (srtmhgt.py
+        # builds its Level-1 fixture from this same DTED file)
+        from gdal_ray.codecs.srtmhgt import decode_hgt, encode_hgt
+        e, gt_d, _ = decode_dted(open(D + "n43.dt0", "rb").read())
+        buf = encode_hgt(e)
+        back, gt, nd = decode_hgt(buf, "N43W080.hgt")
+        assert np.array_equal(back, e)
+        assert checksum(back) == 49187
+        assert nd == -32768.0
+        # 121-sample grid -> 1/120 cell, half-cell offset, same grid
+        # as the DTED fixture
+        assert gt == pytest.approx(gt_d, abs=1e-12)
+
+    def test_filename_parsing(self):
+        from gdal_ray.codecs.srtmhgt import hgt_origin_from_name
+        assert hgt_origin_from_name("/x/S14E027.hgt") == (27.0, -14.0)
+        assert hgt_origin_from_name("n43w080.hgt") == (-80.0, 43.0)
+        with pytest.raises(ValueError):
+            hgt_origin_from_name("whatever.hgt")
+
+    def test_bad_size(self):
+        from gdal_ray.codecs.srtmhgt import decode_hgt
+        with pytest.raises(ValueError, match="square"):
+            decode_hgt(b"\x00" * 10, "N00E000.hgt")
