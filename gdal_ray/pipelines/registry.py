@@ -441,3 +441,40 @@ def _vector_reproject(ds, src: str = "EPSG:3857", dst: str = "EPSG:4326",
     from ..stages.vector_ops import reproject_wkb_batch
     return ds.map_batches(lambda t: reproject_wkb_batch(t, src, dst),
                           batch_format="pyarrow")
+
+
+@register_step("concave_hull")
+def _concave_hull(ds, ratio: float = 0.3, **kw):
+    """Per-feature concave hull (gdal vector geom concave-hull /
+    OGR_G_ConcaveHull): each geometry's vertices → chi-shape ring."""
+    import pyarrow as pa
+    from ..core import wkb as W
+    from ..stages.vector_ops import concave_hull
+
+    def hull(t: pa.Table) -> pa.Table:
+        out = []
+        for b in t["wkb"].to_pylist():
+            if b is None:
+                out.append(None)
+                continue
+            pts = W._all_coords(W.loads(b))
+            out.append(W.dumps(W.polygon(concave_hull(pts, float(ratio))))
+                       if len(pts) >= 3 else b)
+        i = t.column_names.index("wkb")
+        return t.set_column(i, "wkb", pa.array(out, pa.binary()))
+
+    return ds.map_batches(hull, batch_format="pyarrow")
+
+
+@register_step("write_gpx")
+def _write_gpx(ds, path: str = "", **kw):
+    from ..sources.gpx import write_gpx
+    write_gpx(_collect_layer(ds), path)
+    return ds
+
+
+@register_step("write_mif")
+def _write_mif(ds, path: str = "", **kw):
+    from ..sources.mif import write_mif
+    write_mif(_collect_layer(ds), path)
+    return ds

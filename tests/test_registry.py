@@ -121,3 +121,42 @@ def test_vector_reproject_step(ray_session):
     g = W.loads(df["wkb"][0])
     e = g.envelope()
     assert -180 <= e[0] <= 180 and -90 <= e[1] <= 90
+
+
+def test_concave_hull_step(ray_session):
+    import numpy as np
+    from gdal_ray.core import wkb as W
+    from gdal_ray.core.geom import area
+    from gdal_ray.pipelines.registry import run_pipeline
+    import ray.data as rd
+    import pyarrow as pa
+    rng = np.random.default_rng(6)
+    th = rng.uniform(0.5, 2 * np.pi - 0.5, 120)
+    ring = np.c_[np.cos(th) * 5, np.sin(th) * 5]
+    src = rd.from_arrow(pa.table({
+        "fid": pa.array([0], pa.int64()),
+        "wkb": pa.array([W.dumps(W.linestring(ring))], pa.binary())}))
+    out = run_pipeline("concave_hull ratio=0.15", ds=src).to_pandas()
+    g = W.loads(out["wkb"].iloc[0])
+    assert g.geom_type == W.POLYGON
+    # the C-gap survives: hull area well under the full disc
+    assert area(g) < 0.9 * np.pi * 25
+
+
+def test_write_gpx_mif_steps(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.core import wkb as W
+    from gdal_ray.pipelines.registry import run_pipeline
+    src = rd.from_arrow(pa.table({
+        "fid": pa.array([0, 1], pa.int64()),
+        "name": pa.array(["a", "b"], pa.string()),
+        "wkb": pa.array([W.dumps(W.point(1, 2)),
+                         W.dumps(W.point(3, 4))], pa.binary())}))
+    gpx = str(tmp_path / "o.gpx")
+    mif = str(tmp_path / "o.mif")
+    run_pipeline(f"write_gpx path={gpx}", ds=src)
+    run_pipeline(f"write_mif path={mif}", ds=src)
+    from gdal_ray.sources.drivers import read_vector
+    assert read_vector(gpx).num_rows == 2
+    assert read_vector(mif)["name"].to_pylist() == ["a", "b"]
