@@ -131,16 +131,17 @@ def test_concave_hull_step(ray_session):
     import ray.data as rd
     import pyarrow as pa
     rng = np.random.default_rng(6)
-    th = rng.uniform(0.5, 2 * np.pi - 0.5, 120)
-    ring = np.c_[np.cos(th) * 5, np.sin(th) * 5]
+    th = rng.uniform(0.5, 2 * np.pi - 0.5, 300)
+    r = rng.uniform(3, 5, 300)
+    pts = np.c_[np.cos(th) * r, np.sin(th) * r]
     src = rd.from_arrow(pa.table({
         "fid": pa.array([0], pa.int64()),
-        "wkb": pa.array([W.dumps(W.linestring(ring))], pa.binary())}))
-    out = run_pipeline("concave_hull ratio=0.15", ds=src).to_pandas()
+        "wkb": pa.array([W.dumps(W.linestring(pts))], pa.binary())}))
+    out = run_pipeline("concave_hull ratio=0.1", ds=src).to_pandas()
     g = W.loads(out["wkb"].iloc[0])
     assert g.geom_type == W.POLYGON
-    # the C-gap survives: hull area well under the full disc
-    assert area(g) < 0.9 * np.pi * 25
+    # the annulus hole + C-gap survive: hull area well under the disc
+    assert area(g) < 0.8 * np.pi * 25
 
 
 def test_write_gpx_mif_steps(ray_session, tmp_path):
