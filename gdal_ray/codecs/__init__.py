@@ -79,6 +79,8 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
             fmt = "webp"
         elif buf[:3] == b"CDF" and buf[3:4] in (b"\x01", b"\x02", b"\x05"):
             fmt = "netcdf"
+        elif buf[:4] == b"GIF8":
+            fmt = "gif"
         else:
             raise ValueError("unrecognized image magic")
     if fmt == "png":
@@ -110,6 +112,10 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from . import netcdf
         px, _gt, _nd, _meta = netcdf.decode_netcdf(buf)
         return px
+    if fmt == "gif":
+        from . import gif
+        idx, _pal, _tr = gif.decode_gif(buf)
+        return idx                      # palette-index band, like BMP
     raise ValueError(f"unknown image format {fmt!r}")
 
 
