@@ -247,11 +247,16 @@ def render_base_resumable(images, zoom: int, out_dir: str, *,
 
 
 def write_tile_tree(levels: dict, out_dir: str, ext: str = "png"):
-    """Write tiles as a z/x/y.png file tree (the gdal2tiles /
+    """Write tiles as a z/x/y.<ext> file tree (the gdal2tiles /
     `gdal raster tile` on-disk layout, apps/gdalalg_raster_tile.cpp:
     653-660, XYZ y-convention). Distributed: each block of tiles writes
     its own files via map_batches; resumable per level through the same
-    manifest as write_pyramid."""
+    manifest as write_pyramid.
+
+    ext selects the tile codec (gdal2tiles --tiledriver PNG/WEBP/JPEG
+    analog): tiles are rendered as PNG internally; other extensions
+    transcode per block through the codec registry (WebP = this
+    package's lossless VP8L, JPEG = T.81)."""
     import json
     import os
 
@@ -272,14 +277,22 @@ def write_tile_tree(levels: dict, out_dir: str, ext: str = "png"):
             fsys, root = pafs.FileSystem.from_uri(out_dir)
         except (ValueError, pafs.lib.ArrowInvalid):
             fsys, root = pafs.LocalFileSystem(), out_dir
+        from ..codecs import decode as codec_decode, encode as codec_encode
+        fmt = {"jpg": "jpeg", "tif": "gtiff"}.get(ext, ext)
         for i in range(t.num_rows):
             z = int(t["z"][i].as_py())
             x = int(t["x"][i].as_py())
             y = int(t["y"][i].as_py())
+            buf = t["png"][i].as_py()
+            if fmt != "png":
+                px = codec_decode(buf, "png")
+                if fmt == "jpeg":           # JPEG has no alpha channel
+                    px = px[:, :, :3]
+                buf = codec_encode(px, fmt)
             d = f"{root}/{z}/{x}"
             fsys.create_dir(d, recursive=True)
             with fsys.open_output_stream(f"{d}/{y}.{ext}") as f:
-                f.write(t["png"][i].as_py())
+                f.write(buf)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     for z, ds in sorted(levels.items()):

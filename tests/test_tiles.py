@@ -225,6 +225,27 @@ class TestWriteTileTree:
         m2 = write_tile_tree(levels, out)
         assert m2 == m
 
+    def test_webp_and_jpeg_tiledrivers(self, ray_session, tmp_path):
+        # gdal2tiles --tiledriver analog: same tree, transcoded tiles
+        import os
+        from gdal_ray.codecs import decode
+        from gdal_ray.pipelines.tiles import tile_pyramid, write_tile_tree
+
+        levels = {7: tile_pyramid(8, zoom=7, min_z=7)[7]}
+        for ext, bands in (("webp", 4), ("jpg", 3)):
+            out = str(tmp_path / f"tree_{ext}")
+            m = write_tile_tree(levels, out, ext=ext)
+            n = 0
+            for xd in os.listdir(os.path.join(out, "7")):
+                for yf in os.listdir(os.path.join(out, "7", xd)):
+                    assert yf.endswith("." + ext)
+                    px = decode(open(os.path.join(out, "7", xd, yf),
+                                     "rb").read())
+                    assert px.shape[:2] == (256, 256)
+                    assert px.shape[2] == bands
+                    n += 1
+            assert n == m["z=7"]["n_tiles"]
+
 
 class TestFragmentParity:
     """Round-2 shuffle fix: pre-warped fragments must produce
