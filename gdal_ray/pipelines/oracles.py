@@ -1757,3 +1757,16 @@ SELECT cell,
        COUNT(DISTINCT lx * {cw} + ly)::BIGINT AS covered_px
 FROM ord GROUP BY cell
 """
+
+
+def sql_mif_roundtrip(m: int = 25) -> str:
+    """MIF/MID roundtrip is lossless (repr() coordinates), so areas
+    equal the closed-form shape-class areas and the MID attribute
+    column survives byte-for-byte."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid,
+       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_mif,
+       CASE fid % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS category
+FROM polys
+"""

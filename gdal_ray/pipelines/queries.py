@@ -2084,6 +2084,39 @@ def q_fgb_roundtrip(sf_dir: str):
     return read_fgb_dataset(path).map_batches(stats, batch_format="pyarrow")
 
 
+def q_mif_roundtrip(sf_dir: str):
+    """MapInfo MIF/MID driver end-to-end: polygon layer (squares,
+    rotated squares, L-shapes, holed squares, two-part multipolygons)
+    → .mif Regions + .mid attributes → read back as a Ray dataset →
+    per-fid areas + attribute pass-through. Coordinates write via
+    repr() (shortest exact double), so the roundtrip is lossless and
+    areas equal the closed-form shape-class areas; ring→polygon
+    reassembly uses mitab's containment rule (holes vs disjoint
+    parts). Golden WKT parity vs the reference's own all_geoms.mif is
+    tests/test_mif.py."""
+    import os
+    import tempfile
+    from ..core import wkb as _W
+    from ..core.geom import area as _area
+    from ..sources.mif import read_mif, write_mif
+    from ..sources.vector import polygons_table
+
+    src = polygons_table(25)
+    d = tempfile.mkdtemp(prefix="mif_", dir="/tmp")
+    path = os.path.join(d, "layer.mif")
+    write_mif(src, path)
+
+    def stats(t: pa.Table) -> pa.Table:
+        areas = [_half_away([_area(_W.loads(b)) / 1e6], 3)[0]
+                 for b in t["wkb"].to_pylist()]
+        return pa.table({
+            "fid": t["fid"],
+            "area_km2_mif": pa.array(areas, pa.float64()),
+            "category": t["category"]})
+
+    return read_mif(path).map_batches(stats, batch_format="pyarrow")
+
+
 def q_geojson_roundtrip(sf_dir: str):
     """GeoJSON driver: write the polygon layer to a FeatureCollection,
     read it back, verify geometry byte-equality + areas."""
@@ -3488,6 +3521,7 @@ QUERIES = {
     "audio_features_wav": q_audio_features_wav,
     "vector_sql_subquery": q_vector_sql_subquery,
     "mosaic_alpha": q_mosaic_alpha,
+    "mif_roundtrip": q_mif_roundtrip,
     "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
     "proximity": q_proximity,
@@ -3615,6 +3649,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,
         "mosaic_alpha": _OR.sql_mosaic_alpha(96),
+        "mif_roundtrip": _OR.sql_mif_roundtrip(25),
         "cog_roundtrip": _OR.sql_cog_roundtrip(48),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),

@@ -73,6 +73,19 @@ def _read_pts(L: _Lines, n: int) -> np.ndarray:
     return np.asarray(pts, np.float64)
 
 
+def _point_in_ring(pt, ring) -> bool:
+    x, y = float(pt[0]), float(pt[1])
+    c = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > y) != (y2 > y) and \
+                x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+            c = not c
+    return c
+
+
 def _arc_points(cx, cy, rx, ry, a0_deg, a1_deg, step_deg=2.0):
     if a1_deg <= a0_deg:
         a1_deg += 360.0
@@ -110,11 +123,22 @@ def _parse_geom(L: _Lines) -> W.Geometry | None:
         for _ in range(nring):
             n = int(L.next())
             rings.append(_read_pts(L, n))
-        # mitab: first ring outer, subsequent rings holes of it unless
-        # disjoint (simplified: one polygon, extra rings as holes)
         if len(rings) == 1:
             return W.polygon(rings[0])
-        return W.polygon(rings[0], rings[1:])
+        # mitab assigns rings by containment: a ring inside an earlier
+        # outer is its hole, a disjoint ring starts a new polygon
+        # (mitab_feature.cpp TABRegion ring organization)
+        outers: list[tuple[np.ndarray, list]] = []
+        for r in rings:
+            for shell, holes in outers:
+                if _point_in_ring(r[0], shell):
+                    holes.append(r)
+                    break
+            else:
+                outers.append((r, []))
+        if len(outers) == 1:
+            return W.polygon(outers[0][0], outers[0][1])
+        return W.multipolygon([W.polygon(s, h) for s, h in outers])
     if kw == "rect":
         x1, y1, x2, y2 = _floats(s[len(head[0]):])
         return W.box(min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2))
