@@ -108,6 +108,12 @@ def _read_mif(path):
     return read_mif_table(path)
 
 
+@_builtin("dxf")
+def _read_dxf(path):
+    from .dxf import read_dxf_table
+    return read_dxf_table(path)
+
+
 @_builtin("arrow")
 def _read_arrow(path):
     # Arrow IPC file (the reference's Arrow driver,
