@@ -9,14 +9,17 @@ Layout:
   core/       pure numpy math: geotransform, mercator/tile math, quadkey
               cells, GDAL-compatible checksum, WKB codec, geometry
               predicates, resampling kernels.
-  codecs/     pure-numpy image codecs (PNG via zlib; DCT-based lossy).
-  sources/    deterministic synthetic image/vector table generators +
-              parquet readers (Lance stand-in: the container has no
-              lancedb, so partitioned Parquet is the table format).
+  codecs/     pure-Python/numpy raster+media codecs: PNG, GeoTIFF/COG,
+              JPEG (baseline + progressive), WebP (VP8L), GIF, netCDF
+              classic, PNM/BMP/EHdr/ENVI, AAIGrid/DTED/SRTM-HGT,
+              WAV, MJPEG-AVI, DCT stand-in for the synthetic corpus.
+  sources/    vector drivers (shp/gpkg/csv/geojson/kml/gpx/gml/mif/
+              dxf/fgb/arrow + GeoParquet metadata, Lance adapter with
+              parquet fallback) + deterministic synthetic generators.
   stages/     Ray Data stage builders (decode, warp, tile, join, ...).
-  functions/  text analysis, dedup, similarity search.
-  pipelines/  end-to-end composed pipelines (flagship tile+join).
-  state/      resume manifest / lineage.
+  functions/  text analysis, dedup, similarity search, SQL engine.
+  pipelines/  end-to-end composed pipelines (flagship tile+join);
+              resume manifests carry per-partition lineage + metrics.
 
 Nothing in this package calls ray.init()/ray.shutdown(); sessions are
 owned by bench.py / tests / the driver.
