@@ -1770,3 +1770,30 @@ SELECT fid,
        CASE fid % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS category
 FROM polys
 """
+
+
+def sql_raster_neighbors(n: int = 32) -> str:
+    """3×3 edge-padded (clamped) focal sum totals: 9-way offset join
+    with LEAST/GREATEST clamping, all-integer."""
+    return sql_pixels_cte(n) + """
+, offs AS (SELECT dx, dy FROM (VALUES (-1),(0),(1)) a(dx),
+                               (VALUES (-1),(0),(1)) b(dy))
+SELECT image_id,
+       SUM((a * LEAST(GREATEST(gx + dx, 0), w - 1)
+            + b * LEAST(GREATEST(gy + dy, 0), h - 1)) % 256)::BIGINT
+           AS neighbor_sum
+FROM px, offs
+GROUP BY image_id
+"""
+
+
+def sql_reclassify(n: int = 48) -> str:
+    """Replays '[0,63]=1;(63,127]=2;(127,191]=3;DEFAULT=9' as CASE."""
+    return sql_pixels_cte(n) + """
+SELECT image_id,
+       SUM(CASE WHEN v0 <= 63 THEN 1
+                WHEN v0 <= 127 THEN 2
+                WHEN v0 <= 191 THEN 3
+                ELSE 9 END)::BIGINT AS reclass_sum
+FROM px GROUP BY image_id
+"""

@@ -2084,6 +2084,57 @@ def q_fgb_roundtrip(sf_dir: str):
     return read_fgb_dataset(path).map_batches(stats, batch_format="pyarrow")
 
 
+def q_raster_neighbors(sf_dir: str):
+    """Raster neighbors / focal statistics (gdal raster neighbors,
+    apps/gdalalg_raster_neighbors.cpp): 3×3 sum kernel with edge-pad
+    over the lossless half, reduced to a per-image integer total —
+    exact (window sums ≤ 9·255 are exact in float64), so the oracle's
+    clamped-offset 9-way self-join must match bit-for-bit."""
+    from ..codecs import decode as _dec
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import convolve
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, sums = [], []
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            b0 = px if px.ndim == 2 else px[:, :, 0]
+            conv = convolve(b0, np.ones((3, 3)))
+            ids.append(t["image_id"][i].as_py())
+            sums.append(int(round(conv.sum())))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "neighbor_sum": pa.array(sums, pa.int64())})
+
+    return images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(stats, batch_format="pyarrow")
+
+
+def q_reclassify(sf_dir: str):
+    """Textual reclassification grammar (frmts/vrt/vrtreclassifier.h
+    SOURCE=DEST mappings: constants, (a,b] intervals, DEFAULT) over the
+    lossless half; per-image integer sum of the reclassified band — the
+    oracle replays the same mapping as a CASE expression."""
+    from ..codecs import decode as _dec
+    from ..sources.images import images_dataset
+    from ..stages.raster_ops import reclassify_text
+
+    RULES = "[0,63]=1;(63,127]=2;(127,191]=3;DEFAULT=9"
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, sums = [], []
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            b0 = px if px.ndim == 2 else px[:, :, 0]
+            rec = reclassify_text(b0, RULES)
+            ids.append(t["image_id"][i].as_py())
+            sums.append(int(round(rec.sum())))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "reclass_sum": pa.array(sums, pa.int64())})
+
+    return images_dataset(48).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(stats, batch_format="pyarrow")
+
+
 def q_mif_roundtrip(sf_dir: str):
     """MapInfo MIF/MID driver end-to-end: polygon layer (squares,
     rotated squares, L-shapes, holed squares, two-part multipolygons)
@@ -3522,6 +3573,8 @@ QUERIES = {
     "vector_sql_subquery": q_vector_sql_subquery,
     "mosaic_alpha": q_mosaic_alpha,
     "mif_roundtrip": q_mif_roundtrip,
+    "raster_neighbors": q_raster_neighbors,
+    "reclassify": q_reclassify,
     "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
     "proximity": q_proximity,
@@ -3650,6 +3703,8 @@ def oracle_sql() -> dict[str, str]:
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,
         "mosaic_alpha": _OR.sql_mosaic_alpha(96),
         "mif_roundtrip": _OR.sql_mif_roundtrip(25),
+        "raster_neighbors": _OR.sql_raster_neighbors(32),
+        "reclassify": _OR.sql_reclassify(48),
         "cog_roundtrip": _OR.sql_cog_roundtrip(48),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),
