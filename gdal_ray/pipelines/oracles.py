@@ -1797,3 +1797,15 @@ SELECT image_id,
                 ELSE 9 END)::BIGINT AS reclass_sum
 FROM px GROUP BY image_id
 """
+
+
+def sql_arrow_roundtrip(m: int = 25) -> str:
+    """Arrow IPC roundtrip is bit-lossless → closed-form areas +
+    attribute pass-through."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid,
+       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_arrow,
+       CASE fid % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS category
+FROM polys
+"""

@@ -2084,6 +2084,36 @@ def q_fgb_roundtrip(sf_dir: str):
     return read_fgb_dataset(path).map_batches(stats, batch_format="pyarrow")
 
 
+def q_arrow_roundtrip(sf_dir: str):
+    """Arrow IPC batch sink/source (the reference's Arrow driver +
+    OGR Arrow batch API, ogr/ogrsf_frmts/arrow, ogrlayerarrow.cpp):
+    polygon layer → .arrow IPC file → read back through the driver
+    registry → per-fid areas + attribute pass-through (IPC is
+    bit-lossless, so areas equal the closed-form shape-class areas)."""
+    import os
+    import tempfile
+    from ..core import wkb as _W
+    from ..core.geom import area as _area
+    from ..sources.drivers import read_vector_dataset, write_arrow
+    from ..sources.vector import polygons_table
+
+    src = polygons_table(25)
+    d = tempfile.mkdtemp(prefix="arrow_", dir="/tmp")
+    path = os.path.join(d, "layer.arrow")
+    write_arrow(src, path)
+
+    def stats(t: pa.Table) -> pa.Table:
+        areas = [_half_away([_area(_W.loads(b)) / 1e6], 3)[0]
+                 for b in t["wkb"].to_pylist()]
+        return pa.table({
+            "fid": t["fid"],
+            "area_km2_arrow": pa.array(areas, pa.float64()),
+            "category": t["category"]})
+
+    return read_vector_dataset(path).map_batches(stats,
+                                                 batch_format="pyarrow")
+
+
 def q_raster_neighbors(sf_dir: str):
     """Raster neighbors / focal statistics (gdal raster neighbors,
     apps/gdalalg_raster_neighbors.cpp): 3×3 sum kernel with edge-pad
@@ -3574,6 +3604,7 @@ QUERIES = {
     "mosaic_alpha": q_mosaic_alpha,
     "mif_roundtrip": q_mif_roundtrip,
     "raster_neighbors": q_raster_neighbors,
+    "arrow_roundtrip": q_arrow_roundtrip,
     "reclassify": q_reclassify,
     "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
@@ -3704,6 +3735,7 @@ def oracle_sql() -> dict[str, str]:
         "mosaic_alpha": _OR.sql_mosaic_alpha(96),
         "mif_roundtrip": _OR.sql_mif_roundtrip(25),
         "raster_neighbors": _OR.sql_raster_neighbors(32),
+        "arrow_roundtrip": _OR.sql_arrow_roundtrip(25),
         "reclassify": _OR.sql_reclassify(48),
         "cog_roundtrip": _OR.sql_cog_roundtrip(48),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
