@@ -263,6 +263,34 @@ def _parse_atom(p):
         inner = _parse_add(p)
         p.expect("op", ")")
         return ("agg", v, inner)
+    if k == "id" and v.upper() == "CASE":
+        # CASE [operand] WHEN a THEN b ... [ELSE e] END — both the
+        # searched and the simple form (swq has neither; DuckDB and the
+        # SQLite dialect do, and the oracle strings run in both)
+        p.next()
+
+        def _kw(word):
+            kk, vv = p.peek()
+            if kk == "id" and vv.upper() == word:
+                p.next()
+                return True
+            return False
+
+        operand = None
+        if not (p.peek()[0] == "id" and p.peek()[1].upper() == "WHEN"):
+            operand = _parse_add(p)
+        whens = []
+        while _kw("WHEN"):
+            cond = _parse_or(p)
+            if not _kw("THEN"):
+                raise ValueError("CASE missing THEN")
+            whens.append((cond, _parse_add(p)))
+        els = _parse_add(p) if _kw("ELSE") else None
+        if not _kw("END"):
+            raise ValueError("CASE missing END")
+        if not whens:
+            raise ValueError("CASE with no WHEN branches")
+        return ("case", operand, whens, els)
     if k == "id":
         nk, nv = p.t[p.i + 1] if p.i + 1 < len(p.t) else ("end", "")
         if nk == "op" and nv == "(" and v.upper() in _SQL_FUNCS:
@@ -389,6 +417,22 @@ def _eval(e, df: pd.DataFrame, funcs: dict | None = None):
         return pd.Series(v).isin(lits).to_numpy()
     if kind == "in_set":
         return pd.Series(_eval(e[1], df, funcs)).isin(e[2]).to_numpy()
+    if kind == "case":
+        operand, whens, els = e[1], e[2], e[3]
+        n = len(df)
+        conds, vals = [], []
+        for w, t in whens:
+            cn = ("bin", "=", operand, w) if operand is not None else w
+            conds.append(np.broadcast_to(
+                np.asarray(_eval(cn, df, funcs), bool), n))
+            val = _eval(t, df, funcs)
+            vals.append(np.broadcast_to(np.asarray(val), n))
+        if els is not None:
+            dv = _eval(els, df, funcs)
+            default = np.broadcast_to(np.asarray(dv), n)
+        else:
+            default = np.broadcast_to(np.asarray(np.nan), n)
+        return np.select(conds, vals, default=default)
     if kind == "in_sub":
         raise ValueError("IN (SELECT ...) reached the evaluator "
                          "unresolved — execute via execute_sql()")
@@ -654,6 +698,9 @@ def _run_aggregate(q, ds, join_specs=()) -> pd.DataFrame:
             slots.append((key, a))
 
     fsnap = dict(_SQL_FUNCS)
+    # GROUP BY may name a computed select alias (GROUP BY bucket where
+    # bucket = CASE ... END) — resolve those through the select list
+    alias_map = {(alias or _expr_name(e)): e for e, alias in q["items"]}
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -663,7 +710,12 @@ def _run_aggregate(q, ds, join_specs=()) -> pd.DataFrame:
             df = df[np.asarray(_eval(where, df, fsnap), bool)]
         work = pd.DataFrame(index=df.index)
         for k in group:
-            work[k] = df[k]
+            if k in df.columns:
+                work[k] = df[k]
+            elif k in alias_map:
+                work[k] = _eval(alias_map[k], df, fsnap)
+            else:
+                raise ValueError(f"unknown GROUP BY column {k!r}")
         for (fn, nm), a in slots:
             base = f"{fn}:{nm}"
             if fn == "COUNT" and a[2] == "*":
@@ -822,7 +874,12 @@ def _run_aggregate(q, ds, join_specs=()) -> pd.DataFrame:
     out = pd.DataFrame()
     for e, alias in q["items"]:
         name = alias or _expr_name(e)
-        out[name] = eval_item(e)
+        # a computed group key already holds its evaluated value in
+        # the combined frame — don't re-evaluate the expression
+        if name in group and name in final.columns:
+            out[name] = final[name]
+        else:
+            out[name] = eval_item(e)
     if q["order"]:
         out = out.sort_values([c for c, _ in q["order"]],
                               ascending=[not d for _, d in q["order"]])

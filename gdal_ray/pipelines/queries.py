@@ -2425,6 +2425,30 @@ def q_vector_sql_subquery(sf_dir: str):
     return _round_cols(out, ["total"], nd=2)
 
 
+SQL_VECTOR_SQL_CASE = """
+SELECT CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f
+FROM orders GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_vector_sql_case(sf_dir: str):
+    """CASE WHEN expressions — searched form as a computed GROUP BY
+    key AND inside an aggregate (conditional count). Beyond the
+    reference's swq grammar (its dialect has no CASE; the SQLite
+    dialect does); the identical string runs in DuckDB as the
+    oracle."""
+    from ..functions.sql import execute_sql
+    out = execute_sql(_dialect_round(SQL_VECTOR_SQL_CASE),
+                      {"orders": _rp(sf_dir, "orders")})
+    # DuckDB returns SUM(int) as HUGEINT → pandas float64; match it
+    out["n_f"] = out["n_f"].astype(np.float64)
+    return _round_cols(out, ["total"], nd=2)
+
+
 SQL_VECTOR_SQL_JOIN = """
 SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
        ROUND(STDDEV_POP(o_totalprice), 2) AS sd
@@ -3601,6 +3625,7 @@ QUERIES = {
     "netcdf_roundtrip": q_netcdf_roundtrip,
     "audio_features_wav": q_audio_features_wav,
     "vector_sql_subquery": q_vector_sql_subquery,
+    "vector_sql_case": q_vector_sql_case,
     "mosaic_alpha": q_mosaic_alpha,
     "mif_roundtrip": q_mif_roundtrip,
     "raster_neighbors": q_raster_neighbors,
@@ -3732,6 +3757,7 @@ def oracle_sql() -> dict[str, str]:
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,
+        "vector_sql_case": SQL_VECTOR_SQL_CASE,
         "mosaic_alpha": _OR.sql_mosaic_alpha(96),
         "mif_roundtrip": _OR.sql_mif_roundtrip(25),
         "raster_neighbors": _OR.sql_raster_neighbors(32),

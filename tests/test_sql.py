@@ -475,3 +475,58 @@ class TestSubqueries:
         with _pytest.raises(ValueError, match="exactly one"):
             execute_sql("SELECT o_id FROM orders WHERE cust IN "
                         "(SELECT c_id, tier FROM cust)", self._tables())
+
+
+class TestCaseExpression:
+    """CASE WHEN — searched + simple forms, in scans, aggregates, and
+    as a computed GROUP BY key (beyond swq; SQLite dialect parity)."""
+
+    def _orders(self):
+        import pandas as pd
+        import ray.data as rd
+        return {"orders": rd.from_pandas(pd.DataFrame(
+            {"o_id": range(20),
+             "status": ["F" if i % 3 == 0 else "O" for i in range(20)],
+             "amt": [i * 10.0 for i in range(20)]}))}
+
+    def test_searched_case_scan(self, ray_session):
+        r = execute_sql(
+            "SELECT o_id, CASE WHEN amt > 150 THEN 'big' WHEN amt > 50 "
+            "THEN 'mid' ELSE 'small' END AS bucket FROM orders "
+            "ORDER BY o_id", self._orders())
+        assert r["bucket"].tolist()[:8] == ["small"] * 6 + ["mid"] * 2
+        assert r["bucket"].tolist()[-1] == "big"
+
+    def test_simple_case(self, ray_session):
+        r = execute_sql(
+            "SELECT o_id, CASE status WHEN 'F' THEN 1 ELSE 0 END AS "
+            "is_f FROM orders ORDER BY o_id LIMIT 6", self._orders())
+        assert r["is_f"].tolist() == [1, 0, 0, 1, 0, 0]
+
+    def test_case_inside_aggregate(self, ray_session):
+        r = execute_sql(
+            "SELECT status, SUM(CASE WHEN amt > 100 THEN 1 ELSE 0 END) "
+            "AS n_big FROM orders GROUP BY status ORDER BY status",
+            self._orders())
+        assert r["n_big"].tolist() == [3, 6]
+
+    def test_computed_group_by_key(self, ray_session):
+        r = execute_sql(
+            "SELECT CASE WHEN amt > 100 THEN 'hi' ELSE 'lo' END AS b, "
+            "COUNT(*) AS n, SUM(amt) AS total FROM orders GROUP BY b "
+            "ORDER BY b", self._orders())
+        assert r["n"].tolist() == [9, 11]
+        assert r["total"].tolist() == [1350.0, 550.0]
+
+    def test_no_else_gives_null(self, ray_session):
+        r = execute_sql(
+            "SELECT o_id, CASE WHEN amt > 150 THEN 1 END AS flag "
+            "FROM orders ORDER BY o_id", self._orders())
+        import numpy as _np
+        assert _np.isnan(r["flag"].iloc[0]) and r["flag"].iloc[-1] == 1.0
+
+    def test_malformed_case(self, ray_session):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="THEN|END|WHEN"):
+            execute_sql("SELECT CASE WHEN amt > 1 1 END FROM orders",
+                        self._orders())
