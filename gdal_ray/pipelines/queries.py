@@ -1931,14 +1931,28 @@ def q_mosaic_alpha(sf_dir: str):
         cells, ranks, masks = [], [], []
         idx = image_index(t["image_id"])
         for i in range(t.num_rows):
-            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
-            band0 = px if px.ndim == 2 else px[:, :, 0]
             gt = tuple(t[f"gt{k}"][i].as_py() for k in range(6))
+            w_px = int(t["w"][i].as_py())
+            h_px = int(t["h"][i].as_py())
+            # envelope prefilter: the image envelope is a superset of
+            # every valid warp sample, so skipping non-overlapping
+            # cells cannot change membership — decode only when at
+            # least one cell overlaps
+            ix0, ix1 = gt[0], gt[0] + w_px * gt[1]
+            iy1, iy0 = gt[3], gt[3] + h_px * gt[5]
+            band0 = None
             for cy in range(NC):
                 for cx in range(NC):
-                    cgt = (dst_gt[0] + cx * CELL * dst_gt[1], dst_gt[1],
-                           0.0, dst_gt[3] + cy * CELL * dst_gt[5], 0.0,
-                           dst_gt[5])
+                    c0 = dst_gt[0] + cx * CELL * dst_gt[1]
+                    c3 = dst_gt[3] + cy * CELL * dst_gt[5]
+                    if ix0 > c0 + CELL * dst_gt[1] or ix1 < c0 or \
+                            iy1 < c3 + CELL * dst_gt[5] or iy0 > c3:
+                        continue
+                    if band0 is None:
+                        px = _dec(t["bytes"][i].as_py(),
+                                  t["fmt"][i].as_py())
+                        band0 = px if px.ndim == 2 else px[:, :, 0]
+                    cgt = (c0, dst_gt[1], 0.0, c3, 0.0, dst_gt[5])
                     _warped, valid = rs.warp(band0, gt, cgt, (CELL, CELL),
                                              "near")
                     if not valid.any():
