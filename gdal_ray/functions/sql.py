@@ -263,6 +263,16 @@ def _parse_atom(p):
         inner = _parse_add(p)
         p.expect("op", ")")
         return ("agg", v, inner)
+    if k == "id" and v.upper() == "CAST":
+        nk, nv = p.t[p.i + 1] if p.i + 1 < len(p.t) else ("end", "")
+        if nk == "op" and nv == "(":
+            p.next()
+            p.next()
+            inner = _parse_add(p)
+            p.expect("kw", "AS")
+            ty = p.expect("id").upper()
+            p.expect("op", ")")
+            return ("cast", inner, ty)
     if k == "id" and v.upper() == "CASE":
         # CASE [operand] WHEN a THEN b ... [ELSE e] END — both the
         # searched and the simple form (swq has neither; DuckDB and the
@@ -417,6 +427,18 @@ def _eval(e, df: pd.DataFrame, funcs: dict | None = None):
         return pd.Series(v).isin(lits).to_numpy()
     if kind == "in_set":
         return pd.Series(_eval(e[1], df, funcs)).isin(e[2]).to_numpy()
+    if kind == "cast":
+        v = _eval(e[1], df, funcs)
+        ty = e[2]
+        if ty in ("BIGINT", "INTEGER", "INT", "SMALLINT"):
+            return pd.Series(v).astype("float64").round().astype("Int64") \
+                if not np.isscalar(v) else int(round(float(v)))
+        if ty in ("DOUBLE", "FLOAT", "REAL", "NUMERIC", "DECIMAL"):
+            return pd.Series(v).astype("float64") if not np.isscalar(v) \
+                else float(v)
+        if ty in ("VARCHAR", "TEXT", "STRING", "CHAR"):
+            return pd.Series(v).astype(str) if not np.isscalar(v) else str(v)
+        raise ValueError(f"unsupported CAST type {ty}")
     if kind == "case":
         operand, whens, els = e[1], e[2], e[3]
         n = len(df)

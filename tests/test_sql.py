@@ -530,3 +530,24 @@ class TestCaseExpression:
         with _pytest.raises(ValueError, match="THEN|END|WHEN"):
             execute_sql("SELECT CASE WHEN amt > 1 1 END FROM orders",
                         self._orders())
+
+
+class TestCast:
+    def test_cast_forms(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        t = {"t": rd.from_pandas(pd.DataFrame(
+            {"a": [1.6, 2.4, -3.5], "b": ["7", "8", "9"]}))}
+        r = execute_sql(
+            "SELECT CAST(a AS INTEGER) AS ai, CAST(b AS DOUBLE) AS bd, "
+            "CAST(a AS VARCHAR) AS astr FROM t", t)
+        assert r["ai"].tolist() == [2, 2, -4]    # banker's round like numpy
+        assert r["bd"].tolist() == [7.0, 8.0, 9.0]
+        assert r["astr"].tolist() == ["1.6", "2.4", "-3.5"]
+
+    def test_cast_in_aggregate(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        t = {"t": rd.from_pandas(pd.DataFrame({"b": ["7", "8", "9"]}))}
+        r = execute_sql("SELECT SUM(CAST(b AS DOUBLE)) AS s FROM t", t)
+        assert r["s"].iloc[0] == 24.0
