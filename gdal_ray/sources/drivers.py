@@ -21,9 +21,67 @@ def register_vector_driver(extension: str, reader) -> None:
     _READERS[extension.lower().lstrip(".")] = reader
 
 
+def list_drivers() -> list[str]:
+    """Registered vector format extensions (driver-manager
+    GetDriverCount/GetDriver analog)."""
+    return sorted(_READERS)
+
+
+def _resolve_zip(path: str) -> str:
+    """/vsizip/ analog (port/cpl_vsil_gzip.cpp zip handler): a path
+    like ``archive.zip/inner/layer.shp`` (or ``/vsizip/archive.zip/…``)
+    extracts the member AND its sidecar siblings (same stem: .dbf/.shx/
+    .prj/.mid/...) into a per-archive temp dir and reads from there.
+    A bare ``archive.zip`` picks the single vector member inside."""
+    import tempfile
+    import zipfile
+
+    if path.startswith("/vsizip/"):
+        path = path[len("/vsizip/"):]
+    low = path.lower()
+    z = low.find(".zip")
+    if z < 0:
+        return path
+    zpath = path[:z + 4]
+    inner = path[z + 5:] if len(path) > z + 5 else ""
+    if not os.path.exists(zpath):
+        return path
+    with zipfile.ZipFile(zpath) as zf:
+        names = zf.namelist()
+        if not inner:
+            cands = [n for n in names
+                     if os.path.splitext(n)[1].lower().lstrip(".")
+                     in _READERS]
+            if len(cands) != 1:
+                raise ValueError(
+                    f"{zpath}: specify the member to read "
+                    f"(vector candidates: {cands})")
+            inner = cands[0]
+        stem = os.path.splitext(inner)[0]
+        out = os.path.join(tempfile.gettempdir(), "gdal_ray_vsizip",
+                           f"{abs(hash((os.path.abspath(zpath), stem)))}")
+        os.makedirs(out, exist_ok=True)
+        target = None
+        for n in names:
+            if os.path.splitext(n)[0] == stem:
+                dst = os.path.join(out, os.path.basename(n))
+                if not os.path.exists(dst):
+                    with zf.open(n) as src, open(dst, "wb") as f:
+                        f.write(src.read())
+                if n == inner:
+                    target = dst
+        if target is None:
+            raise ValueError(f"{inner!r} not found in {zpath}")
+        return target
+
+
 def read_vector(path: str) -> pa.Table:
     """Read any registered vector format into the engine's standard
-    layer table (fid, wkb, envelope cols, attributes)."""
+    layer table (fid, wkb, envelope cols, attributes). Paths into zip
+    archives (``archive.zip/layer.shp`` or ``/vsizip/…``) are handled
+    transparently."""
+    if ".zip" in path.lower():
+        path = _resolve_zip(path)
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     reader = _READERS.get(ext)
     if reader is None:

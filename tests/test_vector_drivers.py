@@ -146,3 +146,42 @@ class TestDriverDispatch:
             read_vector("/tmp/nope.unknownext")
         with pytest.raises(TypeError):
             register_vector_driver(".bad", 3)
+
+
+class TestVsiZip:
+    """/vsizip/ analog: zip-archived layers read transparently
+    (port/cpl_vsil_gzip.cpp zip handler semantics)."""
+
+    def test_reference_poly_zip(self):
+        from gdal_ray.sources.drivers import read_vector
+        t = read_vector("/root/reference/autotest/ogr/data/shp/poly.zip")
+        assert t.num_rows == 10              # ogr_shape.py poly golden
+
+    def test_member_path_and_prefix(self, tmp_path):
+        import zipfile
+        from gdal_ray.sources.drivers import read_vector
+        src = "/root/reference/autotest/ogr/data/poly"
+        zp = str(tmp_path / "a.zip")
+        with zipfile.ZipFile(zp, "w") as z:
+            for ext in (".shp", ".shx", ".dbf"):
+                z.write(src + ext, "inner/poly" + ext)
+        assert read_vector(zp + "/inner/poly.shp").num_rows == 10
+        assert read_vector("/vsizip/" + zp + "/inner/poly.shp").num_rows == 10
+
+    def test_ambiguous_zip_rejected(self, tmp_path):
+        import zipfile
+        import pytest as _pytest
+        from gdal_ray.sources.drivers import read_vector
+        src = "/root/reference/autotest/ogr/data/poly"
+        zp = str(tmp_path / "two.zip")
+        with zipfile.ZipFile(zp, "w") as z:
+            for ext in (".shp", ".shx", ".dbf"):
+                z.write(src + ext, "a/poly" + ext)
+                z.write(src + ext, "b/poly" + ext)
+        with _pytest.raises(ValueError, match="specify the member"):
+            read_vector(zp)
+
+    def test_list_drivers(self):
+        from gdal_ray.sources.drivers import list_drivers
+        d = list_drivers()
+        assert {"shp", "gpkg", "gpx", "gml", "mif", "dxf", "fgb"} <= set(d)
