@@ -82,6 +82,19 @@ def read_vector(path: str) -> pa.Table:
     transparently."""
     if ".zip" in path.lower():
         path = _resolve_zip(path)
+    if path.lower().endswith(".gz"):
+        # /vsigzip/ analog: decompress to a cached temp twin
+        import gzip
+        import tempfile
+        inner = os.path.basename(path)[:-3]
+        out = os.path.join(tempfile.gettempdir(), "gdal_ray_vsigzip",
+                           f"{abs(hash(os.path.abspath(path)))}")
+        os.makedirs(out, exist_ok=True)
+        dst = os.path.join(out, inner)
+        if not os.path.exists(dst):
+            with gzip.open(path, "rb") as src, open(dst, "wb") as f:
+                f.write(src.read())
+        path = dst
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     reader = _READERS.get(ext)
     if reader is None:

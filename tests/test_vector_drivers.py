@@ -185,3 +185,14 @@ class TestVsiZip:
         from gdal_ray.sources.drivers import list_drivers
         d = list_drivers()
         assert {"shp", "gpkg", "gpx", "gml", "mif", "dxf", "fgb"} <= set(d)
+
+    def test_gzip_layer(self, tmp_path):
+        import gzip, json
+        from gdal_ray.sources.drivers import read_vector
+        gj = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"n": 1},
+             "geometry": {"type": "Point", "coordinates": [1, 2]}}]}
+        p = str(tmp_path / "x.geojson.gz")
+        with gzip.open(p, "wt") as f:
+            json.dump(gj, f)
+        assert read_vector(p).num_rows == 1
