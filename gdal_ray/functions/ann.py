@@ -147,3 +147,131 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, nlist: int = 16,
     return (df.sort_values(["qid", "cos_sim", id_col],
                            ascending=[True, False, True])
             .reset_index(drop=True))
+
+
+def pq_train(sample: np.ndarray, m_sub: int = 4, n_centroids: int = 16,
+             iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 — the
+    published method): split dims into m_sub blocks, k-means each block
+    independently. Returns (m_sub, n_centroids, dsub) float64."""
+    sample = _unit(np.asarray(sample, np.float64))
+    n, dim = sample.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    books = np.empty((m_sub, n_centroids, dsub))
+    for m in range(m_sub):
+        blk = sample[:, m * dsub:(m + 1) * dsub]
+        books[m] = kmeans_lite(blk, n_centroids, iters=iters,
+                               seed=seed + m)
+    return books
+
+
+def pq_topk(ds, queries: np.ndarray, k: int = 10, *, m_sub: int = 4,
+            n_centroids: int = 16, n_train: int = 2048,
+            oversample: int = 4, refine: bool = True,
+            vec_col="embedding", id_col="vec_id"):
+    """PQ-ADC approximate top-k cosine: vectors compress to m_sub uint8
+    codes (16-64× smaller than float32 — the 10^12-vector memory
+    path); each query scores batches through per-block lookup tables
+    (asymmetric distance computation), per-batch partial top-(k·over),
+    bounded groupby(qid) merge. With ``refine`` (the standard ADC+R
+    step) the oversampled candidates re-rank by exact cosine in one
+    more streaming pass — candidate ids (≤ nq·k·oversample) broadcast,
+    never the vectors. Recall vs brute_topk is pytest-gated
+    (tests/test_functions.py)."""
+    import ray
+
+    qunit = _unit(np.asarray(queries, np.float64))
+    nq, dim = qunit.shape
+    dsub = dim // m_sub
+
+    # driver-side training on a bounded sample (the codebooks are tiny
+    # and broadcast; at corpus scale this is a one-time job on a
+    # uniform sample, exactly like IVF centroid training)
+    sample = np.stack(
+        ds.limit(n_train).to_pandas()[vec_col].to_list()).astype(np.float64)
+    books = pq_train(sample, m_sub, n_centroids)
+
+    # per-query ADC lookup tables: lut[q, m, c] = <q_m, book[m, c]>
+    lut = np.einsum("qmd,mcd->qmc",
+                    qunit.reshape(nq, m_sub, dsub), books)
+    lut_ref = ray.put((books, lut))
+    keep = k * oversample
+
+    def score(t: pa.Table) -> pa.Table:
+        books_, lut_ = ray.get(lut_ref)
+        mat = _unit(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        ids = t[id_col].to_numpy()
+        nb = len(mat)
+        # encode: nearest codeword per block (this is where a real
+        # deployment stores ONLY the codes; scoring never touches the
+        # original floats again)
+        blocks = mat.reshape(nb, m_sub, dsub)
+        # (nb, m, c) distances -> argmin codes
+        d2 = ((blocks[:, :, None, :] - books_[None, :, :, :]) ** 2).sum(-1)
+        codes = d2.argmin(-1).astype(np.uint8)          # (nb, m)
+        # ADC score: sim[q, v] = sum_m lut[q, m, codes[v, m]]
+        sim = np.zeros((nq, nb))
+        for m in range(m_sub):
+            sim += lut_[:, m, codes[:, m]]
+        kk = min(keep, nb)
+        top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        vid = ids[top.ravel()]
+        s = np.take_along_axis(sim, top, axis=1).ravel()
+        return pa.table({"qid": pa.array(qid, pa.int64()),
+                         id_col: pa.array(vid),
+                         "adc_sim": pa.array(s, pa.float64())})
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, "adc_sim")
+
+    approx = ds.map_batches(score, batch_format="pyarrow") \
+        .groupby("qid").map_groups(
+            lambda g: g.nlargest(min(keep, len(g)), "adc_sim"),
+            batch_format="pandas")
+    if not refine:
+        return approx.groupby("qid").map_groups(topk,
+                                                batch_format="pandas")
+
+    # exact re-rank (ADC+R): candidate list is bounded by nq·keep, so
+    # pulling the (qid, id) pairs to the driver and broadcasting the
+    # id→qids map is safe at any corpus size
+    import ray
+    cand = approx.to_pandas()
+    by_vec: dict = {}
+    for qid, vid in zip(cand["qid"].to_numpy(), cand[id_col].to_numpy()):
+        by_vec.setdefault(vid, []).append(int(qid))
+    cref = ray.put((by_vec, qunit))
+
+    def exact(t: pa.Table) -> pa.Table:
+        by_vec_, q_ = ray.get(cref)
+        ids = t[id_col].to_numpy()
+        hit = np.array([i in by_vec_ for i in ids], bool)
+        if not hit.any():
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             id_col: pa.array([], t[id_col].type),
+                             "cos_sim": pa.array([], pa.float64())})
+        mat = _unit(np.stack(
+            [t[vec_col][i].as_py() for i in np.flatnonzero(hit)]
+        ).astype(np.float64))
+        qids, vids, sims = [], [], []
+        for row, i in enumerate(np.flatnonzero(hit)):
+            for qid in by_vec_[ids[i]]:
+                qids.append(qid)
+                vids.append(ids[i])
+                sims.append(float(q_[qid] @ mat[row]))
+        return pa.table({"qid": pa.array(qids, pa.int64()),
+                         id_col: pa.array(vids),
+                         "cos_sim": pa.array(sims, pa.float64())})
+
+    def topk_exact(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic tie-break on id (matches the SQL oracle's
+        # ORDER BY c DESC, vec_id)
+        return g.drop_duplicates([id_col]).sort_values(
+            ["cos_sim", id_col], ascending=[False, True]).head(k)
+
+    return ds.map_batches(exact, batch_format="pyarrow") \
+        .groupby("qid").map_groups(topk_exact, batch_format="pandas")

@@ -823,6 +823,29 @@ def q_ivf_ann(sf_dir: str):
     return out
 
 
+def q_pq_ann(sf_dir: str):
+    """Product-quantization ANN with exact re-rank (PQ ADC+R, Jégou et
+    al. 2011): vectors compress to m_sub uint8 codes (the 10^12-vector
+    memory path — 16× under float32 here), ADC lookup-table scoring
+    collects an oversampled candidate pool per query, and one more
+    streaming pass re-ranks candidates by exact cosine. With a generous
+    oversample the refined result equals the exact top-k, which the SQL
+    oracle recomputes brute-force; pure-ADC recall (no refine) is the
+    approximate setting, recall-gated in pytest."""
+    from ..functions.ann import pq_topk
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(emb.filter(expr="vec_id < 4").take_all(),
+                   key=lambda r: r["vec_id"])
+    queries = np.stack([np.asarray(r["embedding"])
+                        for r in qrows]).astype(np.float64)
+    out = pq_topk(emb, queries, k=5, m_sub=16, n_centroids=32,
+                  oversample=16, refine=True).to_pandas()
+    out = out.sort_values(["qid", "cos_sim", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    out["cos_sim"] = _half_away(out["cos_sim"].to_numpy())
+    return out
+
+
 def q_lang_id(sf_dir: str):
     from ray.data.aggregate import Count
     from ..functions.text import lang_id_batch
@@ -3640,6 +3663,7 @@ QUERIES = {
     "audio_features_wav": q_audio_features_wav,
     "vector_sql_subquery": q_vector_sql_subquery,
     "vector_sql_case": q_vector_sql_case,
+    "pq_ann": q_pq_ann,
     "mosaic_alpha": q_mosaic_alpha,
     "mif_roundtrip": q_mif_roundtrip,
     "raster_neighbors": q_raster_neighbors,
@@ -3772,6 +3796,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,
         "vector_sql_case": SQL_VECTOR_SQL_CASE,
+        "pq_ann": _OR.sql_ivf_topk(4, 5),
         "mosaic_alpha": _OR.sql_mosaic_alpha(96),
         "mif_roundtrip": _OR.sql_mif_roundtrip(25),
         "raster_neighbors": _OR.sql_raster_neighbors(32),

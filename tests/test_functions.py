@@ -242,3 +242,53 @@ class TestANN:
             expect = set(ids[np.argsort(-cos)[:5]])
             got = set(out[out.qid == qi]["vec_id"].astype(int))
             assert got == expect
+
+
+class TestPQAnn:
+    """Product quantization ANN (ADC + exact re-rank)."""
+
+    def _emb(self):
+        import ray.data as rd
+        return rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def test_refined_equals_exact(self, ray_session):
+        import numpy as np
+        from gdal_ray.functions.ann import brute_topk, pq_topk
+        emb = self._emb()
+        df = emb.to_pandas()
+        queries = np.stack(df["embedding"].iloc[[3, 77, 150]]).astype(float)
+        exact = brute_topk(emb, queries, k=10).to_pandas()
+        ref = pq_topk(emb, queries, k=10, m_sub=16, n_centroids=32,
+                      oversample=16, refine=True).to_pandas()
+        for q in range(3):
+            a = set(exact[exact.qid == q]["vec_id"])
+            b = set(ref[ref.qid == q]["vec_id"])
+            assert a == b, q                 # generous oversample → exact
+
+    def test_adc_only_recall_floor(self, ray_session):
+        import numpy as np
+        from gdal_ray.functions.ann import brute_topk, pq_topk
+        emb = self._emb()
+        df = emb.to_pandas()
+        queries = np.stack(df["embedding"].iloc[[3, 77, 150, 260, 333,
+                                                 444]]).astype(float)
+        exact = brute_topk(emb, queries, k=10).to_pandas()
+        adc = pq_topk(emb, queries, k=10, m_sub=16, n_centroids=32,
+                      oversample=8, refine=False).to_pandas()
+        rec = []
+        for q in range(6):
+            a = set(exact[exact.qid == q]["vec_id"])
+            b = set(adc[adc.qid == q]["vec_id"])
+            rec.append(len(a & b) / 10)
+        assert sum(rec) / len(rec) >= 0.4    # raw-ADC floor, no re-rank
+
+    def test_codebook_shapes(self):
+        import numpy as np
+        from gdal_ray.functions.ann import pq_train
+        import pytest as _pytest
+        sample = np.random.default_rng(0).normal(0, 1, (256, 64))
+        books = pq_train(sample, m_sub=8, n_centroids=16)
+        assert books.shape == (8, 16, 8)
+        with _pytest.raises(ValueError, match="divisible"):
+            pq_train(sample, m_sub=7)
