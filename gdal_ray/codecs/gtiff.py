@@ -54,12 +54,13 @@ class GeoTiff:
         self.nodata = nodata
 
 
-def _read_ifd_values(buf, bo, typ, cnt, val_off_raw):
+def _read_ifd_values(buf, bo, typ, cnt, val_off_raw, big: bool = False):
     size = _TYPE_SIZES.get(typ, 1) * cnt
-    if size <= 4:
+    inline = 8 if big else 4
+    if size <= inline:
         raw = val_off_raw
     else:
-        (off,) = struct.unpack(bo + "I", val_off_raw)
+        (off,) = struct.unpack(bo + ("Q" if big else "I"), val_off_raw)
         raw = buf[off:off + size]
     fmt = _TYPE_FMT.get(typ)
     if fmt is None:
@@ -170,6 +171,9 @@ def _undo_predictor(arr: np.ndarray) -> np.ndarray:
 
 
 def _tiff_header(mv: bytes):
+    """Classic (magic 42) and BigTIFF (magic 43, 8-byte offsets —
+    frmts/gtiff bBigTIFF paths / the published BigTIFF spec) headers.
+    Returns (byte order, first IFD offset, is_bigtiff)."""
     if mv[:2] == b"II":
         bo = "<"
     elif mv[:2] == b"MM":
@@ -177,17 +181,51 @@ def _tiff_header(mv: bytes):
     else:
         raise ValueError("not a TIFF (bad byte order mark)")
     (magic,) = struct.unpack_from(bo + "H", mv, 2)
-    if magic != 42:
-        raise ValueError(f"not a classic TIFF (magic {magic})")
-    (ifd_off,) = struct.unpack_from(bo + "I", mv, 4)
-    return bo, ifd_off
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from(bo + "I", mv, 4)
+        return bo, ifd_off, False
+    if magic == 43:
+        offsize, zero = struct.unpack_from(bo + "HH", mv, 4)
+        if offsize != 8 or zero != 0:
+            raise ValueError(f"bad BigTIFF header ({offsize}, {zero})")
+        (ifd_off,) = struct.unpack_from(bo + "Q", mv, 8)
+        return bo, ifd_off, True
+    raise ValueError(f"not a TIFF (magic {magic})")
+
+
+def tiff_block_offsets(buf: bytes) -> list[int]:
+    """Strip/tile byte offsets of the first IFD (the reference's
+    BLOCK_OFFSET_x_y metadata, autotest/gcore/tiff_read.py:3834-3860
+    exercises SHORT/LONG/LONG8 offset tags across classic/BigTIFF and
+    both byte orders)."""
+    mv = bytes(buf)
+    bo, ifd_off, big = _tiff_header(mv)
+    if big:
+        (n_tags,) = struct.unpack_from(bo + "Q", mv, ifd_off)
+        entry0, esize = ifd_off + 8, 20
+    else:
+        (n_tags,) = struct.unpack_from(bo + "H", mv, ifd_off)
+        entry0, esize = ifd_off + 2, 12
+    for i in range(int(n_tags)):
+        base = entry0 + i * esize
+        if big:
+            tag, typ = struct.unpack_from(bo + "HH", mv, base)
+            (cnt,) = struct.unpack_from(bo + "Q", mv, base + 4)
+            val_raw = mv[base + 12:base + 20]
+        else:
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", mv, base)
+            val_raw = mv[base + 8:base + 12]
+        if tag in (273, 324):                # StripOffsets / TileOffsets
+            return [int(v) for v in
+                    _read_ifd_values(mv, bo, typ, int(cnt), val_raw, big)]
+    return []
 
 
 def decode_gtiff(buf: bytes) -> GeoTiff:
-    """Decode a classic GeoTIFF byte stream (first IFD)."""
+    """Decode a classic or BigTIFF GeoTIFF byte stream (first IFD)."""
     mv = bytes(buf)
-    bo, ifd_off = _tiff_header(mv)
-    return _decode_ifd(mv, bo, ifd_off)[0]
+    bo, ifd_off, big = _tiff_header(mv)
+    return _decode_ifd(mv, bo, ifd_off, big)[0]
 
 
 def decode_gtiff_all(buf: bytes) -> list[GeoTiff]:
@@ -195,21 +233,32 @@ def decode_gtiff_all(buf: bytes) -> list[GeoTiff]:
     the COG / gdaladdo layout, frmts/gtiff/gtiffdataset_read.cpp
     overview enumeration)."""
     mv = bytes(buf)
-    bo, ifd_off = _tiff_header(mv)
+    bo, ifd_off, big = _tiff_header(mv)
     out = []
     while ifd_off:
-        g, ifd_off = _decode_ifd(mv, bo, ifd_off)
+        g, ifd_off = _decode_ifd(mv, bo, ifd_off, big)
         out.append(g)
     return out
 
 
-def _decode_ifd(mv: bytes, bo: str, ifd_off: int):
-    (n_tags,) = struct.unpack_from(bo + "H", mv, ifd_off)
+def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
+    if big:
+        (n_tags,) = struct.unpack_from(bo + "Q", mv, ifd_off)
+        entry0, esize = ifd_off + 8, 20
+    else:
+        (n_tags,) = struct.unpack_from(bo + "H", mv, ifd_off)
+        entry0, esize = ifd_off + 2, 12
     tags: dict[int, list] = {}
-    for i in range(n_tags):
-        base = ifd_off + 2 + i * 12
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", mv, base)
-        tags[tag] = _read_ifd_values(mv, bo, typ, cnt, mv[base + 8:base + 12])
+    for i in range(int(n_tags)):
+        base = entry0 + i * esize
+        if big:
+            tag, typ = struct.unpack_from(bo + "HH", mv, base)
+            (cnt,) = struct.unpack_from(bo + "Q", mv, base + 4)
+            val_raw = mv[base + 12:base + 20]
+        else:
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", mv, base)
+            val_raw = mv[base + 8:base + 12]
+        tags[tag] = _read_ifd_values(mv, bo, typ, int(cnt), val_raw, big)
 
     w = int(tags[_T_WIDTH][0])
     h = int(tags[_T_HEIGHT][0])
@@ -315,8 +364,8 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int):
             nodata = None
 
     px = out[:, :, 0] if spp == 1 else out
-    (next_off,) = struct.unpack_from(bo + "I", mv,
-                                     ifd_off + 2 + n_tags * 12)
+    (next_off,) = struct.unpack_from(
+        bo + ("Q" if big else "I"), mv, entry0 + int(n_tags) * esize)
     return GeoTiff(px, gt, crs, nodata), next_off
 
 

@@ -115,3 +115,48 @@ class TestRoundtrip:
             decode_gtiff(b"NOPE" * 10)
         with pytest.raises(ValueError):
             encode_gtiff(np.zeros((4, 4), dtype="datetime64[s]"))
+
+
+class TestBigTiff:
+    """BigTIFF (magic 43, 8-byte offsets) + strip-offset tag-type
+    parity with the reference's own matrix
+    (autotest/gcore/tiff_read.py:3834-3860: SHORT/LONG/LONG8 offset
+    tags × classic/BigTIFF × little/big endian)."""
+
+    EXPECTED = {
+        "classictiff_one_block_long.tif": [158],
+        "classictiff_one_block_be_long.tif": [158],
+        "classictiff_one_strip_long.tif": [146],
+        "classictiff_one_strip_be_long.tif": [146],
+        "classictiff_two_strip_short.tif": [162, 163],
+        "classictiff_two_strip_be_short.tif": [162, 163],
+        "classictiff_four_strip_short.tif": [178, 179, 180, 181],
+        "classictiff_four_strip_be_short.tif": [178, 179, 180, 181],
+        "bigtiff_four_strip_short.tif": [316, 317, 318, 319],
+        "bigtiff_four_strip_be_short.tif": [316, 317, 318, 319],
+        "bigtiff_one_block_long8.tif": [272],
+        "bigtiff_one_block_be_long8.tif": [272],
+        "bigtiff_one_strip_long.tif": [252],
+        "bigtiff_one_strip_be_long.tif": [252],
+        "bigtiff_one_strip_long8.tif": [252],
+        "bigtiff_one_strip_be_long8.tif": [252],
+        "bigtiff_two_strip_long.tif": [284, 285],
+        "bigtiff_two_strip_be_long.tif": [284, 285],
+        "bigtiff_two_strip_long8.tif": [284, 285],
+        "bigtiff_two_strip_be_long8.tif": [284, 285],
+    }
+
+    def test_offsets_and_pixels(self):
+        from gdal_ray.codecs.gtiff import decode_gtiff, tiff_block_offsets
+        for f, exp in self.EXPECTED.items():
+            b = open(f"{_GCORE}/{f}", "rb").read()
+            assert tiff_block_offsets(b) == exp, f
+            px = decode_gtiff(b).pixels.reshape(-1)
+            # 1-byte strips: each pixel must be the byte AT its offset
+            assert all(px[i] == b[o] for i, o in enumerate(exp)), f
+
+    def test_bad_bigtiff_header(self):
+        import pytest as _pytest
+        from gdal_ray.codecs.gtiff import decode_gtiff
+        with _pytest.raises(ValueError, match="BigTIFF"):
+            decode_gtiff(b"II\x2b\x00\x04\x00\x00\x00" + b"\x00" * 16)
