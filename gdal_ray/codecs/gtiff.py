@@ -399,8 +399,11 @@ def is_geographic_epsg(code: int) -> bool:
 
 def encode_gtiff(pixels: np.ndarray, *, geotransform=None, crs=None,
                  nodata=None, tile_size: int = 256,
-                 compress: str = "deflate") -> bytes:
-    """Encode (h, w[, bands]) → tiled little-endian GeoTIFF bytes."""
+                 compress: str = "deflate", bigtiff: bool = False) -> bytes:
+    """Encode (h, w[, bands]) → tiled little-endian GeoTIFF bytes.
+    ``bigtiff=True`` writes the BigTIFF layout (magic 43, 8-byte
+    offsets, LONG8 tile offsets — the >4 GB output path; the
+    reference's CreationOption BIGTIFF=YES, frmts/gtiff)."""
     px = pixels if pixels.ndim == 3 else pixels[:, :, None]
     h, w, spp = px.shape
     dt = px.dtype
@@ -480,16 +483,24 @@ def encode_gtiff(pixels: np.ndarray, *, geotransform=None, crs=None,
 
     entries.sort(key=lambda e: e[0])
 
-    # layout: header(8) + IFD + out-of-line tag data + blocks
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    # layout: header + IFD + out-of-line tag data + blocks
+    inline = 8 if bigtiff else 4
+    if bigtiff:
+        ifd_off = 16
+        ifd_size = 8 + 20 * len(entries) + 8
+    else:
+        ifd_off = 8
+        ifd_size = 2 + 12 * len(entries) + 4
     data_off = ifd_off + ifd_size
     out_of_line = []
     fixed = []
     for t, typ, cnt, payload in entries:
+        if bigtiff and t == _T_TILE_OFF:
+            typ = 16                                 # LONG8 offsets
+            payload = struct.pack(f"<{cnt}Q", *([0] * cnt))
         size = len(payload)
-        if size <= 4:
-            fixed.append((t, typ, cnt, payload.ljust(4, b"\x00"), None))
+        if size <= inline:
+            fixed.append((t, typ, cnt, payload.ljust(inline, b"\x00"), None))
         else:
             fixed.append((t, typ, cnt, None, len(out_of_line)))
             out_of_line.append(payload)
@@ -498,30 +509,43 @@ def encode_gtiff(pixels: np.ndarray, *, geotransform=None, crs=None,
     for p in out_of_line:
         ool_offsets.append(cur)
         cur += len(p) + (len(p) & 1)   # word align
-    block_off0 = cur
     block_offsets = []
     for b in blocks:
         block_offsets.append(cur)
         cur += len(b) + (len(b) & 1)
 
     # patch tile offsets payload
+    off_fmt = "Q" if bigtiff else "I"
     for i, (t, typ, cnt, payload, ooli) in enumerate(fixed):
         if t == _T_TILE_OFF:
-            new_payload = struct.pack(f"<{len(blocks)}I", *block_offsets)
-            if len(new_payload) <= 4:
-                fixed[i] = (t, typ, cnt, new_payload.ljust(4, b"\x00"), None)
+            new_payload = struct.pack(f"<{len(blocks)}{off_fmt}",
+                                      *block_offsets)
+            if len(new_payload) <= inline:
+                fixed[i] = (t, typ, cnt, new_payload.ljust(inline, b"\x00"),
+                            None)
             else:
                 out_of_line[ooli] = new_payload
 
     buf = bytearray()
-    buf += b"II*\x00" + struct.pack("<I", ifd_off)
-    buf += struct.pack("<H", len(fixed))
-    for t, typ, cnt, payload, ooli in fixed:
-        if payload is not None:
-            buf += struct.pack("<HHI", t, typ, cnt) + payload
-        else:
-            buf += struct.pack("<HHII", t, typ, cnt, ool_offsets[ooli])
-    buf += struct.pack("<I", 0)     # next IFD
+    if bigtiff:
+        buf += b"II+\x00" + struct.pack("<HHQ", 8, 0, ifd_off)
+        buf += struct.pack("<Q", len(fixed))
+        for t, typ, cnt, payload, ooli in fixed:
+            if payload is not None:
+                buf += struct.pack("<HHQ", t, typ, cnt) + payload
+            else:
+                buf += struct.pack("<HHQQ", t, typ, cnt,
+                                   ool_offsets[ooli])
+        buf += struct.pack("<Q", 0)     # next IFD
+    else:
+        buf += b"II*\x00" + struct.pack("<I", ifd_off)
+        buf += struct.pack("<H", len(fixed))
+        for t, typ, cnt, payload, ooli in fixed:
+            if payload is not None:
+                buf += struct.pack("<HHI", t, typ, cnt) + payload
+            else:
+                buf += struct.pack("<HHII", t, typ, cnt, ool_offsets[ooli])
+        buf += struct.pack("<I", 0)     # next IFD
     for p in out_of_line:
         buf += p
         if len(p) & 1:

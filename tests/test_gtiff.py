@@ -160,3 +160,20 @@ class TestBigTiff:
         from gdal_ray.codecs.gtiff import decode_gtiff
         with _pytest.raises(ValueError, match="BigTIFF"):
             decode_gtiff(b"II\x2b\x00\x04\x00\x00\x00" + b"\x00" * 16)
+
+    def test_bigtiff_write_roundtrip(self):
+        import numpy as np
+        from gdal_ray.codecs.gtiff import (decode_gtiff, encode_gtiff,
+                                           tiff_block_offsets)
+        rng = np.random.default_rng(2)
+        for dt in ("uint8", "uint16", "float32"):
+            a = (rng.random((300, 420, 3)) * 200).astype(dt)
+            gt = (10.0, 5.0, 0.0, 99.0, 0.0, -5.0)
+            big = encode_gtiff(a, geotransform=gt, crs="EPSG:32633",
+                               nodata=7, bigtiff=True)
+            assert big[:4] == b"II+\x00"         # magic 43
+            g = decode_gtiff(big)
+            assert np.array_equal(g.pixels, a)
+            assert tuple(g.geotransform) == gt
+            assert g.crs == "EPSG:32633" and g.nodata == 7.0
+            assert len(tiff_block_offsets(big)) == 4
