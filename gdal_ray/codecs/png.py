@@ -1,10 +1,12 @@
 """Minimal PNG codec — pure numpy + zlib, standard-conformant output.
 
 Covers the subset our raster model needs (reference driver:
-frmts/png/pngdataset.cpp behavior): 8-bit grayscale, gray+alpha, RGB,
-RGBA. Encodes with filter type 0 (None) per scanline — simple, fast and
-deterministic; decodes all five standard filter types (None/Sub/Up/
-Average/Paeth) so any conformant producer round-trips.
+frmts/png/pngdataset.cpp behavior): 8/16-bit grayscale, gray+alpha,
+RGB, RGBA; Adam7 interlaced reads. Encodes 8-bit with filter type 0
+(None) per scanline — simple, fast and deterministic; decodes all five
+standard filter types (None/Sub/Up/Average/Paeth) so any conformant
+producer round-trips. Golden: the reference's uint16_interlaced.png →
+checksum 4672 (autotest/gdrivers/png.py:565).
 """
 
 from __future__ import annotations
@@ -42,8 +44,16 @@ def encode(img: np.ndarray, level: int = 6) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (the published PNG spec)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def decode(buf: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, bands) uint8 (bands dim kept even for gray)."""
+    """PNG bytes → (h, w, bands) uint8 or uint16 (bands dim kept even
+    for gray). Handles bit depth 8/16 and Adam7 interlacing (each pass
+    is an independently-filtered sub-image scattered onto the output
+    grid, per the published spec)."""
     if buf[:8] != _SIG:
         raise ValueError("not a PNG")
     off = 8
@@ -56,40 +66,76 @@ def decode(buf: bytes) -> np.ndarray:
         off += 12 + ln
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
-            if depth != 8 or inter != 0 or ctype not in _NBANDS:
+            if depth not in (8, 16) or inter not in (0, 1) or \
+                    ctype not in _NBANDS:
                 raise ValueError("unsupported PNG variant")
             nb = _NBANDS[ctype]
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = 1 + w * nb
+    payload = zlib.decompress(bytes(idat))
+    sw = depth // 8                           # sample width in bytes
+
+    if inter == 1:
+        out16 = np.zeros((h, w, nb), np.uint16)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            nbytes = ph * (1 + pw * nb * sw)
+            sub = _unfilter(payload[pos:pos + nbytes], pw, ph, nb, sw)
+            pos += nbytes
+            vals = sub if depth == 8 else \
+                sub.reshape(ph, pw * nb, 2)[:, :, 0].astype(np.uint16) * 256 \
+                + sub.reshape(ph, pw * nb, 2)[:, :, 1]
+            vals = vals.reshape(ph, pw, nb)
+            out16[y0::dy, x0::dx][:ph, :pw] = vals
+        return out16.astype(np.uint8) if depth == 8 else out16
+
+    sub = _unfilter(payload, w, h, nb, sw)
+    if depth == 16:
+        b16 = sub.reshape(h, w * nb, 2)
+        return (b16[:, :, 0].astype(np.uint16) * 256
+                + b16[:, :, 1]).reshape(h, w, nb)
+    return sub.astype(np.uint8).reshape(h, w, nb)
+
+
+def _unfilter(payload: bytes, w: int, h: int, nb: int,
+              sw: int = 1) -> np.ndarray:
+    """Undo per-scanline filters → (h, w*nb*sw) BYTE array (the filter
+    algebra works on bytes regardless of sample depth)."""
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=h * (1 + w * nb * sw))
+    stride = 1 + w * nb * sw
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
     data = raw[:, 1:].astype(np.int32)
+    wb = w * nb * sw
     if np.all(filters == 0):
-        return data.astype(np.uint8).reshape(h, w, nb)
-    out = np.zeros((h, w * nb), dtype=np.int32)
-    bpp = nb
+        return data.astype(np.uint8)
+    out = np.zeros((h, wb), dtype=np.int32)
+    bpp = nb * sw
     for y in range(h):
         f = filters[y]
         line = data[y].copy()
-        prev = out[y - 1] if y > 0 else np.zeros(w * nb, dtype=np.int32)
+        prev = out[y - 1] if y > 0 else np.zeros(wb, dtype=np.int32)
         if f == 0:
             out[y] = line
         elif f == 2:  # Up
             out[y] = (line + prev) & 0xFF
         elif f == 1:  # Sub
-            for i in range(w * nb):
+            for i in range(wb):
                 left = out[y, i - bpp] if i >= bpp else 0
                 out[y, i] = (line[i] + left) & 0xFF
         elif f == 3:  # Average
-            for i in range(w * nb):
+            for i in range(wb):
                 left = out[y, i - bpp] if i >= bpp else 0
                 out[y, i] = (line[i] + (left + prev[i]) // 2) & 0xFF
         elif f == 4:  # Paeth
-            for i in range(w * nb):
+            for i in range(wb):
                 a = out[y, i - bpp] if i >= bpp else 0
                 b = prev[i]
                 c = prev[i - bpp] if i >= bpp else 0
@@ -99,4 +145,4 @@ def decode(buf: bytes) -> np.ndarray:
                 out[y, i] = (line[i] + pred) & 0xFF
         else:
             raise ValueError(f"bad filter {f}")
-    return out.astype(np.uint8).reshape(h, w, nb)
+    return out.astype(np.uint8)

@@ -123,3 +123,24 @@ class TestGpxMifFuzz:
             g = W.loads(back["wkb"][i].as_py())
             assert g.coords[0, 0] == pytest.approx(xs[i], abs=0)
             assert g.coords[0, 1] == pytest.approx(ys[i], abs=0)
+
+
+class TestPngExtended:
+    def test_interlaced_16bit_golden(self):
+        # the reference's own Adam7 + 16-bit fixture: byte.tif content
+        # (autotest/gdrivers/png.py:565 → checksum 4672)
+        from gdal_ray.codecs.png import decode
+        from gdal_ray.core.checksum import checksum
+        px = decode(open("/root/reference/autotest/gdrivers/data/png/"
+                         "uint16_interlaced.png", "rb").read())
+        assert px.dtype == np.uint16 and px.shape == (20, 20, 1)
+        assert checksum(px[:, :, 0]) == 4672
+
+    @settings(max_examples=15, deadline=None)
+    @given(h=dims, w=dims, nb=st.sampled_from([1, 2, 3, 4]),
+           seed=st.integers(0, 2**31))
+    def test_8bit_roundtrip(self, h, w, nb, seed):
+        from gdal_ray.codecs.png import decode, encode
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, nb)).astype(np.uint8)
+        assert np.array_equal(decode(encode(a)), a)
