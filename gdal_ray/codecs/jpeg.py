@@ -408,6 +408,7 @@ def decode(buf: bytes) -> np.ndarray:
     comps = []          # (id, h, v, tq)
     w = h = 0
     restart = 0
+    precision = 8
     progressive = False
     pos = 2
     n = len(buf)
@@ -439,6 +440,9 @@ def decode(buf: bytes) -> np.ndarray:
                 qt[tq] = tbl[_UNZZ].reshape(8, 8)
         elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
             progressive = marker == 0xC2
+            precision = seg[0]                  # 8 or 12 (T.81 extended)
+            if precision not in (8, 12):
+                raise ValueError(f"unsupported JPEG precision {precision}")
             h = struct.unpack_from(">H", seg, 1)[0]
             w = struct.unpack_from(">H", seg, 3)[0]
             nc = seg[5]
@@ -499,13 +503,17 @@ def decode(buf: bytes) -> np.ndarray:
         _decode_scan(scan, comps, comp_by_id, coefs, nblocks,
                      hmax, vmax, mcux, mcuy, w, h, progressive)
 
-    # dequant + batch IDCT per component
+    # dequant + batch IDCT per component (12-bit: level shift 2048,
+    # range 0..4095, uint16 samples — T.81 extended precision)
+    center = 1 << (precision - 1)
+    maxval = (1 << precision) - 1
+    odt = np.uint8 if precision == 8 else np.uint16
     planes = {}
     for cid, ch, cv, tq in comps:
         bl = coefs[cid][:, _UNZZ].reshape(-1, 8, 8).astype(np.float64)
         bl *= qt[tq][None, :, :]
         spatial = _C.T @ bl @ _C                # vectorized IDCT
-        spatial = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+        spatial = np.clip(np.round(spatial + center), 0, maxval).astype(odt)
         rows, cols = nblocks[cid]
         plane = spatial.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3) \
             .reshape(rows * 8, cols * 8)
@@ -518,13 +526,13 @@ def decode(buf: bytes) -> np.ndarray:
     if len(comps) == 1:
         return planes[comps[0][0]][:, :, None]
     y = planes[comps[0][0]].astype(np.float64)
-    cb = planes[comps[1][0]].astype(np.float64) - 128.0
-    cr = planes[comps[2][0]].astype(np.float64) - 128.0
+    cb = planes[comps[1][0]].astype(np.float64) - center
+    cr = planes[comps[2][0]].astype(np.float64) - center
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxval).astype(odt)
 
 
 # ---------------------------------------------------------------------------

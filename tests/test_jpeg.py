@@ -160,3 +160,15 @@ class TestProgressive:
             base = jpeg.decode(jpeg.encode(img, q))
             prog = jpeg.decode(jpeg.encode(img, q, progressive=True))
             assert np.array_equal(base, prog), (h, w, nc, q)
+
+
+def test_12bit_extended_precision():
+    """T.81 extended 12-bit baseline: the reference's
+    12bit_rose_extract.jpg must decode as UInt16 with band mean in
+    [3613, 3614] (autotest/gdrivers/jpeg.py:357-372)."""
+    px = jpeg.decode(open(f"{_JDATA}/12bit_rose_extract.jpg", "rb").read())
+    assert px.dtype == np.uint16
+    assert px.shape == (50, 50, 1)
+    m = float(px.mean())
+    assert 3613.0 <= m <= 3614.0
+    assert int(px.max()) <= 4095
