@@ -91,7 +91,7 @@ class TestReferenceFixtures:
         for f in glob.glob(f"{_JDATA}/*.jpg")[:40]:
             try:
                 o = jpeg.decode(open(f, "rb").read())
-                assert o.ndim == 3 and o.dtype == np.uint8
+                assert o.ndim == 3 and o.dtype in (np.uint8, np.uint16)
             except ValueError:
                 pass  # unsupported variants raise, never hang/garbage
 
