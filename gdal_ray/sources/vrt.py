@@ -1,0 +1,180 @@
+"""VRT (virtual raster) reader — the reference's XML glue format.
+
+Reference: frmts/vrt/vrtdataset.cpp + vrtsources.cpp subset:
+<VRTDataset rasterXSize/rasterYSize> with <GeoTransform>, <SRS>,
+<Metadata><MDI>, and per-band <VRTRasterBand dataType band> carrying
+<NodataValue>, <ColorInterp>, <Metadata> and any number of
+<SimpleSource>/<AveragedSource>/<ComplexSource> elements
+(SourceFilename relativeToVRT, SourceBand, SrcRect, DstRect;
+ComplexSource adds ScaleOffset/ScaleRatio and NODATA masking).
+SimpleSource resamples nearest; AveragedSource box-averages on
+downsample (and degenerates to nearest on upsample, matching the
+reference's goldens). Source payloads route through the codec
+registry, so a VRT can compose any raster format this engine reads.
+
+Golden parity (tests/test_vrt.py): the reference's own
+gcore/data/*.vrt matrix — byte/int16/.../float64 → 4672, complex →
+5028, msubwinbyte → 2699, utmsmall → 50054, nearest/averaged
+50/200 pct → 1192/1152/18784 (autotest/gcore/vrt_read.py:45-63).
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+_DTYPES = {"Byte": np.uint8, "Int8": np.int8, "UInt16": np.uint16,
+           "Int16": np.int16, "UInt32": np.uint32, "Int32": np.int32,
+           "UInt64": np.uint64, "Int64": np.int64,
+           "Float32": np.float32, "Float64": np.float64,
+           "CInt16": np.complex64, "CInt32": np.complex128,
+           "CFloat32": np.complex64, "CFloat64": np.complex128}
+
+
+class VrtDataset:
+    def __init__(self, pixels, geotransform, crs, nodata, metadata):
+        self.pixels = pixels
+        self.geotransform = geotransform
+        self.crs = crs
+        self.nodata = nodata
+        self.metadata = metadata
+
+
+def _load_source(path: str):
+    from ..codecs.gtiff import decode_gtiff
+    from .. import codecs as C
+    buf = open(path, "rb").read()
+    if buf[:2] in (b"II", b"MM"):
+        g = decode_gtiff(buf)
+        px = g.pixels
+    else:
+        px = C.decode(buf)
+    return px if px.ndim == 3 else px[:, :, None]
+
+
+def _rect(el, defaults=(0, 0, None, None)):
+    if el is None:
+        return defaults
+    return (int(float(el.get("xOff", 0))), int(float(el.get("yOff", 0))),
+            int(float(el.get("xSize", 0))), int(float(el.get("ySize", 0))))
+
+
+def _resample_nearest(src: np.ndarray, sx0, sy0, sw, sh, dw, dh):
+    rx, ry = sw / dw, sh / dh
+    xs = np.clip(sx0 + np.floor((np.arange(dw) + 0.5) * rx).astype(int),
+                 sx0, sx0 + sw - 1)
+    ys = np.clip(sy0 + np.floor((np.arange(dh) + 0.5) * ry).astype(int),
+                 sy0, sy0 + sh - 1)
+    return src[np.ix_(ys, xs)]
+
+
+def _resample_average(src: np.ndarray, sx0, sy0, sw, sh, dw, dh):
+    if dw >= sw and dh >= sh:                 # upsample: nearest
+        return _resample_nearest(src, sx0, sy0, sw, sh, dw, dh)
+    rx, ry = sw / dw, sh / dh
+    out = np.empty((dh, dw), np.float64)
+    f = src.astype(np.float64)
+    for j in range(dh):
+        y0 = sy0 + int(np.floor(j * ry))
+        y1 = sy0 + max(y0 - sy0 + 1, int(np.ceil((j + 1) * ry)))
+        for i in range(dw):
+            x0 = sx0 + int(np.floor(i * rx))
+            x1 = sx0 + max(x0 - sx0 + 1, int(np.ceil((i + 1) * rx)))
+            out[j, i] = f[y0:y1, x0:x1].mean()
+    return out
+
+
+def read_vrt(path: str) -> VrtDataset:
+    root = ET.parse(path).getroot()
+    if root.tag != "VRTDataset":
+        raise ValueError("not a VRTDataset")
+    w = int(root.get("rasterXSize"))
+    h = int(root.get("rasterYSize"))
+    base = os.path.dirname(os.path.abspath(path))
+
+    gt = None
+    gt_el = root.find("GeoTransform")
+    if gt_el is not None and gt_el.text:
+        gt = tuple(float(v) for v in gt_el.text.split(","))
+    crs = None
+    srs_el = root.find("SRS")
+    if srs_el is not None and srs_el.text:
+        crs = srs_el.text.strip()
+    metadata = {}
+    md = root.find("Metadata")
+    if md is not None:
+        for mdi in md.findall("MDI"):
+            metadata[mdi.get("key", "")] = (mdi.text or "").strip()
+
+    bands = root.findall("VRTRasterBand")
+    if not bands:
+        raise ValueError("VRT has no raster bands")
+    nb = len(bands)
+    dt = _DTYPES.get(bands[0].get("dataType", "Byte"), np.uint8)
+    out = np.zeros((h, w, nb), dt)
+    nodata = None
+    cache: dict[str, np.ndarray] = {}
+
+    for bi, band in enumerate(bands):
+        nd_el = band.find("NodataValue")
+        if nd_el is None:
+            nd_el = band.find("NoDataValue")
+        if nd_el is not None and nd_el.text and nodata is None:
+            nodata = float(nd_el.text.strip())
+        for src_el in band:
+            kind = src_el.tag
+            if kind not in ("SimpleSource", "AveragedSource",
+                            "ComplexSource"):
+                continue
+            fn_el = src_el.find("SourceFilename")
+            fn = (fn_el.text or "").strip()
+            if fn_el.get("relativeToVRT", "0") == "1":
+                fn = os.path.join(base, fn)
+            if fn not in cache:
+                cache[fn] = _load_source(fn)
+            src_px = cache[fn]
+            sband = int((src_el.findtext("SourceBand") or "1").strip())
+            plane = src_px[:, :, min(sband - 1, src_px.shape[2] - 1)]
+            sx0, sy0, sw_, sh_ = _rect(src_el.find("SrcRect"),
+                                       (0, 0, plane.shape[1],
+                                        plane.shape[0]))
+            dx0, dy0, dw_, dh_ = _rect(src_el.find("DstRect"),
+                                       (0, 0, w, h))
+            if not sw_ or not sh_:
+                sw_, sh_ = plane.shape[1], plane.shape[0]
+            if not dw_ or not dh_:
+                dw_, dh_ = w, h
+            if kind == "AveragedSource":
+                block = _resample_average(plane, sx0, sy0, sw_, sh_,
+                                          dw_, dh_)
+            else:
+                block = _resample_nearest(plane, sx0, sy0, sw_, sh_,
+                                          dw_, dh_)
+            if kind == "ComplexSource":
+                ratio = float(src_el.findtext("ScaleRatio") or 1.0)
+                offset = float(src_el.findtext("ScaleOffset") or 0.0)
+                block = block * ratio + offset
+                nv = src_el.findtext("NODATA")
+                if nv is not None:
+                    mask = block != float(nv)
+                else:
+                    mask = np.ones(block.shape, bool)
+            else:
+                mask = np.ones(block.shape, bool)
+            dy1, dx1 = min(dy0 + dh_, h), min(dx0 + dw_, w)
+            sub = block[:dy1 - dy0, :dx1 - dx0]
+            m = mask[:dy1 - dy0, :dx1 - dx0]
+            region = out[dy0:dy1, dx0:dx1, bi]
+            if np.issubdtype(dt, np.integer):
+                # GDALCopyWords float→int: +0.5 then floor (not
+                # banker's rounding) — the averaged-50pct golden
+                # distinguishes the two
+                v = sub.real if np.iscomplexobj(sub) else sub
+                sub = np.clip(np.floor(v + 0.5),
+                              np.iinfo(dt).min, np.iinfo(dt).max)
+            region[m] = sub[m].astype(dt, copy=False) \
+                if not np.iscomplexobj(out) else sub[m]
+    px = out[:, :, 0] if nb == 1 else out
+    return VrtDataset(px, gt, crs, nodata, metadata)
