@@ -49,9 +49,11 @@ def test_dtypes_preserved():
 def test_multiband_multiwindow():
     v = read_vrt(D + "msubwinbyte.vrt")
     assert v.pixels.shape == (50, 50, 3)
-    # windows land at distinct destinations per band
-    assert v.pixels[:, :, 0].sum() != v.pixels[:, :, 1].sum() or \
-        not np.array_equal(v.pixels[:, :, 0], v.pixels[:, :, 1])
+    # sources paste into sub-windows: the pasted regions are non-zero,
+    # everything outside them stays initialized to zero
+    b0 = v.pixels[:, :, 0]
+    assert b0[:20, :].sum() == 0            # above both DstRects
+    assert b0[20:32, 20:30].sum() > 0       # first pasted window
 
 
 def test_bad_input(tmp_path):
