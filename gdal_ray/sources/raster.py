@@ -1,0 +1,96 @@
+"""Raster driver dispatch — GDALOpen's path-based routing for rasters.
+
+One ``read_raster(path)`` entry point returning ``(pixels, geotransform,
+nodata, meta)`` for every raster format this engine reads: extension /
+magic routing to the codec registry plus the path-based formats (VRT
+composition, EHdr/ENVI sidecar headers, AAIGrid text, SRTM HGT
+filename georeferencing, DTED). World-file and PAM sidecars fill in
+georeferencing the payload cannot carry (gcore/gdaldataset.cpp open
+logic + gdalpamdataset.cpp override order: PAM wins over internal,
+world file fills absent geotransforms)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["read_raster"]
+
+
+def read_raster(path: str):
+    """Open any supported raster → (pixels (h, w[, b]), geotransform |
+    None, nodata | None, meta dict)."""
+    from .sidecar import find_pam, read_pam, read_worldfile
+
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    gt = nodata = None
+    meta: dict = {}
+
+    if ext == "vrt":
+        from .vrt import read_vrt
+        v = read_vrt(path)
+        px, gt, nodata = v.pixels, v.geotransform, v.nodata
+        meta = dict(v.metadata)
+        if v.crs:
+            meta["crs"] = v.crs
+    elif ext in ("asc", "grd", "agr"):
+        from ..codecs.aaigrid import decode_aaigrid
+        px, gt, nodata = decode_aaigrid(open(path).read())
+    elif ext == "hgt":
+        from ..codecs.srtmhgt import decode_hgt
+        px, gt, nodata = decode_hgt(open(path, "rb").read(), path)
+    elif ext in ("dt0", "dt1", "dt2"):
+        from ..codecs.dted import decode_dted
+        px, gt, nodata = decode_dted(open(path, "rb").read())
+    elif ext in ("bil", "bsq", "bip", "img", "dat", "raw"):
+        from ..codecs.ehdr import decode_ehdr, decode_envi
+        stem = os.path.splitext(path)[0]
+        hdr = None
+        for cand in (stem + ".hdr", path + ".hdr"):
+            if os.path.exists(cand):
+                hdr = open(cand).read()
+                break
+        if hdr is None:
+            raise ValueError(f"no .hdr sidecar for {path}")
+        if "samples" in hdr.lower() and "interleave" in hdr.lower():
+            px, gt = decode_envi(hdr, open(path, "rb").read())
+        else:
+            px, gt, nodata = decode_ehdr(hdr, open(path, "rb").read())
+    elif ext in ("tif", "tiff"):
+        from ..codecs.gtiff import decode_gtiff
+        g = decode_gtiff(open(path, "rb").read())
+        px, gt, nodata = g.pixels, g.geotransform, g.nodata
+        if g.crs:
+            meta["crs"] = g.crs
+    elif ext in ("nc", "cdf"):
+        from ..codecs.netcdf import decode_netcdf
+        px, gt, nodata, meta = decode_netcdf(open(path, "rb").read())
+    else:
+        # codec registry (magic sniff covers png/jpg/gif/bmp/pnm/webp/…)
+        from .. import codecs as C
+        px = C.decode(open(path, "rb").read(),
+                      None if ext in ("", "bin") else
+                      {"jpg": "jpeg"}.get(ext, ext)
+                      if ext in ("png", "jpg", "jpeg", "gif", "bmp",
+                                 "pnm", "pgm", "ppm", "webp") else None)
+
+    # sidecar override order (gdalpamdataset.cpp): PAM geotransform/
+    # nodata win; a world file fills a still-absent geotransform
+    pam = find_pam(path)
+    if pam:
+        p = read_pam(pam)
+        if p["geotransform"] is not None:
+            gt = p["geotransform"]
+        if p["srs"]:
+            meta["crs"] = p["srs"]
+        for b in sorted(p["bands"]):
+            if p["bands"][b]["nodata"] is not None:
+                nodata = p["bands"][b]["nodata"]
+                break
+        meta.update(p["metadata"])
+    if gt is None:
+        wf = read_worldfile(path)
+        if wf is not None:
+            gt = wf
+    return np.asarray(px), gt, nodata, meta

@@ -61,3 +61,39 @@ def test_bad_pam(tmp_path):
     p.write_text("<NotPam/>")
     with pytest.raises(ValueError, match="PAMDataset"):
         read_pam(str(p))
+
+
+class TestReadRaster:
+    """read_raster: GDALOpen-style routing + sidecar override order."""
+
+    def test_dispatch_matrix(self):
+        from gdal_ray.core.checksum import checksum
+        from gdal_ray.sources.raster import read_raster
+        cases = [
+            ("/root/reference/autotest/gcore/data/byte.tif", 4672),
+            ("/root/reference/autotest/gcore/data/byte.vrt", 4672),
+            ("/root/reference/autotest/gdrivers/data/netcdf/byte.nc", 4672),
+            ("/root/reference/autotest/gdrivers/data/aaigrid/byte.tif.grd",
+             4672),
+            ("/root/reference/autotest/gdrivers/data/n43.dt0", 49187),
+            ("/root/reference/autotest/gdrivers/data/gif/bug407.gif", 57921),
+        ]
+        for p, exp in cases:
+            px, gt, nd, meta = read_raster(p)
+            b0 = px if px.ndim == 2 else px[:, :, 0]
+            assert checksum(b0) == exp, p
+
+    def test_worldfile_fills_missing_gt(self, tmp_path):
+        import numpy as np
+        from gdal_ray.codecs.png import encode
+        from gdal_ray.sources.raster import read_raster
+        (tmp_path / "t.png").write_bytes(encode(np.zeros((4, 4), np.uint8)))
+        (tmp_path / "t.pgw").write_text("2\n0\n0\n-2\n1\n9\n")
+        _, gt, _, _ = read_raster(str(tmp_path / "t.png"))
+        assert gt == (0.0, 2.0, 0.0, 10.0, 0.0, -2.0)
+
+    def test_pam_crs_attaches(self):
+        from gdal_ray.sources.raster import read_raster
+        _, _, _, meta = read_raster(
+            "/root/reference/autotest/utilities/data/utmsmall.tif")
+        assert meta.get("crs", "").startswith("EPSG:")
