@@ -1809,3 +1809,15 @@ SELECT fid,
        CASE fid % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS category
 FROM polys
 """
+
+
+def sql_vrt_composite(n: int = 32) -> str:
+    """50%-nearest VRT downsample: at exactly ratio 2 the sampled src
+    coordinate is floor((i+0.5)*2) = 2i+1, i.e. the odd coordinates —
+    so the half-res sum is SUM(v0) over odd (gx, gy). Every W/H cycle
+    value is even, so the ratio is exact."""
+    return sql_pixels_cte(n) + """
+SELECT image_id, SUM(v0)::BIGINT AS halfres_sum
+FROM px WHERE gx % 2 = 1 AND gy % 2 = 1
+GROUP BY image_id
+"""

@@ -2121,6 +2121,59 @@ def q_fgb_roundtrip(sf_dir: str):
     return read_fgb_dataset(path).map_batches(stats, batch_format="pyarrow")
 
 
+def q_vrt_composite(sf_dir: str):
+    """VRT virtual-raster composition (frmts/vrt): each lossless image
+    transcodes to GeoTIFF, a generated <VRTDataset> windows it through
+    a SimpleSource at 50% nearest downsample, and read_raster opens
+    the VRT. Nearest at exactly ratio 2 samples the odd coordinates
+    (src = floor((i+0.5)·2) = 2i+1), so the per-image integer sum is
+    closed-form for the oracle — a wrong sampling rule or window
+    placement breaks every row. Golden parity with the reference's own
+    gcore/data VRT matrix (17 checksums) is tests/test_vrt.py."""
+    import os
+    import shutil
+    from ..codecs import decode as _dec
+    from ..codecs.gtiff import encode_gtiff
+    from ..sources.raster import read_raster
+    from ..sources.images import images_dataset
+
+    out_dir = "/tmp/gdal_ray_vrt_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, sums = [], []
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            b0 = px if px.ndim == 2 else px[:, :, 0]
+            h, w = b0.shape
+            iid = t["image_id"][i].as_py()
+            tif = os.path.join(out_dir, f"{iid}.tif")
+            with open(tif, "wb") as f:
+                f.write(encode_gtiff(b0, compress="none"))
+            dw, dh = w // 2, h // 2
+            vrt = os.path.join(out_dir, f"{iid}.vrt")
+            with open(vrt, "w") as f:
+                f.write(f"""<VRTDataset rasterXSize="{dw}" rasterYSize="{dh}">
+  <VRTRasterBand dataType="Byte" band="1">
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">{iid}.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="{w}" ySize="{h}"/>
+      <DstRect xOff="0" yOff="0" xSize="{dw}" ySize="{dh}"/>
+    </SimpleSource>
+  </VRTRasterBand>
+</VRTDataset>""")
+            small, _gt, _nd, _m = read_raster(vrt)
+            ids.append(iid)
+            sums.append(int(small.astype(np.int64).sum()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "halfres_sum": pa.array(sums, pa.int64())})
+
+    return images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(run, batch_format="pyarrow")
+
+
 def q_arrow_roundtrip(sf_dir: str):
     """Arrow IPC batch sink/source (the reference's Arrow driver +
     OGR Arrow batch API, ogr/ogrsf_frmts/arrow, ogrlayerarrow.cpp):
@@ -3668,6 +3721,7 @@ QUERIES = {
     "mif_roundtrip": q_mif_roundtrip,
     "raster_neighbors": q_raster_neighbors,
     "arrow_roundtrip": q_arrow_roundtrip,
+    "vrt_composite": q_vrt_composite,
     "reclassify": q_reclassify,
     "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
@@ -3801,6 +3855,7 @@ def oracle_sql() -> dict[str, str]:
         "mif_roundtrip": _OR.sql_mif_roundtrip(25),
         "raster_neighbors": _OR.sql_raster_neighbors(32),
         "arrow_roundtrip": _OR.sql_arrow_roundtrip(25),
+        "vrt_composite": _OR.sql_vrt_composite(32),
         "reclassify": _OR.sql_reclassify(48),
         "cog_roundtrip": _OR.sql_cog_roundtrip(48),
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
