@@ -178,3 +178,63 @@ def read_vrt(path: str) -> VrtDataset:
                 if not np.iscomplexobj(out) else sub[m]
     px = out[:, :, 0] if nb == 1 else out
     return VrtDataset(px, gt, crs, nodata, metadata)
+
+
+def build_vrt(sources: list, out_path: str | None = None,
+              resolution: str = "highest") -> str:
+    """gdalbuildvrt analog (apps/gdalbuildvrt_lib.cpp): mosaic a list
+    of georeferenced rasters into one <VRTDataset>. ``sources`` is a
+    list of file paths (opened via read_raster for dims/geotransform).
+    The output grid is the envelope union at the finest (or coarsest)
+    source resolution; each source becomes a SimpleSource whose
+    DstRect is its envelope in the mosaic grid. Returns the XML (and
+    writes it when out_path is given)."""
+    from .raster import read_raster
+
+    infos = []
+    for p in sources:
+        px, gt, nodata, _m = read_raster(p)
+        if gt is None:
+            raise ValueError(f"{p}: no geotransform — cannot mosaic")
+        if gt[2] or gt[4]:
+            raise ValueError(f"{p}: rotated sources unsupported")
+        h, w = px.shape[:2]
+        infos.append((p, gt, w, h, nodata))
+
+    res_pick = min if resolution == "highest" else max
+    rx = res_pick(abs(i[1][1]) for i in infos)
+    ry = res_pick(abs(i[1][5]) for i in infos)
+    minx = min(i[1][0] for i in infos)
+    maxy = max(i[1][3] for i in infos)
+    maxx = max(i[1][0] + i[2] * i[1][1] for i in infos)
+    miny = min(i[1][3] + i[3] * i[1][5] for i in infos)
+    W = int(round((maxx - minx) / rx))
+    H = int(round((maxy - miny) / ry))
+
+    out = [f'<VRTDataset rasterXSize="{W}" rasterYSize="{H}">',
+           f"  <GeoTransform>{minx!r}, {rx!r}, 0.0, {maxy!r}, 0.0, "
+           f"{-ry!r}</GeoTransform>",
+           '  <VRTRasterBand dataType="Byte" band="1">']
+    nd0 = next((i[4] for i in infos if i[4] is not None), None)
+    if nd0 is not None:
+        out.append(f"    <NodataValue>{nd0!r}</NodataValue>")
+    base = os.path.dirname(os.path.abspath(out_path)) if out_path else None
+    for p, gt, w, h, _nd in infos:
+        dx0 = int(round((gt[0] - minx) / rx))
+        dy0 = int(round((maxy - gt[3]) / ry))
+        dw = int(round(w * gt[1] / rx))
+        dh = int(round(h * -gt[5] / ry))
+        rel = os.path.relpath(p, base) if base else p
+        rel_flag = 1 if base else 0
+        out.append(f"""    <SimpleSource>
+      <SourceFilename relativeToVRT="{rel_flag}">{rel}</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="{w}" ySize="{h}"/>
+      <DstRect xOff="{dx0}" yOff="{dy0}" xSize="{dw}" ySize="{dh}"/>
+    </SimpleSource>""")
+    out += ["  </VRTRasterBand>", "</VRTDataset>"]
+    xml = "\n".join(out)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(xml)
+    return xml

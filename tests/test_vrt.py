@@ -61,3 +61,66 @@ def test_bad_input(tmp_path):
     p.write_text("<NotVrt/>")
     with pytest.raises(ValueError, match="VRTDataset"):
         read_vrt(str(p))
+
+
+class TestBuildVrt:
+    """gdalbuildvrt analog: mosaic roundtrip through read_vrt."""
+
+    def test_quadrant_mosaic_roundtrip(self, tmp_path):
+        from gdal_ray.codecs.gtiff import encode_gtiff
+        from gdal_ray.sources.vrt import build_vrt
+        rng = np.random.default_rng(4)
+        full = rng.integers(0, 255, (40, 60)).astype(np.uint8)
+        paths = []
+        for qy in range(2):
+            for qx in range(2):
+                sub = full[qy * 20:(qy + 1) * 20, qx * 30:(qx + 1) * 30]
+                gt = (100 + qx * 30 * 2.0, 2.0, 0.0,
+                      500 - qy * 20 * 2.0, 0.0, -2.0)
+                p = str(tmp_path / f"q{qy}{qx}.tif")
+                open(p, "wb").write(
+                    encode_gtiff(sub, geotransform=gt, compress="none"))
+                paths.append(p)
+        vp = str(tmp_path / "mosaic.vrt")
+        build_vrt(paths, vp)
+        v = read_vrt(vp)
+        assert np.array_equal(v.pixels, full)
+        assert v.geotransform == (100.0, 2.0, 0.0, 500.0, 0.0, -2.0)
+
+    def test_mixed_resolution(self, tmp_path):
+        from gdal_ray.codecs.gtiff import encode_gtiff
+        from gdal_ray.sources.vrt import build_vrt
+        a = np.full((10, 10), 50, np.uint8)      # 2 m/px
+        b = np.full((5, 5), 200, np.uint8)       # 4 m/px, to the east
+        open(str(tmp_path / "a.tif"), "wb").write(
+            encode_gtiff(a, geotransform=(0, 2, 0, 20, 0, -2),
+                         compress="none"))
+        open(str(tmp_path / "b.tif"), "wb").write(
+            encode_gtiff(b, geotransform=(20, 4, 0, 20, 0, -4),
+                         compress="none"))
+        vp = str(tmp_path / "m.vrt")
+        build_vrt([str(tmp_path / "a.tif"), str(tmp_path / "b.tif")], vp)
+        v = read_vrt(vp)
+        # finest resolution (2 m) over the union: 20x40 at 2m
+        assert v.pixels.shape == (10, 20)
+        assert (v.pixels[:, :10] == 50).all()
+        assert (v.pixels[:5 * 2, 10:] == 200).all()
+
+    def test_rotated_rejected(self, tmp_path):
+        # rotation arrives via a world file (GeoTIFF PixelScale can't
+        # carry it); build_vrt must refuse rotated sources
+        from gdal_ray.codecs.png import encode
+        from gdal_ray.sources.vrt import build_vrt
+        p = str(tmp_path / "r.png")
+        open(p, "wb").write(encode(np.zeros((4, 4), np.uint8)))
+        (tmp_path / "r.pgw").write_text("1\n0.1\n0.1\n-1\n0.5\n3.5\n")
+        with pytest.raises(ValueError, match="rotated"):
+            build_vrt([p])
+
+    def test_ungeoreferenced_rejected(self, tmp_path):
+        from gdal_ray.codecs.png import encode
+        from gdal_ray.sources.vrt import build_vrt
+        p = str(tmp_path / "n.png")
+        open(p, "wb").write(encode(np.zeros((4, 4), np.uint8)))
+        with pytest.raises(ValueError, match="no geotransform"):
+            build_vrt([p])
