@@ -478,3 +478,29 @@ def _write_mif(ds, path: str = "", **kw):
     from ..sources.mif import write_mif
     write_mif(_collect_layer(ds), path)
     return ds
+
+
+@register_step("read_raster")
+def _read_raster_step(ds, path: str = "", **kw):
+    """GDALOpen-style raster read: one row (image_id, bytes as PNG,
+    w, h, gt0..gt5) from any supported raster path (tif/vrt/nc/asc/
+    dted/hgt/gif/png/... + PAM/world-file sidecars)."""
+    import os
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ..codecs import encode as cenc
+    from ..sources.raster import read_raster
+
+    px, gt, nodata, meta = read_raster(path)
+    b0 = px if px.ndim == 2 else px[:, :, 0]
+    payload = cenc(np.clip(b0, 0, 255).astype(np.uint8), "png")
+    gt = gt or (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    cols = {"image_id": pa.array([os.path.basename(path)], pa.string()),
+            "bytes": pa.array([payload], pa.binary()),
+            "fmt": pa.array(["png"], pa.string()),
+            "w": pa.array([b0.shape[1]], pa.int32()),
+            "h": pa.array([b0.shape[0]], pa.int32())}
+    for k in range(6):
+        cols[f"gt{k}"] = pa.array([float(gt[k])], pa.float64())
+    return rd.from_arrow(pa.table(cols))

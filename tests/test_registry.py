@@ -161,3 +161,12 @@ def test_write_gpx_mif_steps(ray_session, tmp_path):
     from gdal_ray.sources.drivers import read_vector
     assert read_vector(gpx).num_rows == 2
     assert read_vector(mif)["name"].to_pylist() == ["a", "b"]
+
+
+def test_read_raster_step(ray_session):
+    from gdal_ray.pipelines.registry import run_pipeline
+    df = run_pipeline(
+        "read_raster path=/root/reference/autotest/gcore/data/byte.vrt "
+        "! select cols=image_id,w,h,gt0").to_pandas()
+    assert df["w"].iloc[0] == 20
+    assert df["gt0"].iloc[0] == 440720.0
