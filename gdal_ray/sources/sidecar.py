@@ -118,3 +118,14 @@ def read_pam(path: str) -> dict:
                     (mdi.text or "").strip()
         out["bands"][bno] = binfo
     return out
+
+
+def write_worldfile(geotransform, path: str) -> None:
+    """Geotransform → six-line world file (GDALWriteWorldFile: axis
+    vectors then the CENTER of the top-left pixel)."""
+    g = [float(v) for v in geotransform]
+    cx = g[0] + 0.5 * g[1] + 0.5 * g[2]
+    cy = g[3] + 0.5 * g[4] + 0.5 * g[5]
+    with open(path, "w") as f:
+        f.write("\n".join(repr(v) for v in
+                          (g[1], g[4], g[2], g[5], cx, cy)) + "\n")

@@ -97,3 +97,15 @@ class TestReadRaster:
         _, _, _, meta = read_raster(
             "/root/reference/autotest/utilities/data/utmsmall.tif")
         assert meta.get("crs", "").startswith("EPSG:")
+
+
+def test_write_worldfile_roundtrip(tmp_path):
+    from gdal_ray.sources.sidecar import parse_worldfile, write_worldfile
+    gt = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    p = str(tmp_path / "x.tfw")
+    write_worldfile(gt, p)
+    assert parse_worldfile(open(p).read()) == gt
+    rot = (10.0, 2.0, 0.3, 90.0, -0.3, -2.0)
+    write_worldfile(rot, p)
+    back = parse_worldfile(open(p).read())
+    assert all(abs(a - b) < 1e-12 for a, b in zip(back, rot))
