@@ -44,19 +44,27 @@ def _local(tag) -> str:
 
 def _parse_coordinates(el) -> np.ndarray:
     """GML2 <coordinates>: tuples split by ts (default space), members
-    by cs (default comma)."""
+    by cs (default comma). Some producers invert the separators
+    ("0 0,0 1,1 1" — spaces inside tuples, commas between); the
+    reference tolerates that (ogr_gml_55 fixture), so when the first
+    tuple lacks the member separator the roles swap."""
     cs = el.get("cs", ",")
     ts = el.get("ts", " ")
     dec = el.get("decimal", ".")
     txt = (el.text or "").strip()
     if dec != ".":
         txt = txt.replace(dec, ".")
+    tuples = [t for t in (txt.split(ts) if ts != " " else txt.split())
+              if t.strip()]
+    if tuples and cs not in tuples[0] and cs in txt:
+        tuples = [t for t in txt.split(cs) if t.strip()]
+        pts = [tuple(map(float, t.split()[:2])) for t in tuples]
+        return np.asarray(pts, np.float64).reshape(-1, 2)
     pts = []
-    for tup in (txt.split(ts) if ts != " " else txt.split()):
-        tup = tup.strip()
-        if not tup:
+    for tup in tuples:
+        parts = tup.strip().split(cs)
+        if len(parts) < 2:
             continue
-        parts = tup.split(cs)
         pts.append((float(parts[0]), float(parts[1])))
     return np.asarray(pts, np.float64).reshape(-1, 2)
 
@@ -222,7 +230,12 @@ def read_gml_table(path: str, layer: str | None = None) -> pa.Table:
     """GML file → Arrow table (fid, gml_id, layer, fields..., wkb,
     envelope). ``layer`` filters to one feature class; default reads
     every class (the layer column keeps them distinguishable)."""
-    root = ET.parse(path).getroot()
+    try:
+        root = ET.parse(path).getroot()
+    except ET.ParseError as e:
+        # malformed / fuzzed XML fails fast with the driver error type
+        # (expat's entity-amplification guard also lands here)
+        raise ValueError(f"malformed GML: {e}") from None
     rows, geoms, layers, ids = [], [], [], []
     for f in _features_of(root):
         lname = _local(f.tag)

@@ -75,7 +75,12 @@ def read_gpx_table(path: str, layer: str = "waypoints") -> pa.Table:
     """One GPX layer → Arrow table. ``layer`` ∈ LAYERS."""
     if layer not in LAYERS:
         raise ValueError(f"unknown GPX layer {layer!r} (have {LAYERS})")
-    root = ET.parse(path).getroot()
+    try:
+        root = ET.parse(path).getroot()
+    except ET.ParseError as e:
+        # malformed / fuzzed XML fails fast with the driver error type
+        # (expat's entity-amplification guard also lands here)
+        raise ValueError(f"malformed GPX: {e}") from None
     rows: list[dict] = []
     geoms: list[W.Geometry] = []
 

@@ -96,7 +96,12 @@ def read_kml_table(path: str) -> pa.Table:
     """KML file → Arrow table (fid, Name, Description, fields...,
     wkb, minx, miny, maxx, maxy). Placemarks anywhere in the Document/
     Folder tree are features (the OGR KML driver's flattening)."""
-    root = ET.parse(path).getroot()
+    try:
+        root = ET.parse(path).getroot()
+    except ET.ParseError as e:
+        # malformed / fuzzed XML fails fast with the driver error type
+        # (expat's entity-amplification guard also lands here)
+        raise ValueError(f"malformed KML: {e}") from None
     placemarks = [el for el in root.iter() if _local(el.tag) == "Placemark"]
 
     keys: list[str] = []

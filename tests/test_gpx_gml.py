@@ -137,3 +137,34 @@ class TestGml:
     def test_driver_registry(self):
         from gdal_ray.sources.drivers import read_vector
         assert read_vector(GML + "ionic_wfs.gml").num_rows == 1
+
+
+class TestGmlRobustness:
+    def test_inverted_coordinate_separators(self):
+        # ogr_gml_55: spaces inside tuples, commas between — the
+        # reference tolerates the swap
+        t = read_gml_table(GML + "ogr_gml_55.gml")
+        g = W.loads(t["wkb"][0].as_py())
+        assert g.geom_type == W.POLYGON and len(g.rings[0]) == 5
+        assert t["myAttr"].to_pylist() == [12]
+
+    def test_fuzzed_xml_fails_fast(self):
+        # billionlaugh + huge_* + ossfuzz fixtures: ValueError, never a
+        # hang or a raw parser exception
+        import glob
+        import pytest as _pytest
+        for f in ("billionlaugh.gml", "huge_attribute_start.gml",
+                  "huge_geom_end.gml", "ossfuzz_487160964.gml"):
+            with _pytest.raises(ValueError):
+                read_gml_table(GML + f)
+
+    def test_full_fixture_sweep_no_crashes(self):
+        import glob
+        ok = err = 0
+        for p in sorted(glob.glob(GML + "*.gml"))[:60]:
+            try:
+                read_gml_table(p)
+                ok += 1
+            except ValueError:
+                err += 1
+        assert ok >= 45 and err <= 10
