@@ -20,6 +20,21 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(n, 1e-300)
 
 
+def _uniform_sample(ds, n: int, col: str, seed: int = 42) -> np.ndarray:
+    """Bounded UNIFORM training sample: `ds.limit(n)` takes the first
+    blocks, which biases centroids/codebooks whenever the corpus layout
+    is sorted or clustered (it usually is). `random_sample` draws from
+    every block; oversample 25% then trim so short draws still return n
+    when possible."""
+    total = ds.count()
+    sel = ds.select_columns([col])
+    if total > n:
+        frac = min(1.0, 1.25 * n / total)
+        sel = sel.random_sample(frac, seed=seed).limit(n)
+    rows = sel.take_all()
+    return np.stack([np.asarray(r[col]) for r in rows]).astype(np.float64)
+
+
 def brute_topk(ds, queries: np.ndarray, k: int = 10, *,
                vec_col="embedding", id_col="vec_id"):
     """Exact top-k cosine for each query row (queries: (nq, dim)).
@@ -85,8 +100,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, nlist: int = 16,
     so the driver only ever sees ≤ nq×k result rows."""
     import ray
 
-    sample_rows = ds.limit(train_sample).select_columns([vec_col]).take_all()
-    sample = np.stack([np.asarray(r[vec_col]) for r in sample_rows]).astype(np.float64)
+    sample = _uniform_sample(ds, train_sample, vec_col)
     cent = kmeans_lite(_unit(sample), nlist)
     qunit = _unit(np.asarray(queries, dtype=np.float64))
     # which buckets each query probes
@@ -168,51 +182,76 @@ def pq_train(sample: np.ndarray, m_sub: int = 4, n_centroids: int = 16,
     return books
 
 
+def pq_encode(ds, books: np.ndarray, *, vec_col="embedding",
+              id_col="vec_id", code_col="pq_code"):
+    """Encode the embedding column ONCE into m_sub uint8 codes per
+    vector (a `(id, binary)` Dataset, 16-64× smaller than float32 —
+    the persistable 10^12-vector index). Scoring passes consume only
+    this table; the floats are touched again only by the exact
+    re-rank stage."""
+    import ray
+
+    m_sub = books.shape[0]
+    dsub = books.shape[2]
+    bref = ray.put(books)
+
+    def enc(t: pa.Table) -> pa.Table:
+        books_ = ray.get(bref)
+        mat = _unit(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        blocks = mat.reshape(len(mat), m_sub, dsub)
+        d2 = ((blocks[:, :, None, :] - books_[None, :, :, :]) ** 2).sum(-1)
+        codes = d2.argmin(-1).astype(np.uint8)          # (nb, m_sub)
+        return pa.table({id_col: t[id_col],
+                         code_col: pa.array(
+                             [c.tobytes() for c in codes], pa.binary())})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
 def pq_topk(ds, queries: np.ndarray, k: int = 10, *, m_sub: int = 4,
             n_centroids: int = 16, n_train: int = 2048,
             oversample: int = 4, refine: bool = True,
-            vec_col="embedding", id_col="vec_id"):
+            vec_col="embedding", id_col="vec_id", codes_ds=None):
     """PQ-ADC approximate top-k cosine: vectors compress to m_sub uint8
-    codes (16-64× smaller than float32 — the 10^12-vector memory
-    path); each query scores batches through per-block lookup tables
-    (asymmetric distance computation), per-batch partial top-(k·over),
-    bounded groupby(qid) merge. With ``refine`` (the standard ADC+R
-    step) the oversampled candidates re-rank by exact cosine in one
-    more streaming pass — candidate ids (≤ nq·k·oversample) broadcast,
-    never the vectors. Recall vs brute_topk is pytest-gated
-    (tests/test_functions.py)."""
+    codes via :func:`pq_encode` (persisted/materialized once — the
+    10^12-vector memory path); each query scores the CODES table
+    through per-block lookup tables (asymmetric distance computation),
+    per-batch partial top-(k·over), bounded groupby(qid) merge. With
+    ``refine`` (the standard ADC+R step) the oversampled candidates
+    re-rank by exact cosine in one more streaming pass — candidate ids
+    (≤ nq·k·oversample) broadcast, never the vectors. Pass a
+    pre-encoded ``codes_ds`` to reuse a stored index. Recall vs
+    brute_topk is pytest-gated (tests/test_functions.py)."""
     import ray
 
     qunit = _unit(np.asarray(queries, np.float64))
     nq, dim = qunit.shape
     dsub = dim // m_sub
 
-    # driver-side training on a bounded sample (the codebooks are tiny
-    # and broadcast; at corpus scale this is a one-time job on a
-    # uniform sample, exactly like IVF centroid training)
-    sample = np.stack(
-        ds.limit(n_train).to_pandas()[vec_col].to_list()).astype(np.float64)
+    # driver-side training on a bounded UNIFORM sample (the codebooks
+    # are tiny and broadcast; at corpus scale this is a one-time job)
+    sample = _uniform_sample(ds, n_train, vec_col, seed=7)
     books = pq_train(sample, m_sub, n_centroids)
+
+    if codes_ds is None:
+        # encode once and keep the codes in the object store — at
+        # m_sub bytes/vector this is <1% of the float column
+        codes_ds = pq_encode(ds, books, vec_col=vec_col,
+                             id_col=id_col).materialize()
 
     # per-query ADC lookup tables: lut[q, m, c] = <q_m, book[m, c]>
     lut = np.einsum("qmd,mcd->qmc",
                     qunit.reshape(nq, m_sub, dsub), books)
-    lut_ref = ray.put((books, lut))
+    lut_ref = ray.put(lut)
     keep = k * oversample
 
     def score(t: pa.Table) -> pa.Table:
-        books_, lut_ = ray.get(lut_ref)
-        mat = _unit(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        lut_ = ray.get(lut_ref)
+        codes = np.frombuffer(b"".join(t["pq_code"].to_pylist()),
+                              np.uint8).reshape(-1, m_sub)
         ids = t[id_col].to_numpy()
-        nb = len(mat)
-        # encode: nearest codeword per block (this is where a real
-        # deployment stores ONLY the codes; scoring never touches the
-        # original floats again)
-        blocks = mat.reshape(nb, m_sub, dsub)
-        # (nb, m, c) distances -> argmin codes
-        d2 = ((blocks[:, :, None, :] - books_[None, :, :, :]) ** 2).sum(-1)
-        codes = d2.argmin(-1).astype(np.uint8)          # (nb, m)
-        # ADC score: sim[q, v] = sum_m lut[q, m, codes[v, m]]
+        nb = len(codes)
+        # ADC score from codes only: sim[q, v] = Σ_m lut[q, m, code]
         sim = np.zeros((nq, nb))
         for m in range(m_sub):
             sim += lut_[:, m, codes[:, m]]
@@ -228,7 +267,7 @@ def pq_topk(ds, queries: np.ndarray, k: int = 10, *, m_sub: int = 4,
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.nlargest(k, "adc_sim")
 
-    approx = ds.map_batches(score, batch_format="pyarrow") \
+    approx = codes_ds.map_batches(score, batch_format="pyarrow") \
         .groupby("qid").map_groups(
             lambda g: g.nlargest(min(keep, len(g)), "adc_sim"),
             batch_format="pandas")

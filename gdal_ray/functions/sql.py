@@ -337,7 +337,9 @@ def _parse_select_body(p: "_P") -> dict:
     distinct = p.accept("kw", "DISTINCT") is not None
     items = []
     while True:
-        e = _parse_add(p)
+        # full predicate level: select items may be boolean expressions
+        # (comparisons, IN / IN (SELECT ...), LIKE, BETWEEN)
+        e = _parse_or(p)
         alias = None
         if p.accept("kw", "AS"):
             alias = p.expect("id")
@@ -591,6 +593,10 @@ def _resolve_subqueries(node, tables):
     the subquery runs first (uncorrelated, like the SQLite dialect's
     materialized sub-selects) and its single output column broadcasts
     as a membership set, bounded by JOIN_BROADCAST_LIMIT."""
+    if isinstance(node, list):
+        # list-valued AST fields (CASE whens, IN literal lists) carry
+        # tuple children too — recurse element-wise
+        return [_resolve_subqueries(x, tables) for x in node]
     if not isinstance(node, tuple):
         return node
     if node[0] == "in_sub":
@@ -613,11 +619,12 @@ def _execute_ast(q: dict, tables: dict, as_dataset: bool = False):
         raise ValueError(f"unknown table {q['table']!r}")
     ds = tables[q["table"]]
     join_specs = _join_spec(q, tables)
-    if q.get("where") is not None or q.get("having") is not None:
-        q = dict(q)
-        for key in ("where", "having"):
-            if q.get(key) is not None:
-                q[key] = _resolve_subqueries(q[key], tables)
+    q = dict(q)
+    q["items"] = [(_resolve_subqueries(e, tables), a)
+                  for e, a in q["items"]]
+    for key in ("where", "having"):
+        if q.get(key) is not None:
+            q[key] = _resolve_subqueries(q[key], tables)
 
     aggs: list = []
     for e, _ in q["items"]:
@@ -669,9 +676,27 @@ def _execute_ast(q: dict, tables: dict, as_dataset: bool = False):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     mapped = ds.map_batches(scan, batch_format="pyarrow")
-    if as_dataset and not q["distinct"] and not q["order"] \
-            and q["limit"] is None and not q.get("offset", 0):
-        return mapped          # unbounded scan: stays a streaming Dataset
+    if as_dataset and q["limit"] is None and not q.get("offset", 0):
+        # identity-sized outputs stay distributed: plain scans stream,
+        # DISTINCT runs the exact-dedup shuffle (content-hash salted
+        # buckets), un-LIMITed ORDER BY is a Ray range-partition sort.
+        # Only top-k / aggregates / OFFSET slices come to the driver.
+        out_ds = mapped
+        if q["distinct"]:
+            out_ds = _distinct_ds(out_ds)
+        if q["order"]:
+            item_names = [a or _expr_name(e) for e, a in q["items"]]
+            keys = [c if c in item_names else f"__ob_{c}"
+                    for c, _ in q["order"]]
+            out_ds = out_ds.sort(keys,
+                                 descending=[d for _, d in q["order"]])
+            if any(k.startswith("__ob_") for k in keys):
+                out_ds = out_ds.map_batches(
+                    lambda t: t.drop_columns(
+                        [c for c in t.column_names
+                         if c.startswith("__ob_")]),
+                    batch_format="pyarrow")
+        return out_ds
     res = mapped.to_pandas()
     if len(res) == 0:
         # typed empty result (Ray may drop all-empty block schemas)
@@ -696,6 +721,26 @@ def _execute_ast(q: dict, tables: dict, as_dataset: bool = False):
 def _wrap_ds(df: pd.DataFrame):
     import ray.data as rd
     return rd.from_pandas(df)
+
+
+def _distinct_ds(ds):
+    """SELECT DISTINCT as a shuffle, not a driver frame: content-hash
+    every row (all columns), salt-bucket the hash so identical rows
+    co-locate, and drop duplicates per bucket with pandas. The full
+    result never lands on one machine."""
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.to_pandas(), index=False).to_numpy().astype(np.uint64)
+        b = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+            % np.uint64(128)
+        return t.append_column("__bucket",
+                               pa.array(b.astype(np.int64), pa.int64()))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns="__bucket").drop_duplicates()
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(dedup, batch_format="pandas")
 
 
 def _ob_key(frame, col):

@@ -304,15 +304,19 @@ def _build_rtree(envs: np.ndarray, feat_offsets: np.ndarray,
 
 def _rtree_search(nodes: np.ndarray, num_items: int, node_size: int,
                   bbox) -> list[int]:
-    """→ feature byte offsets (within the features section), ascending."""
+    """→ [(feature byte offset, file ordinal)] ascending by offset.
+    The ordinal is the hit's position among the leaf items — packed
+    Hilbert R-tree leaves are in feature-write order, so it equals the
+    fid a full sequential read assigns (bbox and full reads agree)."""
     bounds, num_nodes = _level_bounds(num_items, node_size)
     minx, miny, maxx, maxy = bbox
     queue = [(0, len(bounds) - 1)]
     hits = []
+    leaf0 = num_nodes - num_items
     while queue:
         node_index, level = queue.pop()
         end = min(node_index + node_size, bounds[level][1])
-        is_leaf = node_index >= num_nodes - num_items
+        is_leaf = node_index >= leaf0
         for pos in range(node_index, end):
             nminx, nminy, nmaxx, nmaxy = nodes[pos, :4]
             if nmaxx < minx or nmaxy < miny or nminx > maxx or nminy > maxy:
@@ -320,7 +324,7 @@ def _rtree_search(nodes: np.ndarray, num_items: int, node_size: int,
             off = int(nodes[pos, 4].view(np.uint64)) \
                 if nodes.dtype == np.float64 else int(nodes[pos, 4])
             if is_leaf:
-                hits.append(off)
+                hits.append((off, pos - leaf0))
             else:
                 queue.append((off, level - 1))
     return sorted(hits)
@@ -398,8 +402,8 @@ def read_fgb(path: str, bbox=None) -> pa.Table:
         return pos + 4 + fsize
 
     if offsets is not None:
-        for i, off in enumerate(offsets):
-            decode_feature(feat0 + off, i)
+        for off, ordinal in offsets:
+            decode_feature(feat0 + off, ordinal)
     else:
         pos, fid = feat0, 0
         while pos + 4 <= len(mv) and (n_feat == 0 or fid < n_feat):

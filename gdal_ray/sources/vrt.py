@@ -153,14 +153,16 @@ def read_vrt(path: str) -> VrtDataset:
                 block = _resample_nearest(plane, sx0, sy0, sw_, sh_,
                                           dw_, dh_)
             if kind == "ComplexSource":
-                ratio = float(src_el.findtext("ScaleRatio") or 1.0)
-                offset = float(src_el.findtext("ScaleOffset") or 0.0)
-                block = block * ratio + offset
+                # NODATA compares the RAW source sample, before
+                # ScaleRatio/ScaleOffset (frmts/vrt/vrtsources.cpp)
                 nv = src_el.findtext("NODATA")
                 if nv is not None:
                     mask = block != float(nv)
                 else:
                     mask = np.ones(block.shape, bool)
+                ratio = float(src_el.findtext("ScaleRatio") or 1.0)
+                offset = float(src_el.findtext("ScaleOffset") or 0.0)
+                block = block * ratio + offset
             else:
                 mask = np.ones(block.shape, bool)
             dy1, dx1 = min(dy0 + dh_, h), min(dx0 + dw_, w)

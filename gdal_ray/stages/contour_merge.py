@@ -27,6 +27,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..core.contour import contour_lines
+from .poly_merge import map_int64
 
 _QUANT = 1e-6
 
@@ -219,9 +220,8 @@ def distributed_contour(tiles_ds, levels, as_dataset: bool = False):
         cm = ray.get(ref)
         pid = ((((t["tile_x"].to_numpy().astype(np.int64) << 20)
                  | t["tile_y"].to_numpy()) << 20) | t["piece"].to_numpy())
-        s = pd.Series(pid, dtype="int64")
-        comp = s.map(cm).fillna(s).astype(np.int64)
-        df = pd.DataFrame({"component": comp.to_numpy(),
+        comp = map_int64(pid, cm)
+        df = pd.DataFrame({"component": comp,
                            "level": t["level"].to_numpy(),
                            "length": t["length"].to_numpy(),
                            "closed": t["closed"].to_numpy()})

@@ -32,6 +32,27 @@ import pyarrow as pa
 from ..core.rastervec import label_components
 
 
+def map_int64(pid: np.ndarray, table: dict) -> np.ndarray:
+    """Map int64 ids through ``table`` (missing → identity) WITHOUT a
+    float64 round-trip: packed piece ids use bits 40-59 for tile
+    coords, so ids exceed 2^53 at tile_x/y >= 2^13 and pandas'
+    map().fillna() (which promotes to float64 on any miss) would
+    silently round them. Vectorized via searchsorted on the (small,
+    boundary-only) mapping table."""
+    out = pid.astype(np.int64, copy=True)
+    if not table:
+        return out
+    keys = np.fromiter(table.keys(), np.int64, len(table))
+    vals = np.fromiter(table.values(), np.int64, len(table))
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+    idx = np.searchsorted(keys, out)
+    idx_c = np.minimum(idx, len(keys) - 1)
+    hit = keys[idx_c] == out
+    out[hit] = vals[idx_c[hit]]
+    return out
+
+
 def tile_pieces_and_edges(tile_id: int, grid: np.ndarray,
                           connectedness: int = 4):
     """One tile's grid → (pieces rows, edge-run rows).
@@ -256,11 +277,10 @@ def distributed_polygonize(tiles_ds, connectedness: int = 4,
         comp_map = ray.get(ref)
         pid = ((((t["tile_x"].to_numpy().astype(np.int64) << 20)
                  | t["tile_y"].to_numpy()) << 20) | t["label"].to_numpy())
-        s = pd.Series(pid, dtype="int64")
-        comp = s.map(comp_map).fillna(s).astype(np.int64)
+        comp = map_int64(pid, comp_map)
         tile = (t["tile_x"].to_numpy().astype(np.int64) << 32) \
             | t["tile_y"].to_numpy().astype(np.int64)
-        df = pd.DataFrame({"component": comp.to_numpy(),
+        df = pd.DataFrame({"component": comp,
                            "value": t["value"].to_numpy(),
                            "tile": tile,
                            "n_px": t["n_px"].to_numpy()})
