@@ -332,9 +332,9 @@ class ReprojectImages:
         return pa.table(cols)
 
 
-def reproject_large(src: np.ndarray, src_gt, src_crs: str, dst_crs: str,
-                    *, resampling: str = "bilinear",
-                    max_error: float = 0.125, band_rows: int = 512):
+def reproject_large_ds(src: np.ndarray, src_gt, src_crs: str,
+                       dst_crs: str, *, resampling: str = "bilinear",
+                       max_error: float = 0.125, band_rows: int = 512):
     """Reproject ONE large raster by partitioning the destination grid
     into row bands computed as parallel Ray tasks — the engine's answer
     to GDALWarpOperation::ChunkAndWarpMulti (alg/gdalwarpoperation.cpp:
@@ -343,14 +343,14 @@ def reproject_large(src: np.ndarray, src_gt, src_crs: str, dst_crs: str,
     error-bounded mesh transform on its own sub-grid, so results are
     IDENTICAL to the single-task path chunk by chunk.
 
-    Returns (dst_pixels, valid, dst_gt)."""
+    Returns (bands_dataset, dst_gt, dst_w, dst_h, n_bands): the Dataset
+    streams one row-band per row (r0, rows, data float64 bytes, valid
+    packed bits) and is NEVER assembled anywhere — consume it with
+    ``write_parquet`` / ``iter_batches``."""
     import ray
     import ray.data as rd
 
-    if src.ndim == 2:
-        src3, squeeze = src[:, :, None], True
-    else:
-        src3, squeeze = src, False
+    src3 = src[:, :, None] if src.ndim == 2 else src
     h, w = src3.shape[:2]
     fwd = get_transform(src_crs, dst_crs)
     dst_gt, dst_w, dst_h = suggested_warp_output(src_gt, w, h, fwd)
@@ -382,20 +382,49 @@ def reproject_large(src: np.ndarray, src_gt, src_crs: str, dst_crs: str,
             "valid": pa.array(out_rows["valid"], pa.binary()),
         })
 
-    parts = rd.from_items(spec).map_batches(
+    bands = rd.from_items(spec).map_batches(
         lambda b: pa.table({"r0": b["r0"], "rows": b["rows"]}),
         batch_format="pyarrow") \
-        .map_batches(run, batch_format="pyarrow", batch_size=1).to_pandas()
-    nb = src3.shape[2]
+        .map_batches(run, batch_format="pyarrow", batch_size=1)
+    return bands, dst_gt, dst_w, dst_h, src3.shape[2]
+
+
+def reproject_large(src: np.ndarray, src_gt, src_crs: str, dst_crs: str,
+                    *, resampling: str = "bilinear",
+                    max_error: float = 0.125, band_rows: int = 512,
+                    out_path: str | None = None):
+    """Driver-facing wrapper over :func:`reproject_large_ds`.
+
+    With ``out_path`` the row bands stream straight to partitioned
+    parquet (one file set, resumable shards) and the return is a
+    manifest dict — the destination raster NEVER exists in one memory
+    (the 100k×100k path); the driver holds at most one in-flight
+    batch. Without it, the bands are assembled into an array for
+    bounded (bench/test-sized) destinations and the return is
+    (dst_pixels, valid, dst_gt) as before."""
+    bands, dst_gt, dst_w, dst_h, nb = reproject_large_ds(
+        src, src_gt, src_crs, dst_crs, resampling=resampling,
+        max_error=max_error, band_rows=band_rows)
+    squeeze = src.ndim == 2
+
+    if out_path is not None:
+        bands.write_parquet(out_path)
+        return {"path": out_path, "dst_gt": dst_gt, "dst_w": dst_w,
+                "dst_h": dst_h, "n_bands": nb, "dtype": "float64"}
+
     acc = np.zeros((dst_h, dst_w, nb), np.float64)
     vacc = np.zeros((dst_h, dst_w), bool)
-    for _, row in parts.iterrows():
-        r0, nrows = int(row["r0"]), int(row["rows"])
-        acc[r0:r0 + nrows] = np.frombuffer(
-            row["data"], np.float64).reshape(nrows, dst_w, nb)
-        vacc[r0:r0 + nrows] = np.unpackbits(
-            np.frombuffer(row["valid"], np.uint8),
-            count=nrows * dst_w).reshape(nrows, dst_w).astype(bool)
+    # stream the bands in (no full driver DataFrame of all partials —
+    # each batch is dropped after its rows land in the output array)
+    for t in bands.iter_batches(batch_format="pyarrow"):
+        for i in range(t.num_rows):
+            r0 = int(t["r0"][i].as_py())
+            nrows = int(t["rows"][i].as_py())
+            acc[r0:r0 + nrows] = np.frombuffer(
+                t["data"][i].as_py(), np.float64).reshape(nrows, dst_w, nb)
+            vacc[r0:r0 + nrows] = np.unpackbits(
+                np.frombuffer(t["valid"][i].as_py(), np.uint8),
+                count=nrows * dst_w).reshape(nrows, dst_w).astype(bool)
     return (acc[:, :, 0] if squeeze else acc), vacc, dst_gt
 
 

@@ -142,3 +142,36 @@ class TestReprojectLarge:
         assert ga == gb
         assert np.array_equal(va, vb)
         assert np.allclose(a, b)
+
+    def test_sink_path_streams_to_parquet(self, ray_session, tmp_path):
+        """With out_path the destination never assembles in memory:
+        row bands stream to parquet; reading them back reproduces the
+        array path bit for bit."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from gdal_ray.stages.warp import reproject_array, reproject_large
+        x, y = np.meshgrid(np.arange(200), np.arange(200))
+        px = (((7 * x + 2 * y) % 256).astype(np.uint8))[:, :, None]
+        gt = (500000.0, 10.0, 0.0, 4500000.0, 0.0, -10.0)
+        a, va, ga = reproject_array(px, gt, "EPSG:32631", "EPSG:4326",
+                                    resampling="bilinear")
+        man = reproject_large(px, gt, "EPSG:32631", "EPSG:4326",
+                              resampling="bilinear", band_rows=64,
+                              out_path=str(tmp_path / "bands"))
+        assert man["dst_gt"] == ga
+        assert (man["dst_h"], man["dst_w"]) == a.shape[:2]
+        t = pq.read_table(str(tmp_path / "bands"))
+        acc = np.zeros((man["dst_h"], man["dst_w"], 1), np.float64)
+        vacc = np.zeros((man["dst_h"], man["dst_w"]), bool)
+        for i in range(t.num_rows):
+            r0 = t["r0"][i].as_py()
+            nr = t["rows"][i].as_py()
+            acc[r0:r0 + nr] = np.frombuffer(
+                t["data"][i].as_py(), np.float64).reshape(
+                    nr, man["dst_w"], 1)
+            vacc[r0:r0 + nr] = np.unpackbits(
+                np.frombuffer(t["valid"][i].as_py(), np.uint8),
+                count=nr * man["dst_w"]).reshape(
+                    nr, man["dst_w"]).astype(bool)
+        assert np.array_equal(va, vacc)
+        assert np.allclose(a[:, :, None] if a.ndim == 2 else a, acc)
