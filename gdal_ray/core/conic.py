@@ -58,21 +58,29 @@ def _q(phi, e):
 class LambertConformal:
     """LCC 2SP (Snyder 15-1..15-11)."""
 
-    def __init__(self, lat1, lat2, lat0, lon0, fe, fn, f=_F_GRS80):
+    def __init__(self, lat1, lat2, lat0, lon0, fe, fn, f=_F_GRS80,
+                 a=_A, k0=1.0):
         e = _e_of(f)
         p1, p2, p0 = lat1 * _D, lat2 * _D, lat0 * _D
-        m1, m2 = _m(p1, e), _m(p2, e)
-        t1, t2, t0 = _t(p1, e), _t(p2, e), _t(p0, e)
-        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
-        self.F = m1 / (self.n * t1 ** self.n)
-        self.rho0 = _A * self.F * t0 ** self.n
+        if lat1 == lat2:
+            # 1SP degenerate form (Snyder 15-11 footnote): n = sin(phi1),
+            # scale factor k0 multiplies every radius
+            self.n = float(np.sin(p1))
+            self.F = _m(p1, e) / (self.n * _t(p1, e) ** self.n)
+        else:
+            m1, m2 = _m(p1, e), _m(p2, e)
+            t1, t2 = _t(p1, e), _t(p2, e)
+            self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+            self.F = m1 / (self.n * t1 ** self.n)
+        self.a = a * k0
+        self.rho0 = self.a * self.F * _t(p0, e) ** self.n
         self.lon0 = lon0 * _D
         self.fe, self.fn, self.e = fe, fn, e
 
     def forward(self, lon, lat):
         lon = np.asarray(lon, np.float64) * _D
         lat = np.asarray(lat, np.float64) * _D
-        rho = _A * self.F * _t(lat, self.e) ** self.n
+        rho = self.a * self.F * _t(lat, self.e) ** self.n
         th = self.n * (lon - self.lon0)
         return (self.fe + rho * np.sin(th),
                 self.fn + self.rho0 - rho * np.cos(th))
@@ -82,7 +90,7 @@ class LambertConformal:
         dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
         rho = np.sign(self.n) * np.hypot(dx, dy)
         th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
-        t = (rho / (_A * self.F)) ** (1.0 / self.n)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
         lat = _phi_from_t(t, self.e)
         return (th / self.n + self.lon0) / _D, lat / _D
 
@@ -90,21 +98,26 @@ class LambertConformal:
 class AlbersEqualArea:
     """Albers 2SP (Snyder 14-1..14-11)."""
 
-    def __init__(self, lat1, lat2, lat0, lon0, fe, fn, f=_F_GRS80):
+    def __init__(self, lat1, lat2, lat0, lon0, fe, fn, f=_F_GRS80,
+                 a=_A):
         e = _e_of(f)
         p1, p2, p0 = lat1 * _D, lat2 * _D, lat0 * _D
         m1, m2 = _m(p1, e), _m(p2, e)
         q1, q2, q0 = _q(p1, e), _q(p2, e), _q(p0, e)
-        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        if lat1 == lat2:
+            self.n = float(np.sin(p1))
+        else:
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
         self.C = m1 * m1 + self.n * q1
-        self.rho0 = _A * np.sqrt(self.C - self.n * q0) / self.n
+        self.a = a
+        self.rho0 = a * np.sqrt(self.C - self.n * q0) / self.n
         self.lon0 = lon0 * _D
         self.fe, self.fn, self.e = fe, fn, e
 
     def forward(self, lon, lat):
         lon = np.asarray(lon, np.float64) * _D
         lat = np.asarray(lat, np.float64) * _D
-        rho = _A * np.sqrt(self.C - self.n * _q(lat, self.e)) / self.n
+        rho = self.a * np.sqrt(self.C - self.n * _q(lat, self.e)) / self.n
         th = self.n * (lon - self.lon0)
         return (self.fe + rho * np.sin(th),
                 self.fn + self.rho0 - rho * np.cos(th))
@@ -114,7 +127,7 @@ class AlbersEqualArea:
         dx = np.asarray(x, np.float64) - self.fe
         dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
         rho = np.hypot(dx, dy)
-        qv = (self.C - (rho * self.n / _A) ** 2) / self.n
+        qv = (self.C - (rho * self.n / self.a) ** 2) / self.n
         th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
         phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
         for _ in range(12):
@@ -129,11 +142,18 @@ class AlbersEqualArea:
 class PolarStereographic:
     """Variant B (standard parallel lat_ts; EPSG method 9829)."""
 
-    def __init__(self, lat_ts, lon0, fe, fn, *, south, f=_F_WGS84):
+    def __init__(self, lat_ts, lon0, fe, fn, *, south, f=_F_WGS84,
+                 a=_A, k0=None):
         e = _e_of(f)
         self.south = south
-        pts = abs(lat_ts) * _D
-        self.scale = _A * _m(pts, e) / _t(pts, e)
+        if k0 is not None:
+            # variant A (EPSG 9810): scale factor at the pole
+            self.scale = (2.0 * a * k0
+                          / np.sqrt((1.0 + e) ** (1.0 + e)
+                                    * (1.0 - e) ** (1.0 - e)))
+        else:
+            pts = abs(lat_ts) * _D
+            self.scale = a * _m(pts, e) / _t(pts, e)
         self.lon0 = lon0 * _D
         self.fe, self.fn, self.e = fe, fn, e
 

@@ -1117,6 +1117,60 @@ LEFT JOIN per ON per.image_id = img.image_id
 """
 
 
+def sql_wkt_warp(n: int = 96, w: int = 96) -> str:
+    """Suggested-output geometry for the WKT-constructed ellipsoidal
+    Mercator warp (q_wkt_warp): Mercator is per-axis monotone, so the
+    21-point edge walk collapses to the corners; x = a·λrad and
+    y = a·(atanh s − e·atanh e·s) replay in SQL (atanh spelled as
+    ½·ln((1+z)/(1−z)) — DuckDB lacks atanh). Expression order mirrors
+    core/srs.py::Mercator.forward so both sides compute the same
+    doubles; dims derive exactly like suggested_warp_output."""
+    import numpy as np
+    a = 6378137.0
+    f = 1.0 / 298.257223563
+    e = repr(float(np.sqrt(f * (2.0 - f))))
+    diag = repr(float(np.hypot(w, w)))
+
+    def ATANH(z):
+        return f"(0.5 * ln((1.0 + {z}) / (1.0 - {z})))"
+
+    def Y(lat):
+        s = f"sin(({lat}) * (pi() / 180.0))"
+        return (f"({a!r} * ({ATANH(s)} - {e} * "
+                f"{ATANH(f'({e} * {s})')}))")
+
+    def X(lon):
+        return f"({a!r} * (({lon}) * (pi() / 180.0)))"
+
+    wf = repr(float(w))
+    return f"""
+WITH g AS (
+  SELECT i, 'wkt' || lpad(CAST(i AS VARCHAR), 5, '0') AS image_id,
+         -150.0 + (i * 37) % 300 AS lon0,
+         -55.0 + (i * 53) % 110 AS lat0
+  FROM (SELECT g AS i FROM generate_series(0, {n - 1}) t(g))),
+c AS (
+  SELECT image_id,
+         {X('lon0')} AS minx,
+         {X(f'lon0 + 0.01 * {wf}')} AS maxx,
+         {Y(f'(lat0 + {w} * 0.01) - 0.01 * {wf}')} AS miny,
+         {Y(f'lat0 + {w} * 0.01')} AS maxy
+  FROM g),
+r AS (
+  SELECT image_id, minx, maxy,
+         maxx - minx AS sx, maxy - miny AS sy FROM c),
+q AS (
+  SELECT image_id, minx, maxy, sx, sy,
+         sqrt(sx * sx + sy * sy) / {diag} AS res_out FROM r)
+SELECT image_id,
+       greatest(1, CAST(ROUND(sx / res_out) AS BIGINT)) AS dst_w,
+       greatest(1, CAST(ROUND(sy / res_out) AS BIGINT)) AS dst_h,
+       ROUND(minx, 4) AS minx,
+       ROUND(maxy, 2) AS maxy
+FROM q
+"""
+
+
 def sql_gcp_warp(n: int = 96) -> str:
     """GCP-warp suggested-output geometry: the order-2 fit reproduces
     the separable quadratic GCP field exactly, both axes monotone, so

@@ -1541,6 +1541,63 @@ def q_utm_warp(sf_dir: str):
         gen, batch_format="pyarrow", batch_size=3)
 
 
+# WKT1 for EPSG:3395 (World Mercator, ellipsoidal 1SP) — exercises the
+# general CRS constructor (core/srs.py importFromWkt analog); NOT in
+# any registry: the projection is built from these parameters alone.
+WKT_3395 = (
+    'PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",'
+    'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Mercator_1SP"],'
+    'PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],'
+    'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+    'UNIT["metre",1]]')
+
+
+def q_wkt_warp(sf_dir: str):
+    """Warp through a WKT-CONSTRUCTED CRS (ogrspatialreference.cpp
+    importFromWkt analog, core/srs.py): 4326 sources → the WKT text of
+    EPSG:3395 ellipsoidal Mercator, full reproject_array pipeline (edge
+    walk, 0.125-px mesh, resample). The suggested-output geometry
+    replays closed-form in SQL (Mercator y = a·(atanh s − e·atanh e·s)
+    is per-axis monotone, so the 21-point walk collapses to corners);
+    warped pixels are parity-pytest-verified against the proj-string
+    construction (tests/test_srs.py)."""
+    from ..stages.warp import reproject_array
+
+    N_IMG, W = 96, 96
+
+    def gen(t: pa.Table) -> pa.Table:
+        rows = {"image_id": [], "dst_w": [], "dst_h": [],
+                "minx": [], "maxy": []}
+        for i in t["id"].to_pylist():
+            a, b = 1 + (i * 7919) % 13, 1 + (i * 104729) % 17
+            x = np.arange(W)[None, :]
+            y = np.arange(W)[:, None]
+            px = (((a * x + b * y) % 256).astype(np.uint8))[:, :, None]
+            lon0 = -150.0 + (i * 37) % 300
+            lat0 = -55.0 + (i * 53) % 110
+            gt = (lon0, 0.01, 0.0, lat0 + W * 0.01, 0.0, -0.01)
+            out, valid, dgt = reproject_array(
+                px, gt, "EPSG:4326", WKT_3395, resampling="near")
+            rows["image_id"].append(f"wkt{i:05d}")
+            rows["dst_h"].append(out.shape[0])
+            rows["dst_w"].append(out.shape[1])
+            rows["minx"].append(_half_away([dgt[0]])[0])
+            rows["maxy"].append(_half_away([dgt[3]], 2)[0])
+        return pa.table({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "dst_w": pa.array(rows["dst_w"], pa.int64()),
+            "dst_h": pa.array(rows["dst_h"], pa.int64()),
+            "minx": pa.array(rows["minx"], pa.float64()),
+            "maxy": pa.array(rows["maxy"], pa.float64()),
+        })
+
+    import ray.data as rd
+    return rd.range(N_IMG, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow", batch_size=12)
+
+
 def q_zonal_raster(sf_dir: str):
     """Per-polygon raster-pixel statistics (alg/zonal.cpp): the zone
     layer is the small side → broadcast it once (ray.put) and emit
@@ -3694,6 +3751,7 @@ QUERIES = {
     "raster_histogram": q_raster_histogram,
     "norm_diff": q_norm_diff,
     "raster_calc": q_raster_calc,
+    "wkt_warp": q_wkt_warp,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
     "pipeline_dsl": q_pipeline_dsl,
@@ -3836,6 +3894,7 @@ def oracle_sql() -> dict[str, str]:
         "image_knn": _OR.sql_image_knn(300, 10, 3),
         "image_phash_dedup": _OR.sql_image_phash_dedup(200),
         "reproject": _OR.sql_reproject_dims(96),
+        "wkt_warp": _OR.sql_wkt_warp(96, 96),
         "gcp_warp": _OR.sql_gcp_warp(96),
         "gtiff_float_nodata": _OR.sql_gtiff_float_nodata(32, 128),
         "proximity": _OR.sql_proximity(48, 64),

@@ -84,7 +84,14 @@ def _hub_legs(crs: str):
     proj = projection_for(crs)
     if proj is not None:
         return proj.inverse, proj.forward
-    return None
+    # general constructor: WKT1/ESRI/WKT2, proj strings, EPSG codes
+    # with built-in parameter sets (core/srs.py — the engine's
+    # importFromWkt/importFromProj4 analog, incl. TOWGS84 datum legs)
+    try:
+        from ..core.srs import crs_from
+        return crs_from(crs).to_wgs84_legs()
+    except ValueError:
+        return None
 
 
 def get_transform(src_crs: str, dst_crs: str):

@@ -72,8 +72,10 @@ class TestRegistry:
 
     def test_unknown_crs_raises(self):
         from gdal_ray.stages.warp import get_transform
+        # 27700 is constructible since round 4 (core/srs.py); a code
+        # with no built-in parameter set still raises
         with pytest.raises(ValueError):
-            get_transform("EPSG:27700", "EPSG:4326")
+            get_transform("EPSG:31370", "EPSG:4326")
 
 
 class TestUtmWarp:

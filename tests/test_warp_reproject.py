@@ -33,8 +33,11 @@ class TestTransformRegistry:
         # UTM is supported since round 2 (core/tmerc.py) — a truly
         # unknown CRS still raises
         assert wp.get_transform("EPSG:3857", "EPSG:32633") is not None
+        # 27700 now resolves through core/srs.py; a code without a
+        # built-in parameter set still raises
+        assert wp.get_transform("EPSG:3857", "EPSG:27700") is not None
         with pytest.raises(ValueError):
-            wp.get_transform("EPSG:3857", "EPSG:27700")
+            wp.get_transform("EPSG:3857", "EPSG:31370")
 
 
 class TestSuggestedOutput:
