@@ -1,28 +1,28 @@
-"""WebP codec — real RIFF container + a real VP8L (lossless) bitstream
-codec for the literal-coding subset; lossy VP8 is a documented plug
-point.
+"""WebP codec — real RIFF container + a FULL VP8L (lossless) decoder,
+a VP8L literal-subset encoder, and a libwebp system plug for lossy VP8.
 
 Reference: frmts/webp/webpdataset.cpp (GDAL's driver is a thin wrapper
-over libwebp, which this container does not ship). What is REAL here:
+over libwebp). What is REAL and from-scratch here:
 
 * container parsing for all three layouts — ``VP8 `` (lossy), ``VP8L``
   (lossless), ``VP8X`` (extended, with feature flags + ANIM/ALPH/XMP/
-  EXIF chunks) — including width/height extraction from the VP8 frame
-  tag, the VP8L signature header, and the VP8X canvas fields, verified
-  against the reference's autotest/gdrivers/data/webp fixtures;
-* a spec-conformant VP8L encoder/decoder pair (RFC-draft
-  "WebP Lossless Bitstream Specification"): canonical prefix codes
-  transmitted via the code-length code, literal ARGB coding. The
-  encoder emits no transforms / color cache / LZ77 backrefs — any
-  conformant reader decodes its files; the decoder accepts exactly
-  that subset and FAILS FAST (NotImplementedError) on streams using
-  transforms, caches or backrefs — the plug point for a full decoder
-  (or libwebp via register_codec when available).
+  EXIF chunks) — verified against the reference's
+  autotest/gdrivers/data/webp fixtures;
+* a COMPLETE VP8L decoder ("WebP Lossless Bitstream Specification"):
+  canonical prefix codes via the code-length code, LZ77 backward
+  references with the 120-entry 2D distance map, color cache, meta
+  prefix codes (entropy image), and all four transforms — predictor
+  (14 modes, C-truncation arithmetic), cross-color, subtract-green,
+  color indexing with pixel bundling. Real-world lossless WebP files
+  decode pixel-exactly (verified against libwebp-encoded streams and
+  hand-crafted spec bitstreams, tests/test_webp.py);
+* a spec-conformant VP8L encoder for the literal subset (no
+  transforms/LZ77 — any conformant reader decodes its files).
 
-Lossy VP8 entropy decode (boolean coder + coefficient probability
-tables + loop filter) requires tables only libwebp/RFC 6386 carry;
-``decode_webp`` raises NotImplementedError for those streams, naming
-this plug point.
+Lossy VP8 entropy decode (boolean coder + RFC 6386 probability tables)
+routes through the OPTIONAL libwebp system codec (codecs/webp_sys.py,
+ctypes) when the shared library is present — the same plug shape as
+the reference driver — and raises NotImplementedError otherwise.
 """
 
 from __future__ import annotations
@@ -420,16 +420,315 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+# ---------------------------------------------------------------------------
+# full VP8L decode: LZ77 + color cache + meta prefix + 4 transforms
+# ---------------------------------------------------------------------------
+
+# 2D offset map for the first 120 distance codes (spec §4.2.2; verified
+# bit-exactly against libwebp by decoding 120 crafted single-backref
+# streams, tests/test_webp.py::TestDistMap)
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7)]
+
+
+def _prefix_value(code: int, br: _BitReader) -> int:
+    """LZ77 length/distance prefix coding (spec §4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _subsample_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _read_prefix_group(br: _BitReader, cache_size: int):
+    alphabets = (256 + 24 + cache_size, 256, 256, 256, 40)
+    return [_PrefixDecoder(_read_code_lengths(br, a)) for a in alphabets]
+
+
+def _decode_image_stream(br: _BitReader, w: int, h: int,
+                         is_level0: bool) -> np.ndarray:
+    """One VP8L 'spatially coded image' → flat uint32 ARGB array of
+    length w*h (transform-inverted when is_level0). Recursion decodes
+    transform data / palettes / entropy images (is_level0=False: no
+    transforms, no meta prefix — libwebp DecodeImageStream)."""
+    transforms = []                 # (type, data, w_before, w_after)
+    if is_level0:
+        seen = set()
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("VP8L transform repeated")
+            seen.add(ttype)
+            w_before = w
+            if ttype == 2:                       # subtract green
+                data = None
+            elif ttype in (0, 1):                # predictor / color
+                bits = br.read(3) + 2
+                tw = _subsample_size(w, bits)
+                th = _subsample_size(h, bits)
+                data = (bits, _decode_image_stream(br, tw, th, False))
+            elif ttype == 3:                     # color indexing
+                n_colors = br.read(8) + 1
+                pal = _decode_image_stream(br, n_colors, 1, False)
+                # palette entries are componentwise delta-coded
+                b4 = pal.view(np.uint8).reshape(-1, 4)
+                pal = np.cumsum(b4.astype(np.uint32), axis=0) \
+                    .astype(np.uint8).reshape(-1, 4).view(np.uint32) \
+                    .ravel()
+                xbits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                         else 1 if n_colors <= 16 else 0)
+                w = _subsample_size(w, xbits)
+                data = (xbits, pal, n_colors)
+            transforms.append((ttype, data, w_before, w))
+
+    cache_bits = br.read(4) if br.read(1) else 0
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    meta = None
+    mbits = 0
+    n_groups = 1
+    if is_level0 and br.read(1):
+        mbits = br.read(3) + 2
+        mw = _subsample_size(w, mbits)
+        mh = _subsample_size(h, mbits)
+        mimg = _decode_image_stream(br, mw, mh, False)
+        meta = ((mimg >> np.uint32(8)) & np.uint32(0xFFFF)) \
+            .astype(np.int64).reshape(mh, mw)
+        n_groups = int(meta.max()) + 1
+
+    groups = [_read_prefix_group(br, cache_size) for _ in range(n_groups)]
+
+    pix = np.zeros(w * h, np.uint32)
+    cache = np.zeros(cache_size, np.uint32) if cache_size else None
+    shift = 32 - cache_bits if cache_bits else 0
+    MUL = 0x1E35A7BD
+    g5 = groups[0]
+    pos, total = 0, w * h
+    row_meta = None
+    my = -1
+    while pos < total:
+        if meta is not None:
+            y = pos // w
+            if y >> mbits != my:
+                my = y >> mbits
+                row_meta = meta[my]
+            g5 = groups[int(row_meta[(pos % w) >> mbits])]
+        s = g5[0].read(br)
+        if s < 256:
+            r = g5[1].read(br)
+            b = g5[2].read(br)
+            a = g5[3].read(br)
+            v = (a << 24) | (r << 16) | (s << 8) | b
+            pix[pos] = v
+            if cache_size:
+                cache[((MUL * v) & 0xFFFFFFFF) >> shift] = v
+            pos += 1
+        elif s < 280:
+            length = _prefix_value(s - 256, br)
+            dcode = _prefix_value(g5[4].read(br), br)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = max(dx + dy * w, 1)
+            if dist > pos:
+                raise ValueError("VP8L backref before image start")
+            endp = pos + min(length, total - pos)
+            if cache_size:
+                while pos < endp:
+                    v = int(pix[pos - dist])
+                    pix[pos] = v
+                    cache[((MUL * v) & 0xFFFFFFFF) >> shift] = v
+                    pos += 1
+            elif dist >= length:
+                pix[pos:endp] = pix[pos - dist:endp - dist]
+                pos = endp
+            else:                    # overlapping copy: sequential
+                while pos < endp:
+                    pix[pos] = pix[pos - dist]
+                    pos += 1
+        else:
+            pix[pos] = cache[s - 280]
+            pos += 1
+
+    for ttype, data, w_before, w_after in reversed(transforms):
+        pix = _inverse_transform(pix, ttype, data, w_before, w_after, h)
+        w = w_before
+    return pix
+
+
+def _argb_split(v: np.ndarray):
+    return ((v >> np.uint32(24)) & np.uint32(0xFF),
+            (v >> np.uint32(16)) & np.uint32(0xFF),
+            (v >> np.uint32(8)) & np.uint32(0xFF),
+            v & np.uint32(0xFF))
+
+
+def _inverse_transform(pix: np.ndarray, ttype: int, data, w: int,
+                       w_reduced: int, h: int) -> np.ndarray:
+    if ttype == 2:                              # add green (inverse)
+        a, r, g, b = _argb_split(pix)
+        r = (r + g) & np.uint32(0xFF)
+        b = (b + g) & np.uint32(0xFF)
+        return ((a << np.uint32(24)) | (r << np.uint32(16))
+                | (g << np.uint32(8)) | b)
+
+    if ttype == 3:                              # color indexing
+        xbits, pal, n_colors = data
+        img = pix.reshape(h, w_reduced)
+        gch = ((img >> np.uint32(8)) & np.uint32(0xFF)).astype(np.int64)
+        if xbits:
+            bits_per = 8 >> xbits
+            mask = (1 << bits_per) - 1
+            xs = np.arange(w, dtype=np.int64)
+            packed = gch[:, xs >> xbits]
+            idx = (packed >> ((xs & ((1 << xbits) - 1)) * bits_per)) \
+                & mask
+        else:
+            idx = gch[:, :w]
+        out = np.zeros((h, w), np.uint32)
+        valid = idx < n_colors          # out-of-range: transparent 0
+        out[valid] = pal[idx[valid]]
+        return out.ravel()
+
+    if ttype == 1:                              # cross-color (inverse)
+        bits, timg = data
+        tw = _subsample_size(w, bits)
+        tiles = timg.reshape(-1, tw)
+        img = pix.reshape(h, w)
+        g2r = ((tiles & np.uint32(0xFF)).astype(np.uint8)
+               .astype(np.int8).astype(np.int64))          # blue ch
+        g2b = (((tiles >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8)
+               .astype(np.int8).astype(np.int64))          # green ch
+        r2b = (((tiles >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8)
+               .astype(np.int8).astype(np.int64))          # red ch
+        a, r, g, b = (c.astype(np.int64) for c in _argb_split(img))
+        ys = np.arange(h) >> bits
+        xs = np.arange(w) >> bits
+        tg2r = g2r[ys][:, xs]
+        tg2b = g2b[ys][:, xs]
+        tr2b = r2b[ys][:, xs]
+        gs = g.astype(np.uint8).astype(np.int8).astype(np.int64)
+        r = (r + ((tg2r * gs) >> 5)) & 0xFF
+        rs = r.astype(np.uint8).astype(np.int8).astype(np.int64)
+        b = (b + ((tg2b * gs) >> 5) + ((tr2b * rs) >> 5)) & 0xFF
+        out = ((a.astype(np.uint32) << np.uint32(24))
+               | (r.astype(np.uint32) << np.uint32(16))
+               | (g.astype(np.uint32) << np.uint32(8))
+               | b.astype(np.uint32))
+        return out.ravel()
+
+    # ttype == 0: predictor — sequential (each pixel needs its
+    # reconstructed neighbors); linear-array neighbor semantics match
+    # libwebp (TR of the last column wraps to the current row start)
+    bits, timg = data
+    tw = _subsample_size(w, bits)
+    modes = ((timg.reshape(-1, tw) >> np.uint32(8))
+             & np.uint32(0xFF)).astype(np.int64)
+    out = pix.astype(np.int64).copy()
+    ch = np.empty((w * h, 4), np.int64)      # a r g b per pixel
+    ch[:, 0] = (out >> 24) & 0xFF
+    ch[:, 1] = (out >> 16) & 0xFF
+    ch[:, 2] = (out >> 8) & 0xFF
+    ch[:, 3] = out & 0xFF
+
+    def avg2(p, q):
+        return (p + q) >> 1
+
+    for pos in range(w * h):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = np.array([255, 0, 0, 0], np.int64)
+        elif y == 0:
+            pred = ch[pos - 1]                   # L
+        elif x == 0:
+            pred = ch[pos - w]                   # T
+        else:
+            mode = int(modes[y >> bits, x >> bits])
+            L = ch[pos - 1]
+            T = ch[pos - w]
+            TL = ch[pos - w - 1]
+            TR = ch[pos - w + 1]
+            if mode == 0:
+                pred = np.array([255, 0, 0, 0], np.int64)
+            elif mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 3:
+                pred = TR
+            elif mode == 4:
+                pred = TL
+            elif mode == 5:
+                pred = avg2(avg2(L, TR), T)
+            elif mode == 6:
+                pred = avg2(L, TL)
+            elif mode == 7:
+                pred = avg2(L, T)
+            elif mode == 8:
+                pred = avg2(TL, T)
+            elif mode == 9:
+                pred = avg2(T, TR)
+            elif mode == 10:
+                pred = avg2(avg2(L, TL), avg2(T, TR))
+            elif mode == 11:                     # Select
+                p = L + T - TL
+                pl = int(np.abs(p - L).sum())
+                pt = int(np.abs(p - T).sum())
+                pred = L if pl < pt else T
+            elif mode == 12:                     # ClampAddSubtractFull
+                pred = np.clip(L + T - TL, 0, 255)
+            elif mode == 13:                     # ClampAddSubtractHalf
+                # C semantics: (a - b) / 2 truncates toward zero
+                ave = avg2(L, T)
+                d = ave - TL
+                pred = np.clip(ave + ((d + (d < 0)) >> 1), 0, 255)
+            else:
+                raise ValueError(f"bad predictor mode {mode}")
+            ch[pos] = (ch[pos] + pred) & 0xFF
+            continue
+        ch[pos] = (ch[pos] + pred) & 0xFF
+
+    return ((ch[:, 0].astype(np.uint32) << np.uint32(24))
+            | (ch[:, 1].astype(np.uint32) << np.uint32(16))
+            | (ch[:, 2].astype(np.uint32) << np.uint32(8))
+            | ch[:, 3].astype(np.uint32))
+
+
 def decode_webp_lossless(buf: bytes) -> np.ndarray:
-    """Lossless WebP (literal subset) → (h, w, 4) uint8 RGBA. Streams
-    using transforms / color cache / LZ77 raise NotImplementedError —
-    the plug point for a full VP8L or libwebp-backed decoder."""
+    """Lossless WebP → (h, w, 4) uint8 RGBA. Full VP8L feature set:
+    LZ77 backward references (2D distance map), color cache, meta
+    prefix codes (entropy image), and all four transforms (predictor,
+    cross-color, subtract-green, color indexing incl. pixel bundling).
+    Verified pixel-exact against libwebp-encoded streams
+    (tests/test_webp.py)."""
     info = webp_info(buf)
     if info.flavor == "lossy":
+        from .webp_sys import decode_webp_system, system_available
+        if system_available():
+            return decode_webp_system(buf)
         raise NotImplementedError(
             "lossy WebP (VP8) entropy decode needs libwebp / RFC 6386 "
-            "tables — plug a full decoder via "
-            "gdal_ray.codecs.register_codec('webp', ...)")
+            "tables — libwebp system codec not available "
+            "(gdal_ray.codecs.webp_sys)")
     # locate the VP8L chunk
     pos, end = 12, 8 + struct.unpack_from("<I", buf, 4)[0]
     body = None
@@ -447,31 +746,12 @@ def decode_webp_lossless(buf: bytes) -> np.ndarray:
     h = br.read(14) + 1
     br.read(1)                              # alpha hint
     br.read(3)                              # version
-    if br.read(1):
-        raise NotImplementedError(
-            "VP8L transform present — only the literal subset is "
-            "implemented (plug point: full VP8L decoder)")
-    cache_bits = 0
-    if br.read(1):
-        raise NotImplementedError("VP8L color cache not implemented")
-    if br.read(1):
-        raise NotImplementedError("VP8L meta prefix codes not implemented")
-    decs = [_PrefixDecoder(_read_code_lengths(br, 256 + 24 + (1 << cache_bits if cache_bits else 0))),
-            _PrefixDecoder(_read_code_lengths(br, 256)),
-            _PrefixDecoder(_read_code_lengths(br, 256)),
-            _PrefixDecoder(_read_code_lengths(br, 256)),
-            _PrefixDecoder(_read_code_lengths(br, 40))]
-    dg, dr, db, da, _ = decs
+    argb = _decode_image_stream(br, w, h, True)
     out = np.empty((h * w, 4), np.uint8)
-    for i in range(h * w):
-        gsym = dg.read(br)
-        if gsym >= 256:
-            raise NotImplementedError(
-                "VP8L LZ77 backward reference — literal subset only")
-        out[i, 1] = gsym
-        out[i, 0] = dr.read(br)
-        out[i, 2] = db.read(br)
-        out[i, 3] = da.read(br)
+    out[:, 0] = (argb >> np.uint32(16)) & np.uint32(0xFF)
+    out[:, 1] = (argb >> np.uint32(8)) & np.uint32(0xFF)
+    out[:, 2] = argb & np.uint32(0xFF)
+    out[:, 3] = (argb >> np.uint32(24)) & np.uint32(0xFF)
     return out.reshape(h, w, 4)
 
 
