@@ -15,13 +15,42 @@ import os
 
 import numpy as np
 
-__all__ = ["read_raster"]
+__all__ = ["read_raster", "overview_count"]
 
 
-def read_raster(path: str):
+def overview_count(path: str) -> int:
+    """Number of reduced-resolution levels available (internal IFD
+    chain + external .ovr — gdaldefaultoverviews.cpp order)."""
+    from ..codecs.overviews import read_overviews
+    return len(read_overviews(path))
+
+
+def read_raster(path: str, overview: int | None = None):
     """Open any supported raster → (pixels (h, w[, b]), geotransform |
-    None, nodata | None, meta dict)."""
+    None, nodata | None, meta dict).
+
+    ``overview=k`` selects the k-th reduced-resolution level (internal
+    GTiff/COG IFD chain first, then external ``<path>.ovr`` — GDAL's
+    GetOverview(k) order); the returned geotransform is rescaled to
+    the overview grid."""
     from .sidecar import find_pam, read_pam, read_worldfile
+
+    if overview is not None:
+        from ..codecs.overviews import read_overviews
+        full_px, gt, nodata, meta = read_raster(path)
+        ovs = read_overviews(path)
+        if not 0 <= overview < len(ovs):
+            raise ValueError(
+                f"overview {overview} out of range ({len(ovs)} levels)")
+        g = ovs[overview]
+        px = np.asarray(g.pixels)
+        if gt is not None:
+            fh = full_px.shape[0] / px.shape[0]
+            fw = full_px.shape[1] / px.shape[1]
+            gt = (gt[0], gt[1] * fw, gt[2] * fh,
+                  gt[3], gt[4] * fw, gt[5] * fh)
+        nd = getattr(g, "nodata", None)
+        return px, gt, nd if nd is not None else nodata, meta
 
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     gt = nodata = None
