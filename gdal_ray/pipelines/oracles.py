@@ -1826,6 +1826,30 @@ FROM polys
 """
 
 
+def sql_gml_roundtrip(m: int = 25) -> str:
+    """GML write→read is lossless (repr() coordinates), same
+    closed-form area derivation as the MIF roundtrip."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid,
+       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_gml,
+       CASE fid % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS category
+FROM polys
+"""
+
+
+def sql_dxf_roundtrip(m: int = 25) -> str:
+    """DXF HATCH write→read is lossless (repr() coordinates; ring
+    reassembly by containment), category rides the Layer code."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid,
+       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_dxf,
+       CASE fid % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS category
+FROM polys
+"""
+
+
 def sql_raster_neighbors(n: int = 32) -> str:
     """3×3 edge-padded (clamped) focal sum totals: 9-way offset join
     with LEAST/GREATEST clamping, all-integer."""

@@ -2345,6 +2345,64 @@ def q_mif_roundtrip(sf_dir: str):
     return read_mif(path).map_batches(stats, batch_format="pyarrow")
 
 
+def q_gml_roundtrip(sf_dir: str):
+    """GML driver end-to-end (write side new in r4, ogr2ogr -f GML
+    symmetry): polygon layer → GML2 FeatureCollection
+    (outerBoundaryIs/innerBoundaryIs, repr()-exact coordinates) → read
+    back → per-fid areas + attribute pass-through; the same
+    closed-form area oracle as mif_roundtrip."""
+    import os
+    import tempfile
+    from ..core import wkb as _W
+    from ..core.geom import area as _area
+    from ..sources.gml import read_gml, write_gml
+    from ..sources.vector import polygons_table
+
+    src = polygons_table(25)
+    d = tempfile.mkdtemp(prefix="gml_", dir="/tmp")
+    path = os.path.join(d, "layer.gml")
+    write_gml(src, path)
+
+    def stats(t: pa.Table) -> pa.Table:
+        areas = [_half_away([_area(_W.loads(b)) / 1e6], 3)[0]
+                 for b in t["wkb"].to_pylist()]
+        return pa.table({
+            "fid": t["fid"],
+            "area_km2_gml": pa.array(areas, pa.float64()),
+            "category": t["category"]})
+
+    return read_gml(path).map_batches(stats, batch_format="pyarrow")
+
+
+def q_dxf_roundtrip(sf_dir: str):
+    """DXF driver end-to-end (write side new in r4): polygon layer →
+    HATCH entities (one boundary path per ring, category on the Layer
+    code) → read back through the HATCH boundary-path parser →
+    containment ring reassembly → per-fid areas; closed-form area
+    oracle."""
+    import os
+    import tempfile
+    from ..core import wkb as _W
+    from ..core.geom import area as _area
+    from ..sources.dxf import read_dxf, write_dxf
+    from ..sources.vector import polygons_table
+
+    src = polygons_table(25)
+    d = tempfile.mkdtemp(prefix="dxf_", dir="/tmp")
+    path = os.path.join(d, "layer.dxf")
+    write_dxf(src, path, layer_col="category")
+
+    def stats(t: pa.Table) -> pa.Table:
+        areas = [_half_away([_area(_W.loads(b)) / 1e6], 3)[0]
+                 for b in t["wkb"].to_pylist()]
+        return pa.table({
+            "fid": t["fid"],
+            "area_km2_dxf": pa.array(areas, pa.float64()),
+            "category": t["Layer"]})
+
+    return read_dxf(path).map_batches(stats, batch_format="pyarrow")
+
+
 def q_geojson_roundtrip(sf_dir: str):
     """GeoJSON driver: write the polygon layer to a FeatureCollection,
     read it back, verify geometry byte-equality + areas."""
@@ -3777,6 +3835,8 @@ QUERIES = {
     "pq_ann": q_pq_ann,
     "mosaic_alpha": q_mosaic_alpha,
     "mif_roundtrip": q_mif_roundtrip,
+    "gml_roundtrip": q_gml_roundtrip,
+    "dxf_roundtrip": q_dxf_roundtrip,
     "raster_neighbors": q_raster_neighbors,
     "arrow_roundtrip": q_arrow_roundtrip,
     "vrt_composite": q_vrt_composite,
@@ -3912,6 +3972,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": _OR.sql_ivf_topk(4, 5),
         "mosaic_alpha": _OR.sql_mosaic_alpha(96),
         "mif_roundtrip": _OR.sql_mif_roundtrip(25),
+        "gml_roundtrip": _OR.sql_gml_roundtrip(25),
+        "dxf_roundtrip": _OR.sql_dxf_roundtrip(25),
         "raster_neighbors": _OR.sql_raster_neighbors(32),
         "arrow_roundtrip": _OR.sql_arrow_roundtrip(25),
         "vrt_composite": _OR.sql_vrt_composite(32),

@@ -184,6 +184,31 @@ def _entity_geom(e: _Entity, blocks) -> W.Geometry | None:
         if len(ctrl) <= degree or len(knots) < len(ctrl) + degree + 1:
             return W.linestring(ctrl) if len(ctrl) >= 2 else None
         return W.linestring(_deboor(degree, knots, ctrl))
+    if t == "HATCH":
+        # boundary paths: 93 = vertex count per polyline path; 10/20
+        # vertices concatenate across paths (an elevation point may
+        # precede the paths — detected by one extra coordinate)
+        counts = [int(float(v)) for v in e.lists.get(93, [])]
+        xs = [float(v) for v in e.lists.get(10, [])]
+        ys = [float(v) for v in e.lists.get(20, [])]
+        if not counts or not xs:
+            return None
+        total = sum(counts)
+        if len(xs) == total + 1:              # leading elevation point
+            xs, ys = xs[1:], ys[1:]
+        if len(xs) < total:
+            return None
+        rings, p = [], 0
+        for c in counts:
+            if c >= 3:
+                rings.append(np.asarray(list(zip(xs[p:p + c],
+                                                 ys[p:p + c])),
+                                        np.float64))
+            p += c
+        if not rings:
+            return None
+        from .mif import assemble_rings
+        return assemble_rings(rings)
     if t in ("SOLID", "TRACE", "3DFACE"):
         pts = [(e.f(10), e.f(20)), (e.f(11), e.f(21)),
                (e.f(12), e.f(22))]
@@ -378,3 +403,73 @@ def read_dxf_table(path: str) -> pa.Table:
 def read_dxf(path: str):
     import ray.data as rd
     return rd.from_arrow(read_dxf_table(path))
+
+
+# ---------------------------------------------------------------------------
+# writer (ogr2ogr -f DXF symmetry; reference writer in
+# ogr/ogrsf_frmts/dxf/ogrdxfwriterlayer.cpp: points → POINT, lines →
+# LWPOLYLINE, polygons → HATCH with one boundary path per ring)
+# ---------------------------------------------------------------------------
+
+def _fmt(v: float) -> str:
+    return repr(float(v))                     # shortest exact double
+
+
+def _dxf_lwpolyline(out: list, g: W.Geometry, layer: str):
+    pts = np.asarray(g.coords, np.float64)
+    out += ["0", "LWPOLYLINE", "8", layer, "90", str(len(pts)), "70", "0"]
+    for x, y in pts:
+        out += ["10", _fmt(x), "20", _fmt(y)]
+
+
+def _dxf_hatch(out: list, polys: list, layer: str):
+    rings = []
+    for p in polys:
+        rings.extend(p.rings)
+    out += ["0", "HATCH", "8", layer, "2", "SOLID", "70", "1", "71", "0",
+            "91", str(len(rings))]
+    for r in rings:
+        r = np.asarray(r, np.float64)
+        if len(r) > 1 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]                        # paths store open rings
+        out += ["92", "2", "72", "0", "73", "1", "93", str(len(r))]
+        for x, y in r:
+            out += ["10", _fmt(x), "20", _fmt(y)]
+        out += ["97", "0"]
+    out += ["75", "0", "76", "1", "98", "0"]
+
+
+def write_dxf(table: pa.Table, path: str, *, wkb_col: str = "wkb",
+              layer_col: str | None = None) -> int:
+    """Layer table → minimal DXF (ENTITIES section): POINT /
+    LWPOLYLINE / HATCH per feature. DXF carries no attribute table —
+    ``layer_col`` maps one string column onto the entity Layer (code
+    8), the same fidelity the reference writer offers. repr()
+    coordinates make the geometry roundtrip lossless."""
+    rows = table.to_pylist()
+    out = ["0", "SECTION", "2", "ENTITIES"]
+    n = 0
+    for row in rows:
+        b = row.get(wkb_col)
+        if b is None:
+            continue
+        g = W.loads(b)
+        layer = str(row.get(layer_col, "0")) if layer_col else "0"
+        t = g.geom_type
+        if t == W.POINT:
+            out += ["0", "POINT", "8", layer,
+                    "10", _fmt(g.coords[0, 0]), "20", _fmt(g.coords[0, 1])]
+        elif t == W.LINESTRING:
+            _dxf_lwpolyline(out, g, layer)
+        elif t == W.POLYGON:
+            _dxf_hatch(out, [g], layer)
+        elif t == W.MULTIPOLYGON:
+            _dxf_hatch(out, list(g.parts), layer)
+        else:
+            raise ValueError(f"unsupported geometry type {t} for DXF "
+                             "write (points, lines, polygons)")
+        n += 1
+    out += ["0", "ENDSEC", "0", "EOF"]
+    with open(path, "w", encoding="latin1") as f:
+        f.write("\n".join(out) + "\n")
+    return n

@@ -299,3 +299,87 @@ def read_gml_table(path: str, layer: str | None = None) -> pa.Table:
 def read_gml(path: str, layer: str | None = None):
     import ray.data as rd
     return rd.from_arrow(read_gml_table(path, layer))
+
+
+# ---------------------------------------------------------------------------
+# writer (ogr2ogr -f GML symmetry: ogr/ogrsf_frmts/gml/ogrgmldatasource
+# CreateLayer/ogr2gmlgeometry.cpp — GML2 flavor: coordinates,
+# outerBoundaryIs/innerBoundaryIs, *Member wrappers)
+# ---------------------------------------------------------------------------
+
+def _xml_escape(s: str) -> str:
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _gml_coords(arr) -> str:
+    # repr() = shortest exact double, same losslessness as the MIF
+    # writer; GML2 coordinates: "x,y x,y"
+    return " ".join(f"{repr(float(x))},{repr(float(y))}" for x, y in arr)
+
+
+def _gml_geom(g: "W.Geometry") -> str:
+    t = g.geom_type
+    if t == W.POINT:
+        return (f"<gml:Point><gml:coordinates>{_gml_coords(g.coords)}"
+                "</gml:coordinates></gml:Point>")
+    if t == W.LINESTRING:
+        return (f"<gml:LineString><gml:coordinates>{_gml_coords(g.coords)}"
+                "</gml:coordinates></gml:LineString>")
+    if t == W.POLYGON:
+        rings = g.rings
+        out = ["<gml:Polygon><gml:outerBoundaryIs><gml:LinearRing>"
+               f"<gml:coordinates>{_gml_coords(rings[0])}"
+               "</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>"]
+        for hole in rings[1:]:
+            out.append("<gml:innerBoundaryIs><gml:LinearRing>"
+                       f"<gml:coordinates>{_gml_coords(hole)}"
+                       "</gml:coordinates></gml:LinearRing>"
+                       "</gml:innerBoundaryIs>")
+        out.append("</gml:Polygon>")
+        return "".join(out)
+    wrap = {W.MULTIPOINT: ("MultiPoint", "pointMember"),
+            W.MULTILINESTRING: ("MultiLineString", "lineStringMember"),
+            W.MULTIPOLYGON: ("MultiPolygon", "polygonMember"),
+            W.GEOMETRYCOLLECTION: ("MultiGeometry", "geometryMember")}
+    if t in wrap:
+        cname, member = wrap[t]
+        inner = "".join(f"<gml:{member}>{_gml_geom(p)}</gml:{member}>"
+                        for p in g.parts)
+        return f"<gml:{cname}>{inner}</gml:{cname}>"
+    raise ValueError(f"unsupported geometry type {t} for GML write")
+
+
+def write_gml(table: pa.Table, path: str, *, layer_name: str = "layer",
+              wkb_col: str = "wkb") -> int:
+    """Layer table → GML2 FeatureCollection (the reference's classic
+    ogr2ogr -f GML output shape). Coordinates are repr()-exact, so the
+    roundtrip through read_gml_table is lossless."""
+    skip = {wkb_col, "minx", "miny", "maxx", "maxy", "gml_id", "layer"}
+    fields = [c for c in table.column_names if c not in skip]
+    rows = table.to_pylist()
+    out = ['<?xml version="1.0" encoding="utf-8" ?>',
+           '<ogr:FeatureCollection',
+           '     xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
+           '     xmlns:ogr="http://ogr.maptools.org/"',
+           '     xmlns:gml="http://www.opengis.net/gml">']
+    n = 0
+    for i, row in enumerate(rows):
+        out.append("  <gml:featureMember>")
+        out.append(f'    <ogr:{layer_name} fid="{layer_name}.{i}">')
+        b = row.get(wkb_col)
+        if b is not None:
+            out.append("      <ogr:geometryProperty>"
+                       + _gml_geom(W.loads(b))
+                       + "</ogr:geometryProperty>")
+        for c in fields:
+            v = row.get(c)
+            if v is not None:
+                out.append(f"      <ogr:{c}>{_xml_escape(v)}</ogr:{c}>")
+        out.append(f"    </ogr:{layer_name}>")
+        out.append("  </gml:featureMember>")
+        n += 1
+    out.append("</ogr:FeatureCollection>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out) + "\n")
+    return n

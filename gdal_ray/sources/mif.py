@@ -73,6 +73,27 @@ def _read_pts(L: _Lines, n: int) -> np.ndarray:
     return np.asarray(pts, np.float64)
 
 
+def assemble_rings(rings) -> "W.Geometry":
+    """Flat ring list → (multi)polygon by mitab's containment rule: a
+    ring inside an earlier outer is its hole, a disjoint ring starts a
+    new polygon (mitab_feature.cpp TABRegion ring organization). Shared
+    by the MIF Region and DXF HATCH readers."""
+    if len(rings) == 1:
+        return W.polygon(rings[0])
+    outers: list[tuple[np.ndarray, list]] = []
+    for r in rings:
+        r = np.asarray(r, np.float64)
+        for shell, holes in outers:
+            if _point_in_ring(r[0], shell):
+                holes.append(r)
+                break
+        else:
+            outers.append((r, []))
+    if len(outers) == 1:
+        return W.polygon(outers[0][0], outers[0][1])
+    return W.multipolygon([W.polygon(s, h) for s, h in outers])
+
+
 def _point_in_ring(pt, ring) -> bool:
     x, y = float(pt[0]), float(pt[1])
     c = False
@@ -123,22 +144,7 @@ def _parse_geom(L: _Lines) -> W.Geometry | None:
         for _ in range(nring):
             n = int(L.next())
             rings.append(_read_pts(L, n))
-        if len(rings) == 1:
-            return W.polygon(rings[0])
-        # mitab assigns rings by containment: a ring inside an earlier
-        # outer is its hole, a disjoint ring starts a new polygon
-        # (mitab_feature.cpp TABRegion ring organization)
-        outers: list[tuple[np.ndarray, list]] = []
-        for r in rings:
-            for shell, holes in outers:
-                if _point_in_ring(r[0], shell):
-                    holes.append(r)
-                    break
-            else:
-                outers.append((r, []))
-        if len(outers) == 1:
-            return W.polygon(outers[0][0], outers[0][1])
-        return W.multipolygon([W.polygon(s, h) for s, h in outers])
+        return assemble_rings(rings)
     if kw == "rect":
         x1, y1, x2, y2 = _floats(s[len(head[0]):])
         return W.box(min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2))

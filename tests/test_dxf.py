@@ -87,3 +87,53 @@ class TestEntityKinds:
     def test_driver_registry(self):
         from gdal_ray.sources.drivers import read_vector
         assert read_vector(D + "entities_only.dxf").num_rows == 2
+
+
+class TestDxfWriter:
+    def test_roundtrip_all_shape_classes(self, tmp_path):
+        """write_dxf (HATCH boundary paths) → read → containment ring
+        reassembly reproduces every polygons_table shape class
+        exactly; category rides the Layer code."""
+        from gdal_ray.core import wkb as W
+        from gdal_ray.core.geom import area
+        from gdal_ray.sources.dxf import read_dxf_table, write_dxf
+        from gdal_ray.sources.vector import polygons_table
+
+        t = polygons_table(25)
+        p = str(tmp_path / "rt.dxf")
+        assert write_dxf(t, p, layer_col="category") == 25
+        back = read_dxf_table(p)
+        assert back.num_rows == 25
+        for i in range(25):
+            a0 = area(W.loads(t["wkb"][i].as_py()))
+            a1 = area(W.loads(back["wkb"][i].as_py()))
+            assert a0 == a1, i
+        assert back["Layer"].to_pylist() == t["category"].to_pylist()
+
+    def test_points_and_lines(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        from gdal_ray.core import wkb as W
+        from gdal_ray.sources.dxf import read_dxf_table, write_dxf
+
+        geoms = [W.point(4.5, 7.125),
+                 W.linestring([(0, 0), (3, 4), (10, -2)])]
+        t = pa.table({"wkb": pa.array([W.dumps(g) for g in geoms])})
+        p = str(tmp_path / "pl.dxf")
+        write_dxf(t, p)
+        back = read_dxf_table(p)
+        g0 = W.loads(back["wkb"][0].as_py())
+        assert (g0.coords[0, 0], g0.coords[0, 1]) == (4.5, 7.125)
+        g1 = W.loads(back["wkb"][1].as_py())
+        np.testing.assert_array_equal(g1.coords,
+                                      [(0, 0), (3, 4), (10, -2)])
+
+    def test_unsupported_type_raises(self, tmp_path):
+        import pyarrow as pa
+        import pytest
+        from gdal_ray.core import wkb as W
+        from gdal_ray.sources.dxf import write_dxf
+        t = pa.table({"wkb": pa.array(
+            [W.dumps(W.multipoint([(0, 0), (1, 1)]))])})
+        with pytest.raises(ValueError, match="unsupported geometry"):
+            write_dxf(t, str(tmp_path / "x.dxf"))

@@ -168,3 +168,61 @@ class TestGmlRobustness:
             except ValueError:
                 err += 1
         assert ok >= 45 and err <= 10
+
+
+class TestGmlWriter:
+    def test_roundtrip_all_shape_classes(self, tmp_path):
+        """write_gml → read_gml_table is lossless for every
+        polygons_table shape class (holes, multiparts) and carries
+        the attribute columns (ogr2ogr -f GML symmetry)."""
+        import numpy as np
+        from gdal_ray.core import wkb as W
+        from gdal_ray.core.geom import area
+        from gdal_ray.sources.gml import read_gml_table, write_gml
+        from gdal_ray.sources.vector import polygons_table
+
+        t = polygons_table(25)
+        p = str(tmp_path / "rt.gml")
+        assert write_gml(t, p) == 25
+        back = read_gml_table(p)
+        assert back.num_rows == 25
+        for i in range(25):
+            a0 = area(W.loads(t["wkb"][i].as_py()))
+            a1 = area(W.loads(back["wkb"][i].as_py()))
+            assert a0 == a1, i               # repr() coords: exact
+        assert back["category"].to_pylist() == t["category"].to_pylist()
+        assert back["name"].to_pylist() == t["name"].to_pylist()
+
+    def test_point_line_multi(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        from gdal_ray.core import wkb as W
+        from gdal_ray.sources.gml import read_gml_table, write_gml
+
+        geoms = [W.point(1.5, -2.25),
+                 W.linestring([(0, 0), (10, 5), (20, 0)]),
+                 W.multipoint([(1, 2), (3, 4)]),
+                 W.Geometry(W.MULTILINESTRING,
+                            parts=[W.linestring([(0, 0), (1, 1)]),
+                                   W.linestring([(2, 2), (3, 3)])])]
+        t = pa.table({"wkb": pa.array([W.dumps(g) for g in geoms],
+                                      pa.binary()),
+                      "k": pa.array(range(4), pa.int64())})
+        p = str(tmp_path / "mix.gml")
+        write_gml(t, p)
+        back = read_gml_table(p)
+        for i, g in enumerate(geoms):
+            got = W.loads(back["wkb"][i].as_py())
+            assert got.geom_type == g.geom_type
+            np.testing.assert_array_equal(np.asarray(got.envelope()),
+                                          np.asarray(g.envelope()))
+
+    def test_xml_escaping(self, tmp_path):
+        import pyarrow as pa
+        from gdal_ray.core import wkb as W
+        from gdal_ray.sources.gml import read_gml_table, write_gml
+        t = pa.table({"wkb": pa.array([W.dumps(W.point(0, 0))]),
+                      "label": pa.array(["a<b>&c"], pa.string())})
+        p = str(tmp_path / "esc.gml")
+        write_gml(t, p)
+        assert read_gml_table(p)["label"][0].as_py() == "a<b>&c"
