@@ -3810,6 +3810,13 @@ QUERIES = {
     "norm_diff": q_norm_diff,
     "raster_calc": q_raster_calc,
     "wkt_warp": q_wkt_warp,
+    # rotated into the first-50 driver window (r4): newest oracled ops
+    "vrt_composite": q_vrt_composite,
+    "mosaic_alpha": q_mosaic_alpha,
+    "pq_ann": q_pq_ann,
+    "audio_features_wav": q_audio_features_wav,
+    "gml_roundtrip": q_gml_roundtrip,
+    "dxf_roundtrip": q_dxf_roundtrip,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
     "pipeline_dsl": q_pipeline_dsl,
@@ -3829,17 +3836,11 @@ QUERIES = {
     "mbtiles_roundtrip": q_mbtiles_roundtrip,
     "gtiff_roundtrip": q_gtiff_roundtrip,
     "netcdf_roundtrip": q_netcdf_roundtrip,
-    "audio_features_wav": q_audio_features_wav,
     "vector_sql_subquery": q_vector_sql_subquery,
     "vector_sql_case": q_vector_sql_case,
-    "pq_ann": q_pq_ann,
-    "mosaic_alpha": q_mosaic_alpha,
     "mif_roundtrip": q_mif_roundtrip,
-    "gml_roundtrip": q_gml_roundtrip,
-    "dxf_roundtrip": q_dxf_roundtrip,
     "raster_neighbors": q_raster_neighbors,
     "arrow_roundtrip": q_arrow_roundtrip,
-    "vrt_composite": q_vrt_composite,
     "reclassify": q_reclassify,
     "cog_roundtrip": q_cog_roundtrip,
     "gtiff_float_nodata": q_gtiff_float_nodata,
