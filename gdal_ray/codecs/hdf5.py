@@ -1,0 +1,820 @@
+"""HDF5 reader — from-scratch structural parser for the classic
+feature set the reference's HDF5/netCDF-4 drivers consume.
+
+Reference: frmts/hdf5/hdf5dataset.cpp + frmts/netcdf (enhanced model)
+wrap libhdf5; this module parses the public HDF5 File Format
+Specification directly (no entropy coding — pure container walking):
+
+  * superblock v0/v1 (+ signature search at 512·2^n) and v2/v3;
+  * object headers v1 and v2 ("OHDR"), incl. continuation blocks;
+  * old-style groups (symbol-table message → v1 B-tree + SNOD nodes +
+    local heap) and new-style compact groups (link-info + link
+    messages — what netCDF-4 emits for its creation-order tracking);
+  * messages: dataspace, datatype (fixed/float/string/enum/compound,
+    either byte order), fill value, data layout (compact, contiguous,
+    chunked v3), filter pipeline (deflate via zlib, shuffle,
+    fletcher32 passthrough), attributes (v1-v3);
+  * chunked raw data via the v1 B-tree (node type 1) with per-chunk
+    filter masks and edge-chunk clipping.
+
+Dense (fractal-heap) links/attributes, virtual/v4 layouts and vlen
+base types fail fast with a named error — the documented boundary.
+
+Goldens (tests/test_hdf5.py): the reference's own fixtures —
+u8be.h5 checksum 135, groups.h5 //MyGroup/dset1 checksum 18
+(autotest/gdrivers/hdf5.py:76,108), float32 LE/BE parity, deflate.h5,
+and netCDF-4 trmm-nc4.nc pixel parity with the classic trmm.nc.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+class H5Object:
+    """Parsed object header: messages + resolved links/attrs."""
+
+    def __init__(self):
+        self.links: dict[str, int] = {}      # name -> object header addr
+        self.attrs: dict[str, object] = {}
+        self.dataspace = None                # tuple dims or () scalar
+        self.dtype = None                    # np.dtype | ("compound", …)
+        self.layout = None
+        self.filters: list[tuple[int, tuple]] = []
+        self.fillvalue = None
+        self.is_group = False
+
+
+class Hdf5File:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.mv = memoryview(buf)
+        off = self._find_superblock()
+        self._parse_superblock(off)
+        self._objects: dict[int, H5Object] = {}
+
+    # ---------------------------------------------------------- superblock
+    def _find_superblock(self) -> int:
+        if self.buf[:8] == _SIG:
+            return 0
+        pos = 512
+        while pos < len(self.buf):
+            if self.buf[pos:pos + 8] == _SIG:
+                return pos
+            pos *= 2
+        raise ValueError("not an HDF5 file (no superblock signature)")
+
+    def _parse_superblock(self, off: int):
+        b = self.buf
+        ver = b[off + 8]
+        self.sb_ver = ver
+        if ver in (0, 1):
+            so = b[off + 13]
+            sl = b[off + 14]
+            self.so, self.sl = so, sl
+            p = off + 24
+            if ver == 1:
+                p += 4                      # indexed-storage k + reserved
+            base = self._addr(p)
+            p += 4 * so
+            # root group symbol table entry
+            p += so                          # link name offset
+            self.root_addr = self._addr(p)
+        elif ver in (2, 3):
+            self.so = b[off + 9]
+            self.sl = b[off + 10]
+            p = off + 12
+            p += self.so                     # base address
+            p += self.so                     # superblock extension
+            p += self.so                     # end of file
+            self.root_addr = self._addr(p)
+        else:
+            raise ValueError(f"HDF5 superblock version {ver} unsupported")
+
+    def _addr(self, pos: int) -> int:
+        return int.from_bytes(self.buf[pos:pos + self.so], "little")
+
+    def _len(self, pos: int) -> int:
+        return int.from_bytes(self.buf[pos:pos + self.sl], "little")
+
+    # ---------------------------------------------------------- objects
+    def obj(self, addr: int) -> H5Object:
+        if addr not in self._objects:
+            o = H5Object()
+            self._objects[addr] = o
+            self._parse_object_header(addr, o)
+        return self._objects[addr]
+
+    def _parse_object_header(self, addr: int, o: H5Object):
+        b = self.buf
+        if b[addr:addr + 4] == b"OHDR":
+            self._parse_ohdr_v2(addr, o)
+            return
+        ver = b[addr]
+        if ver != 1:
+            raise ValueError(f"object header version {ver} unsupported")
+        (nmsg,) = struct.unpack_from("<H", b, addr + 2)
+        (hsize,) = struct.unpack_from("<I", b, addr + 8)
+        blocks = [(addr + 16, hsize)]
+        self._walk_messages_v1(blocks, nmsg, o)
+
+    def _walk_messages_v1(self, blocks, nmsg, o):
+        b = self.buf
+        seen = 0
+        bi = 0
+        while bi < len(blocks) and seen < nmsg:
+            pos, size = blocks[bi]
+            end = pos + size
+            while pos + 8 <= end and seen < nmsg:
+                mtype, msize = struct.unpack_from("<HH", b, pos)
+                body = pos + 8
+                self._message(mtype, body, msize, o, blocks)
+                pos = body + msize
+                seen += 1
+            bi += 1
+
+    def _parse_ohdr_v2(self, addr: int, o: H5Object):
+        b = self.buf
+        flags = b[addr + 5]
+        p = addr + 6
+        if flags & 0x20:
+            p += 16                         # times
+        if flags & 0x10:
+            p += 4                          # max compact / min dense
+        size_bytes = 1 << (flags & 0x3)
+        size = int.from_bytes(b[p:p + size_bytes], "little")
+        p += size_bytes
+        blocks = [(p, size, flags)]
+        bi = 0
+        while bi < len(blocks):
+            pos, bsize, bflags = blocks[bi]
+            end = pos + bsize - 4           # gateway checksum
+            while pos + 4 <= end:
+                mtype = b[pos]
+                (msize,) = struct.unpack_from("<H", b, pos + 1)
+                p2 = pos + 4
+                if bflags & 0x04:
+                    p2 += 2                 # creation order
+                self._message(mtype, p2, msize, o, blocks, v2=True,
+                              v2flags=bflags)
+                pos = p2 + msize
+            bi += 1
+
+    # ---------------------------------------------------------- messages
+    def _message(self, mtype, body, msize, o, blocks, v2=False,
+                 v2flags=0):
+        b = self.buf
+        if mtype == 0x0001:                 # dataspace
+            o.dataspace = self._parse_dataspace(body)
+        elif mtype == 0x0003:               # datatype
+            o.dtype = self._parse_datatype(body)[0]
+        elif mtype == 0x0005:               # fill value
+            o.fillvalue = self._parse_fill(body)
+        elif mtype == 0x0006:               # link message (new groups)
+            self._parse_link(body, o)
+        elif mtype == 0x0008:               # layout
+            o.layout = self._parse_layout(body)
+        elif mtype == 0x000B:               # filter pipeline
+            o.filters = self._parse_filters(body)
+        elif mtype == 0x000C:               # attribute
+            name, val = self._parse_attribute(body)
+            if name is not None:
+                o.attrs[name] = val
+        elif mtype == 0x0010:               # continuation
+            addr = self._addr(body)
+            length = self._len(body + self.so)
+            if v2:
+                # v2 continuation blocks start with "OCHK" and end
+                # with a checksum
+                if b[addr:addr + 4] != b"OCHK":
+                    raise ValueError("bad OCHK continuation")
+                blocks.append((addr + 4, length - 4, v2flags))
+            else:
+                blocks.append((addr, length))
+        elif mtype == 0x0011:               # symbol table (old group)
+            o.is_group = True
+            btree = self._addr(body)
+            heap = self._addr(body + self.so)
+            self._walk_group_btree(btree, heap, o)
+        elif mtype == 0x0002:               # link info (new group)
+            o.is_group = True
+            flags = b[body + 1]
+            p = body + 2
+            if flags & 0x1:
+                p += 8                      # max creation index
+            fheap = self._addr(p)
+            name_btree = self._addr(p + self.so)
+            if fheap != _UNDEF:
+                # dense links: v2 B-tree name index → fractal heap
+                # objects, each a raw link message (netCDF-4 writes
+                # every group this way for creation-order tracking)
+                heap = _FractalHeap(self, fheap)
+                for rec in self._btree2_records(name_btree):
+                    pos = heap.locate(rec[4:4 + heap.id_len])
+                    self._parse_link(pos, o)
+        elif mtype == 0x0015:               # attribute info (dense)
+            flags = b[body + 1]
+            p = body + 2
+            if flags & 0x1:
+                p += 2                      # max creation index
+            fheap = self._addr(p)
+            name_btree = self._addr(p + self.so)
+            if fheap != _UNDEF:
+                heap = _FractalHeap(self, fheap)
+                for rec in self._btree2_records(name_btree):
+                    # type-8 record: heap ID (8) + flags (1) +
+                    # creation order (4) + name hash (4)
+                    pos = heap.locate(rec[:heap.id_len])
+                    name, val = self._parse_attribute(pos)
+                    if name is not None:
+                        o.attrs[name] = val
+
+    def _parse_dataspace(self, p):
+        b = self.buf
+        ver = b[p]
+        if ver == 1:
+            rank = b[p + 1]
+            flags = b[p + 2]
+            q = p + 8
+        else:
+            rank = b[p + 1]
+            flags = b[p + 2]
+            q = p + 4
+        dims = []
+        for _ in range(rank):
+            dims.append(self._len(q))
+            q += self.sl
+        return tuple(dims)
+
+    def _parse_datatype(self, p):
+        """→ (descriptor, total size). Descriptor: np.dtype for atomic
+        types, ("compound", [(name, offset, sub)], size) otherwise."""
+        b = self.buf
+        cls_ver = b[p]
+        cls = cls_ver & 0x0F
+        ver = cls_ver >> 4
+        bits = b[p + 1:p + 4]
+        (size,) = struct.unpack_from("<I", b, p + 4)
+        order = ">" if (bits[0] & 1) else "<"
+        if cls == 0:                        # fixed point
+            signed = "i" if (bits[0] & 0x08) else "u"
+            return np.dtype(f"{order}{signed}{size}"), size
+        if cls == 1:                        # float
+            return np.dtype(f"{order}f{size}"), size
+        if cls == 3:                        # string
+            return np.dtype(f"S{size}"), size
+        if cls == 8:                        # enum: read base type
+            sub, _ = self._parse_datatype(p + 8)
+            return sub, size
+        if cls == 6:                        # compound
+            nmem = bits[0] | (bits[1] << 8)
+            members = []
+            q = p + 8
+            for _ in range(nmem):
+                if ver == 1:
+                    nend = b.index(b"\x00", q)
+                    name = b[q:nend].decode()
+                    q += ((nend - q) // 8 + 1) * 8
+                    (moff,) = struct.unpack_from("<I", b, q)
+                    q += 4 + 1 + 3 + 4 + 4 + 16
+                elif ver == 2:
+                    nend = b.index(b"\x00", q)
+                    name = b[q:nend].decode()
+                    q += ((nend - q) // 8 + 1) * 8
+                    (moff,) = struct.unpack_from("<I", b, q)
+                    q += 4
+                else:                       # v3: compact name + offset
+                    nend = b.index(b"\x00", q)
+                    name = b[q:nend].decode()
+                    q = nend + 1
+                    nb = max(1, (size.bit_length() + 7) // 8)
+                    moff = int.from_bytes(b[q:q + nb], "little")
+                    q += nb
+                sub, ssize = self._parse_datatype(q)
+                q += self._datatype_total(q)
+                members.append((name, moff, sub))
+            return ("compound", members, size), size
+        raise ValueError(f"HDF5 datatype class {cls} unsupported")
+
+    def _datatype_total(self, p) -> int:
+        """Byte length of a datatype message starting at p (needed to
+        step over nested compound members)."""
+        b = self.buf
+        cls = b[p] & 0x0F
+        ver = b[p] >> 4
+        (size,) = struct.unpack_from("<I", b, p + 4)
+        if cls in (0, 3, 4):
+            return 8 + 4                    # properties: offset+precision
+        if cls == 1:
+            return 8 + 12
+        if cls == 8:
+            # base type + names/values — not nested further in practice
+            raise ValueError("nested enum in compound unsupported")
+        if cls == 6:
+            bits = b[p + 1:p + 4]
+            nmem = bits[0] | (bits[1] << 8)
+            q = p + 8
+            for _ in range(nmem):
+                nend = b.index(b"\x00", q)
+                if ver in (1, 2):
+                    q += ((nend - q) // 8 + 1) * 8
+                    q += 4 + (1 + 3 + 4 + 4 + 16 if ver == 1 else 0)
+                else:
+                    q = nend + 1
+                    q += max(1, (size.bit_length() + 7) // 8)
+                q += self._datatype_total(q)
+            return q - p
+        raise ValueError(f"HDF5 datatype class {cls} unsupported")
+
+    def _parse_fill(self, p):
+        b = self.buf
+        ver = b[p]
+        if ver in (1, 2):
+            defined = b[p + 3]
+            if ver == 2 and not defined:
+                return None
+            (sz,) = struct.unpack_from("<I", b, p + 4)
+            return bytes(b[p + 8:p + 8 + sz]) if sz else None
+        # v3
+        flags = b[p + 1]
+        if flags & 0x20:                    # fill value defined
+            (sz,) = struct.unpack_from("<I", b, p + 2)
+            return bytes(b[p + 6:p + 6 + sz]) if sz else None
+        return None
+
+    def _parse_link(self, p, o):
+        b = self.buf
+        flags = b[p + 1]
+        q = p + 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = b[q]
+            q += 1
+        if flags & 0x04:
+            q += 8                          # creation order
+        if flags & 0x10:
+            q += 1                          # charset
+        nlen = int.from_bytes(b[q:q + (1 << (flags & 0x3))], "little")
+        q += 1 << (flags & 0x3)
+        name = b[q:q + nlen].decode()
+        q += nlen
+        if ltype == 0:                      # hard link
+            o.links[name] = self._addr(q)
+            o.is_group = True
+
+    def _parse_layout(self, p):
+        b = self.buf
+        ver = b[p]
+        if ver in (1, 2):
+            # v1/2: dimensionality(1), class(1), reserved(5), then
+            # [btree/data address], dim sizes (4 each; chunked's last
+            # is the element size), compact adds size(4)+data
+            rank = b[p + 1]
+            cls = b[p + 2]
+            q = p + 8
+            if cls == 1:
+                addr = self._addr(q)
+                q += self.so
+                return ("contiguous", addr, 0)
+            if cls == 2:
+                addr = self._addr(q)
+                q += self.so
+                dims = struct.unpack_from(f"<{rank}I", b, q)
+                return ("chunked", addr, dims[:-1], dims[-1])
+            if cls == 0:
+                q += 4 * rank
+                (sz,) = struct.unpack_from("<I", b, q)
+                return ("compact", bytes(b[q + 4:q + 4 + sz]))
+            raise ValueError(f"layout class {cls} unsupported")
+        if ver != 3:
+            raise ValueError(f"data layout version {ver} unsupported")
+        cls = b[p + 1]
+        q = p + 2
+        if cls == 0:                        # compact
+            (sz,) = struct.unpack_from("<H", b, q)
+            return ("compact", bytes(b[q + 2:q + 2 + sz]))
+        if cls == 1:                        # contiguous
+            addr = self._addr(q)
+            size = self._len(q + self.so)
+            return ("contiguous", addr, size)
+        if cls == 2:                        # chunked
+            rank = b[q]                     # = dataset rank + 1
+            q += 1
+            btree = self._addr(q)
+            q += self.so
+            dims = struct.unpack_from(f"<{rank}I", b, q)
+            return ("chunked", btree, dims[:-1], dims[-1])
+        raise ValueError(f"data layout class {cls} unsupported")
+
+    def _parse_filters(self, p):
+        b = self.buf
+        ver = b[p]
+        nf = b[p + 1]
+        q = p + 8 if ver == 1 else p + 2
+        out = []
+        for _ in range(nf):
+            (fid,) = struct.unpack_from("<H", b, q)
+            q += 2
+            nlen = 0
+            if ver == 1 or fid >= 256:      # v2 omits the name length
+                (nlen,) = struct.unpack_from("<H", b, q)  # for id<256
+                q += 2
+            q += 2                          # flags
+            (ncv,) = struct.unpack_from("<H", b, q)
+            q += 2
+            if nlen:
+                q += ((nlen + 7) // 8 * 8) if ver == 1 else nlen
+            cvals = struct.unpack_from(f"<{ncv}I", b, q)
+            q += 4 * ncv
+            if ver == 1 and ncv % 2:
+                q += 4
+            out.append((fid, cvals))
+        return out
+
+    def _parse_attribute(self, p):
+        b = self.buf
+        ver = b[p]
+        if ver == 1:
+            (nsz,) = struct.unpack_from("<H", b, p + 2)
+            (dsz,) = struct.unpack_from("<H", b, p + 4)
+            (ssz,) = struct.unpack_from("<H", b, p + 6)
+            q = p + 8
+            name = b[q:q + nsz].split(b"\x00")[0].decode()
+            q += (nsz + 7) // 8 * 8
+            tpos = q
+            q += (dsz + 7) // 8 * 8
+            spos = q
+            q += (ssz + 7) // 8 * 8
+        elif ver in (2, 3):
+            (nsz,) = struct.unpack_from("<H", b, p + 2)
+            (dsz,) = struct.unpack_from("<H", b, p + 4)
+            (ssz,) = struct.unpack_from("<H", b, p + 6)
+            q = p + 8 + (1 if ver == 3 else 0)
+            name = b[q:q + nsz].split(b"\x00")[0].decode()
+            q += nsz
+            tpos = q
+            q += dsz
+            spos = q
+            q += ssz
+        else:
+            return None, None
+        try:
+            dt, esize = self._parse_datatype(tpos)
+            dims = self._parse_dataspace(spos)
+        except ValueError:
+            return name, None               # vlen/reference attr: skip
+        n = int(np.prod(dims)) if dims else 1
+        raw = bytes(b[q:q + n * esize])
+        if isinstance(dt, tuple):
+            return name, raw                # compound attr: raw bytes
+        arr = np.frombuffer(raw, dt, count=n)
+        if dt.kind == "S":
+            val = arr[0].split(b"\x00")[0].decode("utf-8", "replace") \
+                if n == 1 else [v.split(b"\x00")[0].decode("utf-8",
+                                                           "replace")
+                                for v in arr]
+        else:
+            val = arr[0].item() if n == 1 else arr.tolist()
+        return name, val
+
+    def _btree2_records(self, addr: int) -> list[bytes]:
+        """v2 B-tree → raw records (leaf walk; depth-0 and depth-1
+        trees — netCDF-4 groups stay shallow)."""
+        b = self.buf
+        if addr == _UNDEF:
+            return []
+        if b[addr:addr + 4] != b"BTHD":
+            raise ValueError("bad v2 B-tree header")
+        (node_size,) = struct.unpack_from("<I", b, addr + 6)
+        (rec_size,) = struct.unpack_from("<H", b, addr + 10)
+        (depth,) = struct.unpack_from("<H", b, addr + 12)
+        p = addr + 16
+        root = self._addr(p)
+        p += self.so
+        (root_nrec,) = struct.unpack_from("<H", b, p)
+
+        def leaf(a, n):
+            if b[a:a + 4] != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf")
+            q = a + 6
+            return [bytes(b[q + i * rec_size:q + (i + 1) * rec_size])
+                    for i in range(n)]
+
+        if root == _UNDEF:
+            return []
+        if depth == 0:
+            return leaf(root, root_nrec)
+        if depth > 1:
+            raise ValueError("v2 B-tree depth > 1 unsupported")
+        # internal root: n records + n+1 child pointers
+        if b[root:root + 4] != b"BTIN":
+            raise ValueError("bad v2 B-tree internal node")
+        # child pointer: addr + nrec (minimum bytes for the max
+        # possible records in a leaf node)
+        max_nrec = (node_size - 10) // rec_size
+        nrec_size = max(1, (int(max_nrec).bit_length() + 7) // 8)
+        out = []
+        q = root + 6
+        for _ in range(root_nrec):           # records first …
+            out.append(bytes(b[q:q + rec_size]))
+            q += rec_size
+        for _ in range(root_nrec + 1):       # … then child pointers
+            caddr = self._addr(q)
+            q += self.so
+            cn = int.from_bytes(b[q:q + nrec_size], "little")
+            q += nrec_size
+            out.extend(leaf(caddr, cn))
+        return out
+
+    # ---------------------------------------------------------- groups
+    def _walk_group_btree(self, btree_addr, heap_addr, o):
+        b = self.buf
+        if b[heap_addr:heap_addr + 4] != b"HEAP":
+            raise ValueError("bad local heap")
+        heap_data = self._addr(heap_addr + 8 + 2 * self.sl)
+
+        def walk(node_addr):
+            if b[node_addr:node_addr + 4] == b"TREE":
+                level = b[node_addr + 5]
+                (used,) = struct.unpack_from("<H", b, node_addr + 6)
+                p = node_addr + 8 + 2 * self.so
+                p += self.sl                 # key 0
+                for _ in range(used):
+                    child = self._addr(p)
+                    p += self.so + self.sl
+                    walk(child)
+            elif b[node_addr:node_addr + 4] == b"SNOD":
+                (count,) = struct.unpack_from("<H", b, node_addr + 6)
+                p = node_addr + 8
+                for _ in range(count):
+                    name_off = self._len(p)
+                    ohdr = self._addr(p + self.so)
+                    nend = b.index(b"\x00", heap_data + name_off)
+                    name = b[heap_data + name_off:nend].decode()
+                    o.links[name] = ohdr
+                    p += 2 * self.so + 4 + 4 + 16
+            else:
+                raise ValueError("bad group B-tree node")
+
+        walk(btree_addr)
+
+    # ---------------------------------------------------------- datasets
+    def visit(self):
+        """→ {path: H5Object} for every reachable object."""
+        out: dict[str, H5Object] = {}
+
+        def rec(addr, path, depth):
+            if depth > 32:
+                return
+            o = self.obj(addr)
+            out[path or "/"] = o
+            for name, child in o.links.items():
+                rec(child, f"{path}/{name}", depth + 1)
+
+        rec(self.root_addr, "", 0)
+        return out
+
+    def datasets(self) -> dict[str, H5Object]:
+        return {p: o for p, o in self.visit().items()
+                if o.layout is not None and o.dataspace is not None}
+
+    def _apply_filters(self, raw: bytes, filters, mask: int) -> bytes:
+        for k, (fid, cvals) in enumerate(reversed(filters)):
+            i = len(filters) - 1 - k
+            if mask & (1 << i):
+                continue
+            if fid == 1:                    # deflate
+                raw = zlib.decompress(raw)
+            elif fid == 2:                  # shuffle
+                es = cvals[0] if cvals else 1
+                if es > 1 and len(raw) % es == 0:
+                    a = np.frombuffer(raw, np.uint8)
+                    raw = a.reshape(es, -1).T.tobytes()
+            elif fid == 3:                  # fletcher32: strip checksum
+                raw = raw[:-4]
+            else:
+                raise ValueError(f"HDF5 filter id {fid} unsupported")
+        return raw
+
+    def read(self, path: str) -> np.ndarray:
+        ds = self.visit()[path]
+        dims = ds.dataspace
+        dt = ds.dtype
+        if isinstance(dt, tuple):           # compound → structured view
+            _, members, csize = dt
+            fields = {}
+            for name, moff, sub in members:
+                fields[name] = (sub, moff)
+            dt_np = np.dtype({"names": [m[0] for m in members],
+                              "formats": [m[2] for m in members],
+                              "offsets": [m[1] for m in members],
+                              "itemsize": csize})
+            esize = csize
+        else:
+            dt_np = dt
+            esize = dt.itemsize
+        n = int(np.prod(dims)) if dims else 1
+        kind, *rest = ds.layout
+        if kind == "compact":
+            return np.frombuffer(rest[0], dt_np, count=n).reshape(dims)
+        if kind == "contiguous":
+            addr, size = rest
+            if addr == _UNDEF:              # never allocated: fill
+                return self._fill_array(ds, dt_np, dims, n)
+            raw = bytes(self.mv[addr:addr + n * esize])
+            return np.frombuffer(raw, dt_np, count=n).reshape(dims)
+        # chunked
+        btree, cdims, celem = rest
+        out = self._fill_array(ds, dt_np, dims, n)
+        if btree == _UNDEF:
+            return out
+        self._read_chunks(btree, ds, out, cdims, dt_np, esize)
+        return out
+
+    def _fill_array(self, ds, dt_np, dims, n):
+        out = np.zeros(n, dt_np)
+        if ds.fillvalue and not isinstance(dt_np, tuple) \
+                and len(ds.fillvalue) == dt_np.itemsize:
+            out[:] = np.frombuffer(ds.fillvalue, dt_np)[0]
+        return out.reshape(dims)
+
+    def _read_chunks(self, node_addr, ds, out, cdims, dt_np, esize):
+        b = self.buf
+        rank = len(cdims)
+
+        def walk(addr):
+            if b[addr:addr + 4] != b"TREE":
+                raise ValueError("bad chunk B-tree node")
+            ntype = b[addr + 4]
+            level = b[addr + 5]
+            (used,) = struct.unpack_from("<H", b, addr + 6)
+            p = addr + 8 + 2 * self.so
+            key_size = 8 + 8 * (rank + 1)
+            for _ in range(used):
+                (csize, mask) = struct.unpack_from("<II", b, p)
+                offs = struct.unpack_from(f"<{rank + 1}Q", b, p + 8)
+                child = self._addr(p + key_size)
+                if level > 0:
+                    walk(child)
+                else:
+                    raw = bytes(self.mv[child:child + csize])
+                    raw = self._apply_filters(raw, ds.filters, mask)
+                    chunk = np.frombuffer(
+                        raw, dt_np,
+                        count=int(np.prod(cdims))).reshape(cdims)
+                    sl_out, sl_in = [], []
+                    for d in range(rank):
+                        o0 = offs[d]
+                        take = min(cdims[d], out.shape[d] - o0)
+                        if take <= 0:
+                            break
+                        sl_out.append(slice(o0, o0 + take))
+                        sl_in.append(slice(0, take))
+                    else:
+                        out[tuple(sl_out)] = chunk[tuple(sl_in)]
+                p += key_size + self.so
+
+        walk(node_addr)
+
+
+class _FractalHeap:
+    """Minimal fractal-heap reader: managed objects in direct blocks
+    (FHDB), one level of indirect blocks (FHIB) with the doubling-row
+    size rule. Huge/tiny objects fail fast."""
+
+    def __init__(self, f: "Hdf5File", addr: int):
+        b = f.buf
+        if b[addr:addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap header")
+        self.f = f
+        so, sl = f.so, f.sl
+        p = addr + 5
+        (self.id_len,) = struct.unpack_from("<H", b, p)
+        p += 2
+        (self.iof_len,) = struct.unpack_from("<H", b, p)
+        p += 2
+        self.flags = b[p]
+        p += 1
+        (self.max_managed,) = struct.unpack_from("<I", b, p)
+        p += 4
+        p += sl + so                        # next huge id, huge btree
+        p += sl + so                        # free space, fs manager
+        p += sl * 2                         # managed space, allocated
+        p += sl                             # direct block iterator
+        p += sl * 5                         # managed nobj, huge size,
+        #                                     huge nobj, tiny size/nobj
+        (self.width,) = struct.unpack_from("<H", b, p)
+        p += 2
+        self.start_block = f._len(p)
+        p += sl
+        self.max_direct = f._len(p)
+        p += sl
+        (self.max_heap_bits,) = struct.unpack_from("<H", b, p)
+        p += 2
+        p += 2                              # starting # of rows
+        self.root_addr = f._addr(p)
+        p += so
+        (self.cur_rows,) = struct.unpack_from("<H", b, p)
+        self.off_size = (self.max_heap_bits + 7) // 8
+        self.len_size = max(1, (int(self.max_managed).bit_length() + 7)
+                            // 8)
+        # map heap offset → file position of each direct block's data
+        self.blocks: list[tuple[int, int, int]] = []
+        if self.root_addr != _UNDEF:
+            if self.cur_rows == 0:
+                self._add_direct(self.root_addr, self.start_block)
+            else:
+                self._walk_indirect(self.root_addr, self.cur_rows)
+        self.blocks.sort()
+
+    def _row_size(self, row: int) -> int:
+        return self.start_block if row < 2 \
+            else self.start_block << (row - 1)
+
+    def _add_direct(self, addr: int, size: int):
+        b = self.f.buf
+        if b[addr:addr + 4] != b"FHDB":
+            raise ValueError("bad fractal heap direct block")
+        p = addr + 5 + self.f.so
+        blk_off = int.from_bytes(b[p:p + self.off_size], "little")
+        # heap offsets count from the block START (header included):
+        # file position of heap offset X in this block is
+        # addr + (X - blk_off)
+        self.blocks.append((blk_off, size, addr))
+
+    def _walk_indirect(self, addr: int, nrows: int):
+        b = self.f.buf
+        if b[addr:addr + 4] != b"FHIB":
+            raise ValueError("bad fractal heap indirect block")
+        p = addr + 5 + self.f.so + self.off_size
+        max_direct_rows = (int(self.max_direct).bit_length()
+                           - int(self.start_block).bit_length()) + 2
+        for row in range(nrows):
+            size = self._row_size(row)
+            for _ in range(self.width):
+                child = self.f._addr(p)
+                p += self.f.so
+                if self.iof_len:
+                    p += self.f.sl + 4      # filtered size + mask
+                if child == _UNDEF:
+                    continue
+                if row < max_direct_rows:
+                    self._add_direct(child, size)
+                else:
+                    self._walk_indirect(child, 0)  # nested: unsupported
+                    raise ValueError(
+                        "nested fractal-heap indirect blocks unsupported")
+
+    def locate(self, heap_id: bytes) -> int:
+        """Managed heap ID → file position of the object bytes."""
+        vt = heap_id[0]
+        if (vt >> 4) & 0x3 != 0:
+            raise ValueError("huge/tiny fractal heap objects unsupported")
+        off = int.from_bytes(heap_id[1:1 + self.off_size], "little")
+        for blk_off, bsize, baddr in self.blocks:
+            if blk_off <= off < blk_off + bsize:
+                return baddr + (off - blk_off)
+        raise ValueError("fractal heap ID outside managed blocks")
+
+
+def sniff_hdf5(buf: bytes) -> bool:
+    return buf[:8] == _SIG
+
+
+def decode_hdf5(buf: bytes, dataset: str | None = None):
+    """HDF5 bytes → (pixels, geotransform|None, nodata|None, meta).
+    ``dataset`` selects a path (the HDF5:"file"://path subdataset
+    syntax); default picks the largest ≥2-D dataset, like the
+    reference's HDF5Image heuristic."""
+    f = Hdf5File(buf)
+    dsets = f.datasets()
+    if not dsets:
+        raise ValueError("HDF5 file has no datasets")
+    if dataset is not None:
+        key = dataset if dataset.startswith("/") else "/" + dataset
+        if key not in dsets:
+            raise ValueError(f"dataset {dataset!r} not found "
+                             f"(have {sorted(dsets)})")
+    else:
+        best = [p for p, o in dsets.items() if len(o.dataspace) >= 2]
+        if not best:
+            best = list(dsets)
+        key = max(best, key=lambda p: int(np.prod(dsets[p].dataspace)))
+    o = dsets[key]
+    px = f.read(key)
+    if px.ndim > 2 and not isinstance(px.dtype.fields, dict):
+        px = px.reshape(-1, *px.shape[-2:]).transpose(1, 2, 0)
+        if px.shape[2] == 1:
+            px = px[:, :, 0]
+    nodata = o.attrs.get("_FillValue")
+    if isinstance(nodata, list):
+        nodata = nodata[0]
+    meta = {k: v for k, v in o.attrs.items() if v is not None}
+    meta["hdf5_path"] = key
+    return px, None, nodata, meta

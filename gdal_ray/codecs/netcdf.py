@@ -172,10 +172,15 @@ def _pick_data_var(hdr: dict) -> dict:
 
 
 def decode_netcdf(buf: bytes):
-    """netCDF classic bytes → ``(pixels (h, w[, bands]), geotransform,
-    nodata, attrs)``. Pixels are north-up (bottom-up files are flipped,
-    matching GDAL's default GDAL_NETCDF_BOTTOMUP=YES); ``attrs`` carries
-    spatial_ref / scale_factor / add_offset / bottom_up when present."""
+    """netCDF bytes → ``(pixels (h, w[, bands]), geotransform,
+    nodata, attrs)``. Classic CDF-1/2/5 parse natively; netCDF-4
+    (HDF5 container) routes through the from-scratch HDF5 reader
+    (codecs/hdf5.py) with the same conventions. Pixels are north-up
+    (bottom-up files are flipped, matching GDAL's default
+    GDAL_NETCDF_BOTTOMUP=YES); ``attrs`` carries spatial_ref /
+    scale_factor / add_offset / bottom_up when present."""
+    if buf[:8] == b"\x89HDF\r\n\x1a\n":
+        return _decode_netcdf4(buf)
     hdr = parse_netcdf(buf)
     v = _pick_data_var(hdr)
     data = _read_var(buf, hdr, v)
@@ -250,6 +255,89 @@ def decode_netcdf(buf: bytes):
     meta["gatts"] = {k: (val if isinstance(val, str) else
                          np.asarray(val).tolist())
                      for k, val in hdr["gatts"].items()}
+    return data, gt, nodata, meta
+
+
+def _decode_netcdf4(buf: bytes):
+    """netCDF-4 (HDF5 enhanced model) → same contract as the classic
+    path: largest ≥2-D variable, leading dims folded into bands,
+    bottom-up flip by y-coordinate order, _FillValue nodata with NaN
+    sanitize, grid_mapping GeoTransform/spatial_ref, else a coord-var
+    derived geotransform (frmts/netcdf enhanced-model subset)."""
+    from .hdf5 import Hdf5File
+
+    f = Hdf5File(buf)
+    dsets = f.datasets()
+    data_vars = {p: o for p, o in dsets.items()
+                 if len(o.dataspace) >= 2
+                 and not isinstance(o.dtype, tuple)}
+    if not data_vars:
+        raise ValueError("netCDF-4 file has no ≥2-D variable")
+    key = max(data_vars, key=lambda p: int(np.prod(dsets[p].dataspace)))
+    o = dsets[key]
+    data = f.read(key)
+    if data.ndim > 2:
+        data = data.reshape(-1, *data.shape[-2:]).transpose(1, 2, 0)
+        if data.shape[2] == 1:
+            data = data[:, :, 0]
+    h, w = data.shape[:2]
+    atts = o.attrs
+    meta: dict = {"hdf5_path": key}
+    nodata = None
+    for k in ("_FillValue", "missing_value"):
+        if atts.get(k) is not None:
+            nodata = float(np.asarray(atts[k]).ravel()[0])
+            break
+    if nodata is not None and data.dtype.kind == "f" and \
+            np.isnan(data).any():
+        data = np.where(np.isnan(data),
+                        np.asarray(nodata, data.dtype), data)
+    for k in ("scale_factor", "add_offset"):
+        if atts.get(k) is not None:
+            meta[k] = float(np.asarray(atts[k]).ravel()[0])
+
+    # coordinate variables: 1-D datasets matched by name first
+    # (lon/lat/x/y), then by length (classic matches var name == dim
+    # name; DIMENSION_LIST is a vlen-reference attr we don't chase)
+    def find_coord(names, length):
+        cands = [(p, d) for p, d in dsets.items()
+                 if len(d.dataspace) == 1 and not isinstance(d.dtype,
+                                                             tuple)]
+        for p, d in cands:
+            if p.rsplit("/", 1)[-1].lower() in names:
+                return f.read(p).astype(np.float64)
+        for p, d in cands:
+            if d.dataspace[0] == length:
+                return f.read(p).astype(np.float64)
+        return None
+
+    xs = find_coord(("longitude", "lon", "x"), w)
+    ys = find_coord(("latitude", "lat", "y"), h)
+    bottom_up = True if ys is None or len(ys) < 2 else bool(ys[1] > ys[0])
+    if bottom_up:
+        data = data[::-1].copy()
+        meta["bottom_up"] = True
+
+    gt = None
+    gm = atts.get("grid_mapping")
+    if isinstance(gm, str):
+        for p, d in dsets.items():
+            if p.rsplit("/", 1)[-1] == gm:
+                if d.attrs.get("GeoTransform"):
+                    parts = str(d.attrs["GeoTransform"]).split()
+                    if len(parts) >= 6:
+                        gt = tuple(float(v) for v in parts[:6])
+                if d.attrs.get("spatial_ref"):
+                    meta["spatial_ref"] = str(d.attrs["spatial_ref"])
+                break
+    if gt is None and xs is not None and ys is not None and \
+            len(xs) > 1 and len(ys) > 1:
+        dx = float(xs[1] - xs[0])
+        dy = abs(float(ys[1] - ys[0]))
+        gt = (float(xs[0]) - dx / 2, dx, 0.0,
+              float(ys.max()) + dy / 2, 0.0, -dy)
+    if gt is None:
+        gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
     return data, gt, nodata, meta
 
 

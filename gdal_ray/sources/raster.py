@@ -92,9 +92,12 @@ def read_raster(path: str, overview: int | None = None):
         px, gt, nodata = g.pixels, g.geotransform, g.nodata
         if g.crs:
             meta["crs"] = g.crs
-    elif ext in ("nc", "cdf"):
+    elif ext in ("nc", "cdf", "nc4"):
         from ..codecs.netcdf import decode_netcdf
         px, gt, nodata, meta = decode_netcdf(open(path, "rb").read())
+    elif ext in ("h5", "hdf5", "he5"):
+        from ..codecs.hdf5 import decode_hdf5
+        px, gt, nodata, meta = decode_hdf5(open(path, "rb").read())
     else:
         # codec registry (magic sniff covers png/jpg/gif/bmp/pnm/webp/…)
         from .. import codecs as C
