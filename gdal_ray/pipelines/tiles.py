@@ -279,7 +279,8 @@ def write_tile_tree(levels: dict, out_dir: str, ext: str = "png"):
             fsys, root = pafs.LocalFileSystem(), out_dir
         from ..codecs import decode as codec_decode, encode as codec_encode
         fmt = {"jpg": "jpeg", "tif": "gtiff"}.get(ext, ext)
-        for i in range(t.num_rows):
+        made: set[str] = set()          # one create_dir round-trip per
+        for i in range(t.num_rows):     # z/x column, not per tile row
             z = int(t["z"][i].as_py())
             x = int(t["x"][i].as_py())
             y = int(t["y"][i].as_py())
@@ -290,7 +291,9 @@ def write_tile_tree(levels: dict, out_dir: str, ext: str = "png"):
                     px = px[:, :, :3]
                 buf = codec_encode(px, fmt)
             d = f"{root}/{z}/{x}"
-            fsys.create_dir(d, recursive=True)
+            if d not in made:
+                fsys.create_dir(d, recursive=True)
+                made.add(d)
             with fsys.open_output_stream(f"{d}/{y}.{ext}") as f:
                 f.write(buf)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
