@@ -81,6 +81,9 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
             fmt = "netcdf"
         elif buf[:4] == b"GIF8":
             fmt = "gif"
+        elif buf[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" or \
+                buf[:4] == b"\xff\x4f\xff\x51":
+            fmt = "jp2"
         else:
             raise ValueError("unrecognized image magic")
     if fmt == "png":
@@ -108,6 +111,10 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
     if fmt == "webp":
         from . import webp
         return webp.decode_webp(buf)
+    if fmt in ("jp2", "j2k", "jpeg2000"):
+        from . import jp2
+        px, _gt, _nd, _meta = jp2.decode_jp2(buf)
+        return px if px.ndim == 3 else px[:, :, None]
     if fmt in ("netcdf", "nc"):
         from . import netcdf
         px, _gt, _nd, _meta = netcdf.decode_netcdf(buf)

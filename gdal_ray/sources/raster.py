@@ -98,6 +98,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("h5", "hdf5", "he5"):
         from ..codecs.hdf5 import decode_hdf5
         px, gt, nodata, meta = decode_hdf5(open(path, "rb").read())
+    elif ext in ("jp2", "j2k", "jpc", "jpx"):
+        from ..codecs.jp2 import decode_jp2
+        px, gt, nodata, meta = decode_jp2(open(path, "rb").read())
     else:
         # codec registry (magic sniff covers png/jpg/gif/bmp/pnm/webp/…)
         from .. import codecs as C

@@ -1,0 +1,136 @@
+"""JPEG 2000 decoder (codecs/jp2.py) — reference-fixture goldens.
+
+Expectations from autotest/gdrivers/jp2openjpeg.py and the fixtures'
+construction (byte_lossless_openjp2_golden.jp2 is a lossless encode of
+gcore byte.tif, jp2openjpeg.py:3928)."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs.gtiff import decode_gtiff
+from gdal_ray.codecs.jp2 import decode_jp2, sniff_jp2
+from gdal_ray.core.checksum import checksum
+
+D = "/root/reference/autotest/gdrivers/data/jpeg2000"
+G = "/root/reference/autotest/gcore/data"
+
+
+def cs(a):
+    return int(checksum(np.asarray(a, np.float64)))
+
+
+def jp2(name):
+    return decode_jp2(open(f"{D}/{name}", "rb").read())
+
+
+class TestLosslessGoldens:
+    def test_no_dwt_bit_equal_to_source(self):
+        """byte_lossless_openjp2_golden.jp2 = lossless encode of
+        byte.tif (no decomposition levels): bit-equal decode."""
+        want = decode_gtiff(open(f"{G}/byte.tif", "rb").read()).pixels
+        px, gt, nd, meta = jp2("byte_lossless_openjp2_golden.jp2")
+        np.testing.assert_array_equal(px, want)
+
+    def test_multitile_origin_offset(self):
+        """50×60 canvas, 20×20 tiles, non-zero image origin, 1-level
+        5/3 — decodes to byte.tif (checksum 4672)."""
+        px, *_ = jp2("byte_image_origin_not_zero.jp2")
+        assert px.shape == (20, 20)
+        assert cs(px) == 4672
+
+    def test_five_levels_twelve_layers_pcrl(self):
+        """int16_lossless.jp2: 5 levels, 12 layers, per-resolution
+        precincts, PCRL progression — lossless (4672, = int16.tif)."""
+        want = decode_gtiff(open(f"{G}/int16.tif", "rb").read()).pixels
+        px, *_ = jp2("int16_lossless.jp2")
+        assert px.dtype == np.int16
+        np.testing.assert_array_equal(px, want)
+
+    def test_byte_jp2_reference_checksum(self):
+        """jp2openjpeg.py: byte.jp2 → checksum 50054; GeoJP2 uuid
+        georeferencing (NAD27 UTM 11N)."""
+        px, gt, nd, meta = jp2("byte.jp2")
+        assert cs(px) == 50054
+        assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+        assert meta["crs"] == "EPSG:26711"
+
+    def test_multiple_tile_parts_rlcp(self):
+        """byte_tlm_plt.jp2: two tile columns, multiple tile-parts per
+        tile (TLM/PLT present), RLCP, 2 layers — lossless 4672."""
+        px, *_ = jp2("byte_tlm_plt.jp2")
+        assert cs(px) == 4672
+
+    def test_truncated_reversible_midpoint(self):
+        """byte_tile_2048.jp2 is a TRUNCATED reversible stream: the
+        per-coefficient midpoint reconstruction must reproduce the
+        reference's checksum 4610 (jp2openjpeg tests)."""
+        px, *_ = jp2("byte_tile_2048.jp2")
+        assert cs(px) == 4610
+
+    def test_13bit_rct_rpcl_four_bands(self):
+        """3_13bit_and_1bit.jp2: RPCL progression, reversible RCT over
+        three 13-bit bands + a 1-bit band — the reference's exact band
+        checksums (jp2openjpeg.py:234)."""
+        px, *_ = jp2("3_13bit_and_1bit.jp2")
+        assert px.shape == (308, 202, 4)
+        assert px.dtype == np.uint16
+        want = [64570, 57277, 56048, 61292]
+        assert [cs(px[:, :, k]) for k in range(4)] == want
+
+    def test_rgbwcmyk_kakadu_rct(self):
+        """Kakadu-encoded reversible RCT RGB — decodes losslessly and
+        deterministically (800×100, 5 levels, no precincts)."""
+        px, *_ = jp2("rgbwcmyk01_YeGeo_kakadu.jp2")
+        assert px.shape == (100, 800, 3)
+        # the image is 8 constant 100x100 color patches
+        patches = px.reshape(100, 8, 100, 3)
+        for k in range(8):
+            block = patches[:, k]
+            assert (block == block[0, 0]).all(), k
+
+
+class TestLossy97:
+    def test_int16_97_close_to_source(self):
+        """int16.jp2 (9/7 lossy): the reference gates with
+        compare_ds maxdiff; our decode stays within a few counts."""
+        want = decode_gtiff(open(f"{G}/int16.tif", "rb").read()) \
+            .pixels.astype(np.int64)
+        px, *_ = jp2("int16.jp2")
+        d = np.abs(px.astype(np.int64) - want)
+        assert d.max() <= 10
+        assert d.mean() < 2.0
+
+    def test_513x513_multitile_97(self):
+        """Odd dimensions, 256×256 tiles, 9/7: the fixture is constant
+        gray — the reference's overview checksum 29642 equals a
+        constant-127 257×257 plane, and full-res must decode to that
+        same constant."""
+        px, *_ = jp2("513x513.jp2")
+        assert px.shape == (513, 513)
+        assert (px == 127).all()
+
+    def test_stefan_rgba_ict(self):
+        """stefan_full_rgba.jp2: 9/7 + irreversible ICT + alpha."""
+        px, *_ = jp2("stefan_full_rgba.jp2")
+        assert px.shape == (150, 162, 4)
+        # alpha plane is effectively binary content
+        assert px[:, :, 3].max() > 200
+
+
+class TestPlumbing:
+    def test_sniff_and_codec_registry(self):
+        buf = open(f"{D}/byte.jp2", "rb").read()
+        assert sniff_jp2(buf)
+        from gdal_ray.codecs import decode
+        px = decode(buf)
+        assert px.shape[:2] == (100, 100)
+
+    def test_read_raster_route(self):
+        from gdal_ray.sources.raster import read_raster
+        px, gt, nd, meta = read_raster(f"{D}/byte.jp2")
+        assert cs(px) == 50054
+        assert gt is not None
+
+    def test_unsupported_named(self):
+        with pytest.raises(ValueError, match="codestream|JPEG2000"):
+            decode_jp2(b"\x00" * 64)
