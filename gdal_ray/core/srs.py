@@ -193,6 +193,11 @@ _METHODS = {
     "mercator_auxiliary_sphere": "webmerc",
     "popular visualisation pseudo mercator": "webmerc",
     "popular_visualisation_pseudo_mercator": "webmerc",
+    "sinusoidal": "sinu",
+    "equirectangular": "eqc", "equidistant_cylindrical": "eqc",
+    "equidistant cylindrical": "eqc",
+    "equidistant cylindrical (spherical)": "eqc",
+    "plate_carree": "eqc",
 }
 
 # PARAMETER name variants → canonical key
@@ -333,6 +338,9 @@ def params_from_proj(proj: str) -> dict:
     if "a" in kv:
         out["a"] = float(kv["a"])
         out["rf"] = float(kv["rf"]) if "rf" in kv else 0.0
+    if "R" in kv:
+        out["a"] = float(kv["R"])
+        out["rf"] = 0.0
     if "datum" in kv:
         d = kv["datum"]
         if d in ("WGS84",):
@@ -398,6 +406,10 @@ def params_from_proj(proj: str) -> dict:
         out["kind"] = "merc"
     elif p == "webmerc":
         out["kind"] = "webmerc"
+    elif p == "sinu":
+        out["kind"] = "sinu"
+    elif p == "eqc":
+        out["kind"] = "eqc"
     else:
         raise ValueError(f"unsupported +proj={p!r}")
     return out
@@ -462,6 +474,52 @@ class WebMercator:
         lon = self.lon0 + np.degrees((x - self.fe) / self.a)
         lat = np.degrees(2.0 * np.arctan(np.exp((y - self.fn) / self.a))
                          - np.pi / 2.0)
+        return lon, lat
+
+
+class Sinusoidal:
+    """Spherical sinusoidal on the authalic/semi-major radius — the
+    MODIS grid projection (+proj=sinu +R=6371007.181; Snyder ch. 30
+    spherical form, which is what the MODIS products define)."""
+
+    def __init__(self, lon0, fe, fn, a):
+        self.a, self.lon0, self.fe, self.fn = a, lon0, fe, fn
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        x = self.fe + self.a * lam * np.cos(phi)
+        y = self.fn + self.a * phi
+        return x, y
+
+    def inverse(self, x, y):
+        phi = (np.asarray(y, np.float64) - self.fn) / self.a
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = (np.asarray(x, np.float64) - self.fe) \
+                / (self.a * np.cos(phi))
+        lam = np.where(np.abs(np.cos(phi)) < 1e-12, 0.0, lam)
+        return self.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+class EquidistantCylindrical:
+    """Plate Carrée / equidistant cylindrical (EPSG 1028/1029
+    spherical form on the semi-major axis — what EPSG:32662/4087
+    use)."""
+
+    def __init__(self, lon0, lat_ts, fe, fn, a):
+        self.k = a * float(np.cos(np.radians(lat_ts)))
+        self.a, self.lon0, self.fe, self.fn = a, lon0, fe, fn
+
+    def forward(self, lon, lat):
+        x = self.fe + self.k * np.radians(np.asarray(lon, np.float64)
+                                          - self.lon0)
+        y = self.fn + self.a * np.radians(np.asarray(lat, np.float64))
+        return x, y
+
+    def inverse(self, x, y):
+        lon = self.lon0 + np.degrees((np.asarray(x, np.float64)
+                                      - self.fe) / self.k)
+        lat = np.degrees((np.asarray(y, np.float64) - self.fn) / self.a)
         return lon, lat
 
 
@@ -588,6 +646,12 @@ class CRS:
                                  lat_ts=params.get("lat_ts"))
         elif kind == "webmerc":
             self.proj = WebMercator(lon0, x0, y0, a)
+        elif kind == "sinu":
+            self.proj = Sinusoidal(lon0, x0, y0, a)
+        elif kind == "eqc":
+            self.proj = EquidistantCylindrical(
+                lon0, params.get("lat_ts", params.get("lat_1", 0.0)),
+                x0, y0, a)
         else:
             raise ValueError(f"unsupported CRS kind {kind!r}")
 

@@ -386,3 +386,39 @@ class TestWktWarpQuery:
         df = q_wkt_warp("unused").to_pandas()
         assert len(df) == 96
         assert (df["dst_w"] > 0).all()
+
+
+class TestSinusoidalEqc:
+    def test_modis_sinusoidal(self):
+        # MODIS grid: +proj=sinu +R=6371007.181; known property:
+        # x at (lon, lat) = R*rad(lon)*cos(lat); tile H11V05 corner
+        crs = crs_from("+proj=sinu +R=6371007.181 +lon_0=0 "
+                       "+x_0=0 +y_0=0")
+        x, y = crs.lonlat_to_xy(-100.0, 40.0)
+        R = 6371007.181
+        assert abs(float(x) - R * np.radians(-100.0)
+                   * np.cos(np.radians(40.0))) < 1e-6
+        assert abs(float(y) - R * np.radians(40.0)) < 1e-6
+        lon, lat = crs.xy_to_lonlat(x, y)
+        assert abs(float(lon) + 100.0) < 1e-9
+        assert abs(float(lat) - 40.0) < 1e-9
+
+    def test_plate_carree(self):
+        crs = crs_from("+proj=eqc +lat_ts=0 +lon_0=0 +ellps=WGS84")
+        x, y = crs.lonlat_to_xy(90.0, 45.0)
+        a = 6378137.0
+        assert abs(float(x) - a * np.pi / 2) < 1e-6
+        assert abs(float(y) - a * np.pi / 4) < 1e-6
+        fwd_wkt = crs_from(
+            'PROJCS["WGS 84 / World Equidistant Cylindrical",'
+            'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+            '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Equirectangular"],'
+            'PARAMETER["latitude_of_origin",0],'
+            'PARAMETER["central_meridian",0],'
+            'PARAMETER["false_easting",0],'
+            'PARAMETER["false_northing",0],UNIT["metre",1]]')
+        x2, y2 = fwd_wkt.lonlat_to_xy(90.0, 45.0)
+        assert abs(float(x) - float(x2)) < 1e-6
+        assert abs(float(y) - float(y2)) < 1e-6
