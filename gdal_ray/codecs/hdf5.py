@@ -817,4 +817,82 @@ def decode_hdf5(buf: bytes, dataset: str | None = None):
         nodata = nodata[0]
     meta = {k: v for k, v in o.attrs.items() if v is not None}
     meta["hdf5_path"] = key
-    return px, None, nodata, meta
+    gt, crs = _hdfeos_georef(f, key, px.shape)
+    if crs:
+        meta["crs"] = crs
+    return px, gt, nodata, meta
+
+
+def _dms_to_deg(v: float) -> float:
+    """HDFEOS GCTP packed DMS (±DDDMMMSSS.ss) → decimal degrees."""
+    sgn = -1.0 if v < 0 else 1.0
+    v = abs(v)
+    d = int(v // 1000000)
+    m = int((v - d * 1000000) // 1000)
+    s = v - d * 1000000 - m * 1000
+    return sgn * (d + m / 60.0 + s / 3600.0)
+
+
+def _hdfeos_georef(f: "Hdf5File", ds_path: str, shape):
+    """HDF-EOS5 grid georeferencing: parse StructMetadata.0
+    (frmts/hdf5/hdf5imagedataset.cpp grid handling) — UpperLeft/
+    LowerRight corners + GCTP projection (GEO / UTM / sinusoidal)."""
+    objs = f.visit()
+    sm_path = next((p for p in objs
+                    if p.endswith("StructMetadata.0")), None)
+    if sm_path is None or "/HDFEOS/" not in ds_path:
+        return None, None
+    try:
+        txt = f.read(sm_path).tobytes().split(b"\x00")[0].decode(
+            "ascii", "replace")
+    except Exception:
+        return None, None
+    import re as _re
+
+    # locate the grid whose GridName appears in the dataset path
+    grids = _re.split(r"GROUP=GRID_\d+", txt)[1:]
+    block = None
+    for g in grids:
+        m = _re.search(r'GridName="([^"]+)"', g)
+        if m and f"/GRIDS/{m.group(1)}/" in ds_path:
+            block = g
+            break
+    if block is None and grids:
+        block = grids[0]
+    if block is None:
+        return None, None
+
+    def num2(name):
+        m = _re.search(name + r"=\(([-\d.eE+]+),\s*([-\d.eE+]+)\)",
+                       block)
+        return (float(m.group(1)), float(m.group(2))) if m else None
+
+    ul = num2("UpperLeftPointMtrs")
+    lr = num2("LowerRightMtrs")
+    mx = _re.search(r"XDim=(\d+)", block)
+    my = _re.search(r"YDim=(\d+)", block)
+    if not (ul and lr and mx and my):
+        return None, None
+    xdim, ydim = int(mx.group(1)), int(my.group(1))
+    proj = (_re.search(r"Projection=HE5_GCTP_(\w+)", block) or
+            [None, ""])[1] if _re.search(
+                r"Projection=HE5_GCTP_(\w+)", block) else ""
+    crs = None
+    if proj == "GEO":
+        ul = (_dms_to_deg(ul[0]), _dms_to_deg(ul[1]))
+        lr = (_dms_to_deg(lr[0]), _dms_to_deg(lr[1]))
+        crs = "EPSG:4326"
+    elif proj == "UTM":
+        mz = _re.search(r"ZoneCode=(-?\d+)", block)
+        if mz:
+            z = int(mz.group(1))
+            crs = (f"+proj=utm +zone={abs(z)} +ellps=clrk66"
+                   if int((_re.search(r"SphereCode=(\d+)", block)
+                           or [None, "12"])[1]) == 0
+                   else f"+proj=utm +zone={abs(z)}"
+                   + (" +south" if z < 0 else "") + " +ellps=WGS84")
+    elif proj == "SNSOID":
+        crs = "+proj=sinu +R=6371007.181 +lon_0=0 +x_0=0 +y_0=0"
+    gt = (ul[0], (lr[0] - ul[0]) / xdim, 0.0,
+          ul[1], 0.0, (lr[1] - ul[1]) / ydim)
+    return gt, crs

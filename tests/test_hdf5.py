@@ -123,3 +123,35 @@ class TestFailFast:
         with pytest.raises(ValueError, match="not found"):
             decode_hdf5(open(f"{H5}/groups.h5", "rb").read(),
                         dataset="nope")
+
+
+class TestHdfeos:
+    def test_utm_grid_georef(self):
+        """HDF-EOS5 grid StructMetadata: UTM zone 11 corners
+        reproduce byte.tif's geotransform exactly."""
+        px, gt, nd, meta = decode_hdf5(
+            open(f"{H5}/dummy_HDFEOS_with_utm_projection.h5",
+                 "rb").read())
+        assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+        assert "utm +zone=11" in meta["crs"]
+
+    def test_geo_grid_dms_unpack(self):
+        """GEO projection corners arrive in packed GCTP DMS."""
+        px, gt, nd, meta = decode_hdf5(
+            open(f"{H5}/dummy_HDFEOS_with_geo_projection.h5",
+                 "rb").read())
+        assert meta["crs"] == "EPSG:4326"
+        assert -118.0 < gt[0] < -117.0
+        assert 33.0 < gt[3] < 34.0
+        assert gt[1] > 0 and gt[5] < 0
+
+    def test_sinusoidal_grid(self):
+        px, gt, nd, meta = decode_hdf5(
+            open(f"{H5}/dummy_HDFEOS_with_sinu_projection.h5",
+                 "rb").read())
+        assert meta["crs"].startswith("+proj=sinu")
+        # the CRS constructor can build the transform end-to-end
+        from gdal_ray.core.srs import crs_from
+        crs = crs_from(meta["crs"])
+        lon, lat = crs.xy_to_lonlat(gt[0], gt[3])
+        assert -180 <= float(lon) <= 180 and -90 <= float(lat) <= 90
