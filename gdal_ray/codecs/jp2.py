@@ -195,119 +195,125 @@ def decode_codeblock(data: bytes, w: int, h: int, n_passes: int,
                      missing_msbs: int, mb: int, band: int) -> np.ndarray:
     """EBCOT T1: one code-block → signed integer coefficients.
     ``band``: 0=LL, 1=HL, 2=LH, 3=HH. Single codeword segment (no
-    bypass/termall — cbstyle 0, all the reference fixtures)."""
-    zc = (_ZC_LL, _ZC_HL, _ZC_LL, _ZC_HH)[band]
+    bypass/termall — cbstyle 0, all the reference fixtures). Flat
+    Python lists in the hot loops (numpy scalar indexing is ~10×
+    slower per access)."""
+    zc = (_ZC_LL, _ZC_HL, _ZC_LL, _ZC_HH)[band].tolist()
     mq = MQDecoder(data)
-    mag = np.zeros((h, w), np.int64)
-    last_up = np.zeros((h, w), np.int64)   # plane of last update
-    sign = np.zeros((h, w), np.uint8)
-    flags = np.zeros((h + 2, w + 2), np.uint8)    # 1-px border
     n_planes = mb - missing_msbs
     if n_planes <= 0 or n_passes <= 0:
-        return mag
+        return np.zeros((h, w), np.int64)
+    W2 = w + 2
+    mag = [0] * (h * w)
+    last_up = [0] * (h * w)
+    sign = [0] * (h * w)
+    flags = [0] * ((h + 2) * W2)            # 1-px border
+    dec = mq.decode
 
-    def neighbors(y, x):
+    def neighbors(fy, fx):
+        # fy/fx: flag coords of the pixel = (y+1, x+1)
+        base = fy * W2 + fx
         f = flags
-        hh_ = int(f[y + 1, x] & _SIG) + int(f[y + 1, x + 2] & _SIG)
-        vv = int(f[y, x + 1] & _SIG) + int(f[y + 2, x + 1] & _SIG)
-        dd = (int(f[y, x] & _SIG) + int(f[y, x + 2] & _SIG)
-              + int(f[y + 2, x] & _SIG) + int(f[y + 2, x + 2] & _SIG))
+        hh_ = (f[base - 1] & 1) + (f[base + 1] & 1)
+        vv = (f[base - W2] & 1) + (f[base + W2] & 1)
+        dd = ((f[base - W2 - 1] & 1) + (f[base - W2 + 1] & 1)
+              + (f[base + W2 - 1] & 1) + (f[base + W2 + 1] & 1))
         return hh_, vv, dd
 
     def sign_ctx(y, x):
-        # H/V contributions in -1..1 from left/right and up/down
         def contrib(yy, xx):
-            if not flags[yy + 1, xx + 1] & _SIG:
+            if yy < 0 or yy >= h or xx < 0 or xx >= w:
                 return 0
-            return -1 if sign[yy, xx] else 1
+            if not flags[(yy + 1) * W2 + xx + 1] & 1:
+                return 0
+            return -1 if sign[yy * w + xx] else 1
         hc = contrib(y, x - 1) + contrib(y, x + 1)
         vc = contrib(y - 1, x) + contrib(y + 1, x)
-        hc = max(-1, min(1, hc))
-        vc = max(-1, min(1, vc))
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
         return _SC[(hc, vc)]
 
     def decode_sig(y, x, p):
         ctx, xor = sign_ctx(y, x)
-        s = mq.decode(ctx) ^ xor
-        sign[y, x] = s
-        mag[y, x] |= 1 << p
-        last_up[y, x] = p
-        flags[y + 1, x + 1] |= _SIG
+        s = dec(ctx) ^ xor
+        sign[y * w + x] = s
+        mag[y * w + x] |= 1 << p
+        last_up[y * w + x] = p
+        flags[(y + 1) * W2 + x + 1] |= _SIG
 
     def spp(p):
         for y0 in range(0, h, 4):
             for x in range(w):
                 for y in range(y0, min(y0 + 4, h)):
-                    fl = flags[y + 1, x + 1]
+                    fi = (y + 1) * W2 + x + 1
+                    fl = flags[fi]
                     if fl & _SIG:
                         continue
-                    hh_, vv, dd = neighbors(y, x)
+                    hh_, vv, dd = neighbors(y + 1, x + 1)
                     if hh_ + vv + dd == 0:
                         continue
-                    if mq.decode(int(zc[hh_, vv, min(dd, 4)])):
+                    if dec(zc[hh_][vv][dd if dd < 4 else 4]):
                         decode_sig(y, x, p)
-                    flags[y + 1, x + 1] |= _VISITED
+                    flags[fi] |= _VISITED
 
     def mrp(p):
         for y0 in range(0, h, 4):
             for x in range(w):
                 for y in range(y0, min(y0 + 4, h)):
-                    fl = flags[y + 1, x + 1]
+                    fi = (y + 1) * W2 + x + 1
+                    fl = flags[fi]
                     if not (fl & _SIG) or (fl & _VISITED):
                         continue
                     if fl & _REFINED:
                         ctx = 16
                     else:
-                        hh_, vv, dd = neighbors(y, x)
+                        hh_, vv, dd = neighbors(y + 1, x + 1)
                         ctx = 15 if hh_ + vv + dd else 14
-                    bit = mq.decode(ctx)
-                    mag[y, x] |= bit << p
-                    last_up[y, x] = p
-                    flags[y + 1, x + 1] |= _REFINED
+                    bit = dec(ctx)
+                    if bit:
+                        mag[y * w + x] |= 1 << p
+                    last_up[y * w + x] = p
+                    flags[fi] |= _REFINED
 
     def cleanup(p):
         for y0 in range(0, h, 4):
             for x in range(w):
                 y = y0
-                run = False
-                if (y0 + 4 <= h):
+                if y0 + 4 <= h:
                     allclear = True
                     for yy in range(y0, y0 + 4):
-                        fl = flags[yy + 1, x + 1]
+                        fl = flags[(yy + 1) * W2 + x + 1]
                         if fl & (_SIG | _VISITED):
                             allclear = False
                             break
-                        hh_, vv, dd = neighbors(yy, x)
+                        hh_, vv, dd = neighbors(yy + 1, x + 1)
                         if hh_ + vv + dd:
                             allclear = False
                             break
                     if allclear:
-                        if not mq.decode(CTX_RL):
-                            for yy in range(y0, y0 + 4):
-                                flags[yy + 1, x + 1] &= 0xFF ^ _VISITED
+                        if not dec(CTX_RL):
                             continue
-                        r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI)
+                        r = (dec(CTX_UNI) << 1) | dec(CTX_UNI)
                         y = y0 + r
                         decode_sig(y, x, p)
                         y += 1
-                        run = True
                 while y < min(y0 + 4, h):
-                    fl = flags[y + 1, x + 1]
+                    fi = (y + 1) * W2 + x + 1
+                    fl = flags[fi]
                     if fl & _VISITED:
-                        flags[y + 1, x + 1] &= 0xFF ^ _VISITED
+                        flags[fi] = fl & ~_VISITED
                         y += 1
                         continue
                     if fl & _SIG:
                         y += 1
                         continue
-                    hh_, vv, dd = neighbors(y, x)
-                    if mq.decode(int(zc[hh_, vv, min(dd, 4)])):
+                    hh_, vv, dd = neighbors(y + 1, x + 1)
+                    if dec(zc[hh_][vv][dd if dd < 4 else 4]):
                         decode_sig(y, x, p)
                     y += 1
-                if run:
-                    pass
-            # clear visited flags after the stripe? (done per pixel)
-        flags[:, :] &= np.uint8(0xFF ^ _VISITED)
+        nv = ~_VISITED
+        for i in range(len(flags)):
+            flags[i] &= nv
 
     # pass schedule: first pass is CLEANUP at the top plane
     p = n_planes - 1
@@ -329,9 +335,11 @@ def decode_codeblock(data: bytes, w: int, h: int, n_passes: int,
     # midpoint reconstruction (openjpeg t1 convention): each nonzero
     # coefficient carries half the LSB of the plane it was last
     # updated at — exact when fully decoded (half of plane 0 = 0)
-    out = mag + np.where(mag > 0, (1 << last_up) >> 1, 0)
-    out[sign.astype(bool)] *= -1
-    return out
+    m = np.array(mag, np.int64)
+    lu = np.array(last_up, np.int64)
+    out = m + np.where(m > 0, (1 << lu) >> 1, 0)
+    out[np.array(sign, bool)] *= -1
+    return out.reshape(h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -1080,3 +1088,531 @@ def decode_jp2(buf: bytes):
     else:
         px = np.stack(bands, axis=-1)
     return px, gt, None, meta
+
+
+# ---------------------------------------------------------------------------
+# encoder (lossless 5/3, single tile, single layer, LRCP) — the write
+# side of the driver; validated by bit-exact roundtrip through the
+# golden-tested decoder above (tests/test_jp2.py)
+# ---------------------------------------------------------------------------
+
+class MQEncoder:
+    def __init__(self):
+        self.idx = [0] * N_CTX
+        self.mps = [0] * N_CTX
+        self.idx[0] = 4
+        self.idx[CTX_RL] = 3
+        self.idx[CTX_UNI] = 46
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray()
+        self.b_valid = False                 # whether out[-1] exists
+
+    def _byteout(self):
+        if self.b_valid and self.out and self.out[-1] == 0xFF:
+            # stuffed byte: 7 data bits + possible carry (≤ 0x8F)
+            self.out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        else:
+            if self.c < 0x8000000:
+                self.out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+            else:
+                if self.out:
+                    self.out[-1] += 1
+                    if self.out[-1] == 0xFF:
+                        self.c &= 0x7FFFFFF
+                        self.out.append((self.c >> 20) & 0xFF)
+                        self.c &= 0xFFFFF
+                        self.ct = 7
+                        self.b_valid = True
+                        return
+                self.out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+        self.b_valid = True
+
+    def _renorm(self):
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, cx: int, d: int):
+        i = self.idx[cx]
+        qe = _QE[i]
+        if d == self.mps[cx]:
+            self.a -= qe
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                self.idx[cx] = _NMPS[i]
+                self._renorm()
+            else:
+                self.c += qe
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if _SWITCH[i]:
+                self.mps[cx] = 1 - self.mps[cx]
+            self.idx[cx] = _NLPS[i]
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # SETBITS + two byteouts (Annex C flush): set as many trailing
+        # 1 bits as possible without leaving the final interval
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        out = self.out
+        while out and out[-1] == 0xFF:       # discard trailing 0xFF
+            out.pop()
+        return bytes(out)
+
+
+def encode_codeblock(coef: np.ndarray, band: int, mb: int):
+    """EBCOT T1 encoder — the exact mirror of decode_codeblock (same
+    pass structure, contexts and run mode). Returns
+    (bytes, n_passes, missing_msbs). Flat-list hot loops."""
+    zc = (_ZC_LL, _ZC_HL, _ZC_LL, _ZC_HH)[band].tolist()
+    h, w = coef.shape
+    mag_all = np.abs(coef).astype(np.int64).ravel().tolist()
+    sign = (coef < 0).astype(np.uint8).ravel().tolist()
+    maxmag = max(mag_all) if mag_all else 0
+    n_planes = int(maxmag).bit_length()
+    missing = mb - n_planes
+    if n_planes == 0:
+        return b"", 0, mb
+    mq = MQEncoder()
+    enc = mq.encode
+    W2 = w + 2
+    flags = [0] * ((h + 2) * W2)
+
+    def neighbors(fy, fx):
+        base = fy * W2 + fx
+        f = flags
+        hh_ = (f[base - 1] & 1) + (f[base + 1] & 1)
+        vv = (f[base - W2] & 1) + (f[base + W2] & 1)
+        dd = ((f[base - W2 - 1] & 1) + (f[base - W2 + 1] & 1)
+              + (f[base + W2 - 1] & 1) + (f[base + W2 + 1] & 1))
+        return hh_, vv, dd
+
+    def sign_ctx(y, x):
+        def contrib(yy, xx):
+            if yy < 0 or yy >= h or xx < 0 or xx >= w:
+                return 0
+            if not flags[(yy + 1) * W2 + xx + 1] & 1:
+                return 0
+            return -1 if sign[yy * w + xx] else 1
+        hc = contrib(y, x - 1) + contrib(y, x + 1)
+        vc = contrib(y - 1, x) + contrib(y + 1, x)
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+        return _SC[(hc, vc)]
+
+    def emit_sig(y, x):
+        ctx, xor = sign_ctx(y, x)
+        enc(ctx, sign[y * w + x] ^ xor)
+        flags[(y + 1) * W2 + x + 1] |= _SIG
+
+    def spp(p):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    fi = (y + 1) * W2 + x + 1
+                    fl = flags[fi]
+                    if fl & _SIG:
+                        continue
+                    hh_, vv, dd = neighbors(y + 1, x + 1)
+                    if hh_ + vv + dd == 0:
+                        continue
+                    b = (mag_all[y * w + x] >> p) & 1
+                    enc(zc[hh_][vv][dd if dd < 4 else 4], b)
+                    if b:
+                        emit_sig(y, x)
+                    flags[fi] |= _VISITED
+
+    def mrp(p):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    fi = (y + 1) * W2 + x + 1
+                    fl = flags[fi]
+                    if not (fl & _SIG) or (fl & _VISITED):
+                        continue
+                    if fl & _REFINED:
+                        ctx = 16
+                    else:
+                        hh_, vv, dd = neighbors(y + 1, x + 1)
+                        ctx = 15 if hh_ + vv + dd else 14
+                    enc(ctx, (mag_all[y * w + x] >> p) & 1)
+                    flags[fi] |= _REFINED
+
+    def cleanup(p):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                y = y0
+                if y0 + 4 <= h:
+                    allclear = True
+                    for yy in range(y0, y0 + 4):
+                        fl = flags[(yy + 1) * W2 + x + 1]
+                        if fl & (_SIG | _VISITED):
+                            allclear = False
+                            break
+                        hh_, vv, dd = neighbors(yy + 1, x + 1)
+                        if hh_ + vv + dd:
+                            allclear = False
+                            break
+                    if allclear:
+                        first = -1
+                        for yy in range(y0, y0 + 4):
+                            if (mag_all[yy * w + x] >> p) & 1:
+                                first = yy - y0
+                                break
+                        if first < 0:
+                            enc(CTX_RL, 0)
+                            continue
+                        enc(CTX_RL, 1)
+                        enc(CTX_UNI, (first >> 1) & 1)
+                        enc(CTX_UNI, first & 1)
+                        y = y0 + first
+                        emit_sig(y, x)
+                        y += 1
+                while y < min(y0 + 4, h):
+                    fi = (y + 1) * W2 + x + 1
+                    fl = flags[fi]
+                    if fl & _VISITED:
+                        flags[fi] = fl & ~_VISITED
+                        y += 1
+                        continue
+                    if fl & _SIG:
+                        y += 1
+                        continue
+                    hh_, vv, dd = neighbors(y + 1, x + 1)
+                    b = (mag_all[y * w + x] >> p) & 1
+                    enc(zc[hh_][vv][dd if dd < 4 else 4], b)
+                    if b:
+                        emit_sig(y, x)
+                    y += 1
+        nv = ~_VISITED
+        for i in range(len(flags)):
+            flags[i] &= nv
+
+    n_passes = 3 * n_planes - 2
+    p = n_planes - 1
+    kind = 2
+    done = 0
+    while done < n_passes:
+        if kind == 0:
+            spp(p)
+        elif kind == 1:
+            mrp(p)
+        else:
+            cleanup(p)
+        done += 1
+        if kind == 2:
+            p -= 1
+            kind = 0
+        else:
+            kind += 1
+    return mq.flush(), n_passes, missing
+
+
+class TagTreeEncoder:
+    def __init__(self, w, h, values: np.ndarray):
+        self.levels = [values.astype(np.int64)]
+        cur = self.levels[0]
+        while cur.shape != (1, 1):
+            hh = (cur.shape[0] + 1) // 2
+            ww = (cur.shape[1] + 1) // 2
+            nxt = np.full((hh, ww), 1 << 30, np.int64)
+            for j in range(cur.shape[0]):
+                for i in range(cur.shape[1]):
+                    nxt[j // 2, i // 2] = min(nxt[j // 2, i // 2],
+                                              cur[j, i])
+            self.levels.append(nxt)
+            cur = nxt
+        self.state = [np.zeros(lv.shape, np.int64) for lv in self.levels]
+        self.known = [np.zeros(lv.shape, bool) for lv in self.levels]
+
+    def encode(self, putbit, i, j, threshold):
+        """Emit bits so the decoder resolves leaf (i, j) against
+        ``threshold`` (same walk as TagTree.decode)."""
+        path = []
+        x, y = i, j
+        for lv in self.levels:
+            path.append((y, x))
+            x //= 2
+            y //= 2
+        cur_low = 0
+        for li in range(len(self.levels) - 1, -1, -1):
+            y, x = path[li]
+            val = int(self.levels[li][y, x])
+            if self.state[li][y, x] < cur_low:
+                self.state[li][y, x] = cur_low
+            while not self.known[li][y, x] and \
+                    self.state[li][y, x] < threshold:
+                if self.state[li][y, x] < val:
+                    putbit(0)
+                    self.state[li][y, x] += 1
+                else:
+                    putbit(1)
+                    self.known[li][y, x] = True
+            cur_low = self.state[li][y, x]
+            if not self.known[li][y, x]:
+                return                      # >= threshold: undecided
+
+
+class _HdrWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.bits = 0
+        self.prev_ff = False
+
+    def bit(self, b):
+        cap = 7 if self.prev_ff else 8
+        self.acc = (self.acc << 1) | (b & 1)
+        self.bits += 1
+        if self.bits == cap:
+            byte = self.acc if cap == 8 else self.acc  # 7 bits: MSB=0
+            self.out.append(byte)
+            self.prev_ff = byte == 0xFF
+            self.acc = 0
+            self.bits = 0
+
+    def write(self, v, n):
+        for k in range(n - 1, -1, -1):
+            self.bit((v >> k) & 1)
+
+    def finish(self) -> bytes:
+        if self.bits:
+            cap = 7 if self.prev_ff else 8
+            byte = self.acc << (cap - self.bits)
+            self.out.append(byte)
+            self.prev_ff = byte == 0xFF
+        if self.prev_ff:
+            self.out.append(0)              # header cannot end on 0xFF
+        return bytes(self.out)
+
+
+def _fdwt53_1d(x: np.ndarray, i0: int, i1: int) -> np.ndarray:
+    """Forward 5/3 analysis on the interleaved signal (inverse of
+    _sr1d_53)."""
+    n = i1 - i0
+    if n == 1:
+        return x if i0 % 2 == 0 else x * 2.0
+    y = x.astype(np.float64).copy()
+    for i in range(i0, i1):
+        if i % 2 == 1:                      # odd (detail) first
+            y[i - i0] = x[i - i0] - math.floor(
+                (_mirror(x, i - 1, i0, i1) + _mirror(x, i + 1, i0, i1))
+                / 2.0)
+    for i in range(i0, i1):
+        if i % 2 == 0:
+            y[i - i0] = x[i - i0] + math.floor(
+                (_mirror(y, i - 1, i0, i1) + _mirror(y, i + 1, i0, i1)
+                 + 2) / 4.0)
+    return y
+
+
+def _fdwt2d(a: np.ndarray, ux0, uy0, ux1, uy1):
+    """One analysis level → (ll, hl, lh, hh)."""
+    h, w = a.shape
+    b = a.astype(np.float64).copy()
+    for i in range(w):
+        b[:, i] = _fdwt53_1d(b[:, i], uy0, uy1)
+    for j in range(h):
+        b[j, :] = _fdwt53_1d(b[j, :], ux0, ux1)
+    ex0 = _ceil_div(ux0, 2) * 2
+    ey0 = _ceil_div(uy0, 2) * 2
+    xe = [x - ux0 for x in range(ux0, ux1) if x % 2 == 0]
+    xo = [x - ux0 for x in range(ux0, ux1) if x % 2 == 1]
+    ye = [y - uy0 for y in range(uy0, uy1) if y % 2 == 0]
+    yo = [y - uy0 for y in range(uy0, uy1) if y % 2 == 1]
+    ll = b[np.ix_(ye, xe)]
+    hl = b[np.ix_(ye, xo)]
+    lh = b[np.ix_(yo, xe)]
+    hh = b[np.ix_(yo, xo)]
+    return ll, hl, lh, hh
+
+
+def encode_j2k(bands: list, levels: int = 2) -> bytes:
+    """Component arrays → lossless JPEG2000 codestream (single tile,
+    single layer, LRCP, 5/3 reversible, 64×64 code-blocks, default
+    precincts, no MCT)."""
+    NC = len(bands)
+    h, w = bands[0].shape
+    dt = bands[0].dtype
+    signed = np.issubdtype(dt, np.signedinteger)
+    prec = dt.itemsize * 8
+    if prec > 16:
+        raise ValueError("JP2 encode supports up to 16-bit samples")
+    out = bytearray()
+    out += b"\xff\x4f"                       # SOC
+    # SIZ
+    siz = struct.pack(">H", 0) + struct.pack(">8I", w, h, 0, 0, w, h,
+                                             0, 0) + \
+        struct.pack(">H", NC)
+    for _ in range(NC):
+        siz += bytes([(0x80 if signed else 0) | (prec - 1), 1, 1])
+    out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
+    # COD: Scod=0, LRCP, 1 layer, no MCT, levels, 64x64, cbstyle 0, 5/3
+    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+        [0, levels, 4, 4, 0, 1])
+    out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    # QCD: reversible, guard 2: exponent per band = prec + gain
+    n_bands = 3 * levels + 1
+    gains = [0] + [1, 1, 2] * levels
+    qcd = bytes([2 << 5]) + bytes([(min(prec + g, 31)) << 3
+                                   for g in gains])
+    out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+
+    # ---- tile body
+    body = _encode_tile(bands, levels, prec, signed)
+    psot = 12 + 2 + len(body)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"                       # EOC
+    return bytes(out)
+
+
+def _encode_tile(bands, levels, prec, signed) -> bytes:
+    h, w = bands[0].shape
+    dc = 0 if signed else (1 << (prec - 1))
+    gains = {0: 0, 1: 1, 2: 1, 3: 2}
+    packets = bytearray()
+    per_comp_bands = []
+    for px in bands:
+        a = px.astype(np.float64) - dc
+        subs = {}
+        ux0, uy0, ux1, uy1 = 0, 0, w, h
+        cur = a
+        for r in range(levels, 0, -1):
+            ll, hl, lh, hh = _fdwt2d(cur, ux0, uy0, ux1, uy1)
+            subs[(r, 1)] = hl
+            subs[(r, 2)] = lh
+            subs[(r, 3)] = hh
+            ux1 = _ceil_div(ux1, 2)
+            uy1 = _ceil_div(uy1, 2)
+            cur = ll
+        subs[(0, 0)] = cur
+        per_comp_bands.append(subs)
+
+    # LRCP, 1 layer: packets ordered r, then component
+    for r in range(levels + 1):
+        for ci in range(len(bands)):
+            subs = per_comp_bands[ci]
+            borients = (0,) if r == 0 else (1, 2, 3)
+            hb = _HdrWriter()
+            hb.write(1, 1)                   # non-empty
+            bodies = []
+            for bo in borients:
+                arr = subs[(r, bo)].astype(np.int64)
+                bh, bw = arr.shape
+                mb = 2 + min(prec + gains[bo], 31) - 1
+                nbx = max(_ceil_div(bw, 64), 1) if bw else 0
+                nby = max(_ceil_div(bh, 64), 1) if bh else 0
+                if bw == 0 or bh == 0:
+                    continue
+                zvals = np.zeros((nby, nbx), np.int64)
+                ivals = np.zeros((nby, nbx), np.int64)
+                blocks = []
+                for byi in range(nby):
+                    for bxi in range(nbx):
+                        blk = arr[byi * 64:(byi + 1) * 64,
+                                  bxi * 64:(bxi + 1) * 64]
+                        data, np_, miss = encode_codeblock(blk, bo, mb)
+                        zvals[byi, bxi] = miss
+                        if np_ == 0:
+                            ivals[byi, bxi] = 1      # not in layer 0
+                        blocks.append((bxi, byi, data, np_, miss))
+                ti = TagTreeEncoder(nbx, nby, ivals)
+                tz = TagTreeEncoder(nbx, nby, zvals)
+                for bxi, byi, data, np_, miss in blocks:
+                    ti.encode(hb.bit, bxi, byi, 1)   # inclusion
+                    if np_ == 0:
+                        continue                     # excluded block
+                    tz.encode(hb.bit, bxi, byi, 1 << 30)
+                    # npasses
+                    if np_ == 1:
+                        hb.write(0, 1)
+                    elif np_ == 2:
+                        hb.write(1, 1)
+                        hb.write(0, 1)
+                    elif np_ <= 5:
+                        hb.write(0b11, 2)
+                        hb.write(np_ - 3, 2)
+                    elif np_ <= 36:
+                        hb.write(0b11, 2)
+                        hb.write(0b11, 2)
+                        hb.write(np_ - 6, 5)
+                    else:
+                        hb.write(0b11, 2)
+                        hb.write(0b11, 2)
+                        hb.write(0b11111, 5)
+                        hb.write(np_ - 37, 7)
+                    # Lblock: grow from 3 until length fits
+                    lblock = 3
+                    nbits = lblock + int(math.floor(math.log2(np_))) \
+                        if np_ else lblock
+                    while len(data) >= (1 << nbits):
+                        hb.write(1, 1)
+                        lblock += 1
+                        nbits += 1
+                    hb.write(0, 1)
+                    hb.write(len(data), nbits)
+                    bodies.append(data)
+            packets += hb.finish()
+            for d in bodies:
+                packets += d
+    return bytes(packets)
+
+
+def encode_jp2(pixels: np.ndarray, *, geotransform=None,
+               crs: str | None = None, levels: int = 2) -> bytes:
+    """(h, w[, bands]) integer raster → lossless .jp2 (JP2 container
+    with ihdr/colr and a GeoJP2 uuid box when georeferenced)."""
+    px = pixels if pixels.ndim == 3 else pixels[:, :, None]
+    bands = [np.ascontiguousarray(px[:, :, k]) for k in range(px.shape[2])]
+    cs = encode_j2k(bands, levels=levels)
+    h, w, nb = px.shape
+    prec = px.dtype.itemsize * 8
+    signed = np.issubdtype(px.dtype, np.signedinteger)
+
+    def box(tag, payload):
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    ihdr = struct.pack(">IIHBBBB", h, w, nb,
+                       (0x80 if signed else 0) | (prec - 1), 7, 0, 0)
+    colr = b"\x01\x00\x00" + struct.pack(">I", 17 if nb == 1 else 16)
+    jp2h = box(b"ihdr", ihdr) + box(b"colr", colr)
+    out = box(b"jP  ", b"\r\n\x87\n")
+    out += box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    out += box(b"jp2h", jp2h)
+    if geotransform is not None:
+        from .gtiff import encode_gtiff
+        geo = encode_gtiff(np.zeros((1, 1), np.uint8),
+                           geotransform=geotransform, crs=crs)
+        uuid = (b"\xb1\x4b\xf8\xbd\x08\x3d\x4b\x43"
+                b"\xa5\xae\x8c\xd7\xd5\xa6\xce\x03")
+        out += box(b"uuid", uuid + geo)
+    out += box(b"jp2c", cs)
+    return out

@@ -1350,6 +1350,64 @@ def q_gtiff_roundtrip(sf_dir: str):
     return files.map_batches(stats, batch_format="pyarrow")
 
 
+def q_jp2_roundtrip(sf_dir: str):
+    """JPEG2000 driver end-to-end (codecs/jp2.py, both directions new
+    in r4): transcode the lossless corpus half to lossless 5/3 .jp2
+    (GeoJP2 uuid georeferencing), read the directory back through the
+    full EBCOT/T2/DWT decoder, and emit per-image band stats — the
+    write→read chain must be bit-lossless for the rows to hash-match.
+    (Reference golden-checksum conformance is tests/test_jp2.py.)"""
+    import os
+    import shutil
+    import ray.data as rd
+    from ..codecs import decode as _dec
+    from ..codecs.jp2 import decode_jp2, encode_jp2
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+
+    out_dir = "/tmp/gdal_ray_jp2_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            gt = tuple(float(g[i]) for g in gts)
+            buf = encode_jp2(px[:, :, 0], geotransform=gt,
+                             crs="EPSG:3857", levels=2)
+            path = os.path.join(out_dir,
+                                f"{t['image_id'][i].as_py()}.jp2")
+            with open(path, "wb") as f:
+                f.write(buf)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(out_dir, include_paths=True)
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs = [], [], [], []
+        for path, buf in zip(t["path"].to_pylist(),
+                             t["bytes"].to_pylist()):
+            px, gt, nd, meta = decode_jp2(buf)
+            b0 = (px if px.ndim == 2 else px[:, :, 0]).astype(np.float64)
+            ids.append(os.path.basename(path)[:-4])
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
 def q_cog_roundtrip(sf_dir: str):
     """Cloud-Optimized GeoTIFF driver (cogeo.org layout;
     frmts/cog/cogdriver.cpp): transcode the lossless corpus half to
@@ -3817,6 +3875,7 @@ QUERIES = {
     "audio_features_wav": q_audio_features_wav,
     "gml_roundtrip": q_gml_roundtrip,
     "dxf_roundtrip": q_dxf_roundtrip,
+    "jp2_roundtrip": q_jp2_roundtrip,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
     "pipeline_dsl": q_pipeline_dsl,
@@ -3966,6 +4025,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_roundtrip": _OR.sql_polygonize_roundtrip(20),
         "cutline_clip": _OR.sql_cutline_clip(96, 40),
         "gtiff_roundtrip": _OR.sql_raster_stats(64),
+        "jp2_roundtrip": _OR.sql_raster_stats(32),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,

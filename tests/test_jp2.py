@@ -134,3 +134,53 @@ class TestPlumbing:
     def test_unsupported_named(self):
         with pytest.raises(ValueError, match="codestream|JPEG2000"):
             decode_jp2(b"\x00" * 64)
+
+
+class TestEncoder:
+    def test_mq_coder_long_stream_roundtrip(self):
+        """MQ encoder ↔ decoder over long skewed streams (exercises
+        renorm, carry propagation into 0xFF stuffing, and flush)."""
+        from gdal_ray.codecs.jp2 import MQDecoder, MQEncoder
+        rng = np.random.default_rng(11)
+        for p in (0.5, 0.95, 0.05):
+            n = 30000
+            cxs = rng.integers(0, 19, n)
+            bits = (rng.random(n) < p).astype(int)
+            enc = MQEncoder()
+            for c, b in zip(cxs, bits):
+                enc.encode(int(c), int(b))
+            dec = MQDecoder(enc.flush())
+            assert [dec.decode(int(c)) for c in cxs] == list(bits)
+
+    @pytest.mark.parametrize("shape,lev,dt,lohi", [
+        ((20, 20), 0, np.uint8, (0, 256)),
+        ((70, 90), 2, np.uint8, (0, 256)),
+        ((150, 200), 2, np.uint8, (0, 256)),     # multi-block bands
+        ((65, 129), 3, np.int16, (-30000, 30000)),
+        ((40, 50, 3), 1, np.uint16, (0, 65536)),
+    ])
+    def test_lossless_roundtrip(self, shape, lev, dt, lohi):
+        from gdal_ray.codecs.jp2 import encode_jp2
+        rng = np.random.default_rng(sum(shape) + lev)
+        px = rng.integers(*lohi, shape).astype(dt)
+        back, gt, nd, meta = decode_jp2(encode_jp2(px, levels=lev))
+        np.testing.assert_array_equal(back.squeeze(), px.squeeze())
+
+    def test_flat_image_excluded_blocks(self):
+        """All-zero subband code-blocks are excluded via the inclusion
+        tag tree (not encoded with zero passes)."""
+        from gdal_ray.codecs.jp2 import encode_jp2
+        px = np.full((100, 100), 9, np.uint8)
+        px[40:60, 40:60] = 200
+        back, *_ = decode_jp2(encode_jp2(px, levels=2))
+        np.testing.assert_array_equal(back.squeeze(), px)
+
+    def test_geojp2_roundtrip(self):
+        from gdal_ray.codecs.jp2 import encode_jp2
+        px = np.arange(400, dtype=np.uint8).reshape(20, 20) % 256
+        gt = (100.0, 2.5, 0.0, 900.0, 0.0, -2.5)
+        buf = encode_jp2(px, geotransform=gt, crs="EPSG:3857")
+        back, gt2, nd, meta = decode_jp2(buf)
+        np.testing.assert_array_equal(back.squeeze(), px)
+        assert gt2 == gt
+        assert meta["crs"] == "EPSG:3857"
