@@ -30,6 +30,7 @@ and reference .prj fixtures (autotest/osr/data, autotest/ogr/data/shp)
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -198,6 +199,9 @@ _METHODS = {
     "equidistant cylindrical": "eqc",
     "equidistant cylindrical (spherical)": "eqc",
     "plate_carree": "eqc",
+    "hotine_oblique_mercator_azimuth_center": "somerc",
+    "swiss_oblique_cylindrical": "somerc",
+    "oblique_mercator": "somerc",
 }
 
 # PARAMETER name variants → canonical key
@@ -410,6 +414,8 @@ def params_from_proj(proj: str) -> dict:
         out["kind"] = "sinu"
     elif p == "eqc":
         out["kind"] = "eqc"
+    elif p == "somerc":
+        out["kind"] = "somerc"
     else:
         raise ValueError(f"unsupported +proj={p!r}")
     return out
@@ -475,6 +481,72 @@ class WebMercator:
         lat = np.degrees(2.0 * np.arctan(np.exp((y - self.fn) / self.a))
                          - np.pi / 2.0)
         return lon, lat
+
+
+class SwissObliqueMercator:
+    """Swiss Oblique Mercator (EPSG 9815 variant used by CH1903 /
+    LV03, proj +somerc): swisstopo's published double-projection —
+    ellipsoid → conformal sphere → oblique equator rotation →
+    Mercator ("Formulas and constants for the calculation of the
+    Swiss conformal cylindrical projection", swisstopo 2016)."""
+
+    def __init__(self, lat0, lon0, k0, fe, fn, a, f):
+        e2 = f * (2.0 - f)
+        self.e = math.sqrt(e2)
+        p0 = math.radians(lat0)
+        self.lam0 = math.radians(lon0)
+        self.R = a * math.sqrt(1.0 - e2) / (1.0 - e2 * math.sin(p0) ** 2)
+        self.R *= k0
+        self.alpha = math.sqrt(
+            1.0 + e2 / (1.0 - e2) * math.cos(p0) ** 4)
+        self.b0 = math.asin(math.sin(p0) / self.alpha)
+        s0 = math.sin(p0)
+        self.K = (math.log(math.tan(math.pi / 4 + self.b0 / 2))
+                  - self.alpha * math.log(math.tan(math.pi / 4 + p0 / 2))
+                  + self.alpha * self.e / 2 * math.log(
+                      (1 + self.e * s0) / (1 - self.e * s0)))
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        S = (self.alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+             - self.alpha * self.e / 2 * np.log(
+                 (1 + self.e * s) / (1 - self.e * s)) + self.K)
+        b = 2.0 * (np.arctan(np.exp(S)) - np.pi / 4)
+        ell = self.alpha * (np.radians(lon) - self.lam0)
+        bbar = np.arcsin(np.cos(self.b0) * np.sin(b)
+                         - np.sin(self.b0) * np.cos(b) * np.cos(ell))
+        lbar = np.arctan2(np.sin(ell) * np.cos(b),
+                          np.cos(self.b0) * np.cos(b) * np.cos(ell)
+                          + np.sin(self.b0) * np.sin(b))
+        E = self.fe + self.R * lbar
+        N = self.fn + self.R / 2.0 * np.log(
+            (1 + np.sin(bbar)) / (1 - np.sin(bbar)))
+        return E, N
+
+    def inverse(self, x, y):
+        lbar = (np.asarray(x, np.float64) - self.fe) / self.R
+        bbar = 2.0 * (np.arctan(np.exp(
+            (np.asarray(y, np.float64) - self.fn) / self.R)) - np.pi / 4)
+        b = np.arcsin(np.cos(self.b0) * np.sin(bbar)
+                      + np.sin(self.b0) * np.cos(bbar) * np.cos(lbar))
+        ell = np.arctan2(np.sin(lbar) * np.cos(bbar),
+                         np.cos(self.b0) * np.cos(bbar) * np.cos(lbar)
+                         - np.sin(self.b0) * np.sin(bbar))
+        lon = np.degrees(self.lam0 + ell / self.alpha)
+        # invert the conformal-sphere latitude by fixed-point iteration
+        S = np.log(np.tan(np.pi / 4 + b / 2))
+        phi = b.copy()
+        for _ in range(12):
+            s = np.sin(phi)
+            phi = 2.0 * np.arctan(np.exp(
+                (S - self.K) / self.alpha
+                + self.e / 2 * np.log((1 + self.e * s)
+                                      / (1 - self.e * s)))) - np.pi / 2
+        return lon, np.degrees(phi)
 
 
 class Sinusoidal:
@@ -652,6 +724,9 @@ class CRS:
             self.proj = EquidistantCylindrical(
                 lon0, params.get("lat_ts", params.get("lat_1", 0.0)),
                 x0, y0, a)
+        elif kind == "somerc":
+            self.proj = SwissObliqueMercator(lat0, lon0, k0, x0, y0,
+                                             a, f)
         else:
             raise ValueError(f"unsupported CRS kind {kind!r}")
 
@@ -721,6 +796,10 @@ EPSG_PROJ = {
     "EPSG:4258": "+proj=longlat +ellps=GRS80",
     "EPSG:4277": ("+proj=longlat +ellps=airy +towgs84=446.448,"
                   "-125.157,542.06,0.15,0.247,0.842,-20.489"),
+    "EPSG:21781": ("+proj=somerc +lat_0=46.95240555555556 "
+                   "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 "
+                   "+y_0=200000 +ellps=bessel "
+                   "+towgs84=674.374,15.056,405.346,0,0,0,0"),
 }
 
 _CRS_CACHE: dict[str, CRS] = {}

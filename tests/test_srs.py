@@ -422,3 +422,45 @@ class TestSinusoidalEqc:
         x2, y2 = fwd_wkt.lonlat_to_xy(90.0, 45.0)
         assert abs(float(x) - float(x2)) < 1e-6
         assert abs(float(y) - float(y2)) < 1e-6
+
+
+class TestSwissObliqueMercator:
+    def test_bern_origin_golden(self):
+        """CH1903/LV03 fundamental point: the old Bern observatory
+        (46°57'08.66\"N, 7°26'22.50\"E) maps to exactly
+        (600000, 200000) — swisstopo's published definition."""
+        crs = crs_from("EPSG:21781")
+        lat0 = dms(46, 57, 8.66)
+        lon0 = dms(7, 26, 22.5)
+        x, y = crs.lonlat_to_xy(lon0, lat0)
+        assert abs(float(x) - 600000.0) < 1e-4
+        assert abs(float(y) - 200000.0) < 1e-4
+
+    def test_bern_meridian_straight_and_conformal(self):
+        """The Bern meridian maps to the straight line E=600000; local
+        scale is 1 at the origin in both axes (conformal double
+        projection)."""
+        crs = crs_from("EPSG:21781")
+        lat0 = dms(46, 57, 8.66)
+        lon0 = dms(7, 26, 22.5)
+        for dlat in (0.5, -0.5, 1.0):
+            x, _ = crs.lonlat_to_xy(lon0, lat0 + dlat)
+            assert abs(float(x) - 600000.0) < 1e-6
+        # 1 arcsec of latitude ≈ 30.88 m on the Bessel ellipsoid at 47N
+        _, y1 = crs.lonlat_to_xy(lon0, lat0 + 1 / 3600)
+        assert abs((float(y1) - 200000.0) - 30.88) < 0.05
+        x2, _ = crs.lonlat_to_xy(lon0 + 1 / 3600, lat0)
+        assert abs((float(x2) - 600000.0) - 21.14) < 0.05
+
+    def test_roundtrip(self):
+        crs = crs_from("EPSG:21781")
+        rng = np.random.default_rng(4)
+        lon = rng.uniform(6.0, 10.5, 50)
+        lat = rng.uniform(45.8, 47.8, 50)
+        x, y = crs.lonlat_to_xy(lon, lat)
+        lon2, lat2 = crs.xy_to_lonlat(x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+        # plausible LV03 ranges for Switzerland
+        assert 480000 < x.min() and x.max() < 850000
+        assert 60000 < y.min() and y.max() < 310000
