@@ -916,33 +916,34 @@ def _decode_tile(data, cod, qcd, comps, trect, out, img_off):
 # inverse DWT (Annex F)
 # ---------------------------------------------------------------------------
 
+def _ext_idx(idx: np.ndarray, i0: int, i1: int) -> np.ndarray:
+    """Mirror indices into [i0, i1) (period 2(n-1) symmetric
+    extension; parity-preserving single/iterated reflection)."""
+    n = i1 - i0
+    if n == 1:
+        return np.zeros_like(idx)
+    per = 2 * (n - 1)
+    k = (idx - i0) % per
+    k = np.where(k >= n, per - k, k)
+    return k
+
+
 def _sr1d_53(x: np.ndarray, i0: int, i1: int) -> np.ndarray:
     """1-D 5/3 synthesis on the interleaved signal covering [i0, i1)
-    (spec 2N-point symmetric extension via index mirroring)."""
+    (vectorized lifting with symmetric extension)."""
     n = i1 - i0
     if n == 1:
         return x if i0 % 2 == 0 else x / 2.0
-
-    def get(arr, idx):
-        # mirror into [i0, i1)
-        per = 2 * (n - 1) if n > 1 else 1
-        k = idx - i0
-        k = k % per
-        if k >= n:
-            k = per - k
-        return arr[k]
-
-    y = np.zeros_like(x)
-    # even samples
-    for i in range(i0, i1):
-        if i % 2 == 0:
-            y[i - i0] = x[i - i0] - math.floor(
-                (get(x, i - 1) + get(x, i + 1) + 2) / 4.0)
-    for i in range(i0, i1):
-        if i % 2 == 1:
-            lo = y[i - 1 - i0] if i - 1 >= i0 else _mirror(y, i - 1, i0, i1)
-            hi = y[i + 1 - i0] if i + 1 < i1 else _mirror(y, i + 1, i0, i1)
-            y[i - i0] = x[i - i0] + math.floor((lo + hi) / 2.0)
+    idx = np.arange(i0, i1)
+    even = idx % 2 == 0
+    y = x.astype(np.float64).copy()
+    lo = x[_ext_idx(idx[even] - 1, i0, i1)]
+    hi = x[_ext_idx(idx[even] + 1, i0, i1)]
+    y[even] = x[even] - np.floor((lo + hi + 2.0) / 4.0)
+    odd = ~even
+    lo = y[_ext_idx(idx[odd] - 1, i0, i1)]
+    hi = y[_ext_idx(idx[odd] + 1, i0, i1)]
+    y[odd] = x[odd] + np.floor((lo + hi) / 2.0)
     return y
 
 
@@ -976,22 +977,27 @@ def _sr2d(ll, hl, lh, hh, ux0, uy0, ux1, uy1, reversible):
     h = uy1 - uy0
     w = ux1 - ux0
     a = np.zeros((h, w), np.float64)
-    # interleave (2D_INTERLEAVE, F.3.4): a[2u - uy0? ...]
-    # even/odd positions by ABSOLUTE coordinate parity
-    ex0 = _ceil_div(ux0, 2)          # LL x start
+    # 2D_INTERLEAVE (F.3.4): even/odd by ABSOLUTE coordinate parity
+    ex0 = _ceil_div(ux0, 2)
     ey0 = _ceil_div(uy0, 2)
-    ox0 = ux0 // 2                   # H x start (offset 1)
+    ox0 = ux0 // 2
     oy0 = uy0 // 2
-    for y in range(uy0, uy1):
-        for x in range(ux0, ux1):
-            if y % 2 == 0 and x % 2 == 0:
-                a[y - uy0, x - ux0] = ll[y // 2 - ey0, x // 2 - ex0]
-            elif y % 2 == 0:
-                a[y - uy0, x - ux0] = hl[y // 2 - ey0, x // 2 - ox0]
-            elif x % 2 == 0:
-                a[y - uy0, x - ux0] = lh[y // 2 - oy0, x // 2 - ex0]
-            else:
-                a[y - uy0, x - ux0] = hh[y // 2 - oy0, x // 2 - ox0]
+    ys = np.arange(uy0, uy1)
+    xs = np.arange(ux0, ux1)
+    ye = ys % 2 == 0
+    xe = xs % 2 == 0
+    if ll.size:
+        a[np.ix_(ye, xe)] = ll[np.ix_(ys[ye] // 2 - ey0,
+                                      xs[xe] // 2 - ex0)]
+    if hl.size:
+        a[np.ix_(ye, ~xe)] = hl[np.ix_(ys[ye] // 2 - ey0,
+                                       xs[~xe] // 2 - ox0)]
+    if lh.size:
+        a[np.ix_(~ye, xe)] = lh[np.ix_(ys[~ye] // 2 - oy0,
+                                       xs[xe] // 2 - ex0)]
+    if hh.size:
+        a[np.ix_(~ye, ~xe)] = hh[np.ix_(ys[~ye] // 2 - oy0,
+                                        xs[~xe] // 2 - ox0)]
     # horizontal then vertical synthesis (HOR_SR then VER_SR)
     fn = _sr1d_53 if reversible else _sr1d_97
     for j in range(h):
@@ -1415,21 +1421,20 @@ class _HdrWriter:
 
 def _fdwt53_1d(x: np.ndarray, i0: int, i1: int) -> np.ndarray:
     """Forward 5/3 analysis on the interleaved signal (inverse of
-    _sr1d_53)."""
+    _sr1d_53, vectorized)."""
     n = i1 - i0
     if n == 1:
         return x if i0 % 2 == 0 else x * 2.0
+    idx = np.arange(i0, i1)
+    even = idx % 2 == 0
+    odd = ~even
     y = x.astype(np.float64).copy()
-    for i in range(i0, i1):
-        if i % 2 == 1:                      # odd (detail) first
-            y[i - i0] = x[i - i0] - math.floor(
-                (_mirror(x, i - 1, i0, i1) + _mirror(x, i + 1, i0, i1))
-                / 2.0)
-    for i in range(i0, i1):
-        if i % 2 == 0:
-            y[i - i0] = x[i - i0] + math.floor(
-                (_mirror(y, i - 1, i0, i1) + _mirror(y, i + 1, i0, i1)
-                 + 2) / 4.0)
+    lo = x[_ext_idx(idx[odd] - 1, i0, i1)]
+    hi = x[_ext_idx(idx[odd] + 1, i0, i1)]
+    y[odd] = x[odd] - np.floor((lo + hi) / 2.0)
+    lo = y[_ext_idx(idx[even] - 1, i0, i1)]
+    hi = y[_ext_idx(idx[even] + 1, i0, i1)]
+    y[even] = x[even] + np.floor((lo + hi + 2.0) / 4.0)
     return y
 
 
