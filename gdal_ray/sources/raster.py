@@ -101,6 +101,11 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("jp2", "j2k", "jpc", "jpx"):
         from ..codecs.jp2 import decode_jp2
         px, gt, nodata, meta = decode_jp2(open(path, "rb").read())
+    elif ext == "zarr" or os.path.isdir(path) and (
+            os.path.exists(os.path.join(path, ".zarray"))
+            or os.path.exists(os.path.join(path, ".zgroup"))):
+        from .zarr import read_zarr
+        px, gt, nodata, meta = read_zarr(path)
     else:
         # codec registry (magic sniff covers png/jpg/gif/bmp/pnm/webp/…)
         from .. import codecs as C
