@@ -166,13 +166,15 @@ def read_zarr(path: str, array: str | None = None):
     meta) — single arrays directly; groups via the CF model (largest
     ≥2-D array, x/y coordinate vars, grid_mapping GeoTransform), like
     the netCDF-4 path."""
+    if os.path.exists(os.path.join(path, "zarr.json")):
+        return read_zarr_v3(path, array)
     if os.path.exists(os.path.join(path, ".zarray")):
         px, attrs = read_zarr_array(path)
         meta = dict(attrs)
         nd = attrs.get("_FillValue")
         return px, None, nd, meta
     if not os.path.exists(os.path.join(path, ".zgroup")):
-        raise ValueError(f"{path} is not a zarr v2 array or group")
+        raise ValueError(f"{path} is not a zarr array or group")
     names = list_zarr_arrays(path)
     if not names:
         raise ValueError("zarr group has no arrays")
@@ -231,3 +233,155 @@ def read_zarr(path: str, array: str | None = None):
                 px = px[::-1].copy()
                 meta["bottom_up"] = True
     return px, gt, nodata, meta
+
+
+# ---------------------------------------------------------------------------
+# Zarr v3 (zarr.json metadata, c/-prefixed chunk keys, codec chains)
+# ---------------------------------------------------------------------------
+
+_V3_DTYPES = {
+    "bool": "|b1", "int8": "|i1", "uint8": "|u1",
+    "int16": "<i2", "uint16": "<u2", "int32": "<i4", "uint32": "<u4",
+    "int64": "<i8", "uint64": "<u8",
+    "float16": "<f2", "float32": "<f4", "float64": "<f8",
+    "complex64": "<c8", "complex128": "<c16",
+}
+
+
+def _read_v3_array(path: str):
+    meta = _load_json(os.path.join(path, "zarr.json"))
+    if meta.get("node_type") != "array":
+        raise ValueError("not a zarr v3 array")
+    shape = tuple(meta["shape"])
+    cg = meta["chunk_grid"]
+    if cg.get("name") != "regular":
+        raise ValueError(f"zarr v3 chunk grid {cg.get('name')!r} "
+                         "unsupported")
+    chunks = tuple(cg["configuration"]["chunk_shape"])
+    dt_name = meta["data_type"]
+    if not isinstance(dt_name, str) or dt_name not in _V3_DTYPES:
+        raise ValueError(f"zarr v3 data type {dt_name!r} unsupported")
+    dt = np.dtype(_V3_DTYPES[dt_name])
+    sep = meta.get("chunk_key_encoding", {}).get(
+        "configuration", {}).get("separator", "/")
+    codecs = meta.get("codecs", [{"name": "bytes"}])
+    order = "C"
+    endian = "<"
+    comp = None
+    for c in codecs:
+        name = c.get("name")
+        if name == "bytes":
+            endian = {"little": "<", "big": ">"}.get(
+                c.get("configuration", {}).get("endian", "little"), "<")
+        elif name == "transpose":
+            ord_cfg = c.get("configuration", {}).get("order")
+            if ord_cfg == "F" or (isinstance(ord_cfg, list)
+                                  and ord_cfg == list(
+                                      range(len(shape) - 1, -1, -1))):
+                order = "F"
+        elif name == "gzip":
+            comp = {"id": "gzip"}
+        elif name == "zlib":
+            comp = {"id": "zlib"}
+        else:
+            raise ValueError(f"zarr v3 codec {name!r} unsupported")
+    if dt.itemsize > 1:
+        dt = dt.newbyteorder(endian)
+    fill = meta.get("fill_value", 0)
+    if dt.kind in "fc" and isinstance(fill, str):
+        fill = {"NaN": np.nan, "Infinity": np.inf,
+                "-Infinity": -np.inf}.get(fill, np.nan)
+    out = np.full(shape if shape else (1,), fill, dt)
+    chunks = chunks if shape else (1,)
+    grid = [-(-s // c) for s, c in zip(shape, chunks)]
+    n_elem = int(np.prod(chunks))
+    for idx in np.ndindex(*grid) if grid else [()]:
+        key = os.path.join(path, "c" + sep
+                           + sep.join(str(i) for i in idx)) \
+            if idx else os.path.join(path, "c")
+        if not os.path.exists(key):
+            continue
+        raw = _decompress(open(key, "rb").read(), comp)
+        chunk = np.frombuffer(raw, dt, count=n_elem).reshape(
+            chunks, order=order)
+        sl_out, sl_in = [], []
+        for d, i in enumerate(idx):
+            o0 = i * chunks[d]
+            take = min(chunks[d], shape[d] - o0)
+            sl_out.append(slice(o0, o0 + take))
+            sl_in.append(slice(0, take))
+        out[tuple(sl_out)] = chunk[tuple(sl_in)]
+    return out, meta.get("attributes", {})
+
+
+def _list_v3_arrays(path: str, prefix: str = "") -> list[str]:
+    out = []
+    for name in sorted(os.listdir(path)):
+        sub = os.path.join(path, name)
+        zj = os.path.join(sub, "zarr.json")
+        if os.path.isdir(sub) and os.path.exists(zj):
+            m = _load_json(zj)
+            if m.get("node_type") == "array":
+                out.append(prefix + name)
+            elif m.get("node_type") == "group":
+                out.extend(_list_v3_arrays(sub, prefix + name + "/"))
+    return out
+
+
+def read_zarr_v3(path: str, array: str | None = None):
+    meta = _load_json(os.path.join(path, "zarr.json"))
+    if meta.get("node_type") == "array":
+        px, attrs = _read_v3_array(path)
+        return px, None, attrs.get("_FillValue"), dict(attrs)
+    names = _list_v3_arrays(path)
+    if not names:
+        raise ValueError("zarr v3 group has no arrays")
+    if array is not None:
+        key = array
+    else:
+        key = max(names, key=lambda n: int(np.prod(
+            _load_json(os.path.join(path, n, "zarr.json"))["shape"]))
+            if len(_load_json(os.path.join(path, n,
+                                           "zarr.json"))["shape"]) >= 2
+            else -1)
+    px, attrs = _read_v3_array(os.path.join(path, key))
+    out_meta = dict(attrs)
+    out_meta["zarr_array"] = key
+    if px.ndim < 2:
+        return px, None, attrs.get("_FillValue"), out_meta
+    if px.ndim > 2:
+        px = px.reshape(-1, *px.shape[-2:]).transpose(1, 2, 0)
+        if px.shape[2] == 1:
+            px = px[:, :, 0]
+    gt = None
+    gm = attrs.get("grid_mapping")
+    if isinstance(gm, str) and os.path.isdir(os.path.join(path, gm)):
+        _, gm_attrs = _read_v3_array(os.path.join(path, gm))
+        if gm_attrs.get("GeoTransform"):
+            parts = str(gm_attrs["GeoTransform"]).split()
+            if len(parts) >= 6:
+                gt = tuple(float(v) for v in parts[:6])
+        if gm_attrs.get("spatial_ref"):
+            out_meta["spatial_ref"] = str(gm_attrs["spatial_ref"])
+    if gt is None:
+        # v3 CF grid_mapping carries no GeoTransform: derive it from
+        # the x/y coordinate arrays (+ bottom-up flip by y order)
+        def coord(names_want, length):
+            for n in names:
+                if n.rsplit("/", 1)[-1].lower() in names_want:
+                    v, _ = _read_v3_array(os.path.join(path, n))
+                    if v.ndim == 1 and len(v) == length:
+                        return v.astype(np.float64)
+            return None
+        xs = coord(("x", "lon", "longitude"), px.shape[1])
+        ys = coord(("y", "lat", "latitude"), px.shape[0])
+        if xs is not None and ys is not None and len(xs) > 1 \
+                and len(ys) > 1:
+            dx = float(xs[1] - xs[0])
+            dy = abs(float(ys[1] - ys[0]))
+            gt = (float(xs[0]) - dx / 2, dx, 0.0,
+                  float(ys.max()) + dy / 2, 0.0, -dy)
+            if ys[1] > ys[0]:
+                px = px[::-1].copy()
+                out_meta["bottom_up"] = True
+    return px, gt, attrs.get("_FillValue"), out_meta

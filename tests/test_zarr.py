@@ -81,3 +81,28 @@ class TestGoldens:
     def test_not_zarr_named(self):
         with pytest.raises((ValueError, FileNotFoundError)):
             read_zarr("/tmp")
+
+
+class TestZarrV3:
+    def test_byte_cf1_zr3_golden(self):
+        """Zarr v3 store (zarr.json, c/-keys): same byte.tif raster,
+        geotransform derived from CF x/y coordinate arrays (v3 CF
+        grid_mapping carries no GDAL GeoTransform attribute)."""
+        px, gt, nd, meta = read_zarr(f"{D}/byte_cf1.zr3")
+        assert int(checksum(np.asarray(px, np.float64))) == 4672
+        assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+        assert meta["zarr_array"] == "Band1"
+
+    def test_v3_gzip(self):
+        px, gt, nd, meta = read_zarr(f"{D}/v3/gzip.zarr")
+        assert px.size > 0
+
+    def test_v3_sweep_no_crashes(self):
+        ok = named = 0
+        for p in sorted(glob.glob(f"{D}/v3/*.zarr")):
+            try:
+                read_zarr(p)
+                ok += 1
+            except ValueError:
+                named += 1
+        assert ok >= 4
