@@ -260,9 +260,13 @@ def parse_grib2(buf: bytes) -> list[Grib2Message]:
             continue
         discipline = buf[pos + 6]
         edition = buf[pos + 7]
+        if edition == 1:
+            m, end = _parse_grib1_message(buf, pos)
+            out.append(m)
+            pos = end
+            continue
         if edition != 2:
-            raise ValueError(f"GRIB edition {edition} unsupported "
-                             "(GRIB2 only)")
+            raise ValueError(f"GRIB edition {edition} unsupported")
         total = int.from_bytes(buf[pos + 8:pos + 16], "big")
         end = pos + total
         p = pos + 16
@@ -391,3 +395,129 @@ def decode_grib2(buf: bytes):
     if first.geotransform is not None:
         meta["crs"] = "EPSG:4326"
     return px, first.geotransform, nodata, meta
+
+
+# ---------------------------------------------------------------------------
+# GRIB edition 1 (WMO FM 92-VIII): PDS/GDS/BMS/BDS, simple packing,
+# IBM hex floats — the legacy half of frmts/grib (degrib grib1)
+# ---------------------------------------------------------------------------
+
+def _ibm_float(b: bytes) -> float:
+    v = int.from_bytes(b, "big")
+    sign = -1.0 if v & 0x80000000 else 1.0
+    exp = (v >> 24) & 0x7F
+    mant = v & 0xFFFFFF
+    return sign * mant * 16.0 ** (exp - 64) / 2.0 ** 24
+
+
+def _sm3(b: bytes) -> int:
+    v = int.from_bytes(b, "big")
+    return -(v & 0x7FFFFF) if v & 0x800000 else v
+
+
+def _parse_grib1_message(buf: bytes, pos: int):
+    total = int.from_bytes(buf[pos + 4:pos + 7], "big")
+    end = pos + total
+    p = pos + 8
+    # PDS
+    pds_len = int.from_bytes(buf[p:p + 3], "big")
+    pds = buf[p:p + pds_len]
+    flags = pds[7]
+    param = pds[8]
+    d_scale = _s16(pds[26:28]) if pds_len >= 28 else 0
+    p += pds_len
+    ni = nj = None
+    gt = None
+    flip_j = False
+    if flags & 0x80:                     # GDS present
+        gds_len = int.from_bytes(buf[p:p + 3], "big")
+        gds = buf[p:p + gds_len]
+        gtype = gds[5]
+        ni = int.from_bytes(gds[6:8], "big")
+        nj = int.from_bytes(gds[8:10], "big")
+        if gtype in (0, 4, 10):          # lat/lon (incl. gaussian-ish)
+            lat1 = _sm3(gds[10:13]) / 1000.0
+            lon1 = _sm3(gds[13:16]) / 1000.0
+            lat2 = _sm3(gds[17:20]) / 1000.0
+            lon2 = _sm3(gds[20:23]) / 1000.0
+            di = int.from_bytes(gds[23:25], "big") / 1000.0
+            dj = int.from_bytes(gds[25:27], "big") / 1000.0
+            scan = gds[27]
+            if scan & 0x80:
+                lon1, lon2 = lon2, lon1
+            flip_j = bool(scan & 0x40)
+            lat_top = max(lat1, lat2)
+            gt = (lon1 - di / 2, di, 0.0, lat_top + dj / 2, 0.0, -dj)
+        p += gds_len
+    bitmap = None
+    if flags & 0x40:                     # BMS present
+        bms_len = int.from_bytes(buf[p:p + 3], "big")
+        if int.from_bytes(buf[p + 4:p + 6], "big") != 0:
+            raise ValueError("GRIB1 predefined bitmaps unsupported")
+        bitmap = np.unpackbits(
+            np.frombuffer(buf[p + 6:p + bms_len], np.uint8))
+        p += bms_len
+    # BDS
+    bds_len = int.from_bytes(buf[p:p + 3], "big")
+    bds = buf[p:p + bds_len]
+    bflags = bds[3] >> 4
+    if bflags & 0x4 or bflags & 0x8:
+        raise ValueError("GRIB1 second-order/integer packing "
+                         "unsupported")
+    unused = bds[3] & 0x0F
+    e_scale = _s16(bds[4:6])
+    ref = _ibm_float(bds[6:10])
+    nbits = bds[10]
+    npoints = (ni * nj) if ni and nj else \
+        ((bds_len - 11) * 8 - unused) // max(nbits, 1)
+    if bitmap is not None:
+        npacked = int(bitmap[:npoints].sum())
+    else:
+        npacked = npoints
+    if nbits == 0:
+        vals = np.full(npacked, ref)
+    else:
+        x = _unpack_bits(bds[11:], nbits, npacked)
+        vals = ref + x.astype(np.float64) * 2.0 ** e_scale
+    vals = vals / 10.0 ** d_scale
+    # degrib presentation: temperature parameters (NCEP table: 11 TMP,
+    # 15 TMAX, 16 TMIN, 17 DPT) are Kelvin → Celsius
+    if param in (11, 15, 16, 17):
+        vals = vals - 273.15
+    if bitmap is not None:
+        # degrib fills bitmap-missing points with its UNDEFINED (9999)
+        full = np.full(npoints, 9999.0)
+        idx = np.flatnonzero(bitmap[:npoints])
+        full[idx[:len(vals)]] = vals[:len(idx)]
+        vals = full
+    m = Grib2Message()
+    if ni and nj and ni * nj == len(vals):
+        arr = vals.reshape(nj, ni)
+        if flip_j:
+            arr = arr[::-1]
+    else:
+        arr = vals.reshape(1, -1)
+    m.values = arr
+    m.ni, m.nj = ni, nj
+    m.geotransform = gt
+    m.meta = {"edition": 1, "parameter": param}
+    return m, end
+
+
+def parse_grib1(buf: bytes) -> list[Grib2Message]:
+    out = []
+    pos = 0
+    n = len(buf)
+    while pos + 8 <= n:
+        if buf[pos:pos + 4] != b"GRIB":
+            pos += 1
+            continue
+        if buf[pos + 7] != 1:
+            pos += 4
+            continue
+        m, end = _parse_grib1_message(buf, pos)
+        out.append(m)
+        pos = end
+    if not out:
+        raise ValueError("no GRIB1 messages found")
+    return out

@@ -94,3 +94,31 @@ class TestGoldens:
         from gdal_ray.sources.raster import read_raster
         px, gt, nd, meta = read_raster(f"{D}/ieee754_single.grb2")
         assert cs(px) == 4727
+
+
+class TestGrib1:
+    def test_quikscat_bands_decode(self):
+        """GRIB1 (QuikSCAT sample): 4 messages, 74×66 grids, IBM-float
+        reference values, bitmap-missing → degrib's 9999. Band values
+        land in plausible physical ranges (exact degrib checksum
+        parity is an open item — GRIB2 is the golden-verified path)."""
+        msgs = parse_grib2(open(f"{D}/Sample_QuikSCAT.grb", "rb").read())
+        assert len(msgs) == 4
+        for m in msgs:
+            assert m.values.shape == (74, 66)
+        # wind components (params 190/191) are small signed numbers
+        for k in (1, 2):
+            v = msgs[k].values
+            valid = v[v != 9999.0]
+            assert np.abs(valid).max() < 100
+
+    def test_ds_mint_grib2_with_ncep_header(self):
+        """ds.mint.bin: NCEP-wrapped GRIB2 (header before 'GRIB'),
+        two order-2 complex-packed MinT bands with missing
+        management, presented in Celsius."""
+        msgs = parse_grib2(open(f"{D}/ds.mint.bin", "rb").read())
+        assert len(msgs) == 2
+        for m in msgs:
+            assert m.values.shape == (129, 177)
+            valid = m.values[m.values != 9999.0]
+            assert -60 < valid.min() and valid.max() < 60
