@@ -86,9 +86,14 @@ class TestGoldens:
         assert ok >= 36, (ok, named)
         assert named <= 3
 
-    def test_grib1_fails_fast(self):
-        with pytest.raises(ValueError, match="edition 1"):
-            decode_grib2(open(f"{D}/Sample_QuikSCAT.grb", "rb").read())
+    def test_mixed_edition_file(self):
+        """broken_combined file holds GRIB2 + GRIB1 messages — both
+        editions parse from one buffer."""
+        msgs = parse_grib2(open(f"{D}/broken_combined_grib2_grib1.grb2",
+                                "rb").read())
+        assert len(msgs) >= 2
+        eds = {m.meta.get("edition", 2) for m in msgs}
+        assert eds == {1, 2}
 
     def test_read_raster_route(self):
         from gdal_ray.sources.raster import read_raster
