@@ -81,12 +81,11 @@ def _grid_template0(seg: bytes):
     scan = seg[71]
     if scan & 0x80:                      # -i direction
         lon1, lon2 = lon2, lon1
-    flip_j = bool(scan & 0x40)           # +j: south→north storage
     lat_top = max(lat1, lat2)
     if lon1 > lon2:
         lon2 += 360.0
     gt = (lon1 - di / 2, di, 0.0, lat_top + dj / 2, 0.0, -dj)
-    return ni, nj, gt, flip_j
+    return ni, nj, gt, scan
 
 
 def _decode_data(drs_templ: int, drs: bytes, data: bytes, npoints: int):
@@ -306,10 +305,10 @@ def parse_grib2(buf: bytes) -> list[Grib2Message]:
                         ni_ = nj_ = None
                     scan_at = {10: 59, 20: 64, 30: 64,
                                31: 64, 140: 64}.get(gtempl)
-                    flip = bool(seg[scan_at] & 0x40) \
+                    scan = seg[scan_at] \
                         if scan_at is not None and len(seg) > scan_at \
-                        else False
-                    grid = (ni_, nj_, None, flip)
+                        else 0
+                    grid = (ni_, nj_, None, scan)
                 meta["npoints"] = npoints
             elif sec == 4:
                 meta["product_template"] = int.from_bytes(seg[7:9],
@@ -355,10 +354,13 @@ def parse_grib2(buf: bytes) -> list[Grib2Message]:
                     else:
                         vals = vals - 273.15
                 m = Grib2Message()
-                ni, nj, gt, flip_j = grid
+                ni, nj, gt, scan = grid
                 if ni and nj and ni * nj == len(vals):
                     arr = vals.reshape(nj, ni)
-                    if flip_j:
+                    if scan & 0x10:      # boustrophedon: odd rows
+                        arr = arr.copy()  # scan backwards
+                        arr[1::2] = arr[1::2, ::-1]
+                    if scan & 0x40:      # +j storage: flip north-up
                         arr = arr[::-1]
                 else:
                     arr = vals.reshape(1, -1)

@@ -119,11 +119,11 @@ class TestGrib1:
 
     def test_ds_mint_grib2_with_ncep_header(self):
         """ds.mint.bin: NCEP-wrapped GRIB2 (header before 'GRIB'),
-        two order-2 complex-packed MinT bands with missing
-        management, presented in Celsius."""
+        two order-2 complex-packed MinT bands with missing management
+        and BOUSTROPHEDON scan (flag 0x10: alternate rows reversed) —
+        band 2 checksum 46927 (grib.py test_grib_1), band 1 identical
+        to the spatial_differencing_order_1 fixture (46650)."""
         msgs = parse_grib2(open(f"{D}/ds.mint.bin", "rb").read())
         assert len(msgs) == 2
-        for m in msgs:
-            assert m.values.shape == (129, 177)
-            valid = m.values[m.values != 9999.0]
-            assert -60 < valid.min() and valid.max() < 60
+        assert cs(msgs[1].values) == 46927
+        assert cs(msgs[0].values) == 46650
