@@ -81,6 +81,9 @@ def _grid_template0(seg: bytes):
     scan = seg[71]
     if scan & 0x80:                      # -i direction
         lon1, lon2 = lon2, lon1
+    if lon1 >= 180.0:                    # antimeridian start: GDAL
+        lon1 -= 360.0                    # presents [-180, 180)
+        lon2 -= 360.0
     lat_top = max(lat1, lat2)
     if lon1 > lon2:
         lon2 += 360.0

@@ -127,3 +127,11 @@ class TestGrib1:
         assert len(msgs) == 2
         assert cs(msgs[1].values) == 46927
         assert cs(msgs[0].values) == 46650
+
+
+def test_antimeridian_start_normalized():
+    """GDAL issue 10655: a grid starting at lon 180 presents at
+    -180.0625 (grib.py test_grib_grib2_minx_180)."""
+    px, gt, nd, meta = grib("minx_180.grib2")
+    assert gt == pytest.approx(
+        (-180.0625, 0.125, 0.0, 90.0625, 0.0, -0.125), rel=1e-6)
