@@ -9,12 +9,15 @@ use:
   * grid definition template 3.0 (regular lat/lon, scan-mode flip,
     microdegree units) → geotransform; other grid templates parse
     with a named grid id in metadata (no geotransform);
-  * data representation templates 5.0 (simple packing), 5.4 (IEEE
-    float), 5.40 (JPEG2000 — decoded by the engine's own
-    codecs/jp2.py), 5.41 (PNG — own codecs/png.py);
-    complex packing (5.2/5.3) and CCSDS (5.42) fail fast by name;
+  * data representation templates 5.0 (simple packing), 5.2/5.3
+    (complex packing incl. spatial differencing orders 1-2 and
+    missing-value management), 5.4 (IEEE float), 5.40 (JPEG2000 —
+    decoded by the engine's own codecs/jp2.py), 5.41 (PNG — own
+    codecs/png.py), 5.42 (CCSDS/AEC — own Rice decoder below);
   * section 6 bitmaps (indicator 0) → masked values become nodata;
-  * GRIB1 messages fail fast ("edition 1 unsupported").
+  * GRIB1 (edition 1) messages: IBM hex floats, simple packing,
+    lat/lon + gaussian grids, bitmaps (degrib UNDEFINED 9999 fill,
+    surfaced as missing_value).
 
 Values decode as (R + X·2^E) / 10^D with GRIB's sign-magnitude
 signed fields. Goldens (tests/test_grib2.py): the reference's own
@@ -121,6 +124,13 @@ def _decode_data(drs_templ: int, drs: bytes, data: bytes, npoints: int):
         from .png import decode as png_decode
         px = png_decode(bytes(data))
         x = np.asarray(px).astype(np.int64).ravel()[:npoints]
+    elif drs_templ == 42:                # CCSDS/AEC (Rice)
+        from .aec import aec_decode
+        ccsds_flags = drs[21]
+        block_size = drs[22]
+        rsi = int.from_bytes(drs[23:25], "big")
+        x = aec_decode(bytes(data), nbits, ccsds_flags,
+                       block_size, rsi, npoints)
     elif drs_templ in (2, 3):
         x = _complex_unpack(drs, data, npoints, drs_templ)
         if isinstance(x, tuple):
@@ -346,9 +356,15 @@ def parse_grib2(buf: bytes) -> list[Grib2Message]:
                     full[idx[:len(vals)]] = vals[:len(idx)]
                     vals = full
                 # degrib's unit conversion (metaname.c): fields whose
-                # canonical unit is Kelvin present as Celsius
+                # canonical unit is Kelvin present as Celsius.  Not
+                # every category-0 parameter is in K — 8 is lapse rate
+                # (K m-1), 10/11/16 are heat fluxes (W m-2), 19 is
+                # numeric, 20 is a diffusion coefficient (m2 s-1).
+                _K_PARAMS = {0, 1, 2, 3, 4, 5, 6, 7, 9,
+                             12, 13, 14, 15, 17, 18, 21}
                 if discipline == 0 and (
-                        meta.get("category") == 0
+                        (meta.get("category") == 0
+                         and meta.get("parameter") in _K_PARAMS)
                         or (meta.get("category"), meta.get("parameter"))
                         == (5, 7)):
                     if msg_nodata is not None:
@@ -363,6 +379,8 @@ def parse_grib2(buf: bytes) -> list[Grib2Message]:
                     if scan & 0x10:      # boustrophedon: odd rows
                         arr = arr.copy()  # scan backwards
                         arr[1::2] = arr[1::2, ::-1]
+                    if scan & 0x80:      # -i direction: mirror east-west
+                        arr = arr[:, ::-1]
                     if scan & 0x40:      # +j storage: flip north-up
                         arr = arr[::-1]
                 else:
@@ -434,6 +452,7 @@ def _parse_grib1_message(buf: bytes, pos: int):
     ni = nj = None
     gt = None
     flip_j = False
+    flip_i = False
     if flags & 0x80:                     # GDS present
         gds_len = int.from_bytes(buf[p:p + 3], "big")
         gds = buf[p:p + gds_len]
@@ -451,6 +470,7 @@ def _parse_grib1_message(buf: bytes, pos: int):
             if scan & 0x80:
                 lon1, lon2 = lon2, lon1
             flip_j = bool(scan & 0x40)
+            flip_i = bool(scan & 0x80)
             lat_top = max(lat1, lat2)
             gt = (lon1 - di / 2, di, 0.0, lat_top + dj / 2, 0.0, -dj)
         p += gds_len
@@ -489,15 +509,32 @@ def _parse_grib1_message(buf: bytes, pos: int):
     # 15 TMAX, 16 TMIN, 17 DPT) are Kelvin → Celsius
     if param in (11, 15, 16, 17):
         vals = vals - 273.15
+    missing = None
     if bitmap is not None:
-        # degrib fills bitmap-missing points with its UNDEFINED (9999)
-        full = np.full(npoints, 9999.0)
+        # degrib fills bitmap-missing points with UNDEFINED (9.999e20)
+        # and resets to UNDEFINED_PRIM (9999) only when the data range
+        # allows it: gridAttrib.min is the (converted) reference value
+        # and max the largest decoded value (degrib1.cpp:1769-1800)
+        attr_min = (ref * 2.0 ** e_scale) / 10.0 ** d_scale
+        if param in (11, 15, 16, 17):
+            attr_min -= 273.15
+        attr_max = max(attr_min, float(vals.max())) if len(vals) \
+            else attr_min
+        if attr_max < 9999.0 or attr_min > 9999.0:
+            missing = 9999.0
+        elif attr_max >= 9.999e20 and attr_min <= 9.999e20:
+            missing = attr_max + 1.0
+        else:
+            missing = 9.999e20
+        full = np.full(npoints, missing)
         idx = np.flatnonzero(bitmap[:npoints])
         full[idx[:len(vals)]] = vals[:len(idx)]
         vals = full
     m = Grib2Message()
     if ni and nj and ni * nj == len(vals):
         arr = vals.reshape(nj, ni)
+        if flip_i:
+            arr = arr[:, ::-1]
         if flip_j:
             arr = arr[::-1]
     else:
@@ -506,6 +543,9 @@ def _parse_grib1_message(buf: bytes, pos: int):
     m.ni, m.nj = ni, nj
     m.geotransform = gt
     m.meta = {"edition": 1, "parameter": param}
+    if missing is not None:
+        # bitmap-missing points were filled with degrib's sentinel
+        m.meta["missing_value"] = missing
     return m, end
 
 

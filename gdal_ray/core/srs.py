@@ -177,7 +177,10 @@ def parse_wkt_tree(s: str) -> _Node:
 _METHODS = {
     "transverse_mercator": "tmerc", "transverse mercator": "tmerc",
     "gauss_kruger": "tmerc", "gauss-kruger": "tmerc",
-    "transverse_mercator_south_orientated": "tmerc",
+    # EPSG method 9808 (South African Lo grids): axes are
+    # westing/southing — same kernel, both outputs negated
+    "transverse_mercator_south_orientated": "tmerc_south",
+    "transverse mercator (south orientated)": "tmerc_south",
     "lambert_conformal_conic": "lcc",
     "lambert_conformal_conic_2sp": "lcc",
     "lambert conic conformal (2sp)": "lcc",
@@ -602,6 +605,23 @@ class _LongLat:
     inverse = forward
 
 
+class _SouthOrientated:
+    """EPSG 9808 wrapper: westing/southing axes. W = FE − ΔE,
+    S = FN − ΔN, where (ΔE, ΔN) is the unshifted kernel output
+    (ogr/ogrspatialreference.cpp SetTMSO analog)."""
+
+    def __init__(self, base, fe: float, fn: float):
+        self.base, self.fe, self.fn = base, fe, fn
+
+    def forward(self, lon, lat):
+        e, n = self.base.forward(lon, lat)
+        return self.fe - e, self.fn - n
+
+    def inverse(self, w, s):
+        return self.base.inverse(self.fe - np.asarray(w, np.float64),
+                                 self.fn - np.asarray(s, np.float64))
+
+
 # ---------------------------------------------------------------------------
 # Helmert datum shift (TOWGS84, position-vector convention, EPSG 9606)
 # ---------------------------------------------------------------------------
@@ -688,6 +708,11 @@ class CRS:
         elif kind == "tmerc":
             self.proj = Kruger(lon0, k0=k0, fe=x0, fn=y0, lat0=lat0,
                                a=a, f=f)
+        elif kind == "tmerc_south":
+            # EPSG 9808: W = FE − ΔE, S = FN − ΔN (westing/southing)
+            self.proj = _SouthOrientated(
+                Kruger(lon0, k0=k0, fe=0.0, fn=0.0, lat0=lat0,
+                       a=a, f=f), x0, y0)
         elif kind == "lcc":
             lat1 = params.get("lat_1", lat0)
             lat2 = params.get("lat_2", lat1)

@@ -87,6 +87,14 @@ def _apply_filters(arr: np.ndarray, filters) -> np.ndarray:
     return arr
 
 
+def _nodata_of(attrs: dict):
+    """Band nodata: the '_FillValue' attr, else the parsed .zarray/
+    zarr.json fill_value (the reference zarr driver exposes
+    fill_value as NoData when no _FillValue attr is present)."""
+    nd = attrs.get("_FillValue")
+    return nd if nd is not None else attrs.get("_zarr_fill_value")
+
+
 def read_zarr_array(path: str) -> tuple[np.ndarray, dict]:
     """One Zarr v2 array directory → (ndarray, attrs)."""
     meta = _load_json(os.path.join(path, ".zarray"))
@@ -118,11 +126,18 @@ def read_zarr_array(path: str) -> tuple[np.ndarray, dict]:
         shape = (1,)
         chunks = (1,)
 
+    had_fill = meta.get("fill_value") is not None
     if fill is None:
         fill = 0
     if dt.kind in "fc" and isinstance(fill, str):
         fill = {"NaN": np.nan, "Infinity": np.inf,
                 "-Infinity": -np.inf}.get(fill, np.nan)
+    if had_fill and dt.kind != "V":
+        # the .zarray fill_value fills missing chunks: surface it so
+        # callers can fall back to it as nodata when no _FillValue
+        # attr exists (the reference zarr driver reports it as the
+        # band NoData)
+        attrs.setdefault("_zarr_fill_value", fill)
     if dt.kind == "V":                 # compound: base64 fill → zeros
         out = np.zeros(shape, dt)
     else:
@@ -171,7 +186,7 @@ def read_zarr(path: str, array: str | None = None):
     if os.path.exists(os.path.join(path, ".zarray")):
         px, attrs = read_zarr_array(path)
         meta = dict(attrs)
-        nd = attrs.get("_FillValue")
+        nd = _nodata_of(attrs)
         return px, None, nd, meta
     if not os.path.exists(os.path.join(path, ".zgroup")):
         raise ValueError(f"{path} is not a zarr array or group")
@@ -196,12 +211,12 @@ def read_zarr(path: str, array: str | None = None):
     meta = dict(attrs)
     meta["zarr_array"] = key
     if px.ndim < 2:
-        return px, None, attrs.get("_FillValue"), meta
+        return px, None, _nodata_of(attrs), meta
     if px.ndim > 2:
         px = px.reshape(-1, *px.shape[-2:]).transpose(1, 2, 0)
         if px.shape[2] == 1:
             px = px[:, :, 0]
-    nodata = attrs.get("_FillValue")
+    nodata = _nodata_of(attrs)
     gt = None
     gm = attrs.get("grid_mapping")
     if isinstance(gm, str) and os.path.isdir(os.path.join(path, gm)):
@@ -291,6 +306,10 @@ def _read_v3_array(path: str):
     if dt.kind in "fc" and isinstance(fill, str):
         fill = {"NaN": np.nan, "Infinity": np.inf,
                 "-Infinity": -np.inf}.get(fill, np.nan)
+    if meta.get("fill_value") is not None:
+        attrs = meta.get("attributes") or {}
+        attrs.setdefault("_zarr_fill_value", fill)
+        meta["attributes"] = attrs
     out = np.full(shape if shape else (1,), fill, dt)
     chunks = chunks if shape else (1,)
     grid = [-(-s // c) for s, c in zip(shape, chunks)]
@@ -332,7 +351,7 @@ def read_zarr_v3(path: str, array: str | None = None):
     meta = _load_json(os.path.join(path, "zarr.json"))
     if meta.get("node_type") == "array":
         px, attrs = _read_v3_array(path)
-        return px, None, attrs.get("_FillValue"), dict(attrs)
+        return px, None, _nodata_of(attrs), dict(attrs)
     names = _list_v3_arrays(path)
     if not names:
         raise ValueError("zarr v3 group has no arrays")
@@ -348,7 +367,7 @@ def read_zarr_v3(path: str, array: str | None = None):
     out_meta = dict(attrs)
     out_meta["zarr_array"] = key
     if px.ndim < 2:
-        return px, None, attrs.get("_FillValue"), out_meta
+        return px, None, _nodata_of(attrs), out_meta
     if px.ndim > 2:
         px = px.reshape(-1, *px.shape[-2:]).transpose(1, 2, 0)
         if px.shape[2] == 1:
@@ -384,4 +403,4 @@ def read_zarr_v3(path: str, array: str | None = None):
             if ys[1] > ys[0]:
                 px = px[::-1].copy()
                 out_meta["bottom_up"] = True
-    return px, gt, attrs.get("_FillValue"), out_meta
+    return px, gt, _nodata_of(attrs), out_meta

@@ -104,13 +104,19 @@ class TestGoldens:
 class TestGrib1:
     def test_quikscat_bands_decode(self):
         """GRIB1 (QuikSCAT sample): 4 messages, 74×66 grids, IBM-float
-        reference values, bitmap-missing → degrib's 9999. Band values
-        land in plausible physical ranges (exact degrib checksum
-        parity is an open item — GRIB2 is the golden-verified path)."""
+        reference values. degrib fills bitmap-missing points with
+        UNDEFINED (9.999e20) and resets to 9999 only when the band's
+        [min, max] does not straddle 9999 (degrib1.cpp:1769) — band 4
+        (TSEC, 19598..25986) keeps the 9.999e20 sentinel, giving the
+        reference golden checksum 50714 (grib.py test_grib_2); band 1
+        reports NoData 9999.0 as the test also asserts."""
         msgs = parse_grib2(open(f"{D}/Sample_QuikSCAT.grb", "rb").read())
         assert len(msgs) == 4
         for m in msgs:
             assert m.values.shape == (74, 66)
+        assert cs(msgs[3].values) == 50714
+        assert msgs[0].meta["missing_value"] == 9999.0
+        assert msgs[3].meta["missing_value"] == 9.999e20
         # wind components (params 190/191) are small signed numbers
         for k in (1, 2):
             v = msgs[k].values
@@ -135,3 +141,33 @@ def test_antimeridian_start_normalized():
     px, gt, nd, meta = grib("minx_180.grib2")
     assert gt == pytest.approx(
         (-180.0625, 0.125, 0.0, 90.0625, 0.0, -0.125), rel=1e-6)
+
+
+class TestCCSDS:
+    def test_template_5_42_aec_golden(self):
+        """template_5_42_ccsds_aec.grb2: 900×451 skin-temperature
+        field, 12-bit samples, block 32, RSI 128, preprocessed —
+        decoded by the engine's own CCSDS 121.0 Rice decoder
+        (codecs/aec.py) → checksum 41970 (grib.py
+        test_grib_grib2_template_5_42_CCDS_aes_decompression)."""
+        px, gt, nd, meta = grib("template_5_42_ccsds_aec.grb2")
+        assert px.shape == (451, 900)
+        assert cs(px) == 41970
+
+    def test_aec_roundtrip_options(self):
+        """Spot-check the decoder against hand-built streams: an
+        uncompressed block and a zero-block run (preprocessing off,
+        unsigned 8-bit, J=8)."""
+        import numpy as np
+        from gdal_ray.codecs.aec import aec_decode
+        # uncompressed: ID=0b111 (3 bits) + 8 raw 8-bit samples
+        bits = "111" + "".join(f"{v:08b}" for v in range(8))
+        # zero block: ID=000, selector 0, fs value 0 (-> 1 block)
+        bits += "000" + "0" + "1"
+        data = int(bits, 2).to_bytes((len(bits) + 7) // 8, "big") \
+            if len(bits) % 8 == 0 else \
+            (int(bits, 2) << (8 - len(bits) % 8)).to_bytes(
+                (len(bits) + 7) // 8, "big")
+        out = aec_decode(data, 8, 0, 8, 64, 16)
+        assert list(out[:8]) == list(range(8))
+        assert list(out[8:]) == [0] * 8

@@ -464,3 +464,48 @@ class TestSwissObliqueMercator:
         # plausible LV03 ranges for Switzerland
         assert 480000 < x.min() and x.max() < 850000
         assert 60000 < y.min() and y.max() < 310000
+
+
+class TestSouthOrientatedTM:
+    """EPSG method 9808 (Transverse_Mercator_South_Orientated) — the
+    South African Lo grids. Axes are westing/southing: both kernel
+    outputs negate (ADVICE r4; ogrspatialreference.cpp SetTMSO)."""
+
+    WKT = (
+        'PROJCS["Hartebeesthoek94 / Lo19",'
+        'GEOGCS["Hartebeesthoek94",DATUM["Hartebeesthoek94",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator_South_Orientated"],'
+        'PARAMETER["latitude_of_origin",0],'
+        'PARAMETER["central_meridian",19],'
+        'PARAMETER["scale_factor",1],'
+        'PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]')
+
+    def test_axes_negate_plain_tmerc(self):
+        p = params_from_wkt(self.WKT)
+        assert p["kind"] == "tmerc_south"
+        so = CRS(p)
+        tm = CRS(params_from_proj("+proj=tmerc +lat_0=0 +lon_0=19 "
+                                  "+k=1 +x_0=0 +y_0=0 "
+                                  "+ellps=WGS84 +no_defs"))
+        lon, lat = 19.5, -33.9
+        w, s = so.lonlat_to_xy(lon, lat)
+        e, n = tm.lonlat_to_xy(lon, lat)
+        np.testing.assert_allclose(float(w), -float(e), rtol=1e-12)
+        np.testing.assert_allclose(float(s), -float(n), rtol=1e-12)
+        # southern hemisphere: southing positive; east of CM: westing
+        # negative (the Lo convention)
+        assert float(s) > 3.7e6 and float(w) < 0
+
+    def test_roundtrip(self):
+        so = CRS(params_from_wkt(self.WKT))
+        rng = np.random.default_rng(9)
+        lon = rng.uniform(17.5, 20.5, 30)
+        lat = rng.uniform(-35.0, -25.0, 30)
+        w, s = so.lonlat_to_xy(lon, lat)
+        lon2, lat2 = so.xy_to_lonlat(w, s)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
