@@ -30,6 +30,7 @@ PSNR gates for 9/7 lossy fixtures.
 
 from __future__ import annotations
 
+import ctypes
 import math
 import struct
 
@@ -195,9 +196,20 @@ def decode_codeblock(data: bytes, w: int, h: int, n_passes: int,
                      missing_msbs: int, mb: int, band: int) -> np.ndarray:
     """EBCOT T1: one code-block → signed integer coefficients.
     ``band``: 0=LL, 1=HL, 2=LH, 3=HH. Single codeword segment (no
-    bypass/termall — cbstyle 0, all the reference fixtures). Flat
-    Python lists in the hot loops (numpy scalar indexing is ~10×
-    slower per access)."""
+    bypass/termall — cbstyle 0, all the reference fixtures). Routes
+    through the native twin (codecs/_t1.c) when a C compiler exists;
+    this Python body (flat lists — numpy scalar indexing is ~10×
+    slower per access) is the always-available fallback and the
+    conformance definition."""
+    from .native import get_t1
+    lib = get_t1()
+    if lib is not None:
+        out = np.zeros(h * w, np.int64)
+        rc = lib.t1_decode(
+            data, len(data), w, h, n_passes, missing_msbs, mb, band,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc == 0:
+            return out.reshape(h, w)
     zc = (_ZC_LL, _ZC_HL, _ZC_LL, _ZC_HH)[band].tolist()
     mq = MQDecoder(data)
     n_planes = mb - missing_msbs
@@ -1196,7 +1208,24 @@ class MQEncoder:
 def encode_codeblock(coef: np.ndarray, band: int, mb: int):
     """EBCOT T1 encoder — the exact mirror of decode_codeblock (same
     pass structure, contexts and run mode). Returns
-    (bytes, n_passes, missing_msbs). Flat-list hot loops."""
+    (bytes, n_passes, missing_msbs). Routes through codecs/_t1.c when
+    available; flat-list Python fallback below."""
+    from .native import get_t1
+    lib = get_t1()
+    if lib is not None:
+        h_, w_ = coef.shape
+        c32 = np.ascontiguousarray(coef, np.int32)
+        cap = max(4096, w_ * h_ * 4 + 1024)
+        buf = np.zeros(cap, np.uint8)
+        npasses = ctypes.c_int(0)
+        missing_ = ctypes.c_int(0)
+        rc = lib.t1_encode(
+            c32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            w_, h_, band, mb,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            ctypes.byref(npasses), ctypes.byref(missing_))
+        if rc >= 0:
+            return bytes(buf[:rc]), npasses.value, missing_.value
     zc = (_ZC_LL, _ZC_HL, _ZC_LL, _ZC_HH)[band].tolist()
     h, w = coef.shape
     mag_all = np.abs(coef).astype(np.int64).ravel().tolist()

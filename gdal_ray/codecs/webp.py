@@ -643,6 +643,18 @@ def _inverse_transform(pix: np.ndarray, ttype: int, data, w: int,
     tw = _subsample_size(w, bits)
     modes = ((timg.reshape(-1, tw) >> np.uint32(8))
              & np.uint32(0xFF)).astype(np.int64)
+    from .native import get_vp8l
+    lib = get_vp8l()
+    if lib is not None:
+        import ctypes
+        buf = np.ascontiguousarray(pix, np.uint32).copy()
+        m8 = np.ascontiguousarray(modes, np.uint8)
+        rc = lib.vp8l_pred_inverse(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), w, h,
+            m8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            tw, bits)
+        if rc == 0:
+            return buf.ravel()
     out = pix.astype(np.int64).copy()
     ch = np.empty((w * h, 4), np.int64)      # a r g b per pixel
     ch[:, 0] = (out >> 24) & 0xFF

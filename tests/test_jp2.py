@@ -184,3 +184,34 @@ class TestEncoder:
         np.testing.assert_array_equal(back.squeeze(), px)
         assert gt2 == gt
         assert meta["crs"] == "EPSG:3857"
+
+
+class TestNativeT1Parity:
+    """codecs/_t1.c is a transcription of the Python T1 — assert the
+    two produce identical bytes/coefficients on random blocks."""
+
+    def test_encode_decode_match_python(self, monkeypatch):
+        import gdal_ray.codecs.native as native
+        from gdal_ray.codecs import jp2
+        if native.get_t1() is None:
+            pytest.skip("no C compiler in environment")
+        rng = np.random.default_rng(7)
+        for (h, w, band, mb) in [(64, 64, 0, 9), (13, 17, 3, 11),
+                                 (32, 64, 1, 8), (4, 4, 2, 6),
+                                 (64, 64, 2, 12)]:
+            coef = (rng.normal(0, 40, (h, w))).astype(np.int64)
+            coef[rng.random((h, w)) < 0.5] = 0
+            # native path (default)
+            data_n, np_n, miss_n = jp2.encode_codeblock(coef, band, mb)
+            dec_n = jp2.decode_codeblock(data_n, w, h, np_n,
+                                         miss_n, mb, band)
+            # force the pure-Python twin
+            monkeypatch.setitem(native._CACHE, "_t1", False)
+            data_p, np_p, miss_p = jp2.encode_codeblock(coef, band, mb)
+            dec_p = jp2.decode_codeblock(data_p, w, h, np_p,
+                                         miss_p, mb, band)
+            monkeypatch.delitem(native._CACHE, "_t1", raising=False)
+            assert data_n == data_p, (h, w, band)
+            assert (np_n, miss_n) == (np_p, miss_p)
+            np.testing.assert_array_equal(dec_n, dec_p)
+            np.testing.assert_array_equal(dec_n, coef)

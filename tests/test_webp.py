@@ -406,3 +406,31 @@ class TestFullVp8lVsLibwebp:
         buf = encode_webp_system(img, lossless=True)
         assert np.array_equal(decode_webp_lossless(buf),
                               decode_webp_system(buf))
+
+
+class TestNativePredictorParity:
+    """codecs/_vp8l.c transcribes the Python predictor inverse —
+    assert identical output, and conformance stays green with the
+    native path disabled."""
+
+    def test_native_matches_python(self, monkeypatch):
+        import gdal_ray.codecs.native as native
+        from gdal_ray.codecs import webp as W
+        if native.get_vp8l() is None:
+            pytest.skip("no C compiler in environment")
+        rng = np.random.default_rng(3)
+        w, h, bits = 37, 23, 2
+        tw = (w + (1 << bits) - 1) >> bits
+        th = (h + (1 << bits) - 1) >> bits
+        pix = rng.integers(0, 2**32, w * h, dtype=np.uint64) \
+            .astype(np.uint32)
+        modes = rng.integers(0, 14, (th, tw), dtype=np.uint32) \
+            .astype(np.uint32) << np.uint32(8)
+        out_n = W._inverse_transform(pix.copy(), 0,
+                                     (bits, modes.ravel()), w, w, h)
+        monkeypatch.setitem(native._CACHE, "_vp8l", False)
+        out_p = W._inverse_transform(pix.copy(), 0,
+                                     (bits, modes.ravel()), w, w, h)
+        monkeypatch.delitem(native._CACHE, "_vp8l", raising=False)
+        np.testing.assert_array_equal(
+            out_n.astype(np.uint32), out_p.astype(np.uint32))
