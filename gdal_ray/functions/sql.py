@@ -487,6 +487,130 @@ def _eval(e, df: pd.DataFrame, funcs: dict | None = None):
     raise ValueError(f"bad expression node {e}")
 
 
+# ---------------------------------------------------------------------------
+# Arrow-native expression evaluation — the zero-copy fast path for the
+# no-join, no-UDF scan subset. At 100 TB the per-batch to_pandas()
+# round-trip is the scan stage's main cost; these kernels evaluate the
+# common SQL surface directly on the pyarrow batch. _eval above stays
+# the semantic definition (and the fallback for UDFs / joins / any
+# batch the Arrow path cannot type).
+# ---------------------------------------------------------------------------
+
+_ARROW_NODES = {"lit", "col", "qcol", "isnull", "not", "in", "in_set",
+                "between", "like", "bin", "cast", "case"}
+
+
+def _arrow_ok(e) -> bool:
+    """True when the expression tree uses only Arrow-evaluable nodes
+    (no Python UDFs, no unresolved subqueries, no aggregates)."""
+    if not isinstance(e, tuple):
+        return True
+    if e[0] not in _ARROW_NODES:
+        return False
+    for part in e[1:]:
+        if isinstance(part, tuple):
+            if not _arrow_ok(part):
+                return False
+        elif isinstance(part, list):
+            for x in part:
+                if isinstance(x, tuple) and len(x) == 2 \
+                        and not isinstance(x[0], str):
+                    # case WHEN pairs
+                    if not (_arrow_ok(x[0]) and _arrow_ok(x[1])):
+                        return False
+                elif not _arrow_ok(x):
+                    return False
+    return True
+
+
+def _aw_bool(v):
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v if pa.types.is_boolean(v.type) else pc.cast(v, pa.bool_())
+    return bool(v)
+
+
+def _eval_arrow(e, t: pa.Table):
+    """Evaluate an expression on a pyarrow batch → Array / scalar."""
+    kind = e[0]
+    if kind == "lit":
+        return e[1]
+    if kind == "col":
+        if e[1] not in t.column_names:
+            raise ValueError(f"unknown column {e[1]!r}")
+        return t[e[1]]
+    if kind == "qcol":
+        if e[2] not in t.column_names:
+            raise ValueError(f"unknown column {e[1]}.{e[2]}")
+        return t[e[2]]
+    if kind == "isnull":
+        return pc.is_null(_eval_arrow(e[1], t))
+    if kind == "not":
+        return pc.invert(_aw_bool(_eval_arrow(e[1], t)))
+    if kind in ("in", "in_set"):
+        v = _eval_arrow(e[1], t)
+        vals = e[2] if kind == "in_set" \
+            else [_eval_arrow(x, t) for x in e[2]]
+        return pc.is_in(v, value_set=pa.array(list(vals)))
+    if kind == "between":
+        v = _eval_arrow(e[1], t)
+        # null inputs yield False, matching the pandas evaluator
+        return pc.fill_null(
+            pc.and_kleene(pc.greater_equal(v, _eval_arrow(e[2], t)),
+                          pc.less_equal(v, _eval_arrow(e[3], t))), False)
+    if kind == "like":
+        v = pc.cast(_eval_arrow(e[1], t), pa.string())
+        # pandas path yields False for null inputs (fillna) — match it
+        return pc.fill_null(
+            pc.match_like(v, str(_eval_arrow(e[2], t))), False)
+    if kind == "cast":
+        v = _eval_arrow(e[1], t)
+        ty = e[2]
+        if ty in ("BIGINT", "INTEGER", "INT", "SMALLINT"):
+            return pc.cast(pc.round(pc.cast(v, pa.float64())), pa.int64())
+        if ty in ("DOUBLE", "FLOAT", "REAL", "NUMERIC", "DECIMAL"):
+            return pc.cast(v, pa.float64())
+        if ty in ("VARCHAR", "TEXT", "STRING", "CHAR"):
+            return pc.cast(v, pa.string())
+        raise ValueError(f"unsupported CAST type {ty}")
+    if kind == "case":
+        operand, whens, els = e[1], e[2], e[3]
+        res = _eval_arrow(els, t) if els is not None else None
+        for w, v in reversed(whens):
+            cn = ("bin", "=", operand, w) if operand is not None else w
+            # a null condition is "not true": the ELSE applies (both
+            # SQL semantics and the pandas evaluator's np.select)
+            cond = pc.fill_null(_aw_bool(_eval_arrow(cn, t)), False)
+            val = _eval_arrow(v, t)
+            if res is None:
+                ty = val.type if isinstance(
+                    val, (pa.Array, pa.ChunkedArray)) else pa.scalar(val).type
+                res = pc.if_else(cond, val, pa.scalar(None, ty))
+            else:
+                res = pc.if_else(cond, val, res)
+        return res
+    if kind == "bin":
+        op = e[1]
+        l = _eval_arrow(e[2], t)
+        r = _eval_arrow(e[3], t)
+        if op == "AND":
+            return pc.and_kleene(_aw_bool(l), _aw_bool(r))
+        if op == "OR":
+            return pc.or_kleene(_aw_bool(l), _aw_bool(r))
+        cmps = {"=": pc.equal, "<>": pc.not_equal, "!=": pc.not_equal,
+                "<": pc.less, "<=": pc.less_equal,
+                ">": pc.greater, ">=": pc.greater_equal}
+        if op in cmps:
+            return cmps[op](l, r)
+        if op == "/":                    # true division (pandas parity)
+            def f64(x):
+                return pc.cast(x, pa.float64()) if isinstance(
+                    x, (pa.Array, pa.ChunkedArray)) else float(x)
+            return pc.divide(f64(l), f64(r))
+        return {"+": pc.add, "-": pc.subtract,
+                "*": pc.multiply}[op](l, r)
+    raise ValueError(f"bad expression node {e}")
+
+
 def _expr_name(e) -> str:
     if e[0] == "col":
         return e[1]
@@ -644,8 +768,46 @@ def _execute_ast(q: dict, tables: dict, as_dataset: bool = False):
     # workers: ship a snapshot in the closure and merge on first use
     fsnap = dict(_SQL_FUNCS)
 
+    # Arrow fast path eligibility, decided once: no joins, every
+    # referenced expression evaluable by _eval_arrow
+    use_arrow = (not join_specs
+                 and all(_arrow_ok(e) for e, _ in q["items"])
+                 and (where is None or _arrow_ok(where)))
+
+    def scan_arrow(t: pa.Table) -> pa.Table:
+        if where is not None:
+            mask = _aw_bool(_eval_arrow(where, t))
+            t = t.filter(mask)           # nulls drop, like the bool mask
+        cols: dict = {}
+        for e, alias in q["items"]:
+            name = alias or _expr_name(e)
+            v = _eval_arrow(e, t)
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = pa.array([v] * t.num_rows, type=pa.scalar(v).type)
+            cols[name] = v
+        if q["order"] and not q["distinct"]:
+            for c, _ in q["order"]:
+                if c not in cols and c in t.column_names:
+                    cols[f"__ob_{c}"] = t[c]
+        out = pa.table(cols)
+        if q["distinct"]:
+            out = out.group_by(out.column_names).aggregate([])
+        if q["order"] and keep is not None:
+            out = out.sort_by([
+                (_ob_key_t(out, c), "descending" if d else "ascending")
+                for c, d in q["order"]]).slice(0, keep)
+        elif keep is not None:
+            out = out.slice(0, keep)
+        return out
+
     # plain scan: filter + project per batch, optional partial top-k
     def scan(t: pa.Table) -> pa.Table:
+        if use_arrow:
+            try:
+                return scan_arrow(t)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    pa.ArrowTypeError):
+                pass                     # type corner: pandas decides
         df = t.to_pandas()
         if join_specs:
             df = _apply_joins(df, join_specs)
@@ -745,6 +907,10 @@ def _distinct_ds(ds):
 
 def _ob_key(frame, col):
     return col if col in frame.columns else f"__ob_{col}"
+
+
+def _ob_key_t(t: pa.Table, col):
+    return col if col in t.column_names else f"__ob_{col}"
 
 
 def _run_aggregate(q, ds, join_specs=()) -> pd.DataFrame:

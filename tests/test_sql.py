@@ -2,6 +2,7 @@
 identical data — the exact-oracle pattern at unit scale."""
 
 import duckdb
+import pyarrow as pa
 import numpy as np
 import pandas as pd
 import pytest
@@ -551,3 +552,68 @@ class TestCast:
         t = {"t": rd.from_pandas(pd.DataFrame({"b": ["7", "8", "9"]}))}
         r = execute_sql("SELECT SUM(CAST(b AS DOUBLE)) AS s FROM t", t)
         assert r["s"].iloc[0] == 24.0
+
+
+class TestArrowFastPath:
+    """The no-join/no-UDF scan evaluates directly on pyarrow batches
+    (_eval_arrow); assert parity with the pandas evaluator including
+    null corners."""
+
+    def _table(self):
+        return pa.table({
+            "a": pa.array([1, 2, 3, None, 5], pa.int64()),
+            "s": pa.array(["ax", "bx", None, "cx", "zebra"]),
+            "f": pa.array([0.5, -1.5, 2.5, 3.5, None])})
+
+    def test_parity_with_pandas_eval(self):
+        from gdal_ray.functions.sql import _arrow_ok, _eval_arrow, _eval
+        t = self._table()
+        df = t.to_pandas()
+        exprs = [
+            ("bin", "+", ("col", "a"), ("lit", 2)),
+            ("bin", "/", ("col", "a"), ("lit", 2)),
+            ("case", None,
+             [((("bin", ">", ("col", "f"), ("lit", 0))), ("lit", "pos"))],
+             ("lit", "neg")),
+            ("like", ("col", "s"), ("lit", "%x")),
+            ("in_set", ("col", "a"), [1, 5]),
+            ("between", ("col", "f"), ("lit", 0), ("lit", 3)),
+            ("cast", ("col", "f"), "INTEGER"),
+            ("isnull", ("col", "s")),
+            ("not", ("isnull", ("col", "s"))),
+        ]
+        for e in exprs:
+            assert _arrow_ok(e), e
+            av = _eval_arrow(e, t)
+            av = av.to_pandas() if hasattr(av, "to_pandas") else av
+            pv = _eval(e, df)
+            a_list = list(np.asarray(av))
+            p_list = list(np.asarray(pv))
+            for x, y in zip(a_list, p_list):
+                same = (pd.isna(x) and pd.isna(y)) or str(x) == str(y) \
+                    or (isinstance(x, (int, float))
+                        and isinstance(y, (int, float))
+                        and abs(float(x) - float(y)) < 1e-12)
+                assert same, (e[0], a_list, p_list)
+
+    def test_udf_and_join_fall_back(self):
+        from gdal_ray.functions.sql import _arrow_ok
+        assert not _arrow_ok(("func", "myudf", [("col", "a")]))
+        assert not _arrow_ok(("in_sub", ("col", "a"), {"table": "x"}))
+
+    def test_scan_results_unchanged(self, ray_session):
+        import ray.data as rd
+        from gdal_ray.functions.sql import execute_sql
+        df = pd.DataFrame({"a": np.arange(100),
+                           "s": ["even", "odd"] * 50,
+                           "f": np.linspace(-1, 1, 100)})
+        ds = rd.from_pandas(df).repartition(4)
+        q = ("SELECT a, f * 2 AS f2, CASE WHEN f > 0 THEN 'p' ELSE 'n' "
+             "END AS sgn FROM t WHERE s LIKE 'ev%' AND f BETWEEN -0.5 "
+             "AND 0.5 ORDER BY a LIMIT 10")
+        res = execute_sql(q, {"t": ds})
+        assert list(res.columns) == ["a", "f2", "sgn"]
+        assert len(res) == 10
+        assert (res["a"] % 2 == 0).all()
+        assert ((res["f2"].abs() <= 1.0 + 1e-9)).all()
+        assert set(res["sgn"]) <= {"p", "n"}
