@@ -202,9 +202,19 @@ _METHODS = {
     "equidistant cylindrical": "eqc",
     "equidistant cylindrical (spherical)": "eqc",
     "plate_carree": "eqc",
-    "hotine_oblique_mercator_azimuth_center": "somerc",
+    # general Hotine OM: 9812 (variant A, natural origin) and 9815
+    # (variant B, centre origin). Swiss-specific method names keep the
+    # somerc double-projection kernel (identical results for the
+    # alpha=90 Swiss case, swisstopo's published formulation).
+    "hotine_oblique_mercator": "omerc",
+    "hotine oblique mercator (variant a)": "omerc",
+    "hotine_oblique_mercator_azimuth_center": "omerc_b",
+    "hotine oblique mercator (variant b)": "omerc_b",
+    "oblique_mercator": "omerc_b",
+    "rectified_skew_orthomorphic_natural_origin": "omerc",
+    "rectified_skew_orthomorphic_center": "omerc_b",
     "swiss_oblique_cylindrical": "somerc",
-    "oblique_mercator": "somerc",
+    "swiss oblique mercator": "somerc",
 }
 
 # PARAMETER name variants → canonical key
@@ -226,6 +236,16 @@ _PARAMS = {
     "easting at false origin": "x_0",
     "false_northing": "y_0", "false northing": "y_0",
     "northing at false origin": "y_0",
+    "easting at projection centre": "x_0",
+    "northing at projection centre": "y_0",
+    "latitude of projection centre": "lat_0",
+    "longitude of projection centre": "lon_0",
+    "azimuth": "alpha", "azimuth of initial line": "alpha",
+    "azimuth at projection centre": "alpha",
+    "rectified_grid_angle": "gamma",
+    "angle from rectified to skew grid": "gamma",
+    "scale factor on initial line": "k_0",
+    "scale factor at projection centre": "k_0",
 }
 
 
@@ -375,7 +395,9 @@ def params_from_proj(proj: str) -> dict:
     for k_src, k_dst in (("lon_0", "lon_0"), ("lat_0", "lat_0"),
                          ("lat_1", "lat_1"), ("lat_2", "lat_2"),
                          ("lat_ts", "lat_ts"), ("k", "k_0"),
-                         ("k_0", "k_0"), ("x_0", "x_0"), ("y_0", "y_0")):
+                         ("k_0", "k_0"), ("x_0", "x_0"), ("y_0", "y_0"),
+                         ("lonc", "lon_0"), ("alpha", "alpha"),
+                         ("gamma", "gamma")):
         if k_src in kv:
             out[k_dst] = float(kv[k_src])
 
@@ -399,7 +421,14 @@ def params_from_proj(proj: str) -> dict:
         out["x_0"] = 500000.0
         out["y_0"] = 10000000.0 if "south" in flags else 0.0
     elif p == "tmerc":
-        out["kind"] = "tmerc"
+        out["kind"] = "tmerc_south" if kv.get("axis") == "wsu" \
+            else "tmerc"
+    elif p == "omerc":
+        # PROJ: variant B (centre origin) unless +no_uoff/+no_off
+        out["kind"] = "omerc" if ("no_uoff" in flags
+                                  or "no_off" in flags) else "omerc_b"
+    elif p == "somerc":
+        out["kind"] = "somerc"
     elif p == "lcc":
         out["kind"] = "lcc"
     elif p == "aea":
@@ -417,8 +446,6 @@ def params_from_proj(proj: str) -> dict:
         out["kind"] = "sinu"
     elif p == "eqc":
         out["kind"] = "eqc"
-    elif p == "somerc":
-        out["kind"] = "somerc"
     else:
         raise ValueError(f"unsupported +proj={p!r}")
     return out
@@ -550,6 +577,100 @@ class SwissObliqueMercator:
                 + self.e / 2 * np.log((1 + self.e * s)
                                       / (1 - self.e * s)))) - np.pi / 2
         return lon, np.degrees(phi)
+
+
+class HotineObliqueMercator:
+    """Hotine Oblique Mercator, EPSG methods 9812 (variant A, FE/FN
+    at the projection's natural origin — WKT1 Hotine_Oblique_Mercator,
+    proj +omerc +no_uoff) and 9815 (variant B, FE/FN at the centre —
+    Hotine_Oblique_Mercator_Azimuth_Center). EPSG Guidance Note 7-2
+    §3.2.6 / Snyder PP1395 ch. 9 ellipsoidal formulas (Malaysia RSO,
+    Alaska zone 1, Swiss fallback)."""
+
+    def __init__(self, lat_c, lon_c, azimuth, gamma_c, k0, fe, fn,
+                 a, f, variant_b: bool):
+        e2 = f * (2.0 - f)
+        e = math.sqrt(e2)
+        self.e = e
+        phi_c = math.radians(lat_c)
+        lam_c = math.radians(lon_c)
+        alpha_c = math.radians(azimuth)
+        self.gam_c = math.radians(gamma_c)
+        sp = math.sin(phi_c)
+        cp = math.cos(phi_c)
+        self.B = math.sqrt(1.0 + e2 * cp ** 4 / (1.0 - e2))
+        self.A = (a * self.B * k0 * math.sqrt(1.0 - e2)
+                  / (1.0 - e2 * sp * sp))
+        t0 = (math.tan(math.pi / 4 - phi_c / 2)
+              / ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+        D = (self.B * math.sqrt(1.0 - e2)
+             / (cp * math.sqrt(1.0 - e2 * sp * sp))) if cp > 1e-12 \
+            else 1.0
+        D2 = max(D * D, 1.0)
+        F = D + math.sqrt(D2 - 1.0) * (1.0 if phi_c >= 0 else -1.0)
+        self.E0 = F * t0 ** self.B
+        G = (F - 1.0 / F) / 2.0
+        self.gam0 = math.asin(math.sin(alpha_c) / D)
+        self.lam0 = lam_c - math.asin(G * math.tan(self.gam0)) / self.B
+        self.variant_b = variant_b
+        if variant_b:
+            # u at the centre (EPSG: sign of lat_c; abs(alpha) = 90°
+            # special-cased as A(λc−λ0) in the spec — not needed for
+            # the supported CRSs)
+            self.uc = ((self.A / self.B)
+                       * math.atan2(math.sqrt(D2 - 1.0),
+                                    math.cos(alpha_c))
+                       * (1.0 if phi_c >= 0 else -1.0))
+        else:
+            self.uc = 0.0
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        phi = np.radians(np.asarray(lat, np.float64))
+        e, B, A = self.e, self.B, self.A
+        s = np.sin(phi)
+        t = (np.tan(np.pi / 4 - phi / 2)
+             / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+        Q = self.E0 / t ** B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        dlam = np.radians(lon) - self.lam0
+        dlam = (dlam + np.pi) % (2 * np.pi) - np.pi
+        V = np.sin(B * dlam)
+        U = (-V * math.cos(self.gam0) + S * math.sin(self.gam0)) / T
+        v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+        u = (A * np.arctan2(S * math.cos(self.gam0)
+                            + V * math.sin(self.gam0),
+                            np.cos(B * dlam)) / B) - self.uc
+        cg, sg = math.cos(self.gam_c), math.sin(self.gam_c)
+        return v * cg + u * sg + self.fe, u * cg - v * sg + self.fn
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) - self.fe
+        y = np.asarray(y, np.float64) - self.fn
+        e, B, A = self.e, self.B, self.A
+        cg, sg = math.cos(self.gam_c), math.sin(self.gam_c)
+        vp = x * cg - y * sg
+        up = y * cg + x * sg + self.uc
+        Qp = np.exp(-B * vp / A)
+        Sp = (Qp - 1.0 / Qp) / 2.0
+        Tp = (Qp + 1.0 / Qp) / 2.0
+        Vp = np.sin(B * up / A)
+        Up = ((Vp * math.cos(self.gam0) + Sp * math.sin(self.gam0))
+              / Tp)
+        tp = (self.E0 / np.sqrt((1.0 + Up) / (1.0 - Up))) ** (1.0 / B)
+        chi = np.pi / 2 - 2.0 * np.arctan(tp)
+        # conformal → geodetic latitude by fixed-point iteration
+        phi = chi.copy() if hasattr(chi, "copy") else chi
+        for _ in range(12):
+            s = np.sin(phi)
+            phi = (np.pi / 2 - 2.0 * np.arctan(
+                tp * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)))
+        lam = self.lam0 - np.arctan2(
+            Sp * math.cos(self.gam0) - Vp * math.sin(self.gam0),
+            np.cos(B * up / A)) / B
+        return np.degrees(lam), np.degrees(phi)
 
 
 class Sinusoidal:
@@ -752,6 +873,12 @@ class CRS:
         elif kind == "somerc":
             self.proj = SwissObliqueMercator(lat0, lon0, k0, x0, y0,
                                              a, f)
+        elif kind in ("omerc", "omerc_b"):
+            alpha = params.get("alpha", 90.0)
+            gamma = params.get("gamma", alpha)
+            self.proj = HotineObliqueMercator(
+                lat0, lon0, alpha, gamma, k0, x0, y0, a, f,
+                variant_b=(kind == "omerc_b"))
         else:
             raise ValueError(f"unsupported CRS kind {kind!r}")
 

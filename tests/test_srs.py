@@ -348,7 +348,7 @@ class TestWarpIntegration:
 class TestProjParse:
     def test_rejects_unknown(self):
         with pytest.raises(ValueError, match="unsupported"):
-            params_from_proj("+proj=omerc +lat_0=4")
+            params_from_proj("+proj=geos +h=35785831")
         with pytest.raises(ValueError, match="not in the built-in"):
             crs_from("EPSG:31370")
 
@@ -509,3 +509,69 @@ class TestSouthOrientatedTM:
         lon2, lat2 = so.xy_to_lonlat(w, s)
         np.testing.assert_allclose(lon2, lon, atol=1e-9)
         np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+class TestHotineObliqueMercator:
+    """EPSG methods 9812/9815 — golden: the EPSG Guidance Note 7-2
+    §3.2.6 worked example (Timbalai 1948 / RSO Borneo (m), Everest
+    1830, variant B): φ=5°23'14.1129"N λ=115°48'19.8196"E →
+    E=679245.73 N=596562.78."""
+
+    WKT = (
+        'PROJCS["Timbalai 1948 / RSO Borneo (m)",GEOGCS["Timbalai 1948",'
+        'DATUM["Timbalai_1948",SPHEROID["Everest 1830 (1967 Definition)"'
+        ',6377298.556,300.8017]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+        'PARAMETER["latitude_of_center",4],'
+        'PARAMETER["longitude_of_center",115],'
+        'PARAMETER["azimuth",53.31582047222222],'
+        'PARAMETER["rectified_grid_angle",53.13010236111111],'
+        'PARAMETER["scale_factor",0.99984],'
+        'PARAMETER["false_easting",590476.87],'
+        'PARAMETER["false_northing",442857.65],UNIT["metre",1]]')
+
+    def test_epsg_worked_example(self):
+        p = params_from_wkt(self.WKT)
+        assert p["kind"] == "omerc_b"
+        crs = CRS(p)
+        lat = dms(5, 23, 14.1129)
+        lon = dms(115, 48, 19.8196)
+        E, N = crs.lonlat_to_xy(lon, lat)
+        assert abs(float(E) - 679245.73) < 0.02
+        assert abs(float(N) - 596562.78) < 0.02
+
+    def test_roundtrip_and_center(self):
+        crs = CRS(params_from_wkt(self.WKT))
+        # the centre maps to (FE, FN) in variant B
+        E, N = crs.lonlat_to_xy(115.0, 4.0)
+        assert abs(float(E) - 590476.87) < 1e-6
+        assert abs(float(N) - 442857.65) < 1e-6
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(109.0, 119.0, 40)
+        lat = rng.uniform(0.5, 7.5, 40)
+        x, y = crs.lonlat_to_xy(lon, lat)
+        lon2, lat2 = crs.xy_to_lonlat(x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_variant_a_proj_string(self):
+        """+proj=omerc +no_uoff (Alaska zone 1 parameters): variant A
+        differs from B by the rectified u_c offset only."""
+        base = ("+lat_0=57 +lonc=-133.6666666666667 "
+                "+alpha=-36.86989764583333 +gamma=-36.86989764583333 "
+                "+k=0.9999 +x_0=0 +y_0=0 +ellps=clrk66 +no_defs")
+        va = CRS(params_from_proj("+proj=omerc +no_uoff " + base))
+        vb = CRS(params_from_proj("+proj=omerc " + base))
+        assert va.params["kind"] == "omerc"
+        assert vb.params["kind"] == "omerc_b"
+        lon, lat = -134.5, 58.2
+        xa, ya = va.lonlat_to_xy(lon, lat)
+        xb, yb = vb.lonlat_to_xy(lon, lat)
+        uc = va.proj.A / va.proj.B  # scale of the offset
+        assert abs(float(xa) - float(xb)) > 1000  # offsets differ
+        # both invert exactly
+        for crs, x, y in ((va, xa, ya), (vb, xb, yb)):
+            lo, la = crs.xy_to_lonlat(x, y)
+            assert abs(float(lo) - lon) < 1e-9
+            assert abs(float(la) - lat) < 1e-9
