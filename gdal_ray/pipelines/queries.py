@@ -2592,6 +2592,29 @@ def q_mbtiles_roundtrip(sf_dir: str):
     return read_mbtiles(path).select_columns(["z", "x", "y"])
 
 
+def q_gpkg_raster_roundtrip(sf_dir: str):
+    """GeoPackage raster-tile roundtrip (frmts/gpkg tile-matrix
+    semantics, written from the OGC spec): the same z6+z5 cover
+    pyramid as the MBTiles query streams into a .gpkg
+    (gpkg_tile_matrix_set/gpkg_tile_matrix + tile table, top-down
+    rows — no TMS flip), reads back via parallel read_sql, and
+    returns the XYZ tile coordinates. Shares the MBTiles oracle: the
+    cover is identical and GPKG rows are already XYZ, so a mismatch
+    catches grid metadata, a row flip, or a dropped sqlite row."""
+    import os
+    import tempfile
+
+    from ..sources.gpkg import read_gpkg_tiles, write_gpkg_tiles
+
+    levels = _cover_levels(128, 6)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gdal_ray_gpkgr_{os.getpid()}.gpkg")
+    if os.path.exists(path):
+        os.remove(path)
+    write_gpkg_tiles(levels, path, table="cover")
+    return read_gpkg_tiles(path).select_columns(["z", "x", "y"])
+
+
 def q_kml_superoverlay(sf_dir: str):
     """KML superoverlay sink roundtrip (frmts/kmlsuperoverlay +
     gdal2tiles -k semantics): write the two-level cover pyramid as a
@@ -3893,6 +3916,7 @@ QUERIES = {
     "spatial_sort": q_spatial_sort,
     "raster_index": q_raster_index,
     "mbtiles_roundtrip": q_mbtiles_roundtrip,
+    "gpkg_raster_roundtrip": q_gpkg_raster_roundtrip,
     "gtiff_roundtrip": q_gtiff_roundtrip,
     "netcdf_roundtrip": q_netcdf_roundtrip,
     "vector_sql_subquery": q_vector_sql_subquery,
@@ -4043,6 +4067,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_sort": _OR.sql_spatial_sort(10, 64),
         "raster_index": _OR.sql_raster_index(128, 6),
         "mbtiles_roundtrip": _OR.sql_mbtiles_roundtrip(128, 6),
+        "gpkg_raster_roundtrip": _OR.sql_mbtiles_roundtrip(128, 6),
         "kml_superoverlay": _OR.sql_kml_superoverlay(128, 6),
         "approx_count_distinct": SQL_APPROX_COUNT_DISTINCT,
         "quantiles": SQL_QUANTILES,

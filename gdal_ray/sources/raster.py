@@ -104,6 +104,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("grb2", "grib2", "grb", "grib"):
         from ..codecs.grib2 import decode_grib2
         px, gt, nodata, meta = decode_grib2(open(path, "rb").read())
+    elif ext == "gpkg":
+        from .gpkg import read_gpkg_raster
+        px, gt, nodata, meta = read_gpkg_raster(path)
     elif ext == "zarr" or os.path.isdir(path) and (
             os.path.exists(os.path.join(path, ".zarray"))
             or os.path.exists(os.path.join(path, ".zgroup"))):
