@@ -550,10 +550,35 @@ def decode_j2k(cs: bytes):
         elif m == b"\xff\x5c":
             qcd = _parse_qcd(seg)
         elif m == b"\xff\x53":               # COC
-            raise ValueError("JPEG2000 COC (per-component coding) "
-                             "unsupported")
-        elif m == b"\xff\x5d":
-            raise ValueError("JPEG2000 QCC unsupported")
+            if siz is None:
+                raise ValueError("COC before SIZ")
+            (nc_,) = struct.unpack_from(">H", siz, 34)
+            ci, off = (struct.unpack_from(">H", seg, 0)[0], 2) \
+                if nc_ >= 257 else (seg[0], 1)
+            c = _Cod()
+            base = cod or _Cod()
+            c.scod = seg[off]
+            c.prog = getattr(base, "prog", 0)
+            c.layers = getattr(base, "layers", 1)
+            c.mct = getattr(base, "mct", 0)
+            c.levels = seg[off + 1]
+            c.cbw = 1 << ((seg[off + 2] & 0x0F) + 2)
+            c.cbh = 1 << ((seg[off + 3] & 0x0F) + 2)
+            c.cbstyle = seg[off + 4]
+            c.wavelet = seg[off + 5]
+            if c.scod & 1:
+                c.prec = [(v & 0x0F, v >> 4)
+                          for v in seg[off + 6:off + 7 + c.levels]]
+            else:
+                c.prec = [(15, 15)] * (c.levels + 1)
+            coc[ci] = c
+        elif m == b"\xff\x5d":               # QCC
+            if siz is None:
+                raise ValueError("QCC before SIZ")
+            (nc_,) = struct.unpack_from(">H", siz, 34)
+            ci, off = (struct.unpack_from(">H", seg, 0)[0], 2) \
+                if nc_ >= 257 else (seg[0], 1)
+            qcc[ci] = _parse_qcd(seg[off:])
         elif m == b"\xff\x5f":
             raise ValueError("JPEG2000 POC unsupported")
         i += L + 2
@@ -611,7 +636,7 @@ def decode_j2k(cs: bytes):
         ty1 = min(YTO + (ty + 1) * YT, Y)
         data = b"".join(parts)
         _decode_tile(data, cod, qcd, comps, (tx0, ty0, tx1, ty1), out,
-                     (XO, YO))
+                     (XO, YO), coc, qcc)
 
     result = []
     for k, (prec, signed, _, _) in enumerate(comps):
@@ -646,11 +671,23 @@ def _band_rect(r, levels, borient, tcx0, tcy0, tcx1, tcy1):
             _ceil_div(tcx1 - h * xo, d), _ceil_div(tcy1 - h * yo, d))
 
 
-def _decode_tile(data, cod, qcd, comps, trect, out, img_off):
+def _decode_tile(data, cod, qcd, comps, trect, out, img_off,
+                 cocs=None, qccs=None):
     tx0, ty0, tx1, ty1 = trect
     NC = len(comps)
     levels = cod.levels
     nres = levels + 1
+    # per-component overrides: the wavelet filter and quantization may
+    # differ per component (COC/QCC); a COC that changes the
+    # decomposition/code-block STRUCTURE would need per-component
+    # resolution grids — fail fast by name on that subset
+    cods = [(cocs or {}).get(ci, cod) for ci in range(NC)]
+    qcds = [(qccs or {}).get(ci, qcd) for ci in range(NC)]
+    for c in cods:
+        if (c.levels != cod.levels or c.cbw != cod.cbw
+                or c.cbh != cod.cbh or c.prec != cod.prec):
+            raise ValueError(
+                "COC changing decomposition structure unsupported")
 
     # ---- build per-component resolution/band/precinct structures
     comps_res = []
@@ -857,9 +894,10 @@ def _decode_tile(data, cod, qcd, comps, trect, out, img_off):
             pos += nbytes
 
     # ---- Tier-1 decode + dequant into subband arrays
-    guard = qcd.guard
-    reversible = cod.wavelet == 1
     for ci in range(NC):
+        qcdi = qcds[ci]
+        guard = qcdi.guard
+        reversible = cods[ci].wavelet == 1
         prec_bits = comps[ci][0]
         band_seq = 0                          # QCD subband order:
         subbands = {}                         # LL, then HL/LH/HH per r
@@ -868,18 +906,18 @@ def _decode_tile(data, cod, qcd, comps, trect, out, img_off):
             for bi, b in enumerate(res["bands"]):
                 arr = np.zeros((max(b.by1 - b.by0, 0),
                                 max(b.bx1 - b.bx0, 0)), np.float64)
-                if qcd.style == 0:            # reversible: exponents
-                    exp = qcd.exps[band_seq]
+                if qcdi.style == 0:           # reversible: exponents
+                    exp = qcdi.exps[band_seq]
                     mant = 0
-                elif qcd.style == 1:          # scalar derived (E.1.1):
+                elif qcdi.style == 1:         # scalar derived (E.1.1):
                     # εb = ε0 − NL + nb; band decomposition level
                     # nb = NL for LL, NL − r + 1 for resolution r
-                    exp = qcd.exps[0] if r == 0 \
-                        else qcd.exps[0] - r + 1
-                    mant = qcd.mants[0]
+                    exp = qcdi.exps[0] if r == 0 \
+                        else qcdi.exps[0] - r + 1
+                    mant = qcdi.mants[0]
                 else:                         # scalar expounded
-                    exp = qcd.exps[band_seq]
-                    mant = qcd.mants[band_seq]
+                    exp = qcdi.exps[band_seq]
+                    mant = qcdi.mants[band_seq]
                 mb = guard + exp - 1
                 rb = prec_bits + b.gain
                 for pr in res["precincts"]:
@@ -1467,14 +1505,36 @@ def _fdwt53_1d(x: np.ndarray, i0: int, i1: int) -> np.ndarray:
     return y
 
 
-def _fdwt2d(a: np.ndarray, ux0, uy0, ux1, uy1):
+def _fdwt97_1d(x: np.ndarray, i0: int, i1: int) -> np.ndarray:
+    """Forward 9/7 analysis — the exact reverse of _sr1d_97's lifting
+    steps (Annex F.4.8 run backwards with flipped signs)."""
+    n = i1 - i0
+    if n == 1:
+        return x if i0 % 2 == 0 else x * 2.0
+    idx = np.arange(i0, i1)
+    even = idx % 2 == 0
+    odd = ~even
+    y = x.astype(np.float64).copy()
+    for coef, upd_odd in ((_A97, True), (_B97, False),
+                          (_G97, True), (_D97, False)):
+        sel = odd if upd_odd else even
+        lo = y[_ext_idx(idx[sel] - 1, i0, i1)]
+        hi = y[_ext_idx(idx[sel] + 1, i0, i1)]
+        y[sel] = y[sel] + coef * (lo + hi)
+    y[even] /= _K97
+    y[odd] *= _K97
+    return y
+
+
+def _fdwt2d(a: np.ndarray, ux0, uy0, ux1, uy1, reversible=True):
     """One analysis level → (ll, hl, lh, hh)."""
     h, w = a.shape
     b = a.astype(np.float64).copy()
+    f1d = _fdwt53_1d if reversible else _fdwt97_1d
     for i in range(w):
-        b[:, i] = _fdwt53_1d(b[:, i], uy0, uy1)
+        b[:, i] = f1d(b[:, i], uy0, uy1)
     for j in range(h):
-        b[j, :] = _fdwt53_1d(b[j, :], ux0, ux1)
+        b[j, :] = f1d(b[j, :], ux0, ux1)
     ex0 = _ceil_div(ux0, 2) * 2
     ey0 = _ceil_div(uy0, 2) * 2
     xe = [x - ux0 for x in range(ux0, ux1) if x % 2 == 0]
@@ -1488,10 +1548,62 @@ def _fdwt2d(a: np.ndarray, ux0, uy0, ux1, uy1):
     return ll, hl, lh, hh
 
 
-def encode_j2k(bands: list, levels: int = 2) -> bytes:
-    """Component arrays → lossless JPEG2000 codestream (single tile,
-    single layer, LRCP, 5/3 reversible, 64×64 code-blocks, default
-    precincts, no MCT)."""
+_NORM_CACHE: dict = {}
+
+
+def _band_norms(levels: int) -> dict:
+    """L2 norms of each subband's 9/7 synthesis basis, computed
+    numerically against this module's own inverse DWT (impulse
+    response) — used to weight lossy quantization steps. Cached per
+    decomposition depth."""
+    if levels in _NORM_CACHE:
+        return _NORM_CACHE[levels]
+    N = 1 << max(7, levels + 3)
+    shapes = {}
+    ux1 = uy1 = N
+    for r in range(levels, 0, -1):
+        hw = ux1 - _ceil_div(ux1, 2)
+        hh_ = uy1 - _ceil_div(uy1, 2)
+        ux1 = _ceil_div(ux1, 2)
+        uy1 = _ceil_div(uy1, 2)
+        shapes[(r, 1)] = (uy1, hw)
+        shapes[(r, 2)] = (hh_, ux1)
+        shapes[(r, 3)] = (hh_, hw)
+    shapes[(0, 0)] = (uy1, ux1)
+    norms = {}
+    for key, (sh, sw) in shapes.items():
+        subs = {k: (np.zeros(s),) for k, s in shapes.items()}
+        a = np.zeros((sh, sw))
+        a[sh // 2, sw // 2] = 1.0
+        subs[key] = (a,)
+        img = _inverse_dwt(subs, levels, (0, 0, N, N), False)
+        norms[key] = float(np.sqrt((img ** 2).sum()))
+    _NORM_CACHE[levels] = norms
+    return norms
+
+
+def _qparams(delta: float, rb: int):
+    """Step size → (ε, μ, realized step) with
+    Δ = 2^(Rb−ε)·(1+μ/2048) (Annex E.1) — the decoder reconstructs
+    from ε/μ, so quantization uses the realized step."""
+    eps = rb - int(math.floor(math.log2(delta)))
+    eps = min(max(eps, 0), 31)
+    base = 2.0 ** (rb - eps)
+    mu = int(round((delta / base - 1.0) * 2048.0))
+    mu = min(max(mu, 0), 2047)
+    return eps, mu, base * (1.0 + mu / 2048.0)
+
+
+def encode_j2k(bands: list, levels: int = 2, lossy: bool = False,
+               quality: float = 50.0) -> bytes:
+    """Component arrays → JPEG2000 codestream (single tile, single
+    layer, LRCP, 64×64 code-blocks, default precincts, no MCT).
+    Default: 5/3 reversible lossless. ``lossy=True``: 9/7
+    irreversible with scalar-expounded quantization (steps weighted
+    by the synthesis-basis norms; ``quality`` ~ 50 is visually
+    transparent for 8-bit data, halving it doubles the step) —
+    components beyond the first get explicit COC + QCC segments
+    (per-component styles, frmts/openjpeg write parity)."""
     NC = len(bands)
     h, w = bands[0].shape
     dt = bands[0].dtype
@@ -1499,6 +1611,53 @@ def encode_j2k(bands: list, levels: int = 2) -> bytes:
     prec = dt.itemsize * 8
     if prec > 16:
         raise ValueError("JP2 encode supports up to 16-bit samples")
+    gains = {0: 0, 1: 1, 2: 1, 3: 2}
+    band_keys = [(0, 0)] + [(r, o) for r in range(1, levels + 1)
+                            for o in (1, 2, 3)]
+
+    # ---- analysis (+ quantization when lossy)
+    dc = 0 if signed else (1 << (prec - 1))
+    per_comp_subs: list[dict] = []
+    per_comp_q: list[dict] = []        # (ci) -> {(r,o): (eps, mu)}
+    for px in bands:
+        a = px.astype(np.float64) - dc
+        subs = {}
+        ux1, uy1 = w, h
+        cur = a
+        for r in range(levels, 0, -1):
+            ll, hl, lh, hh = _fdwt2d(cur, 0, 0, ux1, uy1,
+                                     reversible=not lossy)
+            subs[(r, 1)] = hl
+            subs[(r, 2)] = lh
+            subs[(r, 3)] = hh
+            ux1 = _ceil_div(ux1, 2)
+            uy1 = _ceil_div(uy1, 2)
+            cur = ll
+        subs[(0, 0)] = cur
+        qp = {}
+        if lossy:
+            norms = _band_norms(levels)
+            for key in band_keys:
+                rb = prec + gains[key[1]]
+                want = (2.0 ** (prec - 8)
+                        * 2.0 ** ((50.0 - quality) / 12.0)) \
+                    / norms[key]
+                eps, mu, step = _qparams(want, rb)
+                q = np.trunc(subs[key] / step).astype(np.int64)
+                # magnitudes must fit mb = guard(2) + eps - 1 planes
+                while eps > 0 and int(np.abs(q).max()) \
+                        .bit_length() > eps + 1:
+                    eps, mu, step = _qparams(
+                        2.0 ** (rb - eps + 1), rb)
+                    q = np.trunc(subs[key] / step).astype(np.int64)
+                subs[key] = q
+                qp[key] = (eps, mu)
+        else:
+            for key in band_keys:
+                subs[key] = subs[key].astype(np.int64)
+        per_comp_subs.append(subs)
+        per_comp_q.append(qp)
+
     out = bytearray()
     out += b"\xff\x4f"                       # SOC
     # SIZ
@@ -1508,19 +1667,50 @@ def encode_j2k(bands: list, levels: int = 2) -> bytes:
     for _ in range(NC):
         siz += bytes([(0x80 if signed else 0) | (prec - 1), 1, 1])
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
-    # COD: Scod=0, LRCP, 1 layer, no MCT, levels, 64x64, cbstyle 0, 5/3
+    # COD: Scod=0, LRCP, 1 layer, no MCT, levels, 64x64, cbstyle 0
+    wavelet = 0 if lossy else 1
     cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
-        [0, levels, 4, 4, 0, 1])
+        [0, levels, 4, 4, 0, wavelet])
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
-    # QCD: reversible, guard 2: exponent per band = prec + gain
-    n_bands = 3 * levels + 1
-    gains = [0] + [1, 1, 2] * levels
-    qcd = bytes([2 << 5]) + bytes([(min(prec + g, 31)) << 3
-                                   for g in gains])
-    out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+    if lossy:
+        # QCD (component 0, scalar expounded) + explicit COC/QCC for
+        # every further component
+        def q_seg(ci):
+            body = bytes([(2 << 5) | 2])
+            for key in band_keys:
+                eps, mu = per_comp_q[ci][key]
+                body += struct.pack(">H", (eps << 11) | mu)
+            return body
+        out += b"\xff\x5c" + struct.pack(">H", len(q_seg(0)) + 2) \
+            + q_seg(0)
+        for ci in range(1, NC):
+            coc = (bytes([ci]) if NC < 257 else struct.pack(">H", ci))
+            coc += bytes([0, levels, 4, 4, 0, wavelet])
+            out += b"\xff\x53" + struct.pack(">H", len(coc) + 2) + coc
+            qcc = (bytes([ci]) if NC < 257 else struct.pack(">H", ci))
+            qcc += q_seg(ci)
+            out += b"\xff\x5d" + struct.pack(">H", len(qcc) + 2) + qcc
+    else:
+        # QCD: reversible, guard 2: exponent per band = prec + gain
+        qcd = bytes([2 << 5]) + bytes([
+            (min(prec + gains[o], 31)) << 3 for _, o in
+            [(0, 0)] + [(r, o) for r in range(1, levels + 1)
+                        for o in (1, 2, 3)]])
+        out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+
+    # per-band mb for the T1 encoder
+    mbs = []
+    for ci in range(NC):
+        m = {}
+        for key in band_keys:
+            if lossy:
+                m[key] = 2 + per_comp_q[ci][key][0] - 1
+            else:
+                m[key] = 2 + min(prec + gains[key[1]], 31) - 1
+        mbs.append(m)
 
     # ---- tile body
-    body = _encode_tile(bands, levels, prec, signed)
+    body = _encode_tile(per_comp_subs, mbs, levels)
     psot = 12 + 2 + len(body)
     out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
     out += b"\xff\x93" + body
@@ -1528,31 +1718,12 @@ def encode_j2k(bands: list, levels: int = 2) -> bytes:
     return bytes(out)
 
 
-def _encode_tile(bands, levels, prec, signed) -> bytes:
-    h, w = bands[0].shape
-    dc = 0 if signed else (1 << (prec - 1))
-    gains = {0: 0, 1: 1, 2: 1, 3: 2}
+def _encode_tile(per_comp_bands, mbs, levels) -> bytes:
     packets = bytearray()
-    per_comp_bands = []
-    for px in bands:
-        a = px.astype(np.float64) - dc
-        subs = {}
-        ux0, uy0, ux1, uy1 = 0, 0, w, h
-        cur = a
-        for r in range(levels, 0, -1):
-            ll, hl, lh, hh = _fdwt2d(cur, ux0, uy0, ux1, uy1)
-            subs[(r, 1)] = hl
-            subs[(r, 2)] = lh
-            subs[(r, 3)] = hh
-            ux1 = _ceil_div(ux1, 2)
-            uy1 = _ceil_div(uy1, 2)
-            cur = ll
-        subs[(0, 0)] = cur
-        per_comp_bands.append(subs)
 
     # LRCP, 1 layer: packets ordered r, then component
     for r in range(levels + 1):
-        for ci in range(len(bands)):
+        for ci in range(len(per_comp_bands)):
             subs = per_comp_bands[ci]
             borients = (0,) if r == 0 else (1, 2, 3)
             hb = _HdrWriter()
@@ -1561,7 +1732,7 @@ def _encode_tile(bands, levels, prec, signed) -> bytes:
             for bo in borients:
                 arr = subs[(r, bo)].astype(np.int64)
                 bh, bw = arr.shape
-                mb = 2 + min(prec + gains[bo], 31) - 1
+                mb = mbs[ci][(r, bo)]
                 nbx = max(_ceil_div(bw, 64), 1) if bw else 0
                 nby = max(_ceil_div(bh, 64), 1) if bh else 0
                 if bw == 0 or bh == 0:
@@ -1621,12 +1792,15 @@ def _encode_tile(bands, levels, prec, signed) -> bytes:
 
 
 def encode_jp2(pixels: np.ndarray, *, geotransform=None,
-               crs: str | None = None, levels: int = 2) -> bytes:
-    """(h, w[, bands]) integer raster → lossless .jp2 (JP2 container
-    with ihdr/colr and a GeoJP2 uuid box when georeferenced)."""
+               crs: str | None = None, levels: int = 2,
+               lossy: bool = False, quality: float = 50.0) -> bytes:
+    """(h, w[, bands]) integer raster → .jp2 (JP2 container with
+    ihdr/colr and a GeoJP2 uuid box when georeferenced). Lossless 5/3
+    by default; ``lossy=True`` → 9/7 with scalar-expounded
+    quantization (see encode_j2k)."""
     px = pixels if pixels.ndim == 3 else pixels[:, :, None]
     bands = [np.ascontiguousarray(px[:, :, k]) for k in range(px.shape[2])]
-    cs = encode_j2k(bands, levels=levels)
+    cs = encode_j2k(bands, levels=levels, lossy=lossy, quality=quality)
     h, w, nb = px.shape
     prec = px.dtype.itemsize * 8
     signed = np.issubdtype(px.dtype, np.signedinteger)

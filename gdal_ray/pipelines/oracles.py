@@ -1899,3 +1899,12 @@ SELECT image_id, SUM(v0)::BIGINT AS halfres_sum
 FROM px WHERE gx % 2 = 1 AND gy % 2 = 1
 GROUP BY image_id
 """
+
+
+def sql_jp2_lossy(n: int = 32) -> str:
+    """Lossy JP2 gate: the Ray side computes PSNR/size booleans that
+    must all be TRUE; the oracle lists the png-corpus ids with TRUE
+    flags closed-form."""
+    return "WITH " + sql_images_cte(n, png_only=True) + """
+SELECT image_id, TRUE AS psnr_ok, TRUE AS smaller_ok FROM imgs
+"""

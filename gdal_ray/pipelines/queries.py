@@ -1408,6 +1408,52 @@ def q_jp2_roundtrip(sf_dir: str):
     return files.map_batches(stats, batch_format="pyarrow")
 
 
+def q_jp2_lossy_roundtrip(sf_dir: str):
+    """9/7 lossy JPEG2000 write→read gate (codecs/jp2.py encoder,
+    new in r5): encode the png-corpus half irreversibly (scalar
+    expounded quantization, per-component COC/QCC when multiband),
+    decode through the full 9/7 path, and emit per-image PSNR ≥ 40 dB
+    + rate-monotonicity (quality 20 encodes smaller than quality 50)
+    booleans. The oracle lists the corpus ids with TRUE flags — any
+    quality regression or georef drop flips a row and fails the
+    hash."""
+    from ..codecs import decode as _dec
+    from ..codecs.jp2 import decode_jp2, encode_jp2
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids, ok, smaller = [], [], []
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            band = px[:, :, 0]
+            gt = tuple(float(g[i]) for g in gts)
+            lossy = encode_jp2(band, geotransform=gt,
+                               crs="EPSG:3857", lossy=True,
+                               quality=50)
+            coarse = encode_jp2(band, geotransform=gt,
+                                crs="EPSG:3857", lossy=True,
+                                quality=20)
+            out, gt2, _, _ = decode_jp2(lossy)
+            o = np.clip(np.asarray(out).squeeze(), 0, 255)
+            mse = float(((o - band.astype(np.float64)) ** 2).mean())
+            psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+            ids.append(t["image_id"][i].as_py())
+            ok.append(bool(psnr >= 40.0
+                           and np.allclose(gt2, gt, rtol=1e-9)))
+            # rate monotonicity: coarser quantization → smaller file
+            smaller.append(len(coarse) < len(lossy))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "psnr_ok": pa.array(ok, pa.bool_()),
+                         "smaller_ok": pa.array(smaller, pa.bool_())})
+
+    return images_dataset(32) \
+        .map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(gate, batch_format="pyarrow")
+
+
 def q_cog_roundtrip(sf_dir: str):
     """Cloud-Optimized GeoTIFF driver (cogeo.org layout;
     frmts/cog/cogdriver.cpp): transcode the lossless corpus half to
@@ -3899,6 +3945,7 @@ QUERIES = {
     "gml_roundtrip": q_gml_roundtrip,
     "dxf_roundtrip": q_dxf_roundtrip,
     "jp2_roundtrip": q_jp2_roundtrip,
+    "jp2_lossy_roundtrip": q_jp2_lossy_roundtrip,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
     "pipeline_dsl": q_pipeline_dsl,
@@ -4050,6 +4097,7 @@ def oracle_sql() -> dict[str, str]:
         "cutline_clip": _OR.sql_cutline_clip(96, 40),
         "gtiff_roundtrip": _OR.sql_raster_stats(64),
         "jp2_roundtrip": _OR.sql_raster_stats(32),
+        "jp2_lossy_roundtrip": _OR.sql_jp2_lossy(32),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,

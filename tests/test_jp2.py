@@ -215,3 +215,60 @@ class TestNativeT1Parity:
             assert (np_n, miss_n) == (np_p, miss_p)
             np.testing.assert_array_equal(dec_n, dec_p)
             np.testing.assert_array_equal(dec_n, coef)
+
+
+class TestLossyEncode:
+    """9/7 irreversible write path: scalar-expounded quantization
+    weighted by numerically-computed synthesis norms; components > 0
+    carry explicit COC + QCC (exercising the reader's per-component
+    paths)."""
+
+    def _img(self, n=200):
+        rng = np.random.default_rng(2)
+        x = np.linspace(0, 6, n)
+        return ((np.sin(x)[:, None] * np.cos(x)[None, :] + 1) * 100
+                + rng.normal(0, 4, (n, n))).clip(0, 255).astype(np.uint8)
+
+    @staticmethod
+    def _psnr(a, b):
+        mse = float(((np.clip(a, 0, 255).astype(np.float64)
+                      - b.astype(np.float64)) ** 2).mean())
+        return 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+
+    def test_psnr_gate_and_size(self):
+        img = self._img()
+        from gdal_ray.codecs.jp2 import encode_j2k, decode_j2k
+        lossless = encode_j2k([img], levels=2)
+        cs = encode_j2k([img], levels=2, lossy=True, quality=50)
+        out = decode_j2k(cs)[0]
+        assert self._psnr(out, img) >= 45.0
+        cs20 = encode_j2k([img], levels=2, lossy=True, quality=20)
+        assert self._psnr(decode_j2k(cs20)[0], img) >= 35.0
+        assert len(cs20) < len(cs) < len(lossless)
+
+    def test_multiband_coc_qcc(self):
+        from gdal_ray.codecs.jp2 import encode_j2k, decode_j2k
+        img = self._img()
+        rgb = [img, np.roll(img, 7, axis=0), np.roll(img, 13, axis=1)]
+        cs = encode_j2k(rgb, levels=2, lossy=True, quality=45)
+        assert b"\xff\x53" in cs and b"\xff\x5d" in cs  # COC + QCC
+        outs = decode_j2k(cs)
+        for o, b in zip(outs, rgb):
+            assert self._psnr(o, b) >= 42.0
+
+    def test_jp2_container_lossy(self):
+        from gdal_ray.codecs.jp2 import decode_jp2, encode_jp2
+        img = self._img(96)
+        buf = encode_jp2(img, geotransform=(100, 2, 0, 500, 0, -2),
+                         lossy=True, quality=50)
+        px, gt, nd, meta = decode_jp2(buf)
+        assert gt == (100, 2, 0, 500, 0, -2)
+        assert self._psnr(np.asarray(px).squeeze(), img) >= 45.0
+
+    def test_uint16_lossy(self):
+        from gdal_ray.codecs.jp2 import encode_j2k, decode_j2k
+        img = (self._img().astype(np.uint16) * 257)
+        cs = encode_j2k([img], levels=2, lossy=True, quality=50)
+        out = decode_j2k(cs)[0]
+        err = np.abs(out - img.astype(np.float64)).mean()
+        assert err < 257 * 3  # within ~3 8-bit-equivalent levels
