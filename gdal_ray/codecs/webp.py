@@ -1,5 +1,6 @@
-"""WebP codec — real RIFF container + a FULL VP8L (lossless) decoder,
-a VP8L literal-subset encoder, and a libwebp system plug for lossy VP8.
+"""WebP codec — real RIFF container + FULL from-scratch decoders for
+both VP8L (lossless) and VP8 (lossy), plus a VP8L literal-subset
+encoder.
 
 Reference: frmts/webp/webpdataset.cpp (GDAL's driver is a thin wrapper
 over libwebp). What is REAL and from-scratch here:
@@ -19,10 +20,16 @@ over libwebp). What is REAL and from-scratch here:
 * a spec-conformant VP8L encoder for the literal subset (no
   transforms/LZ77 — any conformant reader decodes its files).
 
-Lossy VP8 entropy decode (boolean coder + RFC 6386 probability tables)
-routes through the OPTIONAL libwebp system codec (codecs/webp_sys.py,
-ctypes) when the shared library is present — the same plug shape as
-the reference driver — and raises NotImplementedError otherwise.
+Lossy VP8 (still-image key frames) decodes with the own RFC 6386
+implementation in codecs/vp8.py — boolean coder, keyframe intra
+modes, DCT/WHT tokens, dequant, exact integer inverse transforms,
+both loop filters — followed by libwebp-parity fancy chroma
+upsampling and fixed-point YUV->RGB; the ALPH chunk (raw or
+VP8L-compressed alpha with all four prediction filters) is honored.
+Byte-exact vs libwebp on the reference fixtures and random encoder
+output (tests/test_vp8.py); the libwebp ctypes plug
+(codecs/webp_sys.py) remains as the test-time conformance oracle
+only.
 """
 
 from __future__ import annotations
@@ -733,14 +740,9 @@ def decode_webp_lossless(buf: bytes) -> np.ndarray:
     Verified pixel-exact against libwebp-encoded streams
     (tests/test_webp.py)."""
     info = webp_info(buf)
-    if info.flavor == "lossy":
-        from .webp_sys import decode_webp_system, system_available
-        if system_available():
-            return decode_webp_system(buf)
-        raise NotImplementedError(
-            "lossy WebP (VP8) entropy decode needs libwebp / RFC 6386 "
-            "tables — libwebp system codec not available "
-            "(gdal_ray.codecs.webp_sys)")
+    if info.flavor == "lossy" or (info.flavor == "extended"
+                                  and b"VP8L" not in _chunks(buf)):
+        return _decode_lossy(buf)
     # locate the VP8L chunk
     pos, end = 12, 8 + struct.unpack_from("<I", buf, 4)[0]
     body = None
@@ -765,6 +767,87 @@ def decode_webp_lossless(buf: bytes) -> np.ndarray:
     out[:, 2] = argb & np.uint32(0xFF)
     out[:, 3] = (argb >> np.uint32(24)) & np.uint32(0xFF)
     return out.reshape(h, w, 4)
+
+
+def _chunks(buf: bytes) -> dict:
+    """RIFF chunk map (first occurrence of each tag)."""
+    pos, end = 12, 8 + struct.unpack_from("<I", buf, 4)[0]
+    out = {}
+    while pos + 8 <= end and pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + size > len(buf):
+            raise ValueError("truncated WebP chunk %r" % tag)
+        out.setdefault(tag, buf[pos + 8:pos + 8 + size])
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def _unfilter_alpha(a: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH prediction filter (filters.c parity)."""
+    if method == 0:
+        return a
+    h, w = a.shape
+    v = a.astype(np.int64)
+    if method == 1:                          # horizontal
+        col0 = np.cumsum(v[:, 0])
+        out = np.cumsum(v, axis=1) - v[:, 0:1] + col0[:, None]
+        return (out & 0xFF).astype(np.uint8)
+    if method == 2:                          # vertical
+        row0 = np.cumsum(v[0]) & 0xFF
+        v = v.copy()
+        v[0] = row0
+        return (np.cumsum(v, axis=0) & 0xFF).astype(np.uint8)
+    out = np.empty((h, w), np.uint8)         # gradient (sequential)
+    row = np.cumsum(v[0]) & 0xFF
+    out[0] = row
+    for y in range(1, h):
+        prev = out[y - 1]
+        left = int(prev[0])
+        tl = left
+        r = a[y]
+        cur = out[y]
+        for x in range(w):
+            top = int(prev[x])
+            g = left + top - tl
+            g = 0 if g < 0 else (255 if g > 255 else g)
+            left = (int(r[x]) + g) & 0xFF
+            tl = top
+            cur[x] = left
+    return out
+
+
+def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk → (h, w) uint8 alpha plane."""
+    hdr = body[0]
+    method = hdr & 3
+    filt = (hdr >> 2) & 3
+    if method == 0:
+        plane = np.frombuffer(body[1:1 + w * h], np.uint8) \
+            .reshape(h, w).copy()
+    else:
+        # lossless-compressed: a headerless VP8L stream, alpha in the
+        # green channel
+        br = _BitReader(body[1:], 0)
+        argb = _decode_image_stream(br, w, h, True)
+        plane = ((argb >> np.uint32(8)) & np.uint32(0xFF)) \
+            .astype(np.uint8).reshape(h, w)
+    return _unfilter_alpha(plane, filt)
+
+
+def _decode_lossy(buf: bytes) -> np.ndarray:
+    """Lossy WebP via the own RFC 6386 VP8 decoder (codecs/vp8.py) +
+    libwebp-parity fancy upsampling; honors an ALPH chunk."""
+    from .vp8 import decode_vp8, yuv420_to_rgba
+    ch = _chunks(buf)
+    if b"VP8 " not in ch:
+        raise ValueError("no VP8 chunk in lossy WebP")
+    Y, U, V = decode_vp8(ch[b"VP8 "])
+    rgba = yuv420_to_rgba(Y, U, V)
+    if b"ALPH" in ch:
+        rgba[:, :, 3] = _decode_alpha(ch[b"ALPH"], rgba.shape[1],
+                                      rgba.shape[0])
+    return rgba
 
 
 def decode_webp(buf: bytes) -> np.ndarray:

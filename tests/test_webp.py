@@ -32,18 +32,13 @@ class TestContainerParity:
         assert i.flavor == "extended"
         assert i.has_xmp            # legacy META chunk carries the XMP
 
-    def test_lossy_decode_via_system_codec(self):
-        """Lossy VP8 routes through the libwebp system plug
-        (codecs/webp_sys.py, the frmts/webp/webpdataset.cpp wrapper
-        shape); band-1 checksum must match the reference's own
-        expectation (autotest/gdrivers/webp.py:30-34)."""
-        from gdal_ray.codecs.webp_sys import system_available
+    def test_lossy_decode_own_vp8(self):
+        """Lossy VP8 decodes with the own RFC 6386 decoder
+        (codecs/vp8.py) — no libwebp needed; band-1 checksum must
+        match the reference's own expectation
+        (autotest/gdrivers/webp.py:30-34)."""
         from gdal_ray.core.checksum import checksum
         buf = open(f"{FIX}/rgbsmall.webp", "rb").read()
-        if not system_available():
-            with pytest.raises(NotImplementedError, match="libwebp"):
-                decode_webp(buf)
-            return
         img = decode_webp(buf)
         assert img.shape == (50, 50, 4)
         assert int(checksum(img[:, :, 0])) in (21464, 21450, 21459)
