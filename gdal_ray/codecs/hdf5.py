@@ -10,15 +10,22 @@ Specification directly (no entropy coding — pure container walking):
   * old-style groups (symbol-table message → v1 B-tree + SNOD nodes +
     local heap) and new-style compact groups (link-info + link
     messages — what netCDF-4 emits for its creation-order tracking);
-  * messages: dataspace, datatype (fixed/float/string/enum/compound,
-    either byte order), fill value, data layout (compact, contiguous,
-    chunked v3), filter pipeline (deflate via zlib, shuffle,
-    fletcher32 passthrough), attributes (v1-v3);
+  * messages: dataspace, datatype (fixed/float/string/enum/compound/
+    variable-length, either byte order), fill value, data layout
+    (compact, contiguous, chunked v3 AND v4 with single-chunk /
+    implicit / fixed-array / extensible-array / v2-B-tree chunk
+    indexes), filter pipeline (deflate via zlib, shuffle, fletcher32
+    passthrough), attributes (v1-v3);
   * chunked raw data via the v1 B-tree (node type 1) with per-chunk
-    filter masks and edge-chunk clipping.
+    filter masks and edge-chunk clipping;
+  * global heap (GCOL) for variable-length strings/sequences in
+    attributes and compact/contiguous datasets;
+  * family-VFD files (name_0.h5 … name_N.h5) via member
+    concatenation (load_hdf5_bytes).
 
-Dense (fractal-heap) links/attributes, virtual/v4 layouts and vlen
-base types fail fast with a named error — the documented boundary.
+Virtual (VDS) layouts, chunked vlen datasets and extensible-array
+data blocks (beyond the index-block-resident elements) fail fast
+with a named error — the documented boundary.
 
 Goldens (tests/test_hdf5.py): the reference's own fixtures —
 u8be.h5 checksum 135, groups.h5 //MyGroup/dset1 checksum 18
@@ -58,6 +65,7 @@ class Hdf5File:
         off = self._find_superblock()
         self._parse_superblock(off)
         self._objects: dict[int, H5Object] = {}
+        self._gheaps: dict[int, dict[int, bytes]] = {}
 
     # ---------------------------------------------------------- superblock
     def _find_superblock(self) -> int:
@@ -102,6 +110,51 @@ class Hdf5File:
 
     def _len(self, pos: int) -> int:
         return int.from_bytes(self.buf[pos:pos + self.sl], "little")
+
+    # ---------------------------------------------------------- global heap
+    def _gheap(self, addr: int) -> dict[int, bytes]:
+        """Global heap collection (GCOL) → {object index: bytes}."""
+        if addr in self._gheaps:
+            return self._gheaps[addr]
+        b = self.buf
+        if b[addr:addr + 4] != b"GCOL":
+            raise ValueError("bad global heap collection")
+        csize = self._len(addr + 8)
+        end = addr + csize
+        p = addr + 8 + self.sl
+        out: dict[int, bytes] = {}
+        while p + 8 + self.sl <= end:
+            (idx,) = struct.unpack_from("<H", b, p)
+            if idx == 0:                     # free-space terminator
+                break
+            osize = self._len(p + 8)
+            q = p + 8 + self.sl
+            out[idx] = bytes(b[q:q + osize])
+            p = q + (osize + 7) // 8 * 8
+        self._gheaps[addr] = out
+        return out
+
+    def _vlen_decode(self, raw: bytes, n: int, esize: int, desc):
+        """n vlen elements (count(4) + gheap addr(so) + index(4) each,
+        padded to esize) → list of str / bytes / ndarray."""
+        _, vkind, sub = desc
+        out = []
+        for i in range(n):
+            p = i * esize
+            (cnt,) = struct.unpack_from("<I", raw, p)
+            addr = int.from_bytes(raw[p + 4:p + 4 + self.so], "little")
+            (idx,) = struct.unpack_from("<I", raw, p + 4 + self.so)
+            if addr == 0 or addr == _UNDEF or idx == 0:
+                out.append("" if vkind == "string" else
+                           np.zeros(0, sub))
+                continue
+            data = self._gheap(addr)[idx]
+            if vkind == "string":
+                out.append(data[:cnt].decode("utf-8", "replace")
+                           .rstrip("\x00"))
+            else:
+                out.append(np.frombuffer(data, sub, count=cnt))
+        return out
 
     # ---------------------------------------------------------- objects
     def obj(self, addr: int) -> H5Object:
@@ -272,6 +325,13 @@ class Hdf5File:
         if cls == 8:                        # enum: read base type
             sub, _ = self._parse_datatype(p + 8)
             return sub, size
+        if cls == 9:                        # variable-length
+            # bits0 low nibble: 0 = sequence, 1 = string; element on
+            # disk = count(4) + global-heap collection addr(so) +
+            # object index(4), padded to `size`
+            vkind = "string" if (bits[0] & 0x0F) == 1 else "sequence"
+            sub, _ = self._parse_datatype(p + 8)
+            return ("vlen", vkind, sub), size
         if cls == 6:                        # compound
             nmem = bits[0] | (bits[1] << 8)
             members = []
@@ -313,6 +373,8 @@ class Hdf5File:
             return 8 + 4                    # properties: offset+precision
         if cls == 1:
             return 8 + 12
+        if cls == 9:                        # vlen: base type follows
+            return 8 + self._datatype_total(p + 8)
         if cls == 8:
             # base type + names/values — not nested further in practice
             raise ValueError("nested enum in compound unsupported")
@@ -392,6 +454,8 @@ class Hdf5File:
                 (sz,) = struct.unpack_from("<I", b, q)
                 return ("compact", bytes(b[q + 4:q + 4 + sz]))
             raise ValueError(f"layout class {cls} unsupported")
+        if ver == 4:
+            return self._parse_layout_v4(p)
         if ver != 3:
             raise ValueError(f"data layout version {ver} unsupported")
         cls = b[p + 1]
@@ -411,6 +475,61 @@ class Hdf5File:
             dims = struct.unpack_from(f"<{rank}I", b, q)
             return ("chunked", btree, dims[:-1], dims[-1])
         raise ValueError(f"data layout class {cls} unsupported")
+
+    def _parse_layout_v4(self, p):
+        """Data layout message v4 (HDF5 1.10+): compact/contiguous as
+        v3; chunked carries one of five chunk-index types — single
+        chunk (1), implicit (2), fixed array (3), extensible array
+        (4), v2 B-tree (5). Virtual layout (class 3) fails fast."""
+        b = self.buf
+        cls = b[p + 1]
+        q = p + 2
+        if cls == 0:                        # compact
+            (sz,) = struct.unpack_from("<H", b, q)
+            return ("compact", bytes(b[q + 2:q + 2 + sz]))
+        if cls == 1:                        # contiguous
+            addr = self._addr(q)
+            size = self._len(q + self.so)
+            return ("contiguous", addr, size)
+        if cls == 3:
+            raise ValueError("virtual data layout (VDS) unsupported")
+        if cls != 2:
+            raise ValueError(f"data layout v4 class {cls} unsupported")
+        flags = b[q]
+        q += 1
+        rank = b[q]                         # = dataset rank + 1 (last
+        q += 1                              # dim is the element size)
+        enclen = b[q]
+        q += 1
+        dims = tuple(int.from_bytes(b[q + i * enclen:
+                                      q + (i + 1) * enclen], "little")
+                     for i in range(rank))
+        q += rank * enclen
+        itype = b[q]
+        q += 1
+        idx_info = None
+        if itype == 1:                      # single chunk
+            if flags & 0x02:                # filtered: size + mask
+                fsz = self._len(q)
+                q += self.sl
+                (mask,) = struct.unpack_from("<I", b, q)
+                q += 4
+                idx_info = (fsz, mask)
+        elif itype == 2:                    # implicit: no index data
+            pass
+        elif itype == 3:                    # fixed array
+            q += 1                          # page bits
+        elif itype == 4:                    # extensible array
+            q += 5                          # max-bits, index elts,
+            #                                 min ptrs, min elts,
+            #                                 page bits
+        elif itype == 5:                    # v2 B-tree
+            q += 6                          # node size(4), split/merge %
+        else:
+            raise ValueError(f"chunk index type {itype} unsupported")
+        addr = self._addr(q)
+        return ("chunked4", itype, addr, dims[:-1], dims[-1], flags,
+                idx_info)
 
     def _parse_filters(self, p):
         b = self.buf
@@ -468,9 +587,16 @@ class Hdf5File:
             dt, esize = self._parse_datatype(tpos)
             dims = self._parse_dataspace(spos)
         except ValueError:
-            return name, None               # vlen/reference attr: skip
+            return name, None               # reference attr: skip
         n = int(np.prod(dims)) if dims else 1
         raw = bytes(b[q:q + n * esize])
+        if isinstance(dt, tuple) and dt[0] == "vlen":
+            vals = self._vlen_decode(raw, n, esize, dt)
+            if n == 1:
+                return name, vals[0]
+            if dt[1] == "string":           # GDAL joins string-array
+                return name, " ".join(vals)  # metadata with spaces
+            return name, vals
         if isinstance(dt, tuple):
             return name, raw                # compound attr: raw bytes
         arr = np.frombuffer(raw, dt, count=n)
@@ -606,6 +732,8 @@ class Hdf5File:
         ds = self.visit()[path]
         dims = ds.dataspace
         dt = ds.dtype
+        if isinstance(dt, tuple) and dt[0] == "vlen":
+            return self._read_vlen(ds, dims, dt)
         if isinstance(dt, tuple):           # compound → structured view
             _, members, csize = dt
             fields = {}
@@ -629,12 +757,176 @@ class Hdf5File:
                 return self._fill_array(ds, dt_np, dims, n)
             raw = bytes(self.mv[addr:addr + n * esize])
             return np.frombuffer(raw, dt_np, count=n).reshape(dims)
-        # chunked
+        if kind == "chunked4":
+            itype, addr, cdims, celem, flags, idx_info = rest
+            out = self._fill_array(ds, dt_np, dims, n)
+            if addr == _UNDEF:
+                return out
+            for ci, (caddr, csize, mask) in enumerate(
+                    self._chunks4_entries(itype, addr, dims, cdims,
+                                          esize, idx_info)):
+                if caddr == _UNDEF or caddr == 0:
+                    continue
+                self._place_chunk(ds, out, cdims, dt_np, caddr, csize,
+                                  mask, self._chunk_offset(ci, dims,
+                                                           cdims))
+            return out
+        # chunked (v1/v3: v1 B-tree index)
         btree, cdims, celem = rest
         out = self._fill_array(ds, dt_np, dims, n)
         if btree == _UNDEF:
             return out
         self._read_chunks(btree, ds, out, cdims, dt_np, esize)
+        return out
+
+    def _read_vlen(self, ds, dims, dt):
+        """Variable-length dataset → numpy object array (strings or
+        per-element arrays), elements resolved via the global heap."""
+        n = int(np.prod(dims)) if dims else 1
+        esize = 4 + self.so + 4
+        kind, *rest = ds.layout
+        if kind == "compact":
+            raw = rest[0]
+        elif kind == "contiguous":
+            addr, _ = rest
+            if addr == _UNDEF:
+                raw = b"\x00" * (n * esize)
+            else:
+                raw = bytes(self.mv[addr:addr + n * esize])
+        else:
+            raise ValueError("chunked vlen datasets unsupported")
+        vals = self._vlen_decode(raw, n, esize, dt)
+        out = np.empty(n, object)
+        out[:] = vals
+        return out.reshape(dims) if dims else out
+
+    # ------------------------------------------------ v4 chunk indexes
+    def _chunk_offset(self, ci, dims, cdims):
+        """Linear chunk index → element offsets (row-major grid)."""
+        grid = [(d + c - 1) // c for d, c in zip(dims, cdims)]
+        offs = []
+        for g, c in zip(reversed(grid), reversed(cdims)):
+            offs.append((ci % g) * c)
+            ci //= g
+        return tuple(reversed(offs))
+
+    def _place_chunk(self, ds, out, cdims, dt_np, caddr, csize, mask,
+                     offs):
+        raw = bytes(self.mv[caddr:caddr + csize]) if csize else \
+            bytes(self.mv[caddr:caddr
+                          + int(np.prod(cdims)) * dt_np.itemsize])
+        if ds.filters and mask is not None:
+            raw = self._apply_filters(raw, ds.filters, mask)
+        chunk = np.frombuffer(raw, dt_np,
+                              count=int(np.prod(cdims))).reshape(cdims)
+        sl_out, sl_in = [], []
+        for d in range(len(cdims)):
+            take = min(cdims[d], out.shape[d] - offs[d])
+            if take <= 0:
+                return
+            sl_out.append(slice(offs[d], offs[d] + take))
+            sl_in.append(slice(0, take))
+        out[tuple(sl_out)] = chunk[tuple(sl_in)]
+
+    def _chunks4_entries(self, itype, addr, dims, cdims, esize,
+                         idx_info):
+        """v4 chunk index → [(chunk addr, stored size, filter mask)]
+        in linear (row-major grid) chunk order. stored size 0 means
+        unfiltered (esize × chunk elements)."""
+        b = self.buf
+        nchunks = int(np.prod([(d + c - 1) // c
+                               for d, c in zip(dims, cdims)]))
+        if itype == 1:                      # single chunk
+            if idx_info is not None:
+                return [(addr, idx_info[0], idx_info[1])]
+            return [(addr, 0, None)]
+        if itype == 2:                      # implicit: contiguous, raw
+            csz = int(np.prod(cdims)) * esize
+            return [(addr + i * csz, 0, None) for i in range(nchunks)]
+        if itype == 3:                      # fixed array
+            return self._fixed_array_entries(addr, nchunks)
+        if itype == 4:                      # extensible array
+            return self._ext_array_entries(addr, nchunks)
+        if itype == 5:                      # v2 B-tree, record type 10
+            recs = self._btree2_records(addr)
+            rank = len(cdims)
+            out = [(_UNDEF, 0, None)] * nchunks
+            grid = [(d + c - 1) // c for d, c in zip(dims, cdims)]
+            for r in recs:
+                caddr = int.from_bytes(r[:self.so], "little")
+                offs = struct.unpack_from(f"<{rank}Q", r, self.so)
+                ci = 0
+                for g, o, c in zip(grid, offs, cdims):
+                    ci = ci * g + o // c
+                if 0 <= ci < nchunks:
+                    out[ci] = (caddr, 0, None)
+            return out
+        raise ValueError(f"chunk index type {itype} unsupported")
+
+    def _fixed_array_entries(self, addr, nchunks):
+        """Fixed-array chunk index (FAHD header + FADB data block,
+        unpaged)."""
+        b = self.buf
+        if b[addr:addr + 4] != b"FAHD":
+            raise ValueError("bad fixed-array header")
+        entry_size = b[addr + 6]
+        dblk = self._addr(addr + 7 + 1 + self.sl)
+        if dblk == _UNDEF:
+            return []
+        if b[dblk:dblk + 4] != b"FADB":
+            raise ValueError("bad fixed-array data block")
+        # sig(4) ver(1) client(1) hdr addr(so) page-bitmap? (unpaged:
+        # elements follow directly)
+        p = dblk + 6 + self.so
+        out = []
+        for _ in range(nchunks):
+            caddr = int.from_bytes(b[p:p + self.so], "little")
+            if entry_size > self.so:        # filtered: size + mask
+                szlen = entry_size - self.so - 4
+                csz = int.from_bytes(b[p + self.so:p + self.so + szlen],
+                                     "little")
+                (mask,) = struct.unpack_from("<I", b,
+                                             p + self.so + szlen)
+                out.append((caddr, csz, mask))
+            else:
+                out.append((caddr, 0, None))
+            p += entry_size
+        return out
+
+    def _ext_array_entries(self, addr, nchunks):
+        """Extensible-array chunk index: EAHD header → EAIB index
+        block; only index-block-resident elements are supported (data
+        blocks fail fast — not emitted for the small chunk counts the
+        fixtures and netCDF-4 files use)."""
+        b = self.buf
+        if b[addr:addr + 4] != b"EAHD":
+            raise ValueError("bad extensible-array header")
+        elt_size = b[addr + 6]
+        idx_blk_elts = b[addr + 8]
+        p = addr + 12 + 6 * self.sl
+        iblk = self._addr(p)
+        if iblk == _UNDEF:
+            return []
+        if b[iblk:iblk + 4] != b"EAIB":
+            raise ValueError("bad extensible-array index block")
+        if nchunks > idx_blk_elts:
+            raise ValueError(
+                "extensible-array data blocks unsupported "
+                f"({nchunks} chunks > {idx_blk_elts} index elements)")
+        q = iblk + 6 + self.so
+        out = []
+        for _ in range(nchunks):
+            caddr = int.from_bytes(b[q:q + self.so], "little")
+            if elt_size > self.so:          # filtered
+                szlen = elt_size - self.so - 4
+                csz = int.from_bytes(b[q + self.so:q + self.so + szlen],
+                                     "little")
+                (mask,) = struct.unpack_from("<I", b,
+                                             q + self.so + szlen)
+                out.append((caddr, csz, mask))
+            else:
+                out.append((caddr, 0, None))
+            q += elt_size
         return out
 
     def _fill_array(self, ds, dt_np, dims, n):
@@ -785,6 +1077,32 @@ class _FractalHeap:
 
 def sniff_hdf5(buf: bytes) -> bool:
     return buf[:8] == _SIG
+
+
+def load_hdf5_bytes(path: str) -> bytes:
+    """Read an HDF5 file from disk, stitching family-driver members
+    (``name_0.h5``, ``name_1.h5``, …) back into one address space.
+    The family VFD splits the file into fixed-size members in order,
+    so concatenating members 0..N reconstructs the original file
+    addresses (reference: gdal.Open('test_family_0.h5') via libhdf5's
+    H5FD_FAMILY, autotest/gdrivers/hdf5.py test_hdf5_family_driver).
+    Any member path opens the whole family."""
+    import os
+    import re
+
+    m = re.match(r"(.*?)(\d+)(\.[^.]+)$", os.path.basename(path))
+    if m:
+        base, _, ext = m.groups()
+        d = os.path.dirname(path) or "."
+        member = lambda i: os.path.join(d, f"{base}{i}{ext}")  # noqa: E731
+        if os.path.exists(member(0)) and os.path.exists(member(1)):
+            parts = []
+            i = 0
+            while os.path.exists(member(i)):
+                parts.append(open(member(i), "rb").read())
+                i += 1
+            return b"".join(parts)
+    return open(path, "rb").read()
 
 
 def decode_hdf5(buf: bytes, dataset: str | None = None):

@@ -96,8 +96,8 @@ def read_raster(path: str, overview: int | None = None):
         from ..codecs.netcdf import decode_netcdf
         px, gt, nodata, meta = decode_netcdf(open(path, "rb").read())
     elif ext in ("h5", "hdf5", "he5"):
-        from ..codecs.hdf5 import decode_hdf5
-        px, gt, nodata, meta = decode_hdf5(open(path, "rb").read())
+        from ..codecs.hdf5 import decode_hdf5, load_hdf5_bytes
+        px, gt, nodata, meta = decode_hdf5(load_hdf5_bytes(path))
     elif ext in ("jp2", "j2k", "jpc", "jpx"):
         from ..codecs.jp2 import decode_jp2
         px, gt, nodata, meta = decode_jp2(open(path, "rb").read())

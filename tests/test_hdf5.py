@@ -155,3 +155,84 @@ class TestHdfeos:
         crs = crs_from(meta["crs"])
         lon, lat = crs.xy_to_lonlat(gt[0], gt[3])
         assert -180 <= float(lon) <= 180 and -90 <= float(lat) <= 90
+
+
+class TestVlenStrings:
+    def test_vlstr_metadata_parity(self):
+        """Variable-length string attributes resolve through the
+        global heap; values must match the reference's test_hdf5_9
+        expectations (autotest/gdrivers/hdf5.py:247-254)."""
+        f = Hdf5File(open(f"{H5}/vlstr_metadata.h5", "rb").read())
+        attrs = f.visit()["/TEST"].attrs
+        assert attrs["BANDNAMES"] == "SAA"
+        assert attrs["CODING"] == "0.6666666667 0.0000000000 TRUE"
+        assert attrs["FLAGS"] == "255=noValue"
+        assert attrs["MAPPING"] == (
+            "Geographic Lat/Lon 0.5000000000 0.5000000000 "
+            "27.3154761905 -5.0833333333 0.0029761905 0.0029761905 "
+            "WGS84 Degrees")
+        assert attrs["NOVALUE"] == "255"
+        assert attrs["RANGE"] == "0 255 0 255"
+
+    def test_vlen_string_dataset(self):
+        """A contiguous vlen-string dataset decodes to an object
+        array of str."""
+        f = Hdf5File(open(f"{H5}/hdfeos_sample_swath.h5", "rb").read())
+        a = f.read("/HDFEOS/SWATHS/Swath1/Data Fields/Test_string")
+        assert a.shape == (10,)
+        assert a.dtype == object
+        assert all(isinstance(v, str) for v in a)
+
+
+class TestLayoutV4:
+    def test_swath_v4_layouts_decode(self):
+        """hdfeos_sample_swath.h5 is an HDF5 1.10 file using data
+        layout v4 with single-chunk and extensible-array chunk
+        indexes; the reference expects Spectra as 20x40x15
+        (autotest/gdrivers/hdf5.py test_hdf5_eos_swath_*)."""
+        f = Hdf5File(open(f"{H5}/hdfeos_sample_swath.h5", "rb").read())
+        ds = f.datasets()
+        spectra = f.read("/HDFEOS/SWATHS/Swath1/Data Fields/Spectra")
+        assert spectra.shape == (15, 40, 20)
+        temp = f.read("/HDFEOS/SWATHS/Swath1/Data Fields/Temperature")
+        assert temp.shape == (20, 10)
+        lon = f.read(
+            "/HDFEOS/SWATHS/Swath1/Geolocation Fields/Longitude")
+        assert lon.shape == (20, 10)
+
+    def test_extensible_array_chunk_index(self):
+        """The Count dataset uses the extensible-array chunk index
+        with two chunks; chunk 1 holds the sequence 1..20 (real chunk
+        data, not fill — the file's second chunk payload is
+        [0,0,1..10]: the 21.. sequence appears nowhere in the file,
+        so the stored bytes are decoded verbatim)."""
+        f = Hdf5File(open(f"{H5}/hdfeos_sample_swath.h5", "rb").read())
+        a = f.read("/HDFEOS/SWATHS/Swath1/Data Fields/Count")
+        assert a.shape == (32,)
+        np.testing.assert_array_equal(a[:20], np.arange(1, 21))
+        np.testing.assert_array_equal(a[20:], [0, 0] + list(range(1, 11)))
+
+
+class TestFamilyFiles:
+    def test_family_members_stitch(self):
+        """test_family_0/1/2.h5 are family-VFD members; any member
+        path opens the stitched file (reference
+        test_hdf5_family_driver)."""
+        from gdal_ray.codecs.hdf5 import load_hdf5_bytes
+        f = Hdf5File(load_hdf5_bytes(f"{H5}/test_family_0.h5"))
+        a = f.read("/chunked")
+        assert a.shape == (1000, 1000)
+        assert a.dtype == np.float32
+        # member 1 resolves to the same family
+        f2 = Hdf5File(load_hdf5_bytes(f"{H5}/test_family_1.h5"))
+        assert f2.read("/chunked").shape == (1000, 1000)
+
+    def test_non_family_numbered_file_unaffected(self, tmp_path):
+        """A numbered filename with no member-0/member-1 siblings
+        reads as a plain single file."""
+        from gdal_ray.codecs.hdf5 import load_hdf5_bytes
+        import shutil
+        p = tmp_path / "solo_7.h5"
+        shutil.copy(f"{H5}/u8be.h5", p)
+        f = Hdf5File(load_hdf5_bytes(str(p)))
+        assert cs(f.read("/TestArray")) == 135
