@@ -1,0 +1,184 @@
+"""NTv2 datum-shift grid (.gsb) reader — frmts/raw/ntv2dataset.cpp
+analog, parsed from the public Canadian NTv2 format description.
+
+Layout: 11 overview records of 16 bytes (8-byte key + 8-byte value;
+NUM_OREC's int32 value 11 doubles as the endianness probe), then per
+sub-grid 11 header records (S_LAT/N_LAT/E_LONG/W_LONG/LAT_INC/
+LONG_INC in arc-seconds, longitudes positive WEST, GS_COUNT int32)
+followed by GS_COUNT nodes of 4 float32: latitude shift, longitude
+shift (arc-seconds, positive west), latitude error, longitude error.
+Nodes run south→north, east→west; like the reference driver the
+raster is presented north-up / east-positive by reversing both axes
+(ntv2dataset.cpp OpenGrid: RawRasterBand with negative steps), and
+the geotransform is node-centre-shifted:
+x0 = (−W_LONG − LONG_INC/2)/3600, y0 = (N_LAT + LAT_INC/2)/3600.
+
+Golden: test_ntv2_le.gsb / test_ntv2_be.gsb band-2 checksum 10, gt
+(−5.55, 7.8, 0, 52.05, 0, −5.55) within the reference's gt_epsilon
+(autotest/gdrivers/ntv2.py test_ntv2_1/2 with inc/100 tolerance).
+
+Velocity-grid files (6-band, 24-byte records) fail fast by name.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_REC = 16
+
+
+def sniff_ntv2(buf: bytes) -> bool:
+    return buf[:8] == b"NUM_OREC"
+
+
+def _num(buf: bytes, off: int, fmt_i: str) -> int:
+    return struct.unpack_from(fmt_i, buf, off + 8)[0]
+
+
+def _dbl(buf: bytes, off: int, fmt_d: str) -> float:
+    return struct.unpack_from(fmt_d, buf, off + 8)[0]
+
+
+def _txt(buf: bytes, off: int) -> str:
+    return buf[off + 8:off + 16].decode("ascii", "replace").strip()
+
+
+def parse_ntv2(buf: bytes):
+    """→ (meta, [subgrid dicts]); each subgrid has bounds (arcsec,
+    positive west as stored), increments, count and node offset."""
+    if not sniff_ntv2(buf):
+        raise ValueError("not an NTv2 .gsb file (no NUM_OREC)")
+    (le_probe,) = struct.unpack_from("<i", buf, 8)
+    endian = "<" if le_probe == 11 else ">"
+    fmt_i, fmt_d = endian + "i", endian + "d"
+    if struct.unpack_from(fmt_i, buf, 8)[0] != 11:
+        raise ValueError("NTv2 NUM_OREC != 11 (velocity grids with "
+                         "24-byte records unsupported)")
+    n_sub = _num(buf, 2 * _REC, fmt_i)
+    meta = {
+        "GS_TYPE": _txt(buf, 3 * _REC),
+        "VERSION": _txt(buf, 4 * _REC),
+        "SYSTEM_F": _txt(buf, 5 * _REC),
+        "SYSTEM_T": _txt(buf, 6 * _REC),
+        "MAJOR_F": _dbl(buf, 7 * _REC, fmt_d),
+        "MINOR_F": _dbl(buf, 8 * _REC, fmt_d),
+        "MAJOR_T": _dbl(buf, 9 * _REC, fmt_d),
+        "MINOR_T": _dbl(buf, 10 * _REC, fmt_d),
+        "endian": endian,
+    }
+    subs = []
+    off = 11 * _REC
+    for _ in range(n_sub):
+        if buf[off:off + 8] != b"SUB_NAME":
+            raise ValueError("NTv2 sub-grid header out of sync")
+        gs_count = _num(buf, off + 10 * _REC, fmt_i)
+        subs.append({
+            "name": _txt(buf, off),
+            "parent": _txt(buf, off + _REC),
+            "s_lat": _dbl(buf, off + 4 * _REC, fmt_d),
+            "n_lat": _dbl(buf, off + 5 * _REC, fmt_d),
+            "e_long": _dbl(buf, off + 6 * _REC, fmt_d),
+            "w_long": _dbl(buf, off + 7 * _REC, fmt_d),
+            "lat_inc": _dbl(buf, off + 8 * _REC, fmt_d),
+            "long_inc": _dbl(buf, off + 9 * _REC, fmt_d),
+            "gs_count": gs_count,
+            "data_off": off + 11 * _REC,
+        })
+        off += (11 + gs_count) * _REC
+    return meta, subs
+
+
+def decode_ntv2(buf: bytes, grid: int = 0):
+    """→ (pixels (h, w, 4) float32, geotransform, nodata=None, meta).
+    Bands: 1 latitude shift, 2 longitude shift (arc-seconds, positive
+    west), 3/4 accuracies — the reference's band order/descriptions."""
+    meta, subs = parse_ntv2(buf)
+    if not 0 <= grid < len(subs):
+        raise ValueError(f"NTv2 sub-grid {grid} not in file "
+                         f"(has {len(subs)})")
+    g = subs[grid]
+    # reference negates the positive-west bounds before sizing
+    e_long, w_long = -g["e_long"], -g["w_long"]
+    ncols = int((e_long - w_long) / g["long_inc"] + 1.5)
+    nrows = int((g["n_lat"] - g["s_lat"]) / g["lat_inc"] + 1.5)
+    if ncols * nrows != g["gs_count"]:
+        raise ValueError("NTv2 GS_COUNT does not match grid extent")
+    nodes = np.frombuffer(
+        buf, meta["endian"] + "f4", count=g["gs_count"] * 4,
+        offset=g["data_off"]).reshape(nrows, ncols, 4)
+    # stored south→north, east→west → flip both to north-up/east+
+    px = np.ascontiguousarray(nodes[::-1, ::-1, :]).astype(np.float32)
+    gt = ((w_long - g["long_inc"] * 0.5) / 3600.0,
+          g["long_inc"] / 3600.0, 0.0,
+          (g["n_lat"] + g["lat_inc"] * 0.5) / 3600.0, 0.0,
+          -g["lat_inc"] / 3600.0)
+    out_meta = dict(meta)
+    out_meta.update({"sub_name": g["name"], "n_subgrids": len(subs),
+                     "crs": "EPSG:4326",
+                     "band_descriptions": [
+                         "Latitude Offset (arc seconds)",
+                         "Longitude Offset (arc seconds)",
+                         "Latitude Error", "Longitude Error"]})
+    return px, gt, None, out_meta
+
+
+class NTv2Grid:
+    """Decoded shift grid with bilinear forward/inverse application —
+    build once (per actor), apply per batch."""
+
+    def __init__(self, buf: bytes, grid: int = 0):
+        self.px, self.gt, _, self.meta = decode_ntv2(buf, grid)
+
+    def shift(self, lon, lat):
+        """Datum shift FROM the grid's source datum: NTv2 longitude
+        shifts are positive WEST so they subtract from east-positive
+        longitude; points outside pass through unchanged (PROJ
+        hgridshift convention)."""
+        px, gt = self.px, self.gt
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        h, w = px.shape[:2]
+        fx = (lon - gt[0]) / gt[1] - 0.5   # node-centre coordinates
+        fy = (lat - gt[3]) / gt[5] - 0.5
+        eps = 1e-9                         # PROJ-style edge tolerance
+        inside = (fx >= -eps) & (fx <= w - 1 + eps) \
+            & (fy >= -eps) & (fy <= h - 1 + eps)
+        fxc = np.clip(fx, 0, w - 1)
+        fyc = np.clip(fy, 0, h - 1)
+        x0 = np.clip(np.floor(fxc).astype(np.int64), 0, max(w - 2, 0))
+        y0 = np.clip(np.floor(fyc).astype(np.int64), 0, max(h - 2, 0))
+        tx = fxc - x0
+        ty = fyc - y0
+        x1 = np.minimum(x0 + 1, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+
+        def bilerp(band):
+            v = px[:, :, band].astype(np.float64)
+            return (v[y0, x0] * (1 - tx) * (1 - ty)
+                    + v[y0, x1] * tx * (1 - ty)
+                    + v[y1, x0] * (1 - tx) * ty
+                    + v[y1, x1] * tx * ty)
+
+        dlat = bilerp(0) / 3600.0
+        dlon = -bilerp(1) / 3600.0         # positive west → east term
+        return (np.where(inside, lon + dlon, lon),
+                np.where(inside, lat + dlat, lat))
+
+    def shift_inverse(self, lon, lat, iterations: int = 4):
+        """Target-datum → source-datum by fixed-point iteration (the
+        PROJ inverse-hgridshift scheme)."""
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        glon, glat = lon.copy(), lat.copy()
+        for _ in range(iterations):
+            flon, flat = self.shift(glon, glat)
+            glon = glon + (lon - flon)
+            glat = glat + (lat - flat)
+        return glon, glat
+
+
+def ntv2_shift(buf: bytes, lon, lat, grid: int = 0):
+    """One-shot convenience wrapper over NTv2Grid.shift."""
+    return NTv2Grid(buf, grid).shift(lon, lat)

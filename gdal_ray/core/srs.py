@@ -392,6 +392,14 @@ def params_from_proj(proj: str) -> dict:
         if any(v):
             out["towgs84"] = (v + [0.0] * 7)[:7]
 
+    if kv.get("nadgrids") not in (None, "@null", "null"):
+        # NTv2 .gsb path; PROJ comma lists try grids in order — take
+        # the first non-null entry (single-grid support)
+        g = [s for s in kv["nadgrids"].split(",")
+             if s not in ("@null", "null")]
+        if g:
+            out["nadgrids"] = g[0].lstrip("@")
+
     for k_src, k_dst in (("lon_0", "lon_0"), ("lat_0", "lat_0"),
                          ("lat_1", "lat_1"), ("lat_2", "lat_2"),
                          ("lat_ts", "lat_ts"), ("k", "k_0"),
@@ -817,6 +825,8 @@ class CRS:
         f = 1.0 / rf if rf else 0.0
         self.a, self.f = a, f
         self.towgs84 = params.get("towgs84")
+        self.nadgrids = params.get("nadgrids")
+        self._grid = None                   # lazy NTv2Grid (per actor)
         self.to_meter = params.get("to_meter", 1.0)
         kind = params["kind"]
         lon0 = params.get("lon_0", 0.0)
@@ -900,8 +910,19 @@ class CRS:
         x, y = self.proj.forward(lon, lat)
         return x / self.to_meter, y / self.to_meter
 
-    # datum legs: lon/lat on own datum ↔ lon/lat on WGS84
+    def _ntv2(self):
+        if self._grid is None:
+            from ..codecs.ntv2 import NTv2Grid
+            with open(self.nadgrids, "rb") as f:
+                self._grid = NTv2Grid(f.read())
+        return self._grid
+
+    # datum legs: lon/lat on own datum ↔ lon/lat on WGS84.
+    # +nadgrids= (an NTv2 .gsb path) takes precedence over +towgs84,
+    # matching PROJ's datum-transform priority.
     def lonlat_to_wgs84(self, lon, lat):
+        if self.nadgrids:
+            return self._ntv2().shift(lon, lat)
         if self.towgs84 is None:
             return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
         X, Y, Z = geodetic_to_geocentric(lon, lat, self.a, self.f)
@@ -910,6 +931,8 @@ class CRS:
                                       1.0 / _WGS84_RF)
 
     def wgs84_to_lonlat(self, lon, lat):
+        if self.nadgrids:
+            return self._ntv2().shift_inverse(lon, lat)
         if self.towgs84 is None:
             return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
         X, Y, Z = geodetic_to_geocentric(lon, lat, _WGS84_A,

@@ -1908,3 +1908,57 @@ def sql_jp2_lossy(n: int = 32) -> str:
     return "WITH " + sql_images_cte(n, png_only=True) + """
 SELECT image_id, TRUE AS psnr_ok, TRUE AS smaller_ok FROM imgs
 """
+
+
+def sql_omerc_warp() -> str:
+    """Hotine Oblique Mercator (EPSG 9815) forward replayed in SQL:
+    the per-CRS projection constants (B, A, E0, γ0, λ0, u_c) come from
+    the kernel itself (core/srs.py HotineObliqueMercator over the
+    Timbalai RSO Borneo parameters — golden-anchored to the EPSG GN7-2
+    worked example), inlined at full double precision; the per-point
+    EPSG GN7-2 §3.2.6 formula is then evaluated by DuckDB. Outputs
+    round to 0.1 mm, absorbing libm 1-ulp differences."""
+    from ..core.srs import CRS, params_from_wkt
+    from .queries import _RSO_BORNEO_WKT
+    import math
+
+    p = CRS(params_from_wkt(_RSO_BORNEO_WKT)).proj
+    e, B, A, E0 = p.e, p.B, p.A, p.E0
+    cg0, sg0 = math.cos(p.gam0), math.sin(p.gam0)
+    cgc, sgc = math.cos(p.gam_c), math.sin(p.gam_c)
+    return f"""
+WITH pt AS (
+  SELECT c_custkey,
+         radians(110.0 + (c_custkey % 800) / 100.0) AS lam,
+         radians(0.5 + (c_custkey % 650) / 100.0) AS phi
+  FROM customer),
+s1 AS (
+  SELECT c_custkey, lam,
+         tan(pi()/4 - phi/2)
+           / pow((1.0 - {e!r}*sin(phi)) / (1.0 + {e!r}*sin(phi)),
+                 {e / 2.0!r}) AS t
+  FROM pt),
+s2 AS (
+  SELECT c_custkey, lam, {E0!r} / pow(t, {B!r}) AS Q FROM s1),
+s3 AS (
+  SELECT c_custkey,
+         (Q - 1.0/Q) / 2.0 AS S, (Q + 1.0/Q) / 2.0 AS T,
+         ((lam - {p.lam0!r} + pi()) % (2*pi())) - pi() AS dlam
+  FROM s2),
+s4 AS (
+  SELECT c_custkey, S, T, dlam, sin({B!r} * dlam) AS V FROM s3),
+s5 AS (
+  SELECT c_custkey, S, V, dlam,
+         (-V * {cg0!r} + S * {sg0!r}) / T AS U
+  FROM s4),
+uv AS (
+  SELECT c_custkey,
+         {A!r} * ln((1.0 - U) / (1.0 + U)) / {2.0 * B!r} AS v,
+         {A!r} * atan2(S * {cg0!r} + V * {sg0!r},
+                       cos({B!r} * dlam)) / {B!r} - {p.uc!r} AS u
+  FROM s5)
+SELECT c_custkey,
+       ROUND(v * {cgc!r} + u * {sgc!r} + {p.fe!r}, 4) AS x,
+       ROUND(u * {cgc!r} - v * {sgc!r} + {p.fn!r}, 4) AS y
+FROM uv
+"""

@@ -1454,6 +1454,103 @@ def q_jp2_lossy_roundtrip(sf_dir: str):
         .map_batches(gate, batch_format="pyarrow")
 
 
+def q_webp_roundtrip(sf_dir: str):
+    """WebP driver end-to-end, both sides from scratch (codecs/webp.py
+    encoder = VP8L literal subset, decoder = full VP8L; lossy VP8 is
+    covered by the libwebp-parity pytest conformance suite since it
+    cannot be bit-replayed in SQL): transcode the lossless corpus half
+    to .webp, read the directory back, emit per-image band-0 stats —
+    the chain must be bit-lossless for the rows to hash-match."""
+    import os
+    import shutil
+    import ray.data as rd
+    from ..codecs import decode as _dec
+    from ..codecs.webp import decode_webp, encode_webp_lossless
+    from ..sources.images import images_dataset
+
+    out_dir = "/tmp/gdal_ray_webp_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            buf = encode_webp_lossless(px[:, :, 0])
+            path = os.path.join(out_dir,
+                                f"{t['image_id'][i].as_py()}.webp")
+            with open(path, "wb") as f:
+                f.write(buf)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(out_dir, include_paths=True)
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs = [], [], [], []
+        for path, buf in zip(t["path"].to_pylist(),
+                             t["bytes"].to_pylist()):
+            px = decode_webp(buf)
+            b0 = px[:, :, 0].astype(np.float64)
+            ids.append(os.path.basename(path)[:-5])
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
+# WKT of the EPSG Guidance Note 7-2 §3.2.6 worked example CRS
+# (Timbalai 1948 / RSO Borneo (m), Hotine Oblique Mercator variant B)
+# — golden-anchored in tests/test_srs.py (E=679245.73 N=596562.78).
+_RSO_BORNEO_WKT = (
+    'PROJCS["Timbalai 1948 / RSO Borneo (m)",GEOGCS["Timbalai 1948",'
+    'DATUM["Timbalai_1948",SPHEROID["Everest 1830 (1967 Definition)"'
+    ',6377298.556,300.8017]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+    'PARAMETER["latitude_of_center",4],'
+    'PARAMETER["longitude_of_center",115],'
+    'PARAMETER["azimuth",53.31582047222222],'
+    'PARAMETER["rectified_grid_angle",53.13010236111111],'
+    'PARAMETER["scale_factor",0.99984],'
+    'PARAMETER["false_easting",590476.87],'
+    'PARAMETER["false_northing",442857.65],UNIT["metre",1]]')
+
+
+def q_omerc_warp(sf_dir: str):
+    """Hotine Oblique Mercator point transform (EPSG method 9815,
+    core/srs.py HotineObliqueMercator, new in r5): customer keys →
+    deterministic Borneo lon/lat → forward omerc through the
+    WKT-constructed Timbalai RSO CRS. Oracle: the EPSG GN7-2 closed
+    form replayed in SQL with the kernel's own projection constants
+    inlined (oracles.sql_omerc_warp)."""
+    from ..core.srs import CRS, params_from_wkt
+
+    crs = CRS(params_from_wkt(_RSO_BORNEO_WKT))
+
+    def fwd(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy()
+        lon = 110.0 + (key % 800) / 100.0
+        lat = 0.5 + (key % 650) / 100.0
+        x, y = crs.lonlat_to_xy(lon, lat)
+        return pa.table({
+            "c_custkey": pa.array(key, pa.int64()),
+            "x": pa.array(_half_away(np.asarray(x), 4), pa.float64()),
+            "y": pa.array(_half_away(np.asarray(y), 4), pa.float64()),
+        })
+
+    return _rp(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(fwd, batch_format="pyarrow")
+
+
 def q_cog_roundtrip(sf_dir: str):
     """Cloud-Optimized GeoTIFF driver (cogeo.org layout;
     frmts/cog/cogdriver.cpp): transcode the lossless corpus half to
@@ -3946,6 +4043,10 @@ QUERIES = {
     "dxf_roundtrip": q_dxf_roundtrip,
     "jp2_roundtrip": q_jp2_roundtrip,
     "jp2_lossy_roundtrip": q_jp2_lossy_roundtrip,
+    # rotated into the first-50 driver window (r5): newest oracled ops
+    "webp_roundtrip": q_webp_roundtrip,
+    "omerc_warp": q_omerc_warp,
+    "gpkg_raster_roundtrip": q_gpkg_raster_roundtrip,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
     "pipeline_dsl": q_pipeline_dsl,
@@ -3963,7 +4064,6 @@ QUERIES = {
     "spatial_sort": q_spatial_sort,
     "raster_index": q_raster_index,
     "mbtiles_roundtrip": q_mbtiles_roundtrip,
-    "gpkg_raster_roundtrip": q_gpkg_raster_roundtrip,
     "gtiff_roundtrip": q_gtiff_roundtrip,
     "netcdf_roundtrip": q_netcdf_roundtrip,
     "vector_sql_subquery": q_vector_sql_subquery,
@@ -4098,6 +4198,8 @@ def oracle_sql() -> dict[str, str]:
         "gtiff_roundtrip": _OR.sql_raster_stats(64),
         "jp2_roundtrip": _OR.sql_raster_stats(32),
         "jp2_lossy_roundtrip": _OR.sql_jp2_lossy(32),
+        "webp_roundtrip": _OR.sql_raster_stats(32),
+        "omerc_warp": _OR.sql_omerc_warp(),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,

@@ -104,6 +104,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("grb2", "grib2", "grb", "grib"):
         from ..codecs.grib2 import decode_grib2
         px, gt, nodata, meta = decode_grib2(open(path, "rb").read())
+    elif ext == "gsb":
+        from ..codecs.ntv2 import decode_ntv2
+        px, gt, nodata, meta = decode_ntv2(open(path, "rb").read())
     elif ext == "gpkg":
         from .gpkg import read_gpkg_raster
         px, gt, nodata, meta = read_gpkg_raster(path)
