@@ -182,3 +182,54 @@ class NTv2Grid:
 def ntv2_shift(buf: bytes, lon, lat, grid: int = 0):
     """One-shot convenience wrapper over NTv2Grid.shift."""
     return NTv2Grid(buf, grid).shift(lon, lat)
+
+
+def encode_ntv2(px: np.ndarray, *, lat_min: float, lat_max: float,
+                lon_min: float, lon_max: float,
+                name: str = "GRID0") -> bytes:
+    """Write a single-subgrid NTv2 .gsb (little-endian) from a
+    north-up / east-positive (h, w, 4) float32 array whose node
+    centres span [lon_min..lon_max] × [lat_min..lat_max] degrees —
+    the inverse of decode_ntv2's presentation (reference driver has
+    Create support too, ntv2dataset.cpp)."""
+    px = np.ascontiguousarray(px, np.float32)
+    if px.ndim != 3 or px.shape[2] != 4:
+        raise ValueError("NTv2 encode needs an (h, w, 4) array")
+    h, w = px.shape[:2]
+    if h < 2 or w < 2:
+        raise ValueError("NTv2 grid needs at least 2x2 nodes")
+
+    def rec_txt(key: str, val: str) -> bytes:
+        return key.ljust(8).encode()[:8] + val.ljust(8).encode()[:8]
+
+    def rec_int(key: str, val: int) -> bytes:
+        return key.ljust(8).encode()[:8] + struct.pack("<i4x", val)
+
+    def rec_dbl(key: str, val: float) -> bytes:
+        return key.ljust(8).encode()[:8] + struct.pack("<d", val)
+
+    s_lat, n_lat = lat_min * 3600.0, lat_max * 3600.0
+    # stored positive west
+    e_long, w_long = -lon_max * 3600.0, -lon_min * 3600.0
+    lat_inc = (n_lat - s_lat) / (h - 1)
+    long_inc = (w_long - e_long) / (w - 1)
+    out = [rec_int("NUM_OREC", 11), rec_int("NUM_SREC", 11),
+           rec_int("NUM_FILE", 1), rec_txt("GS_TYPE", "SECONDS"),
+           rec_txt("VERSION", "NTv2.0"), rec_txt("SYSTEM_F", "SRC"),
+           rec_txt("SYSTEM_T", "DST"),
+           rec_dbl("MAJOR_F", 6378137.0),
+           rec_dbl("MINOR_F", 6356752.314),
+           rec_dbl("MAJOR_T", 6378137.0),
+           rec_dbl("MINOR_T", 6356752.314),
+           rec_txt("SUB_NAME", name), rec_txt("PARENT", "NONE"),
+           rec_txt("CREATED", ""), rec_txt("UPDATED", ""),
+           rec_dbl("S_LAT", s_lat), rec_dbl("N_LAT", n_lat),
+           rec_dbl("E_LONG", e_long), rec_dbl("W_LONG", w_long),
+           rec_dbl("LAT_INC", lat_inc), rec_dbl("LONG_INC", long_inc),
+           rec_int("GS_COUNT", h * w)]
+    # file order: south→north rows, east→west columns = both axes
+    # reversed from the north-up/east+ presentation
+    nodes = px[::-1, ::-1, :].reshape(-1, 4)
+    out.append(nodes.astype("<f4").tobytes())
+    out.append(b"END     " + b"\x00" * 8)
+    return b"".join(out)

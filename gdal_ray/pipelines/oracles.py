@@ -1962,3 +1962,50 @@ SELECT c_custkey,
        ROUND(u * {cgc!r} - v * {sgc!r} + {p.fn!r}, 4) AS y
 FROM uv
 """
+
+
+def sql_ntv2_shift() -> str:
+    """Bilinear NTv2 grid shift replayed bit-identically: the query's
+    11x21 grid stores node shifts that are exact float32 multiples of
+    1/16, the geotransform is (-10.5, 1, 0, 50.5, 0, -1), and every
+    customer point falls strictly inside the grid — so the SQL can
+    recompute node values closed-form and interpolate with the same
+    IEEE-double expression tree as codecs/ntv2.py NTv2Grid.shift."""
+    def v(band, yy, xx):
+        if band == 0:
+            return (f"((({yy}) * 31 + ({xx}) * 17) % 41 - 20) * 0.0625"
+                    )
+        return f"((({yy}) * 13 + ({xx}) * 7) % 29 - 14) * 0.0625"
+
+    def bilerp(band):
+        return (f"{v(band, 'y0', 'x0')} * (1 - tx) * (1 - ty)"
+                f" + {v(band, 'y0', 'x1')} * tx * (1 - ty)"
+                f" + {v(band, 'y1', 'x0')} * (1 - tx) * ty"
+                f" + {v(band, 'y1', 'x1')} * tx * ty")
+
+    return f"""
+WITH pt AS (
+  SELECT c_custkey,
+         -9.5 + (c_custkey % 190) / 10.0 AS lon,
+         40.5 + (c_custkey % 90) / 10.0 AS lat
+  FROM customer),
+f AS (
+  SELECT c_custkey, lon, lat,
+         least(greatest((lon - (-10.5)) / 1.0 - 0.5, 0), 20) AS fx,
+         least(greatest((lat - 50.5) / (-1.0) - 0.5, 0), 10) AS fy
+  FROM pt),
+ix AS (
+  SELECT c_custkey, lon, lat, fx, fy,
+         CAST(least(greatest(floor(fx), 0), 19) AS BIGINT) AS x0,
+         CAST(least(greatest(floor(fy), 0), 9) AS BIGINT) AS y0
+  FROM f),
+tt AS (
+  SELECT c_custkey, lon, lat, x0, y0,
+         fx - x0 AS tx, fy - y0 AS ty,
+         least(x0 + 1, 20) AS x1, least(y0 + 1, 10) AS y1
+  FROM ix)
+SELECT c_custkey,
+       ROUND(lon + -({bilerp(1)}) / 3600.0, 9) AS lon_shifted,
+       ROUND(lat + ({bilerp(0)}) / 3600.0, 9) AS lat_shifted
+FROM tt
+"""

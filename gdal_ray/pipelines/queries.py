@@ -1551,6 +1551,46 @@ def q_omerc_warp(sf_dir: str):
         .map_batches(fwd, batch_format="pyarrow")
 
 
+def q_ntv2_shift(sf_dir: str):
+    """NTv2 datum-grid shift end-to-end (codecs/ntv2.py, new in r5):
+    encode a deterministic 11x21 shift grid to a .gsb, decode it back
+    through the reader, and apply the bilinear grid shift to
+    customer-derived points — the reference's NTv2 + hgridshift
+    pipeline shape. Node values are multiples of 1/16 (exact in
+    float32), so the oracle replays the bilinear interpolation
+    bit-identically in SQL (oracles.sql_ntv2_shift)."""
+    from ..codecs.ntv2 import NTv2Grid, encode_ntv2
+
+    h, w = 11, 21
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.zeros((h, w, 4), np.float32)
+    px[:, :, 0] = ((yy * 31 + xx * 17) % 41 - 20) * 0.0625
+    px[:, :, 1] = ((yy * 13 + xx * 7) % 29 - 14) * 0.0625
+    gsb = encode_ntv2(px, lat_min=40.0, lat_max=50.0,
+                      lon_min=-10.0, lon_max=10.0)
+
+    class Shift:
+        def __init__(self):
+            self.grid = NTv2Grid(gsb)       # decode once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            key = t["c_custkey"].to_numpy()
+            lon = -9.5 + (key % 190) / 10.0
+            lat = 40.5 + (key % 90) / 10.0
+            slon, slat = self.grid.shift(lon, lat)
+            return pa.table({
+                "c_custkey": pa.array(key, pa.int64()),
+                "lon_shifted": pa.array(_half_away(slon, 9),
+                                        pa.float64()),
+                "lat_shifted": pa.array(_half_away(slat, 9),
+                                        pa.float64()),
+            })
+
+    return _rp(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(Shift, batch_format="pyarrow",
+                     concurrency=(1, 4))
+
+
 def q_cog_roundtrip(sf_dir: str):
     """Cloud-Optimized GeoTIFF driver (cogeo.org layout;
     frmts/cog/cogdriver.cpp): transcode the lossless corpus half to
@@ -4047,6 +4087,7 @@ QUERIES = {
     "webp_roundtrip": q_webp_roundtrip,
     "omerc_warp": q_omerc_warp,
     "gpkg_raster_roundtrip": q_gpkg_raster_roundtrip,
+    "ntv2_shift": q_ntv2_shift,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
     "pipeline_dsl": q_pipeline_dsl,
@@ -4200,6 +4241,7 @@ def oracle_sql() -> dict[str, str]:
         "jp2_lossy_roundtrip": _OR.sql_jp2_lossy(32),
         "webp_roundtrip": _OR.sql_raster_stats(32),
         "omerc_warp": _OR.sql_omerc_warp(),
+        "ntv2_shift": _OR.sql_ntv2_shift(),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,
