@@ -126,6 +126,22 @@ class _BitWriter:
             self.acc >>= 8
             self.n -= 8
 
+    def write_bits(self, bits: np.ndarray):
+        """Append a uint8 0/1 array as LSB-first bits (vectorized via
+        packbits; any partial-byte writer state is folded in)."""
+        if self.n:
+            head = np.array([(self.acc >> i) & 1
+                             for i in range(self.n)], np.uint8)
+            bits = np.concatenate([head, bits])
+            self.acc = 0
+            self.n = 0
+        rem = len(bits) & 7
+        main = bits[:len(bits) - rem] if rem else bits
+        self.out.extend(np.packbits(main, bitorder="little").tobytes())
+        for bit in bits[len(bits) - rem:].tolist() if rem else ():
+            self.acc |= int(bit) << self.n
+            self.n += 1
+
     def finish(self) -> bytes:
         if self.n:
             self.out.append(self.acc & 0xFF)
@@ -138,12 +154,19 @@ class _BitReader:
         self.pos = pos_bits
 
     def read(self, nbits: int) -> int:
-        v = 0
-        for i in range(nbits):
-            byte = self.data[(self.pos + i) >> 3]
-            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
-        self.pos += nbits
+        p = self.pos
+        # LSB-first: load a byte window and shift out the bit offset
+        # (slices past the end are short = implicit zero padding)
+        v = (int.from_bytes(self.data[p >> 3:(p >> 3) + 9], "little")
+             >> (p & 7)) & ((1 << nbits) - 1)
+        self.pos = p + nbits
         return v
+
+    def peek(self, nbits: int) -> int:
+        p = self.pos
+        return (int.from_bytes(self.data[p >> 3:(p >> 3) + 9],
+                               "little") >> (p & 7)) \
+            & ((1 << nbits) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -234,26 +257,37 @@ class _PrefixEncoder:
 
 
 class _PrefixDecoder:
+    """Table-driven canonical-prefix decoder: one LUT of 2^max_len
+    entries maps the next max_len stream bits straight to (symbol,
+    code length) — one peek per symbol instead of a per-bit walk.
+    Canonical codes are MSB-first in the LSB-first stream, so each
+    code is bit-reversed before fan-out over its suffixes."""
+
     def __init__(self, lengths: np.ndarray):
         self.max_len = int(lengths.max()) if lengths.any() else 0
-        self.table: dict[tuple[int, int], int] = {}
-        codes = _canonical_codes(lengths)
-        for s in np.flatnonzero(lengths):
-            self.table[(int(lengths[s]), int(codes[s]))] = int(s)
         self.single = int(np.flatnonzero(lengths)[0]) \
             if np.count_nonzero(lengths) == 1 else None
+        if self.single is not None or self.max_len == 0:
+            self.lut = None
+            return
+        codes = _canonical_codes(lengths)
+        ml = self.max_len
+        lut = np.zeros(1 << ml, np.int64)    # (sym << 5) | len; 0=bad
+        for s in np.flatnonzero(lengths):
+            ln = int(lengths[s])
+            base = _rev_bits(int(codes[s]), ln)
+            step = 1 << ln
+            lut[base::step] = (int(s) << 5) | ln
+        self.lut = lut.tolist()              # plain list: faster index
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:            # zero-bit code (spec)
             return self.single
-        code, ln = 0, 0
-        while ln <= self.max_len:
-            code = (code << 1) | br.read(1)
-            ln += 1
-            hit = self.table.get((ln, code))
-            if hit is not None:
-                return hit
-        raise ValueError("invalid prefix code in VP8L stream")
+        e = self.lut[br.peek(self.max_len)]
+        if e == 0:
+            raise ValueError("invalid prefix code in VP8L stream")
+        br.pos += e & 31
+        return e >> 5
 
 
 def _write_code_lengths(bw: _BitWriter, lengths: np.ndarray):
@@ -412,12 +446,39 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     for ln in lens:
         _write_code_lengths(bw, ln)
         encs.append(_PrefixEncoder(ln))
-    eg, er, eb, ea, _ = encs
-    for i in range(h * w):
-        eg.emit(bw, int(g[i]))
-        er.emit(bw, int(r[i]))
-        eb.emit(bw, int(b[i]))
-        ea.emit(bw, int(a[i]))
+    # vectorized literal emission: per-channel (reversed-code, length)
+    # LUTs, the four channel codes packed into one <=60-bit word per
+    # pixel, then expanded to a contiguous bit sequence — consecutive
+    # codes are adjacent in the stream, so no scatter is needed.
+    luts = []
+    for enc in encs[:4]:
+        ln = np.asarray(enc.lengths, np.int64)
+        if enc.single:                      # zero bits per symbol
+            luts.append((np.zeros(len(ln), np.uint64),
+                         np.zeros(len(ln), np.int64)))
+            continue
+        rev = np.array([_rev_bits(int(c), int(l))
+                        for c, l in zip(enc.codes, ln)], np.uint64)
+        luts.append((rev, ln))
+    (grev, glen), (rrev, rlen), (brev, blen), (arev, alen) = luts
+    CH = 1 << 16                            # pixel chunks bound memory
+    for c0 in range(0, h * w, CH):
+        gs, rs, bs, as_ = (v[c0:c0 + CH] for v in (g, r, b, a))
+        val = grev[gs]
+        shift = glen[gs]
+        val = val | (rrev[rs] << shift.astype(np.uint64))
+        shift = shift + rlen[rs]
+        val = val | (brev[bs] << shift.astype(np.uint64))
+        shift = shift + blen[bs]
+        val = val | (arev[as_] << shift.astype(np.uint64))
+        ln = shift + alen[as_]
+        total = int(ln.sum())
+        starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(starts, ln)).astype(np.uint64)
+        bits = ((np.repeat(val, ln) >> within)
+                & np.uint64(1)).astype(np.uint8)
+        bw.write_bits(bits)
     payload = b"\x2f" + bw.finish()
     if len(payload) & 1:
         chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + b"\x00"
