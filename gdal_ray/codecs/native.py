@@ -81,6 +81,41 @@ def get_t1():
     return lib
 
 
+def get_vp8f():
+    """The VP8 loop-filter kernel, or None."""
+    lib = _build("_vp8f")
+    if lib is None:
+        return None
+    if not getattr(lib, "_sigs_set", False):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.vp8_loop_filter.argtypes = [
+            i32p, i32p, i32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, u8p, u8p]
+        lib.vp8_loop_filter.restype = ctypes.c_int
+        lib._sigs_set = True
+    return lib
+
+
+def get_vp8t():
+    """The VP8 residual (token+IDCT) kernel, or None."""
+    lib = _build("_vp8t")
+    if lib is None:
+        return None
+    if not getattr(lib, "_sigs_set", False):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.vp8_mb_coeffs.argtypes = (
+            [ctypes.c_char_p, ctypes.c_long, i64p, u8p,
+             ctypes.c_int, ctypes.c_int]
+            + [ctypes.c_int] * 6
+            + [i32p] * 10)
+        lib.vp8_mb_coeffs.restype = ctypes.c_int
+        lib._sigs_set = True
+    return lib
+
+
 def get_vp8l():
     """The VP8L predictor-inverse kernel, or None."""
     lib = _build("_vp8l")

@@ -554,12 +554,32 @@ def decode_vp8(data: bytes, _debug: dict | None = None):
             n += 1
         return out, nonzero
 
+    # native twin: one call decodes a whole MB's tokens + IDCT (the
+    # token stream is strictly sequential; see codecs/_vp8t.c)
+    from .native import get_vp8t
+    _t = get_vp8t()
+    if _t is not None:
+        import ctypes as _ct
+        _i32p = _ct.POINTER(_ct.c_int32)
+        _i64p = _ct.POINTER(_ct.c_int64)
+        _u8p = _ct.POINTER(_ct.c_uint8)
+        probs_c = np.ascontiguousarray(coeff_probs, np.uint8)
+        _st = np.empty(4, np.int64)
+        _res = np.empty((24, 16), np.int32)
+        _nzv = np.empty(25, np.int32)
+        left_y2_arr = np.zeros(1, np.int32)
+
+        def _p32(a):
+            return a.ctypes.data_as(_i32p)
+
     for my in range(mb_h):
         bdp = parts[my % nparts]
         left_nz_y = np.zeros(4, np.int32)
         left_nz_u = np.zeros(2, np.int32)
         left_nz_v = np.zeros(2, np.int32)
         left_nz_y2 = 0
+        if _t is not None:
+            left_y2_arr[0] = 0
         # per-row left borders (129)
         y0 = 1 + my * 16
         c0 = 1 + my * 8
@@ -576,12 +596,37 @@ def decode_vp8(data: bytes, _debug: dict | None = None):
             mb_has_y2 = ym != B_PRED
             has_y2[my, mx] = mb_has_y2
 
-            ycoeffs = [np.zeros(16, np.int32) for _ in range(16)]
-            ucoeffs = [np.zeros(16, np.int32) for _ in range(4)]
-            vcoeffs = [np.zeros(16, np.int32) for _ in range(4)]
             any_nz = 0
-
-            if not skip:
+            if _t is not None:
+                _st[0] = bdp.pos
+                _st[1] = bdp.rng
+                _st[2] = bdp.value
+                _st[3] = bdp.bit_count
+                _t.vp8_mb_coeffs(
+                    bdp.data, len(bdp.data),
+                    _st.ctypes.data_as(_i64p),
+                    probs_c.ctypes.data_as(_u8p),
+                    int(mb_has_y2), int(skip),
+                    int(y1dc), int(y1ac), int(y2dc), int(y2ac),
+                    int(uvdc), int(uvac),
+                    _p32(above_nz_y[mx]), _p32(left_nz_y),
+                    _p32(above_nz_u[mx]), _p32(left_nz_u),
+                    _p32(above_nz_v[mx]), _p32(left_nz_v),
+                    _p32(above_nz_y2[mx:mx + 1]), _p32(left_y2_arr),
+                    _p32(_res), _p32(_nzv))
+                bdp.pos = int(_st[0])
+                bdp.rng = int(_st[1])
+                bdp.value = int(_st[2])
+                bdp.bit_count = int(_st[3])
+                any_nz = int(_nzv[24])
+                # spatial residual sub-blocks, IDCT already applied
+                ycoeffs = list(_res[:16].reshape(16, 4, 4))
+                ucoeffs = list(_res[16:20].reshape(4, 4, 4))
+                vcoeffs = list(_res[20:24].reshape(4, 4, 4))
+            elif not skip:
+                ycoeffs = [np.zeros(16, np.int32) for _ in range(16)]
+                ucoeffs = [np.zeros(16, np.int32) for _ in range(4)]
+                vcoeffs = [np.zeros(16, np.int32) for _ in range(4)]
                 first = 0
                 probs_y = coeff_probs[0 if mb_has_y2 else 3]
                 dcs = None
@@ -632,6 +677,9 @@ def decode_vp8(data: bytes, _debug: dict | None = None):
                         lnz[sy] = cnz[sy][1]
                     for sx in range(2):
                         anz[mx][sx] = cnz[1][sx]
+                ycoeffs = [_idct4x4(c) for c in ycoeffs]
+                ucoeffs = [_idct4x4(c) for c in ucoeffs]
+                vcoeffs = [_idct4x4(c) for c in vcoeffs]
             else:
                 if mb_has_y2:
                     above_nz_y2[mx] = left_nz_y2 = 0
@@ -641,6 +689,10 @@ def decode_vp8(data: bytes, _debug: dict | None = None):
                 above_nz_v[mx][:] = 0
                 left_nz_u[:] = 0
                 left_nz_v[:] = 0
+                _z = np.zeros((4, 4), np.int32)
+                ycoeffs = [_z] * 16
+                ucoeffs = [_z] * 4
+                vcoeffs = [_z] * 4
             nz_map[my, mx] = any_nz
 
             # ---- reconstruct luma
@@ -666,7 +718,7 @@ def decode_vp8(data: bytes, _debug: dict | None = None):
                     ctx13 = [int(A[0])] + [int(v) for v in A[1:9]] \
                         + [int(v) for v in L]
                     pred = _pred_b(int(grid[sy, sx]), ctx13)
-                    res = _idct4x4(ycoeffs[b])
+                    res = ycoeffs[b]
                     Y[py:py + 4, px:px + 4] = _clip255(pred + res) \
                         .astype(np.uint8)
             else:
@@ -685,7 +737,7 @@ def decode_vp8(data: bytes, _debug: dict | None = None):
                 for b in range(16):
                     sy, sx = b >> 2, b & 3
                     rec[sy * 4:sy * 4 + 4, sx * 4:sx * 4 + 4] += \
-                        _idct4x4(ycoeffs[b])
+                        ycoeffs[b]
                 Y[y0:y0 + 16, x0:x0 + 16] = _clip255(rec) \
                     .astype(np.uint8)
 
@@ -708,7 +760,7 @@ def decode_vp8(data: bytes, _debug: dict | None = None):
                 for b in range(4):
                     sy, sx = b >> 1, b & 1
                     rec[sy * 4:sy * 4 + 4, sx * 4:sx * 4 + 4] += \
-                        _idct4x4(coeffs[b])
+                        coeffs[b]
                 plane[c0:c0 + 8, cx0:cx0 + 8] = _clip255(rec) \
                     .astype(np.uint8)
 
@@ -817,6 +869,40 @@ def _loop_filter(Y, U, V, mb_w, mb_h, ftype, base_level, sharpness,
     Ys = to_s(Y)
     Us = to_s(U)
     Vs = to_s(V)
+
+    # per-MB filter level (segment + delta logic) and skip-interior
+    # flags, for the native twin and for the Python loop alike
+    lvl_mb = np.full((mb_h, mb_w), base_level, np.int64)
+    if seg_en:
+        sl = np.asarray(seg_lf, np.int64)[segments.astype(np.int64)]
+        lvl_mb = sl if seg_abs else lvl_mb + sl
+    if delta_en:
+        lvl_mb = lvl_mb + ref_d[0]           # keyframe: INTRA ref
+        lvl_mb = lvl_mb + np.where(
+            np.asarray(ymodes) == B_PRED, mode_d[0], 0)
+    lvl_mb = np.clip(lvl_mb, 0, 63).astype(np.uint8)
+    skip_mb = (np.logical_and(~np.asarray(nz_map, bool),
+                              np.asarray(has_y2, bool))
+               ).astype(np.uint8)
+
+    from .native import get_vp8f
+    lib = get_vp8f()
+    if lib is not None:
+        import ctypes
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lvl_c = np.ascontiguousarray(lvl_mb)
+        skip_c = np.ascontiguousarray(skip_mb)
+        lib.vp8_loop_filter(
+            Ys.ctypes.data_as(i32p), Us.ctypes.data_as(i32p),
+            Vs.ctypes.data_as(i32p), mb_w, mb_h, int(ftype),
+            int(sharpness), lvl_c.ctypes.data_as(u8p),
+            skip_c.ctypes.data_as(u8p))
+
+        def back(p):
+            return np.clip(p + 128, 0, 255).astype(np.uint8)
+
+        return back(Ys), back(Us), back(Vs)
 
     for my in range(mb_h):
         for mx in range(mb_w):

@@ -117,6 +117,34 @@ class TestEncoderConformance:
         assert (decode_webp_lossless(buf) == _sys_rgba(buf)).all()
 
 
+class TestNativeTwins:
+    """codecs/_vp8t.c (tokens+IDCT) and _vp8f.c (loop filter)
+    transcribe the Python per-MB loops — frames must be identical
+    with the C toolchain on and off."""
+
+    def test_native_matches_python(self, monkeypatch):
+        from gdal_ray.codecs import native
+        if native.get_vp8t() is None or native.get_vp8f() is None:
+            pytest.skip("no C toolchain")
+        rng = np.random.default_rng(7)
+        streams = [make_vp8(48, 48, ymode=4,
+                            bmodes=rng.integers(0, 10, (4, 4)).tolist())]
+        if system_available():
+            from gdal_ray.codecs.webp_sys import encode_webp_system
+            img = rng.integers(0, 256, (64, 80, 3), np.uint8)
+            for q in (25, 80):
+                streams.append(encode_webp_system(
+                    img, lossless=False, quality=q))
+        for buf in streams:
+            a = decode_webp_lossless(buf)
+            monkeypatch.setitem(native._CACHE, "_vp8t", False)
+            monkeypatch.setitem(native._CACHE, "_vp8f", False)
+            b = decode_webp_lossless(buf)
+            monkeypatch.delitem(native._CACHE, "_vp8t", raising=False)
+            monkeypatch.delitem(native._CACHE, "_vp8f", raising=False)
+            assert (a == b).all()
+
+
 @pytest.mark.skipif(not os.path.isdir(FIX), reason="reference absent")
 class TestReferenceFixtures:
     def test_rgbsmall_checksums(self):
