@@ -17,7 +17,11 @@ Golden: test_ntv2_le.gsb / test_ntv2_be.gsb band-2 checksum 10, gt
 (−5.55, 7.8, 0, 52.05, 0, −5.55) within the reference's gt_epsilon
 (autotest/gdrivers/ntv2.py test_ntv2_1/2 with inc/100 tolerance).
 
-Velocity-grid files (6-band, 24-byte records) fail fast by name.
+Velocity-grid files (24-byte records, 6 float32 bands of mm/year
+east/north/up velocities + errors — NUM_SREC key found at byte 24
+instead of 16, ntv2dataset.cpp knMAX_RECORD_SIZE) read and write with
+the same node ordering; NTv2Grid.shift rejects them by name since
+velocities are not datum shifts.
 """
 
 from __future__ import annotations
@@ -47,46 +51,57 @@ def _txt(buf: bytes, off: int) -> str:
 
 def parse_ntv2(buf: bytes):
     """→ (meta, [subgrid dicts]); each subgrid has bounds (arcsec,
-    positive west as stored), increments, count and node offset."""
+    positive west as stored), increments, count and node offset.
+    Record size is probed like the reference driver: NUM_SREC at
+    byte 16 = classic 16-byte records (4 bands), at byte 24 = the
+    velocity-grid variant (24-byte records, 6 bands, e.g.
+    NAD83v70VG.gvb; ntv2dataset.cpp knMAX_RECORD_SIZE)."""
     if not sniff_ntv2(buf):
         raise ValueError("not an NTv2 .gsb file (no NUM_OREC)")
+    if buf[16:24].upper().startswith(b"NUM_SREC"):
+        rec = 16
+    elif buf[24:32].upper().startswith(b"NUM_SREC"):
+        rec = 24
+    else:
+        raise ValueError("NTv2 NUM_SREC record not found at byte "
+                         "16 or 24")
     (le_probe,) = struct.unpack_from("<i", buf, 8)
     endian = "<" if le_probe == 11 else ">"
     fmt_i, fmt_d = endian + "i", endian + "d"
     if struct.unpack_from(fmt_i, buf, 8)[0] != 11:
-        raise ValueError("NTv2 NUM_OREC != 11 (velocity grids with "
-                         "24-byte records unsupported)")
-    n_sub = _num(buf, 2 * _REC, fmt_i)
+        raise ValueError("NTv2 NUM_OREC != 11")
+    n_sub = _num(buf, 2 * rec, fmt_i)
     meta = {
-        "GS_TYPE": _txt(buf, 3 * _REC),
-        "VERSION": _txt(buf, 4 * _REC),
-        "SYSTEM_F": _txt(buf, 5 * _REC),
-        "SYSTEM_T": _txt(buf, 6 * _REC),
-        "MAJOR_F": _dbl(buf, 7 * _REC, fmt_d),
-        "MINOR_F": _dbl(buf, 8 * _REC, fmt_d),
-        "MAJOR_T": _dbl(buf, 9 * _REC, fmt_d),
-        "MINOR_T": _dbl(buf, 10 * _REC, fmt_d),
+        "GS_TYPE": _txt(buf, 3 * rec),
+        "VERSION": _txt(buf, 4 * rec),
+        "SYSTEM_F": _txt(buf, 5 * rec),
+        "SYSTEM_T": _txt(buf, 6 * rec),
+        "MAJOR_F": _dbl(buf, 7 * rec, fmt_d),
+        "MINOR_F": _dbl(buf, 8 * rec, fmt_d),
+        "MAJOR_T": _dbl(buf, 9 * rec, fmt_d),
+        "MINOR_T": _dbl(buf, 10 * rec, fmt_d),
         "endian": endian,
+        "record_size": rec,
     }
     subs = []
-    off = 11 * _REC
+    off = 11 * rec
     for _ in range(n_sub):
         if buf[off:off + 8] != b"SUB_NAME":
             raise ValueError("NTv2 sub-grid header out of sync")
-        gs_count = _num(buf, off + 10 * _REC, fmt_i)
+        gs_count = _num(buf, off + 10 * rec, fmt_i)
         subs.append({
             "name": _txt(buf, off),
-            "parent": _txt(buf, off + _REC),
-            "s_lat": _dbl(buf, off + 4 * _REC, fmt_d),
-            "n_lat": _dbl(buf, off + 5 * _REC, fmt_d),
-            "e_long": _dbl(buf, off + 6 * _REC, fmt_d),
-            "w_long": _dbl(buf, off + 7 * _REC, fmt_d),
-            "lat_inc": _dbl(buf, off + 8 * _REC, fmt_d),
-            "long_inc": _dbl(buf, off + 9 * _REC, fmt_d),
+            "parent": _txt(buf, off + rec),
+            "s_lat": _dbl(buf, off + 4 * rec, fmt_d),
+            "n_lat": _dbl(buf, off + 5 * rec, fmt_d),
+            "e_long": _dbl(buf, off + 6 * rec, fmt_d),
+            "w_long": _dbl(buf, off + 7 * rec, fmt_d),
+            "lat_inc": _dbl(buf, off + 8 * rec, fmt_d),
+            "long_inc": _dbl(buf, off + 9 * rec, fmt_d),
             "gs_count": gs_count,
-            "data_off": off + 11 * _REC,
+            "data_off": off + 11 * rec,
         })
-        off += (11 + gs_count) * _REC
+        off += (11 + gs_count) * rec
     return meta, subs
 
 
@@ -105,22 +120,33 @@ def decode_ntv2(buf: bytes, grid: int = 0):
     nrows = int((g["n_lat"] - g["s_lat"]) / g["lat_inc"] + 1.5)
     if ncols * nrows != g["gs_count"]:
         raise ValueError("NTv2 GS_COUNT does not match grid extent")
+    nbands = meta["record_size"] // 4          # 4 classic, 6 velocity
     nodes = np.frombuffer(
-        buf, meta["endian"] + "f4", count=g["gs_count"] * 4,
-        offset=g["data_off"]).reshape(nrows, ncols, 4)
+        buf, meta["endian"] + "f4", count=g["gs_count"] * nbands,
+        offset=g["data_off"]).reshape(nrows, ncols, nbands)
     # stored south→north, east→west → flip both to north-up/east+
     px = np.ascontiguousarray(nodes[::-1, ::-1, :]).astype(np.float32)
     gt = ((w_long - g["long_inc"] * 0.5) / 3600.0,
           g["long_inc"] / 3600.0, 0.0,
           (g["n_lat"] + g["lat_inc"] * 0.5) / 3600.0, 0.0,
           -g["lat_inc"] / 3600.0)
+    if nbands == 4:
+        descs = ["Latitude Offset (arc seconds)",
+                 "Longitude Offset (arc seconds)",
+                 "Latitude Error", "Longitude Error"]
+    else:
+        # velocity variant: easting/northing order, contrary to the
+        # classic lat/long order (ntv2dataset.cpp OpenGrid, verified
+        # there on NAD83v70VG.gvb against the TRX software)
+        descs = ["East velocity (mm/year)", "North velocity (mm/year)",
+                 "Up velocity (mm/year)",
+                 "East velocity Error (mm/year)",
+                 "North velocity Error (mm/year)",
+                 "Up velocity Error (mm/year)"]
     out_meta = dict(meta)
     out_meta.update({"sub_name": g["name"], "n_subgrids": len(subs),
                      "crs": "EPSG:4326",
-                     "band_descriptions": [
-                         "Latitude Offset (arc seconds)",
-                         "Longitude Offset (arc seconds)",
-                         "Latitude Error", "Longitude Error"]})
+                     "band_descriptions": descs})
     return px, gt, None, out_meta
 
 
@@ -130,6 +156,9 @@ class NTv2Grid:
 
     def __init__(self, buf: bytes, grid: int = 0):
         self.px, self.gt, _, self.meta = decode_ntv2(buf, grid)
+        if self.px.shape[2] != 4:
+            raise ValueError("NTv2 velocity grids (6-band) carry "
+                             "mm/year velocities, not datum shifts")
 
     def shift(self, lon, lat):
         """Datum shift FROM the grid's source datum: NTv2 longitude
@@ -191,22 +220,27 @@ def encode_ntv2(px: np.ndarray, *, lat_min: float, lat_max: float,
     north-up / east-positive (h, w, 4) float32 array whose node
     centres span [lon_min..lon_max] × [lat_min..lat_max] degrees —
     the inverse of decode_ntv2's presentation (reference driver has
-    Create support too, ntv2dataset.cpp)."""
+    Create support too, ntv2dataset.cpp). An (h, w, 6) array writes
+    the 24-byte-record velocity-grid variant."""
     px = np.ascontiguousarray(px, np.float32)
-    if px.ndim != 3 or px.shape[2] != 4:
-        raise ValueError("NTv2 encode needs an (h, w, 4) array")
+    if px.ndim != 3 or px.shape[2] not in (4, 6):
+        raise ValueError("NTv2 encode needs an (h, w, 4|6) array")
     h, w = px.shape[:2]
     if h < 2 or w < 2:
         raise ValueError("NTv2 grid needs at least 2x2 nodes")
+    rec = px.shape[2] * 4
+    pad = b"\x00" * (rec - 16)
 
     def rec_txt(key: str, val: str) -> bytes:
-        return key.ljust(8).encode()[:8] + val.ljust(8).encode()[:8]
+        return key.ljust(8).encode()[:8] + val.ljust(8).encode()[:8] \
+            + pad
 
     def rec_int(key: str, val: int) -> bytes:
-        return key.ljust(8).encode()[:8] + struct.pack("<i4x", val)
+        return key.ljust(8).encode()[:8] + struct.pack("<i4x", val) \
+            + pad
 
     def rec_dbl(key: str, val: float) -> bytes:
-        return key.ljust(8).encode()[:8] + struct.pack("<d", val)
+        return key.ljust(8).encode()[:8] + struct.pack("<d", val) + pad
 
     s_lat, n_lat = lat_min * 3600.0, lat_max * 3600.0
     # stored positive west
@@ -229,7 +263,7 @@ def encode_ntv2(px: np.ndarray, *, lat_min: float, lat_max: float,
            rec_int("GS_COUNT", h * w)]
     # file order: south→north rows, east→west columns = both axes
     # reversed from the north-up/east+ presentation
-    nodes = px[::-1, ::-1, :].reshape(-1, 4)
+    nodes = px[::-1, ::-1, :].reshape(-1, px.shape[2])
     out.append(nodes.astype("<f4").tobytes())
-    out.append(b"END     " + b"\x00" * 8)
+    out.append(b"END     " + b"\x00" * (rec - 8))
     return b"".join(out)

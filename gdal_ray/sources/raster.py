@@ -104,7 +104,7 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("grb2", "grib2", "grb", "grib"):
         from ..codecs.grib2 import decode_grib2
         px, gt, nodata, meta = decode_grib2(open(path, "rb").read())
-    elif ext == "gsb":
+    elif ext in ("gsb", "gvb"):
         from ..codecs.ntv2 import decode_ntv2
         px, gt, nodata, meta = decode_ntv2(open(path, "rb").read())
     elif ext == "gpkg":

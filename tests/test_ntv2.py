@@ -101,3 +101,48 @@ class TestCrsIntegration:
         from gdal_ray.core.srs import params_from_proj
         p = params_from_proj("+proj=longlat +datum=WGS84 +nadgrids=@null")
         assert "nadgrids" not in p
+
+
+class TestVelocityGrids:
+    """24-byte-record variant (6 float32 bands, NUM_SREC at byte 24
+    — ntv2dataset.cpp knMAX_RECORD_SIZE, NAD83v70VG.gvb layout)."""
+
+    def _grid(self):
+        rng = np.random.default_rng(5)
+        px = rng.normal(0, 3, (4, 6, 6)).astype(np.float32)
+        from gdal_ray.codecs.ntv2 import encode_ntv2
+        buf = encode_ntv2(px, lat_min=45.0, lat_max=48.0,
+                          lon_min=-70.0, lon_max=-65.0, name="VGRID")
+        return px, buf
+
+    def test_roundtrip_and_layout(self):
+        px, buf = self._grid()
+        # the variant marker the reference probes for: NUM_SREC at 24
+        assert buf[24:32] == b"NUM_SREC"
+        out, gt, nodata, meta = decode_ntv2(buf)
+        assert meta["record_size"] == 24
+        assert out.shape == (4, 6, 6)
+        np.testing.assert_array_equal(out, px)
+        assert meta["band_descriptions"][0] == "East velocity (mm/year)"
+        # node-centre-shifted geotransform, same formula as classic
+        assert abs(gt[0] - (-70.0 - gt[1] / 2)) < 1e-12
+        assert abs(gt[3] - (48.0 - gt[5] / 2)) < 1e-12
+
+    def test_node_storage_order(self):
+        """File nodes run south->north, east->west; first stored node
+        is the south-east corner (presentation [-1, -1])."""
+        px, buf = self._grid()
+        meta, subs = parse_ntv2(buf)
+        first = np.frombuffer(buf, "<f4", count=6,
+                              offset=subs[0]["data_off"])
+        np.testing.assert_array_equal(first, px[-1, -1, :])
+
+    def test_shift_rejects_velocity(self):
+        _, buf = self._grid()
+        with pytest.raises(ValueError, match="velocity"):
+            NTv2Grid(buf)
+
+    def test_classic_grids_unaffected(self):
+        buf = open(f"{FIX}/test_ntv2_le.gsb", "rb").read()
+        _, _, _, meta = decode_ntv2(buf)
+        assert meta["record_size"] == 16
