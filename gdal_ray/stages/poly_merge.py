@@ -92,7 +92,12 @@ def tile_pieces_and_edges(tile_id: int, grid: np.ndarray,
             ("W", labels[:, 0], grid[:, 0]), ("E", labels[:, -1], grid[:, -1])):
         for lab, val, s, e in runs(lab_line, val_line):
             edges.append((side, lab, val, s, e))
-    return pieces, edges
+    # corner pixels (NW, NE, SW, SE) for the 8-connect point-adjacency
+    corners = ([int(labels[0, 0]), int(labels[0, -1]),
+                int(labels[-1, 0]), int(labels[-1, -1])],
+               [int(grid[0, 0]), int(grid[0, -1]),
+                int(grid[-1, 0]), int(grid[-1, -1])])
+    return pieces, edges, corners
 
 
 class TilePolygonize:
@@ -105,7 +110,7 @@ class TilePolygonize:
     def __call__(self, t: pa.Table) -> pa.Table:
         # outer loop is over TILES (few, fat rows — each is a whole
         # grid); all per-piece / per-edge emission is numpy-vectorized
-        pp, ee = [], []          # per-tile (tx, ty, pieces) / edge arrays
+        pp, ee, cc = [], [], []  # per-tile (tx, ty, pieces) / edges / corners
         for i in range(t.num_rows):
             tx = int(t["tile_x"][i].as_py())
             ty = int(t["tile_y"][i].as_py())
@@ -114,8 +119,10 @@ class TilePolygonize:
             grid = np.frombuffer(t["grid"][i].as_py(),
                                  np.int64).reshape(h, w)
             tile_id = (tx << 32) | ty
-            pieces, edges = tile_pieces_and_edges(tile_id, grid, self.conn)
+            pieces, edges, corners = tile_pieces_and_edges(
+                tile_id, grid, self.conn)
             pp.append((tx, ty, pieces))
+            cc.append((tx, ty) + corners)
             if edges:
                 side, lab, val, s, e = zip(*edges)
                 ee.append((tx, ty, np.array(side), np.asarray(lab, np.int64),
@@ -158,6 +165,43 @@ class TilePolygonize:
         vert = (e_side == "W") | (e_side == "E")
         e_key = (np.where(vert, np.int64(1) << 60, np.int64(2) << 60)
                  | (kx << 30) | ky)
+
+        if self.conn == 8 and pp:
+            # corner records: 8-connect components can also meet
+            # diagonally at a point shared by FOUR tiles — an
+            # adjacency on no shared edge. Emit each tile's 4 corner
+            # pixels keyed by the corner POINT (tile (tx,ty) spans
+            # points [tx,tx+1]x[ty,ty+1]); the match rule pairs the
+            # two diagonals (SE<->NW, SW<->NE).
+            c_tx, c_ty, c_side, c_lab, c_val, c_px, c_py = \
+                [], [], [], [], [], [], []
+            for (tx, ty, _), (_, _, la, va) in zip(pp, cc):
+                for name, lb, vv, dx, dy in (
+                        ("NW", la[0], va[0], 0, 0),
+                        ("NE", la[1], va[1], 1, 0),
+                        ("SW", la[2], va[2], 0, 1),
+                        ("SE", la[3], va[3], 1, 1)):
+                    c_tx.append(tx)
+                    c_ty.append(ty)
+                    c_side.append(name)
+                    c_lab.append(lb)
+                    c_val.append(vv)
+                    c_px.append(tx + dx)
+                    c_py.append(ty + dy)
+            c_key = ((np.int64(3) << 60)
+                     | ((np.asarray(c_px, np.int64) & M) << 30)
+                     | (np.asarray(c_py, np.int64) & M))
+            e_tx = np.concatenate([e_tx, np.asarray(c_tx, np.int64)])
+            e_ty = np.concatenate([e_ty, np.asarray(c_ty, np.int64)])
+            e_side = np.concatenate([e_side.astype("U2"),
+                                     np.asarray(c_side)])
+            e_lab = np.concatenate([e_lab,
+                                    np.asarray(c_lab, np.int64)])
+            e_val = np.concatenate([e_val,
+                                    np.asarray(c_val, np.int64)])
+            e_s = np.concatenate([e_s, np.zeros(len(c_tx), np.int64)])
+            e_e = np.concatenate([e_e, np.zeros(len(c_tx), np.int64)])
+            e_key = np.concatenate([e_key, c_key])
         n_e = len(e_lab)
 
         z = np.zeros
@@ -181,13 +225,19 @@ class TilePolygonize:
         })
 
 
-def _match_edge_group(g: pd.DataFrame) -> pd.DataFrame:
+def _match_edge_group(g: pd.DataFrame, conn: int = 4) -> pd.DataFrame:
     """All runs on one shared edge → merge pairs (same value, interval
-    overlap, opposite sides)."""
+    overlap, opposite sides). With ``conn=8`` the overlap test widens
+    by one pixel (diagonal adjacency along the edge), and corner-point
+    groups pair the two tile diagonals (SE<->NW, SW<->NE)."""
     out = {"a": [], "b": []}
     # the two sides of a vertical edge are E (left tile) and W (right
-    # tile); of a horizontal edge S (upper) and N (lower)
-    for sa, sb in (("E", "W"), ("S", "N")):
+    # tile); of a horizontal edge S (upper) and N (lower); corner
+    # points (conn=8) pair the diagonally-opposite tiles
+    sides = [("E", "W"), ("S", "N")]
+    if conn == 8:
+        sides += [("SE", "NW"), ("SW", "NE")]
+    for sa, sb in sides:
         A = g[g["side"] == sa]
         B = g[g["side"] == sb]
         if not len(A) or not len(B):
@@ -201,8 +251,18 @@ def _match_edge_group(g: pd.DataFrame) -> pd.DataFrame:
                  | A["tile_y"].to_numpy()) << 20) | A["label"].to_numpy())
         bid = ((((B["tile_x"].to_numpy().astype(np.int64) << 20)
                  | B["tile_y"].to_numpy()) << 20) | B["label"].to_numpy())
-        ov = ((as_[:, None] < be[None, :]) & (bs[None, :] < ae[:, None])
-              & (av[:, None] == bv[None, :]))
+        if sa in ("SE", "SW"):
+            # corner-point groups: single pixels, value match suffices
+            ov = av[:, None] == bv[None, :]
+        elif conn == 8:
+            # |i-j| <= 1 between run members: intervals widened by one
+            ov = ((as_[:, None] <= be[None, :])
+                  & (bs[None, :] <= ae[:, None])
+                  & (av[:, None] == bv[None, :]))
+        else:
+            ov = ((as_[:, None] < be[None, :])
+                  & (bs[None, :] < ae[:, None])
+                  & (av[:, None] == bv[None, :]))
         ii, jj = np.nonzero(ov)
         out["a"].extend(aid[ii].tolist())
         out["b"].extend(bid[jj].tolist())
@@ -217,17 +277,15 @@ def distributed_polygonize(tiles_ds, connectedness: int = 4,
     as a pandas frame, or a ray Dataset when ``as_dataset=True``.
 
     Components are stitched across tile boundaries exactly; verified
-    against single-grid polygonize in tests. 4-connectivity only: the
-    edge-run overlap match does not see 8-connect diagonal adjacency
-    across tile edges/corners (GDAL's polygonize default is also 4)."""
+    against single-grid polygonize in tests. 8-connectivity
+    (GDAL's -8 polygonize option) widens the edge-run overlap test by
+    one pixel and adds corner-point records for the diagonal
+    adjacency at points shared by four tiles."""
     import ray
     from .join import salted_bucket
 
-    if connectedness != 4:
-        raise NotImplementedError(
-            "distributed_polygonize stitches 4-connected components; "
-            "8-connect diagonal adjacency across tile boundaries is not "
-            "matched by the edge-run rule")
+    if connectedness not in (4, 8):
+        raise ValueError("connectedness must be 4 or 8")
 
     tp = TilePolygonize(connectedness)
     parts = tiles_ds.map_batches(tp, batch_format="pyarrow").materialize()
@@ -237,7 +295,8 @@ def distributed_polygonize(tiles_ds, connectedness: int = 4,
 
     def edge_groups(g: pd.DataFrame) -> pd.DataFrame:
         frames = [r for _, sub in g.groupby("edge_key", sort=False)
-                  for r in (_match_edge_group(sub),) if len(r)]
+                  for r in (_match_edge_group(sub, connectedness),)
+                  if len(r)]
         if not frames:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})

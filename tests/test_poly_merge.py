@@ -22,9 +22,9 @@ def tiles_of(grid: np.ndarray, th: int, tw: int):
     return rows
 
 
-def oracle(grid: np.ndarray):
+def oracle(grid: np.ndarray, conn: int = 4):
     """(value, area) multiset of global components."""
-    lab = label_components(grid, 4)
+    lab = label_components(grid, conn)
     out = []
     for c in range(lab.max() + 1):
         m = lab == c
@@ -74,6 +74,51 @@ def test_stress_10x_tiles_no_driver_materialization(ray_session):
                         got["total_px"].astype(int)))
     assert got_ms == oracle(grid)
     assert (got["n_tiles"] > 4).any()              # deep stitching
+
+
+@pytest.mark.parametrize("seed,shape,tile", [
+    (0, (64, 96), (32, 32)),
+    (5, (64, 64), (16, 16)),
+])
+def test_8connect_matches_single_grid(ray_session, seed, shape, tile):
+    """8-connectivity (GDAL polygonize -8): the stitch must see
+    diagonal adjacency along shared edges AND at the corner points
+    shared by four tiles."""
+    import ray.data as rd
+    rng = np.random.default_rng(seed)
+    from gdal_ray.stages.raster_ops import convolve
+    base = rng.normal(size=shape)
+    smooth = convolve(base, np.ones((3, 3)) / 9.0)  # rougher: many
+    grid = np.digitize(smooth, [-0.2, 0.2]).astype(np.int64)  # diagonals
+    ds = rd.from_items(tiles_of(grid, *tile))
+    got = distributed_polygonize(ds, connectedness=8)
+    got_ms = sorted(zip(got["value"].astype(int),
+                        got["total_px"].astype(int)))
+    assert got_ms == oracle(grid, 8)
+    assert (got["n_tiles"] > 1).any()
+
+
+def test_8connect_pure_corner_touch(ray_session):
+    """A component that continues ONLY through the 4-tile corner
+    point — the case the edge-run rule alone cannot see."""
+    import ray.data as rd
+    grid = np.zeros((8, 8), np.int64)
+    grid[3, 3] = 1          # SE corner pixel of tile (0,0)
+    grid[4, 4] = 1          # NW corner pixel of tile (1,1)
+    grid[4, 3] = 2          # the anti-diagonal pair (tiles (0,1)/(1,0))
+    grid[3, 4] = 2
+    ds = rd.from_items(tiles_of(grid, 4, 4))
+    got = distributed_polygonize(ds, connectedness=8)
+    got_ms = sorted(zip(got["value"].astype(int),
+                        got["total_px"].astype(int)))
+    assert got_ms == oracle(grid, 8)
+    ones = got[got["value"] == 1]
+    assert len(ones) == 1 and int(ones["total_px"].iloc[0]) == 2
+    twos = got[got["value"] == 2]
+    assert len(twos) == 1 and int(twos["total_px"].iloc[0]) == 2
+    # 4-connect on the same grid must NOT merge them
+    got4 = distributed_polygonize(ds, connectedness=4)
+    assert len(got4[got4["value"] == 1]) == 2
 
 
 def test_single_tile_degenerates_to_local(ray_session):
