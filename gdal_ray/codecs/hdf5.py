@@ -23,9 +23,13 @@ Specification directly (no entropy coding — pure container walking):
   * family-VFD files (name_0.h5 … name_N.h5) via member
     concatenation (load_hdf5_bytes).
 
-Virtual (VDS) layouts, chunked vlen datasets and extensible-array
-data blocks (beyond the index-block-resident elements) fail fast
-with a named error — the documented boundary.
+  * chunked raw data via layout-v4 chunk indexes too: single-chunk,
+    implicit, fixed array, extensible array (incl. EADB data blocks
+    and EASB super blocks) and v2 B-trees of any depth.
+
+Virtual (VDS) layouts, chunked vlen datasets, and paged
+extensible-array data blocks fail fast with a named error — the
+documented boundary.
 
 Goldens (tests/test_hdf5.py): the reference's own fixtures —
 u8be.h5 checksum 135, groups.h5 //MyGroup/dset1 checksum 18
@@ -636,27 +640,46 @@ class Hdf5File:
             return []
         if depth == 0:
             return leaf(root, root_nrec)
-        if depth > 1:
-            raise ValueError("v2 B-tree depth > 1 unsupported")
-        # internal root: n records + n+1 child pointers
-        if b[root:root + 4] != b"BTIN":
-            raise ValueError("bad v2 B-tree internal node")
-        # child pointer: addr + nrec (minimum bytes for the max
-        # possible records in a leaf node)
-        max_nrec = (node_size - 10) // rec_size
-        nrec_size = max(1, (int(max_nrec).bit_length() + 7) // 8)
-        out = []
-        q = root + 6
-        for _ in range(root_nrec):           # records first …
-            out.append(bytes(b[q:q + rec_size]))
-            q += rec_size
-        for _ in range(root_nrec + 1):       # … then child pointers
-            caddr = self._addr(q)
-            q += self.so
-            cn = int.from_bytes(b[q:q + nrec_size], "little")
-            q += nrec_size
-            out.extend(leaf(caddr, cn))
-        return out
+
+        # per-depth node geometry (H5B2hdr.c): an internal node at
+        # depth u stores n records + n+1 child pointers, a pointer
+        # being child addr + child record count (min bytes for the
+        # child node's max) + — when the child is itself internal —
+        # the cumulative subtree record count (min bytes for the
+        # subtree max)
+        def minb(n):
+            return max(1, (int(n).bit_length() + 7) // 8)
+
+        leaf_max = (node_size - 10) // rec_size
+        info = [(leaf_max, leaf_max)]        # (node max, subtree max)
+        for u in range(1, depth + 1):
+            cmax, ccum = info[u - 1]
+            ptr = self.so + minb(cmax) + (minb(ccum) if u > 1 else 0)
+            nmax = (node_size - (10 + ptr)) // (rec_size + ptr)
+            info.append((nmax, (nmax + 1) * ccum + nmax))
+
+        def walk(a, n, d):
+            if d == 0:
+                return leaf(a, n)
+            if b[a:a + 4] != b"BTIN":
+                raise ValueError("bad v2 B-tree internal node")
+            out = []
+            q = a + 6
+            for _ in range(n):               # records first …
+                out.append(bytes(b[q:q + rec_size]))
+                q += rec_size
+            cmax, ccum = info[d - 1]
+            for _ in range(n + 1):           # … then child pointers
+                caddr = self._addr(q)
+                q += self.so
+                cn = int.from_bytes(b[q:q + minb(cmax)], "little")
+                q += minb(cmax)
+                if d > 1:
+                    q += minb(ccum)          # subtree total, unused
+                out.extend(walk(caddr, cn, d - 1))
+            return out
+
+        return walk(root, root_nrec, depth)
 
     # ---------------------------------------------------------- groups
     def _walk_group_btree(self, btree_addr, heap_addr, o):
@@ -781,7 +804,10 @@ class Hdf5File:
 
     def _read_vlen(self, ds, dims, dt):
         """Variable-length dataset → numpy object array (strings or
-        per-element arrays), elements resolved via the global heap."""
+        per-element arrays), elements resolved via the global heap.
+        Chunked layouts assemble the fixed-size vlen descriptors
+        (count + GCOL addr + index) through the ordinary chunk
+        walkers with a void dtype, then resolve the heap IDs."""
         n = int(np.prod(dims)) if dims else 1
         esize = 4 + self.so + 4
         kind, *rest = ds.layout
@@ -794,7 +820,26 @@ class Hdf5File:
             else:
                 raw = bytes(self.mv[addr:addr + n * esize])
         else:
-            raise ValueError("chunked vlen datasets unsupported")
+            dtv = np.dtype(f"V{esize}")
+            outv = np.zeros(n, dtv).reshape(dims if dims else (1,))
+            if kind == "chunked4":
+                itype, addr, cdims, celem, flags, idx_info = rest
+                if addr != _UNDEF:
+                    for ci, (caddr, csize, mask) in enumerate(
+                            self._chunks4_entries(itype, addr, dims,
+                                                  cdims, esize,
+                                                  idx_info)):
+                        if caddr == _UNDEF or caddr == 0:
+                            continue
+                        self._place_chunk(
+                            ds, outv, cdims, dtv, caddr, csize, mask,
+                            self._chunk_offset(ci, dims, cdims))
+            else:                           # chunked v1/v3 B-tree
+                btree, cdims, celem = rest
+                if btree != _UNDEF:
+                    self._read_chunks(btree, ds, outv, cdims, dtv,
+                                      esize)
+            raw = outv.tobytes()
         vals = self._vlen_decode(raw, n, esize, dt)
         out = np.empty(n, object)
         out[:] = vals
@@ -895,38 +940,101 @@ class Hdf5File:
 
     def _ext_array_entries(self, addr, nchunks):
         """Extensible-array chunk index: EAHD header → EAIB index
-        block; only index-block-resident elements are supported (data
-        blocks fail fast — not emitted for the small chunk counts the
-        fixtures and netCDF-4 files use)."""
+        block → EADB data blocks / EASB super blocks. Geometry follows
+        H5EA: super block u holds 2^(u/2) data blocks of
+        dblk_min_elmts·2^((u+1)/2) elements each, and the data blocks
+        of the first 2·log2(sblk_min_dblk_ptrs) super blocks are
+        addressed directly from the index block (H5EApkg.h
+        H5EA_SBLK_FIRST_IDX). Paged data blocks (element count above
+        2^dblk_page_nelmts_bits) fail fast."""
         b = self.buf
         if b[addr:addr + 4] != b"EAHD":
             raise ValueError("bad extensible-array header")
         elt_size = b[addr + 6]
+        max_bits = b[addr + 7]
         idx_blk_elts = b[addr + 8]
+        dblk_min = b[addr + 9]
+        sblk_min_ptrs = b[addr + 10]
+        page_bits = b[addr + 11]
         p = addr + 12 + 6 * self.sl
         iblk = self._addr(p)
         if iblk == _UNDEF:
             return []
         if b[iblk:iblk + 4] != b"EAIB":
             raise ValueError("bad extensible-array index block")
-        if nchunks > idx_blk_elts:
-            raise ValueError(
-                "extensible-array data blocks unsupported "
-                f"({nchunks} chunks > {idx_blk_elts} index elements)")
-        q = iblk + 6 + self.so
-        out = []
-        for _ in range(nchunks):
+        off_size = (max_bits + 7) // 8      # block-offset field width
+        page_nelmts = 1 << page_bits
+
+        def parse_elt(q):
             caddr = int.from_bytes(b[q:q + self.so], "little")
             if elt_size > self.so:          # filtered
                 szlen = elt_size - self.so - 4
-                csz = int.from_bytes(b[q + self.so:q + self.so + szlen],
-                                     "little")
+                csz = int.from_bytes(
+                    b[q + self.so:q + self.so + szlen], "little")
                 (mask,) = struct.unpack_from("<I", b,
                                              q + self.so + szlen)
-                out.append((caddr, csz, mask))
-            else:
-                out.append((caddr, 0, None))
+                return (caddr, csz, mask)
+            return (caddr, 0, None)
+
+        q = iblk + 6 + self.so
+        out = []
+        for _ in range(min(nchunks, idx_blk_elts)):
+            out.append(parse_elt(q))
             q += elt_size
+        if nchunks <= idx_blk_elts:
+            return out
+        q = iblk + 6 + self.so + idx_blk_elts * elt_size
+
+        def read_dblk(daddr, nelmts, need):
+            if daddr == _UNDEF:
+                return [(_UNDEF, 0, None)] * min(nelmts, need)
+            if b[daddr:daddr + 4] != b"EADB":
+                raise ValueError("bad extensible-array data block")
+            if nelmts > page_nelmts:
+                raise ValueError(
+                    "paged extensible-array data blocks unsupported")
+            r = daddr + 6 + self.so + off_size
+            return [parse_elt(r + i * elt_size)
+                    for i in range(min(nelmts, need))]
+
+        nsblks = 1 + (max_bits - (dblk_min.bit_length() - 1))
+        first_idx = min(2 * (sblk_min_ptrs.bit_length() - 1), nsblks)
+        need = nchunks - idx_blk_elts
+        for u in range(first_idx):          # dblk addrs in index block
+            ne = dblk_min << ((u + 1) // 2)
+            for _ in range(1 << (u // 2)):
+                if need > 0:
+                    daddr = int.from_bytes(b[q:q + self.so], "little")
+                    got = read_dblk(daddr, ne, need)
+                    out.extend(got)
+                    need -= len(got)
+                q += self.so
+        for u in range(first_idx, nsblks):  # sblk addrs follow
+            if need <= 0:
+                break
+            saddr = int.from_bytes(b[q:q + self.so], "little")
+            q += self.so
+            ndblks = 1 << (u // 2)
+            ne = dblk_min << ((u + 1) // 2)
+            if saddr == _UNDEF:
+                cnt = min(ndblks * ne, need)
+                out.extend([(_UNDEF, 0, None)] * cnt)
+                need -= cnt
+                continue
+            if b[saddr:saddr + 4] != b"EASB":
+                raise ValueError("bad extensible-array super block")
+            r = saddr + 6 + self.so + off_size
+            for i in range(ndblks):
+                if need <= 0:
+                    break
+                daddr = int.from_bytes(
+                    b[r + i * self.so:r + (i + 1) * self.so], "little")
+                got = read_dblk(daddr, ne, need)
+                out.extend(got)
+                need -= len(got)
+        if need > 0:
+            raise ValueError("extensible-array index short of "
+                             f"{need} chunk entries")
         return out
 
     def _fill_array(self, ds, dt_np, dims, n):
@@ -976,9 +1084,9 @@ class Hdf5File:
 
 
 class _FractalHeap:
-    """Minimal fractal-heap reader: managed objects in direct blocks
-    (FHDB), one level of indirect blocks (FHIB) with the doubling-row
-    size rule. Huge/tiny objects fail fast."""
+    """Fractal-heap reader: managed objects in direct blocks (FHDB)
+    reached through arbitrarily nested indirect blocks (FHIB) with
+    the doubling-row size rule. Huge/tiny objects fail fast."""
 
     def __init__(self, f: "Hdf5File", addr: int):
         b = f.buf
@@ -1059,9 +1167,12 @@ class _FractalHeap:
                 if row < max_direct_rows:
                     self._add_direct(child, size)
                 else:
-                    self._walk_indirect(child, 0)  # nested: unsupported
-                    raise ValueError(
-                        "nested fractal-heap indirect blocks unsupported")
+                    # nested indirect block: an entry in row r covers
+                    # row_size(r) bytes of heap space; a child with k
+                    # rows covers width·start·2^(k-1), so
+                    # k = r - log2(width) (H5HFiblock.c child nrows)
+                    sub_rows = row - (int(self.width).bit_length() - 1)
+                    self._walk_indirect(child, sub_rows)
 
     def locate(self, heap_id: bytes) -> int:
         """Managed heap ID → file position of the object bytes."""

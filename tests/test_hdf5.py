@@ -236,3 +236,322 @@ class TestFamilyFiles:
         shutil.copy(f"{H5}/u8be.h5", p)
         f = Hdf5File(load_hdf5_bytes(str(p)))
         assert cs(f.read("/TestArray")) == 135
+
+
+class TestExtensibleArrayBlocks:
+    """Crafted-byte extensible arrays that spill past the index-block
+    elements into EADB data blocks and EASB super blocks — the layout
+    large unlimited-dimension granules produce (H5EA geometry:
+    super block u holds 2^(u/2) data blocks of min·2^((u+1)/2)
+    elements; first 2·log2(sblk_min_dblk_ptrs) super blocks' data
+    blocks are addressed from the index block)."""
+
+    SO = SL = 8
+    ELT, MAXB, IDX, DMIN, SPTR, PBITS = 8, 32, 4, 16, 4, 10
+
+    def _build(self, nchunks):
+        buf = bytearray(200_000)
+        UNDEF = (1 << 64) - 1
+        pos = [4096]                       # bump allocator
+
+        def alloc(n):
+            a = pos[0]
+            pos[0] += n
+            return a
+
+        def put(a, data):
+            buf[a:a + len(data)] = data
+
+        addr_of = lambda i: 1000 + i       # chunk i -> address 1000+i
+        # geometry
+        first_idx = 2 * (self.SPTR.bit_length() - 1)          # 4
+        nsblks = 1 + (self.MAXB - (self.DMIN.bit_length() - 1))
+
+        def dblk(ne, base):
+            """One data block with ne elements starting at chunk base;
+            elements beyond nchunks left UNDEF."""
+            a = alloc(6 + self.SO + 4 + ne * self.ELT)
+            put(a, b"EADB\x00\x00")
+            r = a + 6 + self.SO + 4
+            for i in range(ne):
+                ci = base + i
+                v = addr_of(ci) if ci < nchunks else UNDEF
+                put(r + i * self.ELT, v.to_bytes(8, "little"))
+            return a
+
+        # index block
+        n_dblk_addrs = sum(1 << (u // 2) for u in range(first_idx))
+        n_sblk_addrs = nsblks - first_idx
+        ib = alloc(6 + self.SO + (self.IDX * self.ELT)
+                   + (n_dblk_addrs + n_sblk_addrs) * self.SO)
+        put(ib, b"EAIB\x00\x00")
+        q = ib + 6 + self.SO
+        for i in range(self.IDX):          # index-resident elements
+            v = addr_of(i) if i < nchunks else UNDEF
+            put(q, v.to_bytes(8, "little"))
+            q += self.ELT
+        base = self.IDX
+        for u in range(first_idx):         # direct data-block addrs
+            ne = self.DMIN << ((u + 1) // 2)
+            for _ in range(1 << (u // 2)):
+                a = dblk(ne, base) if base < nchunks else UNDEF
+                put(q, a.to_bytes(8, "little"))
+                q += self.SO
+                base += ne
+        for u in range(first_idx, nsblks):  # super blocks
+            ndblks = 1 << (u // 2)
+            ne = self.DMIN << ((u + 1) // 2)
+            if base < nchunks:
+                sb = alloc(6 + self.SO + 4 + ndblks * self.SO)
+                put(sb, b"EASB\x00\x00")
+                r = sb + 6 + self.SO + 4
+                for i in range(ndblks):
+                    a = dblk(ne, base) if base < nchunks else UNDEF
+                    put(r + i * self.SO, a.to_bytes(8, "little"))
+                    base += ne
+            else:
+                sb = UNDEF
+                base += ndblks * ne
+            put(q, sb.to_bytes(8, "little"))
+            q += self.SO
+        # header
+        hd = alloc(12 + 6 * self.SL + self.SO)
+        put(hd, b"EAHD\x00\x00" + bytes([self.ELT, self.MAXB, self.IDX,
+                                         self.DMIN, self.SPTR,
+                                         self.PBITS]))
+        put(hd + 12 + 6 * self.SL, ib.to_bytes(8, "little"))
+        f = object.__new__(Hdf5File)
+        f.buf = bytes(buf)
+        f.so, f.sl = self.SO, self.SL
+        return f, hd
+
+    @pytest.mark.parametrize("nchunks", [3, 4, 7, 64, 244, 260, 900])
+    def test_entries_in_order(self, nchunks):
+        f, hd = self._build(nchunks)
+        entries = Hdf5File._ext_array_entries(f, hd, nchunks)
+        assert len(entries) == nchunks
+        assert [e[0] for e in entries] == [1000 + i
+                                           for i in range(nchunks)]
+        assert all(e[1] == 0 and e[2] is None for e in entries)
+
+
+class TestBtree2Depth2:
+    """Crafted-byte v2 B-tree of depth 2 — the shape a dataset with
+    tens of thousands of chunks (or a group with that many links)
+    produces. Geometry per H5B2hdr.c: node_size 64 / rec_size 8 gives
+    leaf max 6, depth-1 max 2, depth-2 max 2."""
+
+    def test_depth2_walk(self):
+        SO = 8
+        node_size, rec_size = 64, 8
+        buf = bytearray(100_000)
+        pos = [4096]
+
+        def alloc(n):
+            a = pos[0]
+            pos[0] += n
+            return a
+
+        def put(a, data):
+            buf[a:a + len(data)] = data
+
+        recs = [i.to_bytes(8, "little") for i in range(17)]
+        it = iter(recs)
+
+        def leaf(n):
+            a = alloc(6 + n * rec_size + 4)
+            put(a, b"BTLF\x00\x00")
+            for i in range(n):
+                put(a + 6 + i * rec_size, next(it))
+            return a, n
+
+        def internal(n, children, depth):
+            # child ptr: addr + nrec(1 byte) [+ cum total(1) if d>1]
+            a = alloc(6 + n * rec_size
+                      + (n + 1) * (SO + 1 + (1 if depth > 1 else 0)) + 4)
+            put(a, b"BTIN\x00\x00")
+            q = a + 6
+            for i in range(n):
+                put(q, next(it))
+                q += rec_size
+            for caddr, cn in children:
+                put(q, caddr.to_bytes(SO, "little"))
+                q += SO
+                put(q, bytes([cn]))
+                q += 1
+                if depth > 1:
+                    put(q, b"\x00")       # subtree total (unused)
+                    q += 1
+            return a, n
+
+        # bottom-up: 2 depth-1 nodes, each 2 records + 3 leaves of 2
+        d1 = []
+        for _ in range(2):
+            lv = [leaf(2) for _ in range(3)]
+            # records come FIRST in node layout but the walker emits
+            # node records then children; order-insensitive assert
+            d1.append(internal(2, lv, 1))
+        root, root_n = internal(1, d1, 2)
+
+        hd = alloc(16 + SO + 2)
+        put(hd, b"BTHD\x00\x00")
+        put(hd + 6, node_size.to_bytes(4, "little"))
+        put(hd + 10, rec_size.to_bytes(2, "little"))
+        put(hd + 12, (2).to_bytes(2, "little"))       # depth
+        put(hd + 16, root.to_bytes(SO, "little"))
+        put(hd + 16 + SO, root_n.to_bytes(2, "little"))
+
+        f = object.__new__(Hdf5File)
+        f.buf = bytes(buf)
+        f.so, f.sl = SO, 8
+        got = Hdf5File._btree2_records(f, hd)
+        assert sorted(got) == sorted(recs)
+
+
+class TestFractalHeapNestedIndirect:
+    """Crafted fractal heap whose root indirect block has rows past
+    max_direct_rows — those entries point to NESTED indirect blocks
+    (the shape a group with very many dense links produces). Child
+    nrows = row - log2(width) (H5HFiblock.c)."""
+
+    def test_nested_indirect_locate(self):
+        from gdal_ray.codecs.hdf5 import _FractalHeap
+        SO = SL = 8
+        START, MAXD, WIDTH, HEAP_BITS = 16, 32, 4, 16
+        OFFS = (HEAP_BITS + 7) // 8            # 2
+        buf = bytearray(200_000)
+        pos = [4096]
+
+        def alloc(n):
+            a = pos[0]
+            pos[0] += n
+            return a
+
+        def put(a, data):
+            buf[a:a + len(data)] = data
+
+        def direct(blk_off, size):
+            a = alloc(size)
+            put(a, b"FHDB\x00")
+            put(a + 5 + SO, blk_off.to_bytes(OFFS, "little"))
+            # payload marker at the block's last byte
+            put(a + size - 1, bytes([blk_off // 16 % 251]))
+            return a
+
+        # rows: 0,1 -> 16B, 2 -> 32B, 3 -> 64B (indirect: max_direct
+        # rows = log2(32)-log2(16)+2 = 3)
+        def row_size(r):
+            return START if r < 2 else START << (r - 1)
+
+        def indirect(nrows, heap_base):
+            entries = []
+            off = heap_base
+            for r in range(nrows):
+                for _ in range(WIDTH):
+                    if r < 3:
+                        entries.append(direct(off, row_size(r)))
+                    else:
+                        sub_rows = r - 2       # log2(width)=2
+                        entries.append(indirect(sub_rows, off))
+                    off += row_size(r)
+            a = alloc(5 + SO + OFFS + len(entries) * SO + 4)
+            put(a, b"FHIB\x00")
+            q = a + 5 + SO + OFFS
+            for e in entries:
+                put(q, e.to_bytes(SO, "little"))
+                q += SO
+            return a
+
+        root = indirect(4, 0)                  # rows 0-3; row 3 nested
+        hd = alloc(200)
+        put(hd, b"FRHP\x00")
+        p = hd + 5
+        put(p, (4).to_bytes(2, "little")); p += 2          # id_len
+        put(p, (0).to_bytes(2, "little")); p += 2          # iof_len
+        p += 1                                             # flags
+        put(p, (100).to_bytes(4, "little")); p += 4        # max managed
+        p += SL + SO + SL + SO + 2 * SL + SL + 5 * SL
+        put(p, WIDTH.to_bytes(2, "little")); p += 2
+        put(p, START.to_bytes(SL, "little")); p += SL
+        put(p, MAXD.to_bytes(SL, "little")); p += SL
+        put(p, HEAP_BITS.to_bytes(2, "little")); p += 2
+        p += 2                                             # start rows
+        put(p, root.to_bytes(SO, "little")); p += SO
+        put(p, (4).to_bytes(2, "little"))                  # cur rows
+
+        f = object.__new__(Hdf5File)
+        f.buf = bytes(buf)
+        f.so, f.sl = SO, SL
+        h = _FractalHeap(f, hd)
+        # the nested row-3 blocks cover heap offsets 256..512; locate
+        # an object at the last byte of each nested direct block
+        for blk_off in range(256, 512, 16):
+            # the marker byte sits at the last byte of each block
+            fpos = h.locate(bytes([0]) + (blk_off + 15).to_bytes(
+                OFFS, "little") + b"\x00")
+            assert buf[fpos] == (blk_off // 16) % 251
+            base = h.locate(bytes([0]) + blk_off.to_bytes(
+                OFFS, "little") + b"\x00")
+            assert buf[base + 15] == (blk_off // 16) % 251
+
+
+class TestChunkedVlen:
+    """Crafted chunked vlen-string dataset: descriptors (count +
+    GCOL addr + index) live in v1-B-tree chunks, strings in the
+    global heap — the layout netCDF-4 string variables with chunking
+    produce."""
+
+    def test_chunked_vlen_strings(self):
+        SO = SL = 8
+        buf = bytearray(65536)
+
+        def put(a, d):
+            buf[a:a + len(d)] = d
+
+        g = 1024                              # GCOL
+        put(g, b"GCOL\x01\x00\x00\x00")
+        put(g + 8, (4096).to_bytes(SL, "little"))
+        p = g + 8 + SL
+        objs = [b"alpha", b"bravo!", b"x", b"longer string"]
+        for i, o in enumerate(objs, 1):
+            put(p, i.to_bytes(2, "little"))
+            put(p + 2, (1).to_bytes(2, "little"))
+            put(p + 8, len(o).to_bytes(SL, "little"))
+            put(p + 8 + SL, o)
+            p += 8 + SL + (len(o) + 7) // 8 * 8
+
+        def desc(cnt, idx):
+            return (cnt.to_bytes(4, "little")
+                    + g.to_bytes(SO, "little")
+                    + idx.to_bytes(4, "little"))
+
+        c0, c1 = 8192, 8192 + 64              # two chunks of 2 elems
+        put(c0, desc(5, 1) + desc(6, 2))
+        put(c1, desc(1, 3) + desc(13, 4))
+
+        t = 16384                             # v1 B-tree leaf, rank 1
+        put(t, b"TREE" + bytes([1, 0]))
+        put(t + 6, (2).to_bytes(2, "little"))
+        p = t + 8 + 2 * SO
+        for addr, off in ((c0, 0), (c1, 2)):
+            put(p, (32).to_bytes(4, "little"))        # chunk bytes
+            put(p + 4, (0).to_bytes(4, "little"))     # filter mask
+            put(p + 8, off.to_bytes(8, "little"))     # elem offset
+            put(p + 16, (0).to_bytes(8, "little"))    # elem-size dim
+            put(p + 24, addr.to_bytes(SO, "little"))
+            p += 32
+
+        f = object.__new__(Hdf5File)
+        f.buf = bytes(buf)
+        f.mv = memoryview(f.buf)
+        f.so, f.sl = SO, SL
+        f._gheaps = {}
+
+        class DS:
+            layout = ("chunked", t, (2,), 16)
+            filters = []
+            fillvalue = None
+
+        out = Hdf5File._read_vlen(f, DS(), (4,),
+                                  ("vlen", "string", None))
+        assert list(out) == ["alpha", "bravo!", "x", "longer string"]
