@@ -3825,21 +3825,40 @@ def q_top_ngrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def bigrams(t: pa.Table) -> pa.Table:
-        langs_out, grams, counts = [], [], []
-        langs = t["lang"].to_pylist()
-        for i, text in enumerate(t["text"].to_pylist()):
-            toks = text.split(" ")
-            local: dict[str, int] = {}
-            for a, b in zip(toks, toks[1:]):
-                g = a + " " + b
-                local[g] = local.get(g, 0) + 1
-            for g, n in local.items():
-                langs_out.append(langs[i])
-                grams.append(g)
-                counts.append(n)
-        return pa.table({"lang": pa.array(langs_out),
-                         "bigram": pa.array(grams),
-                         "n": pa.array(counts, pa.int64())})
+        # fully Arrow-vectorized: token list -> adjacent-pair join,
+        # doc boundaries masked out, then an in-batch group-by as the
+        # map-side partial (no per-row Python)
+        import pyarrow.compute as pc
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "bigram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        toks = pc.split_pattern(t.column("text").cast(pa.string()), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        total = len(flat)
+        if total < 2:
+            return empty
+        gram = pc.binary_join_element_wise(
+            flat.slice(0, total - 1), flat.slice(1), " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        # a bigram at token i is invalid when i is its doc's last token
+        valid = np.ones(total - 1, bool)
+        last = np.cumsum(lens) - 1
+        valid[last[last < total - 1]] = False
+        if not valid.any():
+            return empty
+        lang_tok = np.repeat(
+            t.column("lang").to_numpy(zero_copy_only=False), lens)
+        sel = pa.array(valid)
+        part = pa.table({
+            "lang": pa.array(lang_tok[:-1][valid]),
+            "bigram": gram.filter(sel),
+            "n": pa.array(np.ones(int(valid.sum()), np.int64))})
+        agg = pa.TableGroupBy(part, ["lang", "bigram"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"lang": agg["lang"], "bigram": agg["bigram"],
+                         "n": agg["n_sum"].cast(pa.int64())})
 
     agg = _rp(sf_dir, "documents", ["text", "lang"]) \
         .map_batches(bigrams, batch_format="pyarrow") \
