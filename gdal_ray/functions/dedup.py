@@ -550,7 +550,8 @@ def embedding_near_dups(ds, *, vec_col="embedding", id_col="vec_id",
             self._planes: np.ndarray | None = None
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mat = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+            from .ann import list_to_matrix
+            mat = list_to_matrix(t[vec_col])
             if self._planes is None:
                 rng = np.random.default_rng(7)
                 self._planes = rng.standard_normal((mat.shape[1], total_bits))
