@@ -1,0 +1,468 @@
+"""Simple grid formats parsed from their public layouts: GTX, Erdas
+LAN/GIS, ERMapper ERS, SAGA, Idrisi RST, Geosoft GXF and FITS.
+
+Each decoder returns ``(pixels, geotransform, nodata, meta)`` like the
+other codecs; ``sources/raster.py`` routes by extension. Reference
+drivers: frmts/raw/gtxdataset.cpp, frmts/raw/landataset.cpp,
+frmts/ers/, frmts/saga/, frmts/idrisi/, frmts/gxf/ (gxfopen.c base-90
+decode), frmts/fits/fitsdataset.cpp. Goldens in tests/test_rawgrids.py
+come from the reference's own autotest expectations (hydroc1.gtx
+64183, fakelan 10, srtm.ers 64074, ers_dem 56588, 4byteFloat 108,
+byte.rst 5044, real.rst 5275, small.gxf 90, small2.gxf 65042,
+byte_merc.fits 4672).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+
+import numpy as np
+
+
+# --------------------------------------------------------------- GTX
+def decode_gtx(buf: bytes):
+    """NOAA vertical-datum grid (.gtx): 40-byte big-endian header
+    (lat0, lon0, dlat, dlon float64; nrows, ncols int32), float32 rows
+    south→north. gtxdataset.cpp; nodata -88.8888."""
+    if len(buf) < 40:
+        raise ValueError("GTX file too short")
+    lat0, lon0, dlat, dlon = struct.unpack_from(">4d", buf, 0)
+    nrows, ncols = struct.unpack_from(">2i", buf, 32)
+    if not (0 < nrows < 1 << 20 and 0 < ncols < 1 << 20):
+        raise ValueError("GTX implausible dimensions")
+    px = np.frombuffer(buf, ">f4", count=nrows * ncols,
+                       offset=40).reshape(nrows, ncols)
+    px = np.ascontiguousarray(px[::-1]).astype(np.float32)  # north-up
+    gt = (lon0 - dlon / 2.0, dlon, 0.0,
+          lat0 + (nrows - 1) * dlat + dlat / 2.0, 0.0, -dlat)
+    return px, gt, -88.8888, {"driver": "GTX", "crs": "EPSG:4326"}
+
+
+# --------------------------------------------------------- Erdas LAN
+def decode_lan(buf: bytes):
+    """Erdas 7.x .lan/.gis: 128-byte header ("HEADER" float dims /
+    "HEAD74" int dims), pixel type 0=8bit 1=4bit 2=16bit, BIL
+    interleave, georef floats at 112-124 (cell centres).
+    landataset.cpp; byte order probed via the band-count word."""
+    magic = buf[:6]
+    if magic not in (b"HEADER", b"HEAD74"):
+        raise ValueError("not an Erdas LAN/GIS file")
+    (nb_le,) = struct.unpack_from("<h", buf, 8)
+    bo = "<" if 0 < nb_le < 256 else ">"
+    (ptype,) = struct.unpack_from(bo + "h", buf, 6)
+    (nbands,) = struct.unpack_from(bo + "h", buf, 8)
+    if magic == b"HEAD74":
+        w, h = struct.unpack_from(bo + "2i", buf, 16)
+    else:
+        fw, fh = struct.unpack_from(bo + "2f", buf, 16)
+        w, h = int(fw), int(fh)
+    if not (0 < w < 1 << 20 and 0 < h < 1 << 20 and 0 < nbands < 256):
+        raise ValueError("LAN implausible dimensions")
+    if ptype == 0:
+        dt, psz = np.uint8, 1
+    elif ptype == 2:
+        dt, psz = np.dtype(bo + "i2"), 2
+    elif ptype == 1:
+        dt, psz = np.uint8, 0                   # 4-bit packed
+    else:
+        raise ValueError(f"LAN pixel type {ptype} unsupported")
+    bands = []
+    for b in range(nbands):
+        rows = []
+        for y in range(h):
+            if ptype == 1:
+                off = 128 + (y * w * nbands) // 2 + (b * w) // 2
+                packed = np.frombuffer(buf, np.uint8,
+                                       count=(w + 1) // 2, offset=off)
+                line = np.empty(w, np.uint8)
+                line[0::2] = packed[:(w + 1) // 2] >> 4
+                line[1::2] = packed[:w // 2] & 0x0F
+            else:
+                off = 128 + y * w * psz * nbands + b * w * psz
+                line = np.frombuffer(buf, dt, count=w, offset=off)
+            rows.append(line)
+        bands.append(np.vstack(rows))
+    px = bands[0] if nbands == 1 else np.stack(bands)
+    ulx, uly, dx, dy = struct.unpack_from(bo + "4f", buf, 112)
+    if dx != 0 and dy != 0:
+        gt = (ulx - dx / 2.0, float(dx), 0.0,
+              uly + dy / 2.0, 0.0, float(-dy))
+    else:
+        gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    return px, gt, None, {"driver": "LAN", "pixel_type": int(ptype)}
+
+
+# ----------------------------------------------------------- ERS
+def _ers_tokens(text: str):
+    """ERS header items: strip #-comments (outside quotes), return
+    {dotted.path: value} plus the raw nested structure."""
+    out = {}
+    path: list[str] = []
+    for rawline in text.splitlines():
+        # strip comments respecting quotes
+        q = False
+        line = ""
+        for ch in rawline:
+            if ch == '"':
+                q = not q
+            if ch == "#" and not q:
+                break
+            line += ch
+        line = line.strip()
+        if not line:
+            continue
+        m = re.match(r"(\w+)\s+Begin$", line)
+        if m:
+            path.append(m.group(1))
+            continue
+        m = re.match(r"(\w+)\s+End$", line)
+        if m and path:
+            path.pop()
+            continue
+        if "=" in line:
+            k, _, v = line.partition("=")
+            key = ".".join(path[1:] + [k.strip()]) if len(path) > 1 \
+                else k.strip()
+            out.setdefault(key, v.strip().strip('"'))
+    return out
+
+
+_ERS_TYPES = {
+    "unsigned8bitinteger": np.uint8, "signed8bitinteger": np.int8,
+    "unsigned16bitinteger": np.uint16, "signed16bitinteger": np.int16,
+    "unsigned32bitinteger": np.uint32, "signed32bitinteger": np.int32,
+    "ieee4bytereal": np.float32, "ieee8bytereal": np.float64,
+}
+
+
+def _dms(v: str) -> float:
+    parts = v.split(":")
+    if len(parts) == 1:
+        return float(v)
+    sign = -1.0 if parts[0].strip().startswith("-") else 1.0
+    d = abs(float(parts[0]))
+    m = float(parts[1]) if len(parts) > 1 else 0.0
+    s = float(parts[2]) if len(parts) > 2 else 0.0
+    return sign * (d + m / 60.0 + s / 3600.0)
+
+
+def decode_ers(path: str):
+    """ERMapper .ers: ASCII header + companion raw BIL file (same
+    name, extension stripped; HeaderOffset skips leading bytes).
+    frmts/ers/; registration cell/coord → node-registered origin."""
+    hdr = _ers_tokens(open(path, "r", errors="replace").read())
+    w = int(hdr["RasterInfo.NrOfCellsPerLine"])
+    h = int(hdr["RasterInfo.NrOfLines"])
+    nbands = int(hdr.get("RasterInfo.NrOfBands", "1"))
+    ct = hdr.get("RasterInfo.CellType", "Unsigned8BitInteger")
+    dt = _ERS_TYPES.get(ct.lower())
+    if dt is None:
+        raise ValueError(f"ERS CellType {ct} unsupported")
+    dt = np.dtype(dt)
+    if hdr.get("ByteOrder", "LSBFirst").lower() == "msbfirst":
+        dt = dt.newbyteorder(">")
+    off = int(hdr.get("HeaderOffset", "0"))
+    datafile = hdr.get("DataFile")
+    if datafile:
+        dpath = os.path.join(os.path.dirname(path), datafile)
+    else:
+        dpath = path[:-4] if path.lower().endswith(".ers") else path
+    buf = open(dpath, "rb").read()
+    n = w * h * nbands
+    arr = np.frombuffer(buf, dt, count=n, offset=off) \
+        .reshape(h, nbands, w)                 # BIL
+    px = np.ascontiguousarray(arr.transpose(1, 0, 2))
+    if nbands == 1:
+        px = px[0]
+    xd = float(hdr.get("RasterInfo.CellInfo.Xdimension", "1"))
+    yd = float(hdr.get("RasterInfo.CellInfo.Ydimension", "1"))
+    rx = float(hdr.get("RasterInfo.RegistrationCellX", "0"))
+    ry = float(hdr.get("RasterInfo.RegistrationCellY", "0"))
+    rc = "RasterInfo.RegistrationCoord."
+    if rc + "Longitude" in hdr:
+        x0 = _dms(hdr[rc + "Longitude"]) - rx * xd
+        y0 = _dms(hdr[rc + "Latitude"]) + ry * yd
+    elif rc + "Eastings" in hdr:
+        x0 = float(hdr[rc + "Eastings"]) - rx * xd
+        y0 = float(hdr[rc + "Northings"]) + ry * yd
+    else:
+        x0, y0 = 0.0, 0.0
+    gt = (x0, xd, 0.0, y0, 0.0, -yd)
+    nodata = hdr.get("RasterInfo.NullCellValue")
+    meta = {"driver": "ERS",
+            "datum": hdr.get("CoordinateSpace.Datum"),
+            "projection": hdr.get("CoordinateSpace.Projection"),
+            "stats": {k.rsplit(".", 1)[-1]: v for k, v in hdr.items()
+                      if ".Stats." in k}}
+    return px, gt, float(nodata) if nodata else None, meta
+
+
+# ----------------------------------------------------------- SAGA
+def decode_saga(path: str):
+    """SAGA .sgrd/.sdat pair: tab-separated ASCII header, raw data,
+    TOPTOBOTTOM=FALSE means bottom-up (frmts/saga/)."""
+    base = os.path.splitext(path)[0]
+    hdr_path = base + (".sgrd" if os.path.exists(base + ".sgrd")
+                       else ".SGRD")
+    hdr = {}
+    for line in open(hdr_path, "r", errors="replace"):
+        if "=" in line:
+            k, _, v = line.partition("=")
+            hdr[k.strip().upper()] = v.strip()
+    fmt = hdr.get("DATAFORMAT", "FLOAT").upper()
+    dmap = {"BIT": np.uint8, "BYTE_UNSIGNED": np.uint8,
+            "BYTE": np.int8, "SHORTINT_UNSIGNED": np.uint16,
+            "SHORTINT": np.int16, "INTEGER_UNSIGNED": np.uint32,
+            "INTEGER": np.int32, "FLOAT": np.float32,
+            "DOUBLE": np.float64}
+    if fmt not in dmap:
+        raise ValueError(f"SAGA DATAFORMAT {fmt} unsupported")
+    dt = np.dtype(dmap[fmt])
+    if hdr.get("BYTEORDER_BIG", "FALSE").upper() == "TRUE":
+        dt = dt.newbyteorder(">")
+    w = int(hdr["CELLCOUNT_X"])
+    h = int(hdr["CELLCOUNT_Y"])
+    cell = float(hdr["CELLSIZE"])
+    off = int(hdr.get("DATAFILE_OFFSET", "0"))
+    buf = open(base + ".sdat", "rb").read()
+    px = np.frombuffer(buf, dt, count=w * h, offset=off).reshape(h, w)
+    if hdr.get("TOPTOBOTTOM", "FALSE").upper() == "FALSE":
+        px = np.ascontiguousarray(px[::-1])
+    xmin = float(hdr["POSITION_XMIN"])
+    ymin = float(hdr["POSITION_YMIN"])
+    gt = (xmin - cell / 2.0, cell, 0.0,
+          ymin + (h - 1) * cell + cell / 2.0, 0.0, -cell)
+    nd = hdr.get("NODATA_VALUE")
+    return px, gt, float(nd) if nd else None, \
+        {"driver": "SAGA", "z_factor": float(hdr.get("Z_FACTOR", "1"))}
+
+
+# ----------------------------------------------------------- Idrisi
+def decode_rst(path: str):
+    """Idrisi .rst + .rdc documentation file (frmts/idrisi/): data
+    types byte / integer (int16) / real (float32) / rgb24, stored
+    top-down, min/max X/Y edges → geotransform."""
+    base = os.path.splitext(path)[0]
+    rdc = base + (".rdc" if os.path.exists(base + ".rdc") else ".RDC")
+    hdr = {}
+    for line in open(rdc, "r", errors="replace"):
+        if ":" in line:
+            k, _, v = line.partition(":")
+            hdr[k.strip().lower()] = v.strip()
+    if hdr.get("file type", "binary").lower() != "binary":
+        raise ValueError("Idrisi ASCII/packed files unsupported")
+    w = int(hdr["columns"])
+    h = int(hdr["rows"])
+    dtype_name = hdr.get("data type", "byte").lower()
+    buf = open(base + (".rst" if os.path.exists(base + ".rst")
+                       else ".RST"), "rb").read()
+    if dtype_name == "byte":
+        px = np.frombuffer(buf, np.uint8, count=w * h).reshape(h, w)
+    elif dtype_name == "integer":
+        px = np.frombuffer(buf, "<i2", count=w * h).reshape(h, w)
+    elif dtype_name == "real":
+        px = np.frombuffer(buf, "<f4", count=w * h).reshape(h, w)
+    elif dtype_name == "rgb24":
+        raw = np.frombuffer(buf, np.uint8,
+                            count=w * h * 3).reshape(h, w, 3)
+        px = np.ascontiguousarray(raw[:, :, ::-1].transpose(2, 0, 1))
+    else:
+        raise ValueError(f"Idrisi data type {dtype_name} unsupported")
+    xmin = float(hdr.get("min. x", "0"))
+    xmax = float(hdr.get("max. x", str(w)))
+    ymin = float(hdr.get("min. y", "0"))
+    ymax = float(hdr.get("max. y", str(h)))
+    gt = (xmin, (xmax - xmin) / w, 0.0, ymax, 0.0, -(ymax - ymin) / h)
+    nd = None
+    if hdr.get("flag value", "none").lower() not in ("none", ""):
+        try:
+            nd = float(hdr["flag value"])
+        except ValueError:
+            nd = None
+    return px, gt, nd, {"driver": "RST",
+                        "title": hdr.get("file title", "")}
+
+
+# ------------------------------------------------------------- GXF
+def decode_gxf(buf: bytes):
+    """Geosoft Grid eXchange File (ASCII #keyword records): GTYPE 0
+    free-form numbers or GTYPE n base-90 compression with '!'-dummy
+    and '"'-repeat escapes (gxfopen.c GXFParseBase90 /
+    GXFReadRawScanlineFrom). Default sense LL-right → flip to
+    north-up."""
+    text = buf.decode("ascii", "replace")
+    lines = text.splitlines()
+    sections: dict[str, list[str]] = {}
+    cur = None
+    for ln in lines:
+        if ln.startswith("#"):
+            cur = ln.strip().upper()
+            sections.setdefault(cur, [])
+        elif cur is not None:
+            sections[cur].append(ln)
+
+    def first(name, default=None):
+        for k, v in sections.items():
+            if k.startswith(name):
+                for ln in v:
+                    if ln.strip():
+                        return ln.strip()
+        return default
+
+    ncols = int(float(first("#POIN")))
+    nrows = int(float(first("#ROWS")))
+    gtype = int(float(first("#GTYPE", "0") or "0"))
+    sense = int(float(first("#SENS", "1") or "1"))
+    dummy_s = first("#DUMMY")
+    dummy = float(dummy_s) if dummy_s else -1e12
+    scale, offset = 1.0, 0.0
+    tr = first("#TRANSFORM")
+    if tr:
+        f = tr.split()
+        scale, offset = float(f[0]), float(f[1])
+    grid_lines = None
+    for k, v in sections.items():
+        if k.startswith("#GRID"):
+            grid_lines = v
+            break
+    if grid_lines is None:
+        raise ValueError("GXF #GRID section missing")
+
+    vals = np.empty(nrows * ncols, np.float64)
+    nread = 0
+    if gtype == 0:
+        for ln in grid_lines:
+            for tok in ln.split():
+                if nread >= len(vals):
+                    break
+                if dummy_s is not None and tok == dummy_s:
+                    vals[nread] = dummy
+                else:
+                    vals[nread] = float(tok)
+                nread += 1
+    else:
+        # base-90 stream: rows may wrap lines but groups never split
+        def b90(s):
+            n = 0
+            for ch in s:
+                n = n * 90 + (ord(ch) - 37)
+            return n
+
+        li = 0
+        pos = 0
+
+        def group():
+            nonlocal li, pos
+            while li < len(grid_lines) and \
+                    pos + gtype > len(grid_lines[li].rstrip("\r\n")):
+                li += 1
+                pos = 0
+            if li >= len(grid_lines):
+                raise ValueError("GXF compressed grid truncated")
+            g = grid_lines[li][pos:pos + gtype]
+            pos += gtype
+            return g
+
+        while nread < len(vals):
+            g = group()
+            if g[0] == "!":
+                vals[nread] = dummy
+                nread += 1
+            elif g[0] == '"':
+                cnt = b90(group())
+                vg = group()
+                v = dummy if vg[0] == "!" else b90(vg) * scale + offset
+                cnt = min(cnt, len(vals) - nread)
+                vals[nread:nread + cnt] = v
+                nread += cnt
+            else:
+                vals[nread] = b90(g) * scale + offset
+                nread += 1
+    if nread < len(vals):
+        raise ValueError("GXF grid short of values")
+    px = vals.reshape(nrows, ncols)
+    if sense in (1, -1):                      # LL/LR origin: flip rows
+        px = px[::-1]
+    if sense in (-1, -2):                     # right-to-left
+        px = px[:, ::-1]
+    px = np.ascontiguousarray(px)
+    xsep = float(first("#PTSE", "1") or "1")
+    ysep = float(first("#RWSE", "1") or "1")
+    xo = float(first("#XORI", "0") or "0")
+    yo = float(first("#YORI", "0") or "0")
+    ytop = yo + (nrows - 1) * ysep
+    gt = (xo - xsep / 2.0, xsep, 0.0, ytop + ysep / 2.0, 0.0, -ysep)
+    return px, gt, dummy, {"driver": "GXF",
+                           "projection": first("#MAP_PROJECTION")}
+
+
+# ------------------------------------------------------------- FITS
+_FITS_DT = {8: np.uint8, 16: ">i2", 32: ">i4", 64: ">i8",
+            -32: ">f4", -64: ">f8"}
+
+
+def decode_fits(buf: bytes):
+    """FITS primary-HDU image: 80-char header cards in 2880-byte
+    records, big-endian data stored bottom-up
+    (fitsdataset.cpp IReadBlock flips); BZERO/BSCALE exposed as
+    offset/scale metadata, BLANK as nodata, CRPIX/CRVAL/CDELT as the
+    geotransform."""
+    if buf[:6] != b"SIMPLE":
+        raise ValueError("not a FITS file")
+    cards = {}
+    pos = 0
+    while pos + 80 <= len(buf):
+        card = buf[pos:pos + 80].decode("ascii", "replace")
+        pos += 80
+        key = card[:8].strip()
+        if key == "END":
+            pos = (pos + 2879) // 2880 * 2880
+            break
+        if "=" in card[8:10]:
+            v = card[10:].split("/")[0].strip()
+            cards[key] = v.strip("'").strip()
+    bitpix = int(cards["BITPIX"])
+    naxis = int(cards.get("NAXIS", "0"))
+    if naxis < 2:
+        raise ValueError("FITS primary HDU has no 2D image")
+    w = int(cards["NAXIS1"])
+    h = int(cards["NAXIS2"])
+    nb = int(cards.get("NAXIS3", "1")) if naxis >= 3 else 1
+    dt = np.dtype(_FITS_DT.get(bitpix))
+    if dt is None:
+        raise ValueError(f"FITS BITPIX {bitpix} unsupported")
+    px = np.frombuffer(buf, dt, count=w * h * nb, offset=pos)
+    px = px.reshape(nb, h, w) if nb > 1 else px.reshape(h, w)
+    px = np.ascontiguousarray(px[..., ::-1, :])        # bottom-up
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    # angular WCS → projected geotransform exactly as
+    # fitsdataset.cpp LoadGeoreferencing: CD matrix (or CDELT·PC),
+    # scaled by deg2rad·A_RADIUS; CRVAL2 intentionally unused there
+    if ("LN" in cards.get("CTYPE1", "") and "A_RADIUS" in cards
+            and "CRPIX1" in cards):
+        pc = [float(cards.get(f"PC{i}_{j}", "1" if i == j else "0"))
+              for i in (1, 2) for j in (1, 2)]
+        if "CDELT1" in cards:
+            d1 = float(cards["CDELT1"])
+            d2 = float(cards.get("CDELT2", cards["CDELT1"]))
+            cd = [d1 * pc[0], d1 * pc[1], d2 * pc[2], d2 * pc[3]]
+        else:
+            cd = [float(cards.get(f"CD{i}_{j}", "0"))
+                  for i in (1, 2) for j in (1, 2)]
+        radfac = np.pi / 180.0 * float(cards["A_RADIUS"])
+        crval1 = float(cards["CRVAL1"])
+        if crval1 > 180.0:
+            crval1 -= 180.0
+        g1 = cd[0] * radfac
+        g5 = -cd[3] * radfac
+        gt = (crval1 * radfac - g1 * (float(cards["CRPIX1"]) - 0.5),
+              g1, cd[1] * radfac,
+              -g5 * (float(cards["CRPIX2"]) - 0.5),
+              cd[2] * radfac, g5)
+    nd = float(cards["BLANK"]) if "BLANK" in cards else None
+    meta = {"driver": "FITS", "object": cards.get("OBJECT"),
+            "offset": float(cards.get("BZERO", "0")),
+            "scale": float(cards.get("BSCALE", "1"))}
+    return px, gt, nd, meta

@@ -107,6 +107,27 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("gsb", "gvb"):
         from ..codecs.ntv2 import decode_ntv2
         px, gt, nodata, meta = decode_ntv2(open(path, "rb").read())
+    elif ext == "gtx":
+        from ..codecs.rawgrids import decode_gtx
+        px, gt, nodata, meta = decode_gtx(open(path, "rb").read())
+    elif ext in ("lan", "gis"):
+        from ..codecs.rawgrids import decode_lan
+        px, gt, nodata, meta = decode_lan(open(path, "rb").read())
+    elif ext == "ers":
+        from ..codecs.rawgrids import decode_ers
+        px, gt, nodata, meta = decode_ers(path)
+    elif ext in ("sdat", "sgrd"):
+        from ..codecs.rawgrids import decode_saga
+        px, gt, nodata, meta = decode_saga(path)
+    elif ext == "rst":
+        from ..codecs.rawgrids import decode_rst
+        px, gt, nodata, meta = decode_rst(path)
+    elif ext == "gxf":
+        from ..codecs.rawgrids import decode_gxf
+        px, gt, nodata, meta = decode_gxf(open(path, "rb").read())
+    elif ext == "fits":
+        from ..codecs.rawgrids import decode_fits
+        px, gt, nodata, meta = decode_fits(open(path, "rb").read())
     elif ext == "gpkg":
         from .gpkg import read_gpkg_raster
         px, gt, nodata, meta = read_gpkg_raster(path)
