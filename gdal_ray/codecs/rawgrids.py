@@ -466,3 +466,287 @@ def decode_fits(buf: bytes):
             "offset": float(cards.get("BZERO", "0")),
             "scale": float(cards.get("BSCALE", "1"))}
     return px, gt, nd, meta
+
+
+# ------------------------------------------------- NADCON LOS/LAS
+def decode_loslas(buf: bytes, ext: str = "los"):
+    """NOAA NADCON .los/.las datum-shift grid (also GEOID .geo):
+    56-byte ident + 8-byte kind, width/height/zcount int32 at 64,
+    origin/cell floats at 76, float32 records of (w*4+4) bytes stored
+    south-first (loslasdataset.cpp reads them bottom-up)."""
+    if len(buf) < 92 or buf[56:62] not in (b"NADGRD", b"GEOGRD"):
+        raise ValueError("not a NADCON los/las or geo grid")
+    w, h = struct.unpack_from("<2i", buf, 64)
+    if not (0 < w < 1 << 20 and 0 < h < 1 << 20):
+        raise ValueError("LOS/LAS implausible dimensions")
+    min_lon, dlon, min_lat, dlat = struct.unpack_from("<4f", buf, 76)
+    rec = w * 4 + 4
+    rows = []
+    for y in range(h):                       # south-first in file
+        off = (y + 1) * rec + 4
+        rows.append(np.frombuffer(buf, "<f4", count=w, offset=off))
+    px = np.ascontiguousarray(np.vstack(rows)[::-1])
+    gt = (min_lon - dlon * 0.5, float(dlon), 0.0,
+          min_lat + (h - 0.5) * dlat, 0.0, float(-dlat))
+    desc = {"las": "Latitude Offset (arc seconds)",
+            "los": "Longitude Offset (arc seconds)",
+            "geo": "Geoid undulation (meters)"}.get(ext.lower())
+    return px, gt, None, {"driver": "LOSLAS", "crs": "EPSG:4326",
+                          "band_description": desc}
+
+
+# ------------------------------------------------------------ BYN
+def decode_byn(buf: bytes):
+    """Natural Resources Canada .byn vertical-datum grid: 80-byte
+    little-endian header (byndataset.cpp buffer2header), int16/int32
+    data top-down, bounds in arc-seconds (x1000 when nScale=1);
+    nodata 32767 (int16) / 9999*factor (int32)."""
+    if len(buf) < 80:
+        raise ValueError("BYN file too short")
+    south, north, west, east = struct.unpack_from("<4i", buf, 0)
+    dlat, dlon, nglobal, ntype = struct.unpack_from("<4h", buf, 16)
+    (factor,) = struct.unpack_from("<d", buf, 24)
+    sizeof, vdatum = struct.unpack_from("<2h", buf, 32)
+    descrip, subtype, datum, ellipsoid, byteorder, scale = \
+        struct.unpack_from("<6h", buf, 40)
+    if sizeof not in (2, 4) or scale not in (0, 1) \
+            or byteorder not in (0, 1):
+        raise ValueError("not a BYN grid (implausible header)")
+    s, n, w_, e, dla, dlo = (float(v) for v in
+                             (south, north, west, east, dlat, dlon))
+    if scale == 1:
+        s, n, w_, e, dla, dlo = (v * 1000.0
+                                 for v in (s, n, w_, e, dla, dlo))
+    ncols = int((e - w_ + 1.0) / dlo + 1.0)
+    nrows = int((n - s + 1.0) / dla + 1.0)
+    if not (0 < ncols < 1 << 20 and 0 < nrows < 1 << 20):
+        raise ValueError("BYN implausible dimensions")
+    bo = "<" if byteorder == 1 else ">"
+    dt = np.dtype(bo + ("i2" if sizeof == 2 else "i4"))
+    px = np.frombuffer(buf, dt, count=nrows * ncols,
+                       offset=80).reshape(nrows, ncols)
+    gt = ((w_ - dlo / 2.0) / 3600.0, dlo / 3600.0, 0.0,
+          (n + dla / 2.0) / 3600.0, 0.0, -dla / 3600.0)
+    nd = 32767.0 if sizeof == 2 else 9999.0 * factor
+    return px, gt, nd, {"driver": "BYN", "crs": "EPSG:4326",
+                        "scale": (1.0 / factor) if factor else 0.0}
+
+
+# ------------------------------------------------------ NGSGEOID
+def decode_ngsgeoid(buf: bytes):
+    """NOAA NGS binary geoid (.bin): SLAT WLON DLAT DLON float64 +
+    NLAT NLON IKIND int32 (endianness probed via IKIND==1), float32
+    rows stored south-first (ngsgeoiddataset.cpp)."""
+    if len(buf) < 44:
+        raise ValueError("NGSGEOID file too short")
+    for bo in ("<", ">"):
+        (ikind,) = struct.unpack_from(bo + "i", buf, 40)
+        if ikind == 1:
+            break
+    else:
+        raise ValueError("not an NGS geoid .bin (IKIND != 1)")
+    slat, wlon, dlat, dlon = struct.unpack_from(bo + "4d", buf, 0)
+    nlat, nlon = struct.unpack_from(bo + "2i", buf, 32)
+    if not (0 < nlat < 1 << 20 and 0 < nlon < 1 << 20):
+        raise ValueError("NGSGEOID implausible dimensions")
+    n = nlat * nlon
+    avail = (len(buf) - 44) // (nlon * 4)    # tolerate truncated files
+    rows = min(nlat, avail)
+    px = np.zeros((nlat, nlon), np.float32)
+    if rows:
+        data = np.frombuffer(buf, bo + "f4", count=rows * nlon,
+                             offset=44).reshape(rows, nlon)
+        px[nlat - rows:] = data[::-1]        # south-first → north-up
+    gt = (wlon - dlon / 2.0, dlon, 0.0,
+          slat + nlat * dlat - dlat / 2.0, 0.0, -dlat)
+    return px, gt, None, {"driver": "NGSGEOID", "crs": "EPSG:4326"}
+
+
+# ----------------------------------------------------------- ISG
+def decode_isg(buf: bytes):
+    """International Service for the Geoid ASCII grid: free header up
+    to begin_of_head, `key = value` block to end_of_head, then
+    whitespace rows north-first. Bounds are cell edges when
+    (max-min)/delta == n, node centres when == n-1
+    (aaigriddataset.cpp ISGDataset::ParseHeader)."""
+    text = buf.decode("utf-8", "replace")
+    m = re.search(r"begin_of_head.*?\n(.*?)end_of_head[^\n]*\n",
+                  text, re.S)
+    if not m:
+        raise ValueError("not an ISG file (no begin_of_head)")
+    hdr = {}
+    for line in m.group(1).splitlines():
+        if "=" in line:
+            k, _, v = line.partition("=")
+            hdr[k.strip().lower()] = v.strip()
+        elif ":" in line:
+            k, _, v = line.partition(":")
+            hdr[k.strip().lower()] = v.strip()
+
+    def ang(v):
+        if "°" in v or ":" in v:
+            return _dms(v.replace("°", ":").replace("'", ":")
+                        .replace('"', ""))
+        return float(v)
+
+    lat0, lat1 = ang(hdr["lat min"]), ang(hdr["lat max"])
+    lon0, lon1 = ang(hdr["lon min"]), ang(hdr["lon max"])
+    dla, dlo = ang(hdr["delta lat"]), ang(hdr["delta lon"])
+    nrows, ncols = int(hdr["nrows"]), int(hdr["ncols"])
+    nd = float(hdr.get("nodata", "-9999"))
+    vals = np.fromstring(text[m.end():], sep=" ") \
+        if False else np.array(text[m.end():].split(), np.float64)
+    if len(vals) < nrows * ncols:
+        raise ValueError("ISG grid short of values")
+    px = vals[:nrows * ncols].reshape(nrows, ncols)  # north-first
+    if abs((lat1 - lat0) / dla - nrows) < 0.01:      # edge bounds
+        gt = (lon0, dlo, 0.0, lat1, 0.0, -dla)
+    elif abs((lat1 - lat0) / dla - (nrows - 1)) < 0.01:  # centres
+        gt = (lon0 - dlo / 2.0, dlo, 0.0, lat1 + dla / 2.0, 0.0, -dla)
+    else:
+        raise ValueError("ISG bounds inconsistent with grid size")
+    return px, gt, nd, {"driver": "ISG", "crs": "EPSG:4326",
+                        "model": hdr.get("model name")}
+
+
+# ---------------------------------------------------- GRASS ASCII
+def decode_grassascii(buf: bytes):
+    """GRASS ASCII grid: north/south/east/west/rows/cols header then
+    whitespace values north-first; '*' marks null."""
+    text = buf.decode("utf-8", "replace")
+    hdr = {}
+    pos = 0
+    for line in text.splitlines(keepends=True):
+        m = re.match(r"\s*(north|south|east|west|rows|cols|null|type)"
+                     r"\s*:\s*(\S+)", line, re.I)
+        if not m:
+            break
+        hdr[m.group(1).lower()] = m.group(2)
+        pos += len(line)
+    if "north" not in hdr or "rows" not in hdr:
+        raise ValueError("not a GRASS ASCII grid")
+    nrows, ncols = int(hdr["rows"]), int(hdr["cols"])
+    toks = text[pos:].split()
+    nd = None
+    if any(t == "*" for t in toks[:nrows * ncols]):
+        nd = float(hdr.get("null", "-9999"))
+        toks = [hdr.get("null", "-9999") if t == "*" else t
+                for t in toks]
+    vals = np.array(toks[:nrows * ncols], np.float64)
+    if len(vals) < nrows * ncols:
+        raise ValueError("GRASS grid short of values")
+    px = vals.reshape(nrows, ncols)
+    north, south = float(hdr["north"]), float(hdr["south"])
+    east, west = float(hdr["east"]), float(hdr["west"])
+    gt = (west, (east - west) / ncols, 0.0,
+          north, 0.0, -(north - south) / nrows)
+    return px, gt, nd, {"driver": "GRASSASCIIGrid"}
+
+
+# ----------------------------------------------------------- JDEM
+def decode_jdem(buf: bytes):
+    """Japanese DEM .mem: 1011-byte ASCII header (dims at 23/26,
+    corner angles as packed DDDMMSS at 29..56), rows of 5-digit
+    decimetre heights ×0.1 (jdemdataset.cpp)."""
+    hdr = buf[:1011].decode("ascii", "replace")
+
+    def field(off, width):
+        s = hdr[off:off + width].strip() or "0"
+        return int(s)
+
+    def angle(off):
+        a = field(off, 7)
+        return a // 10000 + (a // 100) % 100 / 60.0 + a % 100 / 3600.0
+
+    w = field(23, 3)
+    h = field(26, 3)
+    if not (0 < w < 1000 and 0 < h < 1000):
+        raise ValueError("not a JDEM file (implausible dims)")
+    ll_lat, ll_lon = angle(29), angle(36)
+    ur_lat, ur_lon = angle(43), angle(50)
+    rec = w * 5 + 9 + 2
+    px = np.zeros((h, w), np.float32)
+    for y in range(h):
+        off = 1011 + rec * y
+        row = buf[off:off + rec].decode("ascii", "replace")
+        if len(row) < 9 + 5 * w:
+            break                            # tolerate truncation
+        for x in range(w):
+            s = row[9 + 5 * x:14 + 5 * x].strip() or "0"
+            px[y, x] = int(s) * 0.1
+    gt = (ll_lon, (ur_lon - ll_lon) / w, 0.0,
+          ur_lat, 0.0, -(ur_lat - ll_lat) / h)
+    return px, gt, None, {"driver": "JDEM", "crs": "EPSG:4301"}
+
+
+# ------------------------------------------------------------ GSC
+def decode_gsc(buf: bytes):
+    """GSC Geogrid: Fortran-style records with 4-byte length markers;
+    record 0 = [reclen, pixels, lines, 2], record 1 = 8 floats of
+    georeferencing, then float32 LE data records (gscdataset.cpp)."""
+    if len(buf) < 20 or buf[12:16] != b"\x02\x00\x00\x00":
+        raise ValueError("not a GSC geogrid")
+    reclen, npix, nlines = struct.unpack_from("<3i", buf, 0)
+    if reclen != npix * 4 or not (0 < npix <= 100000
+                                  and 0 < nlines <= 100000):
+        raise ValueError("GSC implausible dimensions")
+    reclen += 8                              # record length markers
+    hdrf = struct.unpack_from("<8f", buf, reclen + 12)
+    rows = []
+    for y in range(nlines):
+        off = reclen * (2 + y) + 4
+        rows.append(np.frombuffer(buf, "<f4", count=npix, offset=off))
+    px = np.vstack(rows)
+    gt = (float(hdrf[2]), float(hdrf[0]), 0.0,
+          float(hdrf[5]), 0.0, float(-hdrf[1]))
+    return px, gt, -1.0000000150474662199e+30, {"driver": "GSC"}
+
+
+# -------------------------------------------------------- RRASTER
+_RR_TYPES = {"LOG1S": "i1", "INT1S": "i1", "INT2S": "i2",
+             "INT4S": "i4", "INT8S": "i8", "INT1U": "u1",
+             "INT2U": "u2", "INT4U": "u4", "FLT4S": "f4",
+             "FLT8S": "f8"}
+
+
+def decode_rraster(path: str):
+    """R raster package native grid: .grd INI header + .gri raw file,
+    BIL/BIP/BSQ band order, top-down rows (frmts/rraster/)."""
+    base = os.path.splitext(path)[0]
+    hdr = {}
+    for line in open(base + ".grd", "r", errors="replace"):
+        if "=" in line:
+            k, _, v = line.partition("=")
+            hdr[k.strip().lower()] = v.strip()
+    if "nrows" not in hdr or "datatype" not in hdr:
+        raise ValueError("not an RRASTER .grd header")
+    h, w = int(hdr["nrows"]), int(hdr["ncols"])
+    nb = int(hdr.get("nbands", "1"))
+    code = _RR_TYPES.get(hdr["datatype"].upper())
+    if code is None:
+        raise ValueError(f"RRASTER datatype {hdr['datatype']} "
+                         "unsupported")
+    bo = ">" if hdr.get("byteorder", "little").lower() == "big" else "<"
+    dt = np.dtype(bo + code)
+    buf = open(base + ".gri", "rb").read()
+    order = hdr.get("bandorder", "BIL").upper()
+    n = w * h * nb
+    arr = np.frombuffer(buf, dt, count=n)
+    if nb == 1:
+        px = arr.reshape(h, w)
+    elif order == "BIL":
+        px = np.ascontiguousarray(
+            arr.reshape(h, nb, w).transpose(1, 0, 2))
+    elif order == "BIP":
+        px = np.ascontiguousarray(
+            arr.reshape(h, w, nb).transpose(2, 0, 1))
+    else:                                    # BSQ
+        px = arr.reshape(nb, h, w)
+    xmin, xmax = float(hdr["xmin"]), float(hdr["xmax"])
+    ymin, ymax = float(hdr["ymin"]), float(hdr["ymax"])
+    gt = (xmin, (xmax - xmin) / w, 0.0, ymax, 0.0, -(ymax - ymin) / h)
+    ndv = hdr.get("nodatavalue", "NA")
+    nd = None if ndv.upper() in ("NA", "NAN") else float(ndv)
+    return px, gt, nd, {"driver": "RRASTER",
+                        "crs": hdr.get("projection", ""),
+                        "layername": hdr.get("layername", "")}

@@ -125,6 +125,25 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "gxf":
         from ..codecs.rawgrids import decode_gxf
         px, gt, nodata, meta = decode_gxf(open(path, "rb").read())
+    elif ext in ("los", "las", "geo"):
+        from ..codecs.rawgrids import decode_loslas
+        px, gt, nodata, meta = decode_loslas(open(path, "rb").read(),
+                                             ext)
+    elif ext == "byn":
+        from ..codecs.rawgrids import decode_byn
+        px, gt, nodata, meta = decode_byn(open(path, "rb").read())
+    elif ext == "isg":
+        from ..codecs.rawgrids import decode_isg
+        px, gt, nodata, meta = decode_isg(open(path, "rb").read())
+    elif ext == "mem":
+        from ..codecs.rawgrids import decode_jdem
+        px, gt, nodata, meta = decode_jdem(open(path, "rb").read())
+    elif ext == "gsc":
+        from ..codecs.rawgrids import decode_gsc
+        px, gt, nodata, meta = decode_gsc(open(path, "rb").read())
+    elif ext in ("grd", "gri"):
+        from ..codecs.rawgrids import decode_rraster
+        px, gt, nodata, meta = decode_rraster(path)
     elif ext == "fits":
         from ..codecs.rawgrids import decode_fits
         px, gt, nodata, meta = decode_fits(open(path, "rb").read())

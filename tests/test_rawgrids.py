@@ -147,3 +147,80 @@ class TestRouting:
         from gdal_ray.sources.raster import read_raster
         px, gt, nd, meta = read_raster(path)
         assert cs(px) == want_cs
+
+
+class TestLoslas:
+    def test_wyhpgn(self):
+        """loslas.py test_loslas_1: gt + band statistics."""
+        px, gt, nd, meta = R.decode_loslas(
+            open(f"{D}/loslas/wyhpgn.los", "rb").read(), "los")
+        want = (-111.625, 0.25, 0.0, 45.625, 0.0, -0.25)
+        assert all(abs(a - b) < 1e-9 for a, b in zip(gt, want))
+        assert float(px.min()) == pytest.approx(-0.027868999)
+        assert float(px.max()) == pytest.approx(0.033906999)
+        assert float(px.mean()) == pytest.approx(0.009716129862575248)
+        assert "west" not in (meta["band_description"] or "")
+
+
+class TestByn:
+    def test_cgg2013(self):
+        px, gt, nd, meta = R.decode_byn(
+            open(f"{D}/byn/cgg2013ai08_reduced.byn", "rb").read())
+        assert cs(px) == 64764
+        assert px.dtype.kind == "i" and px.dtype.itemsize == 4
+        assert nd == pytest.approx(9999000.0)   # 9999 * factor
+
+
+class TestNgsgeoid:
+    @pytest.mark.parametrize("name", ["g2009u01_le_truncated.bin",
+                                      "g2009u01_be_truncated.bin"])
+    def test_both_endiannesses(self, name):
+        px, gt, nd, meta = R.decode_ngsgeoid(
+            open(f"{D}/ngsgeoid/{name}", "rb").read())
+        assert cs(px) == 65534
+
+
+class TestIsg:
+    def test_basic(self):
+        px, gt, nd, meta = R.decode_isg(
+            open(f"{D}/isg/test.isg", "rb").read())
+        assert cs(px) == 159
+        assert gt == (120.0, 0.25, 0.0, 41.0, 0.0, -0.25)
+        assert nd == -9999.0
+        assert meta["model"] == "EXAMPLE"
+
+
+class TestGrassAscii:
+    def test_basic(self):
+        px, gt, nd, meta = R.decode_grassascii(
+            open(f"{D}/grassasciigrid/grassascii.txt", "rb").read())
+        assert cs(px) == 212
+        assert gt[0] == -100.0 and gt[3] == 250.0
+
+
+class TestJdem:
+    def test_fakejdem(self):
+        px, gt, nd, meta = R.decode_jdem(
+            open(f"{D}/jdem/fakejdem.mem", "rb").read())
+        assert cs(px) == 15
+
+
+class TestGsc:
+    def test_fakegsc(self):
+        px, gt, nd, meta = R.decode_gsc(
+            open(f"{D}/gsc/fakegsc.gsc", "rb").read())
+        assert cs(px) == 0
+
+
+class TestRraster:
+    def test_byte(self):
+        px, gt, nd, meta = R.decode_rraster(
+            f"{D}/rraster/byte_rraster.grd")
+        assert cs(px) == 4672
+        assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+        assert "utm" in meta["crs"]
+
+    def test_multiband(self):
+        px, gt, nd, meta = R.decode_rraster(
+            f"{D}/rraster/rgba_rraster.grd")
+        assert px.ndim == 3 and px.shape[0] == 4
