@@ -187,6 +187,11 @@ def read_overviews(path: str) -> list:
     if ext in ("tif", "tiff"):
         chain = decode_gtiff_all(open(path, "rb").read())
         out.extend(chain[1:])
+    elif ext in ("img", "rrd", "aux"):
+        with open(path, "rb") as fh:
+            if fh.read(15) == b"EHFA_HEADER_TAG":
+                from .hfa import read_hfa_overviews
+                out.extend(read_hfa_overviews(path))
     ovr = path + ".ovr"
     if os.path.exists(ovr):
         out.extend(decode_gtiff_all(open(ovr, "rb").read()))

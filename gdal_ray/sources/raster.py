@@ -18,6 +18,11 @@ import numpy as np
 __all__ = ["read_raster", "overview_count"]
 
 
+def _is_hfa(path: str) -> bool:
+    with open(path, "rb") as fh:
+        return fh.read(15) == b"EHFA_HEADER_TAG"
+
+
 def overview_count(path: str) -> int:
     """Number of reduced-resolution levels available (internal IFD
     chain + external .ovr — gdaldefaultoverviews.cpp order)."""
@@ -72,6 +77,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("dt0", "dt1", "dt2"):
         from ..codecs.dted import decode_dted
         px, gt, nodata = decode_dted(open(path, "rb").read())
+    elif ext in ("img", "rrd", "aux") and _is_hfa(path):
+        from ..codecs.hfa import decode_hfa
+        px, gt, nodata, meta = decode_hfa(path)
     elif ext in ("bil", "bsq", "bip", "img", "dat", "raw"):
         from ..codecs.ehdr import decode_ehdr, decode_envi
         stem = os.path.splitext(path)[0]
