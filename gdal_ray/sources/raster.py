@@ -80,6 +80,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("img", "rrd", "aux") and _is_hfa(path):
         from ..codecs.hfa import decode_hfa
         px, gt, nodata, meta = decode_hfa(path)
+    elif ext in ("ntf", "nitf", "nsf", "r0"):
+        from ..codecs.nitf import decode_nitf
+        px, gt, nodata, meta = decode_nitf(open(path, "rb").read())
     elif ext in ("bil", "bsq", "bip", "img", "dat", "raw"):
         from ..codecs.ehdr import decode_ehdr, decode_envi
         stem = os.path.splitext(path)[0]
