@@ -305,6 +305,26 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
     return np.vstack(rows[:height])
 
 
+def decode_mh(data: bytes, width: int, height: int) -> np.ndarray:
+    """TIFF compression 2 (CCITT RLE / modified Huffman): pure 1D
+    lines, no EOLs, each row restarts on a byte boundary."""
+    br = _Bits(data)
+    rows = []
+    for _ in range(height):
+        if br.pos & 7:
+            br.pos += 8 - (br.pos & 7)
+        if br.eof():
+            break
+        try:
+            changes = _decode_1d_line(br, width)
+        except ValueError:
+            break
+        rows.append(_changes_to_row(changes, width))
+    while len(rows) < height:
+        rows.append(np.zeros(width, np.uint8))
+    return np.vstack(rows[:height])
+
+
 def decode_g3_g4(data: bytes, width: int, height: int,
                  comrat: str = "") -> np.ndarray:
     """NITF C1 entry: COMRAT starting with '2' selects T.4 2D

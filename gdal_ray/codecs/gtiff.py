@@ -270,6 +270,9 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
     sfmt = int(sfmt_l[0] if isinstance(sfmt_l, list) else sfmt_l)
     planar = int(tags.get(_T_PLANAR, [1])[0])
     pred = int(tags.get(_T_PREDICTOR, [1])[0])
+    is_bilevel = bits == 1
+    if is_bilevel:
+        bits = 8  # expand 1-bit rows to one byte per pixel below
     dt = _dtype_of(bits, sfmt, bo)
     cint = sfmt == 5              # complex int: value PAIRS of dt
     odt = (np.dtype("c8") if bits == 32 else np.dtype("c16")) if cint \
@@ -308,6 +311,37 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
         out[row0:row0 + eh, col0:col0 + ew,
             band0:band0 + bspp] = arr[:eh, :ew]
 
+    def expand(raw, bh, bw):
+        """Strip payload → byte-per-pixel rows for 1-bit TIFFs:
+        CCITT fax (comp 2/3/4 via codecs/fax.py) or byte-aligned
+        packed rows (uncompressed/deflate/LZW/PackBits)."""
+        if comp in (2, 3, 4):
+            from .fax import decode_g3, decode_g4
+            if comp == 4:
+                rows = decode_g4(raw, bw, bh)
+            elif comp == 3:
+                g3opt = int(tags.get(292, [0])[0])
+                rows = decode_g3(raw, bw, bh, two_d=bool(g3opt & 1))
+            else:  # 2: modified huffman, per-row byte-aligned, no EOL
+                from .fax import decode_mh
+                rows = decode_mh(raw, bw, bh)
+            # fax emits black=1; photometric min-is-white (0) means
+            # black is 0 in the sample space → GDAL returns the raw
+            # bits, so keep 1=black unless min-is-black flips it
+            if int(tags.get(_T_PHOTO, [0])[0]) == 1:
+                rows = 1 - rows
+            return rows.tobytes()
+        raw = _decompress(raw, comp)
+        spb = bw * bspp  # samples per row (chunky interleave)
+        rowbytes = (spb + 7) // 8
+        a = np.frombuffer(raw, np.uint8,
+                          count=min(len(raw), rowbytes * bh))
+        if a.size < rowbytes * bh:
+            a = np.pad(a, (0, rowbytes * bh - a.size))
+        bits_arr = np.unpackbits(a.reshape(bh, rowbytes),
+                                 axis=1)[:, :spb]
+        return np.ascontiguousarray(bits_arr).tobytes()
+
     if _T_TILE_OFF in tags:
         tw = int(tags[_T_TILE_W][0])
         tl = int(tags[_T_TILE_H][0])
@@ -320,7 +354,9 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
             bi = ti if planar == 1 else ti % tiles_per_band
             row0 = (bi // tiles_across) * tl
             col0 = (bi % tiles_across) * tw
-            place(_decompress(mv[o:o + c], comp), row0, col0, tl, tw, band0)
+            blk = expand(mv[o:o + c], tl, tw) if is_bilevel \
+                else _decompress(mv[o:o + c], comp)
+            place(blk, row0, col0, tl, tw, band0)
     else:
         rps = int(tags.get(_T_RPS, [h])[0])
         offs = tags[_T_STRIP_OFF]
@@ -331,7 +367,9 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
             bi = si if planar == 1 else si % strips_per_band
             row0 = bi * rps
             bh = min(rps, h - row0)
-            place(_decompress(mv[o:o + c], comp), row0, 0, bh, w, band0)
+            blk = expand(mv[o:o + c], bh, w) if is_bilevel \
+                else _decompress(mv[o:o + c], comp)
+            place(blk, row0, 0, bh, w, band0)
 
     gt = None
     if _T_TRANSFORM in tags:

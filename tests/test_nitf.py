@@ -85,3 +85,29 @@ class TestFaxCodec:
         from gdal_ray.sources.raster import read_raster
         px, gt, nd, meta = read_raster(f"{D}/rgb.ntf")
         assert meta["driver"] == "NITF" and cs(px[:, :, 2]) == 21349
+
+
+class TestTiffBilevel:
+    """1-bit TIFF paths unlocked by the fax codec (gtiff.py expand):
+    reference goldens slim_g4.tif 3322 (tiff_read.py test_tiff_g4_split),
+    oddsize1bit.tif 5918 (tiff_write.py:425), 1bit_2bands (200, 824)
+    (tiff_read.py test_tiff_read_1bit_2bands)."""
+
+    def test_g4_tiff(self):
+        from gdal_ray.codecs.gtiff import decode_gtiff
+        g = decode_gtiff(open(
+            "/root/reference/autotest/gcore/data/slim_g4.tif",
+            "rb").read())
+        assert g.pixels.shape == (7200, 1000)
+        assert cs(g.pixels) == 3322
+
+    def test_uncompressed_1bit(self):
+        from gdal_ray.codecs.gtiff import decode_gtiff
+        g = decode_gtiff(open(
+            "/root/reference/autotest/gcore/data/oddsize1bit.tif",
+            "rb").read())
+        assert cs(g.pixels) == 5918
+        g2 = decode_gtiff(open(
+            "/root/reference/autotest/gcore/data/1bit_2bands.tif",
+            "rb").read())
+        assert [cs(g2.pixels[:, :, i]) for i in range(2)] == [200, 824]
