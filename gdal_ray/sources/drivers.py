@@ -211,3 +211,14 @@ def write_arrow(table: pa.Table, path: str) -> int:
 def _read_parquet(path):
     import pyarrow.parquet as pq
     return pq.read_table(path)
+
+
+@_builtin("gdb")
+def _read_gdb(path):
+    """Esri File Geodatabase directory: first (or only) user layer;
+    use sources.openfilegdb.read_gdb_layer for a specific one."""
+    from .openfilegdb import list_gdb_layers, read_gdb_layer
+    layers = list_gdb_layers(path)
+    if not layers:
+        raise ValueError(f"{path} has no user layers")
+    return read_gdb_layer(path, layers[0])
