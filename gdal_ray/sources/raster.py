@@ -149,6 +149,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "mem":
         from ..codecs.rawgrids import decode_jdem
         px, gt, nodata, meta = decode_jdem(open(path, "rb").read())
+    elif ext == "dem":
+        from ..codecs.usgsdem import decode_usgsdem
+        px, gt, nodata, meta = decode_usgsdem(open(path, "rb").read())
     elif ext == "gsc":
         from ..codecs.rawgrids import decode_gsc
         px, gt, nodata, meta = decode_gsc(open(path, "rb").read())
