@@ -80,6 +80,10 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("img", "rrd", "aux") and _is_hfa(path):
         from ..codecs.hfa import decode_hfa
         px, gt, nodata, meta = decode_hfa(path)
+    elif ext in ("lbl", "img", "dat") and \
+            b"PDS_VERSION_ID" in open(path, "rb").read(32768):
+        from ..codecs.pds import decode_pds
+        px, gt, nodata, meta = decode_pds(path)
     elif ext in ("ntf", "nitf", "nsf", "r0"):
         from ..codecs.nitf import decode_nitf
         px, gt, nodata, meta = decode_nitf(open(path, "rb").read())
