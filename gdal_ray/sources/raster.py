@@ -84,6 +84,10 @@ def read_raster(path: str, overview: int | None = None):
             b"PDS_VERSION_ID" in open(path, "rb").read(32768):
         from ..codecs.pds import decode_pds
         px, gt, nodata, meta = decode_pds(path)
+    elif ext in ("cub", "lbl") and \
+            b"IsisCube" in open(path, "rb").read(32768):
+        from ..codecs.isis3 import decode_isis3
+        px, gt, nodata, meta = decode_isis3(path)
     elif ext in ("ntf", "nitf", "nsf", "r0"):
         from ..codecs.nitf import decode_nitf
         px, gt, nodata, meta = decode_nitf(open(path, "rb").read())
