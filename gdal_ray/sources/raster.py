@@ -88,6 +88,10 @@ def read_raster(path: str, overview: int | None = None):
             b"IsisCube" in open(path, "rb").read(32768):
         from ..codecs.isis3 import decode_isis3
         px, gt, nodata, meta = decode_isis3(path)
+    elif ext in ("cub", "lbl") and \
+            b"^QUBE" in open(path, "rb").read(32768):
+        from ..codecs.isis2 import decode_isis2
+        px, gt, nodata, meta = decode_isis2(path)
     elif ext in ("vic", "vicar", "img", "bin") and \
             open(path, "rb").read(8).startswith(b"LBLSIZE"):
         from ..codecs.vicar import decode_vicar
