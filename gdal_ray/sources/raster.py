@@ -92,6 +92,10 @@ def read_raster(path: str, overview: int | None = None):
             b"^QUBE" in open(path, "rb").read(32768):
         from ..codecs.isis2 import decode_isis2
         px, gt, nodata, meta = decode_isis2(path)
+    elif ext == "xml" and \
+            b"Product_Observational" in open(path, "rb").read(32768):
+        from ..codecs.pds4 import decode_pds4
+        px, gt, nodata, meta = decode_pds4(path)
     elif ext in ("vic", "vicar", "img", "bin") and \
             open(path, "rb").read(8).startswith(b"LBLSIZE"):
         from ..codecs.vicar import decode_vicar
