@@ -750,3 +750,343 @@ def decode_rraster(path: str):
     return px, gt, nd, {"driver": "RRASTER",
                         "crs": hdr.get("projection", ""),
                         "layername": hdr.get("layername", "")}
+
+
+# ------------------------------------------------ Golden Software grids
+SURFER_NODATA = 1.701410009187828e+38
+
+
+def decode_gsbg(buf: bytes):
+    """Surfer 6 binary grid (.grd, magic DSBB): int16 nx/ny, double
+    xmin/xmax/ymin/ymax/zmin/zmax over node centres, float32 rows
+    south→north. gsbgdataset.cpp; blank value 1.70141e38f."""
+    if buf[:4] != b"DSBB":
+        raise ValueError("not a Surfer 6 binary grid")
+    nx, ny = struct.unpack_from("<2h", buf, 4)
+    xmin, xmax, ymin, ymax = struct.unpack_from("<4d", buf, 8)
+    if nx < 2 or ny < 2:
+        raise ValueError("Surfer grid needs nx, ny >= 2")
+    px = np.frombuffer(buf, "<f4", nx * ny, 56).reshape(ny, nx)
+    px = np.ascontiguousarray(px[::-1])                # north-up
+    dx = (xmax - xmin) / (nx - 1)
+    dy = (ymax - ymin) / (ny - 1)
+    gt = (xmin - dx / 2.0, dx, 0.0, ymax + dy / 2.0, 0.0, -dy)
+    return px, gt, float(np.float32(SURFER_NODATA)), {"driver": "GSBG"}
+
+
+def decode_gsag(text: str):
+    """Surfer ASCII grid (.grd, magic DSAA): nx ny, xmin xmax,
+    ymin ymax, zmin zmax, node values south→north.
+    gsagdataset.cpp; blank value 1.70141e38."""
+    toks = text.split()
+    if not toks or toks[0] != "DSAA":
+        raise ValueError("not a Surfer ASCII grid")
+    nx, ny = int(toks[1]), int(toks[2])
+    xmin, xmax, ymin, ymax = map(float, toks[3:7])
+    vals = np.array(toks[9:9 + nx * ny], dtype=np.float64) \
+        .reshape(ny, nx)
+    px = np.ascontiguousarray(vals[::-1]).astype(np.float64)
+    dx = (xmax - xmin) / (nx - 1)
+    dy = (ymax - ymin) / (ny - 1)
+    gt = (xmin - dx / 2.0, dx, 0.0, ymax + dy / 2.0, 0.0, -dy)
+    return px, gt, 1.70141e+38, {"driver": "GSAG"}
+
+
+def decode_gs7bg(buf: bytes):
+    """Surfer 7 binary grid (.grd, magic DSRB): tagged sections —
+    GRID header (ny, nx, xLL, yLL, xSize, ySize, zmin, zmax,
+    rotation, blankValue) then DATA of float64 rows south→north.
+    gs7bgdataset.cpp."""
+    if buf[:4] != b"DSRB":
+        raise ValueError("not a Surfer 7 grid")
+    pos = 0
+    hdr = None
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if tag == b"GRID":
+            ny, nx = struct.unpack_from("<2i", buf, body)
+            (xll, yll, dx, dy, zmin, zmax, rot, blank) = \
+                struct.unpack_from("<8d", buf, body + 8)
+            hdr = (ny, nx, xll, yll, dx, dy, blank)
+        elif tag == b"DATA" and hdr is not None:
+            ny, nx, xll, yll, dx, dy, blank = hdr
+            px = np.frombuffer(buf, "<f8", nx * ny, body) \
+                .reshape(ny, nx)
+            px = np.ascontiguousarray(px[::-1])        # north-up
+            gt = (xll - dx / 2.0, dx, 0.0,
+                  yll + (ny - 1) * dy + dy / 2.0, 0.0, -dy)
+            return px, gt, blank, {"driver": "GS7BG"}
+        pos = body + size
+    raise ValueError("Surfer 7 grid has no GRID/DATA sections")
+
+
+def decode_surfer(buf: bytes):
+    """Dispatch the three Golden Software .grd layouts by magic."""
+    if buf[:4] == b"DSBB":
+        return decode_gsbg(buf)
+    if buf[:4] == b"DSRB":
+        return decode_gs7bg(buf)
+    if buf[:4] == b"DSAA":
+        return decode_gsag(buf.decode("ascii", "replace"))
+    raise ValueError("not a Golden Software grid")
+
+
+# ---------------------------------------------------------------- BT
+def decode_bt(buf: bytes):
+    """VTP binary terrain (.bt 1.1-1.3): 256-byte header (magic
+    binterr1.x, int32 cols/rows, int16 datasize+float flag, horiz
+    units / UTM zone / datum, double extents, external-prj flag),
+    column-major data bottom-to-top within each column.
+    frmts/raw/btdataset.cpp."""
+    if buf[:7] != b"binterr":
+        raise ValueError("not a BT terrain file")
+    ncols, nrows = struct.unpack_from("<2i", buf, 10)
+    dsize, ffloat = struct.unpack_from("<2h", buf, 18)
+    left, right, bottom, top = struct.unpack_from("<4d", buf, 28)
+    code = "f4" if ffloat else {2: "i2", 4: "i4"}[dsize]
+    arr = np.frombuffer(buf, "<" + code, ncols * nrows, 256) \
+        .reshape(ncols, nrows)
+    px = np.ascontiguousarray(arr.T[::-1])       # columns → north-up
+    gt = (left, (right - left) / ncols, 0.0,
+          top, 0.0, -(top - bottom) / nrows)
+    return px, gt, None, {"driver": "BT"}
+
+
+def encode_bt(px: np.ndarray, gt) -> bytes:
+    """Write a BT 1.3 file (column-major, bottom-up)."""
+    h, w = px.shape
+    if px.dtype.kind == "f":
+        data = px.astype("<f4")
+        dsize, ffloat = 4, 1
+    elif px.dtype.itemsize <= 2:
+        data = px.astype("<i2")
+        dsize, ffloat = 2, 0
+    else:
+        data = px.astype("<i4")
+        dsize, ffloat = 4, 0
+    left = gt[0]
+    right = gt[0] + gt[1] * w
+    top = gt[3]
+    bottom = gt[3] + gt[5] * h
+    hdr = bytearray(256)
+    hdr[:10] = b"binterr1.3"
+    struct.pack_into("<2i", hdr, 10, w, h)
+    struct.pack_into("<2h", hdr, 18, dsize, ffloat)
+    struct.pack_into("<3h", hdr, 22, 1, 0, 6326)   # meters, no zone
+    struct.pack_into("<4d", hdr, 28, left, right, bottom, top)
+    return bytes(hdr) + np.ascontiguousarray(data[::-1].T).tobytes()
+
+
+# ---------------------------------------------------------- Terragen
+def decode_terragen(buf: bytes):
+    """Terragen terrain (.ter): TERRAGENTERRAIN chunk stream — SIZE/
+    XPTS/YPTS int16 dims, SCAL float32 gridpost spacing, ALTW int16
+    heightScale/baseHeight + raw int16 elevations (hv' = hv·hs/65536
+    + base, exposed as Int16 + scale/offset like the reference).
+    frmts/terragen/terragendataset.cpp."""
+    if buf[:16] != b"TERRAGENTERRAIN ":
+        raise ValueError("not a Terragen terrain file")
+    pos = 16
+    npx = npy = None
+    scal = 30.0
+    while pos + 4 <= len(buf):
+        tag = buf[pos:pos + 4]
+        pos += 4
+        if tag == b"SIZE":
+            (n,) = struct.unpack_from("<h", buf, pos)
+            npx = npy = n + 1
+            pos += 4
+        elif tag == b"XPTS":
+            (npx,) = struct.unpack_from("<h", buf, pos)
+            pos += 4
+        elif tag == b"YPTS":
+            (npy,) = struct.unpack_from("<h", buf, pos)
+            pos += 4
+        elif tag == b"SCAL":
+            scal = struct.unpack_from("<3f", buf, pos)[0]
+            pos += 12
+        elif tag == b"CRAD":
+            pos += 4
+        elif tag == b"CRVM":
+            pos += 4
+        elif tag == b"ALTW":
+            hs, base = struct.unpack_from("<2h", buf, pos)
+            pos += 4
+            if npx is None or npy is None:
+                raise ValueError("Terragen ALTW before SIZE")
+            px = np.frombuffer(buf, "<i2", npx * npy, pos) \
+                .reshape(npy, npx)
+            px = np.ascontiguousarray(px[::-1])      # south-up → north
+            meta = {"driver": "TERRAGEN",
+                    "scale": scal * hs / 65536.0,
+                    "offset": base * scal}
+            gt = (0.0, scal, 0.0, npy * scal, 0.0, -scal)
+            return px, gt, None, meta
+        elif tag == b"EOF ":
+            break
+        else:
+            raise ValueError(f"Terragen chunk {tag!r} not supported")
+    raise ValueError("Terragen file has no ALTW chunk")
+
+
+# ---------------------------------------------------------- Leveller
+def decode_leveller(buf: bytes):
+    """Daylon Leveller heightfield (.ter): 'trrn' + version byte +
+    tag stream (len-byte name, uint32 size, payload); hf_w/hf_b dims,
+    hf_data float32 rows (v<6: int32/65536 fixed point).
+    frmts/leveller/levellerdataset.cpp."""
+    if buf[:4] != b"trrn":
+        raise ValueError("not a Leveller heightfield")
+    version = buf[4]
+    tags = {}
+    pos = 5
+    while pos + 1 <= len(buf):
+        dlen = buf[pos]
+        if dlen == 0 or pos + 1 + dlen + 4 > len(buf):
+            break
+        name = buf[pos + 1:pos + 1 + dlen].decode("ascii", "replace")
+        (size,) = struct.unpack_from("<I", buf, pos + 1 + dlen)
+        body = pos + 1 + dlen + 4
+        tags[name] = (body, size)
+        pos = body + size
+    try:
+        w = struct.unpack_from("<i", buf, tags["hf_w"][0])[0]
+        h = struct.unpack_from("<i", buf, tags["hf_b"][0])[0]
+        off, size = tags["hf_data"]
+    except KeyError as exc:
+        raise ValueError(f"Leveller tag missing: {exc}") from exc
+    if version < 6:
+        px = (np.frombuffer(buf, "<i4", w * h, off)
+              .astype(np.float32) / 65536.0).reshape(h, w)
+    else:
+        px = np.frombuffer(buf, "<f4", w * h, off).reshape(h, w)
+        px = np.ascontiguousarray(px).astype(np.float32)
+    meta = {"driver": "LEVELLER"}
+    if "hf_worldspacing" in tags:
+        ws = struct.unpack_from("<f", buf,
+                                tags["hf_worldspacing"][0])[0]
+        meta["worldspacing"] = float(ws)
+    return px, None, None, meta
+
+
+# ---------------------------------------------------------- PCRaster
+_CSF_REPR = {0x00: ("u1", 255.0), 0x11: ("u2", 65535.0),
+             0x22: ("u4", 4294967295.0), 0x04: ("i1", -128.0),
+             0x15: ("i2", -32768.0), 0x26: ("i4", -2147483648.0),
+             0x5A: ("f4", None), 0x6B: ("f8", None)}
+
+
+def decode_pcraster(buf: bytes):
+    """PCRaster CSF 2.0 map (.map): 64-byte main header (signature,
+    version, projection, byte order) + raster header (valueScale,
+    cellRepr, min/max, xUL/yUL, rows/cols, cell size); data at 256.
+    frmts/pcraster (libcsf layout); MV per cell representation
+    (UINT1→255, INT4→INT_MIN, REAL4→NaN)."""
+    if buf[:27] != b"RUU CROSS SYSTEM MAP FORMAT":
+        raise ValueError("not a PCRaster CSF map")
+    (repr_,) = struct.unpack_from("<H", buf, 66)
+    if repr_ not in _CSF_REPR:
+        raise ValueError(f"CSF cell representation {repr_:#x} "
+                         "not supported")
+    code, mv = _CSF_REPR[repr_]
+    xul, yul = struct.unpack_from("<2d", buf, 84)
+    rows, cols = struct.unpack_from("<2I", buf, 100)
+    (cell,) = struct.unpack_from("<d", buf, 108)
+    px = np.frombuffer(buf, "<" + code, rows * cols, 256) \
+        .reshape(rows, cols)
+    px = np.ascontiguousarray(px)
+    gt = (xul, cell, 0.0, yul, 0.0, -cell)
+    (vs,) = struct.unpack_from("<H", buf, 64)
+    return px, gt, mv, {"driver": "PCRaster", "valuescale": vs}
+
+
+# ----------------------------------------------------------- ROI_PAC
+_ROIPAC_TYPES = {"dem": ("<i2", 1), "flg": ("u1", 1),
+                 "raw": ("u1", 1), "slc": ("<c8", 1),
+                 "int": ("<c8", 1), "amp": ("<f4", 2),
+                 "cor": ("<f4", 2), "hgt": ("<f4", 2),
+                 "unw": ("<f4", 2), "msk": ("<f4", 2)}
+
+
+def decode_roipac(path: str):
+    """JPL ROI_PAC interferometry raster: <file>.rsc keyword sidecar
+    (WIDTH/FILE_LENGTH/X_FIRST/X_STEP…), pixel type by extension
+    (dem=int16, slc/int=cfloat32, unw/cor/hgt/msk = 2-band RMG line
+    interleave). frmts/raw/roipacdataset.cpp."""
+    rsc_path = path + ".rsc"
+    if not os.path.exists(rsc_path):
+        raise ValueError(f"no .rsc sidecar for {path}")
+    kw = {}
+    for line in open(rsc_path):
+        parts = line.split(None, 1)
+        if len(parts) == 2:
+            kw[parts[0]] = parts[1].strip()
+    w = int(kw["WIDTH"])
+    h = int(kw["FILE_LENGTH"])
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
+    if ext not in _ROIPAC_TYPES:
+        raise ValueError(f"ROI_PAC extension .{ext} not supported")
+    code, nbands = _ROIPAC_TYPES[ext]
+    buf = open(path, "rb").read()
+    arr = np.frombuffer(buf, code, w * h * nbands)
+    if nbands == 1:
+        px = np.ascontiguousarray(arr.reshape(h, w))
+    else:                       # RMG: per line, band1 row then band2
+        px = np.ascontiguousarray(
+            arr.reshape(h, nbands, w).transpose(1, 0, 2))
+        px = np.moveaxis(px, 0, -1)
+    gt = None
+    if "X_FIRST" in kw:
+        gt = (float(kw["X_FIRST"]), float(kw["X_STEP"]), 0.0,
+              float(kw["Y_FIRST"]), 0.0, float(kw["Y_STEP"]))
+    meta = {"driver": "ROI_PAC", "rsc": kw}
+    if kw.get("PROJECTION", "").upper() == "LL" and \
+            kw.get("DATUM", "WGS84").upper() == "WGS84":
+        meta["crs"] = "EPSG:4326"
+    if "Z_SCALE" in kw:
+        meta["scale"] = float(kw["Z_SCALE"])
+    if "Z_OFFSET" in kw:
+        meta["offset"] = float(kw["Z_OFFSET"])
+    return px, gt, None, meta
+
+
+# ------------------------------------------------------------ SNODAS
+def decode_snodas(path: str):
+    """NOHRSC SNODAS (.hdr 'key: value' text + big-endian int16 raw
+    payload named by 'Data file pathname'). frmts/raw/snodasdataset
+    .cpp; nodata from 'No data value', slope/intercept as scale/
+    offset, lat/lon extents over cell edges."""
+    hdr = {}
+    for line in open(path, errors="replace"):
+        if ":" in line:
+            k, v = line.split(":", 1)
+            hdr[k.strip()] = v.strip()
+    if not hdr.get("Format version", "").startswith("NOHRSC"):
+        raise ValueError("not a SNODAS header")
+    cols = int(hdr["Number of columns"])
+    rows = int(hdr["Number of rows"])
+    nbytes = int(hdr.get("Data bytes per pixel", "2"))
+    code = {1: "u1", 2: ">i2", 4: ">i4"}[nbytes]
+    datafile = os.path.join(os.path.dirname(path),
+                            os.path.basename(
+                                hdr["Data file pathname"]))
+    buf = open(datafile, "rb").read()
+    need = rows * cols * nbytes
+    if len(buf) < need:
+        buf = buf + b"\x00" * (need - len(buf))
+    px = np.ascontiguousarray(
+        np.frombuffer(buf, code, rows * cols).reshape(rows, cols))
+    minx = float(hdr["Minimum x-axis coordinate"])
+    maxx = float(hdr["Maximum x-axis coordinate"])
+    miny = float(hdr["Minimum y-axis coordinate"])
+    maxy = float(hdr["Maximum y-axis coordinate"])
+    gt = (minx, (maxx - minx) / cols, 0.0,
+          maxy, 0.0, -(maxy - miny) / rows)
+    nd = float(hdr.get("No data value", "-9999"))
+    meta = {"driver": "SNODAS", "crs": "EPSG:4326",
+            "scale": float(hdr.get("Data slope", "1")),
+            "offset": float(hdr.get("Data intercept", "0")),
+            "units": hdr.get("Data units", "")}
+    return px, gt, nd, meta

@@ -68,10 +68,39 @@ def read_raster(path: str, overview: int | None = None):
         meta = dict(v.metadata)
         if v.crs:
             meta["crs"] = v.crs
+    elif ext == "grd" and \
+            open(path, "rb").read(4) in (b"DSAA", b"DSBB", b"DSRB"):
+        from ..codecs.rawgrids import decode_surfer
+        px, gt, nodata, meta = decode_surfer(open(path, "rb").read())
     elif ext in ("asc", "grd", "agr"):
         from ..codecs.aaigrid import decode_aaigrid
         px, gt, nodata = decode_aaigrid(open(path).read())
-    elif ext == "hgt":
+    elif ext == "ter":
+        from ..codecs.rawgrids import decode_leveller, decode_terragen
+        head = open(path, "rb").read(16)
+        dec = decode_terragen if head.startswith(b"TERRAGEN") \
+            else decode_leveller
+        px, gt, nodata, meta = dec(open(path, "rb").read())
+    elif ext == "bt":
+        from ..codecs.rawgrids import decode_bt
+        px, gt, nodata, meta = decode_bt(open(path, "rb").read())
+    elif ext == "map" and open(path, "rb").read(3) == b"RUU":
+        from ..codecs.rawgrids import decode_pcraster
+        px, gt, nodata, meta = decode_pcraster(open(path, "rb").read())
+    elif ext in ("slc", "int", "unw", "cor", "msk", "flg", "amp") \
+            and os.path.exists(path + ".rsc") or \
+            ext in ("dem", "hgt", "raw") and \
+            os.path.exists(path + ".rsc"):
+        from ..codecs.rawgrids import decode_roipac
+        px, gt, nodata, meta = decode_roipac(path)
+    elif ext == "hdr" and \
+            b"NOHRSC" in open(path, "rb").read(64):
+        from ..codecs.rawgrids import decode_snodas
+        px, gt, nodata, meta = decode_snodas(path)
+    elif ext in ("kap", "no1"):
+        from ..codecs.bsb import decode_bsb
+        px, gt, nodata, meta = decode_bsb(open(path, "rb").read())
+    elif ext == "hgt" and not os.path.exists(path + ".rsc"):
         from ..codecs.srtmhgt import decode_hgt
         px, gt, nodata = decode_hgt(open(path, "rb").read(), path)
     elif ext in ("dt0", "dt1", "dt2"):
