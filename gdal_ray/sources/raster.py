@@ -103,6 +103,12 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "hgt" and not os.path.exists(path + ".rsc"):
         from ..codecs.srtmhgt import decode_hgt
         px, gt, nodata = decode_hgt(open(path, "rb").read(), path)
+    elif ext == "tga":
+        from ..codecs.tga import decode_tga
+        px, gt, nodata, meta = decode_tga(open(path, "rb").read())
+    elif ext == "dds":
+        from ..codecs.dds import decode_dds
+        px, gt, nodata, meta = decode_dds(open(path, "rb").read())
     elif ext in ("dt0", "dt1", "dt2"):
         from ..codecs.dted import decode_dted
         px, gt, nodata = decode_dted(open(path, "rb").read())
