@@ -61,6 +61,10 @@ def read_raster(path: str, overview: int | None = None):
     gt = nodata = None
     meta: dict = {}
 
+    def _head(n=64):
+        with open(path, "rb") as fh:
+            return fh.read(n)
+
     if ext == "vrt":
         from .vrt import read_vrt
         v = read_vrt(path)
@@ -103,6 +107,52 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "hgt" and not os.path.exists(path + ".rsc"):
         from ..codecs.srtmhgt import decode_hgt
         px, gt, nodata = decode_hgt(open(path, "rb").read(), path)
+    elif _head(24).startswith(b"BEGIN_USGS_DOQ_HEADER"):
+        from ..codecs.rawexotic import decode_doq2
+        px, gt, nodata, meta = decode_doq2(path)
+    elif ext == "mpr":
+        from ..codecs.ilwis import decode_ilwis
+        px, gt, nodata, meta = decode_ilwis(path)
+    elif ext == "hdr" and b"IMAGINE_RAW_FILE" in _head(64):
+        from ..codecs.rawexotic import decode_eir
+        px, gt, nodata, meta = decode_eir(path)
+    elif ext == "hdr" and b"IMAGE_FILE_FORMAT" in _head(256):
+        from ..codecs.rawexotic import decode_mff
+        px, gt, nodata, meta = decode_mff(path)
+    elif ext == "b":
+        from ..codecs.rawexotic import decode_noaab
+        px, gt, nodata, meta = decode_noaab(open(path, "rb").read())
+    elif ext == "lcp":
+        from ..codecs.rawexotic import decode_lcp
+        px, gt, nodata, meta = decode_lcp(open(path, "rb").read())
+    elif ext == "sigdem":
+        from ..codecs.rawexotic import decode_sigdem
+        px, gt, nodata, meta = decode_sigdem(open(path, "rb").read())
+    elif ext == "zmap" or (ext == "dat" and _head(1) in (b"!", b"@")
+                           and b"GRID" in _head(512)):
+        from ..codecs.rawexotic import decode_zmap
+        px, gt, nodata, meta = decode_zmap(open(path,
+                                                errors="replace").read())
+    elif ext == "kro":
+        from ..codecs.rawexotic import decode_kro
+        px, gt, nodata, meta = decode_kro(open(path, "rb").read())
+    elif ext == "ace2":
+        from ..codecs.rawexotic import decode_ace2
+        px, gt, nodata, meta = decode_ace2(path)
+    elif ext == "bin" and os.path.basename(path).lower().startswith("nt_"):
+        from ..codecs.rawexotic import decode_nsidcbin
+        px, gt, nodata, meta = decode_nsidcbin(path)
+    elif len(ext) == 2 and ext[0] == "h" and ext[1].isdigit() and \
+            _head(16).startswith(b"NDF_REVISION"):
+        from ..codecs.rawexotic import decode_ndf
+        px, gt, nodata, meta = decode_ndf(path)
+    elif os.path.exists(path + ".xml") and \
+            b"<imageFile" in open(path + ".xml", "rb").read(256):
+        from ..codecs.rawexotic import decode_isce
+        px, gt, nodata, meta = decode_isce(path)
+    elif "grid_cell" in os.path.basename(path).lower():
+        from ..codecs.rawexotic import decode_ctg
+        px, gt, nodata, meta = decode_ctg(path)
     elif ext == "tga":
         from ..codecs.tga import decode_tga
         px, gt, nodata, meta = decode_tga(open(path, "rb").read())
@@ -141,17 +191,26 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("bil", "bsq", "bip", "img", "dat", "raw"):
         from ..codecs.ehdr import decode_ehdr, decode_envi
         stem = os.path.splitext(path)[0]
-        hdr = None
-        for cand in (stem + ".hdr", path + ".hdr"):
-            if os.path.exists(cand):
-                hdr = open(cand).read()
-                break
-        if hdr is None:
-            raise ValueError(f"no .hdr sidecar for {path}")
-        if "samples" in hdr.lower() and "interleave" in hdr.lower():
-            px, gt = decode_envi(hdr, open(path, "rb").read())
+        if os.path.exists(stem + ".aux") and \
+                b"AuxilaryTarget" in open(stem + ".aux", "rb").read(128):
+            from ..codecs.rawexotic import decode_paux
+            px, gt, nodata, meta = decode_paux(path)
         else:
-            px, gt, nodata = decode_ehdr(hdr, open(path, "rb").read())
+            hdr = None
+            for cand in (stem + ".hdr", path + ".hdr"):
+                if os.path.exists(cand):
+                    hdr = open(cand).read()
+                    break
+            if hdr is None:
+                raise ValueError(f"no .hdr sidecar for {path}")
+            if "INTERLEAVING" in hdr and "BANDS" in hdr:
+                from ..codecs.rawexotic import decode_genbin
+                px, gt, nodata, meta = decode_genbin(path)
+            elif "samples" in hdr.lower() and "interleave" in hdr.lower():
+                px, gt = decode_envi(hdr, open(path, "rb").read())
+            else:
+                px, gt, nodata = decode_ehdr(hdr,
+                                             open(path, "rb").read())
     elif ext in ("tif", "tiff"):
         from ..codecs.gtiff import decode_gtiff
         g = decode_gtiff(open(path, "rb").read())
