@@ -1964,6 +1964,35 @@ FROM uv
 """
 
 
+def sql_mvt_roundtrip(m: int = 40, zoom: int = 9) -> str:
+    """Per-z9-tile polygon counts from the closed-form envelopes —
+    what queries.q_mvt_roundtrip must reproduce AFTER a real MVT
+    protobuf encode+decode roundtrip. Envelope per shape class:
+    cx±s (and +1.5s+s east/north for the k=4 multipolygon)."""
+    O = 20037508.342789244
+    size = 2 * O / (1 << zoom)
+    return f"""
+WITH {sql_polygons_cte(m)},
+env AS (
+  SELECT fid, cx - s AS minx, cy - s AS miny,
+         CASE WHEN k = 4 THEN cx + 1.5*s + s ELSE cx + s END AS maxx,
+         CASE WHEN k = 4 THEN cy + 1.5*s + s ELSE cy + s END AS maxy
+  FROM polys),
+nums AS (SELECT g FROM generate_series(0, {(1 << zoom) - 1}) t(g)),
+tiles AS (
+  SELECT fid, nx.g AS tile_x, ny.g AS tile_y
+  FROM env, nums nx, nums ny
+  WHERE nx.g BETWEEN CAST(FLOOR((minx + {O!r}) / {size!r}) AS BIGINT)
+                 AND CAST(FLOOR((maxx + {O!r}) / {size!r}) AS BIGINT)
+    AND ny.g BETWEEN CAST(FLOOR(({O!r} - maxy) / {size!r}) AS BIGINT)
+                 AND CAST(FLOOR(({O!r} - miny) / {size!r}) AS BIGINT)
+)
+SELECT tile_x, tile_y, COUNT(*) AS n_features,
+       CAST(SUM(fid) AS BIGINT) AS fid_sum
+FROM tiles GROUP BY 1, 2
+"""
+
+
 def sql_ntv2_shift() -> str:
     """Bilinear NTv2 grid shift replayed bit-identically: the query's
     11x21 grid stores node shifts that are exact float32 multiples of

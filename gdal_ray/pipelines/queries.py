@@ -1591,6 +1591,66 @@ def q_ntv2_shift(sf_dir: str):
                      concurrency=(1, 4))
 
 
+def q_mvt_roundtrip(sf_dir: str):
+    """Mapbox Vector Tiles end-to-end (sources/mvt.py, new in r5;
+    reference ogr/ogrsf_frmts/mvt): assign each synthetic polygon to
+    every z9 XYZ tile its envelope touches, ENCODE a real MVT
+    protobuf tile per group, DECODE it back, and report per-tile
+    decoded feature counts + mvt_id sums. Counts survive the tile
+    quantization (polygons are km-scale, z9 cells are ~19 m), so the
+    oracle replays the envelope->tile-range math in SQL."""
+    import pandas as pd
+
+    from ..sources.mvt import decode_mvt, encode_mvt
+    from ..sources.vector import polygons_dataset
+
+    Z = 9
+    O = 20037508.342789244
+    size = 2 * O / (1 << Z)
+
+    def assign(t: pa.Table) -> pa.Table:
+        fid = t["fid"].to_numpy()
+        minx = t["minx"].to_numpy()
+        miny = t["miny"].to_numpy()
+        maxx = t["maxx"].to_numpy()
+        maxy = t["maxy"].to_numpy()
+        wkbs = t["wkb"].to_pylist()
+        txmin = np.floor((minx + O) / size).astype(np.int64)
+        txmax = np.floor((maxx + O) / size).astype(np.int64)
+        tymin = np.floor((O - maxy) / size).astype(np.int64)
+        tymax = np.floor((O - miny) / size).astype(np.int64)
+        out_f, out_x, out_y, out_w = [], [], [], []
+        for i in range(len(fid)):
+            for tx in range(txmin[i], txmax[i] + 1):
+                for ty in range(tymin[i], tymax[i] + 1):
+                    out_f.append(int(fid[i]))
+                    out_x.append(tx)
+                    out_y.append(ty)
+                    out_w.append(wkbs[i])
+        return pa.table({"fid": pa.array(out_f, pa.int64()),
+                         "tile_x": pa.array(out_x, pa.int64()),
+                         "tile_y": pa.array(out_y, pa.int64()),
+                         "wkb": pa.array(out_w, pa.binary())})
+
+    def per_tile(df: pd.DataFrame) -> pd.DataFrame:
+        from ..core import wkb as W
+        tx = int(df["tile_x"].iloc[0])
+        ty = int(df["tile_y"].iloc[0])
+        feats = [(W.loads(w), {"name": f"p{f}"}, int(f))
+                 for w, f in zip(df["wkb"], df["fid"])]
+        buf = encode_mvt(feats, layer="polys", z=Z, x=tx, y=ty)
+        dec = decode_mvt(buf, Z, tx, ty)["polys"]
+        ids = dec["mvt_id"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"tile_x": [tx], "tile_y": [ty],
+                             "n_features": [len(dec)],
+                             "fid_sum": [int(ids.sum())]})
+
+    return polygons_dataset(40) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .groupby(["tile_x", "tile_y"]) \
+        .map_groups(per_tile, batch_format="pandas")
+
+
 def q_cog_roundtrip(sf_dir: str):
     """Cloud-Optimized GeoTIFF driver (cogeo.org layout;
     frmts/cog/cogdriver.cpp): transcode the lossless corpus half to
@@ -4107,6 +4167,7 @@ QUERIES = {
     "omerc_warp": q_omerc_warp,
     "gpkg_raster_roundtrip": q_gpkg_raster_roundtrip,
     "ntv2_shift": q_ntv2_shift,
+    "mvt_roundtrip": q_mvt_roundtrip,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
     "pipeline_dsl": q_pipeline_dsl,
@@ -4261,6 +4322,7 @@ def oracle_sql() -> dict[str, str]:
         "webp_roundtrip": _OR.sql_raster_stats(32),
         "omerc_warp": _OR.sql_omerc_warp(),
         "ntv2_shift": _OR.sql_ntv2_shift(),
+        "mvt_roundtrip": _OR.sql_mvt_roundtrip(40, 9),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,

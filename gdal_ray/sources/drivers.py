@@ -222,3 +222,30 @@ def _read_gdb(path):
     if not layers:
         raise ValueError(f"{path} has no user layers")
     return read_gdb_layer(path, layers[0])
+
+
+@_builtin("pbf")
+def _read_mvt(path):
+    from .mvt import read_mvt_table
+    return read_mvt_table(path)
+
+
+_READERS["mvt"] = _read_mvt
+
+
+@_builtin("pmtiles")
+def _read_pmtiles(path):
+    from .pmtiles import read_pmtiles_table
+    return read_pmtiles_table(path)
+
+
+@_builtin("gmt")
+def _read_gmt(path):
+    from .gmtvec import read_gmt_table
+    return read_gmt_table(path)
+
+
+@_builtin("jml")
+def _read_jml(path):
+    from .jml import read_jml_table
+    return read_jml_table(path)

@@ -62,6 +62,8 @@ def read_raster(path: str, overview: int | None = None):
     meta: dict = {}
 
     def _head(n=64):
+        if os.path.isdir(path):
+            return b""
         with open(path, "rb") as fh:
             return fh.read(n)
 
