@@ -186,7 +186,7 @@ def _write(g: Geometry, out: bytearray):
     t = g.geom_type
     if t == POINT:
         out += struct.pack("<2d", g.coords[0, 0], g.coords[0, 1])
-    elif t == LINESTRING:
+    elif t in (LINESTRING, CIRCULARSTRING):
         out += struct.pack("<I", len(g.coords))
         out += np.ascontiguousarray(g.coords, dtype="<f8").tobytes()
     elif t == POLYGON:
