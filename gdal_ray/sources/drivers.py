@@ -226,8 +226,20 @@ def _read_gdb(path):
 
 @_builtin("pbf")
 def _read_mvt(path):
+    # .pbf is both MVT tiles and OSM extracts: an OSM file leads with
+    # a 4-byte BE length + BlobHeader naming "OSMHeader"
+    head = open(path, "rb").read(64)
+    if b"OSMHeader" in head or path.endswith(".osm.pbf"):
+        from .osm import read_osm_table
+        return read_osm_table(path, "points")
     from .mvt import read_mvt_table
     return read_mvt_table(path)
+
+
+@_builtin("osm")
+def _read_osm(path):
+    from .osm import read_osm_table
+    return read_osm_table(path, "points")
 
 
 _READERS["mvt"] = _read_mvt
