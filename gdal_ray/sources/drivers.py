@@ -261,3 +261,15 @@ def _read_gmt(path):
 def _read_jml(path):
     from .jml import read_jml_table
     return read_jml_table(path)
+
+
+@_builtin("xlsx")
+def _read_xlsx(path):
+    from .spreadsheet import read_xlsx_table
+    return read_xlsx_table(path)
+
+
+@_builtin("ods")
+def _read_ods(path):
+    from .spreadsheet import read_ods_table
+    return read_ods_table(path)
