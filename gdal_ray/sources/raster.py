@@ -109,6 +109,10 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "hgt" and not os.path.exists(path + ".rsc"):
         from ..codecs.srtmhgt import decode_hgt
         px, gt, nodata = decode_hgt(open(path, "rb").read(), path)
+    elif b"ACQUISITION DATE" in _head(1536) and \
+            b"SATELLITE" in _head(1536):
+        from ..codecs.fast import decode_fast
+        px, gt, nodata, meta = decode_fast(path)
     elif _head(24).startswith(b"BEGIN_USGS_DOQ_HEADER"):
         from ..codecs.rawexotic import decode_doq2
         px, gt, nodata, meta = decode_doq2(path)
