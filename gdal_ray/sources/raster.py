@@ -78,6 +78,11 @@ def read_raster(path: str, overview: int | None = None):
             open(path, "rb").read(4) in (b"DSAA", b"DSBB", b"DSRB"):
         from ..codecs.rawgrids import decode_surfer
         px, gt, nodata, meta = decode_surfer(open(path, "rb").read())
+    elif ext in ("grd", "grc") and _head(4) == b"HGPC":
+        from ..codecs.northwood import decode_nwt_grc, decode_nwt_grd
+        nwbuf = open(path, "rb").read()
+        dec = decode_nwt_grd if nwbuf[4:5] == b"1" else decode_nwt_grc
+        px, gt, nodata, meta = dec(nwbuf)
     elif ext in ("asc", "grd", "agr"):
         from ..codecs.aaigrid import decode_aaigrid
         px, gt, nodata = decode_aaigrid(open(path).read())
@@ -159,6 +164,17 @@ def read_raster(path: str, overview: int | None = None):
     elif "grid_cell" in os.path.basename(path).lower():
         from ..codecs.rawexotic import decode_ctg
         px, gt, nodata, meta = decode_ctg(path)
+    elif ext == "rsw" or ext == "mtw" or _head(4) in (
+            b"RSW\x00", b"MTW\x00", b"\x00WSR", b"\x00WTM"):
+        from ..codecs.rmf import decode_rmf
+        px, gt, nodata, meta = decode_rmf(open(path, "rb").read())
+    elif (os.path.isdir(path)
+          and os.path.exists(os.path.join(path, "hdr.adf"))
+          or os.path.isdir(path)
+          and os.path.exists(os.path.join(path, "HDR.ADF"))
+          or ext == "adf"):
+        from ..codecs.aig import decode_aig
+        px, gt, nodata, meta = decode_aig(path)
     elif ext == "tga":
         from ..codecs.tga import decode_tga
         px, gt, nodata, meta = decode_tga(open(path, "rb").read())
