@@ -273,3 +273,15 @@ def _read_xlsx(path):
 def _read_ods(path):
     from .spreadsheet import read_ods_table
     return read_ods_table(path)
+
+
+@_builtin("dgn")
+def _read_dgn(path):
+    from .dgn import read_dgn_table
+    return read_dgn_table(path)
+
+
+@_builtin("e00")
+def _read_e00(path):
+    from .avce00 import read_e00_table
+    return read_e00_table(path)
