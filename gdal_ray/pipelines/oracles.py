@@ -2038,3 +2038,13 @@ SELECT c_custkey,
        ROUND(lat + ({bilerp(0)}) / 3600.0, 9) AS lat_shifted
 FROM tt
 """
+
+
+def sql_gmt_roundtrip(m: int = 30) -> str:
+    """GMT ASCII write->read is lossless (repr-exact coordinates), so
+    roundtripped areas equal the closed-form shape-class areas."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid, ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_gmt
+FROM polys
+"""

@@ -1651,6 +1651,37 @@ def q_mvt_roundtrip(sf_dir: str):
         .map_groups(per_tile, batch_format="pandas")
 
 
+def q_gmt_roundtrip(sf_dir: str):
+    """GMT ASCII vector driver end-to-end (sources/gmtvec.py, new in
+    r5; reference ogr/ogrsf_frmts/gmt): polygon layer -> .gmt text
+    (repr-exact float coordinates, @D attribute rows, @H hole
+    markers) -> read back -> per-fid areas, which must equal the
+    closed-form shape-class areas (write/read is lossless)."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from ..core import wkb as _W
+    from ..core.geom import area as _area
+    from ..sources.gmtvec import read_gmt_table, write_gmt
+    from ..sources.vector import polygons_table
+
+    src = polygons_table(30)
+    d = tempfile.mkdtemp(prefix="gmt_", dir="/tmp")
+    path = os.path.join(d, "layer.gmt")
+    write_gmt(src, path)
+
+    def areas(t: pa.Table) -> pa.Table:
+        vals = [_half_away([_area(_W.loads(b)) / 1e6], 3)[0]
+                for b in t["wkb"].to_pylist()]
+        return pa.table({"fid": pa.array(range(len(t)), pa.int64()),
+                         "area_km2_gmt": pa.array(vals, pa.float64())})
+
+    return rd.from_arrow(read_gmt_table(path)).map_batches(
+        areas, batch_format="pyarrow")
+
+
 def q_cog_roundtrip(sf_dir: str):
     """Cloud-Optimized GeoTIFF driver (cogeo.org layout;
     frmts/cog/cogdriver.cpp): transcode the lossless corpus half to
@@ -4168,6 +4199,7 @@ QUERIES = {
     "gpkg_raster_roundtrip": q_gpkg_raster_roundtrip,
     "ntv2_shift": q_ntv2_shift,
     "mvt_roundtrip": q_mvt_roundtrip,
+    "gmt_roundtrip": q_gmt_roundtrip,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
     "pipeline_dsl": q_pipeline_dsl,
@@ -4323,6 +4355,7 @@ def oracle_sql() -> dict[str, str]:
         "omerc_warp": _OR.sql_omerc_warp(),
         "ntv2_shift": _OR.sql_ntv2_shift(),
         "mvt_roundtrip": _OR.sql_mvt_roundtrip(40, 9),
+        "gmt_roundtrip": _OR.sql_gmt_roundtrip(30),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,
