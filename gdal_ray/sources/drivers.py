@@ -285,3 +285,15 @@ def _read_dgn(path):
 def _read_e00(path):
     from .avce00 import read_e00_table
     return read_e00_table(path)
+
+
+@_builtin("idf")
+def _read_idf(path):
+    from .vdv import read_vdv_table
+    return read_vdv_table(path)
+
+
+@_builtin("x10")
+def _read_x10(path):
+    from .vdv import read_vdv_table
+    return read_vdv_table(path)

@@ -80,3 +80,28 @@ class TestAvcE00:
     def test_compressed_rejected(self):
         with pytest.raises(ValueError):
             read_e00_layers(f"{D}/avc/compressed.e00")
+
+
+class TestVdvIdf:
+    def test_idf_layers(self):
+        from gdal_ray.sources.vdv import read_vdv_layers
+        L = read_vdv_layers(f"{D}/vdv/test.idf")
+        n = L["Node"].to_pylist()[0]
+        assert n["NODE_ID"] == 1 and n["foo"] == "U"
+        assert tuple(W.loads(n["wkb"]).coords[0]) == (2.0, 49.0)
+        g = W.loads(L["Link"]["wkb"][0].as_py())
+        assert [tuple(c) for c in g.coords] == \
+            [(2.0, 49.0), (2.5, 49.5), (2.7, 49.7), (3.0, 50.0)]
+        g = W.loads(L["LinkCoordinate"]["wkb"][0].as_py())
+        assert tuple(g.coords[0]) == (2.5, 49.5)
+        assert L["Other"]["FOO"][0].as_py() == 1
+
+    def test_idf_3d(self):
+        from gdal_ray.sources.vdv import read_vdv_layers
+        L = read_vdv_layers(f"{D}/vdv/test_3d.idf")
+        assert len(L["Node"]) >= 1
+
+    def test_dispatch(self):
+        from gdal_ray.sources.drivers import read_vector
+        t = read_vector(f"{D}/vdv/test.idf")
+        assert t["NODE_ID"][0].as_py() == 1
