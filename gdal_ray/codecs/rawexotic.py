@@ -723,3 +723,80 @@ def encode_zmap(px: np.ndarray, gt, nodata: float = 1e30,
     for i in range(0, flat.size, vpl):
         out.append("".join(fmt % v for v in flat[i:i + vpl]))
     return "\n".join(out) + "\n"
+
+
+# --------------------------------------------------------- MFF2 / HKV
+def decode_mff2(path: str):
+    """Atlantis MFF2/HKV coverage directory (frmts/raw/hkvdataset.cpp):
+    ``attrib`` key=value file with { *default alt } choice lists,
+    raw ``image_data`` (band-interleaved by the channel.interleave
+    choice), optional ``georef`` corner file. The starred entry in a
+    braced list is the selected value."""
+    d = path if os.path.isdir(path) else os.path.dirname(path)
+
+    def read_kv(fname):
+        kv = {}
+        p = os.path.join(d, fname)
+        if not os.path.exists(p):
+            return kv
+        for line in open(p, errors="replace"):
+            if "=" in line:
+                k, v = line.split("=", 1)
+                v = v.strip()
+                if v.startswith("{"):
+                    # choice list: the * marks the selection
+                    toks = v.strip("{} ").split()
+                    sel = [t[1:] for t in toks if t.startswith("*")]
+                    v = sel[0] if sel else (toks[0] if toks else "")
+                kv[k.strip()] = v
+        return kv
+
+    at = read_kv("attrib")
+    w = int(at["extent.cols"])
+    h = int(at["extent.rows"])
+    nb = int(at.get("channel.enumeration", "1"))
+    size = int(at.get("pixel.size", "8")) // 8
+    enc = at.get("pixel.encoding", "unsigned")
+    field = at.get("pixel.field", "real")
+    order = at.get("pixel.order", "lsbf")
+    bo = "<" if order == "lsbf" else ">"
+    if field == "complex":
+        dt = "c8" if size in (4, 8) else "c16"
+    elif enc == "ieee-754":
+        dt = f"f{size}"
+    elif enc == "twos-complement":
+        dt = f"i{size}"
+    else:
+        dt = f"u{size}"
+    dtype = np.dtype(bo + dt) if size > 1 or field == "complex" \
+        else np.dtype("u1")
+    buf = open(os.path.join(d, "image_data"), "rb").read()
+    need = w * h * nb * dtype.itemsize
+    buf = buf + b"\x00" * max(0, need - len(buf))
+    il = at.get("channel.interleave", "pixel")
+    isz = dtype.itemsize
+    bands = []
+    for b in range(nb):
+        if il == "pixel":
+            bands.append(_raw_band(buf, b * isz, nb * isz, nb * w * isz,
+                                   w, h, dtype))
+        elif il == "line":
+            bands.append(_raw_band(buf, b * w * isz, isz, nb * w * isz,
+                                   w, h, dtype))
+        else:  # sequential / tile
+            bands.append(_raw_band(buf, b * w * h * isz, isz, w * isz,
+                                   w, h, dtype))
+    px = bands[0] if nb == 1 else np.stack(bands, axis=-1)
+    geo = read_kv("georef")
+    meta = {"driver": "MFF2", "attrib": at, "georef": geo}
+    gt = None
+    if "top_left.latitude" in geo:
+        tl = (float(geo["top_left.longitude"]),
+              float(geo["top_left.latitude"]))
+        tr = (float(geo["top_right.longitude"]),
+              float(geo["top_right.latitude"]))
+        bl = (float(geo["bottom_left.longitude"]),
+              float(geo["bottom_left.latitude"]))
+        gt = (tl[0], (tr[0] - tl[0]) / w, (bl[0] - tl[0]) / h,
+              tl[1], (tr[1] - tl[1]) / w, (bl[1] - tl[1]) / h)
+    return px, gt, None, meta

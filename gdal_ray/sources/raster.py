@@ -168,6 +168,11 @@ def read_raster(path: str, overview: int | None = None):
             b"RSW\x00", b"MTW\x00", b"\x00WSR", b"\x00WTM"):
         from ..codecs.rmf import decode_rmf
         px, gt, nodata, meta = decode_rmf(open(path, "rb").read())
+    elif os.path.isdir(path) and \
+            os.path.exists(os.path.join(path, "attrib")) and \
+            os.path.exists(os.path.join(path, "image_data")):
+        from ..codecs.rawexotic import decode_mff2
+        px, gt, nodata, meta = decode_mff2(path)
     elif (os.path.isdir(path)
           and os.path.exists(os.path.join(path, "hdr.adf"))
           or os.path.isdir(path)

@@ -269,3 +269,17 @@ class TestKro:
             px, _, _, _ = R.decode_kro(R.encode_kro(px0))
             assert (px == px0).all()
             assert cs(px) == want
+
+
+class TestMff2:
+    def test_bytemff2(self):
+        from gdal_ray.codecs.rawexotic import decode_mff2
+        px, gt, nd, meta = decode_mff2(f"{D}/mff2/bytemff2")
+        assert px.shape == (20, 20)
+        assert cs(px) == 4672
+        assert gt is not None and gt[0] == pytest.approx(-117.64116862)
+
+    def test_routing(self):
+        px, _, _, meta = read_raster(f"{D}/mff2/bytemff2")
+        assert meta["driver"] == "MFF2"
+        assert cs(px) == 4672
