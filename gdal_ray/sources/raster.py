@@ -164,6 +164,9 @@ def read_raster(path: str, overview: int | None = None):
     elif "grid_cell" in os.path.basename(path).lower():
         from ..codecs.rawexotic import decode_ctg
         px, gt, nodata, meta = decode_ctg(path)
+    elif _head(2) == b"\x1b\x00" and _head(14)[12:14] == b"\x1a\x00":
+        from ..codecs.iris import decode_iris
+        px, gt, nodata, meta = decode_iris(open(path, "rb").read())
     elif ext == "rsw" or ext == "mtw" or _head(4) in (
             b"RSW\x00", b"MTW\x00", b"\x00WSR", b"\x00WTM"):
         from ..codecs.rmf import decode_rmf
