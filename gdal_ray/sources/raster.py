@@ -67,7 +67,12 @@ def read_raster(path: str, overview: int | None = None):
         with open(path, "rb") as fh:
             return fh.read(n)
 
-    if ext == "vrt":
+    if os.path.basename(path).upper() == "METADATA.DIM" or (
+            ext == "xml" and os.path.basename(path).upper().startswith(
+                ("DIM_", "VOL_"))):
+        from ..codecs.dimap import decode_dimap
+        px, gt, nodata, meta = decode_dimap(path)
+    elif ext == "vrt":
         from .vrt import read_vrt
         v = read_vrt(path)
         px, gt, nodata = v.pixels, v.geotransform, v.nodata
