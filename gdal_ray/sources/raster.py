@@ -61,11 +61,17 @@ def read_raster(path: str, overview: int | None = None):
     gt = nodata = None
     meta: dict = {}
 
+    _head_cache: dict = {}
+
     def _head(n=64):
         if os.path.isdir(path):
             return b""
-        with open(path, "rb") as fh:
-            return fh.read(n)
+        have = _head_cache.get("n", 0)
+        if n > have:
+            with open(path, "rb") as fh:
+                _head_cache["buf"] = fh.read(max(n, 1536))
+                _head_cache["n"] = max(n, 1536)
+        return _head_cache["buf"][:n]
 
     if os.path.basename(path).upper() == "METADATA.DIM" or (
             ext == "xml" and os.path.basename(path).upper().startswith(
