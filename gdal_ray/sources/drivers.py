@@ -297,3 +297,9 @@ def _read_idf(path):
 def _read_x10(path):
     from .vdv import read_vdv_table
     return read_vdv_table(path)
+
+
+@_builtin("000")
+def _read_s57(path):
+    from .s57 import read_s57_table
+    return read_s57_table(path)
