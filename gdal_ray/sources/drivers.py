@@ -303,3 +303,9 @@ def _read_x10(path):
 def _read_s57(path):
     from .s57 import read_s57_table
     return read_s57_table(path)
+
+
+def read_gtfs(path):
+    """GTFS feed (zip or directory) — stops layer by default."""
+    from .gtfs import read_gtfs_table
+    return read_gtfs_table(path)

@@ -87,3 +87,28 @@ class TestS57:
         from gdal_ray.sources.drivers import read_vector
         t = read_vector(f"{D}/1B5X02NE.000")
         assert len(t) >= 1
+
+
+class TestGtfs:
+    def test_gtfs_extract(self):
+        from gdal_ray.sources.gtfs import read_gtfs_layers
+        L = read_gtfs_layers(
+            "/root/reference/autotest/ogr/data/gtfs/gtfs_extract.zip")
+        assert len(L) == 9
+        assert L["agency"].to_pylist()[0]["agency_name"] == "SOLEA"
+        assert L["calendar"].to_pylist()[0]["start_date"] == "2023/01/02"
+        assert sum(1 for v in L["routes"]["route_type"].to_pylist()
+                   if v == 3) == 30
+        s = L["stops"].to_pylist()[0]
+        assert s["arrival_time"] == "05:37:00"
+        g = W.loads(s["wkb"])
+        assert tuple(g.coords[0]) == (7.280823, 47.763704)
+        t = L["trips"].to_pylist()[0]
+        g = W.loads(t["wkb"])
+        assert len(g.coords) == 35
+        assert np.allclose(g.coords[:2],
+                           [(7.280823, 47.763704), (7.278051, 47.762217)])
+        sg = L["shapes_geom"].to_pylist()[0]
+        assert sg["shape_id"] == "80013"
+        g = W.loads(sg["wkb"])
+        assert np.allclose(g.coords[0], (7.28084, 47.763684))
