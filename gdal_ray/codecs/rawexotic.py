@@ -800,3 +800,124 @@ def decode_mff2(path: str):
         gt = (tl[0], (tr[0] - tl[0]) / w, (bl[0] - tl[0]) / h,
               tl[1], (tr[1] - tl[1]) / w, (bl[1] - tl[1]) / h)
     return px, gt, None, meta
+
+
+# ------------------------------------------------------------- PCIDSK
+def decode_pcidsk(path: str):
+    """PCI Geomatics PCIDSK (.pix) — plain BAND/PIXEL interleaving
+    (frmts/pcidsk/sdk/core/cpcidskfile.cpp: text header fields at
+    fixed 512-block offsets, per-channel 1024-byte image headers with
+    start_byte/pixel_offset/line_offset at 168/184/192 and the type
+    name at 160). Tiled (SysBMDir) layers fail fast by name."""
+    buf = open(path, "rb").read()
+    if not buf.startswith(b"PCIDSK"):
+        raise ValueError("not a PCIDSK file")
+
+    def gets(off, n):
+        return buf[off:off + n].decode("latin-1").strip()
+
+    w = int(gets(384, 8))
+    h = int(gets(392, 8))
+    nchan = int(gets(376, 8))
+    interleave = gets(360, 8).upper()
+    image_start = int(gets(304, 16))
+    ih_start = int(gets(336, 16))
+    image_offset = (image_start - 1) * 512
+    tmap = {"8U": "u1", "16S": "<i2", "16U": "<u2", "32R": "<f4"}
+
+    bands = []
+    if interleave == "PIXEL":
+        counts = [int(gets(464 + 4 * i, 4) or "0") for i in range(4)]
+        types = (["u1"] * counts[0] + ["<i2"] * counts[1] +
+                 ["<u2"] * counts[2] + ["<f4"] * counts[3])
+        pg = sum(np.dtype(t).itemsize for t in types)
+        byte_off = 0
+        for t in types:
+            dt = np.dtype(t)
+            bands.append(_raw_band(buf, image_offset + byte_off, pg,
+                                   pg * w, w, h, dt))
+            byte_off += dt.itemsize
+    elif interleave == "BAND":
+        for ch in range(nchan):
+            ih_off = (ih_start - 1) * 512 + ch * 1024
+            ih = buf[ih_off:ih_off + 1024]
+            fname = ih[64:128].split(b"\x00")[0].decode(
+                "latin-1").strip()
+            if fname and not fname.startswith("<uninit"):
+                raise ValueError(
+                    f"PCIDSK linked/tiled channel ({fname!r}) not "
+                    "supported")
+            tname = ih[160:168].decode("latin-1").strip()
+            dt = np.dtype(tmap.get(tname, "u1"))
+            sb_txt = ih[168:184].decode("latin-1").strip()
+            # blank layout fields: band-sequential from the image
+            # area (cbandinterleavedchannel.cpp:57-65)
+            sb = int(sb_txt) if sb_txt else image_offset
+            po_txt = ih[184:192].decode("latin-1").strip()
+            po = int(po_txt) if po_txt else dt.itemsize
+            lo_txt = ih[192:200].decode("latin-1").strip()
+            lo = int(lo_txt) if lo_txt else po * w
+            bands.append(_raw_band(buf, sb, po, lo, w, h, dt))
+            image_offset += dt.itemsize * w * h
+    else:
+        raise ValueError(f"PCIDSK interleaving {interleave!r} "
+                         "not supported (FILE/TILED)")
+    px = bands[0] if len(bands) == 1 else np.stack(bands, axis=-1)
+    return np.ascontiguousarray(px), None, None, {"driver": "PCIDSK"}
+
+
+# ---------------------------------------------------------------- TIL
+def decode_til(path: str):
+    """EarthWatch/DigitalGlobe .TIL tile index (frmts/til/): numTiles
+    + per-tile filename and UL/LR row/col offsets; tiles (GeoTIFF)
+    mosaicked onto the full canvas; companion .IMD supplies
+    numRows/numColumns and IMAGERY metadata (satId -> SATELLITEID,
+    cloudCover -> CLOUDCOVER, firstLineTime -> ACQUISITIONDATETIME)."""
+    d = os.path.dirname(path) or "."
+    kv = {}
+    for line in open(path, errors="replace"):
+        line = line.strip().rstrip(";")
+        if "=" in line:
+            k, v = line.split("=", 1)
+            kv[k.strip()] = v.strip().strip('"')
+    ntiles = int(kv.get("numTiles", "1"))
+    imd = os.path.splitext(path)[0] + ".IMD"
+    if not os.path.exists(imd):
+        imd = os.path.splitext(path)[0] + ".imd"
+    meta = {"driver": "TIL"}
+    nrows = ncols = None
+    if os.path.exists(imd):
+        for line in open(imd, errors="replace"):
+            line = line.strip().rstrip(";")
+            if "=" not in line:
+                continue
+            k, v = [t.strip() for t in line.split("=", 1)]
+            v = v.strip('"')
+            if k == "numRows":
+                nrows = int(v)
+            elif k == "numColumns":
+                ncols = int(v)
+            elif k == "satId":
+                meta["SATELLITEID"] = v
+            elif k == "cloudCover":
+                meta["CLOUDCOVER"] = v
+            elif k == "firstLineTime":
+                meta["ACQUISITIONDATETIME"] = v
+    from ..sources.raster import read_raster
+    out = None
+    gt0 = None
+    for i in range(1, ntiles + 1):
+        fname = kv[f"TILE_{i}.filename"]
+        ulc = int(kv.get(f"TILE_{i}.ULColOffset", "0"))
+        ulr = int(kv.get(f"TILE_{i}.ULRowOffset", "0"))
+        px, gt, _nd, _m = read_raster(os.path.join(d, fname))
+        px = np.asarray(px)
+        if out is None:
+            H = nrows or (ulr + px.shape[0])
+            W_ = ncols or (ulc + px.shape[1])
+            shape = (H, W_) if px.ndim == 2 else (H, W_, px.shape[2])
+            out = np.zeros(shape, px.dtype)
+            if gt is not None and ulc == 0 and ulr == 0:
+                gt0 = gt
+        out[ulr:ulr + px.shape[0], ulc:ulc + px.shape[1]] = px
+    return np.ascontiguousarray(out), gt0, None, meta

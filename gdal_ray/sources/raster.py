@@ -155,6 +155,12 @@ def read_raster(path: str, overview: int | None = None):
         from ..codecs.rawexotic import decode_zmap
         px, gt, nodata, meta = decode_zmap(open(path,
                                                 errors="replace").read())
+    elif ext == "pix" and _head(6) == b"PCIDSK":
+        from ..codecs.rawexotic import decode_pcidsk
+        px, gt, nodata, meta = decode_pcidsk(path)
+    elif ext == "til":
+        from ..codecs.rawexotic import decode_til
+        px, gt, nodata, meta = decode_til(path)
     elif ext == "kro":
         from ..codecs.rawexotic import decode_kro
         px, gt, nodata, meta = decode_kro(open(path, "rb").read())

@@ -283,3 +283,25 @@ class TestMff2:
         px, _, _, meta = read_raster(f"{D}/mff2/bytemff2")
         assert meta["driver"] == "MFF2"
         assert cs(px) == 4672
+
+
+class TestPcidskTil:
+    def test_pcidsk_utm(self):
+        from gdal_ray.codecs.rawexotic import decode_pcidsk
+        px, gt, nd, meta = decode_pcidsk(f"{D}/pcidsk/utm.pix")
+        assert px.shape == (7, 500)
+        assert cs(px) == 39576
+
+    def test_til_mosaic(self):
+        from gdal_ray.codecs.rawexotic import decode_til
+        px, gt, nd, meta = decode_til(f"{D}/til/testtil.til")
+        assert cs(px) == 4672
+        assert meta["SATELLITEID"] == "WV03"
+        assert meta["CLOUDCOVER"] == "0.027"
+        assert "ACQUISITIONDATETIME" in meta
+
+    def test_routing(self):
+        px, _, _, meta = read_raster(f"{D}/pcidsk/utm.pix")
+        assert meta["driver"] == "PCIDSK"
+        px, _, _, meta = read_raster(f"{D}/til/testtil.til")
+        assert meta["driver"] == "TIL"
