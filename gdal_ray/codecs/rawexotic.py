@@ -921,3 +921,112 @@ def decode_til(path: str):
                 gt0 = gt
         out[ulr:ulr + px.shape[0], ulc:ulc + px.shape[1]] = px
     return np.ascontiguousarray(out), gt0, None, meta
+
+
+# ---------------------------------------------------------------- HF2
+def decode_hf2(buf: bytes):
+    """HF2/HFZ heightfield (frmts/hf2/hf2dataset.cpp; public spec):
+    28-byte header ("HF2\\0", size, tile size, vertical precision,
+    horizontal scale, extended-header length), named extended-header
+    blocks (georef-extents/utm/datum/epsg-prj), then bottom-up tiles;
+    each tile = f4 scale + f4 offset, each tile LINE = word-size byte
+    + i32 first value + (w-1) deltas; value*scale+offset."""
+    import gzip as _gz
+    if buf[:2] == b"\x1f\x8b":
+        buf = _gz.decompress(buf)
+    if buf[:4] != b"HF2\x00":
+        raise ValueError("not an HF2 file")
+    w, h = struct.unpack_from("<2i", buf, 6)
+    (tile,) = struct.unpack_from("<H", buf, 14)
+    vert_pres, horiz_scale = struct.unpack_from("<2f", buf, 16)
+    (ext_len,) = struct.unpack_from("<I", buf, 24)
+    off = 28
+    gt = None
+    meta: dict = {"driver": "HF2", "vert_pres": vert_pres}
+    end_ext = off + ext_len
+    while off + 24 <= end_ext:
+        btype = buf[off:off + 4]
+        name = buf[off + 4:off + 20].split(b"\x00")[0].decode("latin-1")
+        (bsize,) = struct.unpack_from("<I", buf, off + 20)
+        body = buf[off + 24:off + 24 + bsize]
+        if name == "georef-extents" and bsize == 34:
+            minx, maxx, miny, maxy = struct.unpack_from("<4d", body, 0)
+            gt = (minx, (maxx - minx) / w, 0.0,
+                  maxy, 0.0, -(maxy - miny) / h)
+        elif name == "georef-utm" and bsize == 2:
+            meta["utm_zone"] = struct.unpack_from("<h", body)[0]
+        elif name == "georef-epsg-prj" and bsize == 2:
+            meta["crs"] = f"EPSG:{struct.unpack_from('<h', body)[0]}"
+        del btype
+        off += 24 + bsize
+    off = end_ext
+
+    nxb = (w + tile - 1) // tile
+    nyb = (h + tile - 1) // tile
+    out = np.zeros((h, w), np.float32)
+    for by in range(nyb):
+        th = min(tile, h - by * tile)
+        for bx in range(nxb):
+            tw = min(tile, w - bx * tile)
+            scale, foff = struct.unpack_from("<2f", buf, off)
+            off += 8
+            for j in range(th):
+                ws = buf[off]
+                off += 1
+                (val,) = struct.unpack_from("<i", buf, off)
+                off += 4
+                dts = {1: "b", 2: "<h", 4: "<i"}[ws]
+                deltas = np.frombuffer(
+                    buf, {1: "i1", 2: "<i2", 4: "<i4"}[ws],
+                    tw - 1, off)
+                off += ws * (tw - 1)
+                vals = np.empty(tw, np.int64)
+                vals[0] = val
+                if tw > 1:
+                    vals[1:] = val + np.cumsum(deltas.astype(np.int64))
+                row = by * tile + j  # from bottom
+                out[h - 1 - row, bx * tile:bx * tile + tw] = \
+                    vals * np.float64(scale) + np.float64(foff)
+                del dts
+    return out, gt, None, meta
+
+
+def encode_hf2(px: np.ndarray, gt=None, precision: float = 0.01,
+               tile: int = 256) -> bytes:
+    """Write HF2 with 4-byte words per line (reader-compatible;
+    values quantized to ``precision``)."""
+    px = np.asarray(px, np.float64)
+    h, w = px.shape
+    ext = b""
+    if gt is not None:
+        minx = gt[0]
+        maxx = gt[0] + w * gt[1]
+        maxy = gt[3]
+        miny = gt[3] + h * gt[5]
+        body = struct.pack("<4dh", minx, maxx, miny, maxy, 0)
+        ext = (b"bin " + b"georef-extents".ljust(16, b"\x00") +
+               struct.pack("<I", 34) + body)
+    out = bytearray()
+    out += b"HF2\x00"
+    out += struct.pack("<H", 0)  # version
+    out += struct.pack("<2i", w, h)
+    out += struct.pack("<H", tile)
+    out += struct.pack("<2f", precision, 1.0)
+    out += struct.pack("<I", len(ext))
+    out += ext
+    q = np.round(px / precision).astype(np.int64)
+    nxb = (w + tile - 1) // tile
+    nyb = (h + tile - 1) // tile
+    for by in range(nyb):
+        th = min(tile, h - by * tile)
+        for bx in range(nxb):
+            tw = min(tile, w - bx * tile)
+            out += struct.pack("<2f", precision, 0.0)
+            for j in range(th):
+                row = by * tile + j
+                vals = q[h - 1 - row, bx * tile:bx * tile + tw]
+                out += b"\x04"
+                out += struct.pack("<i", int(vals[0]))
+                if tw > 1:
+                    out += np.diff(vals).astype("<i4").tobytes()
+    return bytes(out)

@@ -158,6 +158,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "pix" and _head(6) == b"PCIDSK":
         from ..codecs.rawexotic import decode_pcidsk
         px, gt, nodata, meta = decode_pcidsk(path)
+    elif ext in ("hf2", "hfz") or _head(4) == b"HF2\x00":
+        from ..codecs.rawexotic import decode_hf2
+        px, gt, nodata, meta = decode_hf2(open(path, "rb").read())
     elif ext == "til":
         from ..codecs.rawexotic import decode_til
         px, gt, nodata, meta = decode_til(path)

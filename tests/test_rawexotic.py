@@ -305,3 +305,35 @@ class TestPcidskTil:
         assert meta["driver"] == "PCIDSK"
         px, _, _, meta = read_raster(f"{D}/til/testtil.til")
         assert meta["driver"] == "TIL"
+
+
+class TestHf2:
+    def test_roundtrip_byte(self, tmp_path):
+        from gdal_ray.codecs.gtiff import decode_gtiff
+        from gdal_ray.codecs.rawexotic import decode_hf2, encode_hf2
+        g = decode_gtiff(open(
+            "/root/reference/autotest/gcore/data/byte.tif", "rb").read())
+        px0 = np.asarray(g.pixels)
+        buf = encode_hf2(px0.astype(np.float64), g.geotransform)
+        px, gt, nd, meta = decode_hf2(buf)
+        assert cs(px) == 4672
+        assert all(abs(a - b) < 1e-6 for a, b in zip(gt, g.geotransform))
+        p = tmp_path / "b.hf2"
+        p.write_bytes(buf)
+        px2, *_ = read_raster(str(p))
+        assert cs(px2) == 4672
+
+    def test_roundtrip_dted(self):
+        from gdal_ray.codecs.dted import decode_dted
+        from gdal_ray.codecs.rawexotic import decode_hf2, encode_hf2
+        pd, gtd, ndd = decode_dted(open(
+            f"{D}/n43.dt0", "rb").read())
+        p2, *_ = decode_hf2(encode_hf2(np.asarray(pd, np.float64), gtd))
+        assert cs(p2) == 49187  # autotest hf2.py golden
+
+    def test_roundtrip_float(self):
+        from gdal_ray.codecs.rawexotic import decode_hf2, encode_hf2
+        rng = np.random.default_rng(3)
+        img = np.round(rng.normal(size=(300, 270)) * 100, 2)
+        px, *_ = decode_hf2(encode_hf2(img, precision=0.01))
+        assert np.allclose(px, img, atol=0.005)
