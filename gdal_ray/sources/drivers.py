@@ -309,3 +309,9 @@ def read_gtfs(path):
     """GTFS feed (zip or directory) — stops layer by default."""
     from .gtfs import read_gtfs_table
     return read_gtfs_table(path)
+
+
+@_builtin("mapml")
+def _read_mapml(path):
+    from .mapml import read_mapml_table
+    return read_mapml_table(path)

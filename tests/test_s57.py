@@ -112,3 +112,18 @@ class TestGtfs:
         assert sg["shape_id"] == "80013"
         g = W.loads(sg["wkb"])
         assert np.allclose(g.coords[0], (7.28084, 47.763684))
+
+
+class TestMapml:
+    def test_poly(self):
+        from gdal_ray.sources.mapml import read_mapml_layers
+        L = read_mapml_layers(
+            "/root/reference/autotest/ogr/data/mapml/poly.mapml")
+        assert list(L) == ["poly"]
+        t = L["poly"]
+        assert len(t) == 10
+        r = t.to_pylist()[0]
+        assert r["AREA"] == 215229.266
+        assert r["EAS_ID"] == 168
+        g = W.loads(r["wkb"])
+        assert g.type_name == "Polygon"
