@@ -331,3 +331,127 @@ def decode_g3_g4(data: bytes, width: int, height: int,
     (nitfbilevel.cpp GROUP3OPT_2DENCODING); otherwise 1D G3."""
     return decode_g3(data, width, height,
                      two_d=comrat.strip().startswith("2"))
+
+
+# ------------------------------------------------------------------ encode
+def _enc_table(codes):
+    """run -> (value, nbits), split into terminating (<64) and makeup."""
+    term, makeup = {}, {}
+    for c, run in codes:
+        (term if run < 64 else makeup)[run] = (int(c, 2), len(c))
+    return term, makeup
+
+
+_W_TERM, _W_MAKEUP = _enc_table(_WHITE_CODES + _EXT_CODES)
+_B_TERM, _B_MAKEUP = _enc_table(_BLACK_CODES + _EXT_CODES)
+_W_MK_RUNS = sorted(_W_MAKEUP, reverse=True)
+_B_MK_RUNS = sorted(_B_MAKEUP, reverse=True)
+
+# T.6 mode codes: vertical offsets a1-b1 in [-3, 3], pass, horizontal
+_V_CODES = {0: (0b1, 1), 1: (0b011, 3), 2: (0b000011, 6),
+            3: (0b0000011, 7), -1: (0b010, 3), -2: (0b000010, 6),
+            -3: (0b0000010, 7)}
+_PASS = (0b0001, 4)
+_HORIZ = (0b001, 3)
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int):
+        self.acc = (self.acc << nbits) | val
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def done(self) -> bytes:
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+            self.acc = self.n = 0
+        return bytes(self.buf)
+
+
+def _put_run(bw: _BitWriter, black: bool, run: int):
+    term = _B_TERM if black else _W_TERM
+    makeup = _B_MAKEUP if black else _W_MAKEUP
+    mk_runs = _B_MK_RUNS if black else _W_MK_RUNS
+    while run >= 64:
+        for mk in mk_runs:
+            if mk <= run and (run - mk < 64 or mk == mk_runs[0]):
+                bw.put(*makeup[mk])
+                run -= mk
+                break
+    bw.put(*term[run])
+
+
+def _row_changes(row: np.ndarray, width: int) -> list:
+    """Changing-element positions (first = white->black transition),
+    padded with four `width` sentinels."""
+    d = np.flatnonzero(row[1:] != row[:-1]) + 1
+    c = d.tolist()
+    if row[0]:
+        c.insert(0, 0)
+    c.extend((width, width, width, width))
+    return c
+
+
+def encode_g4(img: np.ndarray) -> bytes:
+    """Group 4 (T.6) 2D MMR encoder: pass/vertical/horizontal modes
+    against an all-white imaginary first reference line, EOFB
+    terminated.  Input is (h, w) with nonzero = black, matching
+    decode_g4's output polarity (roundtrip identity)."""
+    img = (np.asarray(img) != 0).astype(np.uint8)
+    h, w = img.shape
+    bw = _BitWriter()
+    ref = [w, w, w, w]
+    for y in range(h):
+        cur = _row_changes(img[y], w)
+        a0 = -1
+        color = 0            # 0 = white (a0's color)
+        ai = 0               # index of a1 in cur
+        bi = 0               # roving index of b1 in ref
+        while True:
+            a1 = cur[ai]
+            # b1: first ref change > a0 whose new color != color; ref
+            # transitions alternate to-black (even idx) / to-white, so
+            # b1's index parity must match a1's.
+            if (bi ^ ai) & 1:
+                bi += 1
+            while bi >= 2 and ref[bi - 2] > a0:
+                bi -= 2
+            while ref[bi] <= a0 and ref[bi] < w:
+                bi += 2
+            b1 = ref[bi]
+            b2 = ref[bi + 1]
+            if b2 < a1:                       # pass mode
+                bw.put(*_PASS)
+                a0 = b2
+            elif -3 <= a1 - b1 <= 3:          # vertical mode
+                bw.put(*_V_CODES[a1 - b1])
+                a0 = a1
+                color ^= 1
+                ai += 1
+            else:                             # horizontal mode
+                a2 = cur[ai + 1]
+                start = 0 if a0 < 0 else a0
+                bw.put(*_HORIZ)
+                _put_run(bw, bool(color), a1 - start)
+                _put_run(bw, not color, a2 - a1)
+                a0 = a2
+                ai += 2
+            if a0 >= w:
+                break
+        ref = cur
+    bw.put(0b000000000001, 12)   # EOFB
+    bw.put(0b000000000001, 12)
+    return bw.done()
+
+
+__all__.append("encode_g4")

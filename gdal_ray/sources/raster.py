@@ -164,6 +164,10 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "til":
         from ..codecs.rawexotic import decode_til
         px, gt, nodata, meta = decode_til(path)
+    elif ext in ("cal", "ct1") or (b"rtype: 1" in _head(1536)
+                                   and b"rpelcnt:" in _head(1536)):
+        from ..codecs.cals import decode_cals
+        px, gt, nodata, meta = decode_cals(open(path, "rb").read())
     elif ext == "kro":
         from ..codecs.rawexotic import decode_kro
         px, gt, nodata, meta = decode_kro(open(path, "rb").read())
