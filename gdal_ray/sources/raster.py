@@ -168,6 +168,12 @@ def read_raster(path: str, overview: int | None = None):
                                    and b"rpelcnt:" in _head(1536)):
         from ..codecs.cals import decode_cals
         px, gt, nodata, meta = decode_cals(open(path, "rb").read())
+    elif ext in ("gen", "thf"):
+        from ..codecs.adrg import decode_adrg, decode_srp
+        try:
+            px, gt, nodata, meta = decode_adrg(path)
+        except (ValueError, KeyError):
+            px, gt, nodata, meta = decode_srp(path)
     elif ext == "kro":
         from ..codecs.rawexotic import decode_kro
         px, gt, nodata, meta = decode_kro(open(path, "rb").read())
