@@ -168,6 +168,13 @@ def read_raster(path: str, overview: int | None = None):
                                    and b"rpelcnt:" in _head(1536)):
         from ..codecs.cals import decode_cals
         px, gt, nodata, meta = decode_cals(open(path, "rb").read())
+    elif ext == "mrf" or _head(10) == b"<MRF_META>":
+        from ..codecs.mrf import decode_mrf
+        px, gt, nodata, meta = decode_mrf(path, overview=overview)
+    elif ext == "lrc" or _head(10) == b"CntZImage " or _head(6) == b"Lerc2 ":
+        from ..codecs.lerc import decode_lerc
+        px = decode_lerc(open(path, "rb").read())
+        gt, nodata, meta = None, None, {"driver": "LERC"}
     elif ext in ("gen", "thf"):
         from ..codecs.adrg import decode_adrg, decode_srp
         try:
