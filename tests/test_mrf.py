@@ -49,7 +49,9 @@ class TestMrf:
         px, gt, nd, meta = decode_mrf(f"{D}/jpeg/byte.mrf")
         ref, *_ = decode_mrf(f"{D}/none/byte.mrf")
         assert px.shape == (20, 20)
-        assert np.abs(px.astype(int) - ref.astype(int)).mean() < 4.0
+        mse = np.mean((px.astype(float) - ref.astype(float)) ** 2)
+        psnr = 10 * np.log10(255.0 ** 2 / mse)
+        assert psnr > 30.0          # default-quality JPEG fixture
 
     def test_routing(self):
         px, gt, nd, meta = read_raster(f"{D}/deflate/byte.mrf")
