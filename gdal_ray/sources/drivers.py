@@ -315,3 +315,15 @@ def read_gtfs(path):
 def _read_mapml(path):
     from .mapml import read_mapml_table
     return read_mapml_table(path)
+
+
+@_builtin("sqlite")
+def read_sqlite_builtin(path):
+    from .sqlitevec import read_sqlite
+    return read_sqlite(path)
+
+
+@_builtin("db")
+def read_sqlite_db(path):
+    from .sqlitevec import read_sqlite
+    return read_sqlite(path)
