@@ -168,6 +168,12 @@ def read_raster(path: str, overview: int | None = None):
                                    and b"rpelcnt:" in _head(1536)):
         from ..codecs.cals import decode_cals
         px, gt, nodata, meta = decode_cals(open(path, "rb").read())
+    elif ext == "json" and b"tile_matrix_sets" in open(path, "rb").read():
+        from .stacta import decode_stacta
+        px, gt, nodata, meta = decode_stacta(path)
+    elif ext == "json" and b"proj:transform" in open(path, "rb").read():
+        from .stacta import decode_stacit
+        px, gt, nodata, meta = decode_stacit(path)
     elif ext == "mrf" or _head(10) == b"<MRF_META>":
         from ..codecs.mrf import decode_mrf
         px, gt, nodata, meta = decode_mrf(path, overview=overview)
