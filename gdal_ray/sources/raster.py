@@ -168,6 +168,9 @@ def read_raster(path: str, overview: int | None = None):
                                    and b"rpelcnt:" in _head(1536)):
         from ..codecs.cals import decode_cals
         px, gt, nodata, meta = decode_cals(open(path, "rb").read())
+    elif ext == "l1b":
+        from ..codecs.l1b import decode_l1b
+        px, gt, nodata, meta = decode_l1b(path)
     elif ext == "xml" and b"fullResolutionImageData" in _head(8192):
         from ..codecs.rs2 import decode_rs2
         px, gt, nodata, meta = decode_rs2(path)
