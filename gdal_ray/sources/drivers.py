@@ -327,3 +327,9 @@ def read_sqlite_builtin(path):
 def read_sqlite_db(path):
     from .sqlitevec import read_sqlite
     return read_sqlite(path)
+
+
+@_builtin("vfk")
+def read_vfk_builtin(path):
+    from .vfk import read_vfk_table
+    return read_vfk_table(path)
