@@ -333,3 +333,21 @@ def read_sqlite_db(path):
 def read_vfk_builtin(path):
     from .vfk import read_vfk_table
     return read_vfk_table(path)
+
+
+@_builtin("pnt")
+def read_miramon_pnt(path):
+    from .miramon import read_miramon
+    return read_miramon(path)
+
+
+@_builtin("arc")
+def read_miramon_arc(path):
+    from .miramon import read_miramon
+    return read_miramon(path)
+
+
+@_builtin("pol")
+def read_miramon_pol(path):
+    from .miramon import read_miramon
+    return read_miramon(path)
