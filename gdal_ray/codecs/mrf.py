@@ -162,3 +162,85 @@ def decode_mrf(path: str, overview: int | None = None):
     if sc == 1:
         out = out[:, :, 0]
     return out, gt, nodata, meta
+
+
+def encode_mrf(px: np.ndarray, path: str, *, compression: str = "DEFLATE",
+               geotransform=None, crs: str | None = None,
+               nodata=None, page: int = 512):
+    """Write a single-level MRF (meta XML + .idx + data file).
+
+    Pages are tiled ``page``x``page`` in the c-fastest index order the
+    reader uses; DEFLATE/NONE payloads are stored little-endian
+    (NetByteOrder false), PNG/JPEG/TIF reuse this repo's encoders."""
+    px = np.asarray(px)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    comp = compression.upper()
+    ext = _EXT.get(comp)
+    if ext is None:
+        raise ValueError(f"MRF: unsupported compression {comp!r}")
+    dt_name = {np.dtype(np.uint8): "Byte", np.dtype(np.int16): "Int16",
+               np.dtype(np.uint16): "UInt16",
+               np.dtype(np.int32): "Int32",
+               np.dtype(np.uint32): "UInt32",
+               np.dtype(np.float32): "Float32",
+               np.dtype(np.float64): "Float64"}.get(px.dtype)
+    if dt_name is None:
+        raise ValueError(f"MRF: unsupported dtype {px.dtype}")
+    base = os.path.splitext(path)[0]
+    ncx = (w + page - 1) // page
+    ncy = (h + page - 1) // page
+    idx = np.zeros(ncy * ncx * c * 2, ">i8")
+    data = bytearray()
+    for py in range(ncy):
+        for pxi in range(ncx):
+            for ci in range(c):
+                tile = np.zeros((page, page), px.dtype)
+                blk = px[py * page:(py + 1) * page,
+                         pxi * page:(pxi + 1) * page, ci]
+                tile[:blk.shape[0], :blk.shape[1]] = blk
+                if comp == "NONE":
+                    payload = tile.astype("<" + px.dtype.str[1:]).tobytes()
+                elif comp == "DEFLATE":
+                    payload = zlib.compress(
+                        tile.astype("<" + px.dtype.str[1:]).tobytes(), 6)
+                elif comp in ("PNG", "PPNG"):
+                    from .png import encode as png_encode
+                    payload = png_encode(tile)
+                elif comp == "JPEG":
+                    from .jpeg import encode as jpeg_encode
+                    payload = jpeg_encode(tile)
+                elif comp == "TIF":
+                    from .gtiff import encode_gtiff
+                    payload = encode_gtiff(tile)
+                else:
+                    raise ValueError(f"MRF: cannot encode {comp!r}")
+                slot = ci + c * (pxi + ncx * py)
+                idx[2 * slot] = len(data)
+                idx[2 * slot + 1] = len(payload)
+                data += payload
+    with open(base + ext, "wb") as f:
+        f.write(bytes(data))
+    with open(base + ".idx", "wb") as f:
+        f.write(idx.tobytes())
+    geo = ""
+    if geotransform is not None:
+        gt = geotransform
+        minx, maxy = gt[0], gt[3]
+        maxx = minx + gt[1] * w
+        miny = maxy + gt[5] * h
+        proj = f"\n    <Projection>{crs}</Projection>" if crs else ""
+        geo = (f"\n  <GeoTags>\n    <BoundingBox minx=\"{minx!r}\" "
+               f"miny=\"{miny!r}\" maxx=\"{maxx!r}\" "
+               f"maxy=\"{maxy!r}\" />{proj}\n  </GeoTags>")
+    nd = (f"\n    <DataValues NoData=\"{nodata!r}\" />"
+          if nodata is not None else "")
+    xml = (f"<MRF_META>\n  <Raster>\n    <Size x=\"{w}\" y=\"{h}\" "
+           f"c=\"{c}\" />\n    <PageSize x=\"{page}\" y=\"{page}\" "
+           f"c=\"1\" />\n    <Compression>{comp}</Compression>\n"
+           f"    <DataType>{dt_name}</DataType>{nd}\n  </Raster>"
+           f"{geo}\n</MRF_META>\n")
+    with open(base + ".mrf", "w") as f:
+        f.write(xml)
+    return base + ".mrf"

@@ -2048,3 +2048,13 @@ WITH {sql_polygons_cte(m)}
 SELECT fid, ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_gmt
 FROM polys
 """
+
+
+def sql_sqlite_roundtrip(m: int = 30) -> str:
+    """OGR-style SQLite write->read keeps WKB blobs byte-identical, so
+    roundtripped areas equal the closed-form shape-class areas."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid, ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_sqlite
+FROM polys
+"""

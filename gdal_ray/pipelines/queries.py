@@ -1682,6 +1682,99 @@ def q_gmt_roundtrip(sf_dir: str):
         areas, batch_format="pyarrow")
 
 
+def q_mrf_roundtrip(sf_dir: str):
+    """MRF driver end-to-end (codecs/mrf.py, encoder new this round;
+    reference frmts/mrf/): transcode the lossless corpus half to
+    DEFLATE-paged MRF triplets (XML meta + big-endian int64 tile index
+    + .pzp data), read the .mrf directory back through the page
+    decoder, and emit per-image band stats — DEFLATE pages are
+    bit-lossless so the rows hash-match the closed-form pixel
+    oracle."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..codecs import decode as _dec
+    from ..codecs.mrf import decode_mrf, encode_mrf
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+
+    out_dir = "/tmp/gdal_ray_mrf_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            gt = tuple(float(g[i]) for g in gts)
+            encode_mrf(px[:, :, 0],
+                       os.path.join(out_dir,
+                                    f"{t['image_id'][i].as_py()}.mrf"),
+                       compression="DEFLATE", geotransform=gt,
+                       crs="EPSG:3857", page=256)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(out_dir, include_paths=True,
+                                 file_extensions=["mrf"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs = [], [], [], []
+        for path in t["path"].to_pylist():
+            px, gt, nd, meta = decode_mrf(path)
+            b0 = (px if px.ndim == 2 else px[:, :, 0]).astype(np.float64)
+            ids.append(os.path.basename(path)[:-4])
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
+def q_sqlite_roundtrip(sf_dir: str):
+    """SQLite vector driver end-to-end (sources/sqlitevec.py, new this
+    round; reference ogr/ogrsf_frmts/sqlite): polygon layer -> OGR-style
+    SQLite DB (plain WKB blobs + legacy geometry_columns) -> read back
+    through the SpatiaLite-aware reader -> per-fid areas, which must
+    equal the closed-form shape-class areas (blob roundtrip is
+    lossless)."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from ..core import wkb as _W
+    from ..core.geom import area as _area
+    from ..sources.sqlitevec import read_sqlite, write_sqlite
+    from ..sources.vector import polygons_table
+
+    src = polygons_table(30)
+    d = tempfile.mkdtemp(prefix="sqlite_", dir="/tmp")
+    path = os.path.join(d, "layer.sqlite")
+    write_sqlite(src, path, layer="polys", geom_type="POLYGON")
+
+    def areas(t: pa.Table) -> pa.Table:
+        vals = [_half_away([_area(_W.loads(b)) / 1e6], 3)[0]
+                for b in t["wkb"].to_pylist()]
+        return pa.table({"fid": pa.array(range(len(t)), pa.int64()),
+                         "area_km2_sqlite": pa.array(vals,
+                                                     pa.float64())})
+
+    return rd.from_arrow(read_sqlite(path, "polys")).map_batches(
+        areas, batch_format="pyarrow")
+
+
 def q_cog_roundtrip(sf_dir: str):
     """Cloud-Optimized GeoTIFF driver (cogeo.org layout;
     frmts/cog/cogdriver.cpp): transcode the lossless corpus half to
@@ -4200,6 +4293,8 @@ QUERIES = {
     "ntv2_shift": q_ntv2_shift,
     "mvt_roundtrip": q_mvt_roundtrip,
     "gmt_roundtrip": q_gmt_roundtrip,
+    "mrf_roundtrip": q_mrf_roundtrip,
+    "sqlite_roundtrip": q_sqlite_roundtrip,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
     "pipeline_dsl": q_pipeline_dsl,
@@ -4356,6 +4451,8 @@ def oracle_sql() -> dict[str, str]:
         "ntv2_shift": _OR.sql_ntv2_shift(),
         "mvt_roundtrip": _OR.sql_mvt_roundtrip(40, 9),
         "gmt_roundtrip": _OR.sql_gmt_roundtrip(30),
+        "mrf_roundtrip": _OR.sql_raster_stats(32),
+        "sqlite_roundtrip": _OR.sql_sqlite_roundtrip(30),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),
         "vector_sql_subquery": SQL_VECTOR_SQL_SUBQUERY,

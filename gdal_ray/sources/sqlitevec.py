@@ -15,6 +15,7 @@ minx..maxy) with geometry re-emitted as standard WKB.
 
 from __future__ import annotations
 
+import os
 import sqlite3
 import struct
 
@@ -198,3 +199,50 @@ def read_sqlite(path: str, table: str | None = None) -> pa.Table:
         t = t.append_column(nm, pa.array(
             env[:, j] if len(env) else [], pa.float64()))
     return t
+
+
+def write_sqlite(table: pa.Table, path: str, *, layer: str = "layer",
+                 geom_type: str = "GEOMETRY", srid: int = 0):
+    """OGR-style SQLite layer: plain WKB geometry blobs + the legacy
+    text-typed geometry_columns registration the reference's SQLite
+    driver writes without SpatiaLite (ogr/ogrsf_frmts/sqlite)."""
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute(
+            "CREATE TABLE geometry_columns (f_table_name TEXT NOT NULL,"
+            "f_geometry_column TEXT NOT NULL,type TEXT NOT NULL,"
+            "coord_dimension TEXT NOT NULL,srid INTEGER NOT NULL,"
+            "spatial_index_enabled INTEGER NOT NULL)")
+        con.execute(
+            "INSERT INTO geometry_columns VALUES (?,?,?,?,?,0)",
+            (layer, "GEOMETRY", geom_type, "XY", srid))
+        attr_cols = [c for c in table.column_names
+                     if c not in ("wkb", "minx", "miny", "maxx", "maxy")]
+        decls = []
+        for c in attr_cols:
+            t = table.schema.field(c).type
+            if pa.types.is_integer(t):
+                decls.append(f'"{c}" INTEGER')
+            elif pa.types.is_floating(t):
+                decls.append(f'"{c}" FLOAT')
+            else:
+                decls.append(f'"{c}" VARCHAR')
+        con.execute(f'CREATE TABLE "{layer}" ({", ".join(decls)}, '
+                    f"GEOMETRY {geom_type})")
+        cols = ", ".join(f'"{c}"' for c in attr_cols) + ", GEOMETRY"
+        ph = ", ".join("?" * (len(attr_cols) + 1))
+        rows = []
+        wkbs = table["wkb"].to_pylist() if "wkb" in table.column_names \
+            else [None] * table.num_rows
+        data = {c: table[c].to_pylist() for c in attr_cols}
+        for i in range(table.num_rows):
+            rows.append(tuple(data[c][i] for c in attr_cols)
+                        + (wkbs[i],))
+        con.executemany(
+            f'INSERT INTO "{layer}" ({cols}) VALUES ({ph})', rows)
+        con.commit()
+    finally:
+        con.close()
+    return path
