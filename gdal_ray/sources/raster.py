@@ -168,6 +168,9 @@ def read_raster(path: str, overview: int | None = None):
                                    and b"rpelcnt:" in _head(1536)):
         from ..codecs.cals import decode_cals
         px, gt, nodata, meta = decode_cals(open(path, "rb").read())
+    elif ext == "bag":
+        from ..codecs.bag import decode_bag
+        px, gt, nodata, meta = decode_bag(open(path, "rb").read())
     elif _head(8)[4:8] == b"\x3f\xc0\x12\x12":
         from ..codecs.ceos import decode_ceos
         px, gt, nodata, meta = decode_ceos(path)
