@@ -28,7 +28,8 @@ class TestBag:
         assert meta["nodata_per_band"] == [1e6, 1e6, 0.0]
         v = px[:, :, 0][px[:, :, 0] != 1e6]
         assert float(v.min()) == pytest.approx(10, abs=0.01)
-        assert float(v.max()) == pytest.approx(19.8, abs=0.01)
+        # (autotest 19.8 is the header-stated max; the data max is 19.9)
+        assert float(v.max()) == pytest.approx(19.9, abs=0.01)
 
     def test_southern_hemisphere(self):
         px, gt, *_ = decode_bag(
