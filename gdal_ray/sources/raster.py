@@ -177,6 +177,10 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "l1b":
         from ..codecs.l1b import decode_l1b
         px, gt, nodata, meta = decode_l1b(path)
+    elif ext == "xml" and b"esriMapCacheStorageModeCompactV2" in \
+            open(path, "rb").read():
+        from ..codecs.esric import decode_esric
+        px, gt, nodata, meta = decode_esric(path)
     elif ext == "xml" and b"fullResolutionImageData" in _head(8192):
         from ..codecs.rs2 import decode_rs2
         px, gt, nodata, meta = decode_rs2(path)
