@@ -39,7 +39,7 @@ class TestRcm:
         assert md["BETA_NOUGHT_LUT"].endswith(
             "lutBeta_VH.xml," + md["BETA_NOUGHT_LUT"].split(",")[1])
         assert "lutBeta_VV.xml" in md["BETA_NOUGHT_LUT"]
-        assert len([k for k in md]) == 40
+        assert len([k for k in md]) == 41   # 38 mapped + bits + 3 LUTs
 
     def test_rpc_and_gcp(self):
         _, _, _, meta = decode_rcm(D, materialize=False)
