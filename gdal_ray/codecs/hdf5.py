@@ -373,8 +373,10 @@ class Hdf5File:
         cls = b[p] & 0x0F
         ver = b[p] >> 4
         (size,) = struct.unpack_from("<I", b, p + 4)
-        if cls in (0, 3, 4):
+        if cls in (0, 4):
             return 8 + 4                    # properties: offset+precision
+        if cls == 3:
+            return 8                        # string: no property bytes
         if cls == 1:
             return 8 + 12
         if cls == 9:                        # vlen: base type follows

@@ -311,7 +311,12 @@ def read_raster(path: str, overview: int | None = None):
         px, gt, nodata, meta = decode_netcdf(open(path, "rb").read())
     elif ext in ("h5", "hdf5", "he5"):
         from ..codecs.hdf5 import decode_hdf5, load_hdf5_bytes
-        px, gt, nodata, meta = decode_hdf5(load_hdf5_bytes(path))
+        h5buf = load_hdf5_bytes(path)
+        try:
+            from ..codecs.s100 import decode_s100
+            px, gt, nodata, meta = decode_s100(h5buf)
+        except ValueError:
+            px, gt, nodata, meta = decode_hdf5(h5buf)
     elif ext in ("jp2", "j2k", "jpc", "jpx"):
         from ..codecs.jp2 import decode_jp2
         px, gt, nodata, meta = decode_jp2(open(path, "rb").read())
