@@ -168,6 +168,13 @@ def read_raster(path: str, overview: int | None = None):
                                    and b"rpelcnt:" in _head(1536)):
         from ..codecs.cals import decode_cals
         px, gt, nodata, meta = decode_cals(open(path, "rb").read())
+    elif ext == "toc" or os.path.basename(path).upper() == "A.TOC":
+        from ..codecs.rpf import decode_rpftoc
+        px, gt, nodata, meta = decode_rpftoc(path)
+    elif len(ext) == 3 and ext[0] == "o" and ext[1] == "n" and \
+            _head(4) == b"NITF":
+        from ..codecs.rpf import read_rpf_frame
+        px, gt, nodata, meta = read_rpf_frame(path)
     elif ext == "bag":
         from ..codecs.bag import decode_bag
         px, gt, nodata, meta = decode_bag(open(path, "rb").read())
