@@ -210,6 +210,9 @@ def read_raster(path: str, overview: int | None = None):
             px, gt, nodata, meta = decode_adrg(path)
         except (ValueError, KeyError):
             px, gt, nodata, meta = decode_srp(path)
+    elif ext in ("prf",) or path.lower().endswith(".x-dem"):
+        from ..codecs.prf import decode_prf
+        px, gt, nodata, meta = decode_prf(path)
     elif ext == "kro":
         from ..codecs.rawexotic import decode_kro
         px, gt, nodata, meta = decode_kro(open(path, "rb").read())
