@@ -380,8 +380,12 @@ def read_raster(path: str, overview: int | None = None):
         from ..codecs.rawgrids import decode_fits
         px, gt, nodata, meta = decode_fits(open(path, "rb").read())
     elif ext == "gpkg":
-        from .gpkg import read_gpkg_raster
-        px, gt, nodata, meta = read_gpkg_raster(path)
+        if path.lower().endswith(".gti.gpkg"):
+            from .gti import decode_gti
+            px, gt, nodata, meta = decode_gti(path)
+        else:
+            from .gpkg import read_gpkg_raster
+            px, gt, nodata, meta = read_gpkg_raster(path)
     elif ext == "zarr" or os.path.isdir(path) and (
             os.path.exists(os.path.join(path, ".zarray"))
             or os.path.exists(os.path.join(path, ".zgroup"))):

@@ -87,7 +87,16 @@ def read_pam(path: str) -> dict:
     """PAM .aux.xml → {"geotransform": 6-tuple | None, "srs": str |
     None, "bands": {band_no: {"nodata": float | None, "metadata":
     {...}}}, "metadata": {...}} (gdalpamdataset.cpp surface subset)."""
-    root = ET.parse(path).getroot()
+    try:
+        root = ET.parse(path).getroot()
+    except ET.ParseError:
+        # GDAL's minixml tolerates stray <?xml?> declarations embedded
+        # mid-document (e.g. inside an xml-format Metadata node in
+        # autotest byte.pnm.aux.xml); ElementTree does not — strip any
+        # declaration past document start and retry.
+        text = open(path, encoding="utf-8", errors="replace").read()
+        stripped = re.sub(r"(?<!\A)<\?xml[^>]*\?>", "", text.lstrip())
+        root = ET.fromstring(stripped)
     if root.tag != "PAMDataset":
         raise ValueError("not a PAM .aux.xml (no PAMDataset root)")
     out: dict = {"geotransform": None, "srs": None, "bands": {},
