@@ -319,14 +319,19 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("nc", "cdf", "nc4"):
         from ..codecs.netcdf import decode_netcdf
         px, gt, nodata, meta = decode_netcdf(open(path, "rb").read())
-    elif ext in ("h5", "hdf5", "he5"):
-        from ..codecs.hdf5 import decode_hdf5, load_hdf5_bytes
-        h5buf = load_hdf5_bytes(path)
-        try:
-            from ..codecs.s100 import decode_s100
-            px, gt, nodata, meta = decode_s100(h5buf)
-        except ValueError:
-            px, gt, nodata, meta = decode_hdf5(h5buf)
+    elif ext in ("h5", "hdf5", "he5", "hdf"):
+        # .hdf is ambiguous: HDF4 magic 0e 03 13 01 vs HDF5 \x89HDF
+        if ext == "hdf" and open(path, "rb").read(4) == b"\x0e\x03\x13\x01":
+            from ..codecs.hdf4 import decode_hdf4
+            px, gt, nodata, meta = decode_hdf4(path)
+        else:
+            from ..codecs.hdf5 import decode_hdf5, load_hdf5_bytes
+            h5buf = load_hdf5_bytes(path)
+            try:
+                from ..codecs.s100 import decode_s100
+                px, gt, nodata, meta = decode_s100(h5buf)
+            except ValueError:
+                px, gt, nodata, meta = decode_hdf5(h5buf)
     elif ext in ("jp2", "j2k", "jpc", "jpx"):
         from ..codecs.jp2 import decode_jp2
         px, gt, nodata, meta = decode_jp2(open(path, "rb").read())
