@@ -245,6 +245,12 @@ def _read_osm(path):
 _READERS["mvt"] = _read_mvt
 
 
+@_builtin("topojson")
+def _read_topojson(path):
+    from .topojson import read_topojson_layer
+    return read_topojson_layer(path)
+
+
 @_builtin("pmtiles")
 def _read_pmtiles(path):
     from .pmtiles import read_pmtiles_table
