@@ -149,6 +149,29 @@ _READERS["geojsons"] = _read_geojsonseq   # .geojsons alias (RFC 8142)
 _READERS["ndjson"] = _read_geojsonseq
 
 
+@_builtin("json")
+def _read_json(path):
+    """.json is ambiguous: route by content like the reference's
+    driver-identify pass — ESRIJSON featureSets carry esriGeometry
+    markers / attributes-keyed features, TopoJSON declares
+    type=Topology, everything else is GeoJSON."""
+    head = open(path, encoding="utf-8", errors="replace").read(8192)
+    if '"Topology"' in head:
+        from .topojson import read_topojson_layer
+        return read_topojson_layer(path)
+    if ("esriGeometry" in head or "objectIdFieldName" in head
+            or '"attributes"' in head):
+        from .esrijson import read_esrijson
+        return read_esrijson(path)
+    from .geojson import read_geojson_table
+    return read_geojson_table(path)
+
+
+_READERS["esrijson"] = lambda path: __import__(
+    "gdal_ray.sources.esrijson", fromlist=["read_esrijson"]
+).read_esrijson(path)
+
+
 @_builtin("kml")
 def _read_kml(path):
     from .kmlvec import read_kml_table
