@@ -172,6 +172,15 @@ _READERS["esrijson"] = lambda path: __import__(
 ).read_esrijson(path)
 
 
+@_builtin("sos")
+def _read_sosi(path):
+    from .sosi import read_sosi
+    layers = read_sosi(path)
+    if not layers:
+        raise ValueError("empty SOSI file")
+    return next(iter(layers.values()))
+
+
 @_builtin("kml")
 def _read_kml(path):
     from .kmlvec import read_kml_table
