@@ -172,6 +172,15 @@ _READERS["esrijson"] = lambda path: __import__(
 ).read_esrijson(path)
 
 
+@_builtin("sxf")
+def _read_sxf(path):
+    from .sxf import read_sxf
+    layers = read_sxf(path)
+    if not layers:
+        raise ValueError("empty SXF file")
+    return next(iter(layers.values()))
+
+
 @_builtin("sos")
 def _read_sosi(path):
     from .sosi import read_sosi
