@@ -70,8 +70,20 @@ def _parse_coordinates(el) -> np.ndarray:
 
 
 def _parse_poslist(el) -> np.ndarray:
-    dim = int(el.get("srsDimension", "2"))
     vals = [float(v) for v in (el.text or "").split()]
+    dim_attr = el.get("srsDimension")
+    cnt_attr = el.get("count")
+    if dim_attr is not None:
+        dim = int(dim_attr)
+    elif cnt_attr is not None and int(cnt_attr) > 0 \
+            and len(vals) % int(cnt_attr) == 0:
+        # srsDimension may live on an ancestor (e.g. the BAG extract's
+        # <gml:Polygon srsDimension="3">); the count attribute fixes it
+        dim = len(vals) // int(cnt_attr)
+    elif len(vals) % 2 != 0 and len(vals) % 3 == 0:
+        dim = 3
+    else:
+        dim = 2
     a = np.asarray(vals, np.float64).reshape(-1, dim)
     return a[:, :2]
 
