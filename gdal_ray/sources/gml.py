@@ -116,13 +116,50 @@ def _points_of(el) -> np.ndarray:
     return np.asarray(pts, np.float64).reshape(-1, 2)
 
 
+def _curve_points(curve_el) -> np.ndarray:
+    """GML3 <Curve>: concatenated segments (shared joints dropped)."""
+    pts = []
+    for seg_w in curve_el:
+        if _local(seg_w.tag) == "segments":
+            for seg in seg_w:
+                p = _points_of(seg)
+                if len(p):
+                    pts.append(p if not pts else p[1:]
+                               if np.array_equal(p[0], pts[-1][-1])
+                               else p)
+    if not pts:
+        return np.empty((0, 2))
+    return np.vstack(pts)
+
+
+def _ring_points(ring_el) -> np.ndarray:
+    """<Ring> of curveMembers (JPFGD building outlines use
+    Ring→curveMember→Curve→segments) → concatenated points."""
+    pts = []
+    for cm in ring_el:
+        if _local(cm.tag) != "curveMember":
+            continue
+        for c in cm:
+            nm = _local(c.tag)
+            p = (_curve_points(c) if nm == "Curve" else _points_of(c))
+            if len(p):
+                pts.append(p if not pts else p[1:]
+                           if np.array_equal(p[0], pts[-1][-1]) else p)
+    if not pts:
+        return np.empty((0, 2))
+    return np.vstack(pts)
+
+
 def _ring_of(poly_el, names: tuple[str, ...]) -> list[np.ndarray]:
     rings = []
     for ch in poly_el:
         if _local(ch.tag) in names:
             for r in ch:
-                if _local(r.tag) in ("LinearRing", "Ring"):
+                if _local(r.tag) == "LinearRing":
                     rings.append(_points_of(r))
+                elif _local(r.tag) == "Ring":
+                    pts = _points_of(r)
+                    rings.append(pts if len(pts) else _ring_points(r))
     return rings
 
 
@@ -242,6 +279,12 @@ def read_gml_table(path: str, layer: str | None = None) -> pa.Table:
     """GML file → Arrow table (fid, gml_id, layer, fields..., wkb,
     envelope). ``layer`` filters to one feature class; default reads
     every class (the layer column keeps them distinguishable)."""
+    if is_fgd_gml(path):
+        t = read_fgd_gml(path)
+        if layer is not None:
+            import pyarrow.compute as pc
+            t = t.filter(pc.equal(t["layer"], layer))
+        return t
     try:
         root = ET.parse(path).getroot()
     except ET.ParseError as e:
@@ -311,6 +354,100 @@ def read_gml_table(path: str, layer: str | None = None) -> pa.Table:
 def read_gml(path: str, layer: str | None = None):
     import ray.data as rd
     return rd.from_arrow(read_gml_table(path, layer))
+
+
+# ---------------------------------------------------------------------------
+# Japanese FGD (基盤地図情報) GML profile — gml/gmlreader JPFGD handling:
+# the Dataset root's direct children are the features, coordinates are
+# stored latitude-first (srsName fguuid:jgd20xx.bl → swap to x=lon),
+# date properties nest a gml:timePosition.
+# ---------------------------------------------------------------------------
+
+_FGD_NS = "fgd.gsi.go.jp"
+
+
+def _swap_axes(g: W.Geometry) -> W.Geometry:
+    if g.coords is not None and len(g.coords):
+        g = W.Geometry(g.geom_type, coords=np.ascontiguousarray(
+            np.asarray(g.coords)[:, ::-1]), rings=g.rings, parts=g.parts)
+    if g.rings:
+        g = W.Geometry(g.geom_type, coords=g.coords,
+                       rings=[np.ascontiguousarray(
+                           np.asarray(r)[:, ::-1]) for r in g.rings],
+                       parts=g.parts)
+    if g.parts:
+        g = W.Geometry(g.geom_type, coords=g.coords, rings=g.rings,
+                       parts=[_swap_axes(p) for p in g.parts])
+    return g
+
+
+def is_fgd_gml(path: str) -> bool:
+    head = open(path, "rb").read(2048).decode("utf-8", "replace")
+    return _FGD_NS in head and "<Dataset" in head
+
+
+def read_fgd_gml(path: str) -> pa.Table:
+    """FGD GML → table (fid, gml_id, layer, flattened fields, wkb).
+    The SRS is JGD2011 (EPSG:6668) or the fguuid's JGD20xx name."""
+    root = ET.parse(path).getroot()
+    rows, geoms, layers, ids = [], [], [], []
+    srs = "EPSG:6668"
+    for f in root:
+        lname = _local(f.tag)
+        if f.tag.startswith("{http://www.opengis.net/gml"):
+            continue                      # gml:description / gml:name
+        fields = {}
+        geom = None
+        for prop in f:
+            pn = _local(prop.tag)
+            kids = list(prop)
+            if kids and _local(kids[0].tag) == "timePosition":
+                fields[pn] = (kids[0].text or "").strip()
+                continue
+            ge = None
+            for sub in prop.iter():
+                if _local(sub.tag) in _GEOM_NAMES:
+                    ge = sub
+                    break
+            if ge is not None:
+                name = ge.get("srsName", "")
+                g = parse_gml_geometry(ge)
+                if g is not None:
+                    if name.startswith("fguuid:jgd") and \
+                            name.endswith(".bl"):
+                        g = _swap_axes(g)
+                        ver = name[len("fguuid:jgd"):-3]
+                        srs = ("EPSG:6668" if ver == "2011"
+                               else f"JGD{ver}")
+                    geom = g
+                continue
+            if not kids and prop.text and prop.text.strip():
+                fields[pn] = prop.text.strip()
+        if not fields and geom is None:
+            continue
+        rows.append(fields)
+        geoms.append(geom)
+        layers.append(lname)
+        gid = None
+        for k, v in f.attrib.items():
+            if _local(k) == "id":
+                gid = v
+        ids.append(gid)
+
+    names: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in names:
+                names.append(k)
+    cols = {"gml_id": ids, "layer": layers}
+    for n in names:
+        cols[n] = [r.get(n) for r in rows]
+    cols["wkb"] = [W.dumps(g) if g is not None else None for g in geoms]
+    schema = pa.schema(
+        [("gml_id", pa.string()), ("layer", pa.string())]
+        + [(n, pa.string()) for n in names] + [("wkb", pa.binary())],
+        metadata={b"crs": srs.encode()})
+    return pa.Table.from_pydict(cols, schema=schema)
 
 
 # ---------------------------------------------------------------------------
