@@ -173,3 +173,13 @@ def test_12bit_extended_precision():
     m = float(px.mean())
     assert 3613.0 <= m <= 3614.0
     assert int(px.max()) <= 4095
+
+
+def test_albania_libjpeg_exact_checksum():
+    """With the islow IDCT + fancy upsampling + fixed-point YCbCr the
+    decode matches one of the reference suite's accepted per-libjpeg
+    checksums exactly (autotest/gdrivers/jpeg.py:43-47)."""
+    from gdal_ray.core.checksum import checksum
+    buf = open(f"{_JDATA}/albania.jpg", "rb").read()
+    px = jpeg.decode(buf)
+    assert checksum(px[:, :, 1]) in (34296, 34298, 17016)
