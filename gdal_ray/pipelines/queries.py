@@ -1742,6 +1742,65 @@ def q_mrf_roundtrip(sf_dir: str):
     return files.map_batches(stats, batch_format="pyarrow")
 
 
+def q_rl2_roundtrip(sf_dir: str):
+    """RasterLite2 driver end-to-end (sources/rasterlite2.py, reader +
+    writer new this round; reference ogr/ogrsf_frmts/sqlite/
+    rasterlite2.cpp): transcode the lossless corpus half to DEFLATE
+    .rl2 coverages (odd/even row split + lag-bps byte predictor +
+    zlib), read them back through the tile decoder, and emit per-image
+    band stats — DEFLATE coverages are bit-lossless so the rows
+    hash-match the closed-form pixel oracle."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..codecs import decode as _dec
+    from ..sources.images import images_dataset
+    from ..sources.rasterlite2 import read_rl2, write_rl2
+    from ..stages.georef import with_georef
+
+    out_dir = "/tmp/gdal_ray_rl2_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            gt = tuple(float(g[i]) for g in gts)
+            write_rl2(px[:, :, 0],
+                      os.path.join(out_dir,
+                                   f"{t['image_id'][i].as_py()}.rl2"),
+                      geotransform=gt, srid=3857, tile=256)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(out_dir, include_paths=True,
+                                 file_extensions=["rl2"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs = [], [], [], []
+        for path in t["path"].to_pylist():
+            px, gt, nd, meta = read_rl2(path)
+            b0 = (px if px.ndim == 2 else px[:, :, 0]).astype(np.float64)
+            ids.append(os.path.basename(path)[:-4])
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
 def q_sqlite_roundtrip(sf_dir: str):
     """SQLite vector driver end-to-end (sources/sqlitevec.py, new this
     round; reference ogr/ogrsf_frmts/sqlite): polygon layer -> OGR-style
@@ -4294,6 +4353,7 @@ QUERIES = {
     "mvt_roundtrip": q_mvt_roundtrip,
     "gmt_roundtrip": q_gmt_roundtrip,
     "mrf_roundtrip": q_mrf_roundtrip,
+    "rl2_roundtrip": q_rl2_roundtrip,
     "sqlite_roundtrip": q_sqlite_roundtrip,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
@@ -4452,6 +4512,7 @@ def oracle_sql() -> dict[str, str]:
         "mvt_roundtrip": _OR.sql_mvt_roundtrip(40, 9),
         "gmt_roundtrip": _OR.sql_gmt_roundtrip(30),
         "mrf_roundtrip": _OR.sql_raster_stats(32),
+        "rl2_roundtrip": _OR.sql_raster_stats(32),
         "sqlite_roundtrip": _OR.sql_sqlite_roundtrip(30),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),

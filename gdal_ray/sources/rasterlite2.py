@@ -284,3 +284,185 @@ def read_rl2(path: str, coverage: str | None = None,
         return px, gt, nodata, meta
     finally:
         db.close()
+
+
+# ---------------------------------------------------------------------------
+# writer (CreateCopy symmetry: rl2_6..rl2_11 — DEFLATE coverages)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_CODES = {"u1": (0xa5, "UINT8"), "i1": (0xa4, "INT8"),
+                 "u2": (0xa7, "UINT16"), "i2": (0xa6, "INT16"),
+                 "u4": (0xa9, "UINT32"), "i4": (0xa8, "INT32"),
+                 "f4": (0xaa, "FLOAT"), "f8": (0xab, "DOUBLE")}
+
+
+def _delta(arr8: np.ndarray, lag: int) -> np.ndarray:
+    out = arr8.astype(np.int64)
+    if lag == 1:
+        out[:, 1:] -= out[:, :-1].copy()
+    else:
+        out[:, lag:] = out[:, lag:] - arr8[:, :-lag].astype(np.int64)
+    return (out & 0xFF).astype(np.uint8)
+
+
+def _encode_tile(px: np.ndarray) -> tuple[bytes, bytes]:
+    """(h, w[, bands]) → (odd blob, even blob): the DEFLATE layout
+    the reader documents (odd/even row split, lag-bps byte delta)."""
+    h, w = px.shape[:2]
+    nbands = px.shape[2] if px.ndim == 3 else 1
+    dt = px.dtype.newbyteorder("<")
+    key = dt.char.replace("B", "u").lower()
+    key = {"b": "i1", "h": "i2", "d": "f8", "f": "f4",
+           "i": "i4", "l": "i8"}.get(dt.char, None) or None
+    code = None
+    for k, (c, _n) in _SAMPLE_CODES.items():
+        if np.dtype(k) == px.dtype:
+            code = c
+            break
+    if code is None:
+        raise NotImplementedError(f"RL2 write: dtype {px.dtype}")
+    pixel = 0x14 if nbands == 3 else (0x16 if px.dtype != np.uint8
+                                      else 0x13)
+    bps = px.dtype.itemsize
+    stride = w * bps * nbands
+    flat = np.ascontiguousarray(px.astype(dt)).view(np.uint8) \
+        .reshape(h, stride)
+    lag = bps * nbands
+    orows = (h + 1) // 2
+    odd_rows = _delta(flat[0::2], lag)
+    even_rows = _delta(flat[1::2], lag)
+    oz = zlib.compress(odd_rows.tobytes(), 9)
+    ez = zlib.compress(even_rows.tobytes(), 9)
+
+    odd = bytearray()
+    odd += bytes([0, 0xFA, 1, 0x22, code, pixel, nbands])
+    odd += struct.pack("<HHHH", w, h, stride, orows)
+    odd += struct.pack("<IIII", odd_rows.size, len(oz), 0, 0)
+    odd += b"\xc8" + oz
+    even = bytearray()
+    even += bytes([0, 0xDB, 1, 0x22, code, pixel, nbands])
+    even += struct.pack("<HH", w, h)
+    even += bytes([1, 0])
+    even += struct.pack("<I", zlib.crc32(ez))
+    even += struct.pack("<II", even_rows.size, len(ez))
+    even += b"\xc8" + ez
+    return bytes(odd), bytes(even)
+
+
+def _spatialite_poly(minx, miny, maxx, maxy, srid) -> bytes:
+    """Minimal SpatiaLite polygon blob (the reader's _mbr contract:
+    MBR doubles at offset 6)."""
+    out = bytearray()
+    out += b"\x00\x01" + struct.pack("<i", srid)
+    out += struct.pack("<4d", minx, miny, maxx, maxy)
+    out += b"\x7c" + struct.pack("<i", 3)        # polygon
+    out += struct.pack("<i", 1)                  # 1 ring
+    out += struct.pack("<i", 5)
+    for x, y in ((minx, miny), (minx, maxy), (maxx, maxy),
+                 (maxx, miny), (minx, miny)):
+        out += struct.pack("<2d", x, y)
+    out += b"\xfe"
+    return bytes(out)
+
+
+def write_rl2(px: np.ndarray, path: str, *, coverage: str = "coverage",
+              geotransform=(0, 1, 0, 0, 0, -1), srid: int = 4326,
+              tile: int = 512) -> None:
+    """(h, w[, bands]) → single-section DEFLATE RasterLite2 DB
+    (level 0 only; masks omitted — all pixels valid)."""
+    import os
+    if os.path.exists(path):
+        os.remove(path)
+    h, w = px.shape[:2]
+    nbands = px.shape[2] if px.ndim == 3 else 1
+    code = None
+    stype = None
+    for k, (c, n) in _SAMPLE_CODES.items():
+        if np.dtype(k) == px.dtype:
+            code, stype = c, n
+            break
+    if code is None:
+        raise NotImplementedError(f"RL2 write: dtype {px.dtype}")
+    ptype = "RGB" if nbands == 3 else (
+        "GRAYSCALE" if px.dtype == np.uint8 else "DATAGRID")
+    gt = geotransform
+    minx, maxy = gt[0], gt[3]
+    maxx = minx + w * gt[1]
+    miny = maxy + h * gt[5]
+    xres, yres = gt[1], -gt[5]
+
+    db = sqlite3.connect(path)
+    try:
+        db.execute("PRAGMA application_id = 0x47504B47")
+        db.execute("""CREATE TABLE raster_coverages (
+            coverage_name TEXT, title TEXT, abstract TEXT,
+            sample_type TEXT, pixel_type TEXT, num_bands INTEGER,
+            compression TEXT, quality INTEGER, tile_width INTEGER,
+            tile_height INTEGER, horz_resolution DOUBLE,
+            vert_resolution DOUBLE, srid INTEGER, nodata_pixel BLOB,
+            palette BLOB, statistics BLOB, geo_minx DOUBLE,
+            geo_miny DOUBLE, geo_maxx DOUBLE, geo_maxy DOUBLE,
+            extent_minx DOUBLE, extent_miny DOUBLE,
+            extent_maxx DOUBLE, extent_maxy DOUBLE,
+            strict_resolution INTEGER, mixed_resolutions INTEGER,
+            section_paths INTEGER, section_md5 INTEGER,
+            section_summary INTEGER, is_queryable INTEGER,
+            red_band_index INTEGER, green_band_index INTEGER,
+            blue_band_index INTEGER, nir_band_index INTEGER,
+            enable_auto_ndvi INTEGER)""")
+        db.execute(
+            "INSERT INTO raster_coverages (coverage_name, sample_type,"
+            " pixel_type, num_bands, compression, quality, tile_width,"
+            " tile_height, horz_resolution, vert_resolution, srid,"
+            " extent_minx, extent_miny, extent_maxx, extent_maxy)"
+            " VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?)",
+            (coverage, stype, ptype, nbands, "DEFLATE", 100, tile,
+             tile, xres, yres, srid, minx, miny, maxx, maxy))
+        db.execute(f'''CREATE TABLE "{coverage}_levels" (
+            pyramid_level INTEGER, x_resolution_1_1 DOUBLE,
+            y_resolution_1_1 DOUBLE, x_resolution_1_2 DOUBLE,
+            y_resolution_1_2 DOUBLE, x_resolution_1_4 DOUBLE,
+            y_resolution_1_4 DOUBLE, x_resolution_1_8 DOUBLE,
+            y_resolution_1_8 DOUBLE)''')
+        db.execute(f'INSERT INTO "{coverage}_levels" VALUES '
+                   f'(0,?,?,?,?,?,?,?,?)',
+                   (xres, yres, xres * 2, yres * 2, xres * 4,
+                    yres * 4, xres * 8, yres * 8))
+        db.execute(f'''CREATE TABLE "{coverage}_sections" (
+            section_id INTEGER PRIMARY KEY, section_name TEXT,
+            width INTEGER, height INTEGER, file_path TEXT,
+            md5_checksum TEXT, summary TEXT, statistics BLOB,
+            geometry BLOB)''')
+        db.execute(f'INSERT INTO "{coverage}_sections" (section_id, '
+                   f'section_name, width, height, geometry) VALUES '
+                   f'(1,?,?,?,?)',
+                   (coverage, w, h,
+                    _spatialite_poly(minx, miny, maxx, maxy, srid)))
+        db.execute(f'''CREATE TABLE "{coverage}_tiles" (
+            tile_id INTEGER PRIMARY KEY, pyramid_level INTEGER,
+            section_id INTEGER, geometry BLOB)''')
+        db.execute(f'''CREATE TABLE "{coverage}_tile_data" (
+            tile_id INTEGER PRIMARY KEY, tile_data_odd BLOB,
+            tile_data_even BLOB)''')
+        tid = 1
+        for y0 in range(0, h, tile):
+            for x0 in range(0, w, tile):
+                sub = px[y0:y0 + tile, x0:x0 + tile]
+                th, tw = sub.shape[:2]
+                if (th, tw) != (tile, tile):     # pad to full tile
+                    pad = [(0, tile - th), (0, tile - tw)] + \
+                        ([(0, 0)] if sub.ndim == 3 else [])
+                    sub = np.pad(sub, pad)
+                odd, even = _encode_tile(sub)
+                tminx = minx + x0 * xres
+                tmaxy = maxy - y0 * yres
+                g = _spatialite_poly(tminx, tmaxy - tile * yres,
+                                     tminx + tile * xres, tmaxy, srid)
+                db.execute(f'INSERT INTO "{coverage}_tiles" VALUES '
+                           f'(?,0,1,?)', (tid, g))
+                db.execute(f'INSERT INTO "{coverage}_tile_data" '
+                           f'VALUES (?,?,?)', (tid, odd, even))
+                tid += 1
+        db.commit()
+    finally:
+        db.close()

@@ -99,3 +99,32 @@ def test_rl2_dispatcher():
     px, gt, nodata, meta = read_raster(os.path.join(DATA, "byte.rl2"))
     assert checksum(px) == 4672
     assert meta["driver"] == "RasterLite2"
+
+
+def test_rl2_writer_roundtrip(tmp_path):
+    from gdal_ray.sources.rasterlite2 import write_rl2
+    ref, gt, nd, m = __import__(
+        "gdal_ray.sources.raster", fromlist=["read_raster"]
+    ).read_raster("/root/reference/autotest/gcore/data/byte.tif")
+    p = str(tmp_path / "w.rl2")
+    write_rl2(ref, p, geotransform=gt, srid=26711)
+    px, gt2, nd2, m2 = read_rl2(p)
+    assert checksum(px) == 4672
+    assert gt2 == pytest.approx(gt)
+
+
+def test_rl2_writer_types(tmp_path):
+    from gdal_ray.sources.rasterlite2 import write_rl2
+    rgb = (np.arange(300 * 400 * 3) % 251).astype(np.uint8) \
+        .reshape(300, 400, 3)
+    p = str(tmp_path / "rgb.rl2")
+    write_rl2(rgb, p, tile=256)
+    out, *_ = read_rl2(p)
+    np.testing.assert_array_equal(out, rgb)
+    for arr in ((np.arange(100 * 130) % 60000).astype(np.uint16)
+                .reshape(100, 130),
+                np.linspace(-5, 5, 80 * 90).reshape(80, 90)):
+        p2 = str(tmp_path / f"{arr.dtype}.rl2")
+        write_rl2(arr, p2)
+        out, *_ = read_rl2(p2)
+        np.testing.assert_array_equal(out, arr)
