@@ -4350,10 +4350,10 @@ QUERIES = {
     "omerc_warp": q_omerc_warp,
     "gpkg_raster_roundtrip": q_gpkg_raster_roundtrip,
     "ntv2_shift": q_ntv2_shift,
+    "rl2_roundtrip": q_rl2_roundtrip,
     "mvt_roundtrip": q_mvt_roundtrip,
     "gmt_roundtrip": q_gmt_roundtrip,
     "mrf_roundtrip": q_mrf_roundtrip,
-    "rl2_roundtrip": q_rl2_roundtrip,
     "sqlite_roundtrip": q_sqlite_roundtrip,
     "interpolate_at_points": q_interpolate_at_points,
     "footprint": q_footprint,
