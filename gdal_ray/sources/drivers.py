@@ -172,6 +172,19 @@ _READERS["esrijson"] = lambda path: __import__(
 ).read_esrijson(path)
 
 
+@_builtin("itf")
+def _read_ili1(path):
+    import os
+    from .ili import read_ili1
+    imd = os.path.splitext(path)[0] + ".imd"
+    if not os.path.exists(imd):
+        raise ValueError("INTERLIS 1 needs a sibling .imd model file")
+    layers = read_ili1(path, imd)
+    if not layers:
+        raise ValueError("empty ITF transfer file")
+    return next(iter(layers.values()))
+
+
 @_builtin("sxf")
 def _read_sxf(path):
     from .sxf import read_sxf

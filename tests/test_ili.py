@@ -1,0 +1,85 @@
+"""INTERLIS 1 reader tests — parity with autotest/ogr/ogr_ili.py
+(field values per transfer-element order, FORMAT blank/undefined/
+continue handling, Latin-1 encoding, AREA polygonization with
+reference-point assignment, arc stroking)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gdal_ray.core import wkb
+from gdal_ray.sources.ili import read_ili1
+
+D = "/root/reference/autotest/ogr/data/ili"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(D),
+                                reason="reference absent")
+
+
+def test_ili1_layers_and_fields():
+    L = read_ili1(os.path.join(D, "Beispiel.itf"),
+                  os.path.join(D, "Beispiel.imd"))
+    assert set(L) == {"Bodenbedeckung__BoFlaechen",
+                      "Bodenbedeckung__BoFlaechen_Form",
+                      "Bodenbedeckung__Strasse",
+                      "Bodenbedeckung__Gebaeude"}
+    bo = L["Bodenbedeckung__BoFlaechen"]
+    assert bo.num_rows == 3
+    # 2nd feature of test_ogr_interlis1_2: [20, 1, 168.27, 170.85]
+    vals = [bo[c][1].as_py() for c in
+            ("TID", "Art", "Form_0", "Form_1")]
+    assert vals == ["20", "1", "168.27", "170.85"]
+
+
+def test_ili1_area_polygonization():
+    L = read_ili1(os.path.join(D, "Beispiel.itf"),
+                  os.path.join(D, "Beispiel.imd"))
+    bo = L["Bodenbedeckung__BoFlaechen"]
+    g = wkb.loads(bo["wkb"][0].as_py())
+    assert g.geom_type == wkb.POLYGON
+    exp = {(146.92, 174.98), (138.68, 187.51), (147.04, 193.0),
+           (149.79, 188.82), (158.15, 194.31), (163.64, 185.96)}
+    got = {(round(float(x), 2), round(float(y), 2))
+           for x, y in g.rings[0]}
+    assert got == exp                   # test_ogr_interlis1_10 ring
+    pt = wkb.loads(bo["wkb_point"][0].as_py())
+    assert tuple(np.round(pt.coords[0], 2)) == (148.2, 183.48)
+
+
+def test_ili1_format_default():
+    L = read_ili1(os.path.join(D, "format-default.itf"),
+                  os.path.join(D, "format-default.imd"))
+    t = L["FormatTests__FormatTable"]
+    vals = [t[c][0].as_py() for c in t.column_names if c != "wkb"]
+    assert vals == ["0", "aa bb", "cc^dd", None, "1"]
+
+
+def test_ili1_format_custom():
+    L = read_ili1(os.path.join(D, "format-test.itf"),
+                  os.path.join(D, "format-test.imd"))
+    t = L["FormatTests__FormatTable"]
+    vals = [t[c][0].as_py() for c in t.column_names if c != "wkb"]
+    assert vals == ["0", "aa_bb", "cc dd", None, "1"]
+
+
+def test_ili1_latin1_encoding():
+    L = read_ili1(os.path.join(D, "encoding-test.itf"),
+                  os.path.join(D, "format-default.imd"))
+    t = L["FormatTests__FormatTable"]
+    vals = [t[c][0].as_py() for c in t.column_names if c != "wkb"]
+    assert vals == ["0", "äöü", "ÄÖÜ", None, "1"]
+
+
+def test_ili1_point_and_polyline():
+    L = read_ili1(os.path.join(D, "Beispiel.itf"),
+                  os.path.join(D, "Beispiel.imd"))
+    g = L["Bodenbedeckung__Gebaeude"]
+    assert [g[c][0].as_py() for c in
+            ("TID", "AssNr", "Flaeche")] == ["40", "958", "10"]
+    pt = wkb.loads(g["wkb"][0].as_py())
+    assert tuple(np.round(pt.coords[0], 2)) == (148.41, 175.96)
+    s = L["Bodenbedeckung__Strasse"]
+    ls = wkb.loads(s["wkb"][0].as_py())
+    assert ls.geom_type == wkb.LINESTRING
+    assert len(ls.coords) > 4               # ARCP stroked
