@@ -172,6 +172,17 @@ _READERS["esrijson"] = lambda path: __import__(
 ).read_esrijson(path)
 
 
+@_builtin("xtf")
+def _read_ili2(path):
+    import os
+    from .ili2 import read_ili2
+    imd = os.path.splitext(path)[0] + ".imd"
+    layers = read_ili2(path, imd if os.path.exists(imd) else None)
+    if not layers:
+        raise ValueError("empty XTF transfer file")
+    return next(iter(layers.values()))
+
+
 @_builtin("itf")
 def _read_ili1(path):
     import os
