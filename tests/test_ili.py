@@ -83,3 +83,26 @@ def test_ili1_point_and_polyline():
     ls = wkb.loads(s["wkb"][0].as_py())
     assert ls.geom_type == wkb.LINESTRING
     assert len(ls.coords) > 4               # ARCP stroked
+
+
+def test_ili1_multigeom():
+    # test_ogr_interlis1_11: 5 fields (TID, Text1, Number, point
+    # components) + a polyline geometry
+    L = read_ili1(os.path.join(D, "multigeom.itf"),
+                  os.path.join(D, "multigeom.imd"))
+    t = L["MultigeomTests__MultigeomTable"]
+    assert t.num_rows == 1
+    assert [c for c in t.column_names if c != "wkb"] == \
+        ["TID", "Text1", "Number", "GeomPoint_0", "GeomPoint_1"]
+    assert t["Text1"][0].as_py() == "aa bb"
+    g = wkb.loads(t["wkb"][0].as_py())
+    assert g.geom_type in (wkb.LINESTRING, wkb.GEOMETRYCOLLECTION)
+
+
+def test_ili1_multicoord():
+    # test_ogr_interlis1_12: 6 fields over two coord attributes
+    L = read_ili1(os.path.join(D, "multicoord.itf"),
+                  os.path.join(D, "multicoord.imd"))
+    t = L["MulticoordTests__MulticoordTable"]
+    assert t.num_rows == 1
+    assert len([c for c in t.column_names if c != "wkb"]) == 6
