@@ -1030,3 +1030,63 @@ def encode_hf2(px: np.ndarray, gt=None, precision: float = 0.01,
                 if tw > 1:
                     out += np.diff(vals).astype("<i4").tobytes()
     return bytes(out)
+
+
+def decode_doq1(path: str):
+    """USGS DOQ (old format, .doq): ASCII header fields with
+    Fortran D-exponents (frmts/raw/doq1dataset.cpp) — height@144,
+    width@150, band types@156 (<5 → 1 byte/px, 5 → RGB), UTM
+    zone/datum/units flags, UL easting/northing in record 3
+    (offsets 288/312), pixel sizes in record 4 (59/71); pixel data
+    starts after 4 header records of one line-length each
+    (truncated files zero-fill, the fake autotest fixture is
+    header-only)."""
+    import numpy as np
+
+    buf = open(path, "rb").read()
+    if len(buf) < 212:
+        raise ValueError("DOQ1 header too short")
+
+    def field(data, off, n):
+        s = data[off:off + n].split(b"\0")[0].decode("latin-1",
+                                                     "replace")
+        s = s.replace("D", "E").replace("d", "e").strip()
+        try:
+            return float(s) if s else 0.0
+        except ValueError:
+            return 0.0
+
+    h = int(field(buf, 144, 6))
+    w = int(field(buf, 150, 6))
+    band_types = int(field(buf, 156, 3))
+    if not (500 <= w <= 25000 and 500 <= h <= 25000):
+        raise ValueError("not a DOQ1 file (implausible dimensions)")
+    if band_types > 5:
+        raise NotImplementedError(f"DOQ1 band configuration "
+                                  f"{band_types}")
+    bpp = 3 if band_types == 5 else 1
+    line = bpp * w
+    skip = 4 * line
+
+    rec3 = buf[line * 2:line * 2 + 500].ljust(500, b"\0")
+    rec4 = buf[line * 3:line * 3 + 500].ljust(500, b"\0")
+    ulx = field(rec3, 288, 24)
+    uly = field(rec3, 312, 24)
+    xsz = field(rec4, 59, 12) or 1.0
+    ysz = field(rec4, 71, 12) or 1.0
+    gt = (ulx, xsz, 0.0, uly, 0.0, -ysz)
+
+    raw = buf[skip:skip + h * line]
+    arr = np.frombuffer(raw.ljust(h * line, b"\0"), np.uint8)
+    px = arr.reshape(h, w, bpp)
+    if bpp == 1:
+        px = px[:, :, 0]
+
+    meta = {"driver": "DOQ1"}
+    if int(field(buf, 195, 3)) == 1:
+        zone = int(field(buf, 198, 6))
+        datum = {1: "NAD27", 2: "WGS72", 3: "WGS84",
+                 4: "NAD83"}.get(int(field(buf, 167, 2)), "unknown")
+        meta["crs"] = (f"EPSG:{32600 + zone}" if datum == "WGS84"
+                       else f"UTM zone {zone} ({datum})")
+    return px, gt, None, meta

@@ -132,6 +132,9 @@ def read_raster(path: str, overview: int | None = None):
     elif _head(24).startswith(b"BEGIN_USGS_DOQ_HEADER"):
         from ..codecs.rawexotic import decode_doq2
         px, gt, nodata, meta = decode_doq2(path)
+    elif ext == "doq":
+        from ..codecs.rawexotic import decode_doq1
+        px, gt, nodata, meta = decode_doq1(path)
     elif ext == "mpr":
         from ..codecs.ilwis import decode_ilwis
         px, gt, nodata, meta = decode_ilwis(path)

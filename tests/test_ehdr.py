@@ -61,3 +61,19 @@ def test_ehdr_roundtrip_layouts():
 def test_envi_rejects_non_envi():
     with pytest.raises(ValueError):
         decode_envi("NROWS 2\nNCOLS 2\n", b"\x00" * 4)
+
+
+def test_doq1_fake_fixture():
+    """DOQ1 (old USGS DOQ): header-field parse parity on the
+    reference's fake fixture (doq1.py opens it with checksum -1) —
+    dims 500x500, UTM zone 31 / WGS84, UL (500000, 5000000)."""
+    from gdal_ray.sources.raster import read_raster
+    p = "/root/reference/autotest/gdrivers/data/doq1/fakedoq1.doq"
+    import os
+    import pytest as _pt
+    if not os.path.exists(p):
+        _pt.skip("reference absent")
+    px, gt, nodata, meta = read_raster(p)
+    assert px.shape == (500, 500)
+    assert gt == (500000.0, 1.0, 0.0, 5000000.0, 0.0, -1.0)
+    assert meta["crs"] == "EPSG:32631"
