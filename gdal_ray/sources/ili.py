@@ -90,10 +90,16 @@ def read_imd(path: str) -> dict:
                                     str(coord_axes.get(tid, 2)))
         elif nm == "LineType":
             kind = (el.findtext("./{*}Kind") or "").lower()
-            type_of_attr[parent] = ("area" if kind == "area"
-                                    else "polyline", "0")
+            type_of_attr[parent] = (
+                "area" if kind == "area" else
+                "surface" if kind == "surface" else "polyline", "0")
         elif nm in ("EnumType", "NumType", "TextType", "BooleanType"):
             type_of_attr.setdefault(parent, ("text", "1"))
+
+    class_kinds: dict[str, str] = {}
+    for el in root.iter():
+        if _strip(el.tag) == "Class" and el.get("TID"):
+            class_kinds[el.get("TID")] = el.findtext("./{*}Kind") or ""
 
     classes: dict[str, list] = {}
     order: dict[str, list] = {}
@@ -114,14 +120,11 @@ def read_imd(path: str) -> dict:
             name = aref.rsplit(".", 1)[-1]
             kind, extra = type_of_attr.get(aref, ("text", "1"))
             ntok = int(extra) if kind == "coord" else \
-                (2 if kind == "area" else 0 if kind == "polyline" else 1)
-            if kind == "area":
-                # the inline tokens are the reference-point coords
-                # (axis count of the area's coord type; 2-D here)
-                pass
+                (2 if kind == "area" else
+                 0 if kind in ("polyline", "surface") else 1)
             attrs.append((name, kind, ntok))
         classes[cref] = attrs
-    return {"classes": classes, "format": fmt}
+    return {"classes": classes, "format": fmt, "kinds": class_kinds}
 
 
 # ---------------------------------------------------------------- itf
@@ -307,17 +310,47 @@ def read_ili1(itf_path: str, imd_path: str) -> dict[str, pa.Table]:
                 return attrs
         return None
 
-    # collect helper (area-boundary) line tables
+    # collect helper (area/surface boundary) tables: all lines for
+    # AREA polygonization plus per-owner line groups for SURFACE
     helper_lines: dict[str, list] = {}
+    helper_by_owner: dict[str, dict] = {}
     for topic, table, records in topics:
         if "_" in table:
-            base, _attr = table.rsplit("_", 1)
             lines = []
+            by_owner: dict[str, list] = {}
             for rec in records:
                 lines.extend(rec["lines"])
+                if len(rec["tokens"]) >= 2:
+                    by_owner.setdefault(str(rec["tokens"][1]),
+                                        []).extend(rec["lines"])
             helper_lines[f"{topic}.{table}"] = lines
+            helper_by_owner[f"{topic}.{table}"] = by_owner
 
     out: dict[str, pa.Table] = {}
+    seen_tables = {(topic, table) for topic, table, _r in topics}
+    present_topics = {topic for topic, _t, _r in topics}
+    for cref, kind in meta.get("kinds", {}).items():
+        parts = cref.split(".")
+        if len(parts) < 3 or kind == "Association":
+            continue
+        topic, table = parts[-2], parts[-1]
+        if topic in present_topics and (topic, table) not in seen_tables \
+                and kind == "Structure":
+            attrs = meta["classes"].get(cref, [])
+            cols = {"TID": []}
+            for name, k, ntok in attrs:
+                if k in ("polyline", "surface"):
+                    continue
+                if k in ("coord", "area"):
+                    for i in range(ntok):
+                        cols[f"{name}_{i}"] = []
+                else:
+                    cols[name] = []
+            cols["wkb"] = []
+            out[f"{topic}__{table}"] = pa.Table.from_pydict(
+                cols, schema=pa.schema(
+                    [(n, pa.binary() if n == "wkb" else pa.string())
+                     for n in cols]))
     for topic, table, records in topics:
         lname = f"{topic}__{table}"
         attrs = class_attrs(topic, table)
@@ -347,13 +380,15 @@ def read_ili1(itf_path: str, imd_path: str) -> dict[str, pa.Table]:
             if kind == "coord" or kind == "area":
                 for i in range(ntok):
                     field_names.append(f"{name}_{i}")
-            elif kind == "polyline":
+            elif kind in ("polyline", "surface"):
                 continue
             else:
                 field_names.append(name)
 
         area_attr = next(((n, k, t) for n, k, t in attrs
                           if k == "area"), None)
+        surf_attr = next(((n, k, t) for n, k, t in attrs
+                          if k == "surface"), None)
         coord_attr = next(((n, k, t) for n, k, t in attrs
                            if k == "coord"), None)
         faces = None
@@ -372,7 +407,7 @@ def read_ili1(itf_path: str, imd_path: str) -> dict[str, pa.Table]:
             ti += 1
             refpt = None
             for name, kind, ntok in attrs:
-                if kind == "polyline":
+                if kind in ("polyline", "surface"):
                     continue
                 if kind in ("coord", "area"):
                     xy = []
@@ -399,6 +434,20 @@ def read_ili1(itf_path: str, imd_path: str) -> dict[str, pa.Table]:
                     g = W.linestring(segs[0])
                 elif segs:
                     g = W.collection([W.linestring(s) for s in segs])
+            elif surf_attr is not None:
+                key = f"{topic}.{table}_{surf_attr[0]}"
+                owner = helper_by_owner.get(key, {}).get(
+                    str(vals.get("TID")), [])
+                rings = []
+                for ln in owner:
+                    pts = [tuple(p) for p in ln]
+                    if len(pts) >= 3:
+                        if pts[0] != pts[-1]:
+                            pts.append(pts[0])
+                        rings.append(pts)
+                if rings:
+                    rings.sort(key=lambda r: -abs(_signed_area(r)))
+                    g = W.polygon(rings[0], holes=rings[1:])
             elif area_attr is not None and refpt is not None and faces:
                 ccw, cw = faces
                 cands = [r for r in ccw if _point_in_ring(refpt, r)]

@@ -106,3 +106,27 @@ def test_ili1_multicoord():
     t = L["MulticoordTests__MulticoordTable"]
     assert t.num_rows == 1
     assert len([c for c in t.column_names if c != "wkb"]) == 6
+
+
+def test_ili1_surface():
+    # test_ogr_interlis1_13: SURFACE-kind boundary helper tables with
+    # per-owner ring assignment + declared Structure classes as layers
+    L = read_ili1(os.path.join(D, "surface.itf"),
+                  os.path.join(D, "surface.imd"))
+    assert set(L) == {
+        "SURFC_TOP__SURFC_TBL", "SURFC_TOP__SURFC_TBL_SHAPE",
+        "SURFC_TOP__SURFC_TBL_TEXT_ID",
+        "SURFC_TOP__SURFC_TBL_TEXT_ID_SHAPE",
+        "SURFC_TOP__LineAttrib1", "SURFC_TOP__Flaechenelement",
+        "SURFC_TOP__Flaechenelement_Geometrie"}
+    t = L["SURFC_TOP__SURFC_TBL"]
+    assert t.num_rows == 4
+    assert L["SURFC_TOP__SURFC_TBL_SHAPE"].num_rows == 5
+    vals = [t[c][0].as_py() for c in t.column_names if c != "wkb"]
+    assert vals == ["103", "1", "3", "1", "23", "25000", "20060111"]
+    g = wkb.loads(t["wkb"][0].as_py())
+    assert g.geom_type == wkb.POLYGON
+    assert tuple(np.round(g.rings[0][0], 3)) == (598600.961, 249487.174)
+    # second feature's boundary includes a stroked arc
+    g2 = wkb.loads(t["wkb"][1].as_py())
+    assert len(g2.rings[0]) > 8
