@@ -17,6 +17,7 @@ lcp per-band lists, ace2/nsidcbin probes).
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import struct
@@ -1089,4 +1090,164 @@ def decode_doq1(path: str):
                  4: "NAD83"}.get(int(field(buf, 167, 2)), "unknown")
         meta["crs"] = (f"EPSG:{32600 + zone}" if datum == "WGS84"
                        else f"UTM zone {zone} ({datum})")
+    return px, gt, None, meta
+
+
+# ---------------------------------------------------------------------------
+# CPG — Convair PolGASP polarimetric SAR (.img/.hdr)
+# (reference: frmts/raw/cpgdataset.cpp:274-828,1215-1330)
+# ---------------------------------------------------------------------------
+
+def _cpg_adjust(path: str, pol: str, ext: str) -> str | None:
+    """AdjustFilename analog (cpgdataset.cpp:229-268): substitute the
+    polarization substring (hh/hv/vv/vh) and reset the extension;
+    return the path if the file exists, else None."""
+    base = path
+    if len(pol) == 2:
+        low = base.lower()
+        idx = -1
+        for probe in ("hh", "hv", "vv", "vh"):
+            idx = low.find(probe)
+            if idx >= 0:
+                break
+        if idx < 0:
+            return None
+        base = base[:idx] + pol + base[idx + 2:]
+    root, _ = os.path.splitext(base)
+    cand = root + "." + ext
+    return cand if os.path.exists(cand) else None
+
+
+def _cpg_parse_hdr(hdr_path: str):
+    """Parse the whitespace-token .hdr keywords the reference accepts
+    (cpgdataset.cpp:498-600)."""
+    lines = samples = 0
+    geo: dict = {}
+    utm: dict = {}
+    for raw in open(hdr_path, errors="replace"):
+        tok = raw.split()
+        if len(tok) < 2:
+            continue
+        k = tok[0].lower()
+        if len(tok) >= 3 and k == "reference" and tok[1].lower() == "north":
+            utm["north"] = float(tok[2])
+        elif len(tok) >= 3 and k == "reference" and tok[1].lower() == "east":
+            utm["east"] = float(tok[2])
+        elif len(tok) >= 5 and k == "reference" and \
+                tok[1].lower() == "projection" and tok[2].upper() == "UTM":
+            utm["zone"] = int(tok[4])
+        elif len(tok) >= 3 and k == "reference" and \
+                tok[1].lower() == "corner" and \
+                tok[2].lower().startswith("upper_left"):
+            utm["corner"] = True
+        elif k == "number_lines":
+            lines = int(tok[1])
+        elif k == "number_samples":
+            samples = int(tok[1])
+        elif (k == "header_offset" and int(tok[1]) != 0) or \
+                (k == "number_channels" and int(tok[1]) not in (1, 10)) or \
+                (k == "datatype" and int(tok[1]) != 1) or \
+                (k == "number_format" and
+                 tok[1].lower() not in ("float32", "int8")):
+            raise ValueError(f"CPG: keyword {k}={tok[1]} unsupported")
+        elif k == "altitude":
+            geo["altitude"] = float(tok[1])
+        elif k == "near_srd":
+            geo["near_srd"] = float(tok[1])
+        elif k == "sample_size":
+            geo["sample_size"] = float(tok[1])
+            utm["sample_size"] = float(tok[1])
+        elif k == "sample_size_az":
+            geo["sample_size_az"] = float(tok[1])
+            utm["sample_size_az"] = float(tok[1])
+        elif k == "transposed":
+            geo["transposed"] = int(tok[1])
+            utm["transposed"] = int(tok[1])
+    return lines, samples, geo, utm
+
+
+def decode_cpg(path: str):
+    """Convair PolGASP quad-pol SAR. Two layouts: SIRC compressed
+    scattering matrix (one interleaved 10-byte/pixel .img,
+    cpgdataset.cpp:1246-1330) and per-polarization big-endian
+    CFloat32 rasters (hh/hv/vv/vh .img set, :672-697). Returns
+    (h, w, 4) complex64 in band order HH, HV, VH, VV with 16
+    slant→ground pseudo-geocoding GCPs or a UTM geotransform,
+    matching the reference's iUTMParamsFound/iGeoParamsFound gates."""
+    name = os.path.basename(path)
+    is_sirc = name.upper().endswith(("SIRC.HDR", "SIRC.IMG"))
+
+    hdr = (_cpg_adjust(path, "", "hdr") if is_sirc
+           else _cpg_adjust(path, "hh", "hdr"))
+    if hdr is None:
+        raise ValueError(f"CPG: no header for {path}")
+    lines, samples, geo, utm = _cpg_parse_hdr(hdr)
+    if lines <= 0 or samples <= 0:
+        raise ValueError("CPG: missing number_lines/number_samples")
+
+    if is_sirc:
+        img = _cpg_adjust(path, "", "img")
+        raw = np.fromfile(img, np.int8)
+        raw = raw[:lines * samples * 10].reshape(lines, samples, 10)
+        # dcomp scaling: ysca = sqrt((byte2/254 + 1.5) * 2^byte1);
+        # component = byte(k) * ysca / 127   (cpgdataset.cpp:1243-1330)
+        scale = np.sqrt((raw[:, :, 1].astype(np.float64) / 254 + 1.5) *
+                        np.exp2(raw[:, :, 0].astype(np.float64))) / 127.0
+        comp = raw[:, :, 2:10].astype(np.float32)
+        px = np.empty((lines, samples, 4), np.complex64)
+        for b in range(4):
+            px[:, :, b] = ((comp[:, :, 2 * b] +
+                            1j * comp[:, :, 2 * b + 1]) *
+                           scale.astype(np.float32))
+        pols = ["HH", "HV", "VH", "VV"]
+    else:
+        bands = []
+        pols = ["hh", "hv", "vv", "vh"]      # dataset band order :628
+        for pol in pols:
+            img = _cpg_adjust(path, pol, "img")
+            if img is None:
+                raise ValueError(f"CPG: missing {pol} image")
+            arr = np.fromfile(img, ">c8")[:lines * samples]
+            bands.append(arr.reshape(lines, samples).astype(np.complex64))
+        px = np.stack(bands, axis=-1)
+
+    meta: dict = {"driver": "CPG", "MATRIX_REPRESENTATION": "SCATTERING",
+                  "polarizations": pols}
+    gt = None
+    if len(utm) == 7:                        # north/east/zone/corner + 3
+        north, east = utm["north"], utm["east"]
+        ss, ssa = utm["sample_size"], utm["sample_size_az"]
+        if utm.get("transposed"):
+            gt = (east, 0.0, ssa, north, -ss, 0.0)
+            north_center = north - samples * ss / 2.0
+        else:
+            gt = (east, ssa, 0.0, north, 0.0, -ss)
+            north_center = north - lines * ss / 2.0
+        zone = utm["zone"]
+        meta["crs"] = f"EPSG:{(32600 if north_center >= 0 else 32700) + zone}"
+    elif len(geo) == 5:
+        # 16 slant-range→ground-range GCPs (cpgdataset.cpp:742-828)
+        alt, near = geo["altitude"], geo["near_srd"]
+        ss, ssa = geo["sample_size"], geo["sample_size_az"]
+        gcps = []
+        for n in range(16):
+            if geo.get("transposed"):
+                gpix = (0.0 if n < 4 else samples / 3.0 if n < 8
+                        else 2.0 * samples / 3.0 if n < 12 else samples)
+                gline = lines * (n % 4) / 3.0
+                t = near + ss * gline
+                gy = -math.sqrt(max(t * t - alt * alt, 0.0))
+                gx = gpix * ssa
+            else:
+                gline = (0.0 if n < 4 else lines / 3.0 if n < 8
+                         else 2.0 * lines / 3.0 if n < 12 else lines)
+                gpix = samples * ((n % 4) / 3.0)
+                t = near + ss * gpix
+                gx = math.sqrt(max(t * t - alt * alt, 0.0))
+                gy = (lines - gline) * ssa
+            gcps.append({"id": str(n + 1), "pixel": gpix, "line": gline,
+                         "x": gx, "y": gy, "z": 0.0})
+        meta["gcps"] = gcps
+        meta["gcp_crs"] = ("LOCAL_CS[\"Ground range view / unreferenced "
+                           "meters\",UNIT[\"Meter\",1.0]]")
     return px, gt, None, meta

@@ -30,6 +30,21 @@ def overview_count(path: str) -> int:
     return len(read_overviews(path))
 
 
+def _is_cpg(path: str) -> bool:
+    """FindType1/2 gate (cpgdataset.cpp:274-319): a Convair PolGASP
+    name pattern AND the companion .hdr/.img must exist."""
+    name = os.path.basename(path)
+    sirc = name.upper().endswith(("SIRC.HDR", "SIRC.IMG"))
+    t1 = (("sso" in name.lower() or "polgasp" in name.lower())
+          and any(p in name.lower() for p in ("hh", "hv", "vv", "vh")))
+    if not (sirc or t1):
+        return False
+    from ..codecs.rawexotic import _cpg_adjust
+    pol = "" if sirc else "hh"
+    return bool(_cpg_adjust(path, pol, "hdr")
+                and _cpg_adjust(path, pol, "img"))
+
+
 def read_raster(path: str, overview: int | None = None):
     """Open any supported raster → (pixels (h, w[, b]), geotransform |
     None, nodata | None, meta dict).
@@ -138,6 +153,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "mpr":
         from ..codecs.ilwis import decode_ilwis
         px, gt, nodata, meta = decode_ilwis(path)
+    elif ext in ("hdr", "img") and _is_cpg(path):
+        from ..codecs.rawexotic import decode_cpg
+        px, gt, nodata, meta = decode_cpg(path)
     elif ext == "hdr" and b"IMAGINE_RAW_FILE" in _head(64):
         from ..codecs.rawexotic import decode_eir
         px, gt, nodata, meta = decode_eir(path)
