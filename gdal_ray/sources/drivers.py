@@ -346,6 +346,12 @@ def _read_ods(path):
     return read_ods_table(path)
 
 
+@_builtin("xls")
+def _read_xls(path):
+    from .xls import read_xls_table
+    return read_xls_table(path)
+
+
 @_builtin("dgn")
 def _read_dgn(path):
     from .dgn import read_dgn_table
