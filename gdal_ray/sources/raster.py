@@ -199,6 +199,15 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "bag":
         from ..codecs.bag import decode_bag
         px, gt, nodata, meta = decode_bag(open(path, "rb").read())
+    elif _head(8)[4:8] == b"\x3f\xc0\x12\x12" and \
+            _head(28)[16:28] == b"CEOS-SAR-CCT":
+        from ..codecs.sarceos import read_sar_ceos
+        sar = read_sar_ceos(path)
+        px = sar.pixels[0] if sar.pixels.shape[0] == 1 else \
+            np.moveaxis(sar.pixels, 0, -1)
+        meta = dict(sar.metadata)
+        if sar.gcps:
+            meta["gcps"] = sar.gcps
     elif _head(8)[4:8] == b"\x3f\xc0\x12\x12":
         from ..codecs.ceos import decode_ceos
         px, gt, nodata, meta = decode_ceos(path)
