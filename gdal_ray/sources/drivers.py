@@ -378,6 +378,16 @@ def _read_x10(path):
 
 @_builtin("000")
 def _read_s57(path):
+    # S-101 shares the .000 extension with S-57; identify it by the
+    # S-100 Part 10a DSID field structure in the DDR leader, like the
+    # reference's OGRS101DriverIdentify (ogrs101drivercore.cpp:24)
+    with open(path, "rb") as f:
+        leader = f.read(2048)
+    if (b"DSID" in leader and
+            b"RCNM!RCID!ENSP!ENED!PRSP!PRED!PROF!DSNM!DSTL!DSRD!DSLG!"
+            b"DSAB!DSED\\\\*DSTC" in leader):
+        from .s101 import read_s101_table
+        return read_s101_table(path)
     from .s57 import read_s57_table
     return read_s57_table(path)
 
