@@ -36,8 +36,11 @@ def decode_aaigrid(text: str):
     data = toks[i:i + ncols * nrows]
     if len(data) < ncols * nrows:
         raise ValueError("AAIGrid data shorter than ncols*nrows")
-    is_float = any(("." in d or "e" in d or "E" in d) for d in data) or \
-        "." in kv.get("nodata_value", "")
+    is_float = any(("." in d or "e" in d or "E" in d
+                    or d.lower() in ("nan", "-nan", "inf", "-inf"))
+                   for d in data) or \
+        "." in kv.get("nodata_value", "") or \
+        kv.get("nodata_value", "").lower() in ("nan", "-nan")
     arr = np.array(data, np.float64 if is_float else np.int32) \
         .reshape(nrows, ncols)
     dx = float(kv.get("dx", kv.get("cellsize", 1.0)))

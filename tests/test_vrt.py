@@ -124,3 +124,233 @@ class TestBuildVrt:
         open(p, "wb").write(encode(np.zeros((4, 4), np.uint8)))
         with pytest.raises(ValueError, match="no geotransform"):
             build_vrt([p])
+
+
+# ---------------------------------------------------------------------------
+# round-5 VRT sub-features: kernel filter, LUT, raw bands, overviews,
+# mask band, warped VRT, derived-band pixel functions
+# ---------------------------------------------------------------------------
+
+GDD = "/root/reference/autotest/gdrivers/data"
+GCD = "/root/reference/autotest/gcore/data"
+
+
+def _cs(a):
+    from gdal_ray.core.checksum import checksum
+    return checksum(a)
+
+
+class TestVrtFilters:
+    def test_avfilt(self):
+        # vrtfilt.py test_vrtfilt_1: 3x3 box kernel over rgbsmall
+        from gdal_ray.sources.vrt import read_vrt
+        assert _cs(read_vrt(f"{GDD}/vrt/avfilt.vrt").pixels) == 21890
+
+    def test_avfilt_nodata(self):
+        # vrtfilt_2: nodata-aware normalized average of a black/white
+        # checkerboard (black = nodata) leaves it unchanged
+        from gdal_ray.sources.raster import read_raster
+        from gdal_ray.sources.vrt import read_vrt
+        src = read_raster(f"{GDD}/vrt/test_vrt_filter_nodata.tif")[0]
+        ds = read_vrt(f"{GDD}/vrt/avfilt_nodata.vrt")
+        assert _cs(ds.pixels) == _cs(src)
+
+
+class TestVrtLut:
+    def test_byte_lut(self):
+        # vrtlut.py test_vrtlut_1
+        from gdal_ray.sources.vrt import read_vrt
+        assert _cs(read_vrt(f"{GDD}/vrt/byte_lut.vrt").pixels) == 4655
+
+    def test_lut_with_nan(self):
+        # vrtlut.py test_vrtlut_with_nan
+        from gdal_ray.sources.vrt import read_vrt
+        ds = read_vrt(f"{GDD}/vrt/lut_with_nan.vrt")
+        assert ds.pixels.ravel().tolist() == [0, 10, 10, 15, 20, 20]
+
+
+class TestVrtRaw:
+    def test_small_vrt(self):
+        # vrtrawlink.py test_vrtrawlink_1: band 2 has a negative
+        # (bottom-up) LineOffset
+        from gdal_ray.sources.vrt import read_vrt
+        ds = read_vrt(f"{GDD}/small.vrt")
+        assert _cs(ds.pixels[:, :, 1]) == 12816
+        # band 1 is the same payload top-down: mirror of band 2
+        assert (ds.pixels[::-1, :, 0] == ds.pixels[:, :, 1]).all()
+
+
+class TestVrtOverview:
+    def test_overview_element(self, tmp_path):
+        # vrtovr.py test_vrtovr_1
+        from gdal_ray.sources.vrt import read_vrt
+        xml = f"""<VRTDataset rasterXSize="20" rasterYSize="20">
+  <VRTRasterBand dataType="Byte" band="1">
+    <SimpleSource>
+      <SourceFilename relativeToVRT="0">{GCD}/byte.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+    </SimpleSource>
+    <Overview>
+      <SourceFilename relativeToVRT="0">{GCD}/int16.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+    </Overview>
+  </VRTRasterBand>
+</VRTDataset>"""
+        p = tmp_path / "ovr.vrt"
+        p.write_text(xml)
+        ds = read_vrt(str(p))
+        assert len(ds.overviews) == 1
+        ov = read_vrt(str(p), overview=0)
+        assert _cs(ov.pixels) == 4672
+
+
+class TestVrtMask:
+    def test_per_dataset_mask(self, tmp_path):
+        # vrtmask.py test_vrtmask_1
+        from gdal_ray.sources.vrt import read_vrt
+        xml = f"""<VRTDataset rasterXSize="20" rasterYSize="20">
+  <VRTRasterBand dataType="Byte" band="1">
+    <SimpleSource>
+      <SourceFilename relativeToVRT="0">{GCD}/byte.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+    </SimpleSource>
+  </VRTRasterBand>
+  <MaskBand>
+      <VRTRasterBand dataType="Byte">
+        <SimpleSource>
+          <SourceFilename relativeToVRT="0">{GCD}/byte.tif</SourceFilename>
+          <SourceBand>1</SourceBand>
+        </SimpleSource>
+      </VRTRasterBand>
+  </MaskBand>
+</VRTDataset>"""
+        p = tmp_path / "mask.vrt"
+        p.write_text(xml)
+        ds = read_vrt(str(p))
+        assert ds.mask is not None
+        assert _cs(ds.mask) == 4672
+
+
+class TestVrtWarp:
+    def test_rgb_warp(self):
+        # vrtwarp.py test_vrtwarp_1: GCP order-1 polynomial warped VRT
+        from gdal_ray.sources.vrt import read_vrt
+        ds = read_vrt(f"{GDD}/vrt/rgb_warp.vrt")
+        assert ds.pixels.shape == (50, 50, 3)
+        assert _cs(ds.pixels[:, :, 1]) == 21504
+
+
+class TestPixelFunctions:
+    """gcore/pixfun.py expression parity over the reference's own
+    pixfun_*.vrt fixtures (pixelfunctions.cpp builtins)."""
+
+    @pytest.fixture(scope="class")
+    def refs(self):
+        from gdal_ray.sources.raster import read_raster
+        return {n: read_raster(f"{GCD}/{n}.tif")[0]
+                for n in ("cint_sar", "int32", "float32", "uint16",
+                          "cfloat64")}
+
+    def _d(self, name):
+        from gdal_ray.sources.vrt import read_vrt
+        return read_vrt(f"{GCD}/vrt/pixfun_{name}.vrt").pixels
+
+    def test_real_imag_conj(self, refs):
+        cint, int32 = refs["cint_sar"], refs["int32"]
+        assert (self._d("real_c") == cint.real).all()
+        assert (self._d("real_r") == int32.real).all()
+        assert (self._d("imag_c") == cint.imag).all()
+        assert (self._d("imag_r") == 0).all()
+        assert (self._d("conj_c") == np.conj(cint)).all()
+        assert (self._d("conj_r") == np.conj(int32)).all()
+
+    def test_complex_polar(self, refs):
+        int32 = refs["int32"].astype(np.float64)
+        assert np.allclose(self._d("complex"), int32 + 1j * int32)
+        assert np.allclose(self._d("polar"), int32 * np.exp(1j * int32))
+        assert np.allclose(self._d("polar_amplitude"),
+                           int32 * np.exp(1j * int32))
+        assert np.allclose(self._d("polar_intensity"),
+                           np.sqrt(int32) * np.exp(1j * int32))
+        assert np.allclose(self._d("polar_dB"),
+                           10 ** (int32 / 20) * np.exp(1j * int32))
+
+    def test_mod_phase(self, refs):
+        cint, int32 = refs["cint_sar"], refs["int32"]
+        assert np.allclose(self._d("mod_c"), np.abs(cint))
+        assert (self._d("mod_r") == np.abs(int32)).all()
+        assert np.allclose(self._d("phase_c"),
+                           np.arctan2(cint.imag, cint.real))
+        imagc = self._d("imag_c")
+        assert (self._d("phase_r") == np.arctan2(0, imagc)).all()
+        assert (self._d("phase_unsigned") == 0).all()
+
+    def test_sum_diff(self, refs):
+        u16 = refs["uint16"]
+        i32 = refs["int32"].astype(np.float64)
+        f32 = refs["float32"]
+        cint, cf64 = refs["cint_sar"], refs["cfloat64"]
+        assert (self._d("sum_r") == u16 + i32 + f32).all()
+        assert (self._d("sum_c") ==
+                (u16[:6, :5] + cint + cf64[:6, :5]).astype(
+                    np.complex128)).all()
+        assert (self._d("sum_k") == 2.0 + u16 + i32 + f32).all()
+        assert (self._d("diff_r") ==
+                (refs["int32"][:6, :5].astype(np.float64) -
+                 f32[10:16, 10:15]).astype(np.float32)).all()
+        assert (self._d("diff_c") ==
+                (cint - cf64[:6, :5]).astype(np.complex64)).all()
+
+    def test_mul_div(self, refs):
+        u16 = refs["uint16"]
+        i32 = refs["int32"].astype(np.float64)
+        f32 = refs["float32"]
+        cint, cf64 = refs["cint_sar"], refs["cfloat64"]
+        assert (self._d("mul_r") == u16 * i32 * f32).all()
+        assert (self._d("mul_c") ==
+                (cint * cint).astype(np.complex64)).all()
+        assert (self._d("mul_k") == 2.0 * u16 * i32 * f32).all()
+        assert (self._d("div_r") ==
+                (refs["int32"][:6, :5].astype(np.float64) /
+                 f32[10:16, 10:15].astype(np.float64)).astype(
+                     np.float32)).all()
+        assert (self._d("div_c") ==
+                (cf64[:6, :5] / cint).astype(np.complex64)).all()
+        assert (self._d("cmul_c") ==
+                (cint * cint.conj()).astype(np.complex64)).all()
+        assert (self._d("cmul_r") ==
+                (u16.astype(np.float64) *
+                 np.conj(refs["int32"])).astype(np.complex64)).all()
+
+    def test_inv_intensity(self, refs):
+        u16, cint = refs["uint16"], refs["cint_sar"]
+        f32 = refs["float32"]
+        assert np.allclose(self._d("inv_r"), 1.0 / u16)
+        assert np.allclose(self._d("inv_c"),
+                           (1.0 / cint).astype(np.complex64))
+        assert np.allclose(self._d("inv_k"), 2.0 / f32.astype(
+            np.float64))
+        assert (self._d("intensity_c") ==
+                (cint * cint.conj()).real).all()
+        assert np.allclose(self._d("intensity_r"),
+                           f32.astype(np.float64) ** 2)
+
+    def test_log_exp(self, refs):
+        f32 = refs["float32"].astype(np.float64)
+        cint = refs["cint_sar"]
+        assert np.allclose(self._d("sqrt"), np.sqrt(f32))
+        assert np.allclose(self._d("log10_r"), np.log10(f32))
+        assert np.allclose(self._d("log10_c"),
+                           np.log10(np.abs(cint)).astype(np.float32))
+        assert np.allclose(self._d("dB_r"), 20 * np.log10(np.abs(f32)))
+        assert np.allclose(self._d("dB_c"), 20 * np.log10(np.abs(cint)))
+        assert np.allclose(self._d("dB2amp"), 10.0 ** (f32 / 20))
+        assert np.allclose(self._d("dB2pow"), 10.0 ** (f32 / 10))
+        assert np.allclose(self._d("exp"), np.exp(f32))
+        assert np.allclose(self._d("pow"), f32 ** 3.14)
+
+    def test_norm_diff(self, refs):
+        a = refs["int32"][:6, :5].astype(np.float64)
+        b = refs["float32"][10:16, 10:15].astype(np.float64)
+        assert np.allclose(self._d("norm_diff_r"),
+                           ((a - b) / (a + b)).astype(np.float32))
