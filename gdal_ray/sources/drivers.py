@@ -244,6 +244,12 @@ def _read_mif(path):
     return read_mif_table(path)
 
 
+@_builtin("tab")
+def _read_tab(path):
+    from .tab import read_tab_table
+    return read_tab_table(path)
+
+
 @_builtin("dxf")
 def _read_dxf(path):
     from .dxf import read_dxf_table
