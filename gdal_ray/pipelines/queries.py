@@ -1801,6 +1801,67 @@ def q_rl2_roundtrip(sf_dir: str):
     return files.map_batches(stats, batch_format="pyarrow")
 
 
+def q_pdf_roundtrip(sf_dir: str):
+    """Geospatial PDF driver end-to-end (codecs/pdf.py, reader+writer
+    new this round; reference frmts/pdf/pdfdataset.cpp +
+    pdfcreatecopy.cpp): write the lossless corpus half as single-page
+    ISO 32000 /VP-georeferenced PDFs (FlateDecode image XObjects),
+    read them back by walking the content stream and decoding the
+    XObjects directly (no renderer library), and emit per-image band
+    stats — bit-lossless, so rows hash-match the closed-form pixel
+    oracle."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..codecs import decode as _dec
+    from ..codecs.pdf import read_pdf, write_pdf
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+
+    out_dir = "/tmp/gdal_ray_pdf_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            gt = tuple(float(g[i]) for g in gts)
+            write_pdf(px[:, :, 0],
+                      gt,
+                      os.path.join(out_dir,
+                                   f"{t['image_id'][i].as_py()}.pdf"),
+                      crs="EPSG:3857", epsg=3857)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(out_dir, include_paths=True,
+                                 file_extensions=["pdf"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs = [], [], [], []
+        for path in t["path"].to_pylist():
+            px, gt, nd, meta = read_pdf(path)
+            b0 = (px if px.ndim == 2 else px[:, :, 0]).astype(np.float64)
+            ids.append(os.path.basename(path)[:-4])
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
 def q_sqlite_roundtrip(sf_dir: str):
     """SQLite vector driver end-to-end (sources/sqlitevec.py, new this
     round; reference ogr/ogrsf_frmts/sqlite): polygon layer -> OGR-style
@@ -4314,8 +4375,8 @@ QUERIES = {
     "ann_cosine": q_ann_cosine,
     "lang_filter_sample": q_lang_filter_sample,
     "running_sum": q_running_sum,
+    "pdf_roundtrip": q_pdf_roundtrip,
     "sessionize": q_sessionize,
-    "histogram": q_histogram,
     "count_distinct": q_count_distinct,
     "doc_quality": q_doc_quality,
     # --- OGR SQL dialect (identical string runs in DuckDB) ---
@@ -4351,6 +4412,7 @@ QUERIES = {
     "gpkg_raster_roundtrip": q_gpkg_raster_roundtrip,
     "ntv2_shift": q_ntv2_shift,
     "rl2_roundtrip": q_rl2_roundtrip,
+    "histogram": q_histogram,
     "mvt_roundtrip": q_mvt_roundtrip,
     "gmt_roundtrip": q_gmt_roundtrip,
     "mrf_roundtrip": q_mrf_roundtrip,
@@ -4513,6 +4575,7 @@ def oracle_sql() -> dict[str, str]:
         "gmt_roundtrip": _OR.sql_gmt_roundtrip(30),
         "mrf_roundtrip": _OR.sql_raster_stats(32),
         "rl2_roundtrip": _OR.sql_raster_stats(32),
+        "pdf_roundtrip": _OR.sql_raster_stats(32),
         "sqlite_roundtrip": _OR.sql_sqlite_roundtrip(30),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),

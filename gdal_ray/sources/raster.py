@@ -137,6 +137,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("kap", "no1"):
         from ..codecs.bsb import decode_bsb
         px, gt, nodata, meta = decode_bsb(open(path, "rb").read())
+    elif ext == "pdf":
+        from ..codecs.pdf import read_pdf
+        px, gt, nodata, meta = read_pdf(path)
     elif ext == "hgt" and not os.path.exists(path + ".rsc"):
         from ..codecs.srtmhgt import decode_hgt
         px, gt, nodata = decode_hgt(open(path, "rb").read(), path)
