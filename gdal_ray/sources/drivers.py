@@ -250,6 +250,12 @@ def _read_tab(path):
     return read_tab_table(path)
 
 
+@_builtin("dwg")
+def _read_dwg(path):
+    from .cad import read_dwg_table
+    return read_dwg_table(path)
+
+
 @_builtin("dxf")
 def _read_dxf(path):
     from .dxf import read_dxf_table
