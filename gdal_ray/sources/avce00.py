@@ -189,8 +189,21 @@ def read_e00_layers(path: str) -> dict[str, pa.Table]:
         else:
             i += 1
 
-    out: dict[str, pa.Table] = {}
     crs = " ".join(prj_lines) if prj_lines else None
+    return build_avc_layers(arcs, labs, pals, tables, crs)
+
+
+def build_avc_layers(arcs, labs, pals, tables, crs=None
+                     ) -> dict[str, pa.Table]:
+    """Shared ARC/LAB/PAL layer assembly for the E00 text and the
+    binary coverage readers (same primitives, same joins — the
+    reference's ogravclayer.cpp models both drivers the same way).
+
+    arcs: (arcid, userid, fnode, tnode, lpoly, rpoly, pts) tuples;
+    labs: (labid, polyid, x, y); pals: per-polygon
+    (arcid, fnode, adjpoly) lists (universe polygon first);
+    tables: {name: (field_names, records)}."""
+    out: dict[str, pa.Table] = {}
 
     def finish(cols: dict, geoms, extra_meta=None):
         fids = list(range(len(geoms)))
