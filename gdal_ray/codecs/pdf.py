@@ -837,7 +837,8 @@ def _parse_vp(pdf: PdfFile, vp, media_w, media_h, nx, ny):
 # ------------------------------------------------------------ read API
 
 
-def read_pdf(path_or_bytes, dpi: float | None = None, page: int = 1):
+def read_pdf(path_or_bytes, dpi: float | None = None, page: int = 1,
+             pixels: bool = True):
     """Open a (geospatial) PDF -> (pixels, gt, nodata, meta).
 
     dpi=None applies the reference's DPI guess: size the raster so the
@@ -857,7 +858,7 @@ def read_pdf(path_or_bytes, dpi: float | None = None, page: int = 1):
     pw, ph = x2 - x1, y2 - y1
     user_unit = float(pdf.resolve(pg.get("UserUnit", 1)) or 1)
 
-    placed = _placed_images(pdf, pg)
+    placed = _placed_images(pdf, pg) if pixels or dpi is None else []
     if dpi is None:
         guess = 150.0
         found = False
@@ -870,10 +871,33 @@ def read_pdf(path_or_bytes, dpi: float | None = None, page: int = 1):
                 if not found or dx > guess:
                     guess = max(dx, dy)
                     found = True
-        dpi = round(guess, 5) if found else 150.0
+        if found:
+            dpi = round(guess, 5)
+        elif "UserUnit" in pg:
+            # page /UserUnit overrides: dpi = userunit * 72
+            # (pdfdataset.cpp GuessDPIAndBandCount tail)
+            dpi = user_unit * 72.0
+            user_unit = 1.0
+        else:
+            dpi = 150.0
     usr = dpi / 72.0 * user_unit
     nx = int(pw * usr + 0.5)
     ny = int(ph * usr + 0.5)
+
+    if not pixels:
+        gt = srs = neat = None
+        meta = {"dpi": dpi, "size": (nx, ny), "page_size": (pw, ph)}
+        lgi = pg.get("LGIDict")
+        vp = pg.get("VP")
+        if lgi is not None:
+            gt, srs, neat = _parse_lgidict(pdf, lgi, y2, usr)
+        elif vp is not None:
+            gt, srs, neat = _parse_vp(pdf, vp, pw, ph, nx, ny)
+        if srs:
+            meta["crs"] = srs
+        if neat:
+            meta["neatline"] = neat
+        return None, gt, None, meta
 
     # composite the placed images onto the raster canvas
     nbands = 1
