@@ -1838,6 +1838,19 @@ FROM polys
 """
 
 
+
+def sql_pdfvec_roundtrip(m: int = 25) -> str:
+    """PDF vector write→read keeps ~1e-8 relative coordinate
+    precision (10-decimal page units), well inside the 3-decimal
+    km² area rounding; category rides the UserProperties."""
+    return f"""
+WITH {sql_polygons_cte(m)}
+SELECT fid,
+       ROUND({sql_polygon_area_expr()} / 1e6, 3) AS area_km2_pdf,
+       CASE fid % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS category
+FROM polys
+"""
+
 def sql_dxf_roundtrip(m: int = 25) -> str:
     """DXF HATCH write→read is lossless (repr() coordinates; ring
     reassembly by containment), category rides the Layer code."""

@@ -2919,6 +2919,41 @@ def q_gml_roundtrip(sf_dir: str):
     return read_gml(path).map_batches(stats, batch_format="pyarrow")
 
 
+def q_pdfvec_roundtrip(sf_dir: str):
+    """PDF vector driver end-to-end (sources/pdfvec.py, new this
+    round; reference frmts/pdf/pdfreadvectors.cpp +
+    pdfcreatecopy.cpp): polygon layer → vector PDF (OCG layer, MCID
+    marked content, structure-tree UserProperties attributes) → read
+    back through the content-stream walker → per-fid areas +
+    category pass-through; the same closed-form area oracle as
+    gml_roundtrip (page-coordinate formatting keeps ~1e-8 relative
+    precision, far inside the 3-decimal km² rounding)."""
+    import os
+    import tempfile
+    from ..core import wkb as _W
+    from ..core.geom import area as _area
+    from ..sources.pdfvec import read_pdf_layers, write_pdf_vector
+    from ..sources.vector import polygons_table
+
+    src = polygons_table(25)
+    d = tempfile.mkdtemp(prefix="pdfvec_", dir="/tmp")
+    path = os.path.join(d, "layer.pdf")
+    write_pdf_vector({"polys": src}, path, epsg=3857, crs="EPSG:3857")
+
+    import ray.data as rd
+    t = read_pdf_layers(path)["polys"]
+
+    def stats(t: pa.Table) -> pa.Table:
+        areas = [_half_away([_area(_W.loads(b)) / 1e6], 3)[0]
+                 for b in t["wkb"].to_pylist()]
+        return pa.table({
+            "fid": pa.array(sorted(range(t.num_rows)), pa.int64()),
+            "area_km2_pdf": pa.array(areas, pa.float64()),
+            "category": t["category"]})
+
+    return rd.from_arrow(t).map_batches(stats, batch_format="pyarrow")
+
+
 def q_dxf_roundtrip(sf_dir: str):
     """DXF driver end-to-end (write side new in r4): polygon layer →
     HATCH entities (one boundary path per ring, category on the Layer
@@ -4377,7 +4412,7 @@ QUERIES = {
     "running_sum": q_running_sum,
     "pdf_roundtrip": q_pdf_roundtrip,
     "sessionize": q_sessionize,
-    "count_distinct": q_count_distinct,
+    "pdfvec_roundtrip": q_pdfvec_roundtrip,
     "doc_quality": q_doc_quality,
     # --- OGR SQL dialect (identical string runs in DuckDB) ---
     "vector_sql": q_vector_sql,
@@ -4413,6 +4448,7 @@ QUERIES = {
     "ntv2_shift": q_ntv2_shift,
     "rl2_roundtrip": q_rl2_roundtrip,
     "histogram": q_histogram,
+    "count_distinct": q_count_distinct,
     "mvt_roundtrip": q_mvt_roundtrip,
     "gmt_roundtrip": q_gmt_roundtrip,
     "mrf_roundtrip": q_mrf_roundtrip,
@@ -4576,6 +4612,7 @@ def oracle_sql() -> dict[str, str]:
         "mrf_roundtrip": _OR.sql_raster_stats(32),
         "rl2_roundtrip": _OR.sql_raster_stats(32),
         "pdf_roundtrip": _OR.sql_raster_stats(32),
+        "pdfvec_roundtrip": _OR.sql_pdfvec_roundtrip(25),
         "sqlite_roundtrip": _OR.sql_sqlite_roundtrip(30),
         "netcdf_roundtrip": _OR.sql_raster_stats(64),
         "audio_features_wav": _OR.sql_audio_features_wav(48),

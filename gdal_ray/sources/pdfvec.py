@@ -461,7 +461,7 @@ def read_pdf_layers(path, *, non_structured: bool = False,
 
     def emit(layer, geom):
         if isinstance(layer, tuple) and layer[0] == "__mcid__":
-            mcid_geom[layer[1]] = geom
+            mcid_geom.setdefault(layer[1], []).append(geom)
         else:
             feats.setdefault(str(layer), []).append((geom, {}))
 
@@ -482,6 +482,23 @@ def read_pdf_layers(path, *, non_structured: bool = False,
             continue
         out[name] = _finish_table(rows)
     return out
+
+
+def _merge_parts(parts):
+    """Several paint emits under one /MCID combine into a multi
+    geometry (one feature = one marked-content block)."""
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    kinds = {g.geom_type for g in parts}
+    if kinds == {W.POLYGON}:
+        return W.Geometry(W.MULTIPOLYGON, parts=list(parts))
+    if kinds == {W.LINESTRING}:
+        return W.Geometry(W.MULTILINESTRING, parts=list(parts))
+    if kinds == {W.POINT}:
+        return W.Geometry(W.MULTIPOINT, parts=list(parts))
+    return W.collection(list(parts))
 
 
 def _walk_struct_tree(pdf, node, mcid_geom, feats, depth=0,
@@ -518,7 +535,7 @@ def _walk_struct_tree(pdf, node, mcid_geom, feats, depth=0,
                                 v = v.decode("utf-8", "replace")
                             if nm:
                                 attrs[str(nm)] = v
-                g = mcid_geom.get(mcid)
+                g = _merge_parts(mcid_geom.get(mcid))
                 if g is not None or attrs:
                     rows.append((g, attrs))
         else:
@@ -586,7 +603,7 @@ _KAPPA = 0.5522847498307933
 
 
 def _fmt(v: float) -> str:
-    return f"{v:.6f}".rstrip("0").rstrip(".")
+    return f"{v:.10f}".rstrip("0").rstrip(".")
 
 
 def write_pdf_vector(layers: dict[str, pa.Table], path: str, *,
@@ -793,5 +810,23 @@ def _geom_ops(g, to_page, r) -> str:
                            f"{'m' if i == 0 else 'l'}")
             ops.append("h")
         return "\n".join(ops) + "\nf*\n"
-    # multi parts: concatenate
+    if t == W.MULTIPOLYGON:
+        ops = []
+        for part in g.parts:
+            for ring in part.rings:
+                for i, (x, y) in enumerate(np.asarray(ring)[:-1]):
+                    px, py = to_page(x, y)
+                    ops.append(f"{_fmt(px)} {_fmt(py)} "
+                               f"{'m' if i == 0 else 'l'}")
+                ops.append("h")
+        return "\n".join(ops) + "\nf*\n"
+    if t == W.MULTILINESTRING:
+        ops = []
+        for part in g.parts:
+            for i, (x, y) in enumerate(part.coords):
+                px, py = to_page(x, y)
+                ops.append(f"{_fmt(px)} {_fmt(py)} "
+                           f"{'m' if i == 0 else 'l'}")
+        return "\n".join(ops) + "\nS\n"
+    # other multi parts: concatenate (reader merges same-MCID parts)
     return "".join(_geom_ops(p, to_page, r) for p in g.parts)
