@@ -539,8 +539,10 @@ class DwgFile:
                     pts.append([x, y])
                 _extrusion(rd)
             else:
+                # 3DFACE (r2000.cpp get3DFace): has-no-flags bit FIRST,
+                # then z-is-zero; corner z is DD-chained even when zero
+                has_no_flags = rd.bit()
                 zzero = rd.bit()
-                onlyflags = rd.bit()
                 x, y = rd.rd(), rd.rd()
                 z = 0.0 if zzero else rd.rd()
                 pts = [[x, y]]
@@ -548,10 +550,9 @@ class DwgFile:
                 for _ in range(3):
                     x = rd.dd(pts[-1][0])
                     y = rd.dd(pts[-1][1])
-                    if not zzero:
-                        zprev = rd.dd(zprev)
+                    zprev = rd.dd(zprev)
                     pts.append([x, y])
-                if not onlyflags:
+                if not has_no_flags:
                     rd.bs()
             ring = np.array(pts + [pts[0]], np.float64)
             geom = W.Geometry(W.POLYGON, rings=[ring])
