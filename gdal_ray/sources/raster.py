@@ -140,6 +140,13 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "pdf":
         from ..codecs.pdf import read_pdf
         px, gt, nodata, meta = read_pdf(path)
+    elif ext == "cphd":
+        from ..codecs.cphd import read_cphd
+        cf = read_cphd(path)
+        ch = next(iter(cf.channels.values()))
+        px = ch.signal
+        meta = dict(cf.attributes)
+        meta["pvp"] = ch.pvp
     elif ext == "hgt" and not os.path.exists(path + ".rsc"):
         from ..codecs.srtmhgt import decode_hgt
         px, gt, nodata = decode_hgt(open(path, "rb").read(), path)
