@@ -72,6 +72,16 @@ def read_raster(path: str, overview: int | None = None):
         nd = getattr(g, "nodata", None)
         return px, gt, nd if nd is not None else nodata, meta
 
+    if path.startswith("E57:"):
+        # E57:"file":subdataset pseudo-path (e57driver.cpp Open)
+        import re as _re
+        from ..codecs.e57 import read_e57
+        m = _re.match(r'^E57:"([^"]+)":(.+)$', path) or \
+            _re.match(r"^E57:(.+):([^:]+)$", path)
+        if not m:
+            raise ValueError(f"malformed E57 subdataset path {path!r}")
+        return read_e57(m.group(1), subdataset=m.group(2))
+
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     gt = nodata = None
     meta: dict = {}
@@ -140,6 +150,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "pdf":
         from ..codecs.pdf import read_pdf
         px, gt, nodata, meta = read_pdf(path)
+    elif ext == "e57":
+        from ..codecs.e57 import read_e57
+        px, gt, nodata, meta = read_e57(path)
     elif ext == "cphd":
         from ..codecs.cphd import read_cphd
         cf = read_cphd(path)
