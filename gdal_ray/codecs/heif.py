@@ -1,0 +1,564 @@
+"""HEIF / AVIF container reader (ISOBMFF) with ISO 23001-17
+uncompressed-codec pixel decode and GeoHEIF georeferencing.
+
+The reference driver (frmts/heif/heifdataset.cpp) wraps libheif; this
+module parses the ISOBMFF structure directly:
+
+- ``ftyp`` brand identification mirroring libheif's
+  ``heif_check_filetype`` accepted set (the autotest
+  test_identify_various table);
+- ``meta`` box: ``hdlr`` (pict), ``pitm``, ``iinf``/``infe`` v2,
+  ``iloc`` (versions 0-2, construction method 0), ``iref``
+  (thumbnail/auxiliary/cdsc links), ``iprp``/``ipco`` + ``ipma``
+  property associations;
+- pixels decoded for ``unci`` items (ISO 23001-17 ``uncC`` + ``cmpd``:
+  planar or pixel interleave, 8/16-bit, tiling with row-major tiles);
+  HEVC (``hvc1``) and AV1 (``av01``) payloads are exposed
+  metadata-only with ``meta['codec']`` naming the missing decoder;
+- GeoHEIF properties (gcore/geoheif.cpp): ``mtxf`` model transform →
+  geotransform (payload double order gt[1],gt[2],gt[0],gt[4],gt[5],
+  gt[3]), ``tiep`` tie points → GCPs (u32 pixel/line + f64 X/Y[/Z],
+  flags bit0 clear = 3D), ``mcrs`` CRS in wkt2 / crsu URL / curi
+  ``[AUTH:CODE]`` encodings;
+- ``udes`` user description → ``DESCRIPTION[_lang]`` metadata
+  domain (NAME/DESCRIPTION/TAGS);
+- ``Exif`` items (4-byte TIFF-header offset prefix then a TIFF IFD,
+  both endians, EXIF sub-IFD followed) and XMP ``mime`` items.
+
+Multi-image files list subdatasets as ``HEIF:<n>:<path>`` exactly
+like the reference (heifdataset.cpp OpenHEIF subdataset syntax).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["read_heif", "identify_heif"]
+
+# libheif heif_check_filetype accepted brands (major or compatible) —
+# conformance target: autotest/gdrivers/heif.py test_identify_various
+_BRANDS = {b"heic", b"heix", b"heim", b"heis", b"hevc", b"hevx",
+           b"hevm", b"hevs", b"mif1", b"mif2", b"msf1", b"miaf",
+           b"avif", b"avis", b"jpeg", b"j2ki"}
+
+_IMAGE_ITEM_TYPES = {b"unci", b"hvc1", b"av01", b"j2k1", b"jpeg",
+                     b"grid", b"iden", b"iovl"}
+
+_CODEC_NAME = {b"hvc1": "hevc", b"av01": "av1", b"j2k1": "j2k",
+               b"jpeg": "jpeg", b"grid": "grid", b"iden": "identity",
+               b"iovl": "overlay"}
+
+
+def identify_heif(header: bytes) -> bool:
+    """ftyp brand check (major brand or any compatible brand in the
+    accepted set)."""
+    if len(header) < 16 or header[4:8] != b"ftyp":
+        return False
+    size = struct.unpack(">I", header[:4])[0]
+    if size < 16 or size % 4:
+        return False
+    if header[8:12] in _BRANDS:
+        return True
+    for off in range(16, min(size, len(header)) - 3, 4):
+        if header[off:off + 4] in _BRANDS:
+            return True
+    return False
+
+
+def _iter_boxes(buf, start, end):
+    off = start
+    while off + 8 <= end:
+        size, typ = struct.unpack_from(">I4s", buf, off)
+        hdr = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def _find_box(buf, typ, start, end):
+    for t, s, e in _iter_boxes(buf, start, end):
+        if t == typ:
+            return s, e
+    return None
+
+
+class _Meta:
+    """Parsed 'meta' box state."""
+
+    def __init__(self):
+        self.primary = None
+        self.items = {}        # id -> (type4cc, name)
+        self.mime = {}         # id -> content_type
+        self.iloc = {}         # id -> (base, [(off, len), ...], method)
+        self.ipco = []         # [(type4cc, payload-bytes)]
+        self.ipma = {}         # id -> [prop index (1-based)]
+        self.irefs = []        # (ref_type, from_id, [to_ids])
+
+
+def _parse_meta(buf, s, e):
+    m = _Meta()
+    s += 4  # full-box version/flags
+    for typ, bs, be in _iter_boxes(buf, s, e):
+        if typ == b"pitm":
+            ver = buf[bs]
+            m.primary = struct.unpack_from(">I" if ver else ">H",
+                                           buf, bs + 4)[0]
+        elif typ == b"iinf":
+            ver = buf[bs]
+            n_off = bs + 4
+            if ver == 0:
+                count = struct.unpack_from(">H", buf, n_off)[0]
+                n_off += 2
+            else:
+                count = struct.unpack_from(">I", buf, n_off)[0]
+                n_off += 4
+            for t2, s2, e2 in _iter_boxes(buf, n_off, be):
+                if t2 != b"infe":
+                    continue
+                iver = buf[s2]
+                p = s2 + 4
+                if iver >= 3:
+                    iid = struct.unpack_from(">I", buf, p)[0]
+                    p += 4
+                else:
+                    iid = struct.unpack_from(">H", buf, p)[0]
+                    p += 2
+                p += 2  # protection index
+                ityp = buf[p:p + 4]
+                p += 4
+                nend = buf.index(b"\x00", p)
+                name = buf[p:nend].decode("utf-8", "replace")
+                m.items[iid] = (ityp, name)
+                if ityp == b"mime":
+                    p = nend + 1
+                    cend = buf.index(b"\x00", p)
+                    m.mime[iid] = buf[p:cend].decode("utf-8", "replace")
+        elif typ == b"iloc":
+            ver = buf[bs]
+            p = bs + 4
+            b0 = buf[p]
+            offset_size, length_size = b0 >> 4, b0 & 15
+            b1 = buf[p + 1]
+            base_offset_size = b1 >> 4
+            index_size = b1 & 15 if ver in (1, 2) else 0
+            p += 2
+            if ver < 2:
+                count = struct.unpack_from(">H", buf, p)[0]
+                p += 2
+            else:
+                count = struct.unpack_from(">I", buf, p)[0]
+                p += 4
+
+            def _rd(width, pos):
+                if width == 0:
+                    return 0, pos
+                if width == 4:
+                    return struct.unpack_from(">I", buf, pos)[0], pos + 4
+                if width == 8:
+                    return struct.unpack_from(">Q", buf, pos)[0], pos + 8
+                raise ValueError(f"iloc field width {width}")
+
+            for _ in range(count):
+                if ver < 2:
+                    iid = struct.unpack_from(">H", buf, p)[0]
+                    p += 2
+                else:
+                    iid = struct.unpack_from(">I", buf, p)[0]
+                    p += 4
+                method = 0
+                if ver in (1, 2):
+                    method = struct.unpack_from(">H", buf, p)[0] & 15
+                    p += 2
+                p += 2  # data_reference_index
+                base, p = _rd(base_offset_size, p)
+                n_ext = struct.unpack_from(">H", buf, p)[0]
+                p += 2
+                extents = []
+                for _ in range(n_ext):
+                    if index_size:
+                        _, p = _rd(index_size, p)
+                    eoff, p = _rd(offset_size, p)
+                    elen, p = _rd(length_size, p)
+                    extents.append((eoff, elen))
+                m.iloc[iid] = (base, extents, method)
+        elif typ == b"iref":
+            ver = buf[bs]
+            idw = ">I" if ver else ">H"
+            idl = 4 if ver else 2
+            for rtyp, rs, re_ in _iter_boxes(buf, bs + 4, be):
+                from_id = struct.unpack_from(idw, buf, rs)[0]
+                n = struct.unpack_from(">H", buf, rs + idl)[0]
+                tos = [struct.unpack_from(idw, buf,
+                                          rs + idl + 2 + i * idl)[0]
+                       for i in range(n)]
+                m.irefs.append((rtyp, from_id, tos))
+        elif typ == b"iprp":
+            ip = _find_box(buf, b"ipco", bs, be)
+            if ip:
+                for pt, ps, pe in _iter_boxes(buf, ip[0], ip[1]):
+                    m.ipco.append((pt, buf[ps:pe]))
+            ia = _find_box(buf, b"ipma", bs, be)
+            if ia:
+                ps = ia[0]
+                ver, flags = buf[ps], struct.unpack_from(">I", buf,
+                                                         ps)[0] & 0xFFFFFF
+                p = ps + 4
+                count = struct.unpack_from(">I", buf, p)[0]
+                p += 4
+                for _ in range(count):
+                    if ver < 1:
+                        iid = struct.unpack_from(">H", buf, p)[0]
+                        p += 2
+                    else:
+                        iid = struct.unpack_from(">I", buf, p)[0]
+                        p += 4
+                    ac = buf[p]
+                    p += 1
+                    props = []
+                    for _ in range(ac):
+                        if flags & 1:
+                            v = struct.unpack_from(">H", buf, p)[0]
+                            p += 2
+                            props.append(v & 0x7FFF)
+                        else:
+                            props.append(buf[p] & 0x7F)
+                            p += 1
+                    m.ipma[iid] = props
+    return m
+
+
+def _item_props(m: _Meta, iid: int):
+    out = []
+    for idx in m.ipma.get(iid, ()):
+        if 1 <= idx <= len(m.ipco):
+            out.append(m.ipco[idx - 1])
+    return out
+
+
+def _item_data(buf, m: _Meta, iid: int) -> bytes:
+    base, extents, method = m.iloc[iid]
+    if method != 0:
+        raise ValueError(f"HEIF: iloc construction method {method}")
+    return b"".join(buf[base + o:base + o + ln] for o, ln in extents)
+
+
+# ----------------------------------------------------------- uncC decode
+def _decode_unci(data: bytes, props, width: int, height: int):
+    """ISO 23001-17 generic-profile decode: planar (0) or pixel (1)
+    interleave, byte-aligned 8/16-bit components, row-major tiles."""
+    uncc = cmpd = None
+    for t, payload in props:
+        if t == b"uncC":
+            uncc = payload
+        elif t == b"cmpd":
+            cmpd = payload
+    if uncc is None:
+        raise ValueError("HEIF: unci item without uncC property")
+    p = 4  # full-box version/flags
+    profile = uncc[p:p + 4]
+    p += 4
+    ncomp = struct.unpack_from(">I", uncc, p)[0]
+    p += 4
+    comps = []
+    for _ in range(ncomp):
+        idx, depth_m1, cfmt, align = struct.unpack_from(">HBBB", uncc, p)
+        p += 5
+        comps.append((idx, depth_m1 + 1, cfmt, align))
+    sampling, interleave, block_size, flagbits = uncc[p:p + 4]
+    p += 4
+    pixel_size, row_align, tile_align, ntc_m1, ntr_m1 = \
+        struct.unpack_from(">IIIII", uncc, p)
+    if sampling != 0:
+        raise ValueError(f"HEIF: uncC sampling type {sampling}")
+    if block_size != 0:
+        raise ValueError(f"HEIF: uncC block size {block_size}")
+    if interleave not in (0, 1):
+        raise ValueError(f"HEIF: uncC interleave {interleave}")
+    depths = {c[1] for c in comps}
+    if depths <= {8}:
+        dt, bpc = np.uint8, 1
+    elif depths <= {16}:
+        dt, bpc = np.dtype(">u2"), 2
+    else:
+        raise ValueError(f"HEIF: uncC component depths {sorted(depths)}")
+    tcols, trows = ntc_m1 + 1, ntr_m1 + 1
+    tw, th = width // tcols, height // trows
+    out = np.empty((height, width, ncomp), dtype=dt)
+    pos = 0
+    for ty in range(trows):
+        for tx in range(tcols):
+            if interleave == 0:  # planar inside the tile
+                for ci in range(ncomp):
+                    n = tw * th * bpc
+                    plane = np.frombuffer(data, dtype=dt,
+                                          count=tw * th, offset=pos)
+                    out[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw,
+                        ci] = plane.reshape(th, tw)
+                    pos += n
+                    if row_align:
+                        pass  # row padding handled only for align=0
+            else:  # pixel interleave
+                n = tw * th * ncomp * bpc
+                px = np.frombuffer(data, dtype=dt,
+                                   count=tw * th * ncomp, offset=pos)
+                out[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw, :] = \
+                    px.reshape(th, tw, ncomp)
+                pos += n
+            if tile_align:
+                pos = (pos + tile_align - 1) // tile_align * tile_align
+    # map components to R,G,B[,A] order via cmpd when present
+    if cmpd is not None:
+        cnt = struct.unpack_from(">I", cmpd, 0)[0]
+        types = [struct.unpack_from(">H", cmpd, 4 + 2 * i)[0]
+                 for i in range(cnt)]
+        # 4=R 5=G 6=B 7=A 0=mono — reorder only if out of order
+        order = sorted(range(len(types)), key=lambda i: types[i])
+        if order != list(range(len(types))) and len(order) == ncomp:
+            out = out[..., order]
+    if out.dtype != np.uint8:
+        out = out.astype(np.uint16)
+    return out
+
+
+# ----------------------------------------------------------- EXIF
+_EXIF_TAGS = {
+    0x010E: "ImageDescription", 0x010F: "Make", 0x0110: "Model",
+    0x0112: "Orientation", 0x011A: "XResolution", 0x011B: "YResolution",
+    0x0128: "ResolutionUnit", 0x0131: "Software", 0x0132: "DateTime",
+    0x013B: "Artist", 0x8298: "Copyright", 0x829A: "ExposureTime",
+    0x829D: "FNumber", 0x8827: "ISOSpeedRatings", 0x9003:
+    "DateTimeOriginal", 0x9004: "DateTimeDigitized", 0x920A:
+    "FocalLength", 0xA002: "PixelXDimension", 0xA003: "PixelYDimension",
+    0x0100: "ImageWidth", 0x0101: "ImageLength", 0x0102: "BitsPerSample",
+    0x0103: "Compression", 0x011C: "PlanarConfiguration",
+}
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def parse_exif(blob: bytes) -> dict:
+    """Parse an EXIF payload (TIFF structure) → {'EXIF_<Tag>': str}."""
+    if len(blob) < 8:
+        return {}
+    if blob[:2] == b"II":
+        e = "<"
+    elif blob[:2] == b"MM":
+        e = ">"
+    else:
+        return {}
+    if struct.unpack(e + "H", blob[2:4])[0] != 42:
+        return {}
+    out: dict = {}
+
+    def read_ifd(off):
+        if off + 2 > len(blob):
+            return
+        n = struct.unpack_from(e + "H", blob, off)[0]
+        for i in range(n):
+            p = off + 2 + 12 * i
+            if p + 12 > len(blob):
+                return
+            tag, typ, cnt = struct.unpack_from(e + "HHI", blob, p)
+            size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
+            if size <= 4:
+                vb = blob[p + 8:p + 8 + size]
+            else:
+                voff = struct.unpack_from(e + "I", blob, p + 8)[0]
+                vb = blob[voff:voff + size]
+            if tag in (0x8769, 0x8825) and typ == 4:  # sub-IFD pointers
+                sub = struct.unpack_from(e + "I", blob, p + 8)[0]
+                read_ifd(sub)
+                continue
+            name = _EXIF_TAGS.get(tag)
+            if name is None:
+                continue
+            if typ == 2:
+                val = vb.split(b"\x00")[0].decode("utf-8", "replace")
+            elif typ in (3, 4, 9):
+                w = {3: "H", 4: "I", 9: "i"}[typ]
+                vals = struct.unpack_from(e + w * cnt, vb)
+                val = " ".join(str(v) for v in vals)
+            elif typ in (5, 10):
+                w = "II" if typ == 5 else "ii"
+                vals = []
+                for j in range(cnt):
+                    num, den = struct.unpack_from(e + w, vb, 8 * j)
+                    vals.append(f"({num / den:g})" if den else "(inf)")
+                val = " ".join(vals)
+            else:
+                val = vb.hex()
+            out["EXIF_" + name] = val
+    read_ifd(struct.unpack(e + "I", blob[4:8])[0])
+    return out
+
+
+# ----------------------------------------------------------- geoheif
+def _apply_geo_props(props, meta):
+    gt = None
+    for t, payload in props:
+        if t == b"mtxf" and len(payload) == 52 and payload[0] == 0 \
+                and payload[3] == 1:
+            d = struct.unpack_from(">6d", payload, 4)
+            gt = (d[2], d[0], d[1], d[5], d[3], d[4])
+        elif t == b"tiep" and len(payload) >= 14 and payload[0] == 0:
+            is_3d = payload[3] == 0
+            cnt = struct.unpack_from(">H", payload, 4)[0]
+            p = 6
+            step = 8 + 16 + (8 if is_3d else 0)
+            gcps = []
+            for _ in range(cnt):
+                if p + step > len(payload):
+                    break
+                col, line = struct.unpack_from(">II", payload, p)
+                x, y = struct.unpack_from(">dd", payload, p + 8)
+                z = struct.unpack_from(">d", payload, p + 24)[0] \
+                    if is_3d else 0.0
+                gcps.append((float(col), float(line), x, y, z))
+                p += step
+            if gcps:
+                meta["gcps"] = gcps
+        elif t == b"mcrs" and len(payload) >= 12:
+            enc = payload[4:8]
+            body = payload[8:]
+            if enc == b"wkt2":
+                meta["crs"] = body.decode("utf-8", "replace")
+            elif enc == b"crsu":
+                url = body.rstrip(b"\x00").decode("utf-8", "replace")
+                parts = url.rstrip("/").split("/")
+                if "crs" in parts:
+                    i = parts.index("crs")
+                    if len(parts) >= i + 4:
+                        meta["crs"] = f"{parts[i + 1]}:{parts[i + 3]}"
+                else:
+                    meta["crs"] = url
+            elif enc == b"curi":
+                cu = body.rstrip(b"\x00").decode("utf-8", "replace")
+                if cu.startswith("[") and cu.endswith("]") \
+                        and ":" in cu:
+                    meta["crs"] = cu[1:-1]
+        elif t == b"udes":
+            p = 4
+            strings = []
+            while p < len(payload) and len(strings) < 4:
+                end = payload.index(b"\x00", p) if b"\x00" in \
+                    payload[p:] else len(payload)
+                strings.append(payload[p:end].decode("utf-8", "replace"))
+                p = end + 1
+            while len(strings) < 4:
+                strings.append("")
+            lang, name, desc, tags = strings
+            domain = "DESCRIPTION" + (f"_{lang}" if lang else "")
+            d = meta.setdefault(domain, {})
+            d["NAME"] = name
+            d["DESCRIPTION"] = desc
+            if tags:
+                d["TAGS"] = tags
+    return gt
+
+
+def read_heif(path: str, subdataset: int | None = None):
+    """Open a HEIF/AVIF file → ``(pixels, geotransform, nodata,
+    meta)``.  Multiple non-thumbnail images → ``meta['subdatasets']``
+    with ``HEIF:<n>:<path>`` names; ``subdataset`` (1-based) selects
+    one.  Pixels decode for uncompressed (``unci``) items; coded
+    items (HEVC/AV1/…) return empty pixels with ``meta['codec']``
+    set and sizes in ``meta['width']/['height']/['bands']``."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if not identify_heif(buf[:64]):
+        raise ValueError("not a HEIF/AVIF file")
+    mb = _find_box(buf, b"meta", 0, len(buf))
+    if mb is None:
+        raise ValueError("HEIF: no meta box")
+    m = _parse_meta(buf, mb[0], mb[1])
+
+    # image items, minus thumbnails/auxiliary images
+    hidden = {f for (rt, f, tos) in m.irefs if rt in (b"thmb", b"auxl")}
+    image_ids = [iid for iid, (t, _) in sorted(m.items.items())
+                 if t in _IMAGE_ITEM_TYPES and iid not in hidden]
+    if not image_ids:
+        raise ValueError("HEIF: no image item")
+
+    meta: dict = {"driver": "HEIF"}
+    if subdataset is not None:
+        if not 1 <= subdataset <= len(image_ids):
+            raise ValueError(
+                f"HEIF: subdataset {subdataset} out of range "
+                f"(1..{len(image_ids)})")
+        image_ids = [image_ids[subdataset - 1]]
+    elif len(image_ids) > 1:
+        sds = {}
+        for i, iid in enumerate(image_ids):
+            w = h = 0
+            for t, payload in _item_props(m, iid):
+                if t == b"ispe":
+                    w, h = struct.unpack_from(">II", payload, 4)
+            sds[f"SUBDATASET_{i + 1}_NAME"] = f"HEIF:{i + 1}:{path}"
+            sds[f"SUBDATASET_{i + 1}_DESC"] = \
+                f"Subdataset {i + 1} of {path} ({w}x{h})"
+        meta["subdatasets"] = sds
+        return np.zeros((0, 0), dtype=np.uint8), None, None, meta
+
+    iid = image_ids[0] if m.primary not in image_ids or \
+        subdataset is not None else m.primary
+    ityp = m.items[iid][0]
+    props = _item_props(m, iid)
+    width = height = 0
+    bands = None
+    nbits = None
+    for t, payload in props:
+        if t == b"ispe":
+            width, height = struct.unpack_from(">II", payload, 4)
+        elif t == b"pixi":
+            bands = payload[4]
+            if bands:
+                nbits = payload[5]
+    gt = _apply_geo_props(props, meta)
+    meta["width"], meta["height"] = int(width), int(height)
+    if bands is not None:
+        meta["bands"] = int(bands)
+    if nbits not in (None, 8):
+        meta["nbits"] = int(nbits)
+
+    # thumbnails referencing this item → overview descriptors
+    ovr = []
+    for rt, f, tos in m.irefs:
+        if rt == b"thmb" and iid in tos and f in m.items:
+            for t, payload in _item_props(m, f):
+                if t == b"ispe":
+                    ow, oh = struct.unpack_from(">II", payload, 4)
+                    ovr.append((int(ow), int(oh)))
+    if ovr:
+        meta["overviews"] = ovr
+
+    # Exif / XMP companions (cdsc references to this image)
+    for rt, f, tos in m.irefs:
+        if rt != b"cdsc" or iid not in tos or f not in m.items:
+            continue
+        t4, _ = m.items[f]
+        try:
+            blob = _item_data(buf, m, f)
+        except (KeyError, ValueError):
+            continue
+        if t4 == b"Exif" and len(blob) > 4:
+            skip = struct.unpack(">I", blob[:4])[0]
+            exif = parse_exif(blob[4 + skip:])
+            if exif:
+                meta["EXIF"] = exif
+        elif t4 == b"mime" and "xml" in m.mime.get(f, ""):
+            meta["xml:XMP"] = blob.decode("utf-8", "replace")
+
+    if ityp == b"unci":
+        data = _item_data(buf, m, iid)
+        px = _decode_unci(data, props, width, height)
+        return px, gt, None, meta
+    meta["codec"] = _CODEC_NAME.get(ityp, ityp.decode("latin1"))
+    return np.zeros((0, 0), dtype=np.uint8), gt, None, meta

@@ -72,6 +72,14 @@ def read_raster(path: str, overview: int | None = None):
         nd = getattr(g, "nodata", None)
         return px, gt, nd if nd is not None else nodata, meta
 
+    if path.startswith("HEIF:"):
+        # HEIF:<n>:<path> subdataset syntax (heifdataset.cpp OpenHEIF)
+        from ..codecs.heif import read_heif
+        parts = path.split(":", 2)
+        if len(parts) != 3 or not parts[1].isdigit() or not parts[2]:
+            raise ValueError(f"malformed HEIF subdataset path {path!r}")
+        return read_heif(parts[2], subdataset=int(parts[1]))
+
     if path.startswith("E57:"):
         # E57:"file":subdataset pseudo-path (e57driver.cpp Open)
         import re as _re
@@ -150,6 +158,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "pdf":
         from ..codecs.pdf import read_pdf
         px, gt, nodata, meta = read_pdf(path)
+    elif ext in ("heic", "heif", "avif"):
+        from ..codecs.heif import read_heif
+        px, gt, nodata, meta = read_heif(path)
     elif ext == "e57":
         from ..codecs.e57 import read_e57
         px, gt, nodata, meta = read_e57(path)
