@@ -238,6 +238,17 @@ def _read_gml(path):
     return read_gml_table(path)
 
 
+@_builtin("xml")
+def _read_xml_vector(path):
+    # NAS (ALKIS) documents are .xml with the AdV namespace; plain
+    # GML-ish .xml falls through to the GML reader
+    from .nas import is_nas, read_nas
+    if is_nas(path):
+        return read_nas(path)
+    from .gml import read_gml_table
+    return read_gml_table(path)
+
+
 @_builtin("mif")
 def _read_mif(path):
     from .mif import read_mif_table
