@@ -238,6 +238,12 @@ def _read_gml(path):
     return read_gml_table(path)
 
 
+@_builtin("xodr")
+def _read_xodr(path):
+    from .xodr import read_xodr
+    return read_xodr(path)
+
+
 @_builtin("xml")
 def _read_xml_vector(path):
     # NAS (ALKIS) documents are .xml with the AdV namespace; plain
