@@ -294,3 +294,119 @@ def read_e57(path: str, subdataset: str | None = None):
         if mask_px.ndim == 2 and mask_px.shape[:2] == px.shape[:2]:
             meta["mask"] = mask_px
     return np.asarray(px), None, None, meta
+
+
+# ------------------------------------------------------------- writer
+_CRC32C_TABLE = None
+
+
+def _crc32c_table() -> "np.ndarray":
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = np.empty(256, dtype=np.uint32)
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl[i] = c
+        _CRC32C_TABLE = tbl
+    return _CRC32C_TABLE
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, poly 0x1EDC6F41 reflected 0x82F63B78) —
+    the per-page checksum the E57 format stores in the last 4 bytes
+    of every physical page."""
+    return int(_crc32c_rows(
+        np.frombuffer(data, dtype=np.uint8)[None, :])[0])
+
+
+def _crc32c_rows(rows: "np.ndarray") -> "np.ndarray":
+    """CRC-32C of every row of a (pages, page_len) uint8 matrix —
+    vectorized across pages (one table lookup per byte column), so
+    packing an n-page file costs page_len numpy ops, not
+    n·page_len Python steps."""
+    tbl = _crc32c_table()
+    crc = np.full(rows.shape[0], 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(rows.shape[1]):
+        crc = tbl[(crc ^ rows[:, j]) & 0xFF] ^ (crc >> np.uint32(8))
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def _pack_pages(logical: bytes, page_size: int = 1024) -> bytes:
+    """Pack a logical byte stream into physical pages, zero-padding
+    the last page and appending the CRC-32C of each page's payload."""
+    payload = page_size - _EOP
+    n_pages = max(1, -(-len(logical) // payload))
+    mat = np.zeros((n_pages, payload), dtype=np.uint8)
+    flat = np.frombuffer(logical, dtype=np.uint8)
+    mat.reshape(-1)[:len(flat)] = flat
+    crcs = _crc32c_rows(mat)
+    out = np.zeros((n_pages, page_size), dtype=np.uint8)
+    out[:, :payload] = mat
+    out[:, payload:] = crcs.astype("<u4").view(np.uint8).reshape(
+        n_pages, _EOP)
+    return out.tobytes()
+
+
+def write_e57(path: str, pixels, *, name: str = "image",
+              fmt: str = "png", page_size: int = 1024,
+              jpeg_quality: int = 90) -> None:
+    """Write a single-image E57 file the reference driver (and
+    read_e57) can open: 48-byte header page, XML section at the next
+    page boundary, one binary blob section (16-byte header + PNG or
+    JPEG payload), every page CRC-32C-stamped."""
+    import numpy as np
+    px = np.asarray(pixels)
+    h, w = px.shape[:2]
+    if fmt == "png":
+        from .png import encode as _enc
+        blob = _enc(px)
+    elif fmt == "jpeg":
+        from .jpeg import encode as _enc
+        blob = _enc(px, quality=jpeg_quality)
+    else:
+        raise ValueError(f"E57 writer: unsupported payload fmt {fmt!r}")
+    tag = "jpegImage" if fmt == "jpeg" else "pngImage"
+
+    payload = page_size - _EOP
+    xml_phys = page_size  # XML section starts on page 1
+
+    def _xml_for(blob_phys: int) -> bytes:
+        return (f'<e57Root type="Structure" xmlns="http://www.astm.org'
+                f'/COMMIT/E57/2010-e57-v1.0">\n'
+                f'<images2D type="Vector" '
+                f'allowHeterogeneousChildren="1">\n'
+                f'<vectorChild type="Structure">\n'
+                f'<name type="String"><![CDATA[{name}]]></name>\n'
+                f'<visualReferenceRepresentation type="Structure">\n'
+                f'<{tag} type="Blob" fileOffset="{blob_phys}" '
+                f'length="{len(blob)}"/>\n'
+                f'<imageHeight type="Integer">{h}</imageHeight>\n'
+                f'<imageWidth type="Integer">{w}</imageWidth>\n'
+                f'</visualReferenceRepresentation>\n'
+                f'</vectorChild>\n</images2D>\n</e57Root>'
+                ).encode("utf-8")
+
+    # XML length varies with the blob offset digits: iterate to fix point
+    blob_phys = 0
+    for _ in range(4):
+        xml = _xml_for(blob_phys)
+        n_xml_pages = max(1, -(-len(xml) // payload))
+        new_blob_phys = xml_phys + n_xml_pages * page_size
+        if new_blob_phys == blob_phys:
+            break
+        blob_phys = new_blob_phys
+    xml = _xml_for(blob_phys)
+
+    blob_logical = b"\x00" * 8 + struct.pack("<Q", len(blob)) + blob
+    blob_pages = _pack_pages(blob_logical, page_size)
+    phys_size = blob_phys + len(blob_pages)
+
+    header = (b"ASTM-E57" + struct.pack("<II", 1, 0)
+              + struct.pack("<QQQQ", phys_size, xml_phys, len(xml),
+                            page_size))
+    with open(path, "wb") as fh:
+        fh.write(_pack_pages(header, page_size))
+        fh.write(_pack_pages(xml, page_size))
+        fh.write(blob_pages)

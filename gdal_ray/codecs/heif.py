@@ -562,3 +562,91 @@ def read_heif(path: str, subdataset: int | None = None):
         return px, gt, None, meta
     meta["codec"] = _CODEC_NAME.get(ityp, ityp.decode("latin1"))
     return np.zeros((0, 0), dtype=np.uint8), gt, None, meta
+
+
+# ------------------------------------------------------------- writer
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+
+def _full_box(typ: bytes, payload: bytes, version: int = 0,
+              flags: int = 0) -> bytes:
+    return _box(typ, struct.pack(">I", (version << 24) | flags)
+                + payload)
+
+
+def write_heif(path: str, pixels, *, geotransform=None,
+               crs: str | None = None) -> None:
+    """Write a HEIF file with an ISO 23001-17 uncompressed (``unci``)
+    primary item — pixel-interleaved, single tile, 8-bit — plus
+    GeoHEIF ``mtxf``/``mcrs`` properties when georeferencing is given
+    (the inverse of read_heif's parsing; mtxf double order gt[1],
+    gt[2], gt[0], gt[4], gt[5], gt[3] per gcore/geoheif.cpp)."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError("HEIF writer: 8-bit pixels only")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ncomp = px.shape
+    data = np.ascontiguousarray(px).tobytes()
+
+    ftyp = _box(b"ftyp", b"mif1" + b"\x00" * 4 + b"mif1heif")
+
+    # component types: mono [0], gray+alpha [0,7], RGB [4,5,6], RGBA +7
+    ctypes = {1: [0], 2: [0, 7], 3: [4, 5, 6], 4: [4, 5, 6, 7]}[ncomp]
+    cmpd = _box(b"cmpd", struct.pack(">I", ncomp)
+                + b"".join(struct.pack(">H", t) for t in ctypes))
+    uncc = _full_box(b"uncC", b"\x00\x00\x00\x00"  # profile
+                     + struct.pack(">I", ncomp)
+                     + b"".join(struct.pack(">HBBB", i, 7, 0, 0)
+                                for i in range(ncomp))
+                     + bytes([0, 1, 0, 0])  # sampling, pixel ilv
+                     + struct.pack(">IIIII", 0, 0, 0, 0, 0))
+    ispe = _full_box(b"ispe", struct.pack(">II", w, h))
+    pixi = _full_box(b"pixi", bytes([ncomp]) + bytes([8] * ncomp))
+    props = [ispe, pixi, cmpd, uncc]
+    essential = [False, False, True, True]
+    if geotransform is not None:
+        gt = geotransform
+        mtxf = _full_box(b"mtxf", struct.pack(
+            ">6d", gt[1], gt[2], gt[0], gt[4], gt[5], gt[3]), flags=1)
+        props.append(mtxf)
+        essential.append(False)
+    if crs is not None:
+        if ":" in crs and not crs.lstrip().startswith(("PROJ", "GEOG")):
+            body = b"curi" + f"[{crs}]".encode() + b"\x00"
+        else:
+            body = b"wkt2" + crs.encode()
+        props.append(_full_box(b"mcrs", body))
+        essential.append(False)
+
+    ipco = _box(b"ipco", b"".join(props))
+    assoc = b"".join(bytes([(0x80 if ess else 0) | (i + 1)])
+                     for i, ess in enumerate(essential))
+    ipma = _full_box(b"ipma", struct.pack(">I", 1)
+                     + struct.pack(">H", 1) + bytes([len(props)])
+                     + assoc)
+    iprp = _box(b"iprp", ipco + ipma)
+    hdlr = _full_box(b"hdlr", struct.pack(">I", 0) + b"pict"
+                     + b"\x00" * 12 + b"\x00")
+    pitm = _full_box(b"pitm", struct.pack(">H", 1))
+    infe = _full_box(b"infe", struct.pack(">HH", 1, 0) + b"unci"
+                     + b"Image\x00", version=2)
+    iinf = _full_box(b"iinf", struct.pack(">H", 1) + infe)
+
+    def _iloc(offset: int) -> bytes:
+        return _full_box(b"iloc", bytes([0x44, 0x00])
+                         + struct.pack(">H", 1)      # item count
+                         + struct.pack(">HH", 1, 0)  # id, data ref
+                         + struct.pack(">H", 1)      # extent count
+                         + struct.pack(">II", offset, len(data)))
+
+    meta_payload = hdlr + pitm + iinf + _iloc(0) + iprp
+    meta = _full_box(b"meta", meta_payload)
+    mdat_offset = len(ftyp) + len(meta) + 8
+    meta = _full_box(b"meta", hdlr + pitm + iinf + _iloc(mdat_offset)
+                     + iprp)
+    with open(path, "wb") as fh:
+        fh.write(ftyp)
+        fh.write(meta)
+        fh.write(_box(b"mdat", data))

@@ -212,6 +212,19 @@ FROM px GROUP BY image_id
 """
 
 
+def sql_heif_roundtrip(n: int = 32) -> str:
+    """HEIF uncompressed roundtrip: band-0 stats (lossless, as
+    sql_raster_stats) plus the roundtripped geotransform origin
+    (closed-form x0 from the georef generator)."""
+    return sql_pixels_cte(n) + """
+, st AS (SELECT image_id, ROUND(AVG(v0), 4) AS mean_b0,
+         MIN(v0)::DOUBLE AS min_b0, MAX(v0)::DOUBLE AS max_b0
+         FROM px GROUP BY image_id)
+SELECT st.*, ROUND(i.x0, 4) AS gt_x0
+FROM st JOIN imgs i USING (image_id)
+"""
+
+
 def sql_cog_roundtrip(n: int = 48) -> str:
     """COG roundtrip: band stats (as sql_raster_stats) + analytic
     overview-level count. With ceil-halving, the minimal k with

@@ -1742,6 +1742,120 @@ def q_mrf_roundtrip(sf_dir: str):
     return files.map_batches(stats, batch_format="pyarrow")
 
 
+def q_e57_roundtrip(sf_dir: str):
+    """E57 driver end-to-end (codecs/e57.py, reader + writer new this
+    round; reference frmts/e57/e57driver.cpp): write the lossless
+    corpus half as single-image E57 files (page/CRC-32C framing, XML
+    section, PNG blob section), read them back through the
+    page-skipping logical stream, and emit per-image band stats —
+    PNG payloads are bit-lossless so the rows hash-match the
+    closed-form pixel oracle."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..codecs import decode as _dec
+    from ..codecs.e57 import read_e57, write_e57
+    from ..sources.images import images_dataset
+
+    out_dir = "/tmp/gdal_ray_e57_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            iid = t["image_id"][i].as_py()
+            write_e57(os.path.join(out_dir, f"{iid}.e57"), px,
+                      name=iid, fmt="png")
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(out_dir, include_paths=True,
+                                 file_extensions=["e57"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs = [], [], [], []
+        for path in t["path"].to_pylist():
+            px, gt, nd, meta = read_e57(path)
+            b0 = (px if px.ndim == 2 else px[:, :, 0]).astype(np.float64)
+            ids.append(meta["NAME"])
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
+def q_heif_roundtrip(sf_dir: str):
+    """HEIF driver end-to-end (codecs/heif.py, reader + writer new
+    this round; reference frmts/heif/): write the lossless corpus
+    half as uncompressed-codec (ISO 23001-17 unci) HEIF files with
+    GeoHEIF mtxf/mcrs properties, read them back through the ISOBMFF
+    walker, and emit per-image band stats plus the roundtripped
+    geotransform origin — uncompressed pixels are bit-lossless so the
+    rows hash-match the closed-form oracle."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..codecs import decode as _dec
+    from ..codecs.heif import read_heif, write_heif
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+
+    out_dir = "/tmp/gdal_ray_heif_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            gt = tuple(float(g[i]) for g in gts)
+            iid = t["image_id"][i].as_py()
+            write_heif(os.path.join(out_dir, f"{iid}.heif"), px,
+                       geotransform=gt, crs="EPSG:3857")
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(out_dir, include_paths=True,
+                                 file_extensions=["heif"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs, gx = [], [], [], [], []
+        for path in t["path"].to_pylist():
+            px, gt, nd, meta = read_heif(path)
+            b0 = (px if px.ndim == 2 else px[:, :, 0]).astype(np.float64)
+            ids.append(os.path.basename(path)[:-5])
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+            gx.append(_half_away([gt[0]])[0])
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64()),
+                         "gt_x0": pa.array(gx, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
 def q_rl2_roundtrip(sf_dir: str):
     """RasterLite2 driver end-to-end (sources/rasterlite2.py, reader +
     writer new this round; reference ogr/ogrsf_frmts/sqlite/
@@ -4445,6 +4559,8 @@ QUERIES = {
     "webp_roundtrip": q_webp_roundtrip,
     "omerc_warp": q_omerc_warp,
     "gpkg_raster_roundtrip": q_gpkg_raster_roundtrip,
+    "e57_roundtrip": q_e57_roundtrip,
+    "heif_roundtrip": q_heif_roundtrip,
     "ntv2_shift": q_ntv2_shift,
     "rl2_roundtrip": q_rl2_roundtrip,
     "histogram": q_histogram,
@@ -4611,6 +4727,8 @@ def oracle_sql() -> dict[str, str]:
         "gmt_roundtrip": _OR.sql_gmt_roundtrip(30),
         "mrf_roundtrip": _OR.sql_raster_stats(32),
         "rl2_roundtrip": _OR.sql_raster_stats(32),
+        "e57_roundtrip": _OR.sql_raster_stats(32),
+        "heif_roundtrip": _OR.sql_heif_roundtrip(32),
         "pdf_roundtrip": _OR.sql_raster_stats(32),
         "pdfvec_roundtrip": _OR.sql_pdfvec_roundtrip(25),
         "sqlite_roundtrip": _OR.sql_sqlite_roundtrip(30),

@@ -109,3 +109,38 @@ def test_jpeg_quality_estimate_roundtrip():
     img = (np.arange(64 * 64, dtype=np.uint8).reshape(64, 64))
     for q in (50, 75, 90):
         assert jpeg_quality_estimate(encode(img, quality=q)) == q
+
+
+def test_write_e57_roundtrip_png():
+    import numpy as np
+    import tempfile, os
+    from gdal_ray.codecs.e57 import write_e57, _crc32c
+    # CRC-32C check vector (RFC 3720): "123456789" -> 0xE3069283
+    assert _crc32c(b"123456789") == 0xE3069283
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.e57")
+        write_e57(p, img, name="testimg")
+        px, gt, nd, meta = read_e57(p)
+        band = px[..., 0] if px.ndim == 3 else px
+        assert np.array_equal(band, img)
+        assert meta["NAME"] == "testimg"
+        assert meta["REPRESENTATION_TYPE"] == "visualReference"
+
+
+def test_write_e57_jpeg_psnr():
+    import numpy as np
+    import tempfile, os
+    from gdal_ray.codecs.e57 import write_e57
+    y, x = np.mgrid[0:64, 0:64]
+    img = ((y + 2 * x) % 256).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.e57")
+        write_e57(p, img, fmt="jpeg", jpeg_quality=90)
+        px, _, _, meta = read_e57(p)
+        band = (px[..., 0] if px.ndim == 3 else px).astype(np.float64)
+        mse = ((band - img) ** 2).mean()
+        psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+        assert psnr >= 40
+        assert meta["image_structure"] == {"JPEG_QUALITY": "90"}

@@ -163,3 +163,29 @@ def test_parse_exif_both_endians():
         blob = e + struct.pack(fmt + "H", 42) + \
             struct.pack(fmt + "I", 8) + ifd
         assert parse_exif(blob) == {"EXIF_Model": "abc"}
+
+
+@pytest.mark.parametrize("shape", [(25, 31), (20, 20, 3), (10, 12, 4)])
+def test_write_heif_roundtrip(shape, tmp_path):
+    from gdal_ray.codecs.heif import write_heif
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    p = str(tmp_path / "t.heif")
+    gt = (100.0, 0.5, 0.0, 200.0, 0.0, -0.5)
+    write_heif(p, img, geotransform=gt, crs="EPSG:3857")
+    px, rgt, nd, meta = read_heif(p)
+    want = img[:, :, None] if img.ndim == 2 else img
+    assert np.array_equal(px, want)
+    assert rgt == gt
+    assert meta["crs"] == "EPSG:3857"
+    assert identify_heif(open(p, "rb").read(64))
+
+
+def test_write_heif_wkt2_crs(tmp_path):
+    from gdal_ray.codecs.heif import write_heif
+    img = np.zeros((4, 4), dtype=np.uint8)
+    p = str(tmp_path / "t.heif")
+    wkt = 'PROJCRS["x",BASEGEOGCRS["y"]]'
+    write_heif(p, img, crs=wkt)
+    _, _, _, meta = read_heif(p)
+    assert meta["crs"] == wkt
