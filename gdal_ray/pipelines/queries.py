@@ -1856,6 +1856,68 @@ def q_heif_roundtrip(sf_dir: str):
     return files.map_batches(stats, batch_format="pyarrow")
 
 
+def q_exr_roundtrip(sf_dir: str):
+    """OpenEXR driver end-to-end (codecs/exr.py, reader + writer new
+    this round; reference frmts/exr/exrdataset.cpp wraps the OpenEXR
+    library, we implement the container): write the lossless corpus
+    half as ZIP-compressed FLOAT scanline EXRs with the driver's
+    gdal:geoTransform M33d attribute, read them back (reorder+delta
+    inverse, chunk table), and emit per-image band stats + the
+    roundtripped origin — float32 holds uint8 exactly so the rows
+    hash-match the closed-form oracle."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..codecs import decode as _dec
+    from ..codecs.exr import read_exr, write_exr
+    from ..sources.images import images_dataset
+    from ..stages.georef import with_georef
+
+    out_dir = "/tmp/gdal_ray_exr_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            gt = tuple(float(g[i]) for g in gts)
+            iid = t["image_id"][i].as_py()
+            write_exr(os.path.join(out_dir, f"{iid}.exr"), px,
+                      pixel_type="FLOAT", compression="ZIP",
+                      geotransform=gt)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(out_dir, include_paths=True,
+                                 file_extensions=["exr"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs, gx = [], [], [], [], []
+        for path in t["path"].to_pylist():
+            px, gt, nd, meta = read_exr(path)
+            b0 = (px if px.ndim == 2 else px[:, :, 0]).astype(np.float64)
+            ids.append(os.path.basename(path)[:-4])
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+            gx.append(_half_away([gt[0]])[0])
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64()),
+                         "gt_x0": pa.array(gx, pa.float64())})
+
+    return files.map_batches(stats, batch_format="pyarrow")
+
+
 def q_rl2_roundtrip(sf_dir: str):
     """RasterLite2 driver end-to-end (sources/rasterlite2.py, reader +
     writer new this round; reference ogr/ogrsf_frmts/sqlite/
@@ -4523,7 +4585,6 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ann_cosine": q_ann_cosine,
     "lang_filter_sample": q_lang_filter_sample,
-    "running_sum": q_running_sum,
     "pdf_roundtrip": q_pdf_roundtrip,
     "sessionize": q_sessionize,
     "pdfvec_roundtrip": q_pdfvec_roundtrip,
@@ -4561,8 +4622,10 @@ QUERIES = {
     "gpkg_raster_roundtrip": q_gpkg_raster_roundtrip,
     "e57_roundtrip": q_e57_roundtrip,
     "heif_roundtrip": q_heif_roundtrip,
+    "exr_roundtrip": q_exr_roundtrip,
     "ntv2_shift": q_ntv2_shift,
     "rl2_roundtrip": q_rl2_roundtrip,
+    "running_sum": q_running_sum,
     "histogram": q_histogram,
     "count_distinct": q_count_distinct,
     "mvt_roundtrip": q_mvt_roundtrip,
@@ -4729,6 +4792,7 @@ def oracle_sql() -> dict[str, str]:
         "rl2_roundtrip": _OR.sql_raster_stats(32),
         "e57_roundtrip": _OR.sql_raster_stats(32),
         "heif_roundtrip": _OR.sql_heif_roundtrip(32),
+        "exr_roundtrip": _OR.sql_heif_roundtrip(32),
         "pdf_roundtrip": _OR.sql_raster_stats(32),
         "pdfvec_roundtrip": _OR.sql_pdfvec_roundtrip(25),
         "sqlite_roundtrip": _OR.sql_sqlite_roundtrip(30),

@@ -158,6 +158,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "pdf":
         from ..codecs.pdf import read_pdf
         px, gt, nodata, meta = read_pdf(path)
+    elif ext == "exr":
+        from ..codecs.exr import read_exr
+        px, gt, nodata, meta = read_exr(path)
     elif ext in ("heic", "heif", "avif"):
         from ..codecs.heif import read_heif
         px, gt, nodata, meta = read_heif(path)

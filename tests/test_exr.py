@@ -1,0 +1,115 @@
+"""OpenEXR codec parity: the reference autotest's createcopy
+checksum matrix (autotest/gdrivers/exr.py — byte.tif at HALF/FLOAT/
+UINT and every supported compression → checksum 4672, plus the
+uint16/uint32/float32/float64 fixtures) replicated through our own
+container implementation."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.codecs.exr import read_exr, write_exr
+from gdal_ray.codecs.gtiff import decode_gtiff
+from gdal_ray.core.checksum import checksum
+
+G = "/root/reference/autotest/gcore/data"
+
+
+def _byte():
+    return decode_gtiff(open(f"{G}/byte.tif", "rb").read()).pixels
+
+
+@pytest.mark.parametrize("pixel_type", ["HALF", "FLOAT", "UINT"])
+@pytest.mark.parametrize("compression", ["NONE", "RLE", "ZIPS", "ZIP"])
+def test_byte_createcopy_matrix(pixel_type, compression, tmp_path):
+    # test_exr_byte_createcopy{,_pixel_type_half,_float,_uint} and
+    # test_exr_compression_createcopy: checksum 4672 in all cases
+    p = str(tmp_path / "t.exr")
+    write_exr(p, _byte(), pixel_type=pixel_type,
+              compression=compression)
+    px, gt, nd, meta = read_exr(p)
+    assert checksum(px.astype(np.float64)) == 4672
+    if compression != "NONE":
+        assert meta["compression"] == compression
+
+
+@pytest.mark.parametrize("name", ["uint16", "uint32", "float32",
+                                  "float64"])
+def test_other_dtypes(name, tmp_path):
+    # test_exr_{uint16,uint32,float32,float64}_createcopy: 4672
+    g = decode_gtiff(open(f"{G}/{name}.tif", "rb").read()).pixels
+    p = str(tmp_path / "t.exr")
+    write_exr(p, g)
+    px, _, _, _ = read_exr(p)
+    assert checksum(px.astype(np.float64)) == 4672
+
+
+def test_rgb_float_exact_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (33, 47, 3),
+                       dtype=np.uint8).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img, compression="ZIP",
+              geotransform=(10.0, 1.0, 0.0, 20.0, 0.0, -1.0),
+              crs="WKT_HERE", metadata={"FOO": "bar"})
+    px, gt, nd, meta = read_exr(p)
+    assert np.array_equal(px, img)
+    # gdal:geoTransform M33d roundtrip (exrdataset.cpp:876-890 order)
+    assert gt == (10.0, 1.0, 0.0, 20.0, 0.0, -1.0)
+    assert meta["crs"] == "WKT_HERE"
+    assert meta["FOO"] == "bar"
+
+
+def test_half_precision_is_lossy_above_2048(tmp_path):
+    # HALF has 11 significand bits: integers > 2048 round
+    vals = np.array([[2049.0, 4099.0]], dtype=np.float64)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, vals, pixel_type="HALF")
+    px, _, _, _ = read_exr(p)
+    assert px[0, 0] != 2049.0 or px[0, 1] != 4099.0
+    write_exr(p, vals, pixel_type="FLOAT")
+    px, _, _, _ = read_exr(p)
+    assert px[0, 0] == 2049.0 and px[0, 1] == 4099.0
+
+
+def test_zip_block_boundaries(tmp_path):
+    # heights around the 16-line ZIP chunk size
+    rng = np.random.default_rng(5)
+    for h in (1, 15, 16, 17, 33):
+        img = rng.integers(0, 65535, (h, 21),
+                           dtype=np.uint16).astype(np.uint32)
+        p = str(tmp_path / "t.exr")
+        write_exr(p, img, pixel_type="UINT", compression="ZIP")
+        px, _, _, _ = read_exr(p)
+        assert np.array_equal(px, img), h
+
+
+def test_rle_incompressible_stays_raw(tmp_path):
+    # random bytes don't RLE-compress; the store-raw rule must kick in
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (7, 201), dtype=np.uint8)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img, pixel_type="UINT", compression="RLE")
+    px, _, _, _ = read_exr(p)
+    assert np.array_equal(px, img.astype(np.uint32))
+
+
+def test_unsupported_compression_fails_fast(tmp_path):
+    p = str(tmp_path / "t.exr")
+    write_exr(p, _byte())
+    data = bytearray(open(p, "rb").read())
+    # patch the compression attribute value to PIZ (4)
+    idx = data.index(b"compression\x00compression\x00")
+    data[idx + len(b"compression\x00compression\x00") + 4] = 4
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="PIZ"):
+        read_exr(p)
+
+
+def test_dispatch():
+    import tempfile, os
+    from gdal_ray.sources.raster import read_raster
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.exr")
+        write_exr(p, _byte())
+        px, gt, nd, meta = read_raster(p)
+        assert checksum(px.astype(np.float64)) == 4672
