@@ -142,6 +142,15 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "map" and open(path, "rb").read(3) == b"RUU":
         from ..codecs.rawgrids import decode_pcraster
         px, gt, nodata, meta = decode_pcraster(open(path, "rb").read())
+    elif ext == "map" and b"OziExplorer Map Data File" in _head(256):
+        from .ozimap import read_ozi_map
+        px, gt, nodata, meta = read_ozi_map(path)
+    elif ext == "cos" or _head(32)[28:32] == b"CSAR":
+        from ..codecs.cosar import decode_cosar
+        px, gt, nodata, meta = decode_cosar(open(path, "rb").read())
+    elif ext == "gff" or _head(7).upper().startswith(b"GSATIMG"):
+        from ..codecs.gff import decode_gff
+        px, gt, nodata, meta = decode_gff(open(path, "rb").read())
     elif ext in ("slc", "int", "unw", "cor", "msk", "flg", "amp") \
             and os.path.exists(path + ".rsc") or \
             ext in ("dem", "hgt", "raw") and \
