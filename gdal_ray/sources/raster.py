@@ -145,6 +145,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "map" and b"OziExplorer Map Data File" in _head(256):
         from .ozimap import read_ozi_map
         px, gt, nodata, meta = read_ozi_map(path)
+    elif os.path.basename(path).upper().startswith("VOL-ALPSR"):
+        from ..codecs.palsar import read_palsar
+        px, gt, nodata, meta = read_palsar(path)
     elif ext == "cos" or _head(32)[28:32] == b"CSAR":
         from ..codecs.cosar import decode_cosar
         px, gt, nodata, meta = decode_cosar(open(path, "rb").read())
