@@ -145,6 +145,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "map" and b"OziExplorer Map Data File" in _head(256):
         from .ozimap import read_ozi_map
         px, gt, nodata, meta = read_ozi_map(path)
+    elif _head(8) == b"PRODUCT=":
+        from ..codecs.envisat import read_envisat
+        px, gt, nodata, meta = read_envisat(path)
     elif _head(22).upper().startswith(b"RECORD LENGTH IN BYTES"):
         from ..codecs.airsar import decode_airsar
         px, gt, nodata, meta = decode_airsar(open(path, "rb").read())
