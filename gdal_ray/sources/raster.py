@@ -145,6 +145,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "map" and b"OziExplorer Map Data File" in _head(256):
         from .ozimap import read_ozi_map
         px, gt, nodata, meta = read_ozi_map(path)
+    elif ext == "rik" or _head(6)[2:6] == b"RIK3":
+        from ..codecs.rik import decode_rik
+        px, gt, nodata, meta = decode_rik(open(path, "rb").read())
     elif _head(8) == b"PRODUCT=":
         from ..codecs.envisat import read_envisat
         px, gt, nodata, meta = read_envisat(path)
