@@ -72,6 +72,31 @@ def read_raster(path: str, overview: int | None = None):
         nd = getattr(g, "nodata", None)
         return px, gt, nd if nd is not None else nodata, meta
 
+    if path.startswith("DERIVED_SUBDATASET:"):
+        # frmts/derived/deriveddataset.cpp: DERIVED_SUBDATASET:<ALG>:
+        # <file> applies a pixel function to every band (Float64 out,
+        # CFloat64 for CONJ; derivedlist.c table)
+        parts = path.split(":", 2)
+        if len(parts) != 3 or not parts[2]:
+            raise ValueError(f"malformed derived-subdataset path {path!r}")
+        alg = parts[1].upper()
+        funcs = {
+            "AMPLITUDE": lambda a: np.abs(a).astype(np.float64),
+            "PHASE": lambda a: np.angle(
+                a.astype(np.complex128)).astype(np.float64),
+            "REAL": lambda a: a.real.astype(np.float64),
+            "IMAG": lambda a: (a.imag if np.iscomplexobj(a)
+                               else np.zeros_like(a)).astype(np.float64),
+            "CONJ": lambda a: np.conj(a).astype(np.complex128),
+            "INTENSITY": lambda a: (np.abs(a).astype(np.float64) ** 2),
+            "LOGAMPLITUDE": lambda a: np.log10(
+                np.maximum(np.abs(a).astype(np.float64), 1e-300)),
+        }
+        if alg not in funcs:
+            raise ValueError(f"unknown derived subdataset {alg!r}")
+        px, gt, nodata, meta = read_raster(parts[2])
+        return funcs[alg](np.asarray(px)), gt, nodata, meta
+
     if path.startswith("HEIF:"):
         # HEIF:<n>:<path> subdataset syntax (heifdataset.cpp OpenHEIF)
         from ..codecs.heif import read_heif
@@ -145,6 +170,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "map" and b"OziExplorer Map Data File" in _head(256):
         from .ozimap import read_ozi_map
         px, gt, nodata, meta = read_ozi_map(path)
+    elif ext == "ktx2" or _head(12) == b"\xabKTX 20\xbb\r\n\x1a\n":
+        from ..codecs.ktx2 import read_ktx2
+        px, gt, nodata, meta = read_ktx2(open(path, "rb").read())
     elif ext == "rik" or _head(6)[2:6] == b"RIK3":
         from ..codecs.rik import decode_rik
         px, gt, nodata, meta = decode_rik(open(path, "rb").read())
