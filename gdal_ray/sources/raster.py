@@ -176,6 +176,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "rik" or _head(6)[2:6] == b"RIK3":
         from ..codecs.rik import decode_rik
         px, gt, nodata, meta = decode_rik(open(path, "rb").read())
+    elif _head(36) == b"FormatName                  : NATIVE":
+        from ..codecs.msgn import read_msgn
+        px, gt, nodata, meta = read_msgn(path)
     elif _head(8) == b"PRODUCT=":
         from ..codecs.envisat import read_envisat
         px, gt, nodata, meta = read_envisat(path)
