@@ -185,6 +185,10 @@ def read_raster(path: str, overview: int | None = None):
     elif _head(22).upper().startswith(b"RECORD LENGTH IN BYTES"):
         from ..codecs.airsar import decode_airsar
         px, gt, nodata, meta = decode_airsar(open(path, "rb").read())
+    elif os.path.basename(path).upper().startswith(("TSX1_SAR",
+                                                    "TDX1_SAR")):
+        from .tsx import read_tsx
+        px, gt, nodata, meta = read_tsx(path)
     elif os.path.basename(path).upper().startswith("VOL-ALPSR"):
         from ..codecs.palsar import read_palsar
         px, gt, nodata, meta = read_palsar(path)
