@@ -185,6 +185,9 @@ def read_raster(path: str, overview: int | None = None):
     elif _head(22).upper().startswith(b"RECORD LENGTH IN BYTES"):
         from ..codecs.airsar import decode_airsar
         px, gt, nodata, meta = decode_airsar(open(path, "rb").read())
+    elif ext == "hdr" and _head(18).lower() == b"time_first_datarec":
+        from ..codecs.coasp import read_coasp
+        px, gt, nodata, meta = read_coasp(path)
     elif os.path.basename(path).upper().startswith(("TSX1_SAR",
                                                     "TDX1_SAR")):
         from .tsx import read_tsx
