@@ -238,6 +238,12 @@ def _read_gml(path):
     return read_gml_table(path)
 
 
+@_builtin("rt1")
+def _read_tiger(path):
+    from .tiger import read_tiger
+    return read_tiger(path)
+
+
 @_builtin("xodr")
 def _read_xodr(path):
     from .xodr import read_xodr
