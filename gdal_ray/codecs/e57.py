@@ -25,7 +25,6 @@ returns the default for text-less elements, port/cpl_minixml.cpp
 
 from __future__ import annotations
 
-import re
 import struct
 import xml.etree.ElementTree as ET
 

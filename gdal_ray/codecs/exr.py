@@ -132,11 +132,13 @@ def read_exr(path_or_bytes):
         raise ValueError("not an EXR file")
     version = struct.unpack_from("<I", buf, 4)[0]
     if version & 0x200:
+        raise ValueError("EXR: tiled single-part images not supported")
+    if version & 0x800:
         raise ValueError("EXR: deep data not supported")
+    if version & 0x1000:
+        raise ValueError("EXR: multi-part files not supported")
     if version & 0xFF not in (1, 2):
         raise ValueError(f"EXR: version {version & 0xFF}")
-    tiled = bool(version & 0x200 == 0 and version & 0x1000 == 0
-                 and version & 0x200)
     off = 8
     attrs = {}
     while True:

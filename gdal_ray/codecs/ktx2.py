@@ -32,7 +32,6 @@ _VK_RAW = {
     23: (3, np.uint8), 29: (3, np.uint8),    # R8G8B8
     37: (4, np.uint8), 43: (4, np.uint8),    # R8G8B8A8
     70: (1, np.dtype("<u2")),                # R16_UNORM
-    76: (1, np.dtype("<f4")),                # R32_SFLOAT (100 actually)
 }
 
 
