@@ -238,6 +238,12 @@ def _read_gml(path):
     return read_gml_table(path)
 
 
+@_builtin("thf")
+def _read_edigeo(path):
+    from .edigeo import read_edigeo
+    return read_edigeo(path)
+
+
 @_builtin("rt1")
 def _read_tiger(path):
     from .tiger import read_tiger
