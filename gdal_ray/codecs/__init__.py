@@ -12,6 +12,9 @@ import numpy as np
 
 from . import dct, png
 
+_MAGIC_EXR = b"\x76\x2f\x31\x01"
+_MAGIC_KTX2 = b"\xabKTX 20\xbb\r\n\x1a\n"
+
 # user-extension surface (GDAL driver-manager analog,
 # gcore/gdaldrivermanager.cpp): registered codecs are consulted before
 # the built-ins; a magic-sniffer may claim un-tagged buffers
@@ -84,6 +87,12 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         elif buf[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" or \
                 buf[:4] == b"\xff\x4f\xff\x51":
             fmt = "jp2"
+        elif buf[:4] == _MAGIC_EXR:
+            fmt = "exr"
+        elif buf[:12] == _MAGIC_KTX2:
+            fmt = "ktx2"
+        elif len(buf) >= 16 and buf[4:8] == b"ftyp":
+            fmt = "heif"
         else:
             raise ValueError("unrecognized image magic")
     if fmt == "png":
@@ -123,6 +132,34 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from . import gif
         idx, _pal, _tr = gif.decode_gif(buf)
         return idx                      # palette-index band, like BMP
+    if fmt == "exr":
+        from . import exr
+        px, _gt, _nd, _meta = exr.read_exr(buf)
+        return px if px.ndim == 3 else px[:, :, None]
+    if fmt == "ktx2":
+        from . import ktx2
+        px, _gt, _nd, _meta = ktx2.read_ktx2(buf)
+        if px.size == 0:
+            raise ValueError(
+                f"KTX2 payload needs the {_meta.get('codec')} transcoder")
+        return px if px.ndim == 3 else px[:, :, None]
+    if fmt in ("heif", "heic", "avif"):
+        import os
+        import tempfile
+        from . import heif as _heif
+        # the heif reader is path-based; spill to a temp twin
+        with tempfile.NamedTemporaryFile(suffix=".heif",
+                                         delete=False) as tf:
+            tf.write(buf)
+            name = tf.name
+        try:
+            px, _gt, _nd, _meta = _heif.read_heif(name)
+        finally:
+            os.unlink(name)
+        if px.size == 0:
+            raise ValueError(
+                f"HEIF payload needs the {_meta.get('codec')} decoder")
+        return px if px.ndim == 3 else px[:, :, None]
     raise ValueError(f"unknown image format {fmt!r}")
 
 
