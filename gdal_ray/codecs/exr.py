@@ -26,7 +26,9 @@ library; this module implements the container directly:
   otherwise, single ``Y`` for gray (exrdataset.cpp:996-1010);
   HALF decodes to float32 like GDAL exposes it.
 
-PIZ / PXR24 / B44 / DWA blocks fail fast by name.
+Tiled ONE_LEVEL storage reads and writes (4-int tile chunk
+headers, tiledesc attribute); MIPMAP/RIPMAP levels and PIZ /
+PXR24 / B44 / DWA blocks fail fast by name.
 """
 
 from __future__ import annotations
@@ -131,8 +133,7 @@ def read_exr(path_or_bytes):
     if buf[:4] != _MAGIC:
         raise ValueError("not an EXR file")
     version = struct.unpack_from("<I", buf, 4)[0]
-    if version & 0x200:
-        raise ValueError("EXR: tiled single-part images not supported")
+    tiled = bool(version & 0x200)
     if version & 0x800:
         raise ValueError("EXR: deep data not supported")
     if version & 0x1000:
@@ -174,34 +175,63 @@ def read_exr(path_or_bytes):
             "not supported")
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
-    lpc = _LINES_PER_CHUNK[comp]
-    n_chunks = -(-h // lpc)
-    line_bytes = sum(w * _PIXEL_DTYPE[t].itemsize for _, t in chs)
-
-    offsets = struct.unpack_from(f"<{n_chunks}Q", buf, off)
     planes = {nm: np.empty((h, w), dtype=_PIXEL_DTYPE[t])
               for nm, t in chs}
-    for ci, coff in enumerate(offsets):
-        y, size = struct.unpack_from("<ii", buf, coff)
-        data = buf[coff + 8:coff + 8 + size]
-        rows = min(lpc, y1 - y + 1)
-        raw_len = line_bytes * rows
-        if size >= raw_len:
-            raw = data[:raw_len]
-        elif comp in (2, 3):  # ZIPS / ZIP
-            raw = _reorder_delta_decode(zlib.decompress(data))
-        elif comp == 1:  # RLE
-            raw = _reorder_delta_decode(_rle_decode(data, raw_len))
-        else:
-            raw = data[:raw_len]
-        pos = 0
-        for r in range(rows):
-            yy = y - y0 + r
-            for nm, t in chs:
-                nb = w * _PIXEL_DTYPE[t].itemsize
-                planes[nm][yy] = np.frombuffer(
-                    raw, dtype=_PIXEL_DTYPE[t], count=w, offset=pos)
-                pos += nb
+
+    def _inflate(data, raw_len):
+        if len(data) >= raw_len:
+            return data[:raw_len]
+        if comp in (2, 3):  # ZIPS / ZIP
+            return _reorder_delta_decode(zlib.decompress(data))
+        if comp == 1:  # RLE
+            return _reorder_delta_decode(_rle_decode(data, raw_len))
+        return data[:raw_len]
+
+    if tiled:
+        if "tiles" not in attrs:
+            raise ValueError("EXR: tiled file without tiles attribute")
+        tw, th = struct.unpack_from("<II", attrs["tiles"][1], 0)
+        mode = attrs["tiles"][1][8]
+        if (mode & 0x0F) != 0:
+            raise ValueError("EXR: only ONE_LEVEL tiled images supported")
+        ntx, nty = -(-w // tw), -(-h // th)
+        offsets = struct.unpack_from(f"<{ntx * nty}Q", buf, off)
+        for coff in offsets:
+            dx, dy, lx, ly, size = struct.unpack_from("<5i", buf, coff)
+            data = buf[coff + 20:coff + 20 + size]
+            cw = min(tw, w - dx * tw)
+            chh = min(th, h - dy * th)
+            raw_len = sum(cw * _PIXEL_DTYPE[t].itemsize
+                          for _, t in chs) * chh
+            raw = _inflate(data, raw_len)
+            pos = 0
+            for r in range(chh):
+                yy = dy * th + r
+                for nm, t in chs:
+                    nb = cw * _PIXEL_DTYPE[t].itemsize
+                    planes[nm][yy, dx * tw:dx * tw + cw] = \
+                        np.frombuffer(raw, dtype=_PIXEL_DTYPE[t],
+                                      count=cw, offset=pos)
+                    pos += nb
+    else:
+        lpc = _LINES_PER_CHUNK[comp]
+        n_chunks = -(-h // lpc)
+        line_bytes = sum(w * _PIXEL_DTYPE[t].itemsize for _, t in chs)
+        offsets = struct.unpack_from(f"<{n_chunks}Q", buf, off)
+        for ci, coff in enumerate(offsets):
+            y, size = struct.unpack_from("<ii", buf, coff)
+            data = buf[coff + 8:coff + 8 + size]
+            rows = min(lpc, y1 - y + 1)
+            raw_len = line_bytes * rows
+            raw = _inflate(data, raw_len)
+            pos = 0
+            for r in range(rows):
+                yy = y - y0 + r
+                for nm, t in chs:
+                    nb = w * _PIXEL_DTYPE[t].itemsize
+                    planes[nm][yy] = np.frombuffer(
+                        raw, dtype=_PIXEL_DTYPE[t], count=w, offset=pos)
+                    pos += nb
 
     # band order like the driver: RGBA by name, Band%d numeric, else
     # alphabetical
@@ -251,7 +281,8 @@ def _attr(name: str, typ: str, val: bytes) -> bytes:
 
 def write_exr(path: str, pixels, *, pixel_type: str | None = None,
               compression: str = "ZIP", geotransform=None,
-              crs: str | None = None, metadata=None) -> None:
+              crs: str | None = None, metadata=None,
+              tile: tuple[int, int] | None = None) -> None:
     """Write a scanline EXR.  ``pixel_type`` HALF/FLOAT/UINT
     (default: HALF for uint8/uint16 inputs like the reference
     driver's byte path, FLOAT for floats, UINT for uint32);
@@ -288,8 +319,11 @@ def write_exr(path: str, pixels, *, pixel_type: str | None = None,
     chl += b"\x00"
 
     header = bytearray()
-    header += _MAGIC + struct.pack("<I", 2)
+    header += _MAGIC + struct.pack("<I", 2 | (0x200 if tile else 0))
     header += _attr("channels", "chlist", bytes(chl))
+    if tile:
+        header += _attr("tiles", "tiledesc",
+                        struct.pack("<IIB", tile[0], tile[1], 0))
     header += _attr("compression", "compression", bytes([comp_code]))
     box = struct.pack("<4i", 0, 0, w - 1, h - 1)
     header += _attr("dataWindow", "box2i", box)
@@ -311,6 +345,46 @@ def write_exr(path: str, pixels, *, pixel_type: str | None = None,
     header += b"\x00"
 
     conv = px.astype(dt)
+
+    def _pack(raw: bytes) -> bytes:
+        if comp_code in (2, 3):
+            enc = zlib.compress(_reorder_delta_encode(raw), 6)
+        elif comp_code == 1:
+            enc = _rle_encode(_reorder_delta_encode(raw))
+        else:
+            enc = raw
+        return raw if len(enc) >= len(raw) else enc
+
+    if tile:
+        tw, th = tile
+        ntx, nty = -(-w // tw), -(-h // th)
+        chunks = []
+        for dy in range(nty):
+            for dx in range(ntx):
+                cw = min(tw, w - dx * tw)
+                chh = min(th, h - dy * th)
+                parts = []
+                for r in range(chh):
+                    for i in order:
+                        parts.append(np.ascontiguousarray(
+                            conv[dy * th + r,
+                                 dx * tw:dx * tw + cw, i]).tobytes())
+                chunks.append(((dx, dy), _pack(b"".join(parts))))
+        n_chunks = len(chunks)
+        data_off = len(header) + 8 * n_chunks
+        offsets = []
+        pos = data_off
+        for _, enc in chunks:
+            offsets.append(pos)
+            pos += 20 + len(enc)
+        with open(path, "wb") as fh:
+            fh.write(header)
+            fh.write(struct.pack(f"<{n_chunks}Q", *offsets))
+            for (dx, dy), enc in chunks:
+                fh.write(struct.pack("<5i", dx, dy, 0, 0, len(enc)))
+                fh.write(enc)
+        return
+
     n_chunks = -(-h // lpc)
     chunks = []
     for c in range(n_chunks):
@@ -321,16 +395,7 @@ def write_exr(path: str, pixels, *, pixel_type: str | None = None,
             for i in order:
                 parts.append(np.ascontiguousarray(
                     conv[y + r, :, i]).tobytes())
-        raw = b"".join(parts)
-        if comp_code in (2, 3):
-            enc = zlib.compress(_reorder_delta_encode(raw), 6)
-        elif comp_code == 1:
-            enc = _rle_encode(_reorder_delta_encode(raw))
-        else:
-            enc = raw
-        if len(enc) >= len(raw):
-            enc = raw
-        chunks.append((y, enc))
+        chunks.append((y, _pack(b"".join(parts))))
 
     table_off = len(header)
     data_off = table_off + 8 * n_chunks

@@ -113,3 +113,24 @@ def test_dispatch():
         write_exr(p, _byte())
         px, gt, nd, meta = read_raster(p)
         assert checksum(px.astype(np.float64)) == 4672
+
+
+@pytest.mark.parametrize("compression", ["NONE", "ZIP", "RLE"])
+def test_tiled_roundtrip(compression, tmp_path):
+    # ONE_LEVEL tiled storage: partial edge tiles, all compressions
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (37, 53, 3),
+                       dtype=np.uint8).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img, compression=compression, tile=(16, 16),
+              geotransform=(5.0, 2.0, 0.0, 7.0, 0.0, -2.0))
+    px, gt, nd, meta = read_exr(p)
+    assert np.array_equal(px, img)
+    assert gt == (5.0, 2.0, 0.0, 7.0, 0.0, -2.0)
+
+
+def test_tiled_byte_checksum(tmp_path):
+    p = str(tmp_path / "t.exr")
+    write_exr(p, _byte(), tile=(7, 9))
+    px, _, _, _ = read_exr(p)
+    assert checksum(px.astype(np.float64)) == 4672
