@@ -238,6 +238,17 @@ def _read_gml(path):
     return read_gml_table(path)
 
 
+@_builtin("ntf")
+def _read_ntf_vector(path):
+    with open(path, "rb") as fh:
+        if fh.read(4) == b"NITF":
+            raise ValueError(
+                f"{path} is a NITF raster, not an NTF volume — "
+                "use read_raster")
+    from .ntf import read_ntf
+    return read_ntf(path)
+
+
 @_builtin("thf")
 def _read_edigeo(path):
     from .edigeo import read_edigeo
