@@ -1886,9 +1886,12 @@ def q_exr_roundtrip(sf_dir: str):
             px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
             gt = tuple(float(g[i]) for g in gts)
             iid = t["image_id"][i].as_py()
+            # alternate scanline / tiled ONE_LEVEL storage so the
+            # driver gate exercises both container layouts
             write_exr(os.path.join(out_dir, f"{iid}.exr"), px,
                       pixel_type="FLOAT", compression="ZIP",
-                      geotransform=gt)
+                      geotransform=gt,
+                      tile=(64, 64) if i % 2 else None)
             n += 1
         return pa.table({"n": pa.array([n], pa.int64())})
 
