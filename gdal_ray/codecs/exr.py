@@ -27,8 +27,9 @@ library; this module implements the container directly:
   HALF decodes to float32 like GDAL exposes it.
 
 Tiled ONE_LEVEL storage reads and writes (4-int tile chunk
-headers, tiledesc attribute); MIPMAP/RIPMAP levels and PIZ /
-PXR24 / B44 / DWA blocks fail fast by name.
+headers, tiledesc attribute).  PIZ / PXR24 / B44 / B44A blocks
+decode and encode through ``codecs/exr_piz.py``; MIPMAP/RIPMAP
+levels and DWAA/DWAB blocks fail fast by name.
 """
 
 from __future__ import annotations
@@ -47,7 +48,8 @@ _PIXEL_DTYPE = {0: np.dtype("<u4"), 1: np.dtype("<f2"),
 _COMPRESSION_NAMES = {0: None, 1: "RLE", 2: "ZIPS", 3: "ZIP",
                       4: "PIZ", 5: "PXR24", 6: "B44", 7: "B44A",
                       8: "DWAA", 9: "DWAB"}
-_LINES_PER_CHUNK = {0: 1, 1: 1, 2: 1, 3: 16}
+_LINES_PER_CHUNK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32,
+                    7: 32}
 
 
 # ----------------------------------------------------- byte transform
@@ -178,13 +180,21 @@ def read_exr(path_or_bytes):
     planes = {nm: np.empty((h, w), dtype=_PIXEL_DTYPE[t])
               for nm, t in chs}
 
-    def _inflate(data, raw_len):
+    def _inflate(data, raw_len, cw, rows):
         if len(data) >= raw_len:
             return data[:raw_len]
         if comp in (2, 3):  # ZIPS / ZIP
             return _reorder_delta_decode(zlib.decompress(data))
         if comp == 1:  # RLE
             return _reorder_delta_decode(_rle_decode(data, raw_len))
+        if comp in (4, 5, 6, 7):
+            from .exr_piz import (b44_uncompress, piz_uncompress,
+                                  pxr24_uncompress)
+            if comp == 4:
+                return piz_uncompress(data, chs, cw, rows)
+            if comp == 5:
+                return pxr24_uncompress(data, chs, cw, rows)
+            return b44_uncompress(data, chs, cw, rows)
         return data[:raw_len]
 
     if tiled:
@@ -203,7 +213,7 @@ def read_exr(path_or_bytes):
             chh = min(th, h - dy * th)
             raw_len = sum(cw * _PIXEL_DTYPE[t].itemsize
                           for _, t in chs) * chh
-            raw = _inflate(data, raw_len)
+            raw = _inflate(data, raw_len, cw, chh)
             pos = 0
             for r in range(chh):
                 yy = dy * th + r
@@ -223,7 +233,7 @@ def read_exr(path_or_bytes):
             data = buf[coff + 8:coff + 8 + size]
             rows = min(lpc, y1 - y + 1)
             raw_len = line_bytes * rows
-            raw = _inflate(data, raw_len)
+            raw = _inflate(data, raw_len, w, rows)
             pos = 0
             for r in range(rows):
                 yy = y - y0 + r
@@ -286,7 +296,8 @@ def write_exr(path: str, pixels, *, pixel_type: str | None = None,
     """Write a scanline EXR.  ``pixel_type`` HALF/FLOAT/UINT
     (default: HALF for uint8/uint16 inputs like the reference
     driver's byte path, FLOAT for floats, UINT for uint32);
-    ``compression`` NONE/RLE/ZIPS/ZIP."""
+    ``compression`` NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A (PXR24 is
+    lossy for FLOAT, B44/B44A for HALF)."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -300,8 +311,8 @@ def write_exr(path: str, pixels, *, pixel_type: str | None = None,
             pixel_type = "HALF"
     code = _PIXEL_CODE[pixel_type]
     dt = _PIXEL_DTYPE[code]
-    comp_code = {"NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3}[
-        compression.upper()]
+    comp_code = {"NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4,
+                 "PXR24": 5, "B44": 6, "B44A": 7}[compression.upper()]
     lpc = _LINES_PER_CHUNK[comp_code]
 
     if nb in (3, 4):
@@ -345,12 +356,23 @@ def write_exr(path: str, pixels, *, pixel_type: str | None = None,
     header += b"\x00"
 
     conv = px.astype(dt)
+    chs_sorted = [(names[i], code) for i in order]
 
-    def _pack(raw: bytes) -> bytes:
+    def _pack(raw: bytes, cw: int = w, rows: int = 1) -> bytes:
         if comp_code in (2, 3):
             enc = zlib.compress(_reorder_delta_encode(raw), 6)
         elif comp_code == 1:
             enc = _rle_encode(_reorder_delta_encode(raw))
+        elif comp_code in (4, 5, 6, 7):
+            from .exr_piz import (b44_compress, piz_compress,
+                                  pxr24_compress)
+            if comp_code == 4:
+                enc = piz_compress(raw, chs_sorted, cw, rows)
+            elif comp_code == 5:
+                enc = pxr24_compress(raw, chs_sorted, cw, rows)
+            else:
+                enc = b44_compress(raw, chs_sorted, cw, rows,
+                                   flat=comp_code == 7)
         else:
             enc = raw
         return raw if len(enc) >= len(raw) else enc
@@ -369,7 +391,8 @@ def write_exr(path: str, pixels, *, pixel_type: str | None = None,
                         parts.append(np.ascontiguousarray(
                             conv[dy * th + r,
                                  dx * tw:dx * tw + cw, i]).tobytes())
-                chunks.append(((dx, dy), _pack(b"".join(parts))))
+                chunks.append(((dx, dy), _pack(b"".join(parts),
+                                               cw, chh)))
         n_chunks = len(chunks)
         data_off = len(header) + 8 * n_chunks
         offsets = []
@@ -395,7 +418,7 @@ def write_exr(path: str, pixels, *, pixel_type: str | None = None,
             for i in order:
                 parts.append(np.ascontiguousarray(
                     conv[y + r, :, i]).tobytes())
-        chunks.append((y, _pack(b"".join(parts))))
+        chunks.append((y, _pack(b"".join(parts), w, rows)))
 
     table_off = len(header)
     data_off = table_off + 8 * n_chunks

@@ -97,11 +97,11 @@ def test_unsupported_compression_fails_fast(tmp_path):
     p = str(tmp_path / "t.exr")
     write_exr(p, _byte())
     data = bytearray(open(p, "rb").read())
-    # patch the compression attribute value to PIZ (4)
+    # patch the compression attribute value to DWAA (8)
     idx = data.index(b"compression\x00compression\x00")
-    data[idx + len(b"compression\x00compression\x00") + 4] = 4
+    data[idx + len(b"compression\x00compression\x00") + 4] = 8
     open(p, "wb").write(bytes(data))
-    with pytest.raises(ValueError, match="PIZ"):
+    with pytest.raises(ValueError, match="DWAA"):
         read_exr(p)
 
 
@@ -134,3 +134,144 @@ def test_tiled_byte_checksum(tmp_path):
     write_exr(p, _byte(), tile=(7, 9))
     px, _, _, _ = read_exr(p)
     assert checksum(px.astype(np.float64)) == 4672
+
+
+# ------------------------------------------------- PIZ / PXR24 / B44
+@pytest.mark.parametrize("pixel_type,dtype", [
+    ("HALF", np.uint8), ("UINT", np.uint32), ("FLOAT", np.float32)])
+def test_piz_lossless_roundtrip(pixel_type, dtype, tmp_path):
+    rng = np.random.default_rng(42)
+    if dtype == np.float32:
+        img = rng.normal(size=(37, 53, 3)).astype(np.float32)
+    else:
+        img = rng.integers(0, 255, size=(37, 53, 3)).astype(dtype)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img, pixel_type=pixel_type, compression="PIZ")
+    px, _, _, meta = read_exr(p)
+    if pixel_type == "HALF":
+        exp = img.astype(np.float16).astype(np.float32)
+    elif pixel_type == "FLOAT":
+        exp = img.astype(np.float32)
+    else:
+        exp = img.astype(np.uint32)
+    assert np.array_equal(px, exp)
+    assert meta["compression"] == "PIZ"
+
+
+def test_piz_byte_checksum(tmp_path):
+    p = str(tmp_path / "t.exr")
+    write_exr(p, _byte(), compression="PIZ")
+    px, _, _, _ = read_exr(p)
+    assert checksum(px.astype(np.float64)) == 4672
+
+
+@pytest.mark.parametrize("shape", [(20, 20), (40, 1), (1, 40), (1, 1)])
+def test_piz_degenerate_shapes(shape, tmp_path):
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=shape).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img, pixel_type="FLOAT", compression="PIZ")
+    px, _, _, _ = read_exr(p)
+    assert np.array_equal(px.reshape(shape), img)
+
+
+def test_piz_empty_bitmap_all_zero(tmp_path):
+    # all-zero data exercises bitmapFromData's empty-bitmap encoding
+    # (minNonZero = 8191 > maxNonZero = 0, no bitmap bytes)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, np.zeros((20, 20), np.float32), pixel_type="FLOAT",
+              compression="PIZ")
+    px, _, _, _ = read_exr(p)
+    assert not px.any()
+
+
+def test_piz_tiled(tmp_path):
+    rng = np.random.default_rng(17)
+    img = rng.normal(size=(37, 51, 3)).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img, pixel_type="FLOAT", compression="PIZ",
+              tile=(16, 16))
+    px, _, _, _ = read_exr(p)
+    assert np.array_equal(px, img)
+
+
+def test_piz_deep_huffman_codes():
+    # Fibonacci frequencies force code lengths past the 14-bit fast
+    # table into the long-code search path
+    from gdal_ray.codecs.exr_piz import _huf_compress, _huf_uncompress
+    fib = [1, 1]
+    for _ in range(24):
+        fib.append(fib[-1] + fib[-2])
+    data = np.concatenate(
+        [np.full(f, i, np.uint16) for i, f in enumerate(fib)])
+    rng = np.random.default_rng(0)
+    rng.shuffle(data)
+    enc = _huf_compress(data)
+    dec = _huf_uncompress(enc, len(data))
+    assert np.array_equal(dec, data)
+
+
+def test_pxr24_uint_and_half_lossless(tmp_path):
+    rng = np.random.default_rng(7)
+    u = rng.integers(0, 2 ** 32 - 1, size=(33, 41, 2)).astype(np.uint32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, u, pixel_type="UINT", compression="PXR24")
+    px, _, _, _ = read_exr(p)
+    assert np.array_equal(px, u)
+    h = rng.normal(size=(33, 41)).astype(np.float16).astype(np.float32)
+    write_exr(p, h, pixel_type="HALF", compression="PXR24")
+    px, _, _, _ = read_exr(p)
+    assert np.array_equal(px, h)
+
+
+def test_pxr24_float_24bit_truncation(tmp_path):
+    rng = np.random.default_rng(7)
+    f = rng.normal(size=(33, 41, 3)).astype(np.float32) * 100
+    p = str(tmp_path / "t.exr")
+    write_exr(p, f, pixel_type="FLOAT", compression="PXR24")
+    px, _, _, _ = read_exr(p)
+    rel = np.abs(px - f) / np.maximum(np.abs(f), 1e-9)
+    assert rel.max() < 2 ** -15          # 15-bit significand
+
+
+@pytest.mark.parametrize("comp", ["B44", "B44A"])
+def test_b44_smooth_block_error(comp, tmp_path):
+    # error is bounded by the per-block shift; same-sign smooth
+    # blocks stay within a few half-ULPs
+    y, x = np.mgrid[0:16, 0:16]
+    h = (1.0 + 0.01 * x + 0.02 * y).astype(np.float16).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, h, pixel_type="HALF", compression=comp)
+    px, _, _, _ = read_exr(p)
+    assert np.abs(px - h).max() < 0.005
+
+
+def test_b44a_flat_blocks_are_3_bytes(tmp_path):
+    flat = np.full((32, 64), 0.5, np.float32)
+    pa = str(tmp_path / "a.exr")
+    pb = str(tmp_path / "b.exr")
+    write_exr(pa, flat, pixel_type="HALF", compression="B44A")
+    write_exr(pb, flat, pixel_type="HALF", compression="B44")
+    import os
+    assert os.path.getsize(pa) < os.path.getsize(pb)
+    px, _, _, _ = read_exr(pa)
+    assert np.array_equal(px, flat)
+
+
+def test_b44_uint_channel_stored_verbatim(tmp_path):
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 2 ** 31, size=(17, 23)).astype(np.uint32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, u, pixel_type="UINT", compression="B44")
+    px, _, _, _ = read_exr(p)
+    assert np.array_equal(px, u)
+
+
+def test_b44a_tiled(tmp_path):
+    h = (np.mgrid[0:37, 0:53][1] / 53.0).astype(np.float16) \
+        .astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, h, pixel_type="HALF", compression="B44A",
+              tile=(16, 16))
+    px, _, _, _ = read_exr(p)
+    assert np.abs(px - h).max() < 0.01
