@@ -4,11 +4,14 @@ Reference: frmts/zarr/ (GDAL's driver). Zarr v2 is pure structure: a
 directory with ``.zarray`` JSON metadata (shape/chunks/dtype/
 compressor/filters/order/fill_value) and one file per chunk
 ("i.j" keys, or "i/j" with dimension_separator="/"). Supported here:
-zlib/gzip compression (and raw), C/F order, delta and fixedscaleoffset
-filters, missing chunks → fill_value, groups with the CF model
-(_ARRAY_DIMENSIONS + x/y coordinate vars + grid_mapping GeoTransform —
-the same conventions the netCDF path resolves). Blosc and zstd
-compressors fail fast by name (no codec library in this environment).
+zlib/gzip/lzma compression (and raw), blosc containers and numcodecs
+lz4 through the own codec in ``codecs/lz4.py``, C/F order, delta /
+fixedscaleoffset / shuffle / quantize filters, missing chunks →
+fill_value, groups with the CF model (_ARRAY_DIMENSIONS + x/y
+coordinate vars + grid_mapping GeoTransform — the same conventions
+the netCDF path resolves). Zstd and snappy compressors and blosc
+bit-shuffle fail fast by name (no codec library in this
+environment).
 
 Goldens (tests/test_zarr.py): the reference's own autotest fixtures —
 byte_cf1.zarr decodes to byte.tif's raster (checksum 4672) with its
@@ -56,6 +59,12 @@ def _decompress(raw: bytes, comp: dict | None) -> bytes:
     if cid == "lzma":
         import lzma
         return lzma.decompress(raw)
+    if cid == "blosc":
+        from ..codecs.lz4 import blosc_decompress
+        return blosc_decompress(raw)
+    if cid == "lz4":
+        from ..codecs.lz4 import numcodecs_lz4_decode
+        return numcodecs_lz4_decode(raw)
     raise ValueError(f"zarr compressor {cid!r} unsupported "
                      "(no codec library in this environment)")
 
@@ -298,6 +307,10 @@ def _read_v3_array(path: str):
             comp = {"id": "gzip"}
         elif name == "zlib":
             comp = {"id": "zlib"}
+        elif name == "blosc":
+            comp = {"id": "blosc"}
+        elif name == "lz4":
+            comp = {"id": "lz4"}
         else:
             raise ValueError(f"zarr v3 codec {name!r} unsupported")
     if dt.itemsize > 1:
