@@ -216,10 +216,10 @@ def blosc_decompress(data: bytes) -> bytes:
         raise ValueError("blosc: bit shuffle not supported")
     if memcpyed:
         return data[16:16 + nbytes]
-    if codec not in (1, 3):
+    if codec not in (1, 2, 3, 4):
         raise ValueError(
             f"blosc: codec {_BLOSC_CODECS.get(codec, codec)!r} "
-            "not supported (lz4/zlib only)")
+            "not supported (lz4/snappy/zlib/zstd only)")
     nblocks = -(-nbytes // blocksize) if blocksize else 0
     offsets = struct.unpack_from(f"<{nblocks}i", data, 16)
     out = bytearray(nbytes)
@@ -238,6 +238,12 @@ def blosc_decompress(data: bytes) -> bytes:
                 dec += data[pos:pos + part]
             elif codec == 1:
                 dec += lz4_decompress(data[pos:pos + cb], part)
+            elif codec == 2:
+                from .zstd import snappy_decompress
+                dec += snappy_decompress(data[pos:pos + cb])
+            elif codec == 4:
+                from .zstd import zstd_decompress
+                dec += zstd_decompress(data[pos:pos + cb], part)
             else:
                 dec += _zlib.decompress(data[pos:pos + cb])
             pos += cb

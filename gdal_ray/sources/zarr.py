@@ -5,13 +5,13 @@ directory with ``.zarray`` JSON metadata (shape/chunks/dtype/
 compressor/filters/order/fill_value) and one file per chunk
 ("i.j" keys, or "i/j" with dimension_separator="/"). Supported here:
 zlib/gzip/lzma compression (and raw), blosc containers and numcodecs
-lz4 through the own codec in ``codecs/lz4.py``, C/F order, delta /
-fixedscaleoffset / shuffle / quantize filters, missing chunks →
-fill_value, groups with the CF model (_ARRAY_DIMENSIONS + x/y
-coordinate vars + grid_mapping GeoTransform — the same conventions
-the netCDF path resolves). Zstd and snappy compressors and blosc
-bit-shuffle fail fast by name (no codec library in this
-environment).
+lz4 through the own codec in ``codecs/lz4.py``, zstd through the own
+RFC 8878 decoder in ``codecs/zstd.py`` (blosc-side snappy too), C/F
+order, delta / fixedscaleoffset / shuffle / quantize filters,
+missing chunks → fill_value, groups with the CF model
+(_ARRAY_DIMENSIONS + x/y coordinate vars + grid_mapping
+GeoTransform — the same conventions the netCDF path resolves).
+Blosc bit-shuffle and blosclz payloads fail fast by name.
 
 Goldens (tests/test_zarr.py): the reference's own autotest fixtures —
 byte_cf1.zarr decodes to byte.tif's raster (checksum 4672) with its
@@ -65,6 +65,9 @@ def _decompress(raw: bytes, comp: dict | None) -> bytes:
     if cid == "lz4":
         from ..codecs.lz4 import numcodecs_lz4_decode
         return numcodecs_lz4_decode(raw)
+    if cid == "zstd":
+        from ..codecs.zstd import zstd_decompress
+        return zstd_decompress(raw)
     raise ValueError(f"zarr compressor {cid!r} unsupported "
                      "(no codec library in this environment)")
 
@@ -311,6 +314,8 @@ def _read_v3_array(path: str):
             comp = {"id": "blosc"}
         elif name == "lz4":
             comp = {"id": "lz4"}
+        elif name == "zstd":
+            comp = {"id": "zstd"}
         else:
             raise ValueError(f"zarr v3 codec {name!r} unsupported")
     if dt.itemsize > 1:

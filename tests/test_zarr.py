@@ -122,12 +122,6 @@ def test_compressor_fixtures(name):
     assert arr.tolist() == [1, 2]
 
 
-def test_zstd_fails_fast():
-    from gdal_ray.sources.zarr import read_zarr_array
-    with pytest.raises(ValueError, match="zstd"):
-        read_zarr_array(Z + "zstd.zarr")
-
-
 def test_lz4_block_roundtrip():
     from gdal_ray.codecs.lz4 import lz4_compress, lz4_decompress
     rng = np.random.default_rng(0)
@@ -189,3 +183,48 @@ def test_blosc_zarr_store_roundtrip(tmp_path):
             (root / f"{ci}.{cj}").write_bytes(enc)
     arr, _ = read_zarr_array(str(root))
     assert np.array_equal(arr, data)
+
+
+# ------------------------------------------------ zstd / snappy
+def test_zstd_fixture():
+    # (replaces the former fail-fast: zstd decodes via the own
+    # RFC 8878 decoder now)
+    from gdal_ray.sources.zarr import read_zarr_array
+    arr, meta = read_zarr_array(Z + "zstd.zarr")
+    assert arr.tolist() == [1, 2]
+
+
+def test_zstd_pyarrow_cross_validation():
+    # pyarrow's bundled libzstd is the conformance oracle (same
+    # pattern as the WebP codec's libwebp plug)
+    import os
+    import pyarrow as pa
+    from gdal_ray.codecs.zstd import zstd_compress, zstd_decompress
+    rng = np.random.default_rng(0)
+    cases = [b"", b"a", b"hello world hello world hello world",
+             b"abc" * 10000,
+             rng.integers(0, 4, 200000).astype(np.uint8).tobytes(),
+             os.urandom(50000),
+             np.arange(100000, dtype="<u4").tobytes()]
+    for lvl in (1, 19):
+        c = pa.Codec("zstd", compression_level=lvl)
+        for data in cases:
+            enc = bytes(c.compress(data))
+            assert zstd_decompress(enc, len(data)) == data
+    # own store-mode frames are valid zstd
+    c = pa.Codec("zstd")
+    for data in cases:
+        assert bytes(c.decompress(zstd_compress(data),
+                                  len(data))) == data
+
+
+def test_snappy_pyarrow_cross_validation():
+    import os
+    import pyarrow as pa
+    from gdal_ray.codecs.zstd import snappy_decompress
+    c = pa.Codec("snappy")
+    rng = np.random.default_rng(2)
+    for data in [b"", b"hello hello hello hello", b"abc" * 5000,
+                 os.urandom(70000),
+                 rng.integers(0, 5, 120000).astype(np.uint8).tobytes()]:
+        assert snappy_decompress(bytes(c.compress(data))) == data
