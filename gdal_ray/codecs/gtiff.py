@@ -9,8 +9,11 @@ autotest/gcore/tiff_read.py:111; autotest/utilities/data/utmsmall.tif
 checksum 50054 per autotest/utilities/test_gdalalg_raster_convert.py:33).
 
 Reader: classic TIFF (II/MM), strips and tiles, PlanarConfig chunky,
-compression none/deflate/adobe-deflate/LZW/PackBits, horizontal
-predictor, u/int 8/16/32, float32/64 via (BitsPerSample, SampleFormat),
+compression none/deflate/adobe-deflate/LZW/PackBits/ZSTD/LZMA plus
+the pixel-block codecs WEBP (50001, own VP8/VP8L) and LERC (34887,
+own Lerc1/Lerc2 incl. the deflate/zstd add-compression wrap),
+horizontal predictor, u/int 8/16/32, float32/64 via (BitsPerSample,
+SampleFormat),
 geotransform from ModelPixelScale+ModelTiepoint or ModelTransformation,
 CRS from the GeoKey directory (EPSG codes), GDAL_NODATA tag.
 
@@ -160,7 +163,43 @@ def _decompress(raw: bytes, comp: int) -> bytes:
         return _lzw_decode(raw)
     if comp == 32773:
         return _packbits_decode(raw)
+    if comp == 50000:             # ZSTD (own RFC 8878 decoder)
+        from .zstd import zstd_decompress
+        return zstd_decompress(raw)
+    if comp == 34925:             # LZMA
+        import lzma
+        return lzma.decompress(raw)
     raise ValueError(f"unsupported TIFF compression {comp}")
+
+
+def _decode_pixel_block(raw: bytes, comp: int, bh: int, bw: int,
+                        bspp: int, dt) -> bytes:
+    """WEBP (50001) / LERC (34887) blocks decode to pixels, not a
+    byte stream; re-embed into the full (bh, bw, bspp) chunky block
+    so the common placement path applies (edge blocks may carry
+    clipped dimensions)."""
+    if comp == 50001:
+        from .webp import decode_webp
+        px = decode_webp(raw)[:, :, :bspp]
+    else:
+        from .lerc import decode_lerc1, decode_lerc2
+        body = raw
+        if body[:6] not in (b"Lerc2 ", b"CntZIm"):
+            # LERC_ADD_COMPRESSION: deflate or zstd over the blob
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                from .zstd import zstd_decompress
+                body = zstd_decompress(body)
+        px = decode_lerc2(body) if body[:6] == b"Lerc2 " \
+            else decode_lerc1(body)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    blk = np.zeros((bh, bw, bspp), dtype=dt.newbyteorder("="))
+    eh = min(bh, px.shape[0])
+    ew = min(bw, px.shape[1])
+    blk[:eh, :ew, :] = px[:eh, :ew, :bspp]
+    return blk.astype(dt).tobytes()
 
 
 def _undo_predictor(arr: np.ndarray) -> np.ndarray:
@@ -354,8 +393,13 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
             bi = ti if planar == 1 else ti % tiles_per_band
             row0 = (bi // tiles_across) * tl
             col0 = (bi % tiles_across) * tw
-            blk = expand(mv[o:o + c], tl, tw) if is_bilevel \
-                else _decompress(mv[o:o + c], comp)
+            if comp in (50001, 34887):
+                blk = _decode_pixel_block(mv[o:o + c], comp, tl, tw,
+                                          bspp, dt)
+            elif is_bilevel:
+                blk = expand(mv[o:o + c], tl, tw)
+            else:
+                blk = _decompress(mv[o:o + c], comp)
             place(blk, row0, col0, tl, tw, band0)
     else:
         rps = int(tags.get(_T_RPS, [h])[0])
@@ -367,8 +411,13 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
             bi = si if planar == 1 else si % strips_per_band
             row0 = bi * rps
             bh = min(rps, h - row0)
-            blk = expand(mv[o:o + c], bh, w) if is_bilevel \
-                else _decompress(mv[o:o + c], comp)
+            if comp in (50001, 34887):
+                blk = _decode_pixel_block(mv[o:o + c], comp, bh, w,
+                                          bspp, dt)
+            elif is_bilevel:
+                blk = expand(mv[o:o + c], bh, w)
+            else:
+                blk = _decompress(mv[o:o + c], comp)
             place(blk, row0, 0, bh, w, band0)
 
     gt = None

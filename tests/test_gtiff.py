@@ -177,3 +177,38 @@ class TestBigTiff:
             assert tuple(g.geotransform) == gt
             assert g.crs == "EPSG:32633" and g.nodata == 7.0
             assert len(tiff_block_offsets(big)) == 4
+
+
+# --------------------------------------------- ZSTD / WEBP / LERC
+def test_zstd_compressed_tiff():
+    # gcore golden: byte_zstd.tif band 1 checksum 4672 (tiff_read.py)
+    from gdal_ray.codecs.gtiff import decode_gtiff
+    from gdal_ray.core.checksum import checksum
+    g = decode_gtiff(open(
+        "/root/reference/autotest/gcore/data/byte_zstd.tif",
+        "rb").read())
+    assert checksum(g.pixels) == 4672
+
+
+def test_lerc_compressed_tiff():
+    # gcore golden: byte_lerc.tif band 1 checksum 4672
+    from gdal_ray.codecs.gtiff import decode_gtiff
+    from gdal_ray.core.checksum import checksum
+    g = decode_gtiff(open(
+        "/root/reference/autotest/gcore/data/byte_lerc.tif",
+        "rb").read())
+    assert checksum(g.pixels) == 4672
+
+
+def test_webp_compressed_tiff():
+    # reference checks approx stats (0, 215, 66.38, 47.186) eps 1
+    import numpy as np
+    from gdal_ray.codecs.gtiff import decode_gtiff
+    g = decode_gtiff(open(
+        "/root/reference/autotest/gcore/data/tif_webp.tif",
+        "rb").read())
+    b1 = g.pixels[:, :, 0].astype(np.float64)
+    assert abs(b1.min() - 0) <= 1
+    assert abs(b1.max() - 215) <= 1
+    assert abs(b1.mean() - 66.38) <= 1
+    assert abs(b1.std() - 47.186) <= 1
