@@ -199,22 +199,22 @@ def _huf_build_lengths(freq: dict[int, int]) -> dict[int, int]:
 
 def _huf_canonical(lengths: np.ndarray) -> np.ndarray:
     """hufCanonicalCodeTable: canonical codes from lengths; returns
-    int64 array code = (value << 6) | length."""
-    n = np.zeros(59, dtype=np.int64)
-    for l in lengths:
-        n[l] += 1
+    int64 array code = (value << 6) | length.  Same-length symbols
+    get consecutive codes in index order (vectorized per length)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = np.bincount(lengths, minlength=59)
     c = 0
     start = np.zeros(59, dtype=np.int64)
     for i in range(58, 0, -1):
         nc = (c + n[i]) >> 1
         start[i] = c
         c = nc
-    nxt = start.copy()
     out = np.zeros(len(lengths), dtype=np.int64)
-    for i, l in enumerate(lengths):
-        if l > 0:
-            out[i] = l | (nxt[l] << 6)
-            nxt[l] += 1
+    for l in range(1, 59):
+        if not n[l]:
+            continue
+        idx = np.flatnonzero(lengths == l)
+        out[idx] = l | ((start[l] + np.arange(len(idx))) << 6)
     return out
 
 
@@ -273,62 +273,93 @@ _HUF_DECBITS = 14
 
 
 def _huf_build_dec(codes: np.ndarray, im: int, iM: int):
-    """Fast table for codes <= 14 bits (prefix → (len, sym)), dict for
-    longer codes keyed by (len, code)."""
+    """Fast table for codes <= 14 bits (prefix → (len, sym)), dict
+    for longer codes keyed by (len, code).  Canonical same-length
+    codes are consecutive, so each length fills one contiguous
+    fast-table span (vectorized)."""
     fast_len = np.zeros(1 << _HUF_DECBITS, dtype=np.int32)
     fast_sym = np.zeros(1 << _HUF_DECBITS, dtype=np.int32)
     long_codes: dict[tuple[int, int], int] = {}
-    for sym in range(im, iM + 1):
-        c = int(codes[sym])
-        l = c & 63
-        if l == 0:
+    sub = codes[im:iM + 1]
+    lens = (sub & 63).astype(np.int64)
+    vals = (sub >> 6).astype(np.int64)
+    for l in range(1, _HUF_DECBITS + 1):
+        idx = np.flatnonzero(lens == l)
+        if not len(idx):
             continue
-        code = c >> 6
-        if l <= _HUF_DECBITS:
-            base = code << (_HUF_DECBITS - l)
-            fast_len[base:base + (1 << (_HUF_DECBITS - l))] = l
-            fast_sym[base:base + (1 << (_HUF_DECBITS - l))] = sym
-        else:
-            long_codes[(l, code)] = sym
+        shift = _HUF_DECBITS - l
+        span = 1 << shift
+        base = int(vals[idx[0]]) << shift
+        end = base + span * len(idx)
+        fast_len[base:end] = l
+        fast_sym[base:end] = np.repeat(idx + im, span)
+    for i in np.flatnonzero(lens > _HUF_DECBITS):
+        long_codes[(int(lens[i]), int(vals[i]))] = int(i) + im
     return fast_len, fast_sym, long_codes
 
 
 def _huf_encode(data: np.ndarray, codes: np.ndarray, rlc: int) -> tuple[bytes, int]:
-    """hufEncode with the run-length pseudo symbol; returns
-    (bytes, nBits)."""
-    bw = _BitWriter()
+    """hufEncode with the run-length pseudo symbol, vectorized:
+    collapse runs, split over the 8-bit repeat limit, choose per
+    piece between the (code, rlCode, count) form and plain copies
+    (the sendCode rule), then bit-pack all variable-length codes in
+    one numpy pass.  Returns (bytes, nBits)."""
+    n = len(data)
+    if n == 0:
+        return b"", 0
     rl_code = int(codes[rlc])
     rl_len = rl_code & 63
     rl_val = rl_code >> 6
 
-    def send(sym, run):
-        c = int(codes[sym])
-        l = c & 63
-        v = c >> 6
-        if l + rl_len + 8 < l * run:
-            bw.write(l, v)
-            bw.write(rl_len, rl_val)
-            bw.write(8, run)
-        else:
-            for _ in range(run + 1):
-                bw.write(l, v)
-
-    # collapse runs first (numpy), then emit per run
-    n = len(data)
-    if n == 0:
-        return b"", 0
     change = np.flatnonzero(np.diff(data)) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
-    for s, e in zip(starts, ends):
-        sym = int(data[s])
-        run = int(e - s) - 1
-        while run > 255:
-            send(sym, 255)
-            run -= 256
-        send(sym, run)
-    nbits = len(bw.out) * 8 + bw.nbits
-    return bw.flush(), nbits
+    totals = ends - starts                       # symbols per run
+    syms = data[starts].astype(np.int64)
+
+    # split runs into pieces of <= 256 symbols (count byte <= 255)
+    nfull = (totals - 1) // 256                  # full 256-pieces
+    piece_sym = np.repeat(syms, nfull + 1)
+    # within-run piece rank: full pieces carry count 255, the last
+    # piece carries the remainder
+    tot_rep = np.repeat(totals, nfull + 1)
+    last_rep = np.repeat(nfull, nfull + 1)
+    cum = np.concatenate(([0], np.cumsum(nfull + 1)))[:-1]
+    rank = np.arange(len(piece_sym)) - np.repeat(cum, nfull + 1)
+    counts = np.where(rank < last_rep, 255, tot_rep - 1 - 256 * last_rep)
+
+    cv = codes[piece_sym]
+    l = (cv & 63).astype(np.int64)
+    v = (cv >> 6).astype(np.int64)
+    use_rle = (l + rl_len + 8) < (l * counts)
+
+    # item streams: RLE pieces emit 3 items, copy pieces c+1 items
+    n_items = np.where(use_rle, 3, counts + 1)
+    item_piece = np.repeat(np.arange(len(piece_sym)), n_items)
+    off = np.concatenate(([0], np.cumsum(n_items)))[:-1]
+    item_rank = np.arange(len(item_piece)) - np.repeat(off, n_items)
+    item_vals = v[item_piece].copy()
+    item_lens = l[item_piece].copy()
+    rle_items = use_rle[item_piece]
+    m1 = rle_items & (item_rank == 1)
+    m2 = rle_items & (item_rank == 2)
+    item_vals[m1] = rl_val
+    item_lens[m1] = rl_len
+    item_vals[m2] = counts[item_piece[m2]]
+    item_lens[m2] = 8
+
+    # vectorized MSB-first bit packing
+    endb = np.cumsum(item_lens)
+    startb = endb - item_lens
+    total_bits = int(endb[-1])
+    idx = np.repeat(np.arange(len(item_lens)), item_lens)
+    pos_in = np.arange(total_bits) - startb[idx]
+    bits = (item_vals[idx] >> (item_lens[idx] - 1 - pos_in)) & 1
+    pad = (-total_bits) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, dtype=bits.dtype)])
+    out = np.packbits(bits.astype(np.uint8)).tobytes()
+    return out, total_bits
 
 
 def _huf_decode(data: bytes, off: int, nbits: int, codes: np.ndarray,
@@ -447,6 +478,42 @@ def _huf_uncompress(data: bytes, nout: int) -> np.ndarray:
     lengths, off = _huf_unpack_table(data, 20, im, iM)
     codes = _huf_canonical(lengths)
     fast_len, fast_sym, long_codes = _huf_build_dec(codes, im, iM)
+
+    from .native import get_huf
+    lib = get_huf()
+    if lib is not None:
+        import ctypes
+        # canonical long codes per length are contiguous: ship range
+        # tables (base code, symbol list offset, count)
+        long_base = np.zeros(59, dtype=np.int64)
+        long_off = np.zeros(59, dtype=np.int64)
+        long_cnt = np.zeros(59, dtype=np.int64)
+        syms_flat: list[int] = []
+        by_len: dict[int, list[tuple[int, int]]] = {}
+        for (l, code), s in long_codes.items():
+            by_len.setdefault(l, []).append((code, s))
+        for l, items in sorted(by_len.items()):
+            items.sort()
+            long_base[l] = items[0][0]
+            long_off[l] = len(syms_flat)
+            long_cnt[l] = len(items)
+            syms_flat.extend(s for _, s in items)
+        long_syms = np.asarray(syms_flat or [0], dtype=np.int32)
+        out = np.empty(nout, dtype=np.uint16)
+        payload = data[off:]
+        rc = lib.huf_decode(
+            payload, len(payload), int(nbits),
+            fast_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            fast_sym.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            long_base.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            long_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            long_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            long_syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(iM), out.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint16)), nout)
+        if rc == 0:
+            return out
+        raise ValueError(f"PIZ: corrupt Huffman stream ({rc})")
     return _huf_decode(data, off, nbits, codes, fast_len, fast_sym,
                        long_codes, iM, nout)
 

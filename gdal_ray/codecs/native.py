@@ -128,3 +128,21 @@ def get_vp8l():
         lib.vp8l_pred_inverse.restype = ctypes.c_int
         lib._sigs_set = True
     return lib
+
+
+def get_huf():
+    """The PIZ Huffman decode loop (codecs/_huf.c), or None."""
+    lib = _build("_huf")
+    if lib is None:
+        return None
+    if not getattr(lib, "_sigs_set", False):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.huf_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            i32p, i32p, i64p, i64p, i64p, i32p,
+            ctypes.c_long, u16p, ctypes.c_long]
+        lib.huf_decode.restype = ctypes.c_int
+        lib._sigs_set = True
+    return lib

@@ -1886,10 +1886,13 @@ def q_exr_roundtrip(sf_dir: str):
             px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
             gt = tuple(float(g[i]) for g in gts)
             iid = t["image_id"][i].as_py()
-            # alternate scanline / tiled ONE_LEVEL storage so the
-            # driver gate exercises both container layouts
+            # alternate scanline / tiled ONE_LEVEL storage and
+            # ZIP / PIZ compression (both lossless) so the driver
+            # gate exercises both container layouts and the wavelet+
+            # Huffman codec
             write_exr(os.path.join(out_dir, f"{iid}.exr"), px,
-                      pixel_type="FLOAT", compression="ZIP",
+                      pixel_type="FLOAT",
+                      compression="PIZ" if i % 3 == 0 else "ZIP",
                       geotransform=gt,
                       tile=(64, 64) if i % 2 else None)
             n += 1
@@ -1919,6 +1922,101 @@ def q_exr_roundtrip(sf_dir: str):
                          "gt_x0": pa.array(gx, pa.float64())})
 
     return files.map_batches(stats, batch_format="pyarrow")
+
+
+def q_zarr_roundtrip(sf_dir: str):
+    """Zarr v2 driver end-to-end with the round-5 own codecs
+    (sources/zarr.py + codecs/lz4.py + codecs/zstd.py; the reference
+    frmts/zarr wraps libblosc/liblz4/libzstd): write the lossless
+    corpus half as multi-chunk Zarr v2 stores — even images with
+    blosc (lz4 + byte shuffle) chunks from the own writer, odd images
+    with real libzstd chunks (pyarrow's bundled zstd, so the own
+    RFC 8878 decoder's entropy paths are exercised, not just
+    store-mode) — read them back through the standard reader, and
+    emit per-image band stats + the roundtripped origin from .zattrs.
+    Lossless, so rows hash-match the closed-form pixel oracle."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..codecs import decode as _dec
+    from ..codecs.lz4 import blosc_compress
+    from ..sources.images import images_dataset
+    from ..sources.zarr import read_zarr_array
+    from ..stages.georef import with_georef
+
+    out_dir = "/tmp/gdal_ray_zarr_corpus"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+        zc = _pa.Codec("zstd", compression_level=9)
+        gts = [t[f"gt{k}"].to_numpy() for k in range(6)]
+        n = 0
+        for i in range(t.num_rows):
+            px = _dec(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            if px.ndim == 3:
+                px = px[:, :, 0]
+            px = np.ascontiguousarray(px, dtype=np.uint8)
+            gt = [float(g[i]) for g in gts]
+            iid = t["image_id"][i].as_py()
+            root = os.path.join(out_dir, f"{iid}.zarr")
+            os.makedirs(root, exist_ok=True)
+            ch = (64, 64)
+            use_blosc = n % 2 == 0
+            comp = ({"id": "blosc", "cname": "lz4", "clevel": 5,
+                     "shuffle": 1, "blocksize": 0} if use_blosc
+                    else {"id": "zstd", "level": 9})
+            meta = {"zarr_format": 2, "shape": list(px.shape),
+                    "chunks": list(ch), "dtype": "|u1", "order": "C",
+                    "fill_value": 0, "filters": None,
+                    "compressor": comp}
+            with open(os.path.join(root, ".zarray"), "w") as fh:
+                json.dump(meta, fh)
+            with open(os.path.join(root, ".zattrs"), "w") as fh:
+                json.dump({"GeoTransform": gt}, fh)
+            for ci in range(-(-px.shape[0] // ch[0])):
+                for cj in range(-(-px.shape[1] // ch[1])):
+                    blk = np.zeros(ch, np.uint8)
+                    sub = px[ci * ch[0]:(ci + 1) * ch[0],
+                             cj * ch[1]:(cj + 1) * ch[1]]
+                    blk[:sub.shape[0], :sub.shape[1]] = sub
+                    raw = blk.tobytes()
+                    enc = blosc_compress(raw, typesize=1) \
+                        if use_blosc else bytes(zc.compress(raw))
+                    with open(os.path.join(root, f"{ci}.{cj}"),
+                              "wb") as fh:
+                        fh.write(enc)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    images_dataset(32).map_batches(_png_only, batch_format="pyarrow") \
+        .map_batches(with_georef, batch_format="pyarrow") \
+        .map_batches(write, batch_format="pyarrow").materialize()
+
+    stores = sorted(os.listdir(out_dir))
+    ds = rd.from_items([{"store": s} for s in stores])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, means, mins, maxs, gx = [], [], [], [], []
+        for s in t["store"].to_pylist():
+            arr, attrs = read_zarr_array(os.path.join(out_dir, s))
+            b0 = arr.astype(np.float64)
+            ids.append(s[:-5])
+            means.append(_half_away([b0.mean()])[0])
+            mins.append(float(b0.min()))
+            maxs.append(float(b0.max()))
+            gx.append(_half_away([attrs["GeoTransform"][0]])[0])
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "mean_b0": pa.array(means, pa.float64()),
+                         "min_b0": pa.array(mins, pa.float64()),
+                         "max_b0": pa.array(maxs, pa.float64()),
+                         "gt_x0": pa.array(gx, pa.float64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
 
 
 def q_rl2_roundtrip(sf_dir: str):
@@ -4626,6 +4724,7 @@ QUERIES = {
     "e57_roundtrip": q_e57_roundtrip,
     "heif_roundtrip": q_heif_roundtrip,
     "exr_roundtrip": q_exr_roundtrip,
+    "zarr_roundtrip": q_zarr_roundtrip,
     "ntv2_shift": q_ntv2_shift,
     "rl2_roundtrip": q_rl2_roundtrip,
     "running_sum": q_running_sum,
@@ -4796,6 +4895,7 @@ def oracle_sql() -> dict[str, str]:
         "e57_roundtrip": _OR.sql_raster_stats(32),
         "heif_roundtrip": _OR.sql_heif_roundtrip(32),
         "exr_roundtrip": _OR.sql_heif_roundtrip(32),
+        "zarr_roundtrip": _OR.sql_heif_roundtrip(32),
         "pdf_roundtrip": _OR.sql_raster_stats(32),
         "pdfvec_roundtrip": _OR.sql_pdfvec_roundtrip(25),
         "sqlite_roundtrip": _OR.sql_sqlite_roundtrip(30),

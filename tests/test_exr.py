@@ -275,3 +275,35 @@ def test_b44a_tiled(tmp_path):
               tile=(16, 16))
     px, _, _, _ = read_exr(p)
     assert np.abs(px - h).max() < 0.01
+
+
+def test_piz_native_twin_matches_python():
+    # the _huf.c kernel must agree with the pure-Python decoder
+    # (same pattern as the T1/VP8 twins)
+    import os
+    from gdal_ray.codecs.exr_piz import _huf_compress, _huf_uncompress
+    from gdal_ray.codecs import native
+    if native._build("_huf") is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(5)
+    cases = [rng.integers(0, 60000, 30000).astype(np.uint16),
+             np.repeat(rng.integers(0, 50, 300),
+                       rng.integers(1, 900, 300)).astype(np.uint16),
+             np.zeros(1000, np.uint16)]
+    fib = [1, 1]
+    for _ in range(24):
+        fib.append(fib[-1] + fib[-2])
+    cases.append(np.concatenate(
+        [np.full(f, i, np.uint16) for i, f in enumerate(fib)]))
+    for data in cases:
+        enc = _huf_compress(data)
+        dec_native = _huf_uncompress(enc, len(data))
+        os.environ["GDAL_RAY_NO_NATIVE"] = "1"
+        native._CACHE.clear()
+        try:
+            dec_py = _huf_uncompress(enc, len(data))
+        finally:
+            del os.environ["GDAL_RAY_NO_NATIVE"]
+            native._CACHE.clear()
+        assert np.array_equal(dec_native, dec_py)
+        assert np.array_equal(dec_native, data)
