@@ -65,12 +65,15 @@ def _read_ifd_values(buf, bo, typ, cnt, val_off_raw, big: bool = False):
     else:
         (off,) = struct.unpack(bo + ("Q" if big else "I"), val_off_raw)
         raw = buf[off:off + size]
-    fmt = _TYPE_FMT.get(typ)
-    if fmt is None:
-        return raw
     if typ == 5:  # RATIONAL
         vals = struct.unpack(bo + f"{2 * cnt}I", raw[:8 * cnt])
         return [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(cnt)]
+    if typ == 10:  # SRATIONAL
+        vals = struct.unpack(bo + f"{2 * cnt}i", raw[:8 * cnt])
+        return [vals[2 * i] / (vals[2 * i + 1] or 1) for i in range(cnt)]
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return raw
     return list(struct.unpack(bo + f"{cnt}{fmt}", raw[:size * 1]
                               if size > 4 else raw[:struct.calcsize(bo + f"{cnt}{fmt}")]))
 
@@ -172,13 +175,92 @@ def _decompress(raw: bytes, comp: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression {comp}")
 
 
+def _ycbcr_tables(luma, refbw):
+    """libtiff TIFFYCbCrToRGBInit's integer tables (tif_color.c:251):
+    FIX()ed coefficients, Code2V range mapping in float32, SHIFT-16
+    fixed point with ONE_HALF rounding."""
+    lr, lg, lb = luma
+    fix = lambda x: int(np.float64(x) * 65536 + 0.5)
+    clamp2 = lambda f: min(max(f, 0.0), 2.0)
+    d1 = fix(clamp2(2 - 2 * lr))
+    d2 = -fix(clamp2(lr * (2 - 2 * lr) / lg))
+    d3 = fix(clamp2(2 - 2 * lb))
+    d4 = -fix(clamp2(lb * (2 - 2 * lb) / lg))
+
+    def code2v(c, rb, rw, cr):
+        den = (rw - rb) if rw != rb else 1.0
+        return np.float32(c - np.int32(rb)) * np.float32(cr) \
+            / np.float32(den)
+
+    x = np.arange(256, dtype=np.int64) - 128
+    cr_v = code2v(x, refbw[4] - 128.0, refbw[5] - 128.0, 127) \
+        .astype(np.int32).astype(np.int64)
+    cb_v = code2v(x, refbw[2] - 128.0, refbw[3] - 128.0, 127) \
+        .astype(np.int32).astype(np.int64)
+    y_v = code2v(x + 128, refbw[0], refbw[1], 255) \
+        .astype(np.int32).astype(np.int64)
+    cr_r = (d1 * cr_v + 32768) >> 16
+    cb_b = (d3 * cb_v + 32768) >> 16
+    cr_g = d2 * cr_v
+    cb_g = d4 * cb_v + 32768
+    return y_v, cr_r, cb_b, cr_g, cb_g
+
+
+def _ycbcr_to_rgb(raw: bytes, bh: int, bw: int, sh: int, sv: int,
+                  luma, refbw) -> bytes:
+    """Packed subsampled YCbCr strip/tile → chunky RGB bytes.
+    Units of sh*sv Y samples + Cb + Cr, row-major over the padded
+    (ceil(bh/sv)*sv, ceil(bw/sh)*sh) grid (TIFF 6.0 §21)."""
+    uy = -(-bh // sv)
+    ux = -(-bw // sh)
+    unit = sh * sv + 2
+    need = uy * ux * unit
+    data = np.frombuffer(raw, np.uint8, count=need).astype(np.int64)
+    units = data.reshape(uy, ux, unit)
+    ys = units[:, :, :sh * sv].reshape(uy, ux, sv, sh)
+    # (uy, sv, ux, sh) → padded image Y plane
+    ypl = ys.transpose(0, 2, 1, 3).reshape(uy * sv, ux * sh)
+    cb = np.repeat(np.repeat(units[:, :, sh * sv], sv, 0)
+                   .reshape(uy * sv, ux), sh, 1)
+    cr = np.repeat(np.repeat(units[:, :, sh * sv + 1], sv, 0)
+                   .reshape(uy * sv, ux), sh, 1)
+    y_v, cr_r, cb_b, cr_g, cb_g = _ycbcr_tables(luma, refbw)
+    yv = y_v[ypl]
+    r = np.clip(yv + cr_r[cr], 0, 255)
+    g = np.clip(yv + ((cb_g[cb] + cr_g[cr]) >> 16), 0, 255)
+    b = np.clip(yv + cb_b[cb], 0, 255)
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return np.ascontiguousarray(rgb[:bh, :bw]).tobytes()
+
+
+def _merge_jpegtables(tables: bytes, strip: bytes) -> bytes:
+    """Abbreviated TIFF-JPEG streams (tag 347): the JPEGTables blob
+    is SOI + table segments + EOI; inject those segments after the
+    strip's SOI (strip-local tables then override by appearing
+    later, matching libjpeg's last-wins semantics)."""
+    if not tables or len(tables) < 4 or strip[:2] != b"\xff\xd8":
+        return strip
+    body = tables
+    if body[:2] == b"\xff\xd8":
+        body = body[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    return strip[:2] + body + strip[2:]
+
+
 def _decode_pixel_block(raw: bytes, comp: int, bh: int, bw: int,
-                        bspp: int, dt) -> bytes:
-    """WEBP (50001) / LERC (34887) blocks decode to pixels, not a
-    byte stream; re-embed into the full (bh, bw, bspp) chunky block
-    so the common placement path applies (edge blocks may carry
-    clipped dimensions)."""
-    if comp == 50001:
+                        bspp: int, dt, jpegtables: bytes | None = None
+                        ) -> bytes:
+    """JPEG (7) / WEBP (50001) / LERC (34887) blocks decode to
+    pixels, not a byte stream; re-embed into the full (bh, bw, bspp)
+    chunky block so the common placement path applies (edge blocks
+    may carry clipped dimensions)."""
+    if comp == 7:
+        from .jpeg import decode as _jpeg_decode
+        px = _jpeg_decode(_merge_jpegtables(jpegtables or b"", raw))
+        if px.ndim == 3 and px.shape[2] > bspp:
+            px = px[:, :, :bspp]
+    elif comp == 50001:
         from .webp import decode_webp
         px = decode_webp(raw)[:, :, :bspp]
     else:
@@ -302,6 +384,12 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
     w = int(tags[_T_WIDTH][0])
     h = int(tags[_T_HEIGHT][0])
     spp = int(tags.get(_T_SPP, [1])[0])
+    if w <= 0 or h <= 0 or w * h * max(spp, 1) > (1 << 34):
+        # decode_gtiff materializes the full raster; refuse
+        # pathological dimensions fast instead of hanging (the
+        # reference opens such files lazily and never reads them)
+        raise ValueError(f"TIFF raster too large to decode: {w}x{h}"
+                         f"x{spp}")
     bits_list = tags.get(_T_BITS, [8])
     bits = int(bits_list[0] if isinstance(bits_list, list) else bits_list)
     comp = int(tags.get(_T_COMP, [1])[0])
@@ -309,10 +397,48 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
     sfmt = int(sfmt_l[0] if isinstance(sfmt_l, list) else sfmt_l)
     planar = int(tags.get(_T_PLANAR, [1])[0])
     pred = int(tags.get(_T_PREDICTOR, [1])[0])
+    jt = tags.get(347)                  # JPEGTables (abbreviated JPEG)
+    jpegtables = bytes(jt) if isinstance(jt, (bytes, bytearray)) \
+        else (bytes(jt) if isinstance(jt, list) and jt
+              and isinstance(jt[0], int) else None)
+    photo = int(tags.get(_T_PHOTO, [1])[0])
+    ycbcr_packed = photo == 6 and comp not in (6, 7)
+    if ycbcr_packed:
+        if bits != 8:
+            raise ValueError("YCbCr TIFF: only 8-bit supported")
+        ss = tags.get(530, [2, 2])
+        ss_h, ss_v = int(ss[0]), int(ss[1])
+        if ss_v == 4 and ss_h != 4:
+            # matches the reference suite: 1x4 / 2x4 raise, 4x4 reads
+            raise ValueError(
+                f"YCbCr subsampling {ss_h}x{ss_v} not supported")
+        yc_luma = tuple(float(v) for v in tags.get(
+            529, [0.299, 0.587, 0.114]))
+        yc_refbw = tuple(float(v) for v in tags.get(
+            532, [0.0, 255.0, 128.0, 255.0, 128.0, 255.0]))
     is_bilevel = bits == 1
     if is_bilevel:
         bits = 8  # expand 1-bit rows to one byte per pixel below
-    dt = _dtype_of(bits, sfmt, bo)
+    # odd bit depths (2/4/10/12/24...): bit-packed MSB-first rows,
+    # promoted like the reference (<=8 -> Byte, <=16 -> (U)Int16,
+    # <=32 -> (U)Int32, 24-bit float -> Float32)
+    odd_bits = bits % 8 != 0 or (bits == 24)
+    if odd_bits:
+        if sfmt == 3:
+            if bits != 24:
+                raise ValueError(f"unsupported TIFF sample: {bits} "
+                                 "bits fmt 3")
+            dt = np.dtype("=f4")
+        elif bits <= 8:
+            dt = np.dtype("u1" if sfmt != 2 else "i1")
+        elif bits <= 16:
+            dt = np.dtype("=u2" if sfmt != 2 else "=i2")
+        elif bits <= 32:
+            dt = np.dtype("=u4" if sfmt != 2 else "=i4")
+        else:
+            raise ValueError(f"unsupported TIFF sample: {bits} bits")
+    else:
+        dt = _dtype_of(bits, sfmt, bo)
     cint = sfmt == 5              # complex int: value PAIRS of dt
     odt = (np.dtype("c8") if bits == 32 else np.dtype("c16")) if cint \
         else dt.newbyteorder("=")
@@ -322,7 +448,60 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
 
     out = np.zeros((h, w, spp), dtype=odt)
 
+    def unpack_odd(raw: bytes, bh: int, bw: int) -> bytes:
+        """Bit-packed (or 3-byte) samples → native ``dt`` bytes."""
+        spr = bw * bspp                   # samples per row
+        if bits == 24:
+            rowbytes = spr * 3
+            need = rowbytes * bh
+            if len(raw) < need:
+                raw = raw + b"\x00" * (need - len(raw))
+            a = np.frombuffer(raw, np.uint8, count=need) \
+                .reshape(-1, 3).astype(np.uint32)
+            if sfmt == 3:
+                # 24-bit float, little-endian bytes: 1 sign / 7 exp
+                # (bias 63) / 16 mantissa (layout verified against
+                # the reference's float24.tif → byte.tif values)
+                u24 = (a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)) \
+                    if bo == "<" else (a[:, 2] | (a[:, 1] << 8)
+                                       | (a[:, 0] << 16))
+                s = np.where(u24 & 0x800000, -1.0, 1.0)
+                e = ((u24 >> 16) & 0x7F).astype(np.int64)
+                m = (u24 & 0xFFFF).astype(np.float64)
+                v = np.where(
+                    e == 0, m / 65536.0 * 2.0 ** -62,
+                    np.where(e == 0x7F,
+                             np.where(m == 0, np.inf, np.nan),
+                             (1.0 + m / 65536.0)
+                             * np.exp2(e.astype(np.float64) - 63)))
+                return (s * v).astype("=f4").tobytes()
+            # 24-bit ints: MSB-first sample bytes regardless of the
+            # container byte order (reference int24.tif: 107 stored
+            # as 00 00 6B in an II file)
+            u24 = a[:, 2] | (a[:, 1] << 8) | (a[:, 0] << 16)
+            if sfmt == 2:                 # sign extend 24 -> 32
+                v = u24.astype(np.int64)
+                v = np.where(v & 0x800000, v - (1 << 24), v)
+                return v.astype("=i4").tobytes()
+            return u24.astype("=u4").tobytes()
+        rowbytes = (spr * bits + 7) // 8
+        need = rowbytes * bh
+        if len(raw) < need:
+            raw = raw + b"\x00" * (need - len(raw))
+        rows = np.frombuffer(raw, np.uint8, count=need) \
+            .reshape(bh, rowbytes)
+        bits_arr = np.unpackbits(rows, axis=1)[:, :spr * bits] \
+            .reshape(bh, spr, bits)
+        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+        vals = bits_arr.astype(np.int64) @ weights
+        if sfmt == 2:
+            vals = np.where(vals & (1 << (bits - 1)),
+                            vals - (1 << bits), vals)
+        return vals.astype(dt).tobytes()
+
     def place(block_bytes, row0, col0, bh, bw, band0):
+        if odd_bits:
+            block_bytes = unpack_odd(block_bytes, bh, bw)
         vals_per = 2 if cint else 1
         need = bh * bw * bspp * dt.itemsize * vals_per
         if len(block_bytes) < need:
@@ -393,11 +572,15 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
             bi = ti if planar == 1 else ti % tiles_per_band
             row0 = (bi // tiles_across) * tl
             col0 = (bi % tiles_across) * tw
-            if comp in (50001, 34887):
+            if comp in (7, 50001, 34887):
                 blk = _decode_pixel_block(mv[o:o + c], comp, tl, tw,
-                                          bspp, dt)
+                                          bspp, dt, jpegtables)
             elif is_bilevel:
                 blk = expand(mv[o:o + c], tl, tw)
+            elif ycbcr_packed:
+                blk = _ycbcr_to_rgb(_decompress(mv[o:o + c], comp),
+                                    tl, tw, ss_h, ss_v, yc_luma,
+                                    yc_refbw)
             else:
                 blk = _decompress(mv[o:o + c], comp)
             place(blk, row0, col0, tl, tw, band0)
@@ -411,11 +594,15 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
             bi = si if planar == 1 else si % strips_per_band
             row0 = bi * rps
             bh = min(rps, h - row0)
-            if comp in (50001, 34887):
+            if comp in (7, 50001, 34887):
                 blk = _decode_pixel_block(mv[o:o + c], comp, bh, w,
-                                          bspp, dt)
+                                          bspp, dt, jpegtables)
             elif is_bilevel:
                 blk = expand(mv[o:o + c], bh, w)
+            elif ycbcr_packed:
+                blk = _ycbcr_to_rgb(_decompress(mv[o:o + c], comp),
+                                    bh, w, ss_h, ss_v, yc_luma,
+                                    yc_refbw)
             else:
                 blk = _decompress(mv[o:o + c], comp)
             place(blk, row0, 0, bh, w, band0)

@@ -212,3 +212,87 @@ def test_webp_compressed_tiff():
     assert abs(b1.max() - 215) <= 1
     assert abs(b1.mean() - 66.38) <= 1
     assert abs(b1.std() - 47.186) <= 1
+
+
+def test_jpeg_in_tiff():
+    # abbreviated JPEG streams with the JPEGTables tag (347); the
+    # reference's own expectations (tiff_write.py test_tiff_write_130):
+    # byte_jpg_unusual_jpegtable 4771, byte_jpg_tablesmodezero 4743
+    from gdal_ray.codecs.gtiff import decode_gtiff
+    from gdal_ray.core.checksum import checksum
+    A = "/root/reference/autotest/gcore/data/"
+    g = decode_gtiff(open(A + "byte_jpg_unusual_jpegtable.tif",
+                          "rb").read())
+    assert checksum(g.pixels) == 4771
+    g = decode_gtiff(open(A + "byte_jpg_tablesmodezero.tif",
+                          "rb").read())
+    assert checksum(g.pixels) == 4743
+
+
+def test_jpeg_in_tiff_ycbcr():
+    # color JPEG-in-TIFF incl. an undersized final strip
+    from gdal_ray.codecs.gtiff import decode_gtiff
+    A = "/root/reference/autotest/gcore/data/"
+    g = decode_gtiff(open(A + "tif_jpeg_ycbcr_too_big_last_stripe.tif",
+                          "rb").read())
+    assert g.pixels.shape == (19, 20, 3)
+    g = decode_gtiff(open(A + "ycbcr_with_mask.tif", "rb").read())
+    assert g.pixels.shape == (331, 467, 3)
+
+
+def test_odd_bit_depths():
+    # 10/12/24-bit ints and 24-bit floats all decode byte.tif's
+    # values (reference init_list: checksum 4672 for each)
+    from gdal_ray.codecs.gtiff import decode_gtiff
+    from gdal_ray.core.checksum import checksum
+    A = "/root/reference/autotest/gcore/data/"
+    for name in ("int10.tif", "int12.tif", "int24.tif", "float24.tif"):
+        g = decode_gtiff(open(A + name, "rb").read())
+        px = g.pixels
+        assert checksum(px.astype(np.float64)
+                        if px.dtype.kind == "f" else px) == 4672, name
+
+
+def test_ycbcr_lzw_checksums():
+    # libtiff-parity YCbCr conversion (integer SHIFT-16 tables) +
+    # subsampled macro-pixel expansion; band checksums from the
+    # reference's test_tiff_read_ycbcr_lzw matrix
+    from gdal_ray.codecs.gtiff import decode_gtiff
+    from gdal_ray.core.checksum import checksum
+    A = "/root/reference/autotest/gcore/data/"
+    exp = {"ycbcr_11_lzw.tif": (13459, 12939, 12414),
+           "ycbcr_12_lzw.tif": (13565, 13105, 12660),
+           "ycbcr_21_lzw.tif": (13587, 13297, 12760),
+           "ycbcr_22_lzw.tif": (13393, 13137, 12656),
+           "ycbcr_41_lzw.tif": (13218, 12758, 12592),
+           "ycbcr_42_lzw.tif": (13277, 12779, 12614),
+           "ycbcr_42_lzw_optimized.tif": (19918, 20120, 19087),
+           "ycbcr_44_lzw.tif": (12994, 13229, 12149),
+           "ycbcr_44_lzw_optimized.tif": (19666, 19860, 18836)}
+    for name, e in exp.items():
+        g = decode_gtiff(open(A + name, "rb").read())
+        got = tuple(checksum(g.pixels[:, :, i]) for i in range(3))
+        assert got == e, name
+    # 1x4 / 2x4 raise, matching the reference matrix's -1 rows
+    import pytest as _pytest
+    for name in ("ycbcr_14_lzw.tif", "ycbcr_24_lzw.tif"):
+        with _pytest.raises(ValueError):
+            decode_gtiff(open(A + name, "rb").read())
+
+
+def test_pathological_dimensions_fail_fast():
+    # decode_gtiff materializes the raster, so absurd dimensions must
+    # refuse fast instead of hanging/raising MemoryError mid-way
+    import struct
+    import pytest as _pytest
+    from gdal_ray.codecs.gtiff import decode_gtiff
+    A = "/root/reference/autotest/gcore/data/"
+    buf = bytearray(open(A + "byte.tif", "rb").read())
+    (off,) = struct.unpack_from("<I", buf, 4)
+    n = struct.unpack_from("<H", buf, off)[0]
+    for i in range(n):
+        tag, = struct.unpack_from("<H", buf, off + 2 + 12 * i)
+        if tag in (256, 257):        # width / height -> 2**21
+            struct.pack_into("<I", buf, off + 2 + 12 * i + 8, 1 << 21)
+    with _pytest.raises(ValueError, match="too large"):
+        decode_gtiff(bytes(buf))
