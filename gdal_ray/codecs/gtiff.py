@@ -157,6 +157,130 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _next_decode(data: bytes, rows: int, scanline: int,
+                 width: int) -> bytes:
+    """NeXT 2-bit grayscale (compression 32766, tif_next.c): rows
+    start all-white (0xff); per row a mode byte — 0x00 literal row,
+    0x40 literal span (u16 offset + u16 count), else <2-bit
+    color><6-bit count> run codes packed MSB-first."""
+    out = bytearray(b"\xff" * (rows * scanline))
+    pos = 0
+    for r in range(rows):
+        base = r * scanline
+        n = data[pos]
+        pos += 1
+        if n == 0x00:                    # literal row
+            out[base:base + scanline] = data[pos:pos + scanline]
+            pos += scanline
+        elif n == 0x40:                  # literal span
+            off = (data[pos] << 8) | data[pos + 1]
+            cnt = (data[pos + 2] << 8) | data[pos + 3]
+            out[base + off:base + off + cnt] = \
+                data[pos + 4:pos + 4 + cnt]
+            pos += 4 + cnt
+        else:
+            npix = 0
+            while True:
+                grey = (n >> 6) & 3
+                run = n & 0x3F
+                while run > 0 and npix < width:
+                    byte = base + (npix >> 2)
+                    shift = 6 - 2 * (npix & 3)
+                    out[byte] = (out[byte]
+                                 & ~(3 << shift)) | (grey << shift)
+                    npix += 1
+                    run -= 1
+                if npix >= width:
+                    break
+                n = data[pos]
+                pos += 1
+    return bytes(out)
+
+
+def _thunder_decode(data: bytes, rows: int, width: int) -> bytes:
+    """ThunderScan 4-bit (compression 32809, tif_thunder.c): run /
+    2-bit-delta / 3-bit-delta / raw codes, one row per strip row,
+    packed two pixels per byte high-nibble-first."""
+    two = (0, 1, 0, -1)
+    three = (0, 1, 2, 3, 0, -3, -2, -1)
+    rowbytes = (width + 1) // 2
+    out = bytearray(rows * rowbytes)
+    pos = 0
+    for r in range(rows):
+        base = r * rowbytes
+        lastpixel = 0
+        npix = 0
+
+        def setpix(v):
+            nonlocal lastpixel, npix
+            lastpixel = v & 0xF
+            if npix < width:
+                byte = base + (npix >> 1)
+                if npix & 1:
+                    out[byte] |= lastpixel
+                else:
+                    out[byte] = lastpixel << 4
+                npix += 1
+
+        while pos < len(data) and npix < width:
+            n = data[pos]
+            pos += 1
+            code = n & 0xC0
+            if code == 0x00:             # run of lastpixel
+                run = n & 0x3F
+                for _ in range(run):
+                    setpix(lastpixel)
+            elif code == 0x40:           # 2-bit deltas
+                for sh in (4, 2, 0):
+                    d = (n >> sh) & 3
+                    if d != 2:
+                        setpix(lastpixel + two[d])
+            elif code == 0x80:           # 3-bit deltas
+                for sh in (3, 0):
+                    d = (n >> sh) & 7
+                    if d != 4:
+                        setpix(lastpixel + three[d])
+            else:                        # raw 4-bit value
+                setpix(n)
+    return bytes(out)
+
+
+def _sgilog16_decode(data: bytes, rows: int, width: int,
+                     bo: str) -> bytes:
+    """SGILOG LogL16 (compression 34676, tif_luv.c LogL16Decode):
+    per row, two RLE byte-string passes (high byte then low byte);
+    run code >= 128 → (code - 126) copies of the next byte, else
+    literal count.  Raw 16-bit LogL codes are returned (the
+    SGILOGDATAFMT_16BIT passthrough the reference uses)."""
+    out = np.zeros(rows * width, dtype=np.uint16)
+    pos = 0
+    n = len(data)
+    for r in range(rows):
+        row = out[r * width:(r + 1) * width]
+        for shft in (8, 0):
+            i = 0
+            while i < width and pos < n:
+                rc = data[pos]
+                if rc >= 128:            # run
+                    if pos + 1 >= n:
+                        break
+                    b = data[pos + 1] << shft
+                    pos += 2
+                    rc -= 126
+                    while rc and i < width:
+                        row[i] |= b
+                        i += 1
+                        rc -= 1
+                else:                    # literals
+                    pos += 1
+                    while pos < n and rc and i < width:
+                        row[i] |= data[pos] << shft
+                        i += 1
+                        pos += 1
+                        rc -= 1
+    return out.astype(bo + "u2").tobytes()
+
+
 def _decompress(raw: bytes, comp: int) -> bytes:
     if comp == 1:
         return raw
@@ -568,6 +692,11 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
         tiles_across = -(-w // tw)
         tiles_per_band = tiles_across * (-(-h // tl))
         for ti, (o, c) in enumerate(zip(offs, cnts)):
+            if o == 0:
+                continue                 # sparse block (unwritten)
+            if c == 0:                   # zeroed count: infer from
+                nxt = [oo for oo in offs if oo > o]   # neighbours
+                c = (min(nxt) if nxt else len(buf)) - o
             band0 = 0 if planar == 1 else ti // tiles_per_band
             bi = ti if planar == 1 else ti % tiles_per_band
             row0 = (bi // tiles_across) * tl
@@ -590,6 +719,11 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
         cnts = tags[_T_STRIP_CNT]
         strips_per_band = -(-h // rps)
         for si, (o, c) in enumerate(zip(offs, cnts)):
+            if o == 0:
+                continue                 # sparse block (unwritten)
+            if c == 0:
+                nxt = [oo for oo in offs if oo > o]
+                c = (min(nxt) if nxt else len(buf)) - o
             band0 = 0 if planar == 1 else si // strips_per_band
             bi = si if planar == 1 else si % strips_per_band
             row0 = bi * rps
@@ -603,6 +737,16 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
                 blk = _ycbcr_to_rgb(_decompress(mv[o:o + c], comp),
                                     bh, w, ss_h, ss_v, yc_luma,
                                     yc_refbw)
+            elif comp == 32766:          # NeXT 2-bit
+                blk = _next_decode(bytes(mv[o:o + c]), bh,
+                                   (w * bits * bspp + 7) // 8, w)
+            elif comp == 32809:          # ThunderScan 4-bit
+                blk = _thunder_decode(bytes(mv[o:o + c]), bh, w)
+            elif comp == 34676:          # SGILOG LogL16
+                if photo != 32844 or bits != 16:
+                    raise ValueError("SGILOG: only LogL 16-bit "
+                                     "grayscale supported")
+                blk = _sgilog16_decode(bytes(mv[o:o + c]), bh, w, bo)
             else:
                 blk = _decompress(mv[o:o + c], comp)
             place(blk, row0, 0, bh, w, band0)

@@ -562,6 +562,7 @@ def decode(buf: bytes, scale: int = 1) -> np.ndarray:
     restart = 0
     precision = 8
     progressive = False
+    adobe_transform = None
     pos = 2
     n = len(buf)
     scans = []          # (scan_comps, Ss, Se, Ah, Al, huff snapshot,
@@ -616,6 +617,8 @@ def decode(buf: bytes, scale: int = 1) -> np.ndarray:
                 values = list(seg[o + 17:o + 17 + nv])
                 huff[(tc, th)] = _decode_lut(bits, values)
                 o += 17 + nv
+        elif marker == 0xEE and seg[:5] == b"Adobe":   # APP14
+            adobe_transform = seg[11] if len(seg) > 11 else None
         elif marker == 0xDD:                    # DRI
             restart = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:                    # SOS
@@ -703,6 +706,20 @@ def decode(buf: bytes, scale: int = 1) -> np.ndarray:
 
     if len(comps) == 1:
         return planes[comps[0][0]][:, :, None]
+    # non-YCbCr layouts stay raw (libjpeg jdmaster color-space
+    # inference): component ids 'R','G','B' or Adobe transform 0 →
+    # RGB stored directly; 4 components without an Adobe YCCK
+    # transform (TIFF RGBA strips, CMYK) pass through unconverted
+    ids = tuple(c[0] for c in comps)
+    if len(comps) == 3 and (ids == (0x52, 0x47, 0x42)
+                            or adobe_transform == 0):
+        return np.stack([planes[i] for i in ids], axis=2)
+    if len(comps) == 4:
+        if adobe_transform == 2:
+            raise ValueError("JPEG: Adobe YCCK not supported")
+        return np.stack([planes[i] for i in ids], axis=2)
+    if len(comps) != 3:
+        return np.stack([planes[i] for i in ids], axis=2)
     if precision == 8:
         # libjpeg jdcolor.c ycc_rgb_convert fixed-point tables
         y = planes[comps[0][0]].astype(np.int64)
