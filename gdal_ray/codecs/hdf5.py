@@ -67,6 +67,12 @@ class Hdf5File:
         self.buf = buf
         self.mv = memoryview(buf)
         off = self._find_superblock()
+        if off:
+            # user block: all file addresses are relative to the
+            # superblock (base address) — rebase the address space
+            self.buf = buf = buf[off:]
+            self.mv = memoryview(buf)
+            off = 0
         self._parse_superblock(off)
         self._objects: dict[int, H5Object] = {}
         self._gheaps: dict[int, dict[int, bytes]] = {}
@@ -1189,7 +1195,15 @@ class _FractalHeap:
 
 
 def sniff_hdf5(buf: bytes) -> bool:
-    return buf[:8] == _SIG
+    if buf[:8] == _SIG:
+        return True
+    # the spec allows the superblock at 512 * 2^n
+    pos = 512
+    while pos + 8 <= len(buf) and pos <= (1 << 24):
+        if buf[pos:pos + 8] == _SIG:
+            return True
+        pos <<= 1
+    return False
 
 
 def load_hdf5_bytes(path: str) -> bytes:

@@ -179,7 +179,8 @@ def decode_netcdf(buf: bytes):
     (bottom-up files are flipped, matching GDAL's default
     GDAL_NETCDF_BOTTOMUP=YES); ``attrs`` carries spatial_ref /
     scale_factor / add_offset / bottom_up when present."""
-    if buf[:8] == b"\x89HDF\r\n\x1a\n":
+    from .hdf5 import sniff_hdf5
+    if sniff_hdf5(buf):                  # incl. superblocks at 512*2^n
         return _decode_netcdf4(buf)
     hdr = parse_netcdf(buf)
     v = _pick_data_var(hdr)
@@ -198,7 +199,12 @@ def decode_netcdf(buf: bytes):
     for key in ("_FillValue", "missing_value"):
         if key in atts:
             val = atts[key]
-            nodata = float(np.asarray(val).ravel()[0])
+            try:
+                nodata = float(np.asarray(val).ravel()[0])
+            except (TypeError, ValueError):
+                # non-numeric missing_value text: ignored like the
+                # reference (netcdfdataset.cpp tolerates it)
+                continue
             if data.dtype == np.uint8 and nodata < 0:
                 nodata = float(int(nodata) & 0xFF)
             break

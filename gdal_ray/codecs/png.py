@@ -66,15 +66,46 @@ def decode(buf: bytes) -> np.ndarray:
         off += 12 + ln
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
-            if depth not in (8, 16) or inter not in (0, 1) or \
-                    ctype not in _NBANDS:
+            ok_depth = (8, 16) if ctype not in (0, 3) else (1, 2, 4, 8, 16)
+            if ctype == 3 and depth == 16:
+                ok_depth = (1, 2, 4, 8)
+            if depth not in ok_depth or inter not in (0, 1) or \
+                    (ctype not in _NBANDS and ctype != 3):
                 raise ValueError("unsupported PNG variant")
-            nb = _NBANDS[ctype]
+            nb = 1 if ctype == 3 else _NBANDS[ctype]
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
     payload = zlib.decompress(bytes(idat))
+
+    if depth < 8:
+        # sub-byte grayscale / palette indices: filters act on the
+        # packed row bytes with bpp=1, then bits unpack MSB-first
+        def rowdec(chunk, pw, ph):
+            rb = (pw * depth + 7) // 8
+            sub = _unfilter(chunk, rb, ph, 1, 1)
+            bits = np.unpackbits(sub.astype(np.uint8).reshape(ph, rb),
+                                 axis=1)[:, :pw * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1))
+            return (bits.reshape(ph, pw, depth)
+                    @ weights).astype(np.uint8)
+
+        if inter == 1:
+            out = np.zeros((h, w, 1), np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw == 0 or ph == 0:
+                    continue
+                nbytes = ph * (1 + (pw * depth + 7) // 8)
+                out[y0::dy, x0::dx, 0][:ph, :pw] = \
+                    rowdec(payload[pos:pos + nbytes], pw, ph)
+                pos += nbytes
+            return out
+        return rowdec(payload, w, h)[:, :, None]
+
     sw = depth // 8                           # sample width in bytes
 
     if inter == 1:

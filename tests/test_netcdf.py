@@ -96,3 +96,22 @@ def test_codec_registry_sniffer():
     buf = encode_netcdf(a, (0, 1, 0, 6, 0, -1))
     assert np.array_equal(registry_decode(buf), a)          # magic sniff
     assert np.array_equal(registry_decode(buf, "netcdf"), a)
+
+
+def test_hdf5_superblock_at_offset_1024():
+    # user-block files put the superblock at 512*2^n; addresses are
+    # relative to it (reference fixture decodes byte.tif's 4672)
+    from gdal_ray.codecs.netcdf import decode_netcdf
+    from gdal_ray.core.checksum import checksum
+    px, gt, nd, meta = decode_netcdf(open(
+        "/root/reference/autotest/gdrivers/data/netcdf/"
+        "byte_hdf5_starting_at_offset_1024.nc", "rb").read())
+    assert checksum(px) == 4672
+
+
+def test_non_numeric_missing_value_tolerated():
+    from gdal_ray.codecs.netcdf import decode_netcdf
+    px, gt, nd, meta = decode_netcdf(open(
+        "/root/reference/autotest/gdrivers/data/netcdf/"
+        "missing_value_text_non_numeric.nc", "rb").read())
+    assert nd is None
