@@ -40,7 +40,7 @@ def read_csv(path_or_text: str, *, geom_col: str | None = None,
     if "\n" in path_or_text:
         f = io.StringIO(path_or_text)
     else:
-        f = open(path_or_text, newline="")
+        f = open(path_or_text, newline="", encoding="utf-8-sig")
     with f:
         rdr = csv.reader(f)
         try:
@@ -82,7 +82,10 @@ def read_csv(path_or_text: str, *, geom_col: str | None = None,
                 continue
             g = None
             if gi is not None and gi < len(row) and row[gi].strip():
-                g = WT.loads_wkt(row[gi])
+                try:
+                    g = WT.loads_wkt(row[gi])
+                except ValueError:
+                    g = None             # unparsable WKT → null geom
             elif xi is not None and yi is not None:
                 try:
                     g = W.point(float(row[xi]), float(row[yi]))

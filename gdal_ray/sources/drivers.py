@@ -158,7 +158,10 @@ def _read_json(path):
     head = open(path, encoding="utf-8", errors="replace").read(8192)
     if '"Topology"' in head:
         from .topojson import read_topojson_layer
-        return read_topojson_layer(path)
+        try:
+            return read_topojson_layer(path)
+        except ValueError:
+            pass        # "Topology" was a property value, not the type
     if ("esriGeometry" in head or "objectIdFieldName" in head
             or '"attributes"' in head):
         from .esrijson import read_esrijson

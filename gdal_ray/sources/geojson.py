@@ -18,14 +18,32 @@ from ..core import wkb as W
 from ..core.wkt import from_geojson, to_geojson
 
 
+_GEOM_TYPES = {"Point", "MultiPoint", "LineString", "MultiLineString",
+               "Polygon", "MultiPolygon", "GeometryCollection"}
+
+
 def read_geojson_table(path: str) -> pa.Table:
-    """FeatureCollection file → Arrow table (fid, properties..., wkb,
-    minx, miny, maxx, maxy)."""
-    with open(path) as f:
-        fc = json.load(f)
-    if fc.get("type") != "FeatureCollection":
-        raise ValueError("expected a FeatureCollection")
-    return _features_to_table(fc.get("features", []))
+    """GeoJSON file → Arrow table (fid, properties..., wkb, minx,
+    miny, maxx, maxy).  Like the reference driver, accepts a
+    FeatureCollection, a single Feature, or a bare geometry object
+    (incl. GeometryCollection), and tolerates a UTF-8 BOM."""
+    text = open(path, encoding="utf-8-sig").read()
+    try:
+        fc = json.loads(text)
+    except json.JSONDecodeError:
+        # the reference's json-c parser tolerates trailing commas
+        import re
+        fc = json.loads(re.sub(r",\s*([}\]])", r"\1", text))
+    t = fc.get("type") if isinstance(fc, dict) else None
+    if t == "FeatureCollection":
+        feats = fc.get("features") or []
+    elif t == "Feature":
+        feats = [fc]
+    elif t in _GEOM_TYPES:
+        feats = [{"type": "Feature", "properties": {}, "geometry": fc}]
+    else:
+        raise ValueError("not a GeoJSON document")
+    return _features_to_table(feats)
 
 
 def _features_to_table(feats) -> pa.Table:
@@ -44,10 +62,39 @@ def _features_to_table(feats) -> pa.Table:
         cols["fid"].append(int(fid) if isinstance(fid, (int, float)) else i)
         for k in keys:
             cols[k].append(props.get(k))
-        g = from_geojson(ft["geometry"])
-        wkbs.append(W.dumps(g))
-        envs.append(g.envelope())
+        gj = ft.get("geometry")
+        try:
+            g = from_geojson(gj) if gj is not None else None
+            enc = W.dumps(g) if g is not None else None
+        except (TypeError, IndexError, KeyError, ValueError):
+            g = enc = None               # null/ragged coordinates
+        if enc is None:                  # null-geometry feature
+            wkbs.append(None)
+            envs.append((np.nan, np.nan, np.nan, np.nan))
+        else:
+            wkbs.append(enc)
+            try:
+                e = np.asarray(g.envelope(), dtype=np.float64).ravel()
+            except (IndexError, ValueError):
+                e = np.empty(0)          # empty geometry
+            envs.append(tuple(e[:4]) if e.size >= 4
+                        else (np.nan, np.nan, np.nan, np.nan))
     env = np.array(envs, np.float64) if envs else np.empty((0, 4))
+    # OGR-style field type promotion: mixed int/real → real, any
+    # other mix (or nested lists/objects) → JSON-ish strings
+    for k in keys:
+        vals = cols[k]
+        kinds = {type(v) for v in vals if v is not None}
+        if any(t in (list, dict) for t in kinds) or \
+                (str in kinds and len(kinds) > 1) or \
+                (bool in kinds and len(kinds) > 1) or \
+                (kinds and kinds <= {int, float, str, bool, list, dict}
+                 and len(kinds - {int, float}) > 0 and len(kinds) > 1):
+            cols[k] = [None if v is None
+                       else (v if isinstance(v, str) else json.dumps(v))
+                       for v in vals]
+        elif kinds == {int, float}:
+            cols[k] = [None if v is None else float(v) for v in vals]
     t = pa.table({"fid": pa.array(cols["fid"], pa.int64()),
                   **{k: pa.array(cols[k]) for k in keys}})
     t = t.append_column("wkb", pa.array(wkbs, pa.binary()))

@@ -97,6 +97,25 @@ class TestGeoJsonDriver:
         from gdal_ray.sources.geojson import read_geojson_table
         p = str(tmp_path / "x.geojson")
         with open(p, "w") as f:
-            f.write('{"type": "Feature"}')
+            f.write('{"type": "Unrelated"}')
         with pytest.raises(ValueError):
             read_geojson_table(p)
+
+
+def test_geojson_lenient_documents():
+    # reference-driver behaviors: bare geometry / single Feature
+    # docs, null and null-coordinate geometries, UTF-8 BOM, trailing
+    # commas, mixed-type property promotion
+    import glob
+    from gdal_ray.sources.geojson import read_geojson_table
+    A = "/root/reference/autotest/ogr/data/geojson/"
+    t = read_geojson_table(A + "point_with_utf8bom.json")
+    assert t.num_rows == 1
+    t = read_geojson_table(A + "stac_item.json")      # trailing commas
+    assert t.num_rows == 1
+    t = read_geojson_table(A + "ogr_geojson_14.geojson")
+    assert t.num_rows == 27                           # incl. empties
+    t = read_geojson_table(A + "ids_0_1_null_1_null.json")
+    assert t.num_rows == 5
+    t = read_geojson_table(A + "test_type_promotion.json")
+    assert t.num_rows > 0
