@@ -86,6 +86,67 @@ def _read_shp_geometries(buf: bytes):
                            W.Geometry(W.MULTILINESTRING, parts=lines))
             else:
                 out.append(_rings_to_geometry(parts))
+        elif stype == 31:                       # MultiPatch
+            # part types (shapefile spec): 0 triangle strip, 1
+            # triangle fan → TIN parts; 2 outer / 3 inner / 4 first
+            # / 5 ring → polygons (OGRCreateFromMultiPatch shape;
+            # Z is projected out like every other Z type here)
+            nparts, npts = struct.unpack("<2i", buf[p + 32:p + 40])
+            part_idx = np.frombuffer(buf, "<i4", nparts, p + 40)
+            ptypes = np.frombuffer(buf, "<i4", nparts,
+                                   p + 40 + 4 * nparts)
+            pts = np.frombuffer(buf, "<f8", npts * 2,
+                                p + 40 + 8 * nparts).reshape(-1, 2)
+            bounds = np.append(part_idx, npts)
+            groups = []                 # top-level children
+            cur_poly = None             # open ring polygon
+            for k in range(nparts):
+                part = np.array(pts[bounds[k]:bounds[k + 1]],
+                                np.float64)
+                pt = int(ptypes[k])
+                if pt in (0, 1):        # strip / fan → triangles
+                    tris = []
+                    for i in range(len(part) - 2):
+                        tri = (np.array([part[0], part[i + 1],
+                                         part[i + 2], part[0]])
+                               if pt == 1 else
+                               np.array([part[i], part[i + 1],
+                                         part[i + 2], part[i]]))
+                        tris.append(W.Geometry(W.POLYGON,
+                                               rings=[tri]))
+                    groups.append(W.Geometry(W.MULTIPOLYGON,
+                                             parts=tris))
+                    cur_poly = None
+                else:
+                    ring = part if len(part) and \
+                        np.allclose(part[0], part[-1]) else \
+                        np.vstack([part, part[:1]])
+                    if pt in (2, 4) or cur_poly is None:
+                        cur_poly = [ring]
+                        groups.append(("poly", cur_poly))
+                    else:               # 3 / 5: hole of the open one
+                        cur_poly.append(ring)
+            children = []
+            ring_polys = []
+            for g in groups:
+                if isinstance(g, tuple):
+                    ring_polys.append(
+                        W.Geometry(W.POLYGON, rings=g[1]))
+                else:
+                    if ring_polys:
+                        children.append(
+                            ring_polys[0] if len(ring_polys) == 1
+                            else W.Geometry(W.MULTIPOLYGON,
+                                            parts=ring_polys))
+                        ring_polys = []
+                    children.append(g)
+            if ring_polys:
+                children.append(ring_polys[0] if len(ring_polys) == 1
+                                else W.Geometry(W.MULTIPOLYGON,
+                                                parts=ring_polys))
+            out.append(children[0] if len(children) == 1
+                       else W.Geometry(W.GEOMETRYCOLLECTION,
+                                       parts=children))
         else:
             raise ValueError(f"unsupported shape type {stype}")
         pos = end

@@ -196,3 +196,27 @@ class TestVsiZip:
         with gzip.open(p, "wt") as f:
             json.dump(gj, f)
         assert read_vector(p).num_rows == 1
+
+
+def test_shapefile_multipatch():
+    # MultiPatch (type 31) → collection of TIN triangles + ring
+    # polygons; XY projection of the reference's expected
+    # GEOMETRYCOLLECTION(TIN, TIN, MULTIPOLYGON) (ogr_shape.py:1586;
+    # this engine's geometry model is 2-D)
+    import numpy as np
+    import gdal_ray.core.wkb as W
+    from gdal_ray.sources.drivers import read_vector
+    t = read_vector(
+        "/root/reference/autotest/ogr/data/shp/multipatch.shp")
+    assert t.num_rows == 1
+    g = W.loads(t["wkb"][0].as_py())
+    assert g.geom_type == W.GEOMETRYCOLLECTION
+    fan = g.parts[0]
+    assert fan.geom_type == W.MULTIPOLYGON and len(fan.parts) == 4
+    # every fan triangle shares the apex (5, 4)
+    for tri in fan.parts:
+        assert np.allclose(tri.rings[0][0], (5.0, 4.0))
+    strip = g.parts[1]
+    assert strip.geom_type == W.MULTIPOLYGON and len(strip.parts) == 6
+    rings = g.parts[2]
+    assert rings.geom_type == W.POLYGON and len(rings.rings) == 3
