@@ -93,6 +93,10 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
             fmt = "ktx2"
         elif len(buf) >= 16 and buf[4:8] == b"ftyp":
             fmt = "heif"
+        elif b"GRIB" in buf[:8192]:
+            # degrib/NDFD .bin wrappers put text before the first
+            # message; the GRIB reader scans for the magic itself
+            fmt = "grib"
         else:
             raise ValueError("unrecognized image magic")
     if fmt == "png":
@@ -128,6 +132,10 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from . import netcdf
         px, _gt, _nd, _meta = netcdf.decode_netcdf(buf)
         return px
+    if fmt in ("grib", "grb", "grb2", "grib2"):
+        from . import grib2
+        px, _gt, _nd, _meta = grib2.decode_grib2(buf)
+        return px if px.ndim >= 2 else px[:, :, None]
     if fmt == "gif":
         from . import gif
         idx, _pal, _tr = gif.decode_gif(buf)
