@@ -41,20 +41,32 @@ def decode_aaigrid(text: str):
                    for d in data) or \
         "." in kv.get("nodata_value", "") or \
         kv.get("nodata_value", "").lower() in ("nan", "-nan")
-    arr = np.array(data, np.float64 if is_float else np.int32) \
-        .reshape(nrows, ncols)
-    dx = float(kv.get("dx", kv.get("cellsize", 1.0)))
-    dy = float(kv.get("dy", kv.get("cellsize", 1.0)))
+    try:
+        arr = np.array(data, np.float64 if is_float else np.int32) \
+            .reshape(nrows, ncols)
+    except ValueError:
+        # locale files with ',' decimal separators (the reference
+        # tolerates them: aaigriddataset.cpp CPLAtofM)
+        data = [d.replace(",", ".") for d in data]
+        arr = np.array(data, np.float64).reshape(nrows, ncols)
+    def _num(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return float(str(v).replace(",", "."))
+
+    dx = _num(kv.get("dx", kv.get("cellsize", 1.0)))
+    dy = _num(kv.get("dy", kv.get("cellsize", 1.0)))
     if "xllcorner" in kv:
-        x0 = float(kv["xllcorner"])
+        x0 = _num(kv["xllcorner"])
     elif "xllcenter" in kv:
-        x0 = float(kv["xllcenter"]) - dx / 2
+        x0 = _num(kv["xllcenter"]) - dx / 2
     else:
         x0 = 0.0
     if "yllcorner" in kv:
-        yll = float(kv["yllcorner"])
+        yll = _num(kv["yllcorner"])
     elif "yllcenter" in kv:
-        yll = float(kv["yllcenter"]) - dy / 2
+        yll = _num(kv["yllcenter"]) - dy / 2
     else:
         yll = 0.0
     gt = (x0, dx, 0.0, yll + nrows * dy, 0.0, -dy)

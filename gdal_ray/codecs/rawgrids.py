@@ -113,11 +113,11 @@ def _ers_tokens(text: str):
         line = line.strip()
         if not line:
             continue
-        m = re.match(r"(\w+)\s+Begin$", line)
+        m = re.match(r"(\w+)\s+Begin$", line, re.IGNORECASE)
         if m:
             path.append(m.group(1))
             continue
-        m = re.match(r"(\w+)\s+End$", line)
+        m = re.match(r"(\w+)\s+End$", line, re.IGNORECASE)
         if m and path:
             path.pop()
             continue
@@ -126,6 +126,9 @@ def _ers_tokens(text: str):
             key = ".".join(path[1:] + [k.strip()]) if len(path) > 1 \
                 else k.strip()
             out.setdefault(key, v.strip().strip('"'))
+            # the format is case-insensitive (reference ershdrnode.cpp
+            # FindNode); store a lowercase alias for lookups
+            out.setdefault(key.lower(), v.strip().strip('"'))
     return out
 
 
@@ -153,10 +156,14 @@ def decode_ers(path: str):
     name, extension stripped; HeaderOffset skips leading bytes).
     frmts/ers/; registration cell/coord → node-registered origin."""
     hdr = _ers_tokens(open(path, "r", errors="replace").read())
-    w = int(hdr["RasterInfo.NrOfCellsPerLine"])
-    h = int(hdr["RasterInfo.NrOfLines"])
-    nbands = int(hdr.get("RasterInfo.NrOfBands", "1"))
-    ct = hdr.get("RasterInfo.CellType", "Unsigned8BitInteger")
+
+    def _get(key, default=None):
+        return hdr.get(key, hdr.get(key.lower(), default))
+
+    w = int(_get("RasterInfo.NrOfCellsPerLine"))
+    h = int(_get("RasterInfo.NrOfLines"))
+    nbands = int(_get("RasterInfo.NrOfBands", "1"))
+    ct = _get("RasterInfo.CellType", "Unsigned8BitInteger")
     dt = _ERS_TYPES.get(ct.lower())
     if dt is None:
         raise ValueError(f"ERS CellType {ct} unsupported")
@@ -171,15 +178,18 @@ def decode_ers(path: str):
         dpath = path[:-4] if path.lower().endswith(".ers") else path
     buf = open(dpath, "rb").read()
     n = w * h * nbands
+    need = off + n * np.dtype(dt).itemsize
+    if len(buf) < need:                        # truncated/empty data
+        buf = buf + b"\x00" * (need - len(buf))  # → zero fill
     arr = np.frombuffer(buf, dt, count=n, offset=off) \
         .reshape(h, nbands, w)                 # BIL
     px = np.ascontiguousarray(arr.transpose(1, 0, 2))
     if nbands == 1:
         px = px[0]
-    xd = float(hdr.get("RasterInfo.CellInfo.Xdimension", "1"))
-    yd = float(hdr.get("RasterInfo.CellInfo.Ydimension", "1"))
-    rx = float(hdr.get("RasterInfo.RegistrationCellX", "0"))
-    ry = float(hdr.get("RasterInfo.RegistrationCellY", "0"))
+    xd = float(_get("RasterInfo.CellInfo.Xdimension", "1"))
+    yd = float(_get("RasterInfo.CellInfo.Ydimension", "1"))
+    rx = float(_get("RasterInfo.RegistrationCellX", "0"))
+    ry = float(_get("RasterInfo.RegistrationCellY", "0"))
     rc = "RasterInfo.RegistrationCoord."
     if rc + "Longitude" in hdr:
         x0 = _dms(hdr[rc + "Longitude"]) - rx * xd
@@ -190,7 +200,7 @@ def decode_ers(path: str):
     else:
         x0, y0 = 0.0, 0.0
     gt = (x0, xd, 0.0, y0, 0.0, -yd)
-    nodata = hdr.get("RasterInfo.NullCellValue")
+    nodata = _get("RasterInfo.NullCellValue")
     meta = {"driver": "ERS",
             "datum": hdr.get("CoordinateSpace.Datum"),
             "projection": hdr.get("CoordinateSpace.Projection"),

@@ -152,6 +152,15 @@ def read_raster(path: str, overview: int | None = None):
         nwbuf = open(path, "rb").read()
         dec = decode_nwt_grd if nwbuf[4:5] == b"1" else decode_nwt_grc
         px, gt, nodata, meta = dec(nwbuf)
+    elif ext == "grd" and _head(3) == b"CDF":
+        # GMT classic grids are plain netCDF under a .grd name
+        from ..codecs.netcdf import decode_netcdf
+        px, gt, nodata, meta = decode_netcdf(open(path, "rb").read())
+    elif ext == "grd" and _head(1) == b"[":
+        # R raster package INI header ([general]/[georeference]
+        # sections in any order) + .gri payload
+        from ..codecs.rawgrids import decode_rraster
+        px, gt, nodata, meta = decode_rraster(path)
     elif ext in ("asc", "grd", "agr"):
         from ..codecs.aaigrid import decode_aaigrid
         px, gt, nodata = decode_aaigrid(open(path).read())
