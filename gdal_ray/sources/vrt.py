@@ -592,6 +592,87 @@ def _read_warped_vrt(root, base, w, h, gt, crs, metadata):
 # entry points
 # ---------------------------------------------------------------------------
 
+def _read_processed_vrt(root, base: str, metadata: dict) -> "VrtDataset":
+    """subClass=VRTProcessedDataset (frmts/vrt/vrtprocesseddataset.cpp):
+    an Input raster pushed through a ProcessingSteps chain.  Step
+    algorithm implemented: BandAffineCombination — out_i =
+    coefficients_i[0] + Σ_j coefficients_i[j] * in_j.  OutputBands
+    count/dataType accept FROM_LAST_STEP / FROM_SOURCE / explicit
+    values and are validated like the reference."""
+    inp = root.find("Input")
+    if inp is None:
+        raise ValueError("VRTProcessedDataset without Input")
+    fn = _resolve_fn(inp, base)
+    from .raster import read_raster
+    px, gt, nodata, meta = read_raster(fn)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    src_bands = px.shape[2]
+    cur = px.astype(np.float64)
+
+    last_count = src_bands
+    for step in root.findall("ProcessingSteps/Step"):
+        algo = (step.findtext("Algorithm") or "").strip()
+        if algo != "BandAffineCombination":
+            raise ValueError(f"VRTProcessedDataset algorithm "
+                             f"{algo!r} not supported")
+        coeffs = {}
+        for arg in step.findall("Argument"):
+            name = arg.get("name", "")
+            if name.startswith("coefficients_"):
+                idx = int(name[len("coefficients_"):])
+                coeffs[idx] = [float(v) for v in
+                               (arg.text or "").split(",")]
+        if not coeffs:
+            raise ValueError("BandAffineCombination without "
+                             "coefficients")
+        nb_in = cur.shape[2]
+        outs = []
+        for i in sorted(coeffs):
+            c = coeffs[i]
+            if len(c) != nb_in + 1:
+                raise ValueError(
+                    f"coefficients_{i}: expected {nb_in + 1} values")
+            plane = np.full(cur.shape[:2], c[0], np.float64)
+            for j in range(nb_in):
+                plane += c[j + 1] * cur[:, :, j]
+            outs.append(plane)
+        cur = np.stack(outs, axis=2)
+        last_count = cur.shape[2]
+
+    ob = root.find("OutputBands")
+    count_s = (ob.get("count", "FROM_LAST_STEP") if ob is not None
+               else "FROM_LAST_STEP")
+    dt_s = (ob.get("dataType", "FROM_LAST_STEP") if ob is not None
+            else "FROM_LAST_STEP")
+    if count_s == "FROM_LAST_STEP":
+        count = last_count
+    elif count_s == "FROM_SOURCE":
+        count = src_bands
+        if count != last_count:
+            raise ValueError(
+                f"OutputBands FROM_SOURCE: last step produced "
+                f"{last_count} bands, source has {count}")
+    else:
+        count = int(count_s)
+        if count <= 0 or count > 65536:
+            raise ValueError(f"OutputBands count {count} invalid")
+        if count != last_count:
+            raise ValueError(
+                f"OutputBands count {count} != last step's "
+                f"{last_count}")
+    if dt_s in ("FROM_LAST_STEP", "FROM_SOURCE"):
+        out = cur
+    else:
+        dt = _DTYPES.get(dt_s)
+        if dt is None:
+            raise ValueError(f"OutputBands dataType {dt_s!r} invalid")
+        out = cur.astype(dt)
+    if out.shape[2] == 1:
+        out = out[:, :, 0]
+    return VrtDataset(out, gt, meta.get("crs"), nodata, metadata)
+
+
 def read_vrt(path: str, overview: int | None = None) -> VrtDataset:
     if path.lstrip().startswith("<"):
         root = ET.fromstring(path)
@@ -601,6 +682,14 @@ def read_vrt(path: str, overview: int | None = None) -> VrtDataset:
         base = os.path.dirname(os.path.abspath(path))
     if root.tag != "VRTDataset":
         raise ValueError("not a VRTDataset")
+    if root.get("subClass") == "VRTProcessedDataset":
+        # dimensions come from the Input; no rasterX/YSize attrs
+        metadata = {}
+        md = root.find("Metadata")
+        if md is not None:
+            for mdi in md.findall("MDI"):
+                metadata[mdi.get("key", "")] = (mdi.text or "").strip()
+        return _read_processed_vrt(root, base, metadata)
     w = int(root.get("rasterXSize"))
     h = int(root.get("rasterYSize"))
 

@@ -354,3 +354,28 @@ class TestPixelFunctions:
         b = refs["float32"][10:16, 10:15].astype(np.float64)
         assert np.allclose(self._d("norm_diff_r"),
                            ((a - b) / (a + b)).astype(np.float32))
+
+
+def test_processed_dataset_band_affine():
+    # subClass=VRTProcessedDataset with BandAffineCombination steps:
+    # valid fixtures produce the reference's ComputeRasterMinMax
+    # (84, 265) on band 1; invalid OutputBands configurations raise
+    import glob
+    import numpy as np
+    import pytest as _pytest
+    from gdal_ray.sources.vrt import read_vrt
+    A = "/root/reference/autotest/gdrivers/data/vrt/"
+    d = read_vrt(A + "processed_OutputBands_FROM_LAST_STEP.vrt")
+    assert d.pixels.shape[2] == 2
+    b1 = d.pixels[:, :, 0]
+    b2 = d.pixels[:, :, 1]
+    assert (b1.min(), b1.max()) == (84, 265)
+    assert (b2.min(), b2.max()) == (94, 275)
+    d = read_vrt(A + "processed_OutputBands_USER_PROVIDED.vrt")
+    assert d.pixels.dtype == np.float32
+    for bad in ("FROM_SOURCE_wrong_band_count",
+                "USER_PROVIDED_invalid_type",
+                "USER_PROVIDED_non_numeric_count",
+                "USER_PROVIDED_too_large_count"):
+        with _pytest.raises(ValueError):
+            read_vrt(A + f"processed_OutputBands_{bad}.vrt")
