@@ -357,6 +357,81 @@ def _ycbcr_to_rgb(raw: bytes, bh: int, bw: int, sh: int, sv: int,
     return np.ascontiguousarray(rgb[:bh, :bw]).tobytes()
 
 
+def _ycbcr_planes_to_rgb(y, cb, cr, luma, refbw) -> np.ndarray:
+    """Full-size Y/Cb/Cr uint8 planes → (h, w, 3) RGB via the libtiff
+    integer tables (shared with the packed-YCbCr path)."""
+    y_v, cr_r, cb_b, cr_g, cb_g = _ycbcr_tables(luma, refbw)
+    yv = y_v[y.astype(np.int64)]
+    cbl = cb.astype(np.int64)
+    crl = cr.astype(np.int64)
+    r = np.clip(yv + cr_r[crl], 0, 255)
+    g = np.clip(yv + ((cb_g[cbl] + cr_g[crl]) >> 16), 0, 255)
+    b = np.clip(yv + cb_b[cbl], 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _decode_ojpeg_block(raw: bytes, buf, tags, bh: int, bw: int,
+                        luma, refbw, ss_h: int, ss_v: int) -> bytes:
+    """Old-style TIFF JPEG (compression 6, tif_ojpeg.c behavior):
+    rebuild a standard baseline stream from the JPEGQTables /
+    JPEGDCTables / JPEGACTables tag offsets (raw 64-byte zigzag Q
+    tables; 16-count + symbols Huffman tables) around the strip/tile
+    entropy data, decode to raw subsampled planes, replicate chroma,
+    and convert with the file's YCbCrCoefficients/ReferenceBlackWhite
+    (video-range) tables — not JPEG full range."""
+    if int(tags.get(512, [1])[0]) != 1:
+        raise ValueError("OJPEG: only JPEGProc=1 (baseline)")
+    if 513 in tags and 514 in tags and not raw[:2] == b"\xff\xd8":
+        o = int(tags[513][0])
+        ln = int(tags[514][0])
+        raw = bytes(buf[o:o + ln])
+    if raw[:2] == b"\xff\xd8":
+        stream = raw                     # already a full JPEG
+    else:
+        out = bytearray(b"\xff\xd8")
+        for k, qoff in enumerate(tags.get(519, [])[:3]):
+            qoff = int(qoff)
+            out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+            out += bytes([k]) + bytes(buf[qoff:qoff + 64])
+        for cls, tag in ((0, 520), (1, 521)):
+            for k, hoff in enumerate(tags.get(tag, [])[:3]):
+                hoff = int(hoff)
+                bits = bytes(buf[hoff:hoff + 16])
+                nsym = sum(bits)
+                vals = bytes(buf[hoff + 16:hoff + 16 + nsym])
+                out += b"\xff\xc4" + struct.pack(
+                    ">H", 2 + 1 + 16 + nsym)
+                out += bytes([(cls << 4) | k]) + bits + vals
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, bh, bw, 3)
+        out += bytes([1, (ss_h << 4) | ss_v, 0])
+        out += bytes([2, 0x11, 1])
+        out += bytes([3, 0x11, 2])
+        out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+        out += bytes([1, 0x00, 2, 0x11, 3, 0x22, 0, 63, 0])
+        out += raw + b"\xff\xd9"
+        stream = bytes(out)
+    from .jpeg import decode as _jpeg_decode
+    planes = _jpeg_decode(stream, raw_planes=True)
+    comps = sorted(planes)
+    y = planes[comps[0]][0][:bh, :bw]
+    hmax = max(p[1] for p in planes.values())
+    vmax = max(p[2] for p in planes.values())
+
+    def full(cid):
+        p, ch, cv = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // cv, 0), hmax // ch, 1)
+        return p[:bh, :bw]
+
+    if len(comps) < 3:
+        blk = np.repeat(y[:, :, None], 3, axis=2)
+    else:
+        blk = _ycbcr_planes_to_rgb(full(comps[0]), full(comps[1]),
+                                   full(comps[2]), luma, refbw)
+    padded = np.zeros((bh, bw, 3), np.uint8)
+    padded[:blk.shape[0], :blk.shape[1]] = blk[:bh, :bw]
+    return padded.tobytes()
+
+
 def _merge_jpegtables(tables: bytes, strip: bytes) -> bytes:
     """Abbreviated TIFF-JPEG streams (tag 347): the JPEGTables blob
     is SOI + table segments + EOI; inject those segments after the
@@ -527,12 +602,12 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
               and isinstance(jt[0], int) else None)
     photo = int(tags.get(_T_PHOTO, [1])[0])
     ycbcr_packed = photo == 6 and comp not in (6, 7)
-    if ycbcr_packed:
-        if bits != 8:
+    if photo == 6 and comp != 7:
+        if ycbcr_packed and bits != 8:
             raise ValueError("YCbCr TIFF: only 8-bit supported")
         ss = tags.get(530, [2, 2])
         ss_h, ss_v = int(ss[0]), int(ss[1])
-        if ss_v == 4 and ss_h != 4:
+        if ycbcr_packed and ss_v == 4 and ss_h != 4:
             # matches the reference suite: 1x4 / 2x4 raise, 4x4 reads
             raise ValueError(
                 f"YCbCr subsampling {ss_h}x{ss_v} not supported")
@@ -540,6 +615,10 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
             529, [0.299, 0.587, 0.114]))
         yc_refbw = tuple(float(v) for v in tags.get(
             532, [0.0, 255.0, 128.0, 255.0, 128.0, 255.0]))
+    else:
+        ss_h = ss_v = 2
+        yc_luma = (0.299, 0.587, 0.114)
+        yc_refbw = (0.0, 255.0, 128.0, 255.0, 128.0, 255.0)
     is_bilevel = bits == 1
     if is_bilevel:
         bits = 8  # expand 1-bit rows to one byte per pixel below
@@ -701,7 +780,11 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
             bi = ti if planar == 1 else ti % tiles_per_band
             row0 = (bi // tiles_across) * tl
             col0 = (bi % tiles_across) * tw
-            if comp in (7, 50001, 34887):
+            if comp == 6:                # old-style JPEG
+                blk = _decode_ojpeg_block(bytes(mv[o:o + c]), mv,
+                                          tags, tl, tw, yc_luma,
+                                          yc_refbw, ss_h, ss_v)
+            elif comp in (7, 50001, 34887):
                 blk = _decode_pixel_block(mv[o:o + c], comp, tl, tw,
                                           bspp, dt, jpegtables)
             elif is_bilevel:
@@ -728,7 +811,11 @@ def _decode_ifd(mv: bytes, bo: str, ifd_off: int, big: bool = False):
             bi = si if planar == 1 else si % strips_per_band
             row0 = bi * rps
             bh = min(rps, h - row0)
-            if comp in (7, 50001, 34887):
+            if comp == 6:                # old-style JPEG
+                blk = _decode_ojpeg_block(bytes(mv[o:o + c]), mv,
+                                          tags, bh, w, yc_luma,
+                                          yc_refbw, ss_h, ss_v)
+            elif comp in (7, 50001, 34887):
                 blk = _decode_pixel_block(mv[o:o + c], comp, bh, w,
                                           bspp, dt, jpegtables)
             elif is_bilevel:

@@ -545,7 +545,8 @@ def _fancy_upsample(plane: np.ndarray, vfac: int, hfac: int,
     return np.clip(out, 0, maxval)
 
 
-def decode(buf: bytes, scale: int = 1) -> np.ndarray:
+def decode(buf: bytes, scale: int = 1,
+           raw_planes: bool = False) -> np.ndarray:
     """JPEG → (h, w, 3) or (h, w, 1) uint8. Handles baseline sequential
     (SOF0/1) and progressive (SOF2: spectral selection + successive
     approximation per T.81 Annex G, incl. EOB runs, DC/AC refinement
@@ -692,6 +693,14 @@ def decode(buf: bytes, scale: int = 1) -> np.ndarray:
         rows, cols = nblocks[cid]
         plane = spatial.reshape(rows, cols, bs, bs) \
             .transpose(0, 2, 1, 3).reshape(rows * bs, cols * bs)
+        if raw_planes:
+            # subsampled component at its natural size (OJPEG-in-TIFF
+            # path: the caller replicates + converts with the TIFF
+            # tags' luma/refBW tables, not JPEG full-range)
+            cw = -(-w * ch // hmax)
+            chh = -(-h * cv // vmax)
+            planes[cid] = plane[:chh, :cw]
+            continue
         # upsample to the output grid — libjpeg's default "fancy"
         # triangular filter for the 2:1 ratios (jdsample.c
         # h2v2/h2v1_fancy_upsample); plain replication otherwise
@@ -704,6 +713,9 @@ def decode(buf: bytes, scale: int = 1) -> np.ndarray:
             plane = _fancy_upsample(plane, vf, hf, maxval)
         planes[cid] = plane[:out_h, :out_w]
 
+    if raw_planes:
+        return {cid: (planes[cid], ch, cv)
+                for cid, ch, cv, _tq in comps}
     if len(comps) == 1:
         return planes[comps[0][0]][:, :, None]
     # non-YCbCr layouts stay raw (libjpeg jdmaster color-space

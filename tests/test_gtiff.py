@@ -341,3 +341,18 @@ def test_sparse_cog_with_zeroed_striles():
         "cog_sparse_strile_arrays_zeroified_when_possible.tif",
         "rb").read())
     assert np.array_equal(g.pixels, truth)
+
+
+def test_old_style_jpeg():
+    # compression 6 (OJPEG): baseline stream rebuilt from the
+    # JPEGQTables/JPEGDCTables/JPEGACTables tag offsets, chroma
+    # replicated, video-range ReferenceBlackWhite conversion —
+    # reference expectation band 1 checksum 61570 (tiff_read.py
+    # test_tiff_read_ojpeg)
+    from gdal_ray.codecs.gtiff import decode_gtiff
+    from gdal_ray.core.checksum import checksum
+    g = decode_gtiff(open(
+        "/root/reference/autotest/gcore/data/zackthecat.tif",
+        "rb").read())
+    assert g.pixels.shape == (213, 234, 3)
+    assert checksum(g.pixels[:, :, 0]) == 61570
