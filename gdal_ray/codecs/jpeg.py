@@ -605,7 +605,9 @@ def decode(buf: bytes, scale: int = 1,
                 cid = seg[6 + ci * 3]
                 hv = seg[7 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + ci * 3]))
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:                    # SOF3: lossless
+            return _decode_lossless(buf, pos, seg, scale, raw_planes)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF marker 0xFF{marker:02X} "
                              "(baseline sequential + progressive only)")
@@ -1120,3 +1122,124 @@ def encode(img: np.ndarray, quality: int = 90,
     out += bw_.out
     out += b"\xFF\xD9"
     return bytes(out)
+
+
+def _decode_lossless(buf: bytes, sof_pos: int, sof_seg: bytes,
+                     scale: int, raw_planes: bool) -> np.ndarray:
+    """SOF3 lossless JPEG (T.81 Annex H): Huffman-coded prediction
+    residuals, predictors 1-7 with the first-sample/first-line
+    fallbacks, restart intervals, modulo-2^16 arithmetic.  Supports
+    1..4 components at 1x1 sampling (the DNG/TIFF profile)."""
+    precision = sof_seg[0]
+    h = struct.unpack_from(">H", sof_seg, 1)[0]
+    w = struct.unpack_from(">H", sof_seg, 3)[0]
+    nc = sof_seg[5]
+    comps = []
+    for c in range(nc):
+        cid, hv, _tq = sof_seg[6 + 3 * c:9 + 3 * c]
+        if hv != 0x11:
+            raise ValueError("lossless JPEG: only 1x1 sampling")
+        comps.append(cid)
+
+    # walk the remaining markers for DHT / SOS / DRI
+    huff = {}
+    restart = 0
+    pos = sof_pos + struct.unpack_from(">H", buf, sof_pos)[0]
+    n = len(buf)
+    while pos < n:
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            raise ValueError("lossless JPEG: no SOS")
+        (seglen,) = struct.unpack_from(">H", buf, pos)
+        seg = buf[pos + 2:pos + seglen]
+        if marker == 0xC4:
+            o = 0
+            while o < len(seg):
+                tc_th = seg[o]
+                bits = list(seg[o + 1:o + 17])
+                nsym = sum(bits)
+                vals = list(seg[o + 17:o + 17 + nsym])
+                huff[(tc_th >> 4, tc_th & 15)] = _decode_lut(bits, vals)
+                o += 17 + nsym
+        elif marker == 0xDD:
+            restart = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tbl = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append((cs, tbl >> 4))
+            pred_sel = seg[1 + 2 * ns]
+            pt = seg[3 + 2 * ns] & 15
+            ecs, rst_bitpos, _ = _collect_entropy(buf, pos + seglen)
+            return _lossless_scan(ecs, rst_bitpos, w, h, precision,
+                                  scomps, huff, pred_sel, pt,
+                                  restart, raw_planes)
+        pos += seglen
+    raise ValueError("lossless JPEG: truncated")
+
+
+def _lossless_scan(ecs, rst_bitpos, w, h, precision, scomps, huff,
+                   pred_sel, pt, restart, raw_planes):
+    br = _BitReader(ecs)
+    nc = len(scomps)
+    out = np.zeros((h, w, nc), np.int64)
+    default = 1 << (precision - pt - 1)
+    luts = [huff[(0, tbl)] for _, tbl in scomps]
+    rst_iter = iter(rst_bitpos)
+    count = 0
+    reset_at = 0                         # restart resets prediction
+
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                sym, ln = luts[ci]
+                window = br.peek16()
+                s = int(sym[window])
+                length = int(ln[window])
+                if length == 0:
+                    raise ValueError("lossless JPEG: bad Huffman code")
+                br.pos += length
+                if s == 16:
+                    diff = 32768
+                elif s == 0:
+                    diff = 0
+                else:
+                    diff = _extend(br.take(s), s)
+                idx = y * w + x
+                if idx == reset_at:
+                    px = default          # scan / restart start
+                elif y == 0:
+                    px = int(out[y, x - 1, ci])     # first line: Ra
+                elif x == 0:
+                    px = int(out[y - 1, x, ci])     # first col: Rb
+                else:
+                    ra = int(out[y, x - 1, ci])
+                    rb = int(out[y - 1, x, ci])
+                    rc = int(out[y - 1, x - 1, ci])
+                    px = {1: ra, 2: rb, 3: rc,
+                          4: ra + rb - rc,
+                          5: ra + ((rb - rc) >> 1),
+                          6: rb + ((ra - rc) >> 1),
+                          7: (ra + rb) >> 1}[pred_sel]
+                out[y, x, ci] = (px + diff) & 0xFFFF
+            count += 1
+            if restart and count % restart == 0 and count < w * h:
+                try:
+                    br.pos = next(rst_iter)
+                except StopIteration:
+                    pass
+                reset_at = count
+    vals = (out << pt) & ((1 << 16) - 1)
+    odt = np.uint8 if precision <= 8 else np.uint16
+    vals = vals.astype(odt)
+    if raw_planes:
+        return {cs: (vals[:, :, i], 1, 1)
+                for i, (cs, _t) in enumerate(scomps)}
+    return vals

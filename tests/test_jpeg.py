@@ -183,3 +183,14 @@ def test_albania_libjpeg_exact_checksum():
     buf = open(f"{_JDATA}/albania.jpg", "rb").read()
     px = jpeg.decode(buf)
     assert checksum(px[:, :, 1]) in (34296, 34298, 17016)
+
+
+def test_lossless_sof3():
+    # T.81 Annex H lossless (predictor 4 in the DNG-profile fixture):
+    # reference jpeg.py test_jpeg_read_lossless expects checksum 4672
+    from gdal_ray.codecs.jpeg import decode
+    from gdal_ray.core.checksum import checksum
+    px = decode(open("/root/reference/autotest/gdrivers/data/jpeg/"
+                     "byte_lossless.jpg", "rb").read())
+    assert px.dtype == np.uint8
+    assert checksum(px[:, :, 0]) == 4672
