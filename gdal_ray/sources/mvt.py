@@ -367,7 +367,39 @@ def read_mvt_table(path: str, georef: bool = True) -> pa.Table:
         return pa.table({"fid": pa.array([], pa.int64())})
     if len(parts) == 1:
         return parts[0]
-    return pa.concat_tables(parts, promote_options="permissive")
+    return _concat_promote(parts)
+
+
+def _concat_promote(parts):
+    """concat with OGR-style type promotion: columns whose types
+    conflict across tiles (beyond numeric widening) unify to string
+    (ogr_mvt.py datatype-promotion rules)."""
+    try:
+        return pa.concat_tables(parts, promote_options="permissive")
+    except (pa.ArrowTypeError, pa.ArrowInvalid):
+        names = []
+        for t in parts:
+            for nm in t.column_names:
+                if nm not in names:
+                    names.append(nm)
+        types: dict[str, set] = {}
+        for t in parts:
+            for nm in t.column_names:
+                types.setdefault(nm, set()).add(t.schema.field(nm).type)
+        conflict = set()
+        for nm, ts in types.items():
+            if len(ts) > 1 and not all(
+                    pa.types.is_integer(x) or pa.types.is_floating(x)
+                    for x in ts):
+                conflict.add(nm)
+        fixed = []
+        for t in parts:
+            for nm in conflict:
+                if nm in t.column_names:
+                    i = t.column_names.index(nm)
+                    t = t.set_column(i, nm, t[nm].cast(pa.string()))
+            fixed.append(t)
+        return pa.concat_tables(fixed, promote_options="permissive")
 
 
 def read_mvt(root: str):
@@ -390,7 +422,7 @@ def read_mvt(root: str):
             t = t.append_column("tile_path",
                                 pa.array([p] * len(t), pa.string()))
             outs.append(t)
-        return pa.concat_tables(outs, promote_options="permissive")
+        return _concat_promote(outs)
     return rd.from_items([{"path": p} for p in tiles]).map_batches(
         _load, batch_format="pyarrow")
 

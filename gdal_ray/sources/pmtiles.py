@@ -174,14 +174,29 @@ def pmtiles_tiles(path: str, zoom: int | None = None):
                     h["internal_compression"])
                 walk(_parse_directory(leaf))
             else:
-                for k in range(run):
-                    z, x, y = tileid_to_zxy(tid + k)
-                    if zoom is not None and z != zoom:
-                        continue
-                    data = buf[h["data_off"] + off:
-                               h["data_off"] + off + ln]
-                    out.append((z, x, y, _decompress(
-                        data, h["tile_compression"])))
+                lo, hi = tid, tid + run
+                if zoom is not None:
+                    # intersect the run's tile-id span with the
+                    # requested zoom's id range instead of walking a
+                    # potentially 2^32-long run (run_length_max.pmtiles)
+                    zlo = sum(1 << (2 * i) for i in range(zoom))
+                    zhi = zlo + (1 << (2 * zoom))
+                    lo, hi = max(lo, zlo), min(hi, zhi)
+                if hi - lo > (1 << 22):
+                    # a run can legally span billions of tile ids
+                    # (run_length_max.pmtiles: 2^32); this eager
+                    # reader materializes tiles, so refuse fast with
+                    # a named bound instead of expanding
+                    raise ValueError(
+                        f"pmtiles: run of {hi - lo} tiles exceeds "
+                        "the 4M expansion cap")
+                data = buf[h["data_off"] + off:
+                           h["data_off"] + off + ln]
+                if hi > lo:
+                    dec = _decompress(data, h["tile_compression"])
+                for k in range(lo, hi):
+                    z, x, y = tileid_to_zxy(k)
+                    out.append((z, x, y, dec))
     walk(_parse_directory(root))
     return out
 
@@ -217,7 +232,8 @@ def read_pmtiles_table(path: str, zoom: int | None = None) -> pa.Table:
             parts.append(t)
     if not parts:
         return pa.table({"fid": pa.array([], pa.int64())})
-    return pa.concat_tables(parts, promote_options="permissive")
+    from .mvt import _concat_promote
+    return _concat_promote(parts)
 
 
 def read_pmtiles(path: str, zoom: int | None = None):
@@ -244,7 +260,8 @@ def read_pmtiles(path: str, zoom: int | None = None):
                     "layer", pa.array([name] * len(t), pa.string())))
         if not outs:
             return pa.table({"fid": pa.array([], pa.int64())})
-        return pa.concat_tables(outs, promote_options="permissive")
+        from .mvt import _concat_promote
+        return _concat_promote(outs)
 
     return rd.from_items(
         [{"z": z, "x": x, "y": y} for z, x, y in tiles]).map_batches(
