@@ -39,9 +39,21 @@ def decode_dted(buf: bytes):
     """DTED bytes → (elevations (h, w) int16 north-up, geotransform,
     nodata)."""
     if buf[:3] != b"UHL":
-        raise ValueError("not a DTED file (no UHL)")
+        # some products begin with a HDR (or other) record before the
+        # UHL (reference #2951, w118n033_trunc.dt1): scan ahead
+        idx = buf.find(b"UHL1", 0, 1 << 16)
+        if idx < 0:
+            raise ValueError("not a DTED file (no UHL)")
+        buf = buf[idx:]
     lon0 = _angle(buf[4:12])
     lat0 = _angle(buf[12:20])
+    # MIL-D-89020 pre-Amendment-1 bug: some products invert the UHL
+    # lon/lat fields; detect by the hemisphere letters (lon must end
+    # E/W) and swap like the reference (dted_api.c)
+    lon_h = chr(buf[11]).upper()
+    lat_h = chr(buf[19]).upper()
+    if lon_h in ("N", "S") and lat_h in ("E", "W"):
+        lon0, lat0 = lat0, lon0
     lon_int = int(buf[20:24]) / 36000.0      # tenths of arc-sec → deg
     lat_int = int(buf[24:28]) / 36000.0
     n_lon = int(buf[47:51])
@@ -52,6 +64,8 @@ def decode_dted(buf: bytes):
     rec = 8 + 2 * n_lat + 4
     for c in range(n_lon):
         o = pos + c * rec
+        if o + rec > len(buf):
+            break                            # truncated: rest nodata
         if buf[o] != 0xAA:
             raise ValueError(f"bad DTED record sentinel at column {c}")
         raw = np.frombuffer(buf, ">u2", n_lat, o + 8).astype(np.int64)

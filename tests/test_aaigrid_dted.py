@@ -94,3 +94,20 @@ class TestSrtmHgt:
         from gdal_ray.codecs.srtmhgt import decode_hgt
         with pytest.raises(ValueError, match="square"):
             decode_hgt(b"\x00" * 10, "N00E000.hgt")
+
+
+def test_dted_inverted_coords_and_hdr_prefix():
+    # pre-Amendment-1 products invert the UHL lon/lat fields
+    # (detected by hemisphere letters, reference test_dted_11's
+    # geotransform), and some files carry a HDR record before the
+    # UHL (#2951) with truncated columns left as nodata
+    from gdal_ray.codecs.dted import decode_dted
+    A = "/root/reference/autotest/gdrivers/data/dted/"
+    px, gt, nd = decode_dted(open(A + "n43_coord_inverted.dt0",
+                                  "rb").read())
+    exp = (-80.004166666666663, 1 / 120.0, 0.0,
+           44.00416666666667, 0.0, -1 / 120.0)
+    assert all(abs(a - b) < 1e-6 for a, b in zip(gt, exp))
+    px, gt, nd = decode_dted(open(A + "w118n033_trunc.dt1",
+                                  "rb").read())
+    assert px.shape == (1201, 1201)
