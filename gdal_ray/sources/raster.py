@@ -547,7 +547,15 @@ def read_raster(path: str, overview: int | None = None):
     # nodata win; a world file fills a still-absent geotransform
     pam = find_pam(path)
     if pam:
-        p = read_pam(pam)
+        try:
+            p = read_pam(pam)
+        except ValueError:
+            # non-PAM .aux.xml (e.g. ArcGIS GeodataXform): ignored
+            # like the reference, which skips unusable sidecars
+            p = None
+    else:
+        p = None
+    if p:
         if p["geotransform"] is not None:
             gt = p["geotransform"]
         if p["srs"]:
