@@ -376,5 +376,8 @@ def read_s57_layers(path: str) -> dict[str, pa.Table]:
 def read_s57_table(path: str, layer: str | None = None) -> pa.Table:
     layers = read_s57_layers(path)
     if layer is None:
-        return next(iter(v for k, v in layers.items() if k != "DSID"))
+        for k, v in layers.items():
+            if k != "DSID":
+                return v
+        raise ValueError("S-57 file has no feature layers")
     return layers[layer]
