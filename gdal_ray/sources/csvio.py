@@ -74,7 +74,11 @@ def read_csv(path_or_text: str, *, geom_col: str | None = None,
         keys = {}
         for k in attr_idx:
             nm = header[k].strip()
-            keys[k] = nm if nm.lower() not in reserved else f"attr_{nm}"
+            if nm.lower() in reserved:
+                nm = f"attr_{nm}"
+            while nm in cols:            # duplicate header names
+                nm = nm + "_"
+            keys[k] = nm
             cols[keys[k]] = []
         fid = 0
         for row in rdr:
@@ -107,6 +111,16 @@ def read_csv(path_or_text: str, *, geom_col: str | None = None,
             for k in attr_idx:
                 cols[keys[k]].append(_infer(row[k].strip())
                                      if k < len(row) else None)
+        # OGR-style per-column type promotion: int -> real -> string
+        for k in attr_idx:
+            vals = cols[keys[k]]
+            kinds = {type(v) for v in vals if v is not None}
+            if str in kinds and len(kinds) > 1:
+                cols[keys[k]] = [None if v is None else str(v)
+                                 for v in vals]
+            elif kinds == {int, float}:
+                cols[keys[k]] = [None if v is None else float(v)
+                                 for v in vals]
         return pa.Table.from_pydict(cols)
 
 

@@ -156,6 +156,12 @@ def _read_json(path):
     markers / attributes-keyed features, TopoJSON declares
     type=Topology, everything else is GeoJSON."""
     head = open(path, encoding="utf-8", errors="replace").read(8192)
+    if "json-fg" in head and "conformsTo" in head:
+        from .jsonfg import read_jsonfg_table
+        try:
+            return read_jsonfg_table(path)
+        except ValueError:
+            pass
     if '"Topology"' in head:
         from .topojson import read_topojson_layer
         try:

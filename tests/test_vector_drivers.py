@@ -220,3 +220,28 @@ def test_shapefile_multipatch():
     assert strip.geom_type == W.MULTIPOLYGON and len(strip.parts) == 6
     rings = g.parts[2]
     assert rings.geom_type == W.POLYGON and len(rings.rings) == 3
+
+
+def test_jsonfg_json_dispatch():
+    # .json files declaring a json-fg conformsTo route to the JSON-FG
+    # reader; the whole reference jsonfg fixture directory opens
+    import glob
+    from gdal_ray.sources.drivers import read_vector
+    files = sorted(glob.glob(
+        "/root/reference/autotest/ogr/data/jsonfg/*.json"))
+    assert len(files) >= 40
+    for p in files:
+        t = read_vector(p)
+        assert t.num_rows >= 0
+
+
+def test_csv_type_autodetect_and_duplicate_names():
+    from gdal_ray.sources.drivers import read_vector
+    t = read_vector("/root/reference/autotest/ogr/data/csv/"
+                    "testtypeautodetect.csv")
+    assert t.num_rows == 9
+    # mixed int/real promotes to double, mixed with text to string
+    assert str(t.schema.field("real2").type) in ("double", "string")
+    t = read_vector("/root/reference/autotest/ogr/data/csv/"
+                    "more_than_100_geom_fields.csv")
+    assert t.num_rows == 1
