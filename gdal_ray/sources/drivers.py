@@ -181,6 +181,14 @@ _READERS["esrijson"] = lambda path: __import__(
 ).read_esrijson(path)
 
 
+@_builtin("lbl")
+def _read_pds_lbl(path):
+    """PDS3 detached labels: ^TABLE labels are vector (ogr pds
+    driver); ^IMAGE/^QUBE labels belong to the raster reader."""
+    from .pdsvec import read_pds_table
+    return read_pds_table(path)
+
+
 @_builtin("xtf")
 def _read_ili2(path):
     import os

@@ -245,3 +245,21 @@ def test_csv_type_autodetect_and_duplicate_names():
     t = read_vector("/root/reference/autotest/ogr/data/csv/"
                     "more_than_100_geom_fields.csv")
     assert t.num_rows == 1
+
+
+def test_pds_table_vector():
+    # ogr_pds.py parity: RAMAPPING fixed-width ASCII table with
+    # ITEMS-expanded columns and lon/lat point geometry; binary
+    # MESSENGER VIRS table with MSB types
+    import gdal_ray.core.wkb as W
+    from gdal_ray.sources.drivers import read_vector
+    A = "/root/reference/autotest/ogr/data/pds/"
+    t = read_vector(A + "ap01578l.lbl")
+    assert t["NOISE_COUNTS_1"][0].as_py() == 96
+    assert t["MARS_RADIUS"][1].as_py() == 3385310.2
+    g = W.loads(t["wkb"][0].as_py())
+    assert abs(g.coords[0][0] - 146.1325) < 1e-9
+    assert abs(g.coords[0][1] + 55.648) < 1e-9
+    t2 = read_vector(A + "virsvd_orb_11187_050618.lbl")
+    assert abs(t2["INCIDENCE_ANGLE"][0].as_py() - 3.56775538) < 1e-7
+    assert abs(t2["TEMP_2"][0].as_py() - 28.1240005493164) < 1e-7
