@@ -379,6 +379,22 @@ def decode_rmf(buf: bytes):
                         raw_h, raw_w, step)
                     # stored BGR; band n reads source offset nb-n
                     tile_px = a[:, :, [2, 1, 0]]
+                elif not is_mtw and depth == 4:
+                    # palette indices, two per byte LOW nibble first
+                    # (4bit.rsw golden 55221)
+                    rowb = (raw_w + 1) // 2
+                    a = np.frombuffer(data, np.uint8,
+                                      rowb * raw_h).reshape(raw_h, rowb)
+                    v = np.empty((raw_h, rowb * 2), np.uint8)
+                    v[:, 0::2] = a & 15
+                    v[:, 1::2] = a >> 4
+                    tile_px = v[:, :raw_w, None].astype(out.dtype)
+                elif not is_mtw and depth == 1:
+                    rowb = (raw_w + 7) // 8
+                    a = np.frombuffer(data, np.uint8,
+                                      rowb * raw_h).reshape(raw_h, rowb)
+                    bits = np.unpackbits(a, axis=1)[:, :raw_w]
+                    tile_px = bits[:, :, None].astype(out.dtype)
                 else:
                     tile_px = np.frombuffer(data, dtype).reshape(
                         raw_h, raw_w, 1).astype(out.dtype)

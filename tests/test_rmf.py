@@ -88,3 +88,14 @@ class TestAig:
         assert cs(px) == 3
         px2, *_ = read_raster(f"{D}/aigrid/abc3x1/prj.adf")
         assert cs(px2) == 3
+
+
+def test_rmf_4bit():
+    # 4-bit palette RSW, plain and LZW: low-nibble-first packing
+    # (reference rmf.py: checksum 55221 for both)
+    from gdal_ray.codecs.rmf import decode_rmf
+    from gdal_ray.core.checksum import checksum
+    A = "/root/reference/autotest/gdrivers/data/rmf/"
+    for name in ("4bit.rsw", "4bit-lzw.rsw"):
+        px, gt, nd, meta = decode_rmf(open(A + name, "rb").read())
+        assert checksum(px) == 55221, name
