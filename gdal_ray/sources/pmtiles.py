@@ -266,3 +266,75 @@ def read_pmtiles(path: str, zoom: int | None = None):
     return rd.from_items(
         [{"z": z, "x": x, "y": y} for z, x, y in tiles]).map_batches(
         _load, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- raster tiles
+def read_pmtiles_raster(path: str, zoom: int | None = None):
+    """Raster PMTiles (tile_type 2=PNG, 3=JPEG, 4=WEBP, 5=AVIF):
+    decode every tile at one zoom (default maxzoom) through the codec
+    sniffers and mosaic into the pixel window covering the header
+    bounds, WebMercator georeferencing (the reference's raster
+    PMTiles driver shape). → (pixels, geotransform, nodata, meta)."""
+    import math
+
+    import numpy as np
+
+    from ..codecs import decode as _decode
+
+    buf = open(path, "rb").read()
+    h = read_pmtiles_header(buf)
+    if h["tile_type"] not in (2, 3, 4, 5):
+        raise ValueError("not a raster PMTiles archive "
+                         f"(tile_type {h['tile_type']})")
+    if zoom is None:
+        zoom = h["max_zoom"]
+    R = 6378137.0
+    res = 2 * math.pi * R / 256.0 / (1 << zoom)
+    ox, oy = -math.pi * R, math.pi * R
+
+    def merc(lon, lat):
+        return (R * math.radians(lon),
+                R * math.log(math.tan(math.pi / 4
+                                      + math.radians(lat) / 2)))
+
+    minx, miny = merc(h["bounds"][0], h["bounds"][1])
+    maxx, maxy = merc(h["bounds"][2], h["bounds"][3])
+    px0 = int(math.floor((minx - ox) / res + 0.001))
+    py0 = int(math.floor((oy - maxy) / res + 0.001))
+    px1 = int(math.ceil((maxx - ox) / res - 0.001))
+    py1 = int(math.ceil((oy - miny) / res - 0.001))
+    w, hgt = px1 - px0, py1 - py0
+    if w <= 0 or hgt <= 0 or w * hgt > (1 << 30):
+        raise ValueError("pmtiles: bad raster window")
+
+    tiles = pmtiles_tiles(path, zoom)
+    nb = 0
+    out = None
+    for z, x, y, data in tiles:
+        if z != zoom or not data:
+            continue
+        px = _decode(data)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if out is None:
+            nb = px.shape[2]
+            out = np.zeros((hgt, w, nb), px.dtype)
+        tx0 = x * 256 - px0
+        ty0 = y * 256 - py0
+        sx0 = max(0, -tx0)
+        sy0 = max(0, -ty0)
+        dx0 = max(0, tx0)
+        dy0 = max(0, ty0)
+        cw = min(px.shape[1] - sx0, w - dx0)
+        ch = min(px.shape[0] - sy0, hgt - dy0)
+        if cw > 0 and ch > 0:
+            out[dy0:dy0 + ch, dx0:dx0 + cw, :nb] = \
+                px[sy0:sy0 + ch, sx0:sx0 + cw, :nb]
+    if out is None:
+        raise ValueError("pmtiles: no tiles at zoom "
+                         f"{zoom}")
+    gt = (ox + px0 * res, res, 0.0, oy - py0 * res, 0.0, -res)
+    if out.shape[2] == 1:
+        out = out[:, :, 0]
+    return out, gt, None, {"driver": "PMTiles", "crs": "EPSG:3857",
+                           "zoom": zoom}

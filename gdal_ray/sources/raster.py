@@ -287,6 +287,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext in ("hf2", "hfz") or _head(4) == b"HF2\x00":
         from ..codecs.rawexotic import decode_hf2
         px, gt, nodata, meta = decode_hf2(open(path, "rb").read())
+    elif ext == "pmtiles":
+        from .pmtiles import read_pmtiles_raster
+        px, gt, nodata, meta = read_pmtiles_raster(path)
     elif ext == "til":
         from ..codecs.rawexotic import decode_til
         px, gt, nodata, meta = decode_til(path)

@@ -200,3 +200,34 @@ class TestPmtiles:
         df = ds.to_pandas()
         assert len(df) == 8
         assert set(df["PRFEDEA"]).issuperset({"35043411", "35043423"})
+
+
+def test_pmtiles_raster_png():
+    # raster PMTiles (tile_type 2): maxzoom mosaic cropped to the
+    # header bounds in WebMercator; reference pmtiles.py
+    # test_pmtiles_read_png expectations (gt approx, band checksums
+    # 4575 / 4457)
+    from gdal_ray.core.checksum import checksum
+    from gdal_ray.sources.raster import read_raster
+    px, gt, nd, meta = read_raster(
+        "/root/reference/autotest/gdrivers/data/pmtiles/"
+        "byte_png.pmtiles")
+    assert px.shape == (20, 20, 2)
+    assert abs(gt[0] - -13095879.619070962) < 1e-3
+    assert abs(gt[1] - 76.43702828517625) < 1e-6
+    assert abs(gt[3] - 4015772.155018305) < 1e-3
+    assert checksum(px[:, :, 0]) == 4575
+    assert checksum(px[:, :, 1]) == 4457
+    assert meta["crs"] == "EPSG:3857"
+
+
+def test_pmtiles_raster_jpeg_webp():
+    from gdal_ray.core.checksum import checksum
+    from gdal_ray.sources.raster import read_raster
+    A = "/root/reference/autotest/gdrivers/data/pmtiles/"
+    px, *_ = read_raster(A + "byte_jpg.pmtiles")
+    assert px.shape[2] == 3
+    assert all(checksum(px[:, :, i]) != 0 for i in range(3))
+    px, *_ = read_raster(A + "byte_webp.pmtiles")
+    assert px.shape[2] == 4
+    assert checksum(px[:, :, 3]) == 4457
