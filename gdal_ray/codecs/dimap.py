@@ -237,22 +237,32 @@ def decode_dimap(path: str):
         c = int(df.get("tile_C", "1"))
         href = df.find("DATA_FILE_PATH").get("href")
         tiles.append((r, c, os.path.join(d, href)))
-    tiles.sort()
-    if not tiles:
+    tiles.sort(key=lambda t: (t[0], t[1]))   # keep document
+    if not tiles:                            # order within a cell
         raise ValueError("DIMAP v2 without Data_Files")
+    # group by (tile_R, tile_C): multiple files in one cell are band
+    # groups, not spatial neighbours (full-swath MS-FS products split
+    # e.g. RGB + NED across two TIFFs; reference test expects the
+    # bands concatenated in document order)
+    cells: dict[tuple[int, int], list[str]] = {}
+    for r, c, fp in tiles:
+        cells.setdefault((r, c), []).append(fp)
     # assemble mosaic
     out = None
     row_off = 0
-    for r in sorted({t[0] for t in tiles}):
+    for r in sorted({rc[0] for rc in cells}):
         col_off = 0
         row_h = 0
-        for rr, cc, fp in tiles:
-            if rr != r:
-                continue
-            px, _gt, _nd, _m = read_raster(fp)
-            px = np.asarray(px)
-            if px.ndim == 2:
-                px = px[:, :, None]
+        for (rr, cc) in sorted(k for k in cells if k[0] == r):
+            parts = []
+            for fp in cells[(rr, cc)]:
+                px, _gt, _nd, _m = read_raster(fp)
+                px = np.asarray(px)
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                parts.append(px)
+            px = parts[0] if len(parts) == 1 \
+                else np.concatenate(parts, axis=2)
             if out is None:
                 out = np.zeros((nrows, ncols, max(nbands, px.shape[2])),
                                px.dtype)

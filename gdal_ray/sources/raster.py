@@ -342,8 +342,12 @@ def read_raster(path: str, overview: int | None = None):
         from ..codecs.lerc import decode_lerc
         px = decode_lerc(open(path, "rb").read())
         gt, nodata, meta = None, None, {"driver": "LERC"}
-    elif ext in ("gen", "thf"):
+    elif ext in ("gen", "thf") or (
+            ext == "img" and os.path.exists(
+                os.path.splitext(path)[0] + ".GEN")):
         from ..codecs.adrg import decode_adrg, decode_srp
+        if ext == "img":                 # ADRG opened via the .IMG
+            path = os.path.splitext(path)[0] + ".GEN"
         try:
             px, gt, nodata, meta = decode_adrg(path)
         except (ValueError, KeyError):

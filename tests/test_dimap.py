@@ -58,3 +58,16 @@ class TestDimap2:
         px, gt, nd, meta = read_raster(
             f"{D}/dimap2/single_component/DIM_foo.XML")
         assert meta["driver"] == "DIMAP"
+
+
+def test_dimap2_full_swath_band_groups():
+    # MS-FS products split one cell's bands across files (RGB + NED);
+    # they concatenate in document order, not alphabetically
+    # (reference test_dimap_2_vhr2020_ms_fs: band mins 1..6)
+    from gdal_ray.sources.raster import read_raster
+    px, gt, nd, meta = read_raster(
+        "/root/reference/autotest/gdrivers/data/dimap2/vhr2020_ms_fs/"
+        "MS-FS/DIM_MS-FS.XML")
+    assert px.shape == (1366, 1663, 6)
+    assert [int(px[:, :, i].min()) for i in range(6)] == [1, 2, 3,
+                                                         4, 5, 6]
