@@ -228,6 +228,9 @@ def decode_dimap(path: str):
         if rpc:
             meta["rpc"] = rpc
 
+    if root.findtext(".//Raster_Dimensions/NROWS") is None:
+        raise ValueError("DIMAP v2 document has no Raster_Dimensions "
+                         "(metadata-only companion)")
     nrows = int(root.findtext(".//Raster_Dimensions/NROWS"))
     ncols = int(root.findtext(".//Raster_Dimensions/NCOLS"))
     nbands = int(root.findtext(".//Raster_Dimensions/NBANDS"))
