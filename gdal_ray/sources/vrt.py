@@ -536,6 +536,12 @@ def _read_warped_vrt(root, base, w, h, gt, crs, metadata):
 
     tr = wo.find("Transformer/GenImgProjTransformer")
     if tr is None:
+        # GDAL serializes error-bounded chains as ApproxTransformer
+        # wrapping the base transformer — unwrap (the engine's warp
+        # mesh is already error-bounded)
+        tr = wo.find("Transformer/ApproxTransformer/BaseTransformer/"
+                     "GenImgProjTransformer")
+    if tr is None:
         raise NotImplementedError("only GenImgProjTransformer supported")
     dst_gt = gt
     dgt_el = tr.findtext("DstGeoTransform")

@@ -379,3 +379,16 @@ def test_processed_dataset_band_affine():
                 "USER_PROVIDED_too_large_count"):
         with _pytest.raises(ValueError):
             read_vrt(A + f"processed_OutputBands_{bad}.vrt")
+
+
+def test_warped_vrt_approx_transformer_unwrap():
+    # ApproxTransformer-wrapped GenImgProjTransformer chains unwrap
+    # (bug4997.vrt); the reference's own test only asserts the warp
+    # yields empty content (alpha checksum 0)
+    from gdal_ray.core.checksum import checksum
+    from gdal_ray.sources.vrt import read_vrt
+    d = read_vrt("/root/reference/autotest/gdrivers/data/vrt/"
+                 "bug4997.vrt")
+    px = d.pixels
+    assert px.shape[:2] == (1024, 1024)
+    assert all(checksum(px[:, :, i]) == 0 for i in range(px.shape[2]))
