@@ -487,6 +487,18 @@ def _render_derived_band(band_el, out, bi, w, h, base, cache):
         args.update(args_el.attrib)
     transfer = band_el.findtext("SourceTransferType")
     srcs = []
+    for arr_src in band_el.findall("ArraySource"):
+        # inline multidim array (vrtprocesseddataset-era feature):
+        # ConstantValue arrays supported; others fail fast by name
+        arr = arr_src.find("Array")
+        if arr is None:
+            raise NotImplementedError("ArraySource without inline "
+                                      "Array not supported")
+        cv = arr.findtext("ConstantValue")
+        if cv is None:
+            raise NotImplementedError(
+                "ArraySource: only ConstantValue arrays supported")
+        srcs.append(np.full((h, w), float(cv), np.float64))
     for src_el in band_el:
         if src_el.tag not in _SOURCE_TAGS:
             continue

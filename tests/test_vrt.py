@@ -392,3 +392,14 @@ def test_warped_vrt_approx_transformer_unwrap():
     px = d.pixels
     assert px.shape[:2] == (1024, 1024)
     assert all(checksum(px[:, :, i]) == 0 for i in range(px.shape[2]))
+
+
+def test_arraysource_constant():
+    # inline ArraySource with a ConstantValue array (vrtmultidim.py:
+    # min/max == (10, 10))
+    import numpy as np
+    from gdal_ray.sources.vrt import read_vrt
+    d = read_vrt("/root/reference/autotest/gdrivers/data/vrt/"
+                 "arraysource_array_constant.vrt")
+    assert float(d.pixels.min()) == 10.0
+    assert float(d.pixels.max()) == 10.0
