@@ -49,7 +49,7 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def decode(buf: bytes) -> np.ndarray:
+def decode(buf: bytes, expand_palette: bool = False) -> np.ndarray:
     """PNG bytes → (h, w, bands) uint8 or uint16 (bands dim kept even
     for gray). Handles bit depth 8/16 and Adam7 interlacing (each pass
     is an independently-filtered sub-image scattered onto the output
@@ -58,13 +58,18 @@ def decode(buf: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     off = 8
     w = h = nb = None
+    plte = trns = None
     idat = bytearray()
     while off < len(buf):
         (ln,) = struct.unpack_from(">I", buf, off)
         tag = buf[off + 4:off + 8]
         data = buf[off + 8:off + 8 + ln]
         off += 12 + ln
-        if tag == b"IHDR":
+        if tag == b"PLTE":
+            plte = data
+        elif tag == b"tRNS":
+            trns = data
+        elif tag == b"IHDR":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
             ok_depth = (8, 16) if ctype not in (0, 3) else (1, 2, 4, 8, 16)
             if ctype == 3 and depth == 16:
@@ -103,8 +108,11 @@ def decode(buf: bytes) -> np.ndarray:
                 out[y0::dy, x0::dx, 0][:ph, :pw] = \
                     rowdec(payload[pos:pos + nbytes], pw, ph)
                 pos += nbytes
-            return out
-        return rowdec(payload, w, h)[:, :, None]
+        else:
+            out = rowdec(payload, w, h)[:, :, None]
+        if expand_palette and ctype == 3 and plte is not None:
+            return _expand_plte(out[:, :, 0], plte, trns)
+        return out
 
     sw = depth // 8                           # sample width in bytes
 
@@ -131,7 +139,10 @@ def decode(buf: bytes) -> np.ndarray:
         b16 = sub.reshape(h, w * nb, 2)
         return (b16[:, :, 0].astype(np.uint16) * 256
                 + b16[:, :, 1]).reshape(h, w, nb)
-    return sub.astype(np.uint8).reshape(h, w, nb)
+    out = sub.astype(np.uint8).reshape(h, w, nb)
+    if expand_palette and ctype == 3 and plte is not None:
+        return _expand_plte(out[:, :, 0], plte, trns)
+    return out
 
 
 def _unfilter(payload: bytes, w: int, h: int, nb: int,
@@ -177,3 +188,16 @@ def _unfilter(payload: bytes, w: int, h: int, nb: int,
         else:
             raise ValueError(f"bad filter {f}")
     return out.astype(np.uint8)
+
+
+def _expand_plte(idx: "np.ndarray", plte: bytes, trns):
+    """Palette indices → (h, w, 4) RGBA via PLTE (+ tRNS alpha)."""
+    pal = np.frombuffer(plte, np.uint8)
+    n = len(pal) // 3
+    rgba = np.zeros((256, 4), np.uint8)
+    rgba[:, 3] = 255
+    rgba[:n, :3] = pal[:n * 3].reshape(n, 3)
+    if trns:
+        a = np.frombuffer(trns, np.uint8)
+        rgba[:len(a), 3] = a
+    return rgba[idx]

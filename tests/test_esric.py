@@ -45,3 +45,53 @@ class TestEsric:
         px, _, _, meta = read_raster(conf)
         assert meta["driver"] == "ESRIC"
         assert meta["lods"] == [0, 1, 2, 3]
+
+
+def test_tpkx_full_extent_default():
+    # Esri tile package: default full-extent window at maxLOD
+    # (reference test_tpkx_default_full_extent: 2533x1922, gt approx,
+    # band1 checksum 59047)
+    from gdal_ray.codecs.esric import decode_tpkx
+    from gdal_ray.core.checksum import checksum
+    px, gt, nd, meta = decode_tpkx(
+        "/root/reference/autotest/gdrivers/data/esric/Usa.tpkx")
+    assert px.shape == (1922, 2533, 4)
+    assert abs(gt[0] - -19841829.550377003848553) < 1e-3
+    assert abs(gt[3] - 11545048.752193037420511) < 1e-3
+    assert checksum(px[:, :, 0]) == 59047
+    assert meta["crs"] == "EPSG:3857"
+
+
+def test_tpkx_tiling_scheme_checksums():
+    # whole tiling scheme at LOD5 with missing tiles filled by
+    # parent-level upsampling (resampling: true) and depth-8 palette
+    # tiles expanded: the reference's four band checksums exact
+    # (test_tpkx_3: 61275 / 57672 / 61542 / 19476)
+    from gdal_ray.codecs.esric import decode_tpkx
+    from gdal_ray.core.checksum import checksum
+    px, *_ = decode_tpkx(
+        "/root/reference/autotest/gdrivers/data/esric/Usa.tpkx",
+        lod=5, extent="TILING_SCHEME")
+    assert [checksum(px[:, :, i]) for i in range(4)] == \
+        [61275, 57672, 61542, 19476]
+
+
+def test_tpkx_lod3_band2():
+    # test_tpkx_4: overview level with four+ PNG tiles, band 2
+    from gdal_ray.codecs.esric import decode_tpkx
+    from gdal_ray.core.checksum import checksum
+    px, *_ = decode_tpkx(
+        "/root/reference/autotest/gdrivers/data/esric/Usa.tpkx",
+        lod=3, extent="TILING_SCHEME")
+    assert px.shape[:2] == (2048, 2048)
+    assert checksum(px[:, :, 1]) == 53503
+
+
+def test_tpkx_min_lod_not_zero():
+    # Usa_lod5.tpkx (minLOD 5): pixel at lon -100 lat 40 has data
+    from gdal_ray.codecs.esric import decode_tpkx
+    px, gt, *_ = decode_tpkx(
+        "/root/reference/autotest/gdrivers/data/esric/Usa_lod5.tpkx")
+    x = int((-11131949 - gt[0]) / gt[1])
+    y = int((4865942 - gt[3]) / gt[5])
+    assert px[y, x, :3].any()
