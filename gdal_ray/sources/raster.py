@@ -290,6 +290,9 @@ def read_raster(path: str, overview: int | None = None):
     elif ext == "pmtiles":
         from .pmtiles import read_pmtiles_raster
         px, gt, nodata, meta = read_pmtiles_raster(path)
+    elif ext == "tpkx":
+        from ..codecs.esric import decode_tpkx
+        px, gt, nodata, meta = decode_tpkx(path)
     elif ext == "til":
         from ..codecs.rawexotic import decode_til
         px, gt, nodata, meta = decode_til(path)
